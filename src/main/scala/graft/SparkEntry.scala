@@ -1,13 +1,106 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.io.Tables
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query-key → SURVEY §2 operator mapping:
+  *  - q01_pricing_summary: A1–A3-style whole-table/grouped aggregation
+  *  - q02_topk_orders:     §2.4 sort+limit (TakeOrderedAndProject)
+  *  - q03_star_join:       joins (engine completeness; broadcast dims)
+  *  - q04_filter_project:  O1/O9 projection + range predicates, pushdown
+  *  - q05_value_counts:    A4 value_counts()
+  *  - q06_group_describe:  A5 grouped describe
+  *  - q07_quartiles_outliers: A1 + O9 IQR outlier flagging
+  *  - q08_median_impute:   A2/A3 median fill with scalar barrier
+  *  - q09_null_census:     O10 missing-value census
+  *  - q10_dup_count:       A7 duplicate-row count
+  *  - q11_histogram:       A8 histogram (fixed-bound buckets)
+  *  - q12_profile:         A8 one-pass numeric profile
+  *  - q13_corr:            A10 correlation matrix entries
+  *  - q14_window_rank:     window ranking (engine completeness)
+  *  - q15_sessionize:      event sessionization (lag window + gap)
+  *  - q16_time_rollup:     time-bucketed aggregation
+  *  - q17_json_extract:    S1-adjacent semi-structured JSON extraction
+  *  - q18_parse_ops:       O5–O8 dirty-string parsers
+  *  - q19_classify:        O11 trend classification ladder
+  *  - q20_text_stats:      text analysis (tokens/quality features)
+  *  - q21_exact_dedup:     exact dedup via content hash
+  *  - q22_ngram_jaccard:   n-gram Jaccard near-dup pairs
+  *  - q23_minhash:         MinHash signatures (portable hash family)
+  *  - q24_cosine_topk:     brute-force cosine ANN baseline
+  *  - q25_embedding_stats: embedding norm profile
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingSummary(
+      Tables.load(spark, "/root/testdata/sf0.001", "lineitem"))
+
+  private def t(name: String)(q: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => q(Tables.load(s, dir, name))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> t("lineitem")(Relational.q01PricingSummary),
+    "q02_topk_orders" -> t("orders")(Relational.q02TopkOrders),
+    "q03_star_join" -> ((s, dir) => Relational.q03StarJoin(
+      Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"),
+      Tables.load(s, dir, "nation"), Tables.load(s, dir, "region"))),
+    "q04_filter_project" -> t("lineitem")(Relational.q04FilterProject),
+    "q05_value_counts" -> ((s, dir) => EventOps.q05ValueCounts(Tables.events(s, dir))),
+    "q06_group_describe" -> t("orders")(Relational.q06GroupDescribe),
+    "q07_quartiles_outliers" -> t("orders")(Relational.q07QuartilesOutliers),
+    "q08_median_impute" -> t("lineitem")(Relational.q08MedianImpute),
+    "q09_null_census" -> ((s, dir) => EventOps.q09NullCensus(Tables.events(s, dir))),
+    "q10_dup_count" -> t("documents")(Relational.q10DupCount),
+    "q11_histogram" -> t("orders")(Relational.q11Histogram),
+    "q12_profile" -> t("lineitem")(Relational.q12Profile),
+    "q13_corr" -> t("lineitem")(Relational.q13Corr),
+    "q14_window_rank" -> t("orders")(Relational.q14WindowRank),
+    "q15_sessionize" -> ((s, dir) => EventOps.q15Sessionize(Tables.events(s, dir))),
+    "q16_time_rollup" -> ((s, dir) => EventOps.q16TimeRollup(Tables.events(s, dir))),
+    "q17_json_extract" -> ((s, dir) => EventOps.q17JsonExtract(Tables.events(s, dir))),
+    "q18_parse_ops" -> t("lineitem")(ParseOps.q18ParseOps),
+    "q19_classify" -> ((s, dir) => EventOps.q19Classify(Tables.events(s, dir))),
+    "q20_text_stats" -> t("documents")(TextOps.q20TextStats),
+    "q21_exact_dedup" -> t("documents")(TextOps.q21ExactDedup),
+    "q22_ngram_jaccard" -> t("documents")(TextOps.q22NgramJaccard(_)),
+    "q23_minhash" -> t("documents")(TextOps.q23Minhash),
+    "q24_cosine_topk" -> t("embeddings")(VectorOps.q24CosineTopk(_)),
+    "q25_embedding_stats" -> t("embeddings")(VectorOps.q25EmbeddingStats),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Relational.q01Sql,
+    "q02_topk_orders" -> Relational.q02Sql,
+    "q03_star_join" -> Relational.q03Sql,
+    "q04_filter_project" -> Relational.q04Sql,
+    "q05_value_counts" -> EventOps.q05Sql,
+    "q06_group_describe" -> Relational.q06Sql,
+    "q07_quartiles_outliers" -> Relational.q07Sql,
+    "q08_median_impute" -> Relational.q08Sql,
+    "q09_null_census" -> EventOps.q09Sql,
+    "q10_dup_count" -> Relational.q10Sql,
+    "q11_histogram" -> Relational.q11Sql,
+    "q12_profile" -> Relational.q12Sql,
+    "q13_corr" -> Relational.q13Sql,
+    "q14_window_rank" -> Relational.q14Sql,
+    "q15_sessionize" -> EventOps.q15Sql,
+    "q16_time_rollup" -> EventOps.q16Sql,
+    "q17_json_extract" -> EventOps.q17Sql,
+    "q18_parse_ops" -> ParseOps.q18Sql,
+    "q19_classify" -> EventOps.q19Sql,
+    "q20_text_stats" -> TextOps.q20Sql,
+    "q21_exact_dedup" -> TextOps.q21Sql,
+    "q22_ngram_jaccard" -> TextOps.q22Sql(),
+    "q23_minhash" -> TextOps.q23Sql,
+    "q24_cosine_topk" -> VectorOps.q24Sql(),
+    "q25_embedding_stats" -> VectorOps.q25Sql,
+  )
 }

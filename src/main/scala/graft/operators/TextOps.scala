@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-pipeline surface (beyond-reference scope, SURVEY
+  * §7.5). All pure Column expressions (split/transform/explode/md5);
+  * zero UDFs, so tokenization and hashing stay inside whole-stage
+  * codegen and scale linearly with input splits.
+  *
+  * Portable hashing: every hash that crosses the engine boundary (the
+  * DuckDB oracle re-derives it) is the first 15 hex chars of md5, cast
+  * to a 60-bit long — identical in any engine, unlike builtin `hash()`.
+  */
+object TextOps {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Word-trigram shingle set, exploded to (doc_id, s) distinct rows.
+    * Word shingles are far more selective than char n-grams on this
+    * corpus (54 k vs 15.6 M candidate join pairs at 500 docs), which is
+    * what keeps the similarity self-join tractable at scale. */
+  def shingles(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("s", explode(array_distinct(
+        expr("transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+             "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))))
+      .select("doc_id", "s")
+
+  private val shinglesSql =
+    """tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         a[CAST(t.i AS INT)] || ' ' || a[CAST(t.i AS INT)+1] || ' ' || a[CAST(t.i AS INT)+2] AS s
+      |       FROM tok, range(1, 201) t(i)
+      |       WHERE t.i <= greatest(len(a) - 2, 1))""".stripMargin
+
+  /** Per-document text statistics: token/type counts, type-token ratio,
+    * stopword ratio, mean token length (quality-scoring features).
+    * Narrow, no shuffle. */
+  def q20TextStats(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    documents.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_types"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+        (size(expr(s"filter(split(text, ' '), t -> t IN ($stopList))")).cast("double")
+          / size(toks)).as("stop_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double")
+          / size(toks)).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  def q20Sql: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, length(text) AS n_chars_calc,
+       |  len(a) AS n_tokens, len(list_distinct(a)) AS n_types,
+       |  cast(len(list_distinct(a)) AS double) / len(a) AS ttr,
+       |  cast(len(list_filter(a, t -> t IN ($stopList))) AS double) / len(a) AS stop_ratio,
+       |  cast(length(replace(text, ' ', '')) AS double) / len(a) AS avg_token_len
+       |FROM (SELECT doc_id, text, regexp_split_to_array(text, ' ') AS a FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact dedup (hash-groupBy): one row per distinct text, keeper = min
+    * doc_id. At 100 TB this is the canonical first dedup pass: shuffle
+    * on a 128-bit content hash, never on the text itself. */
+  def q21ExactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+
+  def q21Sql: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs via an inverted shingle index:
+    * explode → self-join on shingle → per-pair intersection counts →
+    * Jaccard from set sizes. The join is the scale watch item: shingle
+    * frequency skew multiplies pairs, so high-DF shingles should be
+    * dropped at 100 TB (MinHash-LSH, q23, is the sublinear path). */
+  def q22NgramJaccard(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val sh = shingles(documents).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("idb") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("ninter").cast("double") / (col("sa.n") + col("sb.n") - col("ninter")))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "ninter", "jaccard")
+      .orderBy("ida", "idb")
+  }
+
+  def q22Sql(threshold: Double = 0.2): String =
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT ida, idb, ninter,
+       |  cast(ninter AS double) / (sa.n + sb.n - ninter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON ida = sa.doc_id
+       |JOIN sizes sb ON idb = sb.doc_id
+       |WHERE cast(ninter AS double) / (sa.n + sb.n - ninter) >= $threshold
+       |ORDER BY ida, idb""".stripMargin
+
+  /** MinHash signatures (k=8) over the shingle sets, with a fully
+    * engine-portable hash family: h = md5-60bit mod P, slot_i =
+    * min((a_i·h + b_i) mod P). One groupBy per doc — the signature is
+    * 8 longs instead of ~100 shingles, which is what LSH banding
+    * buckets on at scale. a_i < 2×10^9 keeps a_i·h < 2^63. */
+  val MinhashP = 4294967291L // largest prime < 2^32
+  val MinhashA: Seq[Long] = Seq(1L, 31L, 1299709L, 15485863L,
+    179424673L, 32452843L, 982451653L, 1999999999L)
+  val MinhashB: Seq[Long] = Seq(0L, 7L, 104729L, 1299721L,
+    86028157L, 15485917L, 49979687L, 899999963L)
+
+  def q23Minhash(documents: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % MinhashP
+    val slots = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * h + lit(b)) % MinhashP).as(s"mh$i")
+    }
+    shingles(documents)
+      .groupBy("doc_id")
+      .agg(slots.head, slots.tail: _*)
+      .orderBy("doc_id")
+  }
+
+  def q23Sql: String = {
+    val h = "(cast(concat('0x', substr(md5(s), 1, 15)) AS bigint) % 4294967291)"
+    val slots = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * $h + $b) % 4294967291) AS mh$i"
+    }.mkString(",\n  ")
+    s"""WITH $shinglesSql
+       |SELECT doc_id,
+       |  $slots
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+}

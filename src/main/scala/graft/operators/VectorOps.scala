@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Brute-force cosine top-k is the exact baseline: broadcast the query
+  * set, stream the corpus once, per-partition top-k heaps via window
+  * rank. All arithmetic is a sequential float64 fold (zip_with +
+  * aggregate), which is bit-identical to DuckDB's list_cosine_similarity
+  * loop — verified, so the oracle compares on exact doubles (rounded to
+  * 6 only to absorb any future engine drift).
+  *
+  * The 100 TB path is IVF/LSH bucketing (restrict candidates to a
+  * cluster/bucket before the exact rerank) — the exact kernel here is
+  * the rerank primitive either way.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two double arrays. */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+  private def norm2(a: String) =
+    expr(s"aggregate(transform($a, x -> x * x), 0D, (acc, x) -> acc + x)")
+
+  /** Exact cosine top-k: queries = vec_id < nQueries, k best neighbors
+    * each (self excluded), ranked by (rounded sim desc, vec_id). */
+  def q24CosineTopk(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("ed"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+    val sim = dot("qe", "ed") /
+      (sqrt(norm2("qe")) * sqrt(norm2("ed")))
+    val pairs = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(sim, 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  def q24Sql(nQueries: Int = 8, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+       |           FROM embeddings WHERE vec_id < $nQueries),
+       |s AS (SELECT qid, vec_id,
+       |        round(list_cosine_similarity(qe, embedding::DOUBLE[]), 6) AS sim
+       |      FROM q, embeddings WHERE vec_id != qid),
+       |r AS (SELECT qid, vec_id, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+       |      FROM s)
+       |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+
+  /** Per-label embedding profile: count + exact-ish centroid norm stats.
+    * Norms are rounded (order-independent within one vector: the fold is
+    * sequential over the array, not over rows). */
+  def q25EmbeddingStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("norm", sqrt(norm2("transform(embedding, x -> cast(x AS double))")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+           round(min("norm"), 6).as("min_norm"),
+           round(max("norm"), 6).as("max_norm"))
+      .orderBy("label")
+
+  def q25Sql: String =
+    """SELECT label, count(*) AS n,
+      |  round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+      |  round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+}
