@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.io.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB design contract, pinned.
+  *
+  * Correctness tests prove the small-SF answer; these prove the plan
+  * SHAPE survives scale-up: filters reach the parquet scan, projections
+  * prune the read schema, small dimensions broadcast instead of
+  * shuffling, sort+limit stays a top-k (never a global sort), and the
+  * parse/classify ladders stay inside whole-stage codegen (no UDF
+  * opacity). A regression here is a performance bug even when every
+  * value still matches.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q04 pushes filters and prunes columns at the parquet scan") {
+    val p = plan(Relational.q04FilterProject(Tables.load(spark, sf, "lineitem")))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_discount"), p)
+    // pruned read schema: only the 4 projected + 3 filtered columns
+    assert(!p.contains("l_tax"), "scan reads unneeded column l_tax:\n" + p)
+  }
+
+  test("q02 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q02TopkOrders(Tables.load(spark, sf, "orders")))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q03 star join broadcasts every dimension side") {
+    val p = plan(Relational.q03StarJoin(
+      Tables.load(spark, sf, "orders"), Tables.load(spark, sf, "customer"),
+      Tables.load(spark, sf, "nation"), Tables.load(spark, sf, "region")))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to SMJ:\n" + p)
+  }
+
+  test("q01 aggregates with map-side partial aggregation") {
+    val p = plan(Relational.q01PricingSummary(Tables.load(spark, sf, "lineitem")))
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+  }
+
+  test("parse + classify ladders contain no UDFs (pure codegen exprs)") {
+    val d1 = ParseOps.q18ParseOps(Tables.load(spark, sf, "lineitem"))
+    val d2 = EventOps.q19Classify(Tables.events(spark, sf))
+    Seq(d1, d2).foreach { df =>
+      df.collect() // AQE: codegen spans only appear in the final plan
+      val p = plan(df)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+      assert(p.contains("codegen id"), "no whole-stage codegen span:\n" + p)
+    }
+  }
+
+  test("q24 broadcasts the query side of the similarity join") {
+    val p = plan(VectorOps.q24CosineTopk(Tables.load(spark, sf, "embeddings")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + invariants for every SparkEntry query on sf0.001.
+  *
+  * The DuckDB hash-match (driver-run, replicated locally during
+  * development) is the value-level gate; this suite pins cheap
+  * structural invariants so `sbt test` alone catches breakage:
+  * schema column names, non-emptiness, and per-query semantic checks.
+  */
+class QuerySuiteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every query has an oracle and runs non-empty on sf0.001") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry() returns the flagship aggregate with rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("sum_qty"))
+  }
+
+  test("q07 outlier bounds bracket the quartiles") {
+    val r = Relational.q07QuartilesOutliers(
+      graft.io.Tables.load(spark, sf, "orders")).head()
+    val (q1, q3, lo, hi) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(3), r.getDouble(4))
+    assert(lo < q1 && q1 <= q3 && q3 < hi)
+    assert(r.getLong(5) >= 0)
+  }
+
+  test("q21 exact dedup partitions the documents exactly") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val total = docs.count()
+    val sum = TextOps.q21ExactDedup(docs)
+      .agg(org.apache.spark.sql.functions.sum("n_copies")).head().getLong(0)
+    assert(sum === total)
+  }
+
+  test("q22 jaccard pairs are symmetric-free and within (0, 1]") {
+    val rows = TextOps.q22NgramJaccard(
+      graft.io.Tables.load(spark, sf, "documents")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(3)
+      assert(j >= 0.2 && j <= 1.0)
+    }
+  }
+
+  test("q23 minhash: identical docs would share signatures; slots in range") {
+    val rows = TextOps.q23Minhash(
+      graft.io.Tables.load(spark, sf, "documents")).collect()
+    rows.foreach { r =>
+      (1 to 8).foreach { i =>
+        val v = r.getLong(i)
+        assert(v >= 0 && v < TextOps.MinhashP)
+      }
+    }
+  }
+
+  test("q24 cosine top-k: k neighbors per query, sims descending") {
+    val rows = VectorOps.q24CosineTopk(
+      graft.io.Tables.load(spark, sf, "embeddings")).collect()
+    assert(rows.length === 8 * 5)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val sims = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
