@@ -72,6 +72,11 @@ object SparkEntry {
     "q23_minhash" -> t("documents")(TextOps.q23Minhash),
     "q24_cosine_topk" -> t("embeddings")(VectorOps.q24CosineTopk(_)),
     "q25_embedding_stats" -> t("embeddings")(VectorOps.q25EmbeddingStats),
+    "q26_simhash" -> t("documents")(Fuzzy.q26Simhash),
+    "q27_lsh_dedup" -> t("documents")(Fuzzy.q27LshDedup(_)),
+    "q28_fingerprint" -> t("documents")(Fuzzy.q28Fingerprint),
+    "q29_lang_quality" -> t("documents")(LangQuality.q29LangQuality),
+    "q30_ivf_topk" -> t("embeddings")(VectorOps.q30IvfTopk(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -102,5 +107,10 @@ object SparkEntry {
     "q23_minhash" -> TextOps.q23Sql,
     "q24_cosine_topk" -> VectorOps.q24Sql(),
     "q25_embedding_stats" -> VectorOps.q25Sql,
+    "q26_simhash" -> Fuzzy.q26Sql,
+    "q27_lsh_dedup" -> Fuzzy.q27Sql(),
+    "q28_fingerprint" -> Fuzzy.q28Sql,
+    "q29_lang_quality" -> LangQuality.q29Sql,
+    "q30_ivf_topk" -> VectorOps.q30Sql(),
   )
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.operators.TextOps.{shingles, MinhashA, MinhashB, MinhashP}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fuzzy-dedup operators: SimHash, MinHash-LSH banding, bottom-k
+  * fingerprints — the sublinear near-dup machinery for a training-data
+  * pipeline (prompt mandate; complements the exact q22 Jaccard join).
+  *
+  * Everything is built on the engine-portable md5-60bit hash (TextOps),
+  * so the DuckDB oracle re-derives identical signatures. At 100 TB the
+  * decisive property is that all three reduce a document to O(1) state
+  * before any join: SimHash to one long, MinHash to k longs, bottom-k to
+  * k longs — the candidate join shuffles signatures, never text.
+  */
+object Fuzzy {
+
+  private val SimhashBits = 32
+
+  /** Portable token/shingle hash: first 15 hex chars of md5 → 60-bit
+    * long, folded mod P into 32-bit range. */
+  private def portableHash(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % MinhashP
+  private def portableHashSql(s: String) =
+    s"(cast(concat('0x', substr(md5($s), 1, 15)) AS bigint) % $MinhashP)"
+
+  private val tokensSqlCte =
+    """tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, ' '))) AS t
+      |        FROM documents)""".stripMargin
+
+  /** q26: 32-bit SimHash over distinct unigram tokens. Per-bit vote:
+    * +1 if the token hash has the bit set, −1 otherwise; signature bit
+    * b = (vote_b > 0). One groupBy per doc, 32 integer sums — exact,
+    * order-independent, identical in any engine. */
+  def q26Simhash(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .withColumn("t", explode(array_distinct(split(col("text"), " "))))
+      .select(col("doc_id"), portableHash(col("t")).as("h"))
+    val votes = (0 until SimhashBits).map { b =>
+      sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1")).as(s"v$b")
+    }
+    val sig = (0 until SimhashBits).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  def q26Sql: String = {
+    val votes = (0 until SimhashBits)
+      .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS v$b").mkString(", ")
+    val sig = (0 until SimhashBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH $tokensSqlCte,
+       |h AS (SELECT doc_id, ${portableHashSql("t")} AS h FROM tok),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+       |SELECT doc_id, cast($sig AS bigint) AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  /** q27: MinHash-LSH near-dup pairs — the sublinear path. The k=8
+    * signature splits into 4 bands of 2; documents colliding on any
+    * band become candidates; candidates only are verified with exact
+    * Jaccard. This is the operator that replaces q22's all-pairs join
+    * at scale: the band join touches O(n) signature rows. */
+  def q27LshDedup(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val sig = TextOps.q23Minhash(documents)
+    val bandCols = (0 until 4).map { i =>
+      struct(lit(i).as("band"), col(s"mh${2 * i}").as("x"), col(s"mh${2 * i + 1}").as("y"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.x"), col("b.y"))
+    val cand = bands.as("p")
+      .join(bands.as("q"),
+        col("p.band") === col("q.band") && col("p.x") === col("q.x") &&
+          col("p.y") === col("q.y") && col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("ida"), col("q.doc_id").as("idb"))
+      .distinct()
+    val sh = shingles(documents)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("ninter"))
+      .join(cand, col("ia") === col("ida") && col("ib") === col("idb"), "left_semi")
+    inter
+      .join(sizes.as("sa"), col("ia") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("ib") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("ninter").cast("double") / (col("sa.n") + col("sb.n") - col("ninter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ia").as("ida"), col("ib").as("idb"), col("jaccard"))
+      .orderBy("ida", "idb")
+  }
+
+  def q27Sql(threshold: Double = 0.2): String = {
+    val h = portableHashSql("s")
+    val slots = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * $h + $b) % $MinhashP) AS mh$i"
+    }.mkString(", ")
+    val bandRows = (0 until 4)
+      .map(i => s"SELECT doc_id, $i AS band, mh${2 * i} AS x, mh${2 * i + 1} AS y FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         a[CAST(t.i AS INT)] || ' ' || a[CAST(t.i AS INT)+1] || ' ' || a[CAST(t.i AS INT)+2] AS s
+       |       FROM tok, range(1, 201) t(i)
+       |       WHERE t.i <= greatest(len(a) - 2, 1)),
+       |sig AS (SELECT doc_id, $slots FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT p.doc_id AS ida, q.doc_id AS idb
+       |         FROM bands p JOIN bands q
+       |           ON p.band = q.band AND p.x = q.x AND p.y = q.y
+       |          AND p.doc_id < q.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ninter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          JOIN cand ON a.doc_id = cand.ida AND b.doc_id = cand.idb
+       |          GROUP BY 1, 2)
+       |SELECT ia AS ida, ib AS idb,
+       |  cast(ninter AS double) / (sa.n + sb.n - ninter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON ia = sa.doc_id
+       |JOIN sizes sb ON ib = sb.doc_id
+       |WHERE cast(ninter AS double) / (sa.n + sb.n - ninter) >= $threshold
+       |ORDER BY ida, idb""".stripMargin
+  }
+
+  /** q28: bottom-k document fingerprint (k=4 smallest distinct shingle
+    * hashes) — a fixed-size content sketch; equal fingerprints ⇒
+    * near-identical shingle sets. The per-doc top-k uses a window rank
+    * (per-partition heaps, no global sort). */
+  def q28Fingerprint(documents: DataFrame): DataFrame = {
+    val hashed = shingles(documents)
+      .select(col("doc_id"), portableHash(col("s")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("doc_id").orderBy("h")
+    hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("rn") === 1, col("h"))).as("f1"),
+        max(when(col("rn") === 2, col("h"))).as("f2"),
+        max(when(col("rn") === 3, col("h"))).as("f3"),
+        max(when(col("rn") === 4, col("h"))).as("f4"))
+      .orderBy("doc_id")
+  }
+
+  def q28Sql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         a[CAST(t.i AS INT)] || ' ' || a[CAST(t.i AS INT)+1] || ' ' || a[CAST(t.i AS INT)+2] AS s
+       |       FROM tok, range(1, 201) t(i)
+       |       WHERE t.i <= greatest(len(a) - 2, 1)),
+       |h AS (SELECT DISTINCT doc_id, ${portableHashSql("s")} AS h FROM sh),
+       |r AS (SELECT doc_id, h,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+       |      FROM h)
+       |SELECT doc_id,
+       |  max(CASE WHEN rn = 1 THEN h END) AS f1,
+       |  max(CASE WHEN rn = 2 THEN h END) AS f2,
+       |  max(CASE WHEN rn = 3 THEN h END) AS f3,
+       |  max(CASE WHEN rn = 4 THEN h END) AS f4
+       |FROM r WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

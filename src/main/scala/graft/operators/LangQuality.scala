@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Language identification + quality scoring over `documents` — the
+  * text-analysis operators of a training-data pipeline.
+  *
+  * Lang-ID is a marker-token heuristic (per-language stopword hit
+  * counts, argmax with a fixed precedence order): the classic n-gram
+  * profile approach reduced to vocabulary evidence, fully expressible
+  * as portable relational expressions so the DuckDB oracle re-derives
+  * it. Quality is a deterministic composite of length/diversity/
+  * stopword features (same shape as Gopher-style quality rules).
+  * Both are narrow single-pass operators — no shuffle at all.
+  */
+object LangQuality {
+
+  /** Marker vocabularies. The synthetic corpus is English-ish tech
+    * prose; the machinery, not the vocabulary, is the operator. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "los", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "une"))
+
+  def q29LangQuality(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    def hits(words: Seq[String]) = {
+      val list = words.map(w => s"'$w'").mkString(", ")
+      size(expr(s"filter(split(text, ' '), t -> t IN ($list))"))
+    }
+    val hitCols = Markers.map { case (lang, ws) => hits(ws).as(s"hits_$lang") }
+    // argmax with first-listed precedence on ties; all-zero → "unknown"
+    val best = Markers.foldRight(lit("unknown")) { case ((lang, _), acc) =>
+      val isMax = Markers.map { case (o, _) => col(s"hits_$lang") >= col(s"hits_$o") }
+        .reduce(_ && _)
+      when(col(s"hits_$lang") > 0 && isMax &&
+        Markers.takeWhile(_._1 != lang).map { case (o, _) =>
+          col(s"hits_$o") < col(s"hits_$lang")
+        }.foldLeft(lit(true))(_ && _), lit(lang)).otherwise(acc)
+    }
+    val nTok = col("n_tokens").cast("double")
+    val quality =
+      least(nTok / 100.0, lit(1.0)) * 0.4 +
+        (col("n_types") / nTok) * 0.4 +
+        least(col("hits_en").cast("double") / nTok * 5.0, lit(1.0)) * 0.2
+    documents
+      .select((Seq(col("doc_id"), size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_types")) ++ hitCols): _*)
+      .withColumn("lang_pred", best)
+      .withColumn("quality", round(quality, 6))
+      .select("doc_id", "lang_pred", "hits_en", "hits_es", "hits_de", "hits_fr", "quality")
+      .orderBy("doc_id")
+  }
+
+  def q29Sql: String = {
+    def hitsSql(ws: Seq[String]) =
+      s"len(list_filter(a, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    val hitCols = Markers.map { case (l, ws) => s"${hitsSql(ws)} AS hits_$l" }.mkString(", ")
+    val caseArms = Markers.map { case (lang, _) =>
+      val geAll = Markers.map { case (o, _) => s"hits_$lang >= hits_$o" }.mkString(" AND ")
+      val beatsPrior = Markers.takeWhile(_._1 != lang)
+        .map { case (o, _) => s"hits_$o < hits_$lang" }
+        .foldLeft(Seq("TRUE"))(_ :+ _).mkString(" AND ")
+      s"WHEN hits_$lang > 0 AND $geAll AND $beatsPrior THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $caseArms ELSE 'unknown' END AS lang_pred,
+       |  hits_en, hits_es, hits_de, hits_fr,
+       |  round(least(cast(n_tokens AS double) / 100.0, 1.0) * 0.4
+       |      + (n_types / cast(n_tokens AS double)) * 0.4
+       |      + least(cast(hits_en AS double) / cast(n_tokens AS double) * 5.0, 1.0) * 0.2, 6) AS quality
+       |FROM (
+       |  SELECT doc_id, len(a) AS n_tokens, len(list_distinct(a)) AS n_types, $hitCols
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents) x) t
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -53,6 +53,58 @@ object VectorOps {
        |      FROM s)
        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
 
+  /** q30: IVF-style ANN — the 100 TB scale path for similarity search.
+    * Coarse quantizer: 8 seed vectors (vec_id 0–7) act as centroids;
+    * every vector is assigned to its nearest centroid (argmax cosine,
+    * deterministic tiebreak on centroid id). A query (vec_id 8–15)
+    * probes ONLY its own cluster (nprobe=1) and reranks exactly there.
+    * The brute-force kernel (q24) touches N vectors per query; this
+    * touches ~N/8 — on a real deployment centroids come from k-means
+    * and the ratio is N/nlist. Assignment is one broadcast-NL join;
+    * no all-pairs shuffle ever materializes. */
+  def q30IvfTopk(embeddings: DataFrame, nCentroids: Int = 8, k: Int = 3): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("ed"))
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("ed").as("ce"))
+    val simToCent = dot("ed", "ce") / (sqrt(norm2("ed")) * sqrt(norm2("ce")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(desc("csim"), asc("cid"))
+    val assigned = e.join(broadcast(cents))
+      .select(col("vec_id"), col("ed"), col("cid"), round(simToCent, 6).as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("ed"), col("cid"))
+    val queries = assigned.filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + 8)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"), col("cid").as("qcid"))
+    val sim = dot("qe", "ed") / (sqrt(norm2("qe")) * sqrt(norm2("ed")))
+    val wRank = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    broadcast(queries)
+      .join(assigned, col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(sim, 6).as("sim"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  def q30Sql(nCentroids: Int = 8, k: Int = 3): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |c AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < $nCentroids),
+       |asg AS (SELECT vec_id, ed, cid FROM (
+       |  SELECT e.vec_id, e.ed, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid) AS arn
+       |  FROM e, c) t WHERE arn = 1),
+       |q AS (SELECT vec_id AS qid, ed AS qe, cid AS qcid FROM asg
+       |      WHERE vec_id >= $nCentroids AND vec_id < ${nCentroids + 8}),
+       |s AS (SELECT qid, a.vec_id,
+       |        round(list_cosine_similarity(qe, a.ed), 6) AS sim
+       |      FROM q JOIN asg a ON a.cid = q.qcid AND a.vec_id != q.qid),
+       |r AS (SELECT qid, vec_id, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+       |      FROM s)
+       |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+
   /** Per-label embedding profile: count + exact-ish centroid norm stats.
     * Norms are rounded (order-independent within one vector: the fold is
     * sequential over the array, not over rows). */
