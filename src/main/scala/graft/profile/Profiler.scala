@@ -1,0 +1,198 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Profiling model (reference A8–A13: ydata-profiling's computed
+  * statistics re-expressed as Spark aggregates; SURVEY.md §2.3).
+  *
+  * Structure over HTML bytes: the reference ships two profiling report
+  * HTMLs (cryptos_api_report.html, cryptos_kaggle_report.html,
+  * crypto_etl_pipeline.py:261-287); parity means computing the same
+  * statistic kinds — per-column numeric stats with quantiles and
+  * histograms, string stats with top values, correlation matrix,
+  * missing census, duplicate census, alerts — not the same bytes
+  * (SURVEY §7.4.7).
+  */
+case class NumericProfile(
+    name: String, dtype: String, nNonNull: Long, nMissing: Long,
+    nDistinct: Long, nZeros: Long, nNegative: Long, nInfinite: Long,
+    mean: Option[Double], min: Option[Double], max: Option[Double],
+    std: Option[Double], skew: Option[Double], kurt: Option[Double],
+    q05: Option[Double], q25: Option[Double], median: Option[Double],
+    q75: Option[Double], q95: Option[Double],
+    histogram: Seq[(Double, Double, Long)]) {
+  def missingPct: Double =
+    if (nNonNull + nMissing == 0) 0.0 else nMissing.toDouble / (nNonNull + nMissing)
+  def iqr: Option[Double] = for (a <- q25; b <- q75) yield b - a
+  def range: Option[Double] = for (a <- min; b <- max) yield b - a
+  def cv: Option[Double] = for (s <- std; m <- mean if m != 0) yield s / m
+}
+
+case class StringProfile(
+    name: String, nNonNull: Long, nMissing: Long, nDistinct: Long,
+    minLen: Option[Long], maxLen: Option[Long], avgLen: Option[Double],
+    topValues: Seq[(String, Long)])
+
+case class TableProfile(
+    nRows: Long, nCols: Int, nDuplicateRows: Long,
+    numeric: Seq[NumericProfile], strings: Seq[StringProfile],
+    correlations: Seq[(String, String, Double)], alerts: Seq[String])
+
+/** One-pass-per-concern profiler:
+  *   pass 1 — one wide aggregate: every numeric stat (including exact
+  *            quantiles) + string lengths + pairwise correlations + all
+  *            null/zero/negative censuses, for every column at once;
+  *   pass 2 — histograms for all numeric columns in ONE aggregate
+  *            (bins need pass-1 min/max — a data-dependent barrier,
+  *            same shape as the reference's quantile→fill dataflow);
+  *   pass 3 — duplicate-row count (groupBy all columns);
+  *   pass 4 — per-string-column top-k (k small; TakeOrdered per column).
+  *
+  * At 100 TB: pass 1 is a single scan with partial aggregation except
+  * the exact percentiles (flip `approxQuantiles` on to make the whole
+  * pass map-combinable); histograms stay one scan regardless.
+  */
+object Profiler {
+
+  val DefaultBins = 10
+  val DefaultTopK = 10
+
+  def isNumeric(f: StructField): Boolean = f.dataType match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  def profile(df: DataFrame, bins: Int = DefaultBins, topK: Int = DefaultTopK,
+              approxQuantiles: Boolean = false): TableProfile = {
+    val numCols = df.schema.fields.filter(isNumeric).map(_.name).toSeq
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    val nRows = df.count()
+
+    // ---- pass 1: one wide aggregate ----------------------------------
+    def pct(c: String, q: Double): Column =
+      if (approxQuantiles) expr(s"approx_percentile(`$c`, $q, 10000)").cast("double")
+      else expr(s"percentile(`$c`, $q)")
+    val numAggs = numCols.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(
+        count(col(c)).as(s"$c!n"),
+        sum(col(c).isNull.cast("long")).as(s"$c!miss"),
+        countDistinct(col(c)).as(s"$c!dist"),
+        sum((d === 0.0).cast("long")).as(s"$c!zeros"),
+        sum((d < 0.0).cast("long")).as(s"$c!neg"),
+        sum((isnan(d) || d === Double.PositiveInfinity || d === Double.NegativeInfinity)
+          .cast("long")).as(s"$c!inf"),
+        avg(d).as(s"$c!mean"), min(d).as(s"$c!min"), max(d).as(s"$c!max"),
+        stddev_samp(d).as(s"$c!std"), skewness(d).as(s"$c!skew"),
+        kurtosis(d).as(s"$c!kurt"),
+        pct(c, 0.05).as(s"$c!q05"), pct(c, 0.25).as(s"$c!q25"),
+        pct(c, 0.5).as(s"$c!q50"), pct(c, 0.75).as(s"$c!q75"),
+        pct(c, 0.95).as(s"$c!q95"))
+    }
+    val strAggs = strCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"$c!n"),
+        sum(col(c).isNull.cast("long")).as(s"$c!miss"),
+        countDistinct(col(c)).as(s"$c!dist"),
+        min(length(col(c)).cast("long")).as(s"$c!minlen"),
+        max(length(col(c)).cast("long")).as(s"$c!maxlen"),
+        avg(length(col(c))).as(s"$c!avglen"))
+    }
+    val corrPairs = for {
+      (a, i) <- numCols.zipWithIndex; b <- numCols.drop(i + 1)
+    } yield (a, b)
+    val corrAggs = corrPairs.map { case (a, b) =>
+      corr(col(a).cast("double"), col(b).cast("double")).as(s"$a!corr!$b")
+    }
+    val aggs = numAggs ++ strAggs ++ corrAggs
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def g[T](k: String): Option[T] = {
+      val i = row.fieldIndex(k)
+      if (row.isNullAt(i)) None else Some(row.getAs[T](i))
+    }
+    def gl(k: String): Long = g[Long](k).getOrElse(0L)
+
+    // ---- pass 2: all histograms in one aggregate ---------------------
+    val bounds = numCols.map(c => c -> (g[Double](s"$c!min"), g[Double](s"$c!max"))).toMap
+    val histAggs = numCols.flatMap { c =>
+      bounds(c) match {
+        case (Some(lo), Some(hi)) if hi > lo =>
+          val width = (hi - lo) / bins
+          val bucket = least(floor((col(c).cast("double") - lo) / width), lit(bins - 1))
+          (0 until bins).map(b => sum((bucket === b).cast("long")).as(s"$c!h$b"))
+        case _ => Seq.empty
+      }
+    }
+    val histRow =
+      if (histAggs.nonEmpty) Some(df.agg(histAggs.head, histAggs.tail: _*).head())
+      else None
+    def hist(c: String): Seq[(Double, Double, Long)] = bounds(c) match {
+      case (Some(lo), Some(hi)) if hi > lo =>
+        val width = (hi - lo) / bins
+        (0 until bins).map { b =>
+          val n = histRow.map { r =>
+            val i = r.fieldIndex(s"$c!h$b")
+            if (r.isNullAt(i)) 0L else r.getLong(i)
+          }.getOrElse(0L)
+          (lo + b * width, lo + (b + 1) * width, n)
+        }
+      case _ => Seq.empty
+    }
+
+    // ---- pass 3: duplicate rows --------------------------------------
+    val nDup = nRows - df.dropDuplicates().count()
+
+    // ---- pass 4: string top-k ----------------------------------------
+    val tops = strCols.map { c =>
+      c -> df.filter(col(c).isNotNull).groupBy(c).count()
+        .orderBy(desc("count"), asc(c)).limit(topK).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    }.toMap
+
+    val numeric = numCols.map { c =>
+      NumericProfile(c, df.schema(c).dataType.simpleString,
+        gl(s"$c!n"), gl(s"$c!miss"), gl(s"$c!dist"), gl(s"$c!zeros"),
+        gl(s"$c!neg"), gl(s"$c!inf"),
+        g[Double](s"$c!mean"), g[Double](s"$c!min"), g[Double](s"$c!max"),
+        g[Double](s"$c!std"), g[Double](s"$c!skew"), g[Double](s"$c!kurt"),
+        g[Double](s"$c!q05"), g[Double](s"$c!q25"), g[Double](s"$c!q50"),
+        g[Double](s"$c!q75"), g[Double](s"$c!q95"), hist(c))
+    }
+    val strings = strCols.map { c =>
+      StringProfile(c, gl(s"$c!n"), gl(s"$c!miss"), gl(s"$c!dist"),
+        g[Long](s"$c!minlen"), g[Long](s"$c!maxlen"), g[Double](s"$c!avglen"),
+        tops(c))
+    }
+    val correlations = corrPairs.flatMap { case (a, b) =>
+      g[Double](s"$a!corr!$b").map(r => (a, b, r))
+    }
+    TableProfile(nRows, df.columns.length, nDup, numeric, strings,
+      correlations, alerts(nRows, numeric, strings, correlations))
+  }
+
+  /** A13: thresholded alert rules over the computed stats — the same
+    * alert kinds the reference reports surface. */
+  def alerts(nRows: Long, numeric: Seq[NumericProfile],
+             strings: Seq[StringProfile],
+             correlations: Seq[(String, String, Double)]): Seq[String] = {
+    val a = Seq.newBuilder[String]
+    correlations.filter { case (_, _, r) => math.abs(r) > 0.9 }
+      .foreach { case (x, y, r) => a += f"HIGH_CORRELATION: $x ~ $y (r=$r%.3f)" }
+    numeric.foreach { p =>
+      if (p.missingPct > 0.05) a += f"MISSING: ${p.name} (${p.missingPct * 100}%.1f%% missing)"
+      if (p.nDistinct == 1 && p.nNonNull > 0) a += s"CONSTANT: ${p.name}"
+      if (p.nNonNull > 0 && p.nZeros.toDouble / p.nNonNull > 0.1)
+        a += f"ZEROS: ${p.name} (${p.nZeros} zeros)"
+      if (p.skew.exists(s => math.abs(s) > 20)) a += s"SKEWED: ${p.name}"
+    }
+    strings.foreach { p =>
+      if (p.nDistinct == p.nNonNull && p.nNonNull > 0) a += s"UNIQUE: ${p.name}"
+      if (p.nDistinct == 1 && p.nNonNull > 0) a += s"CONSTANT: ${p.name}"
+      if (p.topValues.headOption.exists(_._2.toDouble / math.max(p.nNonNull, 1) > 0.9))
+        a += s"IMBALANCE: ${p.name}"
+    }
+    a.result()
+  }
+}
