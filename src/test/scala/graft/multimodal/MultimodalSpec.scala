@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import graft.TestSpark
+import graft.io.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing: schema contracts, determinism, partition
+  * preservation, feature shape, and payload pruning. The decode itself
+  * is the documented stub — these tests pin the Spark side that stays
+  * when a real codec replaces it. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val withContent = Multimodal.withPayload(docs)
+  private lazy val decoded = Multimodal.decodeMeta(withContent)
+
+  test("payload + metadata schema contract") {
+    assert(withContent.schema("content").dataType.typeName === "binary")
+    val meta = decoded.schema("meta").dataType
+    assert(meta === Multimodal.MediaMetaType)
+    assert(decoded.count() === docs.count())
+  }
+
+  test("stub decode is deterministic and content-derived") {
+    val a = decoded.select("doc_id", "meta").collect().sortBy(_.getLong(0))
+    val b = Multimodal.decodeMeta(withContent)
+      .select("doc_id", "meta").collect().sortBy(_.getLong(0))
+    assert(a.map(_.toString) === b.map(_.toString))
+    // n_bytes must equal the true payload size (not stubbed)
+    val r = decoded.selectExpr("length(content)", "meta.n_bytes").head()
+    assert(r.getInt(0).toLong === r.getLong(1))
+  }
+
+  test("decode preserves partitioning (no shuffle)") {
+    val before = withContent.rdd.getNumPartitions
+    assert(decoded.rdd.getNumPartitions === before)
+    assert(!decoded.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("features: fixed 16-dim simplex vector") {
+    val rows = Multimodal.byteHistogramFeatures(withContent)
+      .select("doc_id", "features").collect()
+    rows.foreach { r =>
+      val f = r.getSeq[Double](1)
+      assert(f.length === 16)
+      assert(math.abs(f.sum - 1.0) < 1e-9, s"doc ${r.getLong(0)} not normalized")
+      assert(f.forall(v => v >= 0.0 && v <= 1.0))
+    }
+  }
+
+  test("frame sampling: every-30th index, bounded by n_frames") {
+    val rows = Multimodal.sampleFrames(decoded)
+      .filter("meta.kind = 'video'")
+      .select("meta.n_frames", "sampled_frames").collect()
+    assert(rows.nonEmpty, "stub should yield some video rows")
+    rows.foreach { r =>
+      val n = r.getInt(0)
+      val s = r.getSeq[Int](1)
+      assert(s.head === 0 && s.last <= n - 1)
+      assert(s.zip(s.tail).forall { case (a, b) => b - a === 30 })
+    }
+  }
+
+  test("metadata summary partitions rows by kind") {
+    val rows = Multimodal.metaSummary(decoded).collect()
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    val kinds = rows.map(_.getString(0)).toSet
+    assert(kinds.subsetOf(Set("image", "audio", "video", "unknown")))
+  }
+}
