@@ -15,8 +15,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def local(cpus: Int = 32, shufflePartitions: Int = 32,
-            appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
+            appName: String = "graft",
+            withGraftExtensions: Boolean = false): SparkSession = {
+    val builder0 = SparkSession.builder()
+    // Programmatic injection: the spark.sql.extensions config is static
+    // (read at SparkContext creation) and silently no-ops on an
+    // existing context; withExtensions always applies.
+    val builder =
+      if (withGraftExtensions)
+        builder0.withExtensions(new graft.catalyst.GraftExtensions)
+      else builder0
+    val spark = builder
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

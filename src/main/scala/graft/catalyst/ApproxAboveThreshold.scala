@@ -1,0 +1,47 @@
+package graft.catalyst
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Percentile}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+/** §7.3.3: the 100 TB escape hatch for exact percentiles.
+  *
+  * Exact `percentile` is an ObjectHashAggregate that ships EVERY input
+  * value to a single final reducer per group — correct at golden-test
+  * scale, a guaranteed straggler (or OOM) at 100 TB. This rule rewrites
+  * `Percentile` → `ApproximatePercentile` (bounded-memory QuantileSummaries
+  * sketch, map-side combinable) whenever the aggregate's input is
+  * estimated to exceed a size threshold, so small/parity workloads keep
+  * exactness and large ones keep liveness — no query changes.
+  *
+  * Config:
+  *   spark.graft.approxPercentile.thresholdBytes  (-1 = never rewrite;
+  *     default 1 GiB of estimated input)
+  *   spark.graft.approxPercentile.accuracy        (default 10000)
+  */
+object ApproxAboveThreshold extends Rule[LogicalPlan] {
+
+  val ThresholdKey = "spark.graft.approxPercentile.thresholdBytes"
+  val AccuracyKey = "spark.graft.approxPercentile.accuracy"
+
+  private def threshold: Long =
+    SQLConf.get.getConfString(ThresholdKey, (1L << 30).toString).toLong
+  private def accuracy: Int =
+    SQLConf.get.getConfString(AccuracyKey, "10000").toInt
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val t = threshold
+    if (t < 0) return plan
+    plan.transform {
+      case agg: Aggregate if agg.child.stats.sizeInBytes > t =>
+        agg.transformExpressions {
+          case ae @ AggregateExpression(p: Percentile, _, _, _, _)
+              if p.frequencyExpression == Literal(1L) =>
+            ae.copy(aggregateFunction = new ApproximatePercentile(
+              p.child, p.percentageExpression, Literal(accuracy)))
+        }
+    }
+  }
+}

@@ -1,0 +1,26 @@
+package graft.catalyst
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point: install with
+  * `.config("spark.sql.extensions", "graft.catalyst.GraftExtensions")`
+  * (or `withExtensions`). Injects:
+  *  - SQL function `parse_magnitude(str)` — native codegen'd parser
+  *  - optimizer rule [[ApproxAboveThreshold]] — exact→approx percentile
+  *    rewrite above a size threshold
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("parse_magnitude"),
+      new ExpressionInfo(classOf[ParseMagnitudeExpr].getName, "parse_magnitude"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "parse_magnitude takes exactly one argument")
+        ParseMagnitudeExpr(args.head)
+      }))
+    ext.injectOptimizerRule(_ => ApproxAboveThreshold)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.catalyst
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the magnitude-suffix parser
+  * (reference `clean_total_supply`, crypto_etl_pipeline.py:100-127) —
+  * the §7.3.4 demonstration: functionally equivalent to
+  * [[graft.functions.Parsers.parseMagnitude]] (a when/otherwise tree of
+  * ~10 regex ops per value) but a single imperative scan per string.
+  *
+  * Semantics (golden-verified, SURVEY §2.7):
+  *   null/""/"-" → null; strip `,`/`$`/spaces; "<x>Billion" → x·1e9,
+  *   "<x>Million" → x·1e6, bare number → x (truncation toward zero);
+  *   anything else — including the reference's unhandled "Thousand" —
+  *   → null.
+  *
+  * Codegen: the generated code calls [[ParseMagnitudeExpr.parse]]
+  * (static, allocation-light) — the expression participates in
+  * whole-stage codegen with no interpreter fallback.
+  */
+case class ParseMagnitudeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"parse_magnitude requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    ParseMagnitudeExpr.parse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ParseMagnitudeExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("parsed")
+      s"""
+         |java.lang.Long $boxed = $cls.parse($c);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ParseMagnitudeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "parse_magnitude"
+}
+
+object ParseMagnitudeExpr {
+
+  /** Single-scan parse; called from both interpreted eval and generated
+    * code. Returns a boxed Long or null (coerce semantics). */
+  def parse(s: UTF8String): java.lang.Long = {
+    if (s == null) return null
+    val str = s.toString
+    // strip ',', '$', ' ' in one pass
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val ch = str.charAt(i)
+      if (ch != ',' && ch != '$' && ch != ' ') sb.append(ch)
+      i += 1
+    }
+    val t = sb.toString
+    if (t.isEmpty || t == "-") return null
+    val (num, mult) =
+      if (t.endsWith("Billion")) (t.dropRight(7), 1e9)
+      else if (t.endsWith("Million")) (t.dropRight(7), 1e6)
+      else (t, 1.0)
+    if (!num.matches("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?")) return null
+    try java.lang.Long.valueOf((java.lang.Double.parseDouble(num) * mult).toLong)
+    catch { case _: NumberFormatException => null }
+  }
+}

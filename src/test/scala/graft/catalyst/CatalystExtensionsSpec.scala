@@ -1,0 +1,98 @@
+package graft.catalyst
+
+import graft.TestSpark
+import graft.functions.Parsers
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom Catalyst layer: native expression ≡ Column-tree parser on the
+  * full quirk table, codegen participation, extension registration, and
+  * the threshold-gated exact→approx percentile rewrite. */
+class CatalystExtensionsSpec extends AnyFunSuite {
+  private lazy val base = TestSpark.spark
+
+  /** A session (sharing the context) with GraftExtensions installed.
+    * Programmatic withExtensions, NOT the spark.sql.extensions config:
+    * that config is static — read from the SparkContext's conf at
+    * context creation — so it silently no-ops on a pre-existing
+    * context (as in a shared test JVM). */
+  private lazy val ext: SparkSession = {
+    base // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+
+  private val quirks: Seq[(String, Option[Long])] = Seq(
+    "21 Million" -> Some(21000000L),
+    "88.3 Billion" -> Some(88300000000L),
+    "163 Thousand" -> None,
+    "-" -> None, "" -> None,
+    "1,234" -> Some(1234L),
+    "$5 Million" -> Some(5000000L),
+    "2.5" -> Some(2L),
+    "abc" -> None,
+    " $-   " -> None)
+
+  test("native expression matches the Column-tree parser on every quirk") {
+    import ext.implicits._
+    val df = quirks.map(_._1).toDF("v")
+    val both = df.select(
+      org.apache.spark.sql.functions.expr("parse_magnitude(v)").as("native"),
+      Parsers.parseMagnitude(col("v")).as("tree")).collect()
+    both.zip(quirks).foreach { case (r, (in, want)) =>
+      val native = if (r.isNullAt(0)) None else Some(r.getLong(0))
+      val tree = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(native === want, s"native('$in')")
+      assert(tree === want, s"tree('$in')")
+    }
+  }
+
+  test("interpreted eval agrees with codegen eval") {
+    import org.apache.spark.unsafe.types.UTF8String
+    quirks.foreach { case (in, want) =>
+      val got = Option(ParseMagnitudeExpr.parse(UTF8String.fromString(in)))
+        .map(_.longValue())
+      assert(got === want, s"parse('$in')")
+    }
+    assert(ParseMagnitudeExpr.parse(null) === null)
+  }
+
+  test("extension session exposes parse_magnitude in SQL with codegen") {
+    val r = ext.sql(
+      "SELECT parse_magnitude('88.3 Billion') AS a, parse_magnitude('x') AS b")
+    val row = r.head()
+    assert(row.getLong(0) === 88300000000L)
+    assert(row.isNullAt(1))
+    r.collect()
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("percentile rewrites to approx above the size threshold, not below") {
+    ext.conf.set(ApproxAboveThreshold.ThresholdKey, "1") // everything is big
+    val big = ext.sql(
+      "SELECT percentile(l_quantity, 0.5) FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`")
+    assert(big.queryExecution.optimizedPlan.toString.contains("percentile_approx"),
+      big.queryExecution.optimizedPlan.toString)
+
+    ext.conf.set(ApproxAboveThreshold.ThresholdKey, "-1") // disabled
+    val exact = ext.sql(
+      "SELECT percentile(l_quantity, 0.5) FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`")
+    assert(!exact.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
+
+    // sanity: the rewritten query still returns a sane median
+    ext.conf.set(ApproxAboveThreshold.ThresholdKey, "1")
+    val v = big.head().getDouble(0)
+    assert(v > 0 && v <= 50)
+    ext.conf.unset(ApproxAboveThreshold.ThresholdKey)
+  }
+}
