@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Column-level parse/cast operators for dirty human-formatted numerics.
@@ -17,24 +19,25 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Parsers {
 
-  /** Strict decimal-number shape (optional sign, int/frac, exponent). */
-  private val NumericRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
-
-  /** Cast to double iff the string is a well-formed number, else null.
-    * ANSI-safe equivalent of pandas `to_numeric(errors="coerce")`. */
+  /** Cast to double, null on malformed input — a TRY-mode Cast, the
+    * exact engine analogue of pandas `to_numeric(errors="coerce")`.
+    * One codegen'd scan per value and safe under ANSI sessions (an
+    * earlier regex-guard formulation cost a second regex pass per
+    * value — measurable at 600 k rows). */
   def toDoubleOrNull(c: Column): Column =
-    when(c.rlike(NumericRe), c.cast(DoubleType))
+    ColumnBridge.column(
+      Cast(ColumnBridge.expression(c), DoubleType, None, EvalMode.TRY))
 
   /** O5: strip thousands separators, then coerce-cast.
     * `"36,456.94"` → 36456.94; `" $-   "`-derived garbage → null.
     * Reference: crypto_etl_pipeline.py:159-164. */
   def parseNumeric(c: Column): Column =
-    toDoubleOrNull(trim(regexp_replace(c, ",", "")))
+    toDoubleOrNull(regexp_replace(c, ",", ""))
 
   /** O6: `"0.40%"` → 0.004 (strip `%`, cast, divide by 100).
     * Reference: crypto_etl_pipeline.py:167-171. */
   def parsePercent(c: Column): Column =
-    toDoubleOrNull(trim(regexp_replace(c, "%", ""))) / 100
+    toDoubleOrNull(regexp_replace(c, "%", "")) / 100
 
   /** O7: `"$22,801,222,945.00 "` → 2.2801222945e10 (strip `[$, ]`).
     * Reference: crypto_etl_pipeline.py:174-179. */

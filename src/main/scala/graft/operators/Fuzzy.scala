@@ -66,7 +66,8 @@ object Fuzzy {
     * Jaccard. This is the operator that replaces q22's all-pairs join
     * at scale: the band join touches O(n) signature rows. */
   def q27LshDedup(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
-    val sig = TextOps.q23Minhash(documents)
+    val sh = shingles(documents)
+    val sig = TextOps.minhashSignatures(sh)
     val bandCols = (0 until 4).map { i =>
       struct(lit(i).as("band"), col(s"mh${2 * i}").as("x"), col(s"mh${2 * i + 1}").as("y"))
     }
@@ -78,7 +79,6 @@ object Fuzzy {
           col("p.y") === col("q.y") && col("p.doc_id") < col("q.doc_id"))
       .select(col("p.doc_id").as("ida"), col("q.doc_id").as("idb"))
       .distinct()
-    val sh = shingles(documents)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),

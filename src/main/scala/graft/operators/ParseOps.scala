@@ -34,7 +34,10 @@ object ParseOps {
         col("l_orderkey"), col("l_linenumber"),
         Parsers.parseCurrency(curStr).as("parsed_currency"),
         Parsers.parsePercent(pctStr).as("parsed_pct"),
-        Parsers.parseMagnitude(magStr).as("parsed_mag"))
+        // native Catalyst expression: same semantics as
+        // Parsers.parseMagnitude, one scan per string (bench-relevant:
+        // the when/otherwise tree re-evaluates its branch subtrees)
+        graft.catalyst.native.parseMagnitude(magStr).as("parsed_mag"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 

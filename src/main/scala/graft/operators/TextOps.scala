@@ -85,7 +85,7 @@ object TextOps {
     * frequency skew multiplies pairs, so high-DF shingles should be
     * dropped at 100 TB (MinHash-LSH, q23, is the sublinear path). */
   def q22NgramJaccard(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
-    val sh = shingles(documents).cache()
+    val sh = shingles(documents)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -127,16 +127,19 @@ object TextOps {
   val MinhashB: Seq[Long] = Seq(0L, 7L, 104729L, 1299721L,
     86028157L, 15485917L, 49979687L, 899999963L)
 
-  def q23Minhash(documents: DataFrame): DataFrame = {
+  /** MinHash signature aggregation over an existing (doc_id, s) shingle
+    * frame — shared by q23 and the LSH dedup so a cached shingle set is
+    * computed once. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
     val h = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % MinhashP
     val slots = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * h + lit(b)) % MinhashP).as(s"mh$i")
     }
-    shingles(documents)
-      .groupBy("doc_id")
-      .agg(slots.head, slots.tail: _*)
-      .orderBy("doc_id")
+    sh.groupBy("doc_id").agg(slots.head, slots.tail: _*)
   }
+
+  def q23Minhash(documents: DataFrame): DataFrame =
+    minhashSignatures(shingles(documents)).orderBy("doc_id")
 
   def q23Sql: String = {
     val h = "(cast(concat('0x', substr(md5(s), 1, 15)) AS bigint) % 4294967291)"
