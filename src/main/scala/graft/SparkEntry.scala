@@ -77,6 +77,12 @@ object SparkEntry {
     "q28_fingerprint" -> t("documents")(Fuzzy.q28Fingerprint),
     "q29_lang_quality" -> t("documents")(LangQuality.q29LangQuality),
     "q30_ivf_topk" -> t("embeddings")(VectorOps.q30IvfTopk(_)),
+    "q31_rollup" -> t("orders")(Relational2.q31Rollup),
+    "q32_anti_join" -> ((s, dir) => Relational2.q32AntiJoin(
+      Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem"))),
+    "q33_semi_intersect" -> t("orders")(Relational2.q33SemiIntersect),
+    "q34_emb_dedup" -> t("embeddings")(VectorOps.q34EmbeddingDedup(_)),
+    "q35_token_count" -> t("documents")(LangQuality.q35TokenCount),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,5 +118,10 @@ object SparkEntry {
     "q28_fingerprint" -> Fuzzy.q28Sql,
     "q29_lang_quality" -> LangQuality.q29Sql,
     "q30_ivf_topk" -> VectorOps.q30Sql(),
+    "q31_rollup" -> Relational2.q31Sql,
+    "q32_anti_join" -> Relational2.q32Sql,
+    "q33_semi_intersect" -> Relational2.q33Sql,
+    "q34_emb_dedup" -> VectorOps.q34Sql(),
+    "q35_token_count" -> LangQuality.q35Sql,
   )
 }

@@ -105,6 +105,35 @@ object VectorOps {
        |      FROM s)
        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
 
+  /** q34: embedding-cosine near-duplicate pairs — the vector-space
+    * analogue of q22's text Jaccard: all pairs above a high similarity
+    * threshold. Norms are precomputed per vector BEFORE the self-join
+    * (N norm computations + N²/2 dot products, instead of 3·N²/2 fold
+    * passes); at 100 TB the all-pairs join is replaced by LSH/IVF
+    * bucketing (q30) with this as the in-bucket verifier. */
+  def q34EmbeddingDedup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("ed"))
+      .withColumn("nrm", sqrt(norm2("ed")))
+    val sim = dot("a.ed", "b.ed") / (col("a.nrm") * col("b.nrm"))
+    e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        round(sim, 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("ida", "idb")
+  }
+
+  def q34Sql(threshold: Double = 0.4): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
+       |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |           FROM embeddings)
+       |SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |  round(list_dot_product(a.ed, b.ed) / (a.nrm * b.nrm), 6) AS sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.ed, b.ed) / (a.nrm * b.nrm), 6) >= $threshold
+       |ORDER BY ida, idb""".stripMargin
+
   /** Per-label embedding profile: count + exact-ish centroid norm stats.
     * Norms are rounded (order-independent within one vector: the fold is
     * sequential over the array, not over rows). */
