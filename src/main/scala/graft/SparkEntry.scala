@@ -83,6 +83,8 @@ object SparkEntry {
     "q33_semi_intersect" -> t("orders")(Relational2.q33SemiIntersect),
     "q34_emb_dedup" -> t("embeddings")(VectorOps.q34EmbeddingDedup(_)),
     "q35_token_count" -> t("documents")(LangQuality.q35TokenCount),
+    "q36_asof_join" -> ((s, dir) => TemporalJoins.q36AsofJoin(Tables.load(s, dir, "events"))),
+    "q37_range_join" -> t("lineitem")(TemporalJoins.q37RangeJoin),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,5 +125,7 @@ object SparkEntry {
     "q33_semi_intersect" -> Relational2.q33Sql,
     "q34_emb_dedup" -> VectorOps.q34Sql(),
     "q35_token_count" -> LangQuality.q35Sql,
+    "q36_asof_join" -> TemporalJoins.q36Sql,
+    "q37_range_join" -> TemporalJoins.q37Sql,
   )
 }

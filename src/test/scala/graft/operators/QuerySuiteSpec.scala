@@ -79,4 +79,23 @@ class QuerySuiteSpec extends AnyFunSuite {
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("q36 as-of join: one row per purchase, signup at-or-before it") {
+    val events = graft.io.Tables.load(spark, sf, "events")
+    val rows = TemporalJoins.q36AsofJoin(events).collect()
+    val nPurchases = events.filter("event_type = 'purchase'").count()
+    assert(rows.length.toLong === nPurchases) // left as-of keeps every purchase
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "as-of signup must not postdate purchase")
+    }
+  }
+
+  test("q37 range join: brackets partition lineitem exactly") {
+    val li = graft.io.Tables.load(spark, sf, "lineitem")
+    val rows = TemporalJoins.q37RangeJoin(li).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(
+      TemporalJoins.Brackets.map(_._1).toSet))
+    assert(rows.map(_.getLong(1)).sum === li.count(), "every lineitem in exactly one bracket")
+  }
 }
