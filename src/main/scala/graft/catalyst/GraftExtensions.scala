@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "parse_magnitude takes exactly one argument")
         ParseMagnitudeExpr(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product takes exactly two arguments")
+        DotProductExpr(args(0), args(1))
+      }))
     ext.injectOptimizerRule(_ => ApproxAboveThreshold)
   }
 }

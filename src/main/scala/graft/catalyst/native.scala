@@ -14,4 +14,11 @@ object native {
     * (~3× cheaper on the parse-heavy bench path). */
   def parseMagnitude(c: Column): Column =
     ColumnBridge.column(ParseMagnitudeExpr(ColumnBridge.expression(c)))
+
+  /** Native fused dot product (see [[DotProductExpr]]): numerically
+    * identical to the `aggregate(zip_with(...))` fold but one codegen'd
+    * loop — the exact-similarity kernel for q24/q30/q34. */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,21 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two double arrays. */
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-  private def norm2(a: String) =
-    expr(s"aggregate(transform($a, x -> x * x), 0D, (acc, x) -> acc + x)")
+  /** Fused codegen'd dot product ([[graft.catalyst.DotProductExpr]]):
+    * the same sequential double fold as the declarative
+    * `aggregate(zip_with(...))` form — float elements widen exactly —
+    * but one loop per pair, inside whole-stage codegen. */
+  private def dot(a: Column, b: Column): Column =
+    graft.catalyst.native.dotProduct(a, b)
+  private def norm2(a: Column): Column = dot(a, a)
 
   /** Exact cosine top-k: queries = vec_id < nQueries, k best neighbors
     * each (self excluded), ranked by (rounded sim desc, vec_id). */
   def q24CosineTopk(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x AS double))").as("ed"))
+    val e = embeddings.select(col("vec_id"), col("embedding").as("ed"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("ed").as("qe"))
-    val sim = dot("qe", "ed") /
-      (sqrt(norm2("qe")) * sqrt(norm2("ed")))
+    val sim = dot(col("qe"), col("ed")) /
+      (sqrt(norm2(col("qe"))) * sqrt(norm2(col("ed"))))
     val pairs = broadcast(q).join(e, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), round(sim, 6).as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
@@ -63,11 +64,10 @@ object VectorOps {
     * and the ratio is N/nlist. Assignment is one broadcast-NL join;
     * no all-pairs shuffle ever materializes. */
   def q30IvfTopk(embeddings: DataFrame, nCentroids: Int = 8, k: Int = 3): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x AS double))").as("ed"))
+    val e = embeddings.select(col("vec_id"), col("embedding").as("ed"))
     val cents = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("ed").as("ce"))
-    val simToCent = dot("ed", "ce") / (sqrt(norm2("ed")) * sqrt(norm2("ce")))
+    val simToCent = dot(col("ed"), col("ce")) / (sqrt(norm2(col("ed"))) * sqrt(norm2(col("ce"))))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(desc("csim"), asc("cid"))
     val assigned = e.join(broadcast(cents))
@@ -77,7 +77,7 @@ object VectorOps {
       .select(col("vec_id"), col("ed"), col("cid"))
     val queries = assigned.filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + 8)
       .select(col("vec_id").as("qid"), col("ed").as("qe"), col("cid").as("qcid"))
-    val sim = dot("qe", "ed") / (sqrt(norm2("qe")) * sqrt(norm2("ed")))
+    val sim = dot(col("qe"), col("ed")) / (sqrt(norm2(col("qe"))) * sqrt(norm2(col("ed"))))
     val wRank = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     broadcast(queries)
       .join(assigned, col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
@@ -112,10 +112,9 @@ object VectorOps {
     * passes); at 100 TB the all-pairs join is replaced by LSH/IVF
     * bucketing (q30) with this as the in-bucket verifier. */
   def q34EmbeddingDedup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("ed"))
-      .withColumn("nrm", sqrt(norm2("ed")))
-    val sim = dot("a.ed", "b.ed") / (col("a.nrm") * col("b.nrm"))
+    val e = embeddings.select(col("vec_id"), col("embedding").as("ed"))
+      .withColumn("nrm", sqrt(norm2(col("ed"))))
+    val sim = dot(col("a.ed"), col("b.ed")) / (col("a.nrm") * col("b.nrm"))
     e.as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
@@ -139,7 +138,7 @@ object VectorOps {
     * sequential over the array, not over rows). */
   def q25EmbeddingStats(embeddings: DataFrame): DataFrame =
     embeddings
-      .withColumn("norm", sqrt(norm2("transform(embedding, x -> cast(x AS double))")))
+      .withColumn("norm", sqrt(norm2(col("embedding"))))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
            round(min("norm"), 6).as("min_norm"),

@@ -77,6 +77,33 @@ class CatalystExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("dot_product ≡ aggregate(zip_with(...)) fold, with codegen, on float and double arrays") {
+    import base.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(64) { i =>
+      (i.toLong, Array.fill(48)(rnd.nextFloat() * 2 - 1), Array.fill(48)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "fa", "da")
+    val declarative = org.apache.spark.sql.functions.expr(
+      "aggregate(zip_with(transform(fa, x -> cast(x AS double)), da, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    val out = df.select(
+      native.dotProduct(col("fa"), col("da")).as("nat"),   // float × double
+      native.dotProduct(col("da"), col("da")).as("self"),  // double × double
+      declarative.as("decl"))
+    out.collect().foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(2), "native must be bit-identical to the HOF fold")
+      assert(r.getDouble(1) >= 0.0)
+    }
+    assert(!out.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+
+    // null array → null; SQL registration via extensions
+    val n = ext.sql("SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1D)) AS x," +
+      " dot_product(array(1D, 2D, 3D), array(4D, 5D)) AS prefix")
+    val row = n.head()
+    assert(row.isNullAt(0))
+    assert(row.getDouble(1) === 14.0) // common-prefix semantics: 1*4 + 2*5
+  }
+
   test("percentile rewrites to approx above the size threshold, not below") {
     ext.conf.set(ApproxAboveThreshold.ThresholdKey, "1") // everything is big
     val big = ext.sql(
