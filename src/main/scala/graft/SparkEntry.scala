@@ -85,6 +85,8 @@ object SparkEntry {
     "q35_token_count" -> t("documents")(LangQuality.q35TokenCount),
     "q36_asof_join" -> ((s, dir) => TemporalJoins.q36AsofJoin(Tables.load(s, dir, "events"))),
     "q37_range_join" -> t("lineitem")(TemporalJoins.q37RangeJoin),
+    "q38_spearman" -> t("lineitem")(RankStats.q38Spearman),
+    "q39_winnow" -> t("documents")(Fuzzy.q39Winnow),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,5 +129,7 @@ object SparkEntry {
     "q35_token_count" -> LangQuality.q35Sql,
     "q36_asof_join" -> TemporalJoins.q36Sql,
     "q37_range_join" -> TemporalJoins.q37Sql,
+    "q38_spearman" -> RankStats.q38Sql,
+    "q39_winnow" -> Fuzzy.q39Sql,
   )
 }

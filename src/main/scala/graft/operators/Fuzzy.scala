@@ -149,6 +149,48 @@ object Fuzzy {
       .orderBy("doc_id")
   }
 
+  /** q39: winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003) — the position-robust fingerprint the bottom-k sketch
+    * (q28) isn't: every window of [[WinnowW]] consecutive 3-gram hashes
+    * contributes its minimum, guaranteeing any shared run of
+    * W+k-1 tokens yields a shared fingerprint (the winnowing
+    * guarantee), while bottom-k can miss local overlaps entirely.
+    *
+    * Entirely row-local array compute (sequence/transform/slice/
+    * array_min) — zero shuffles before the output sort; at 100 TB this
+    * is a map-only pass whose (doc_id, fp) output feeds the same
+    * bucket-join candidate machinery as q27's LSH bands. */
+  val WinnowW = 4
+
+  def q39Winnow(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hs", expr(
+        s"""transform(
+           |  transform(sequence(1, greatest(size(toks) - 2, 1)),
+           |            i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])),
+           |  g -> cast(conv(substring(md5(g), 1, 15), 16, 10) AS bigint) % $MinhashP)""".stripMargin))
+      .withColumn("fp", explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(hs) - $WinnowW + 1, 1)),
+           |  j -> array_min(slice(hs, j, $WinnowW))))""".stripMargin)))
+      .select("doc_id", "fp")
+      .orderBy("doc_id", "fp")
+
+  def q39Sql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+       |hs AS (SELECT doc_id,
+       |         list_transform(range(1, greatest(len(a) - 2, 1) + 1),
+       |           i -> (cast(concat('0x', substr(md5(a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT)+1] || ' ' || a[CAST(i AS INT)+2]), 1, 15)) AS bigint) % $MinhashP)) AS h
+       |       FROM tok),
+       |fp AS (SELECT doc_id,
+       |         unnest(list_distinct(list_transform(
+       |           range(1, greatest(len(h) - $WinnowW + 1, 1) + 1),
+       |           j -> list_min(h[CAST(j AS INT):CAST(j + ${WinnowW - 1} AS INT)])))) AS fp
+       |       FROM hs)
+       |SELECT doc_id, fp FROM fp ORDER BY doc_id, fp""".stripMargin
+
   def q28Sql: String =
     s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
        |sh AS (SELECT DISTINCT doc_id,

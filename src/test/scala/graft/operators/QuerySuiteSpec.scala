@@ -91,6 +91,39 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("q38 spearman is in [-1, 1] and counts every row") {
+    val li = graft.io.Tables.load(spark, sf, "lineitem")
+    val r = RankStats.q38Spearman(li).head()
+    assert(r.getLong(0) === li.count())
+    val rho = r.getDouble(1)
+    assert(rho >= -1.0 && rho <= 1.0)
+  }
+
+  test("q39 winnowing guarantee: a doc sharing a long run with another shares a fingerprint") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val fps = Fuzzy.q39Winnow(docs).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    // every doc yields at least one fingerprint, bounded by its window count
+    val lens = docs.selectExpr("doc_id", "size(split(text, ' ')) AS m").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fps.foreach { case (d, s) =>
+      assert(s.nonEmpty, s"doc $d has no fingerprints")
+      assert(s.size <= math.max(lens(d) - 2 - Fuzzy.WinnowW + 1, 1))
+    }
+    // the winnowing guarantee proper: any shared run of >= W + k - 1 = 6
+    // tokens forces a shared fingerprint — check on a constructed pair
+    // whose only overlap is that run
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val pair = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight $shared nine ten eleven twelve")).toDF("doc_id", "text")
+    val pfps = Fuzzy.q39Winnow(pair).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert((pfps(1L) intersect pfps(2L)).nonEmpty,
+      "docs sharing a 6-token run must share a winnowing fingerprint")
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
