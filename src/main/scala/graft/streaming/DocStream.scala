@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming deduplication over a document stream — the incremental
+  * form of the batch exact-dedup operator (q21): emit each distinct
+  * content exactly once, on first arrival.
+  *
+  * Built on Structured Streaming's stateful `dropDuplicates` family —
+  * the Spark-first answer (no custom state operator needed): the state
+  * store keeps one entry per distinct key and the first-seen row wins,
+  * deterministically, across micro-batches and restarts (state is
+  * checkpointed).
+  *
+  * Scale posture: state is keyed by the 128-bit content hash, NOT the
+  * text — O(16 bytes + rocksdb overhead) per distinct document, and the
+  * hash is computed map-side so only (doc_id, hash) ever shuffles. For
+  * an unbounded corpus the unbounded variant's state grows with
+  * distinct contents; [[dedupWithinWatermark]] is the bounded-state
+  * deployment mode — duplicates are only suppressed within the
+  * watermark horizon, after which state is evicted (the standard
+  * trade: re-admitted late duplicates vs bounded memory).
+  */
+object DocStream {
+
+  /** Stream element: a document with an ingestion timestamp (ns). */
+  case class Doc(doc_id: Long, ts: Long, text: String)
+
+  /** Unbounded first-seen exact dedup: one output row per distinct
+    * content, the first arrival. Append-mode safe. */
+  def dedupFirstSeen(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .dropDuplicates("text_md5")
+
+  /** Watermark-bounded dedup: suppress duplicates arriving within
+    * `watermark` of the original (event-time); state for keys older
+    * than the watermark is evicted, so a duplicate after the horizon
+    * re-emits. `ts` is nanoseconds (integral `div`, not `/`: double
+    * division corrupts the low microseconds above 2^53). */
+  def dedupWithinWatermark(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts_utc"),
+        md5(col("text")).as("text_md5"))
+      .withWatermark("ts_utc", watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+}

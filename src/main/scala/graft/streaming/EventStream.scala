@@ -71,6 +71,7 @@ object EventStream {
     val schema = spark.read.parquet(eventsDir).schema
     spark.readStream.schema(schema).parquet(eventsDir)
       .withColumn("ts_utc",
-        timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        // integral div, not `/`: double division is lossy above 2^53 ns
+        timestamp_micros(expr("ts div 1000")))
   }
 }

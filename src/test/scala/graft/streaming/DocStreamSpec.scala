@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.io.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming dedup semantics: first-seen wins across micro-batches
+  * (state carryover), and the watermark-bounded variant evicts state
+  * past the horizon (re-admitting late duplicates) — the bounded-memory
+  * deployment mode. */
+class DocStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+
+  private def corpus: Seq[DocStream.Doc] = {
+    import spark.implicits._
+    Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "doc_id * 1000000000 AS ts", "text")
+      .as[DocStream.Doc].collect().sortBy(_.doc_id).toSeq
+  }
+
+  test("first-seen dedup: duplicates re-sent in a later batch are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = corpus
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    // batch 2 also re-sends every batch-1 text under fresh doc_ids —
+    // cross-batch duplicates that only state carryover can catch
+    val resent = b1.map(d => d.copy(doc_id = d.doc_id + 100000))
+    val input = MemoryStream[DocStream.Doc]
+    val q = DocStream.dedupFirstSeen(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(scala.util.Random.shuffle(b2 ++ resent)); q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, text_md5 FROM dedup_out").collect()
+      // corpus has no exact dups (verified) → exactly one row per doc,
+      // none with a re-sent id, matching batch dropDuplicates
+      assert(got.length === docs.length)
+      assert(got.forall(_.getLong(0) < 100000), "a re-sent duplicate leaked through")
+      val batch = Tables.load(spark, sf, "documents")
+        .selectExpr("md5(text) AS m").distinct().count()
+      assert(got.map(_.getString(1)).distinct.length.toLong === batch)
+    } finally q.stop()
+  }
+
+  test("watermark-bounded dedup: suppresses within horizon, re-admits after eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d0 = DocStream.Doc(1L, HourNs, "the quick brown fox")
+    val dupSoon = d0.copy(doc_id = 2L, ts = HourNs + HourNs / 2) // +30 min: inside 1 h horizon
+    val far = DocStream.Doc(3L, 20 * HourNs, "advances the watermark")
+    val dupLate = d0.copy(doc_id = 4L, ts = 21 * HourNs) // state long evicted
+    val input = MemoryStream[DocStream.Doc]
+    val q = DocStream.dedupWithinWatermark(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("wm_dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(d0, dupSoon)); q.processAllAvailable()
+      input.addData(Seq(far)); q.processAllAvailable() // watermark → 19:00
+      input.addData(Seq(dupLate)); q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM wm_dedup_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === Seq(1L, 3L, 4L),
+        "within-horizon dup must be dropped; post-eviction dup must re-emit")
+    } finally q.stop()
+  }
+}

@@ -55,7 +55,7 @@ class EventStreamSpec extends AnyFunSuite {
     val (b1, b2) = batches
     val input = MemoryStream[EventStream.Event]
     val withTs = input.toDF()
-      .withColumn("ts_utc", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
     val rollup = EventStream.hourlyRollup(withTs)
     val q = rollup.writeStream.format("memory")
       .queryName("rollup_out").outputMode("complete").start()
