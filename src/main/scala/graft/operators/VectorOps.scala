@@ -114,12 +114,15 @@ object VectorOps {
   def q34EmbeddingDedup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("ed"))
       .withColumn("nrm", sqrt(norm2(col("ed"))))
-    val sim = dot(col("a.ed"), col("b.ed")) / (col("a.nrm") * col("b.nrm"))
+    val sim = round(dot(col("a.ed"), col("b.ed")) / (col("a.nrm") * col("b.nrm")), 6)
+    // The threshold lives IN the join condition, not a post-filter: a
+    // BroadcastNestedLoopJoin evaluates its condition against the two
+    // input rows and only materializes matches — a post-join filter
+    // would first copy all N²/2 joined rows (~80 GB at sf0.1) to
+    // discard all but the handful of near-dups.
     e.as("a")
-      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
-        round(sim, 6).as("sim"))
-      .filter(col("sim") >= threshold)
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id") && sim >= threshold)
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"), sim.as("sim"))
       .orderBy("ida", "idb")
   }
 
