@@ -79,18 +79,24 @@ object TextOps {
     """SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin
 
-  /** N-gram Jaccard near-dup pairs via an inverted shingle index:
-    * explode → self-join on shingle → per-pair intersection counts →
-    * Jaccard from set sizes. The join is the scale watch item: shingle
-    * frequency skew multiplies pairs, so high-DF shingles should be
-    * dropped at 100 TB (MinHash-LSH, q23, is the sublinear path). */
+  /** N-gram Jaccard near-dup pairs via an inverted shingle index,
+    * join-free: group by shingle → sorted posting list → explode the
+    * i<j pairs of each list → count per pair. One shuffle of the
+    * shingle table instead of the two a self-join costs, and the pair
+    * counts partial-aggregate map-side. Posting-list length is the
+    * scale watch item (a DF-f shingle yields f²/2 pairs — same blowup
+    * a join would have): at 100 TB cap/drop high-DF shingles;
+    * MinHash-LSH (q23/q27) is the sublinear path. */
   def q22NgramJaccard(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
     val sh = shingles(documents)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+    val inter = sh.groupBy("s").agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ida, y AS idb))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.ida").as("ida"), col("p.idb").as("idb"))
       .agg(count(lit(1)).as("ninter"))
     inter
       .join(sizes.as("sa"), col("ida") === col("sa.doc_id"))
