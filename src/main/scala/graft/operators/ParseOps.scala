@@ -30,7 +30,15 @@ object ParseOps {
       .when(col("l_linenumber") === 3, concat(col("l_partkey").cast("string"), lit(" Thousand")))
       .when(col("l_linenumber") === 4, lit(""))
       .otherwise(col("l_partkey").cast("string"))
-    lineitem.select(
+    // Sort FIRST on the narrow key columns, parse after: orderBy's
+    // range partitioner samples its child, so sorting the parsed
+    // projection would execute every parser twice (and shuffle wide
+    // rows). The Project stays above the Sort in the optimized plan,
+    // so the parsers run once, post-shuffle — 4× at sf0.1.
+    lineitem
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+      .orderBy("l_orderkey", "l_linenumber")
+      .select(
         col("l_orderkey"), col("l_linenumber"),
         Parsers.parseCurrency(curStr).as("parsed_currency"),
         Parsers.parsePercent(pctStr).as("parsed_pct"),
@@ -38,7 +46,6 @@ object ParseOps {
         // Parsers.parseMagnitude, one scan per string (bench-relevant:
         // the when/otherwise tree re-evaluates its branch subtrees)
         graft.catalyst.native.parseMagnitude(magStr).as("parsed_mag"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   /** The oracle constructs the same strings and applies the documented
