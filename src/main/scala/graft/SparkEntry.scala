@@ -87,6 +87,7 @@ object SparkEntry {
     "q37_range_join" -> t("lineitem")(TemporalJoins.q37RangeJoin),
     "q38_spearman" -> t("lineitem")(RankStats.q38Spearman),
     "q39_winnow" -> t("documents")(Fuzzy.q39Winnow),
+    "q40_corpus_curate" -> t("documents")(Curate.q40CorpusCurate(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +132,6 @@ object SparkEntry {
     "q37_range_join" -> TemporalJoins.q37Sql,
     "q38_spearman" -> RankStats.q38Sql,
     "q39_winnow" -> Fuzzy.q39Sql,
+    "q40_corpus_curate" -> Curate.q40Sql(),
   )
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The end-to-end corpus-curation pipeline a training-data deployment
+  * actually runs — language/quality gating (q29), near-duplicate
+  * removal (q22's pair relation), token accounting (q35) — composed
+  * into ONE lazy plan, so Catalyst sees the whole dataflow: the
+  * doc-side scans share the parquet read, the pair relation reduces to
+  * an anti-join on the loser ids, and only per-language aggregates ever
+  * reach the driver.
+  *
+  * Scale shape: every stage is the already-scale-vetted operator; the
+  * composition adds one broadcast-able anti-join (losers ≪ corpus) and
+  * a tiny groupBy(lang). This is the "a user could run their whole
+  * pipeline on this engine" query.
+  */
+object Curate {
+
+  /** q40: gate on quality ≥ qmin, drop near-dup losers (higher doc_id
+    * of each Jaccard-pair), aggregate kept-corpus stats per predicted
+    * language. */
+  def q40CorpusCurate(documents: DataFrame, qmin: Double = 0.4,
+                      jaccard: Double = 0.2): DataFrame = {
+    // ONE row-local feature pass (lang + quality + token count) — not a
+    // join of the standalone q29/q35 plans, which would scan documents
+    // twice and shuffle to join what was row-aligned all along
+    val feats = LangQuality.withLangQuality(documents)
+      .withColumn("n_bpe_tokens", LangQuality.bpeTokens)
+      .select("doc_id", "lang_pred", "quality", "n_bpe_tokens")
+    val losers = TextOps.q22NgramJaccard(documents, jaccard)
+      .select(col("idb").as("doc_id")).distinct()
+    feats
+      .join(losers, Seq("doc_id"), "left_anti")
+      .filter(col("quality") >= qmin)
+      .groupBy("lang_pred")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bpe_tokens").as("sum_bpe_tokens"),
+        // quality is already rounded to 6 dp → decimal(18,6) is
+        // lossless; exact sum then one double division (see Exact)
+        round(sum(col("quality").cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)), 6).as("avg_quality"))
+      .orderBy("lang_pred")
+  }
+
+  /** Self-contained oracle re-derivation (the component CTEs restated,
+    * as the oracle deliberately re-derives rather than imports). */
+  def q40Sql(qmin: Double = 0.4, jaccard: Double = 0.2): String = {
+    def hitsSql(ws: Seq[String]) =
+      s"len(list_filter(a, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    val hitCols = LangQuality.Markers
+      .map { case (l, ws) => s"${hitsSql(ws)} AS hits_$l" }.mkString(", ")
+    val caseArms = LangQuality.Markers.map { case (lang, _) =>
+      val geAll = LangQuality.Markers
+        .map { case (o, _) => s"hits_$lang >= hits_$o" }.mkString(" AND ")
+      val beatsPrior = LangQuality.Markers.takeWhile(_._1 != lang)
+        .map { case (o, _) => s"hits_$o < hits_$lang" }
+        .foldLeft(Seq("TRUE"))(_ :+ _).mkString(" AND ")
+      s"WHEN hits_$lang > 0 AND $geAll AND $beatsPrior THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH x AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+       |t AS (SELECT doc_id, len(a) AS n_tokens, len(list_distinct(a)) AS n_types, $hitCols FROM x),
+       |lq AS (SELECT doc_id, CASE $caseArms ELSE 'unknown' END AS lang_pred,
+       |         round(least(cast(n_tokens AS double) / 100.0, 1.0) * 0.4
+       |             + (n_types / cast(n_tokens AS double)) * 0.4
+       |             + least(cast(hits_en AS double) / cast(n_tokens AS double) * 5.0, 1.0) * 0.2, 6) AS quality
+       |       FROM t),
+       |bpe AS (SELECT doc_id,
+       |          len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS n_bpe_tokens
+       |        FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         a[CAST(t.i AS INT)] || ' ' || a[CAST(t.i AS INT)+1] || ' ' || a[CAST(t.i AS INT)+2] AS s
+       |       FROM x, range(1, 201) t(i) WHERE t.i <= greatest(len(a) - 2, 1)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |losers AS (SELECT DISTINCT idb AS doc_id
+       |           FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+       |           WHERE cast(ninter AS double) / (sa.n + sb.n - ninter) >= $jaccard)
+       |SELECT lang_pred, count(*) AS n_docs, sum(n_bpe_tokens) AS sum_bpe_tokens,
+       |  round(cast(sum(cast(quality AS decimal(18,6))) AS double) / count(*), 6) AS avg_quality
+       |FROM lq JOIN bpe USING (doc_id)
+       |WHERE quality >= $qmin AND doc_id NOT IN (SELECT doc_id FROM losers)
+       |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
+}

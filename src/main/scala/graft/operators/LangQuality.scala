@@ -24,13 +24,16 @@ object LangQuality {
     "de" -> Seq("der", "die", "das", "und", "ein"),
     "fr" -> Seq("le", "les", "des", "et", "une"))
 
-  def q29LangQuality(documents: DataFrame): DataFrame = {
+  /** Appends `n_tokens`, `n_types`, `hits_*`, `lang_pred`, `quality`
+    * to any frame with a `text` column — single row-local pass, shared
+    * by q29 and the composed curation pipeline (q40) so composition
+    * costs one scan, not one per feature family. */
+  def withLangQuality(df: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     def hits(words: Seq[String]) = {
       val list = words.map(w => s"'$w'").mkString(", ")
       size(expr(s"filter(split(text, ' '), t -> t IN ($list))"))
     }
-    val hitCols = Markers.map { case (lang, ws) => hits(ws).as(s"hits_$lang") }
     // argmax with first-listed precedence on ties; all-zero → "unknown"
     val best = Markers.foldRight(lit("unknown")) { case ((lang, _), acc) =>
       val isMax = Markers.map { case (o, _) => col(s"hits_$lang") >= col(s"hits_$o") }
@@ -45,14 +48,21 @@ object LangQuality {
       least(nTok / 100.0, lit(1.0)) * 0.4 +
         (col("n_types") / nTok) * 0.4 +
         least(col("hits_en").cast("double") / nTok * 5.0, lit(1.0)) * 0.2
-    documents
-      .select((Seq(col("doc_id"), size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_types")) ++ hitCols): _*)
+    df
+      .withColumns(Map("n_tokens" -> size(toks), "n_types" -> size(array_distinct(toks))))
+      .withColumns(Markers.map { case (l, ws) => s"hits_$l" -> hits(ws) }.toMap)
       .withColumn("lang_pred", best)
       .withColumn("quality", round(quality, 6))
+  }
+
+  def q29LangQuality(documents: DataFrame): DataFrame =
+    withLangQuality(documents)
       .select("doc_id", "lang_pred", "hits_en", "hits_es", "hits_de", "hits_fr", "quality")
       .orderBy("doc_id")
-  }
+
+  /** BPE-ish subword token count (the q35 kernel), as a column. */
+  def bpeTokens: org.apache.spark.sql.Column =
+    size(expr("regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)"))
 
   /** q35: token counting, whitespace vs BPE-ish. The subword pass is a
     * greedy regex chunker (≤4-char lowercase pieces, digits, residual

@@ -124,6 +124,17 @@ class QuerySuiteSpec extends AnyFunSuite {
       "docs sharing a 6-token run must share a winnowing fingerprint")
   }
 
+  test("q40 curation: kept docs = quality-gated minus dedup losers") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val out = Curate.q40CorpusCurate(docs).collect()
+    val kept = out.map(_.getLong(1)).sum
+    val gated = LangQuality.q29LangQuality(docs).filter("quality >= 0.4")
+    val losers = TextOps.q22NgramJaccard(docs).select("idb").distinct()
+    val expected = gated.join(losers, gated("doc_id") === losers("idb"), "left_anti").count()
+    assert(kept === expected)
+    assert(kept > 0)
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
