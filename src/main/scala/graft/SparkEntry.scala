@@ -88,6 +88,11 @@ object SparkEntry {
     "q38_spearman" -> t("lineitem")(RankStats.q38Spearman),
     "q39_winnow" -> t("documents")(Fuzzy.q39Winnow),
     "q40_corpus_curate" -> t("documents")(Curate.q40CorpusCurate(_)),
+    "q41_cube" -> t("customer")(Relational3.q41Cube),
+    "q42_hash_sample" -> t("lineitem")(Relational3.q42HashSample),
+    "q43_pivot" -> t("events")(Relational3.q43Pivot),
+    "q44_moving_avg" -> t("orders")(Relational3.q44MovingAvg),
+    "q45_edit_distance" -> t("part")(Relational3.q45EditDistance(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,5 +138,10 @@ object SparkEntry {
     "q38_spearman" -> RankStats.q38Sql,
     "q39_winnow" -> Fuzzy.q39Sql,
     "q40_corpus_curate" -> Curate.q40Sql(),
+    "q41_cube" -> Relational3.q41Sql,
+    "q42_hash_sample" -> Relational3.q42Sql,
+    "q43_pivot" -> Relational3.q43Sql,
+    "q44_moving_avg" -> Relational3.q44Sql,
+    "q45_edit_distance" -> Relational3.q45Sql(),
   )
 }

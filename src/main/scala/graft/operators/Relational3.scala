@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.Exact.{sumd, sumdSql, dec4}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third relational batch: CUBE, deterministic hash sampling, pivot,
+  * frame windows (moving average), and blocked edit-distance matching —
+  * rounding out the "every query a user runs today" surface with the
+  * remaining analytic shapes (SURVEY §2.4 lists them as absent from the
+  * reference; they're table stakes for an analytics engine).
+  */
+object Relational3 {
+
+  /** q41: CUBE — all 2^k grouping sets in one shuffle (partial
+    * aggregation covers every set; no union-of-groupbys). Sentinels
+    * replace the cube's null keys so cross-engine compare and sort are
+    * unambiguous. */
+  def q41Cube(customer: DataFrame): DataFrame =
+    customer
+      .cube("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n"), sumd(col("c_acctbal")).as("sum_bal"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("c_nationkey"), lit(-1)).as("nation"),
+        col("n"), col("sum_bal"))
+      .orderBy("segment", "nation")
+
+  def q41Sql: String =
+    s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       |  coalesce(c_nationkey, -1) AS nation,
+       |  count(*) AS n, ${sumdSql("c_acctbal")} AS sum_bal
+       |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+       |ORDER BY segment, nation""".stripMargin
+
+  /** q42: deterministic hash sample — the reproducible 1-in-10 sample a
+    * training pipeline uses for eval splits and quick stats. The
+    * engine-portable md5-prefix hash keys the sample (NOT rand(): the
+    * sample must be identical across engines, runs, and retries —
+    * rand() is none of those), and the sampled aggregate
+    * scales: the filter is map-side, so 90 % of data never shuffles. */
+  def q42HashSample(lineitem: DataFrame): DataFrame = {
+    val h = conv(substring(md5(
+      concat(col("l_orderkey"), lit("-"), col("l_linenumber"))), 1, 15), 16, 10)
+      .cast("long") % 10
+    lineitem
+      .filter(h === 0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  def q42Sql: String =
+    s"""SELECT l_returnflag, count(*) AS n, ${sumdSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE (cast(concat('0x', substr(md5(concat(l_orderkey, '-', l_linenumber)), 1, 15)) AS bigint) % 10) = 0
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q43: pivot — event counts per user decile, event types as columns.
+    * The value list is EXPLICIT: pivot with discovered values costs an
+    * extra distinct-collect job and makes the schema data-dependent
+    * (a plan-stability hazard at scale). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def q43Pivot(events: DataFrame): DataFrame =
+    events
+      .withColumn("user_decile", col("user_id") % 10)
+      .groupBy("user_decile")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy("user_decile")
+
+  def q43Sql: String = {
+    val cols = EventTypes
+      .map(t => s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t")
+      .mkString(", ")
+    s"""SELECT user_id % 10 AS user_decile, $cols
+       |FROM events GROUP BY 1 ORDER BY user_decile""".stripMargin
+  }
+
+  /** q44: frame window — per-customer moving average of order totals
+    * over the last 4 orders (3 preceding + current, by date). The mean
+    * is exact-decimal sum / window count so both engines divide the
+    * same two numbers (a double `avg` over a frame is
+    * accumulation-order-dependent). One shuffle on o_custkey. */
+  def q44MovingAvg(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-3, Window.currentRow)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        (sum(dec4(col("o_totalprice"))).over(w).cast("double")
+          / count(lit(1)).over(w)).as("mavg_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def q44Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  cast(sum(cast(o_totalprice AS decimal(18,4))) OVER w AS double)
+      |    / count(*) OVER w AS mavg_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q45: blocked edit-distance matching — fuzzy entity resolution on
+    * part names. All-pairs Levenshtein is O(N²·L²) and never viable;
+    * blocking on (p_type, p_size) bounds each group (the standard
+    * entity-resolution move: candidate pairs only within a block), and
+    * the pair generation is the same join-free posting-list explode as
+    * q22. Both engines implement classic Levenshtein. */
+  def q45EditDistance(part: DataFrame, maxDist: Int = 4): DataFrame =
+    part
+      .groupBy("p_type", "p_size")
+      .agg(sort_array(collect_list(struct(col("p_partkey"), col("p_name")))).as("ps"))
+      .filter(size(col("ps")) > 1)
+      .select(col("p_type"), col("p_size"), explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y -> struct(
+          |    x.p_partkey AS ka, y.p_partkey AS kb,
+          |    x.p_name AS na, y.p_name AS nb))))""".stripMargin)).as("p"))
+      .select(col("p.ka").as("ka"), col("p.kb").as("kb"),
+        levenshtein(col("p.na"), col("p.nb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("ka", "kb")
+
+  def q45Sql(maxDist: Int = 4): String =
+    s"""SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+       |  levenshtein(a.p_name, b.p_name) AS dist
+       |FROM part a JOIN part b
+       |  ON a.p_type = b.p_type AND a.p_size = b.p_size
+       | AND a.p_partkey < b.p_partkey
+       |WHERE levenshtein(a.p_name, b.p_name) <= $maxDist
+       |ORDER BY ka, kb""".stripMargin
+}

@@ -135,6 +135,57 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(kept > 0)
   }
 
+  test("q41 cube: grand-total row counts every customer; leaves sum to it") {
+    val cust = graft.io.Tables.load(spark, sf, "customer")
+    val rows = Relational3.q41Cube(cust).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getInt(1) == -1)
+    assert(grand.length === 1)
+    assert(grand.head.getLong(2) === cust.count())
+    val leaves = rows.filter(r => r.getString(0) != "ALL" && r.getInt(1) != -1)
+    assert(leaves.map(_.getLong(2)).sum === cust.count())
+  }
+
+  test("q42 hash sample: deterministic and near a 1-in-10 rate") {
+    val li = graft.io.Tables.load(spark, sf, "lineitem")
+    val n1 = Relational3.q42HashSample(li).collect().map(_.getLong(1)).sum
+    val n2 = Relational3.q42HashSample(li).collect().map(_.getLong(1)).sum
+    assert(n1 === n2, "sample must be reproducible")
+    val rate = n1.toDouble / li.count()
+    assert(rate > 0.05 && rate < 0.15, s"rate $rate")
+  }
+
+  test("q43 pivot: cells partition the event count") {
+    val ev = graft.io.Tables.load(spark, sf, "events")
+    val rows = Relational3.q43Pivot(ev).collect()
+    val total = rows.map(r => (1 to Relational3.EventTypes.length).map(r.getLong).sum).sum
+    assert(total === ev.count())
+  }
+
+  test("q44 moving avg: first order (by date) per customer averages to itself") {
+    val orders = graft.io.Tables.load(spark, sf, "orders")
+    val mavg = Relational3.q44MovingAvg(orders).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the window's "first" is by (o_orderdate, o_orderkey), not o_orderkey
+    val first = orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .collect()
+      .groupBy(_.getLong(0)).values
+      .map(_.minBy(r => (r.getAs[java.time.LocalDateTime](2)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli, r.getLong(1))))
+    first.foreach { r =>
+      assert(math.abs(mavg(r.getLong(1)) - r.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("q45 edit distance: pairs ordered, within bound, block-local") {
+    val part = graft.io.Tables.load(spark, sf, "part")
+    val rows = Relational3.q45EditDistance(part).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 4)
+    }
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
