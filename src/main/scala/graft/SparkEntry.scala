@@ -93,6 +93,8 @@ object SparkEntry {
     "q43_pivot" -> t("events")(Relational3.q43Pivot),
     "q44_moving_avg" -> t("orders")(Relational3.q44MovingAvg),
     "q45_edit_distance" -> t("part")(Relational3.q45EditDistance(_)),
+    "q46_kmv_distinct" -> t("lineitem")(Sketches.q46KmvDistinct),
+    "q47_tfidf" -> t("documents")(TfIdf.q47Tfidf),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -143,5 +145,7 @@ object SparkEntry {
     "q43_pivot" -> Relational3.q43Sql,
     "q44_moving_avg" -> Relational3.q44Sql,
     "q45_edit_distance" -> Relational3.q45Sql(),
+    "q46_kmv_distinct" -> Sketches.q46Sql,
+    "q47_tfidf" -> TfIdf.q47Sql,
   )
 }

@@ -186,6 +186,28 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("q46 KMV sketch: estimate within ~4 standard errors of exact") {
+    val li = graft.io.Tables.load(spark, sf, "lineitem")
+    val r = Sketches.q46KmvDistinct(li).head()
+    assert(r.getLong(0) === Sketches.KmvK)
+    val est = r.getDouble(2); val exact = r.getLong(3).toDouble
+    val se = 1.0 / math.sqrt(Sketches.KmvK) // ~6.25 % relative
+    assert(math.abs(est / exact - 1.0) < 4 * se, s"est=$est exact=$exact")
+  }
+
+  test("q47 tf-idf: top-3 per doc, scores non-increasing, idf sane") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val rows = TfIdf.q47Tfidf(docs).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size.toLong === docs.count())
+    byDoc.values.foreach { g =>
+      assert(g.length === TfIdf.TopK)
+      val scores = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ >= 0.0)) // df <= N ⇒ idf >= 0
+    }
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
