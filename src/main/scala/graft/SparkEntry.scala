@@ -95,6 +95,7 @@ object SparkEntry {
     "q45_edit_distance" -> t("part")(Relational3.q45EditDistance(_)),
     "q46_kmv_distinct" -> t("lineitem")(Sketches.q46KmvDistinct),
     "q47_tfidf" -> t("documents")(TfIdf.q47Tfidf),
+    "q48_chunk" -> t("documents")(Chunking.q48Chunk),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +148,6 @@ object SparkEntry {
     "q45_edit_distance" -> Relational3.q45Sql(),
     "q46_kmv_distinct" -> Sketches.q46Sql,
     "q47_tfidf" -> TfIdf.q47Sql,
+    "q48_chunk" -> Chunking.q48Sql,
   )
 }

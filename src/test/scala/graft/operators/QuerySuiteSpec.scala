@@ -208,6 +208,28 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("q48 chunking: chunks tile every doc with the configured overlap") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val lens = docs.selectExpr("doc_id", "size(split(text, ' ')) AS m").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Chunking.q48Chunk(docs).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet === lens.keySet, "every doc must chunk")
+    byDoc.foreach { case (d, g) =>
+      val m = lens(d)
+      val sorted = g.sortBy(_.getInt(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) === i, "chunk ids contiguous from 0")
+        assert(r.getInt(2) === i * Chunking.ChunkStep)
+        val expectLen = math.min(Chunking.ChunkSize, m - i * Chunking.ChunkStep)
+        assert(r.getInt(3) === expectLen, s"doc $d chunk $i token count")
+      }
+      // coverage: last chunk reaches the end of the doc
+      val last = sorted.last
+      assert(last.getInt(2) + last.getInt(3) >= m, s"doc $d tail uncovered")
+    }
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
