@@ -104,6 +104,42 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Resize: payload→payload partition-wise transform to target
+    * dimensions, updating the metadata struct to match. STUB scaler:
+    * the output payload is an even byte-resample of the input sized
+    * proportionally to the pixel-count ratio (deterministic, so specs
+    * pin exact lengths); a real build swaps in an image scaler at this
+    * seam. Shape contract (binary in → binary out, meta rewritten,
+    * partition-preserving, payload never leaves the executor) is the
+    * part that matters — it is identical for the real codec. */
+  def resize(df: DataFrame, targetW: Int, targetH: Int,
+             contentCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val cIdx = inSchema.fieldIndex(contentCol)
+    val mIdx = inSchema.fieldIndex("meta")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](cIdx)
+        val meta = r.getStruct(mIdx)
+        val (w, h) = (meta.getInt(1), meta.getInt(2))
+        val ratio = (targetW.toLong * targetH).toDouble / math.max(w.toLong * h, 1L)
+        val outLen = math.max((payload.length * ratio).toInt, 1)
+        val out = new Array[Byte](outLen)
+        var i = 0
+        while (i < outLen) { // even resample over the source bytes
+          out(i) = payload(((i.toLong * payload.length) / outLen).toInt)
+          i += 1
+        }
+        val newMeta = Row(meta.getString(0), targetW, targetH,
+          meta.getInt(3), meta.getInt(4), outLen.toLong)
+        val vals = r.toSeq.updated(cIdx, out).updated(mIdx, newMeta)
+        Row.fromSeq(vals)
+      }
+    }
+    spark.createDataFrame(rdd, inSchema)
+  }
+
   /** Frame sampling: every-k-th frame index list from decoded metadata —
     * pure Column arithmetic (no payload touch; scan prunes `content`). */
   def sampleFrames(df: DataFrame, every: Int = 30): DataFrame =

@@ -63,6 +63,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize: meta rewritten to target dims, payload scaled by pixel ratio") {
+    val resized = Multimodal.resize(decoded, targetW = 64, targetH = 32)
+    assert(resized.schema === decoded.schema, "resize must preserve the schema contract")
+    val rows = resized
+      .select("doc_id", "meta.width", "meta.height", "meta.n_bytes", "content").collect()
+    val orig = decoded
+      .select("doc_id", "meta.width", "meta.height", "content").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      assert(r.getInt(1) === 64 && r.getInt(2) === 32)
+      val o = orig(r.getLong(0))
+      val ratio = (64L * 32).toDouble / (o.getInt(1).toLong * o.getInt(2))
+      val expectLen = math.max((o.getAs[Array[Byte]](3).length * ratio).toInt, 1)
+      assert(r.getLong(3) === expectLen.toLong)
+      assert(r.getAs[Array[Byte]](4).length === expectLen)
+    }
+    // deterministic: same input → same bytes
+    val again = Multimodal.resize(decoded, 64, 32)
+      .select("doc_id", "content").collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) === r.getAs[Array[Byte]](4).toSeq))
+  }
+
   test("metadata summary partitions rows by kind") {
     val rows = Multimodal.metaSummary(decoded).collect()
     assert(rows.map(_.getLong(1)).sum === docs.count())

@@ -63,4 +63,41 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(VectorOps.q24CosineTopk(Tables.load(spark, sf, "embeddings")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q36 as-of join is one hash shuffle and ZERO join operators") {
+    val p = plan(TemporalJoins.q36AsofJoin(Tables.events(spark, sf)))
+    assert(!p.contains("Join"), "as-of should compose via union+window, not a join:\n" + p)
+    assert("hashpartitioning".r.findAllIn(p).size === 1,
+      "expected exactly one hash shuffle (user_id):\n" + p)
+  }
+
+  test("q34 near-dup threshold sits inside the join condition") {
+    val p = plan(VectorOps.q34EmbeddingDedup(Tables.load(spark, sf, "embeddings")))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the similarity predicate must be part of the join, not a post-filter
+    val joinSection = p.split("\n").dropWhile(!_.contains("BroadcastNestedLoopJoin"))
+      .takeWhile(l => !l.trim.isEmpty).mkString("\n")
+    assert(p.contains("dot_product") || joinSection.nonEmpty, p)
+  }
+
+  test("q46 k-smallest pass is TakeOrderedAndProject, never a global sort") {
+    val p = plan(Sketches.q46KmvDistinct(Tables.load(spark, sf, "lineitem")))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q37/q45 tiny sides broadcast; no shuffle of the big side pre-filter") {
+    val p37 = plan(TemporalJoins.q37RangeJoin(Tables.load(spark, sf, "lineitem")))
+    assert(p37.contains("BroadcastNestedLoopJoin"), p37)
+    val p47 = plan(TfIdf.q47Tfidf(Tables.load(spark, sf, "documents")))
+    assert(p47.contains("BroadcastHashJoin"), "df table should broadcast:\n" + p47)
+  }
+
+  test("q48 chunking is map-only before the output sort") {
+    val p = plan(Chunking.q48Chunk(Tables.load(spark, sf, "documents")))
+    assert(!p.contains("hashpartitioning"),
+      "chunking must not hash-shuffle:\n" + p)
+    // formatted mode prints each node in tree + detail → count distinct ids
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).toSet.size === 1,
+      "only the final rangepartitioning exchange expected:\n" + p)
+  }
 }
