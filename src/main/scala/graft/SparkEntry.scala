@@ -96,6 +96,8 @@ object SparkEntry {
     "q46_kmv_distinct" -> t("lineitem")(Sketches.q46KmvDistinct),
     "q47_tfidf" -> t("documents")(TfIdf.q47Tfidf),
     "q48_chunk" -> t("documents")(Chunking.q48Chunk),
+    "q49_funnel" -> t("events")(Funnels.q49Funnel),
+    "q50_cohort" -> t("events")(Funnels.q50Cohort(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,5 +151,7 @@ object SparkEntry {
     "q46_kmv_distinct" -> Sketches.q46Sql,
     "q47_tfidf" -> TfIdf.q47Sql,
     "q48_chunk" -> Chunking.q48Sql,
+    "q49_funnel" -> Funnels.q49Sql,
+    "q50_cohort" -> Funnels.q50Sql(),
   )
 }

@@ -230,6 +230,25 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("q49 funnel: conversions bounded by signups, non-negative latency") {
+    val ev = graft.io.Tables.load(spark, sf, "events")
+    val r = Funnels.q49Funnel(ev).head()
+    val (signups, converted) = (r.getLong(0), r.getLong(1))
+    assert(signups === ev.filter("event_type = 'signup'")
+      .select("user_id").distinct().count())
+    assert(converted <= signups && converted > 0)
+    assert(r.getDouble(2) >= 0.0)
+  }
+
+  test("q50 cohort: week-0 cells cover every user exactly once") {
+    val ev = graft.io.Tables.load(spark, sf, "events")
+    val rows = Funnels.q50Cohort(ev).collect()
+    val week0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    assert(week0 === ev.select("user_id").distinct().count(),
+      "every user appears in their own cohort's week 0")
+    rows.foreach(r => assert(r.getLong(2) > 0 && r.getLong(1) >= 0))
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
