@@ -89,8 +89,14 @@ object TextOps {
     * MinHash-LSH (q23/q27) is the sublinear path. */
   def q22NgramJaccard(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
     val sh = shingles(documents)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.groupBy("s").agg(sort_array(collect_list("doc_id")).as("ids"))
+    // BOTH consumers read the same grouped posting-list frame: the two
+    // branches plan identical Exchanges, so ReuseExchange computes the
+    // shingle explode + group ONCE (set sizes are per-doc posting
+    // membership counts — each doc appears once per distinct shingle).
+    val posting = sh.groupBy("s").agg(sort_array(collect_list("doc_id")).as("ids"))
+    val sizes = posting.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = posting
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->

@@ -92,6 +92,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p47.contains("BroadcastHashJoin"), "df table should broadcast:\n" + p47)
   }
 
+  test("q22 reuses the posting-list exchange for sizes and pairs") {
+    val df = TextOps.q22NgramJaccard(Tables.load(spark, sf, "documents"))
+    df.collect() // AQE finalizes reuse in the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      "shingle grouping should be computed once:\n" + p)
+  }
+
   test("q48 chunking is map-only before the output sort") {
     val p = plan(Chunking.q48Chunk(Tables.load(spark, sf, "documents")))
     assert(!p.contains("hashpartitioning"),
