@@ -80,12 +80,16 @@ object Fuzzy {
       .select(col("p.doc_id").as("ida"), col("q.doc_id").as("idb"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+    // CANDIDATE-DRIVEN verification: fan each candidate pair out to its
+    // left side's shingles, then probe the right side — work scales
+    // with |candidates|·|shingles per doc|, never all-pairs. (An
+    // all-pairs intersection followed by a candidate semi-join would
+    // redo exactly the O(n²) join LSH exists to avoid.)
+    val inter = cand
+      .join(sh.as("a"), col("ida") === col("a.doc_id"))
+      .join(sh.as("b"), col("idb") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("ida").as("ia"), col("idb").as("ib"))
       .agg(count(lit(1)).as("ninter"))
-      .join(cand, col("ia") === col("ida") && col("ib") === col("idb"), "left_semi")
     inter
       .join(sizes.as("sa"), col("ia") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("ib") === col("sb.doc_id"))
