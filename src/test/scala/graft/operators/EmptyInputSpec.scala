@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.io.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-input safety: every operator shape that has historically
+  * crashed engines on zero rows — scalar barriers (percentile → null),
+  * aggregates that divide, windows over nothing, joins with an empty
+  * side — must return an empty (or all-null scalar) result, not throw.
+  * A 100 TB pipeline hits empty partitions and empty filter results
+  * constantly; operators that assume rows exist are latent outages. */
+class EmptyInputSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def empty(table: String): DataFrame =
+    Tables.load(spark, sf, table).filter(lit(false))
+
+  test("row-returning operators yield zero rows on empty input, no throw") {
+    val zeroRow: Seq[(String, DataFrame)] = Seq(
+      "q14_window_rank" -> Relational.q14WindowRank(empty("orders")),
+      "q21_exact_dedup" -> TextOps.q21ExactDedup(empty("documents")),
+      "q22_ngram_jaccard" -> TextOps.q22NgramJaccard(empty("documents")),
+      "q24_cosine_topk" -> VectorOps.q24CosineTopk(empty("embeddings")),
+      "q27_lsh_dedup" -> Fuzzy.q27LshDedup(empty("documents")),
+      "q34_emb_dedup" -> VectorOps.q34EmbeddingDedup(empty("embeddings")),
+      "q36_asof_join" -> TemporalJoins.q36AsofJoin(empty("events")),
+      "q39_winnow" -> Fuzzy.q39Winnow(empty("documents")),
+      "q40_corpus_curate" -> Curate.q40CorpusCurate(empty("documents")),
+      "q43_pivot" -> Relational3.q43Pivot(empty("events")),
+      "q44_moving_avg" -> Relational3.q44MovingAvg(empty("orders")),
+      "q45_edit_distance" -> Relational3.q45EditDistance(empty("part")),
+      "q47_tfidf" -> TfIdf.q47Tfidf(empty("documents")),
+      "q48_chunk" -> Chunking.q48Chunk(empty("documents")),
+      "q50_cohort" -> Funnels.q50Cohort(empty("events")))
+    zeroRow.foreach { case (name, df) =>
+      assert(df.count() === 0L, s"$name on empty input")
+    }
+  }
+
+  test("scalar aggregates return one all-null/zero row on empty input") {
+    val spearman = RankStats.q38Spearman(empty("lineitem")).head()
+    assert(spearman.getLong(0) === 0L)
+    assert(spearman.isNullAt(1), "corr of nothing must be null")
+
+    val funnel = Funnels.q49Funnel(empty("events"))
+    assert(funnel.count() === 0L || funnel.head().getLong(0) === 0L)
+
+    val kmv = Sketches.q46KmvDistinct(empty("lineitem")).head()
+    assert(kmv.getLong(0) === 0L, "k of empty sketch")
+    assert(kmv.isNullAt(1) && kmv.isNullAt(2), "estimate of nothing must be null")
+    assert(kmv.getLong(3) === 0L)
+  }
+}
