@@ -24,7 +24,7 @@ object RankStats {
   /** (value, avg_rank) table for one numeric column via the grouped
     * CDF. Ties get the average rank of their run, matching
     * `pandas.rank(method="average")` — the Spearman convention. */
-  private def avgRanks(df: DataFrame, c: String): DataFrame = {
+  def avgRanks(df: DataFrame, c: String): DataFrame = {
     val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
       .withColumn("cum", sum("n").over(w))

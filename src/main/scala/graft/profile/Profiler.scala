@@ -59,6 +59,29 @@ object Profiler {
   val DefaultBins = 10
   val DefaultTopK = 10
 
+  /** Spearman rank-correlation matrix (the profiling suite's second
+    * correlation method, SURVEY A10): per-column average ranks via the
+    * grouped-CDF ([[graft.operators.RankStats.avgRanks]] — no global
+    * row window), joined back by value, then ONE wide Pearson pass over
+    * all rank columns. Cost: one value-join per column + one aggregate
+    * scan; every join key table is bounded by column cardinality. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): Seq[(String, String, Double)] = {
+    val ranked = cols.foldLeft(df.select(cols.map(col): _*)) { (acc, c) =>
+      val r = graft.operators.RankStats.avgRanks(df, c)
+        .withColumnsRenamed(Map("v" -> s"$c!v", "r" -> s"$c!rank"))
+      acc.join(r, acc(c) === r(s"$c!v")).drop(s"$c!v")
+    }
+    val pairs = for { (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1) } yield (a, b)
+    if (pairs.isEmpty) return Seq.empty
+    val aggs = pairs.map { case (a, b) =>
+      corr(col(s"$a!rank"), col(s"$b!rank")).as(s"$a!$b")
+    }
+    val row = ranked.agg(aggs.head, aggs.tail: _*).head()
+    pairs.zipWithIndex.map { case ((a, b), i) =>
+      (a, b, if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
+    }
+  }
+
   def isNumeric(f: StructField): Boolean = f.dataType match {
     case _: NumericType => true
     case _ => false

@@ -69,6 +69,17 @@ class ProfilerSpec extends AnyFunSuite {
     exact.correlations.foreach { case (_, _, r) => assert(math.abs(r) <= 1.0) }
   }
 
+  test("spearman matrix agrees with the q38 operator and bounds") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val m = Profiler.spearmanMatrix(li, Seq("l_quantity", "l_extendedprice", "l_discount"))
+    assert(m.size === 3)
+    m.foreach { case (_, _, r) => assert(math.abs(r) <= 1.0 + 1e-12) }
+    val viaQ38 = graft.operators.RankStats
+      .q38Spearman(li).head().getDouble(1)
+    val qp = m.find(p => p._1 == "l_quantity" && p._2 == "l_extendedprice").get._3
+    assert(math.abs(qp - viaQ38) < 1e-6, s"profiler $qp vs q38 $viaQ38")
+  }
+
   test("HTML report renders all sections") {
     val html = HtmlReport.render("test report", prof)
     Seq("Overview", "Variables", "Correlations", "current_price",
