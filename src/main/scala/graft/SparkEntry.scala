@@ -98,6 +98,7 @@ object SparkEntry {
     "q48_chunk" -> t("documents")(Chunking.q48Chunk),
     "q49_funnel" -> t("events")(Funnels.q49Funnel),
     "q50_cohort" -> t("events")(Funnels.q50Cohort(_)),
+    "q51_split" -> t("documents")(Curate.q51Split),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -153,5 +154,6 @@ object SparkEntry {
     "q48_chunk" -> Chunking.q48Sql,
     "q49_funnel" -> Funnels.q49Sql,
     "q50_cohort" -> Funnels.q50Sql(),
+    "q51_split" -> Curate.q51Sql,
   )
 }

@@ -46,6 +46,33 @@ object Curate {
       .orderBy("lang_pred")
   }
 
+  /** q51: deterministic train/val/test split assignment — the
+    * reproducibility-critical partitioning of a training corpus. Keyed
+    * by the portable content-independent doc hash (NOT rand(), NOT
+    * content: ids are stable under text re-processing), 80/10/10 by
+    * hash decile; emits per-split volume accounting. Map-side assign,
+    * one tiny groupBy — and the same expression can feed
+    * `df.write.partitionBy("split")` to materialize the three sets in
+    * one pass. */
+  def q51Split(documents: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 10
+    documents
+      .withColumn("split",
+        when(h === 0, lit("test")).when(h === 1, lit("val")).otherwise(lit("train")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " "))).as("sum_tokens"))
+      .orderBy("split")
+  }
+
+  def q51Sql: String =
+    """SELECT CASE (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) AS bigint) % 10)
+      |         WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split,
+      |  count(*) AS n_docs,
+      |  sum(len(regexp_split_to_array(text, ' '))) AS sum_tokens
+      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
   /** Self-contained oracle re-derivation (the component CTEs restated,
     * as the oracle deliberately re-derives rather than imports). */
   def q40Sql(qmin: Double = 0.4, jaccard: Double = 0.2): String = {

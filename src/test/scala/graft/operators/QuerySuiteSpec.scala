@@ -249,6 +249,18 @@ class QuerySuiteSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) > 0 && r.getLong(1) >= 0))
   }
 
+  test("q51 split: partitions all docs, stable, near 80/10/10") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val rows = Curate.q51Split(docs).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq === Seq("test", "train", "val"))
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    val train = rows.find(_.getString(0) == "train").get.getLong(1).toDouble
+    val frac = train / docs.count()
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac")
+    val again = Curate.q51Split(docs).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(again(r.getString(0)) === r.getLong(1), "split must be stable"))
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
