@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   *    output column is forced (a `count()` would let column pruning
   *    delete the projections under measurement), nothing is written.
   *  - One untimed warmup run per query first (JIT + parquet footer +
-  *    codegen compilation), then the timed run — the driver compares
-  *    engines on steady-state throughput, not first-run JIT noise.
+  *    codegen compilation), then best-of-two timed runs — the driver
+  *    compares engines on steady-state throughput, and the min of two
+  *    absorbs this box's scheduling noise without masking real cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,6 +22,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false") // engine-canonical (GraftSession)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -35,9 +37,11 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t = try {
         run(fn) // warmup
-        val t0 = System.nanoTime()
-        run(fn)
-        (System.nanoTime() - t0) / 1e9
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          run(fn)
+          (System.nanoTime() - t0) / 1e9
+        }.min
       } catch { case _: Throwable => -1.0 }
       name -> t
     }
