@@ -99,6 +99,7 @@ object SparkEntry {
     "q49_funnel" -> t("events")(Funnels.q49Funnel),
     "q50_cohort" -> t("events")(Funnels.q50Cohort(_)),
     "q51_split" -> t("documents")(Curate.q51Split),
+    "q52_stratified_sample" -> t("lineitem")(Relational3.q52StratifiedSample),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -155,5 +156,6 @@ object SparkEntry {
     "q49_funnel" -> Funnels.q49Sql,
     "q50_cohort" -> Funnels.q50Sql(),
     "q51_split" -> Curate.q51Sql,
+    "q52_stratified_sample" -> Relational3.q52Sql,
   )
 }

@@ -57,6 +57,40 @@ object Relational3 {
        |WHERE (cast(concat('0x', substr(md5(concat(l_orderkey, '-', l_linenumber)), 1, 15)) AS bigint) % 10) = 0
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q52: stratified deterministic sampling — per-stratum rates (the
+    * class-rebalancing sampler of a training pipeline: downsample
+    * overrepresented strata harder). Same portable hash as q42 keys
+    * membership, so the sample is reproducible across engines and
+    * retries; the rate lookup is a when-ladder (broadcast-map
+    * equivalent), evaluated map-side — nothing shuffles but the final
+    * per-stratum aggregate. */
+  val StrataRates: Seq[(String, Int)] = Seq("A" -> 2, "N" -> 5, "R" -> 10)
+
+  def q52StratifiedSample(lineitem: DataFrame): DataFrame = {
+    val h = conv(substring(md5(
+      concat(col("l_orderkey"), lit("-"), col("l_linenumber"))), 1, 15), 16, 10)
+      .cast("long")
+    val keep = StrataRates.foldLeft(lit(false)) { case (acc, (flag, k)) =>
+      when(col("l_returnflag") === flag, h % k === 0).otherwise(acc)
+    }
+    lineitem
+      .filter(keep)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"), sumd(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  def q52Sql: String = {
+    val hSql = "cast(concat('0x', substr(md5(concat(l_orderkey, '-', l_linenumber)), 1, 15)) AS bigint)"
+    val arms = StrataRates
+      .map { case (f, k) => s"WHEN l_returnflag = '$f' THEN ($hSql % $k) = 0" }
+      .mkString(" ")
+    s"""SELECT l_returnflag, count(*) AS n_sampled, ${sumdSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE CASE $arms ELSE FALSE END
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   /** q43: pivot — event counts per user decile, event types as columns.
     * The value list is EXPLICIT: pivot with discovered values costs an
     * extra distinct-collect job and makes the schema data-dependent

@@ -261,6 +261,19 @@ class QuerySuiteSpec extends AnyFunSuite {
     rows.foreach(r => assert(again(r.getString(0)) === r.getLong(1), "split must be stable"))
   }
 
+  test("q52 stratified sample: per-stratum rates land near target") {
+    val li = graft.io.Tables.load(spark, sf, "lineitem")
+    val sampled = Relational3.q52StratifiedSample(li).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Relational3.StrataRates.foreach { case (flag, k) =>
+      val rate = sampled(flag).toDouble / full(flag)
+      assert(math.abs(rate - 1.0 / k) < 0.6 / k,
+        s"stratum $flag rate $rate, target ${1.0 / k}")
+    }
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
