@@ -100,6 +100,7 @@ object SparkEntry {
     "q50_cohort" -> t("events")(Funnels.q50Cohort(_)),
     "q51_split" -> t("documents")(Curate.q51Split),
     "q52_stratified_sample" -> t("lineitem")(Relational3.q52StratifiedSample),
+    "q53_pmi" -> t("documents")(TfIdf.q53Pmi),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -157,5 +158,6 @@ object SparkEntry {
     "q50_cohort" -> Funnels.q50Sql(),
     "q51_split" -> Curate.q51Sql,
     "q52_stratified_sample" -> Relational3.q52Sql,
+    "q53_pmi" -> TfIdf.q53Sql,
   )
 }

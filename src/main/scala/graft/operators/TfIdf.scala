@@ -45,6 +45,60 @@ object TfIdf {
       .orderBy("doc_id", "rn")
   }
 
+  /** q53: PMI collocations — pointwise mutual information over
+    * within-document token co-occurrence, the classic collocation /
+    * phrase-mining signal. pmi(x,y) = ln(N·c_xy / (c_x·c_y)) over
+    * document-level occurrence counts.
+    *
+    * Pair generation is row-local (sorted distinct tokens → i<j pair
+    * explode — the same posting-explode shape as q22, but per row, so
+    * nothing shuffles until the pair counts aggregate); marginals are
+    * vocabulary-sized and broadcast. The top-50 is ranked on the
+    * ROUNDED pmi with (x, y) tiebreak — same cross-engine ulp
+    * discipline as the tf-idf ranking — and sort+limit compiles to
+    * TakeOrderedAndProject. */
+  val PmiMinPairs = 5
+  val PmiTopK = 50
+
+  def q53Pmi(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+    val pairs = toks.select(explode(expr(
+      """flatten(transform(ts, (x, i) ->
+        |  transform(slice(ts, i + 2, size(ts)), y -> struct(x AS x, y AS y))))"""
+        .stripMargin)).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= PmiMinPairs)
+    val marg = toks.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val pmi = round(log(col("cxy").cast("double") * col("n_docs").cast("double")
+      / (col("cx").cast("double") * col("cy").cast("double"))), 6)
+    pairs
+      .join(broadcast(marg.withColumnsRenamed(Map("t" -> "x", "c" -> "cx"))), "x")
+      .join(broadcast(marg.withColumnsRenamed(Map("t" -> "y", "c" -> "cy"))), "y")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("cxy"), pmi.as("pmi"))
+      .orderBy(desc("pmi"), asc("x"), asc("y"))
+      .limit(PmiTopK)
+  }
+
+  def q53Sql: String =
+    s"""WITH d AS (SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(text, ' '))) AS ts
+       |           FROM documents),
+       |tok AS (SELECT doc_id, unnest(ts) AS t FROM d),
+       |pairs AS (SELECT a.t AS x, b.t AS y, count(*) AS cxy
+       |          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+       |          GROUP BY 1, 2 HAVING count(*) >= $PmiMinPairs),
+       |marg AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT x, y, cxy,
+       |  round(ln(cast(cxy AS double) * cast(n_docs AS double)
+       |    / (cast(mx.c AS double) * cast(my.c AS double))), 6) AS pmi
+       |FROM pairs JOIN marg mx ON x = mx.t JOIN marg my ON y = my.t CROSS JOIN n
+       |ORDER BY pmi DESC, x, y LIMIT $PmiTopK""".stripMargin
+
   def q47Sql: String =
     s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS t FROM documents),
        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -274,6 +274,18 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("q53 pmi: ranked, ordered pairs, support threshold respected") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val rows = TfIdf.q53Pmi(docs).collect()
+    assert(rows.nonEmpty && rows.length <= TfIdf.PmiTopK)
+    val pmis = rows.map(_.getDouble(3))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b }, "pmi must be non-increasing")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be ordered x < y")
+      assert(r.getLong(2) >= TfIdf.PmiMinPairs)
+    }
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
