@@ -70,7 +70,7 @@ object Curate {
     """SELECT CASE (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) AS bigint) % 10)
       |         WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split,
       |  count(*) AS n_docs,
-      |  sum(len(regexp_split_to_array(text, ' '))) AS sum_tokens
+      |  cast(sum(len(regexp_split_to_array(text, ' '))) AS bigint) AS sum_tokens
       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
 
   /** Self-contained oracle re-derivation (the component CTEs restated,
@@ -107,7 +107,7 @@ object Curate {
        |losers AS (SELECT DISTINCT idb AS doc_id
        |           FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
        |           WHERE cast(ninter AS double) / (sa.n + sb.n - ninter) >= $jaccard)
-       |SELECT lang_pred, count(*) AS n_docs, sum(n_bpe_tokens) AS sum_bpe_tokens,
+       |SELECT lang_pred, count(*) AS n_docs, cast(sum(n_bpe_tokens) AS bigint) AS sum_bpe_tokens,
        |  round(cast(sum(cast(quality AS decimal(18,6))) AS double) / count(*), 6) AS avg_quality
        |FROM lq JOIN bpe USING (doc_id)
        |WHERE quality >= $qmin AND doc_id NOT IN (SELECT doc_id FROM losers)

@@ -59,7 +59,7 @@ object EventOps {
   }
 
   def q15Sql: String =
-    """SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+    """SELECT user_id, count(*) AS n_events, cast(sum(new_session) AS bigint) AS n_sessions
       |FROM (
       |  SELECT user_id,
       |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
@@ -85,7 +85,7 @@ object EventOps {
 
   def q17Sql: String =
     """SELECT event_type, count(k) AS n_k,
-      |  sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null_k,
+      |  cast(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null_k,
       |  cast(sum(k) AS bigint) AS sum_k,
       |  cast(sum(k) AS double) / count(k) AS mean_k
       |FROM (SELECT event_type,
@@ -124,8 +124,8 @@ object EventOps {
 
   def q09Sql: String =
     """SELECT count(*) AS n_rows,
-      |  sum(CASE WHEN cast(json_extract_string(props, '$.k') AS int) IS NULL THEN 1 ELSE 0 END) AS n_null_k,
-      |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+      |  cast(sum(CASE WHEN cast(json_extract_string(props, '$.k') AS int) IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null_k,
+      |  cast(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null_value,
       |  count(DISTINCT cast(json_extract_string(props, '$.k') AS int)) AS n_distinct_k
       |FROM events""".stripMargin
 }

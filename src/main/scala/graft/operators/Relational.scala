@@ -173,7 +173,7 @@ object Relational {
       |)
       |SELECT round(b.q1, 4) AS q1, round(b.q3, 4) AS q3,
       |  round(b.q3 - b.q1, 4) AS iqr, b.lo AS lo, b.hi AS hi,
-      |  sum(CASE WHEN o_totalprice NOT BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END) AS n_outliers
+      |  cast(sum(CASE WHEN o_totalprice NOT BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END) AS bigint) AS n_outliers
       |FROM orders, b GROUP BY b.q1, b.q3, b.lo, b.hi""".stripMargin
 
   /** Median imputation (reference A2/A3): nulls injected via nullif,
@@ -198,7 +198,7 @@ object Relational {
       |  SELECT l_returnflag, nullif(l_discount, 0.07) AS disc_m FROM lineitem
       |), med AS (SELECT quantile_cont(disc_m, 0.5) AS v FROM m)
       |SELECT l_returnflag, count(*) AS n,
-      |  sum(CASE WHEN disc_m IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+      |  cast(sum(CASE WHEN disc_m IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_imputed,
       |  cast(sum(cast(coalesce(disc_m, med.v) AS decimal(18,4))) AS double) AS sum_disc_filled
       |FROM m, med GROUP BY l_returnflag, med.v ORDER BY l_returnflag""".stripMargin
 
@@ -231,11 +231,11 @@ object Relational {
   def q12Sql: String =
     s"""SELECT count(*) AS n_rows,
        |  count(DISTINCT l_quantity) AS distinct_qty,
-       |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls_qty,
+       |  cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS bigint) AS nulls_qty,
        |  ${avgdSql("l_extendedprice")} AS mean_price,
        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
-       |  sum(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS zeros_disc,
-       |  sum(CASE WHEN l_extendedprice < 0.0 THEN 1 ELSE 0 END) AS neg_price
+       |  cast(sum(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS bigint) AS zeros_disc,
+       |  cast(sum(CASE WHEN l_extendedprice < 0.0 THEN 1 ELSE 0 END) AS bigint) AS neg_price
        |FROM lineitem""".stripMargin
 
   /** Pairwise Pearson correlation (profiling A10). */

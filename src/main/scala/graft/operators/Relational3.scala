@@ -108,7 +108,7 @@ object Relational3 {
 
   def q43Sql: String = {
     val cols = EventTypes
-      .map(t => s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t")
+      .map(t => s"cast(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS bigint) AS $t")
       .mkString(", ")
     s"""SELECT user_id % 10 AS user_decile, $cols
        |FROM events GROUP BY 1 ORDER BY user_decile""".stripMargin
