@@ -10,24 +10,64 @@ import org.apache.spark.sql.functions._
   *
   * Spearman = Pearson over average-ranks. Ranks are NOT computed with a
   * global row window (which would funnel every row through one
-  * partition): instead the rank of value v is derived from the grouped
-  * CDF — count per distinct value, cumulative sum over the (much
-  * smaller) distinct-value table, average tie rank
-  * `cum - (n-1)/2` — then joined back to rows by value. The only
-  * single-partition step is the prefix sum over DISTINCT values
-  * (50 rows for l_quantity; bounded by column cardinality, not table
-  * size). This is the same trick ydata's big-data mode and SQL engines
-  * use for exact ranks at scale.
+  * partition): the rank of value v is derived from the grouped CDF —
+  * count per distinct value, cumulative sum over the distinct-value
+  * table, average tie rank `cum - (n-1)/2` — joined back to rows by
+  * value. The cumulative sum itself is a DISTRIBUTED two-level prefix
+  * sum (see [[avgRanks]]): no step is single-partition, so the rank
+  * table scales with executors even when the column is near-unique
+  * (l_extendedprice: ~N distinct values).
   */
 object RankStats {
 
   /** (value, avg_rank) table for one numeric column via the grouped
     * CDF. Ties get the average rank of their run, matching
-    * `pandas.rank(method="average")` — the Spearman convention. */
-  def avgRanks(df: DataFrame, c: String): DataFrame = {
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    * `pandas.rank(method="average")` — the Spearman convention.
+    *
+    * Distributed prefix sum, two levels:
+    *   1. split the value domain into `buckets` order-preserving ranges
+    *      (cut points from one `approxQuantile` pass — the boundaries
+    *      only need to be order-consistent, not exact, for the prefix
+    *      sum to be exact);
+    *   2. per-bucket running sum via a window PARTITIONED by bucket
+    *      (each partition holds ~distinct/buckets values — bounded);
+    *   3. cross-bucket offsets = exclusive prefix over the per-bucket
+    *      row totals — `buckets` numbers, computed on the driver (a
+    *      documented scalar barrier, like the quantile barriers in
+    *      CleanHistorical) and folded back in as a when-ladder of
+    *      literals, so the hot path stays in whole-stage codegen.
+    *
+    * The per-bucket totals come straight from the raw rows
+    * (`groupBy(bucket).count` — map-side partial agg to ≤`buckets`
+    * rows), not from the rank table, so nothing is computed twice. */
+  def avgRanks(df: DataFrame, c: String, buckets: Int = 32): DataFrame = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts = df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
+    // Order-preserving bucket id: #cuts strictly below v. Monotone in v,
+    // ties share a bucket; null → bucket 0 (sorts first, as in a global
+    // orderBy). Codegen'd indicator sum — no join, no udf.
+    def bucketOf(v: Column): Column =
+      cuts.map(cut => when(v > lit(cut), 1).otherwise(0))
+        .foldLeft(lit(0): Column)(_ + _)
+
+    val totals = df.groupBy(bucketOf(col(c)).as("b")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // Exclusive prefix: rows in all buckets strictly below b.
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 to cuts.length).map { b =>
+        val off = b -> acc; acc += totals.getOrElse(b, 0L); off
+      }.toMap
+    }
+    val offsetCol = offsets.toSeq.sortBy(_._1).foldLeft(lit(0L): Column) {
+      case (acc, (b, off)) => when(col("b") === b, lit(off)).otherwise(acc)
+    }
+
+    val wIn = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
-      .withColumn("cum", sum("n").over(w))
+      .withColumn("b", bucketOf(col("v")))
+      .withColumn("cum", sum("n").over(wIn) + offsetCol)
       .select(col("v"), (col("cum") - (col("n") - lit(1)) / 2.0).as("r"))
   }
 
