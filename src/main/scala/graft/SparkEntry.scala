@@ -101,6 +101,7 @@ object SparkEntry {
     "q51_split" -> t("documents")(Curate.q51Split),
     "q52_stratified_sample" -> t("lineitem")(Relational3.q52StratifiedSample),
     "q53_pmi" -> t("documents")(TfIdf.q53Pmi),
+    "q54_bucketed_emb_dedup" -> t("embeddings")(VectorOps.q54BucketedEmbDedup(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -159,5 +160,6 @@ object SparkEntry {
     "q51_split" -> Curate.q51Sql,
     "q52_stratified_sample" -> Relational3.q52Sql,
     "q53_pmi" -> TfIdf.q53Sql,
+    "q54_bucketed_emb_dedup" -> VectorOps.q54Sql(),
   )
 }

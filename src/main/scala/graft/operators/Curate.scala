@@ -23,14 +23,15 @@ object Curate {
     * of each Jaccard-pair), aggregate kept-corpus stats per predicted
     * language. */
   def q40CorpusCurate(documents: DataFrame, qmin: Double = 0.4,
-                      jaccard: Double = 0.2): DataFrame = {
+                      jaccard: Double = 0.2,
+                      maxDf: Int = TextOps.DefaultMaxDf): DataFrame = {
     // ONE row-local feature pass (lang + quality + token count) — not a
     // join of the standalone q29/q35 plans, which would scan documents
     // twice and shuffle to join what was row-aligned all along
     val feats = LangQuality.withLangQuality(documents)
       .withColumn("n_bpe_tokens", LangQuality.bpeTokens)
       .select("doc_id", "lang_pred", "quality", "n_bpe_tokens")
-    val losers = TextOps.q22NgramJaccard(documents, jaccard)
+    val losers = TextOps.q22NgramJaccard(documents, jaccard, maxDf)
       .select(col("idb").as("doc_id")).distinct()
     feats
       .join(losers, Seq("doc_id"), "left_anti")
@@ -75,7 +76,8 @@ object Curate {
 
   /** Self-contained oracle re-derivation (the component CTEs restated,
     * as the oracle deliberately re-derives rather than imports). */
-  def q40Sql(qmin: Double = 0.4, jaccard: Double = 0.2): String = {
+  def q40Sql(qmin: Double = 0.4, jaccard: Double = 0.2,
+             maxDf: Int = TextOps.DefaultMaxDf): String = {
     def hitsSql(ws: Seq[String]) =
       s"len(list_filter(a, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
     val hitCols = LangQuality.Markers
@@ -102,8 +104,10 @@ object Curate {
        |         a[CAST(t.i AS INT)] || ' ' || a[CAST(t.i AS INT)+1] || ' ' || a[CAST(t.i AS INT)+2] AS s
        |       FROM x, range(1, 201) t(i) WHERE t.i <= greatest(len(a) - 2, 1)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $maxDf),
        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          JOIN keep k ON k.s = a.s GROUP BY 1, 2),
        |losers AS (SELECT DISTINCT idb AS doc_id
        |           FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
        |           WHERE cast(ninter AS double) / (sa.n + sb.n - ninter) >= $jaccard)

@@ -79,15 +79,45 @@ object TextOps {
     """SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin
 
+  /** Document-frequency cap for pair generation: a shingle appearing in
+    * more than `maxDf` documents is a stop-shingle — it contributes
+    * f²/2 candidate pairs (the blowup an uncapped inverted index shares
+    * with a self-join) while carrying no near-dup signal. 64 is above
+    * the observed max DF at sf0.1 (25), so small-scale results are
+    * byte-identical with the cap armed; at 100 TB a deployment tunes it
+    * down (and MinHash-LSH, q27, is the sublinear path anyway). The
+    * oracle SQL applies the identical filter, so parity holds at any
+    * scale even when the cap bites. */
+  val DefaultMaxDf = 64
+
+  /** Drop accounting for the DF cap: (n_dropped_shingles,
+    * n_dropped_postings) for a given corpus + cap. Eager — one action —
+    * and logged, so a pipeline can record exactly what the cap
+    * discarded. Kept OUT of q22's lazy plan: accounting is opt-in, not
+    * a per-query extra job. */
+  def droppedShingleStats(documents: DataFrame, maxDf: Int = DefaultMaxDf): (Long, Long) = {
+    val r = shingles(documents)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .agg(count(lit(1)).as("n_shingles"),
+           coalesce(sum("df"), lit(0L)).as("n_postings"))
+      .head()
+    val stats = (r.getLong(0), r.getLong(1))
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"ngram-jaccard DF cap $maxDf: dropped ${stats._1} shingles " +
+            s"(${stats._2} postings) from pair generation")
+    stats
+  }
+
   /** N-gram Jaccard near-dup pairs via an inverted shingle index,
     * join-free: group by shingle → sorted posting list → explode the
     * i<j pairs of each list → count per pair. One shuffle of the
     * shingle table instead of the two a self-join costs, and the pair
-    * counts partial-aggregate map-side. Posting-list length is the
-    * scale watch item (a DF-f shingle yields f²/2 pairs — same blowup
-    * a join would have): at 100 TB cap/drop high-DF shingles;
-    * MinHash-LSH (q23/q27) is the sublinear path. */
-  def q22NgramJaccard(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
+    * counts partial-aggregate map-side. Posting-list length is bounded
+    * by the `maxDf` stop-shingle cap (pair-side only: Jaccard
+    * denominators still count every shingle, mirroring the oracle). */
+  def q22NgramJaccard(documents: DataFrame, threshold: Double = 0.2,
+                      maxDf: Int = DefaultMaxDf): DataFrame = {
     val sh = shingles(documents)
     // BOTH consumers read the same grouped posting-list frame: the two
     // branches plan identical Exchanges, so ReuseExchange computes the
@@ -97,7 +127,7 @@ object TextOps {
     val sizes = posting.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = posting
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ida, y AS idb))))"""
@@ -114,11 +144,13 @@ object TextOps {
       .orderBy("ida", "idb")
   }
 
-  def q22Sql(threshold: Double = 0.2): String =
+  def q22Sql(threshold: Double = 0.2, maxDf: Int = DefaultMaxDf): String =
     s"""WITH $shinglesSql,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $maxDf),
        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          JOIN keep k ON k.s = a.s
        |          GROUP BY 1, 2)
        |SELECT ida, idb, ninter,
        |  cast(ninter AS double) / (sa.n + sb.n - ninter) AS jaccard

@@ -63,18 +63,27 @@ object VectorOps {
     * touches ~N/8 — on a real deployment centroids come from k-means
     * and the ratio is N/nlist. Assignment is one broadcast-NL join;
     * no all-pairs shuffle ever materializes. */
-  def q30IvfTopk(embeddings: DataFrame, nCentroids: Int = 8, k: Int = 3): DataFrame = {
+  /** IVF coarse-quantizer assignment: every vector → its nearest of the
+    * `nCentroids` seed vectors (argmax cosine, deterministic tiebreak
+    * on centroid id). One broadcast join + a per-vector window — no
+    * all-pairs shuffle. Shared by q30 (ANN search) and q54 (bucketed
+    * dedup); on a real deployment the seeds come from k-means. */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("ed"))
     val cents = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("ed").as("ce"))
     val simToCent = dot(col("ed"), col("ce")) / (sqrt(norm2(col("ed"))) * sqrt(norm2(col("ce"))))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(desc("csim"), asc("cid"))
-    val assigned = e.join(broadcast(cents))
+    e.join(broadcast(cents))
       .select(col("vec_id"), col("ed"), col("cid"), round(simToCent, 6).as("csim"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("ed"), col("cid"))
+  }
+
+  def q30IvfTopk(embeddings: DataFrame, nCentroids: Int = 8, k: Int = 3): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCentroids)
     val queries = assigned.filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + 8)
       .select(col("vec_id").as("qid"), col("ed").as("qe"), col("cid").as("qcid"))
     val sim = dot(col("qe"), col("ed")) / (sqrt(norm2(col("qe"))) * sqrt(norm2(col("ed"))))
@@ -133,6 +142,46 @@ object VectorOps {
        |SELECT a.vec_id AS ida, b.vec_id AS idb,
        |  round(list_dot_product(a.ed, b.ed) / (a.nrm * b.nrm), 6) AS sim
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.ed, b.ed) / (a.nrm * b.nrm), 6) >= $threshold
+       |ORDER BY ida, idb""".stripMargin
+
+  /** q54: BUCKETED embedding dedup — the default near-dup path at
+    * scale, with q34 demoted to exact in-bucket verifier. Vectors are
+    * IVF-assigned to their nearest centroid (q30's coarse quantizer),
+    * then the exact cosine verify runs only on same-bucket pairs: the
+    * join is an EQUI-join on the cluster id (hash-partitioned both
+    * sides, the i<j and threshold predicates ride along as join
+    * filters), so no BroadcastNestedLoopJoin / cartesian product ever
+    * crosses buckets. Per-bucket work is (N/nlist)² — at a deployment's
+    * nlist ≈ √N this is O(N^1.5) total vs q34's O(N²), and each bucket
+    * is an independent shuffle partition. The recall tradeoff is the
+    * standard IVF one: a pair split across clusters is missed (q34
+    * remains the exact baseline / in-bucket verifier). */
+  def q54BucketedEmbDedup(embeddings: DataFrame, nCentroids: Int = 8,
+                          threshold: Double = 0.4): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCentroids)
+      .withColumn("nrm", sqrt(norm2(col("ed"))))
+    val sim = round(dot(col("a.ed"), col("b.ed")) / (col("a.nrm") * col("b.nrm")), 6)
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid")
+          && col("a.vec_id") < col("b.vec_id") && sim >= threshold)
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"), sim.as("sim"))
+      .orderBy("ida", "idb")
+  }
+
+  def q54Sql(nCentroids: Int = 8, threshold: Double = 0.4): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |c AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < $nCentroids),
+       |asg AS (SELECT vec_id, ed, cid FROM (
+       |  SELECT e.vec_id, e.ed, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid) AS arn
+       |  FROM e, c) t WHERE arn = 1),
+       |n AS (SELECT vec_id, ed, cid, sqrt(list_dot_product(ed, ed)) AS nrm FROM asg)
+       |SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |  round(list_dot_product(a.ed, b.ed) / (a.nrm * b.nrm), 6) AS sim
+       |FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |WHERE round(list_dot_product(a.ed, b.ed) / (a.nrm * b.nrm), 6) >= $threshold
        |ORDER BY ida, idb""".stripMargin
 

@@ -27,6 +27,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "q24_cosine_topk" -> VectorOps.q24CosineTopk(empty("embeddings")),
       "q27_lsh_dedup" -> Fuzzy.q27LshDedup(empty("documents")),
       "q34_emb_dedup" -> VectorOps.q34EmbeddingDedup(empty("embeddings")),
+      "q54_bucketed_emb_dedup" -> VectorOps.q54BucketedEmbDedup(empty("embeddings")),
       "q36_asof_join" -> TemporalJoins.q36AsofJoin(empty("events")),
       "q39_winnow" -> Fuzzy.q39Winnow(empty("documents")),
       "q40_corpus_curate" -> Curate.q40CorpusCurate(empty("documents")),

@@ -80,6 +80,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("dot_product") || joinSection.nonEmpty, p)
   }
 
+  test("q54 bucketed dedup equi-joins on cluster id — no cross-bucket BNLJ") {
+    val df = VectorOps.q54BucketedEmbDedup(Tables.load(spark, sf, "embeddings"))
+    df.collect() // AQE: judge the final executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair-verify join must be an EQUI-join keyed on cid carrying
+    // the i<j + threshold predicates as join filters — the vector-pair
+    // space is never nested-looped
+    val verifyJoin = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cid#\\d+L?\\]".r
+    assert(verifyJoin.findFirstIn(p).isDefined, "no cid equi-join found:\n" + p)
+    assert(p.split("\n").exists(l =>
+      verifyJoin.findFirstIn(l).isDefined && l.contains("vec_id") && l.contains("<")),
+      "pair predicates must ride the cid equi-join:\n" + p)
+    // the only nested-loop joins are the centroid-assignment fan-outs
+    // (each vector vs the broadcast ≤8-row centroid set): condition-free
+    // cross joins against a bounded build side, not vector-pair joins
+    p.split("\n").filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.trim.matches(".*BroadcastNestedLoopJoin Build(Left|Right), (Inner|Cross)$"),
+        "a conditioned BNLJ joins vector pairs across buckets:\n" + p)
+    }
+  }
+
   test("q46 k-smallest pass is TakeOrderedAndProject, never a global sort") {
     val p = plan(Sketches.q46KmvDistinct(Tables.load(spark, sf, "lineitem")))
     assert(p.contains("TakeOrderedAndProject"), p)

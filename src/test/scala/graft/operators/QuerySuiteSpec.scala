@@ -59,6 +59,31 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("q22 DF cap: inactive at default, drops hot shingles when tight") {
+    import spark.implicits._
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    // default cap sits above this corpus's max DF: zero drops, and the
+    // capped plan returns exactly the uncapped pairs
+    assert(TextOps.droppedShingleStats(docs) === ((0L, 0L)))
+    val capped = TextOps.q22NgramJaccard(docs).collect().toSet
+    val uncapped = TextOps.q22NgramJaccard(docs, maxDf = Int.MaxValue).collect().toSet
+    assert(capped === uncapped)
+    // constructed corpus: "hot hot hot" shingle lives in all 3 docs, the
+    // near-dup signal only in docs 1 & 2; maxDf = 2 kills the hot
+    // shingle's pairs but keeps the genuine near-dup pair
+    val tiny = Seq(
+      (1L, "a b c d e f hot hot hot hot hot"),
+      (2L, "a b c d e f g hot hot hot hot hot"),
+      (3L, "x y z w v u hot hot hot hot hot")).toDF("doc_id", "text")
+    val (nSh, nPost) = TextOps.droppedShingleStats(tiny, maxDf = 2)
+    assert(nSh > 0 && nPost >= nSh * 3, "hot shingles must be accounted as dropped")
+    val pairs = TextOps.q22NgramJaccard(tiny, threshold = 0.1, maxDf = 2)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "genuine near-dup pair survives the cap")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "doc 3 only shares hot shingles — capped out")
+  }
+
   test("q23 minhash: identical docs would share signatures; slots in range") {
     val rows = TextOps.q23Minhash(
       graft.io.Tables.load(spark, sf, "documents")).collect()
@@ -77,6 +102,19 @@ class QuerySuiteSpec extends AnyFunSuite {
     rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
       val sims = g.sortBy(_.getInt(3)).map(_.getDouble(2))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q54 bucketed dedup ⊆ q34 exact pairs; sims agree; high recall here") {
+    val emb = graft.io.Tables.load(spark, sf, "embeddings")
+    val exact = VectorOps.q34EmbeddingDedup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bucketed = VectorOps.q54BucketedEmbDedup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(bucketed.nonEmpty)
+    bucketed.foreach { case (pair, sim) =>
+      assert(exact.contains(pair), s"bucketed pair $pair not in exact set")
+      assert(math.abs(exact(pair) - sim) < 1e-9, s"sim mismatch for $pair")
     }
   }
 
