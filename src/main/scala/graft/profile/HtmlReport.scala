@@ -87,6 +87,32 @@ object HtmlReport {
       sb ++= "</table>"
     }
 
+    if (p.missingPatterns.nonEmpty) {
+      sb ++= "<h2>Missing value patterns</h2>"
+      sb ++= s"<p>Null-flag per column, in order: ${p.columnNames.map(esc).mkString(", ")}</p>"
+      val maxN = p.missingPatterns.map(_._2).max
+      sb ++= "<table><tr><th>Pattern</th><th>Rows</th><th></th></tr>"
+      p.missingPatterns.foreach { case (pat, n) =>
+        sb ++= s"<tr><td><code>${esc(pat)}</code></td><td>$n</td><td>${bar(n, maxN)}</td></tr>"
+      }
+      sb ++= "</table>"
+    }
+
+    def sampleTable(title: String, rows: Seq[Seq[String]]): Unit = if (rows.nonEmpty) {
+      sb ++= s"<h3>$title</h3><table><tr>"
+      p.columnNames.foreach(c => sb ++= s"<th>${esc(c)}</th>")
+      sb ++= "</tr>"
+      rows.foreach { r =>
+        sb ++= "<tr>"; r.foreach(v => sb ++= s"<td>${esc(v)}</td>"); sb ++= "</tr>"
+      }
+      sb ++= "</table>"
+    }
+    if (p.headRows.nonEmpty || p.tailRows.nonEmpty) {
+      sb ++= "<h2>Sample</h2>"
+      sampleTable("First rows", p.headRows)
+      sampleTable("Last rows", p.tailRows)
+    }
+
     sb ++= "</body></html>"
     sb.toString
   }

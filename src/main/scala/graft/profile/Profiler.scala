@@ -38,7 +38,15 @@ case class StringProfile(
 case class TableProfile(
     nRows: Long, nCols: Int, nDuplicateRows: Long,
     numeric: Seq[NumericProfile], strings: Seq[StringProfile],
-    correlations: Seq[(String, String, Double)], alerts: Seq[String])
+    correlations: Seq[(String, String, Double)], alerts: Seq[String],
+    /** A11 per-row missing patterns: null-flag bitstring (one char per
+      * column, in [[columnNames]] order, '1' = null) → row count,
+      * most frequent first. */
+    columnNames: Seq[String] = Seq.empty,
+    missingPatterns: Seq[(String, Long)] = Seq.empty,
+    /** A12 head/tail sample rows, rendered as strings ("null" for null). */
+    headRows: Seq[Seq[String]] = Seq.empty,
+    tailRows: Seq[Seq[String]] = Seq.empty)
 
 /** One-pass-per-concern profiler:
   *   pass 1 — one wide aggregate: every numeric stat (including exact
@@ -108,8 +116,10 @@ object Profiler {
         sum((isnan(d) || d === Double.PositiveInfinity || d === Double.NegativeInfinity)
           .cast("long")).as(s"$c!inf"),
         avg(d).as(s"$c!mean"), min(d).as(s"$c!min"), max(d).as(s"$c!max"),
-        stddev_samp(d).as(s"$c!std"), skewness(d).as(s"$c!skew"),
-        kurtosis(d).as(s"$c!kurt"),
+        // Fisher-adjusted G1/G2 (pandas/ydata parity), not population g1/g2
+        stddev_samp(d).as(s"$c!std"),
+        graft.functions.Moments.skewG1(d).as(s"$c!skew"),
+        graft.functions.Moments.kurtG2(d).as(s"$c!kurt"),
         pct(c, 0.05).as(s"$c!q05"), pct(c, 0.25).as(s"$c!q25"),
         pct(c, 0.5).as(s"$c!q50"), pct(c, 0.75).as(s"$c!q75"),
         pct(c, 0.95).as(s"$c!q95"))
@@ -167,6 +177,26 @@ object Profiler {
     // ---- pass 3: duplicate rows --------------------------------------
     val nDup = nRows - df.dropDuplicates().count()
 
+    // ---- pass 3b: A11 per-row missing-pattern matrix -----------------
+    // one groupBy over the null-flag bitstring (cardinality ≤ 2^nCols,
+    // in practice a handful; partial-aggregates map-side), top patterns
+    // by frequency — the reference report's missing-matrix condensed to
+    // its distinct rows
+    val patternCol = concat(df.columns.map(c => col(c).isNull.cast("int").cast("string")): _*)
+    val missingPatterns = df.groupBy(patternCol.as("pattern")).count()
+      .orderBy(desc("count"), asc("pattern")).limit(topK).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    // ---- pass 3c: A12 head/tail sample -------------------------------
+    // limit() reads only leading partitions; tail() only trailing ones —
+    // both bounded actions at any scale
+    val sampleN = 5
+    def fmtRows(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[String]] =
+      rows.toSeq.map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "null" else r.get(i).toString))
+    val headRows = fmtRows(df.limit(sampleN).collect())
+    val tailRows = fmtRows(df.tail(sampleN))
+
     // ---- pass 4: string top-k ----------------------------------------
     val tops = strCols.map { c =>
       c -> df.filter(col(c).isNotNull).groupBy(c).count()
@@ -192,7 +222,8 @@ object Profiler {
       g[Double](s"$a!corr!$b").map(r => (a, b, r))
     }
     TableProfile(nRows, df.columns.length, nDup, numeric, strings,
-      correlations, alerts(nRows, numeric, strings, correlations))
+      correlations, alerts(nRows, numeric, strings, correlations),
+      df.columns.toSeq, missingPatterns, headRows, tailRows)
   }
 
   /** A13: thresholded alert rules over the computed stats — the same

@@ -69,6 +69,31 @@ class ProfilerSpec extends AnyFunSuite {
     exact.correlations.foreach { case (_, _, r) => assert(math.abs(r) <= 1.0) }
   }
 
+  test("Fisher-adjusted skew/kurt match pandas on the reference API fixture") {
+    // pandas Series.skew()/kurt() on api_cryptocurrency_data_final.csv
+    // (the stats ydata-profiling reports — bias-adjusted G1/G2, which
+    // Spark's population skewness/kurtosis builtins do NOT match)
+    val expected = Map(
+      "current_price" -> (4.7371596, 20.956637),
+      "price_change_percentage_24h" -> (3.3373305, 17.519117),
+      "market_cap" -> (9.1777448, 87.896299),
+      "total_volume" -> (6.8815005, 50.921324),
+      "high_24h" -> (4.7368287, 20.954537),
+      "low_24h" -> (4.7367661, 20.954111))
+    val api = Profiler.profile(CryptoCsv.readApiFixture(
+      spark, "/root/reference/api_cryptocurrency_data_final.csv"))
+    expected.foreach { case (name, (skew, kurt)) =>
+      val p = api.numeric.find(_.name === name).get
+      assert(math.abs(p.skew.get - skew) < 1e-6, s"$name skew ${p.skew.get} != $skew")
+      assert(math.abs(p.kurt.get - kurt) < 1e-5, s"$name kurt ${p.kurt.get} != $kurt")
+    }
+    // undefined-sample guard mirrors pandas: n=3 has skew but no kurt
+    import spark.implicits._
+    val tiny = Profiler.profile(Seq(1.0, 2.0, 4.0).toDF("x"))
+    val t = tiny.numeric.head
+    assert(t.skew.isDefined && t.kurt.isEmpty)
+  }
+
   test("spearman matrix agrees with the q38 operator and bounds") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val m = Profiler.spearmanMatrix(li, Seq("l_quantity", "l_extendedprice", "l_discount"))
@@ -80,10 +105,34 @@ class ProfilerSpec extends AnyFunSuite {
     assert(math.abs(qp - viaQ38) < 1e-6, s"profiler $qp vs q38 $viaQ38")
   }
 
+  test("A11 missing patterns partition the rows; all-present pattern dominates post-fill") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some("a")), (Some(2), None), (None, Some("c")),
+      (Some(4), None), (None, None)).toDF("x", "s")
+    val p = Profiler.profile(df)
+    val pats = p.missingPatterns.toMap
+    assert(pats === Map("00" -> 1L, "01" -> 2L, "10" -> 1L, "11" -> 1L))
+    assert(p.missingPatterns.map(_._2).sum === 5L, "patterns must partition all rows")
+    // cleaned reference data: every numeric filled → the only pattern is all-zeros
+    assert(prof.missingPatterns.map(_._2).sum === 4150L)
+    assert(prof.missingPatterns.head._1 === "0" * 12)
+  }
+
+  test("A12 head/tail samples reproduce the first and last rows in order") {
+    assert(prof.headRows.length === 5 && prof.tailRows.length === 5)
+    assert(prof.columnNames === cleaned.columns.toSeq)
+    // reference CSV is market-cap rank order: row 1 is Bitcoin
+    assert(prof.headRows.head.head === "Bitcoin")
+    val lastCoin = cleaned.tail(1).head.getString(0)
+    assert(prof.tailRows.last.head === lastCoin)
+  }
+
   test("HTML report renders all sections") {
     val html = HtmlReport.render("test report", prof)
     Seq("Overview", "Variables", "Correlations", "current_price",
-        "coin", "Duplicate rows").foreach { s =>
+        "coin", "Duplicate rows", "Missing value patterns",
+        "First rows", "Last rows", "Bitcoin").foreach { s =>
       assert(html.contains(s), s"missing section: $s")
     }
     assert(!html.contains("<script"), "report should be static")
