@@ -21,4 +21,9 @@ object native {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Native normalized byte histogram (see [[ByteHistogramExpr]]): the
+    * multimodal feature kernel, inside whole-stage codegen. */
+  def byteHistogram(c: Column, bins: Int): Column =
+    ColumnBridge.column(ByteHistogramExpr(ColumnBridge.expression(c), bins))
 }

@@ -84,25 +84,15 @@ object Multimodal {
 
   /** Feature extraction: normalized byte-value histogram (16 bins) as
     * a fixed-size feature vector — the plumbing shape of any embedding
-    * extractor (binary in, float vector out, batched per partition). */
+    * extractor (binary in, float vector out). Pure byte arithmetic has
+    * no codec seam, so unlike [[decodeMeta]] this stays a Catalyst
+    * expression inside whole-stage codegen
+    * ([[graft.catalyst.ByteHistogramExpr]]) — no RDD hop, scan pruning
+    * and pushdown intact. */
   def byteHistogramFeatures(df: DataFrame, contentCol: String = "content",
-                            bins: Int = 16): DataFrame = {
-    val spark = df.sparkSession
-    val inSchema = df.schema
-    val outSchema = StructType(
-      inSchema.fields :+ StructField("features", ArrayType(DoubleType)))
-    val iIdx = inSchema.fieldIndex(contentCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]](iIdx)
-        val counts = new Array[Long](bins)
-        payload.foreach { b => counts((b & 0xff) * bins / 256) += 1 }
-        val n = math.max(payload.length, 1).toDouble
-        Row.fromSeq(r.toSeq :+ counts.map(_ / n).toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+                            bins: Int = 16): DataFrame =
+    df.withColumn("features",
+      graft.catalyst.native.byteHistogram(col(contentCol), bins))
 
   /** Resize: payload→payload partition-wise transform to target
     * dimensions, updating the metadata struct to match. STUB scaler:

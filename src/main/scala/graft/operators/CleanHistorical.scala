@@ -36,13 +36,19 @@ object CleanHistorical {
     "24h Volume" -> "24h_volume", "Circulating Supply" -> "circulating_supply",
     "Total Supply" -> "total_supply", "Market Cap" -> "market_cap")
 
-  /** O4 header trim + O3 rename + O2 drop(Rank) + O5–O8 parse/cast. */
+  /** O4 header trim + O3 rename + O2 drop(Rank) + O5–O8 parse/cast.
+    * A [[graft.io.RowOrder]] stamp, when present, is carried through —
+    * the multi-partition path's order contract (SURVEY §7.4.2). */
   def parse(raw: DataFrame): DataFrame = {
     val trimmed = raw.toDF(raw.columns.map(_.trim): _*)
     val renamed = renames.foldLeft(trimmed) { case (df, (from, to)) =>
       df.withColumnRenamed(from, to)
     }.drop("Rank")
-    renamed.select(
+    val stamp =
+      if (graft.io.RowOrder.isStamped(renamed))
+        Seq(col(graft.io.RowOrder.RowIdCol))
+      else Seq.empty
+    renamed.select(stamp ++ Seq(
       col("coin"), col("symbol"),
       parseNumeric(col("current_price")).as("current_price"),
       parsePercent(col("1h")).as("1h"),
@@ -52,7 +58,7 @@ object CleanHistorical {
       parseCurrency(col("24h_volume")).as("24h_volume"),
       parseNumeric(col("circulating_supply")).as("circulating_supply"),
       parseMagnitude(col("total_supply")).as("total_supply"),
-      parseCurrency(col("market_cap")).as("market_cap"))
+      parseCurrency(col("market_cap")).as("market_cap")): _*)
   }
 
   /** A2: exact (or approx, at scale) median per column, one agg pass. */

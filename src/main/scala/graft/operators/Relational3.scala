@@ -139,17 +139,43 @@ object Relational3 {
       |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Block-size guard for q45: a block of b parts yields b²/2 pair
+    * comparisons, and block membership grows linearly with data — at
+    * 100× an unguarded hot block is a quadratic straggler task. Blocks
+    * above `maxBlock` are skipped from pair generation (the standard
+    * entity-resolution guard; the mitigation for a block that big is a
+    * finer blocking key, not more Levenshtein). 256 sits above the
+    * sf0.1 observed max block of 88, so test-scale results are
+    * unchanged; the oracle applies the identical filter so parity holds
+    * whenever the guard bites. */
+  val DefaultMaxBlock = 256
+
+  /** Drop accounting for the block guard: (n_oversized_blocks,
+    * n_rows_in_them). Eager, logged, opt-in — same contract as
+    * [[TextOps.droppedShingleStats]]. */
+  def oversizedBlockStats(part: DataFrame, maxBlock: Int = DefaultMaxBlock): (Long, Long) = {
+    val r = part.groupBy("p_type", "p_size").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlock)
+      .agg(count(lit(1)), coalesce(sum("n"), lit(0L))).head()
+    val stats = (r.getLong(0), r.getLong(1))
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"edit-distance block cap $maxBlock: skipped ${stats._1} blocks " +
+            s"(${stats._2} rows) from pair generation")
+    stats
+  }
+
   /** q45: blocked edit-distance matching — fuzzy entity resolution on
     * part names. All-pairs Levenshtein is O(N²·L²) and never viable;
     * blocking on (p_type, p_size) bounds each group (the standard
     * entity-resolution move: candidate pairs only within a block), and
     * the pair generation is the same join-free posting-list explode as
     * q22. Both engines implement classic Levenshtein. */
-  def q45EditDistance(part: DataFrame, maxDist: Int = 4): DataFrame =
+  def q45EditDistance(part: DataFrame, maxDist: Int = 4,
+                      maxBlock: Int = DefaultMaxBlock): DataFrame =
     part
       .groupBy("p_type", "p_size")
       .agg(sort_array(collect_list(struct(col("p_partkey"), col("p_name")))).as("ps"))
-      .filter(size(col("ps")) > 1)
+      .filter(size(col("ps")) > 1 && size(col("ps")) <= maxBlock)
       .select(col("p_type"), col("p_size"), explode(expr(
         """flatten(transform(ps, (x, i) ->
           |  transform(slice(ps, i + 2, size(ps)), y -> struct(
@@ -160,12 +186,15 @@ object Relational3 {
       .filter(col("dist") <= maxDist)
       .orderBy("ka", "kb")
 
-  def q45Sql(maxDist: Int = 4): String =
-    s"""SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+  def q45Sql(maxDist: Int = 4, maxBlock: Int = DefaultMaxBlock): String =
+    s"""WITH blk AS (SELECT p_type, p_size FROM part
+       |             GROUP BY 1, 2 HAVING count(*) <= $maxBlock)
+       |SELECT a.p_partkey AS ka, b.p_partkey AS kb,
        |  levenshtein(a.p_name, b.p_name) AS dist
        |FROM part a JOIN part b
        |  ON a.p_type = b.p_type AND a.p_size = b.p_size
        | AND a.p_partkey < b.p_partkey
+       |JOIN blk ON blk.p_type = a.p_type AND blk.p_size = a.p_size
        |WHERE levenshtein(a.p_name, b.p_name) <= $maxDist
        |ORDER BY ka, kb""".stripMargin
 }

@@ -104,6 +104,35 @@ class CatalystExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) === 14.0) // common-prefix semantics: 1*4 + 2*5
   }
 
+  test("byte_histogram: codegen ≡ interpreted ≡ reference loop; simplex; null-safe") {
+    import base.implicits._
+    val rnd = new scala.util.Random(11)
+    val payloads = Seq(
+      Array.emptyByteArray,
+      Array.tabulate(256)(_.toByte),          // one byte per value
+      Array.fill(1024)(rnd.nextInt.toByte)) :+ null
+    val df = payloads.zipWithIndex.map { case (p, i) => (i, p) }.toDF("id", "content")
+    val out = df.select(col("id"), native.byteHistogram(col("content"), 16).as("h"))
+    assert(!out.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    val got = out.collect().map(r =>
+      r.getInt(0) -> (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(got(3) === null, "null payload → null")
+    assert(got(0) === Seq.fill(16)(0.0), "empty payload → zero vector")
+    payloads.take(3).zipWithIndex.foreach { case (p, i) =>
+      val counts = new Array[Long](16)
+      p.foreach(b => counts((b & 0xff) * 16 / 256) += 1)
+      val want = counts.map(_ / math.max(p.length, 1).toDouble).toSeq
+      assert(got(i) === want, s"payload $i")
+      if (p.nonEmpty) assert(math.abs(got(i).sum - 1.0) < 1e-12, "simplex")
+    }
+    // interpreted path agrees (expression eval outside codegen)
+    val expr = ByteHistogramExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(payloads(1), org.apache.spark.sql.types.BinaryType), 16)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray().toSeq
+    assert(interp === got(1))
+  }
+
   test("percentile rewrites to approx above the size threshold, not below") {
     ext.conf.set(ApproxAboveThreshold.ThresholdKey, "1") // everything is big
     val big = ext.sql(

@@ -39,6 +39,22 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(got.count(_.getBoolean(11)) === 861, "golden outlier count")
   }
 
+  test("golden parity survives a shuffled multi-partition read via RowOrder") {
+    // the at-scale path (SURVEY §7.4.2): stamp _row_id on the ordered
+    // read, shuffle the rows across partitions (what a cluster read +
+    // AQE will do), clean, then restore order at the output edge —
+    // byte-for-byte the same golden rows in the same golden order
+    val raw = graft.io.RowOrder.stamp(
+      CryptoCsv.readRaw(spark, s"$ref/CryptocurrencyData.csv"))
+      .repartition(8) // round-robin shuffle: destroys physical order
+    val cleaned = CleanHistorical(raw)
+    assert(graft.io.RowOrder.isStamped(cleaned), "stamp must survive the pipeline")
+    val got = graft.io.RowOrder.restore(cleaned).collect()
+    val want = CryptoCsv.readGoldenClean(spark,
+      s"$ref/cleaned_cryptocurrency_data_final.csv").collect()
+    assertRowsMatch(got, want, CryptoCsv.cleanSchema.fieldNames.toSeq)
+  }
+
   test("airflow ordering diverges to 2,094 outliers (SURVEY §2.6.1)") {
     val raw = CryptoCsv.readRaw(spark, s"$ref/CryptocurrencyData.csv")
     val flagged = CleanHistorical(raw, CleanHistorical.AirflowOrder).collect()

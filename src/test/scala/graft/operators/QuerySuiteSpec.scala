@@ -224,6 +224,29 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("q45 block guard: inactive at default cap, skips oversized blocks when tight") {
+    val part = graft.io.Tables.load(spark, sf, "part")
+    // default cap sits above this corpus's max block: zero drops and
+    // identical pairs vs an unbounded run
+    assert(Relational3.oversizedBlockStats(part) === ((0L, 0L)))
+    val guarded = Relational3.q45EditDistance(part).collect().toSet
+    val unbounded = Relational3.q45EditDistance(part, maxBlock = Int.MaxValue).collect().toSet
+    assert(guarded === unbounded)
+    // tight cap: blocks above it are skipped and accounted for
+    val cap = 3
+    val (nBlocks, nRows) = Relational3.oversizedBlockStats(part, cap)
+    assert(nBlocks > 0 && nRows > nBlocks * cap)
+    val capped = Relational3.q45EditDistance(part, maxBlock = cap)
+    val blockOf = part.groupBy("p_type", "p_size").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val keyOf = part.select("p_partkey", "p_type", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    capped.collect().foreach { r =>
+      assert(blockOf(keyOf(r.getLong(0))) <= cap,
+        s"pair from an oversized block survived the guard: $r")
+    }
+  }
+
   test("q46 KMV sketch: estimate within ~4 standard errors of exact") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val r = Sketches.q46KmvDistinct(li).head()
