@@ -14,70 +14,101 @@ import org.apache.spark.sql.functions._
   * count per distinct value, cumulative sum over the distinct-value
   * table, average tie rank `cum - (n-1)/2` — joined back to rows by
   * value. The cumulative sum itself is a DISTRIBUTED two-level prefix
-  * sum (see [[avgRanks]]): no step is single-partition, so the rank
-  * table scales with executors even when the column is near-unique
-  * (l_extendedprice: ~N distinct values).
+  * sum: no step is single-partition, so the rank table scales with
+  * executors even when the column is near-unique (l_extendedprice:
+  * ~N distinct values).
+  *
+  * The two-level prefix sum:
+  *   1. split the value domain into `Buckets` order-preserving ranges
+  *      (cut points from one `approxQuantile` sketch — boundaries only
+  *      partition the work, they never affect the prefix sum's
+  *      exactness, so the sketch is run at loose 1% accuracy);
+  *   2. per-bucket running sum via a window PARTITIONED by bucket
+  *      (each partition holds ~distinct/Buckets values — bounded);
+  *   3. cross-bucket offsets = exclusive prefix over per-bucket row
+  *      totals — `Buckets` numbers, computed on the driver (a
+  *      documented scalar barrier, like the quantile barriers in
+  *      CleanHistorical) and folded back in as a when-ladder of
+  *      literals, so the hot path stays in whole-stage codegen.
   */
 object RankStats {
 
-  /** (value, avg_rank) table for one numeric column via the grouped
-    * CDF. Ties get the average rank of their run, matching
-    * `pandas.rank(method="average")` — the Spearman convention.
-    *
-    * Distributed prefix sum, two levels:
-    *   1. split the value domain into `buckets` order-preserving ranges
-    *      (cut points from one `approxQuantile` pass — the boundaries
-    *      only need to be order-consistent, not exact, for the prefix
-    *      sum to be exact);
-    *   2. per-bucket running sum via a window PARTITIONED by bucket
-    *      (each partition holds ~distinct/buckets values — bounded);
-    *   3. cross-bucket offsets = exclusive prefix over the per-bucket
-    *      row totals — `buckets` numbers, computed on the driver (a
-    *      documented scalar barrier, like the quantile barriers in
-    *      CleanHistorical) and folded back in as a when-ladder of
-    *      literals, so the hot path stays in whole-stage codegen.
-    *
-    * The per-bucket totals come straight from the raw rows
-    * (`groupBy(bucket).count` — map-side partial agg to ≤`buckets`
-    * rows), not from the rank table, so nothing is computed twice. */
-  def avgRanks(df: DataFrame, c: String, buckets: Int = 32): DataFrame = {
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val cuts = df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
-    // Order-preserving bucket id: #cuts strictly below v. Monotone in v,
-    // ties share a bucket; null → bucket 0 (sorts first, as in a global
-    // orderBy). Codegen'd indicator sum — no join, no udf.
-    def bucketOf(v: Column): Column =
-      cuts.map(cut => when(v > lit(cut), 1).otherwise(0))
-        .foldLeft(lit(0): Column)(_ + _)
+  val Buckets = 32
 
-    val totals = df.groupBy(bucketOf(col(c)).as("b")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // Exclusive prefix: rows in all buckets strictly below b.
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      (0 to cuts.length).map { b =>
-        val off = b -> acc; acc += totals.getOrElse(b, 0L); off
-      }.toMap
-    }
+  /** Order-preserving bucket id: #cuts strictly below v. Monotone in v,
+    * ties share a bucket; null → bucket 0 (sorts first, as in a global
+    * orderBy). Codegen'd indicator sum — no join, no udf. */
+  private def bucketOf(v: Column, cuts: Array[Double]): Column =
+    cuts.map(cut => when(v > lit(cut), 1).otherwise(0))
+      .foldLeft(lit(0): Column)(_ + _)
+
+  /** Exclusive prefix offsets from per-bucket row totals. */
+  private def exclusivePrefix(totals: Map[Int, Long], nBuckets: Int): Map[Int, Long] = {
+    var acc = 0L
+    (0 until nBuckets).map { b =>
+      val off = b -> acc; acc += totals.getOrElse(b, 0L); off
+    }.toMap
+  }
+
+  /** (value, avg_rank) table for column c given precomputed bucket cut
+    * points and cross-bucket offsets — the barrier-free part of the
+    * prefix sum (steps 2–3's plan side). */
+  private def ranksFrom(df: DataFrame, c: String, cuts: Array[Double],
+                        offsets: Map[Int, Long]): DataFrame = {
     val offsetCol = offsets.toSeq.sortBy(_._1).foldLeft(lit(0L): Column) {
       case (acc, (b, off)) => when(col("b") === b, lit(off)).otherwise(acc)
     }
-
     val wIn = Window.partitionBy("b").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
-      .withColumn("b", bucketOf(col("v")))
+      .withColumn("b", bucketOf(col("v"), cuts))
       .withColumn("cum", sum("n").over(wIn) + offsetCol)
       .select(col("v"), (col("cum") - (col("n") - lit(1)) / 2.0).as("r"))
   }
 
+  /** Cut points + per-bucket totals + offsets for a set of columns,
+    * sharing the barrier jobs: ONE multi-column approxQuantile sketch
+    * and ONE joint groupBy over the (≤ Buckets^k, k ≤ 2 here) bucket-id
+    * tuples whose marginals give every column's totals (instead of two
+    * driver-blocking jobs per column). Each bucket id is computed once
+    * per row in the grouping keys; the shuffle moves ≤ 32^k rows. */
+  private def prefixPlan(df: DataFrame, cols: Seq[String])
+      : Map[String, (Array[Double], Map[Int, Long])] = {
+    val probs = (1 until Buckets).map(_.toDouble / Buckets).toArray
+    val allCuts = df.stat.approxQuantile(cols.toArray, probs, 0.01)
+      .map(_.distinct.sorted)
+    val keys = cols.zip(allCuts).map { case (c, cuts) =>
+      bucketOf(col(c), cuts).as(s"$c!b")
+    }
+    val cells = df.groupBy(keys: _*).count().collect()
+      .map(r => (0 until cols.length).map(r.getInt) -> r.getLong(cols.length))
+    cols.zip(allCuts).zipWithIndex.map { case ((c, cuts), i) =>
+      val totals = cells.groupBy(_._1(i))
+        .map { case (b, g) => b -> g.map(_._2).sum }
+      c -> (cuts, exclusivePrefix(totals, cuts.length + 1))
+    }.toMap
+  }
+
+  /** (value, avg_rank) table for one numeric column via the grouped
+    * CDF. Ties get the average rank of their run, matching
+    * `pandas.rank(method="average")` — the Spearman convention. */
+  def avgRanks(df: DataFrame, c: String): DataFrame = {
+    val (cuts, offsets) = prefixPlan(df, Seq(c))(c)
+    ranksFrom(df, c, cuts, offsets)
+  }
+
   /** q38: Spearman rank correlation of quantity vs extended price.
     * Exercises both rank-join regimes: l_quantity's 50-value rank table
-    * broadcasts; l_extendedprice's ~N-value table shuffle-joins. */
+    * broadcasts; l_extendedprice's ~N-value table shuffle-joins. Both
+    * columns' prefix-sum barriers share one sketch job and one totals
+    * job ([[prefixPlan]]). */
   def q38Spearman(lineitem: DataFrame): DataFrame = {
-    val rq = avgRanks(lineitem, "l_quantity")
+    val plan = prefixPlan(lineitem, Seq("l_quantity", "l_extendedprice"))
+    val (qCuts, qOff) = plan("l_quantity")
+    val (pCuts, pOff) = plan("l_extendedprice")
+    val rq = ranksFrom(lineitem, "l_quantity", qCuts, qOff)
       .withColumnsRenamed(Map("v" -> "qv", "r" -> "qr"))
-    val rp = avgRanks(lineitem, "l_extendedprice")
+    val rp = ranksFrom(lineitem, "l_extendedprice", pCuts, pOff)
       .withColumnsRenamed(Map("v" -> "pv", "r" -> "pr"))
     lineitem
       .join(broadcast(rq), col("l_quantity") === col("qv"))
