@@ -69,8 +69,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # a missing/unreadable table (e.g. a scale dir without
+        # embeddings.parquet) must only fail the queries that use it,
+        # not abort the whole checker
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        except Exception as e:  # noqa: BLE001
+            print(f"WARN no view for table {t}: {e}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
@@ -106,4 +112,8 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print("usage: check_oracle.py SF_DIR VERIFY_OUT_DIR\n"
+              "  e.g. python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out")
+        sys.exit(2)
     sys.exit(main(sys.argv[1], sys.argv[2]))
