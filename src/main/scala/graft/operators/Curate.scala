@@ -103,11 +103,13 @@ object Curate {
        |sh AS (SELECT DISTINCT doc_id,
        |         a[CAST(t.i AS INT)] || ' ' || a[CAST(t.i AS INT)+1] || ' ' || a[CAST(t.i AS INT)+2] AS s
        |       FROM x, range(1, 201) t(i) WHERE t.i <= greatest(len(a) - 2, 1)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $maxDf),
+       |shh AS (SELECT doc_id,
+       |          cast(concat('0x', substr(md5(s), 1, 15)) AS bigint) AS h FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+       |keep AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= $maxDf),
        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          JOIN keep k ON k.s = a.s GROUP BY 1, 2),
+       |          FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          JOIN keep k ON k.h = a.h GROUP BY 1, 2),
        |losers AS (SELECT DISTINCT idb AS doc_id
        |           FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
        |           WHERE cast(ninter AS double) / (sa.n + sb.n - ninter) >= $jaccard)

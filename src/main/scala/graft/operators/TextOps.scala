@@ -115,15 +115,23 @@ object TextOps {
     * shingle table instead of the two a self-join costs, and the pair
     * counts partial-aggregate map-side. Posting-list length is bounded
     * by the `maxDf` stop-shingle cap (pair-side only: Jaccard
-    * denominators still count every shingle, mirroring the oracle). */
+    * denominators still count every shingle, mirroring the oracle).
+    *
+    * The inverted index is keyed on the portable 60-bit md5 of the
+    * shingle, NOT the shingle text: the big shuffle then moves 8-byte
+    * longs instead of ~25-byte strings (and compares longs, not
+    * strings, while grouping). Per-doc distinctness is unchanged and
+    * the oracle derives the identical hash, so even a collision (2^-60
+    * per pair) would agree across engines. */
   def q22NgramJaccard(documents: DataFrame, threshold: Double = 0.2,
                       maxDf: Int = DefaultMaxDf): DataFrame = {
-    val sh = shingles(documents)
+    val sh = shingles(documents).select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
     // BOTH consumers read the same grouped posting-list frame: the two
     // branches plan identical Exchanges, so ReuseExchange computes the
     // shingle explode + group ONCE (set sizes are per-doc posting
     // membership counts — each doc appears once per distinct shingle).
-    val posting = sh.groupBy("s").agg(sort_array(collect_list("doc_id")).as("ids"))
+    val posting = sh.groupBy("h").agg(sort_array(collect_list("doc_id")).as("ids"))
     val sizes = posting.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = posting
@@ -146,11 +154,13 @@ object TextOps {
 
   def q22Sql(threshold: Double = 0.2, maxDf: Int = DefaultMaxDf): String =
     s"""WITH $shinglesSql,
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $maxDf),
+       |shh AS (SELECT doc_id,
+       |          cast(concat('0x', substr(md5(s), 1, 15)) AS bigint) AS h FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+       |keep AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= $maxDf),
        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          JOIN keep k ON k.s = a.s
+       |          FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          JOIN keep k ON k.h = a.h
        |          GROUP BY 1, 2)
        |SELECT ida, idb, ninter,
        |  cast(ninter AS double) / (sa.n + sb.n - ninter) AS jaccard
