@@ -32,6 +32,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q23_minhash:         MinHash signatures (portable hash family)
   *  - q24_cosine_topk:     brute-force cosine ANN baseline
   *  - q25_embedding_stats: embedding norm profile
+  *  - q26_simhash:         SimHash signatures
+  *  - q27_lsh_dedup:       MinHash-LSH banded near-dup (sublinear path)
+  *  - q28_fingerprint:     bottom-k document fingerprints
+  *  - q29_lang_quality:    language ID + quality gating
+  *  - q30_ivf_topk:        IVF-clustered ANN (scale path)
+  *  - q31_rollup:          grouping-set ROLLUP
+  *  - q32_anti_join:       anti join
+  *  - q33_semi_intersect:  semi join / intersect
+  *  - q34_emb_dedup:       exact embedding near-dup (in-bucket verifier)
+  *  - q35_token_count:     whitespace + BPE-ish token accounting
+  *  - q36_asof_join:       as-of join (union + window, join-free)
+  *  - q37_range_join:      range/bracket join
+  *  - q38_spearman:        Spearman rank correlation (distributed prefix sum)
+  *  - q39_winnow:          winnowing fingerprints (SIGMOD'03)
+  *  - q40_corpus_curate:   composed curation pipeline (gate+dedup+accounting)
+  *  - q41_cube:            CUBE grouping sets
+  *  - q42_hash_sample:     deterministic hash sampling
+  *  - q43_pivot:           pivot with explicit values
+  *  - q44_moving_avg:      frame window moving average
+  *  - q45_edit_distance:   blocked Levenshtein entity matching (block guard)
+  *  - q46_kmv_distinct:    KMV distinct sketch
+  *  - q47_tfidf:           TF-IDF top-k terms
+  *  - q48_chunk:           overlapping chunking with offsets
+  *  - q49_funnel:          conversion funnel
+  *  - q50_cohort:          cohort retention
+  *  - q51_split:           deterministic train/val/test split
+  *  - q52_stratified_sample: per-stratum deterministic sampling
+  *  - q53_pmi:             PMI collocations
+  *  - q54_bucketed_emb_dedup: IVF-bucketed embedding dedup (scale default)
+  *  - q55_salted_agg:      salted two-phase hot-key aggregation
   */
 object SparkEntry {
 
@@ -102,6 +132,7 @@ object SparkEntry {
     "q52_stratified_sample" -> t("lineitem")(Relational3.q52StratifiedSample),
     "q53_pmi" -> t("documents")(TfIdf.q53Pmi),
     "q54_bucketed_emb_dedup" -> t("embeddings")(VectorOps.q54BucketedEmbDedup(_)),
+    "q55_salted_agg" -> t("lineitem")(Skew.q55SaltedAgg),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -161,5 +192,6 @@ object SparkEntry {
     "q52_stratified_sample" -> Relational3.q52Sql,
     "q53_pmi" -> TfIdf.q53Sql,
     "q54_bucketed_emb_dedup" -> VectorOps.q54Sql(),
+    "q55_salted_agg" -> Skew.q55Sql,
   )
 }

@@ -35,4 +35,22 @@ object Skew {
       .agg(sum(col("_psum")).as(s"sum_$valueName"),
            sum(col("_pcnt")).as("cnt"))
   }
+
+  /** q55: the salted aggregation as a first-class query — sum/count of
+    * quantity per return flag, a 3-key aggregation where every key is a
+    * hot key (the exact shape AQE does NOT fix: its skew handling only
+    * splits join partitions). Result is identical to the direct
+    * groupBy — the salt is pure physical spreading — so the oracle is
+    * the plain GROUP BY. Decimal-exact sum for cross-engine identity. */
+  def q55SaltedAgg(lineitem: DataFrame): DataFrame =
+    saltedSumCount(lineitem, Seq("l_returnflag"),
+        graft.functions.Exact.dec4(col("l_quantity")), "qty")
+      .select(col("l_returnflag"),
+        col("sum_qty").cast("double").as("sum_qty"), col("cnt"))
+      .orderBy("l_returnflag")
+
+  def q55Sql: String =
+    s"""SELECT l_returnflag, ${graft.functions.Exact.sumdSql("l_quantity")} AS sum_qty,
+       |  count(*) AS cnt
+       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 }
