@@ -62,6 +62,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q53_pmi:             PMI collocations
   *  - q54_bucketed_emb_dedup: IVF-bucketed embedding dedup (scale default)
   *  - q55_salted_agg:      salted two-phase hot-key aggregation
+  *  - q56_dedup_clusters:  near-dup connected components (min-label propagation)
   */
 object SparkEntry {
 
@@ -133,6 +134,7 @@ object SparkEntry {
     "q53_pmi" -> t("documents")(TfIdf.q53Pmi),
     "q54_bucketed_emb_dedup" -> t("embeddings")(VectorOps.q54BucketedEmbDedup(_)),
     "q55_salted_agg" -> t("lineitem")(Skew.q55SaltedAgg),
+    "q56_dedup_clusters" -> t("documents")(TextOps.q56DedupClusters(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -193,5 +195,6 @@ object SparkEntry {
     "q53_pmi" -> TfIdf.q53Sql,
     "q54_bucketed_emb_dedup" -> VectorOps.q54Sql(),
     "q55_salted_agg" -> Skew.q55Sql,
+    "q56_dedup_clusters" -> TextOps.q56Sql(),
   )
 }

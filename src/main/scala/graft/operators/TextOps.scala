@@ -153,7 +153,15 @@ object TextOps {
   }
 
   def q22Sql(threshold: Double = 0.2, maxDf: Int = DefaultMaxDf): String =
-    s"""WITH $shinglesSql,
+    s"""WITH ${pairsSqlCtes(threshold, maxDf)}
+       |SELECT ida, idb, ninter, jaccard FROM pairs
+       |ORDER BY ida, idb""".stripMargin
+
+  /** Shared oracle-SQL fragment: the q22 near-dup pair relation as CTEs
+    * ending in `pairs(ida, idb)` — reused by q22/q56 (and restated by
+    * q40, which deliberately re-derives). */
+  private[operators] def pairsSqlCtes(threshold: Double, maxDf: Int): String =
+    s"""$shinglesSql,
        |shh AS (SELECT doc_id,
        |          cast(concat('0x', substr(md5(s), 1, 15)) AS bigint) AS h FROM sh),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
@@ -161,14 +169,71 @@ object TextOps {
        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
        |          FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
        |          JOIN keep k ON k.h = a.h
-       |          GROUP BY 1, 2)
-       |SELECT ida, idb, ninter,
-       |  cast(ninter AS double) / (sa.n + sb.n - ninter) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON ida = sa.doc_id
-       |JOIN sizes sb ON idb = sb.doc_id
-       |WHERE cast(ninter AS double) / (sa.n + sb.n - ninter) >= $threshold
-       |ORDER BY ida, idb""".stripMargin
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT ida, idb, ninter,
+       |            cast(ninter AS double) / (sa.n + sb.n - ninter) AS jaccard
+       |          FROM inter
+       |          JOIN sizes sa ON ida = sa.doc_id
+       |          JOIN sizes sb ON idb = sb.doc_id
+       |          WHERE cast(ninter AS double) / (sa.n + sb.n - ninter) >= $threshold)"""
+      .stripMargin
+
+  /** q56: near-duplicate CLUSTER assignment — connected components over
+    * the q22 pair graph. Pairwise output ((a,b),(b,c)) under-specifies
+    * dedup: a production keeper decision is per component ({a,b,c} →
+    * keep min), so this materializes (doc_id, cluster = min doc_id in
+    * component) for every doc that appears in any near-dup pair.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converges
+    * in O(component diameter) rounds (near-dup components are shallow:
+    * chains of transitive near-dups). Each round is one shuffle join +
+    * one aggregate; the driver only sees the single `changed` count per
+    * round (the loop is the standard Pregel shape, and the per-round
+    * plans are checkpoint-bounded so lineage does not grow with
+    * iterations). At 100 TB this is the same algorithm GraphX/GraphFrames
+    * run; the pair graph is tiny relative to the corpus (only near-dup
+    * members appear).
+    *
+    * The DuckDB oracle re-derives components with a recursive CTE
+    * (transitive closure + min per node) — different algorithm, same
+    * fixpoint, which makes the cross-engine check meaningful. */
+  def q56DedupClusters(documents: DataFrame, threshold: Double = 0.2,
+                       maxDf: Int = DefaultMaxDf, maxIters: Int = 30): DataFrame = {
+    val pairs = q22NgramJaccard(documents, threshold, maxDf).select("ida", "idb")
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min("lab").as("nlab"))
+      val updated = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("lab").as("oldlab"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint(false) // bound lineage across rounds
+      changed = updated.filter(col("lab") =!= col("oldlab")).count()
+      labels = updated.select("id", "lab")
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  def q56Sql(threshold: Double = 0.2, maxDf: Int = DefaultMaxDf): String =
+    s"""WITH RECURSIVE
+       |${pairsSqlCtes(threshold, maxDf)},
+       |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+       |          UNION ALL SELECT idb, ida FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst)
+       |SELECT id AS doc_id, min(lab) AS cluster
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** MinHash signatures (k=8) over the shingle sets, with a fully
     * engine-portable hash family: h = md5-60bit mod P, slot_i =

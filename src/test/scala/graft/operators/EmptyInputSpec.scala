@@ -24,6 +24,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "q14_window_rank" -> Relational.q14WindowRank(empty("orders")),
       "q21_exact_dedup" -> TextOps.q21ExactDedup(empty("documents")),
       "q22_ngram_jaccard" -> TextOps.q22NgramJaccard(empty("documents")),
+      "q56_dedup_clusters" -> TextOps.q56DedupClusters(empty("documents")),
       "q24_cosine_topk" -> VectorOps.q24CosineTopk(empty("embeddings")),
       "q27_lsh_dedup" -> Fuzzy.q27LshDedup(empty("documents")),
       "q34_emb_dedup" -> VectorOps.q34EmbeddingDedup(empty("embeddings")),

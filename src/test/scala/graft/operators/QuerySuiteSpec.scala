@@ -84,6 +84,41 @@ class QuerySuiteSpec extends AnyFunSuite {
       "doc 3 only shares hot shingles — capped out")
   }
 
+  test("q56 clusters = union-find over q22 pairs; labels are component minima") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val pairs = TextOps.q22NgramJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val got = TextOps.q56DedupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want, "min-label propagation must match union-find")
+    assert(got.nonEmpty)
+    // every cluster label is its own cluster's minimum member
+    got.groupBy(_._2).foreach { case (lab, members) =>
+      assert(members.keys.min === lab)
+    }
+    // a transitive chain: a~b, b~c with a,c NOT direct near-dups must
+    // still collapse into one cluster
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val mid = (11 to 40).map(i => s"tok$i").mkString(" ")
+    val far = (21 to 50).map(i => s"tok$i").mkString(" ")
+    val chain = Seq((1L, base), (2L, mid), (3L, far)).toDF("doc_id", "text")
+    val cl = TextOps.q56DedupClusters(chain, threshold = 0.2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"chain must unify: $cl")
+  }
+
   test("q23 minhash: identical docs would share signatures; slots in range") {
     val rows = TextOps.q23Minhash(
       graft.io.Tables.load(spark, sf, "documents")).collect()
