@@ -26,7 +26,13 @@ object Pipeline {
       approxQuantiles: Boolean = false,
       materialize: Boolean = true,
       publish: Boolean = true,
-      reports: Boolean = true)
+      reports: Boolean = true,
+      /** Multi-partition processing with the explicit row-order contract
+        * (SURVEY §7.4.2): stamp `_row_id` on the ordered read, spread the
+        * work across `scalePartitions`, restore order at the output edge.
+        * Same golden output as parity mode (PipelineSpec). */
+      atScale: Boolean = false,
+      scalePartitions: Int = 8)
 
   case class Result(
       cleaned: DataFrame, classified: DataFrame,
@@ -39,7 +45,12 @@ object Pipeline {
       case None => CoinGecko.ingest(spark)
     }
     // t2: clean historical data (independent of t1 — two lazy plans)
-    val cleaned = CleanHistorical(
+    val cleaned = if (cfg.atScale) {
+      val stamped = graft.io.RowOrder.stamp(CryptoCsv.readRaw(spark, cfg.rawCsvPath))
+        .repartition(cfg.scalePartitions)
+      graft.io.RowOrder.restore(
+        CleanHistorical(stamped, cfg.order, cfg.approxQuantiles))
+    } else CleanHistorical(
       CryptoCsv.readRaw(spark, cfg.rawCsvPath), cfg.order, cfg.approxQuantiles)
     // t3: classify API data (depends on t1)
     val classified = ClassifyApi(api, labels = cfg.labels)

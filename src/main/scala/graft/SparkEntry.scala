@@ -63,6 +63,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q54_bucketed_emb_dedup: IVF-bucketed embedding dedup (scale default)
   *  - q55_salted_agg:      salted two-phase hot-key aggregation
   *  - q56_dedup_clusters:  near-dup connected components (min-label propagation)
+  *  - q57_grouped_kmv:     per-group KMV distinct sketch (mergeable)
   */
 object SparkEntry {
 
@@ -135,6 +136,7 @@ object SparkEntry {
     "q54_bucketed_emb_dedup" -> t("embeddings")(VectorOps.q54BucketedEmbDedup(_)),
     "q55_salted_agg" -> t("lineitem")(Skew.q55SaltedAgg),
     "q56_dedup_clusters" -> t("documents")(TextOps.q56DedupClusters(_)),
+    "q57_grouped_kmv" -> ((s, dir) => Sketches.q57GroupedKmv(Tables.events(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -196,5 +198,6 @@ object SparkEntry {
     "q54_bucketed_emb_dedup" -> VectorOps.q54Sql(),
     "q55_salted_agg" -> Skew.q55Sql,
     "q56_dedup_clusters" -> TextOps.q56Sql(),
+    "q57_grouped_kmv" -> Sketches.q57Sql,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable sketches with ENGINE-PORTABLE determinism.
@@ -42,6 +43,52 @@ object Sketches {
           / col("hk").cast("double"), 4).as("est_distinct"),
         col("exact_distinct"))
   }
+
+  /** q57: per-GROUP KMV — distinct users per event type, sketch +
+    * exact side by side. The grouped complement of q46: one sketch per
+    * group, each mergeable across splits. The rank filter compiles to
+    * WindowGroupLimit (per-partition per-group top-k heaps before the
+    * shuffle — never a full sort of the group). A group with fewer than
+    * k distinct values has an unfilled sketch, where the estimate IS
+    * the exact member count (both branches are exercised: sf0.001 has
+    * 15 users/group < k, sf0.01 has 150 > k). */
+  val GroupKmvK = 64
+
+  def q57GroupedKmv(events: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val kmv = events.select(col("event_type"), h.as("h")).distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= GroupKmvK)
+      .groupBy("event_type").agg(max("h").as("hk"), count(lit(1)).as("k"))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_distinct"))
+    kmv.join(exact, "event_type")
+      .select(col("event_type"), col("k"), col("hk"),
+        when(col("k") < GroupKmvK, col("k").cast("double"))
+          .otherwise(round(lit(GroupKmvK - 1).cast("double")
+            * lit(HashSpace).cast("double") / col("hk").cast("double"), 4))
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  def q57Sql: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |             cast(concat('0x', substr(md5(cast(user_id AS varchar)), 1, 15)) AS bigint) AS h
+       |           FROM events),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |kmv AS (SELECT event_type, max(h) AS hk, count(*) AS k
+       |        FROM r WHERE rn <= $GroupKmvK GROUP BY 1),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |       FROM events GROUP BY 1)
+       |SELECT event_type, k, hk,
+       |  CASE WHEN k < $GroupKmvK THEN cast(k AS double)
+       |       ELSE round(cast(${GroupKmvK - 1} AS double) * cast($HashSpace AS double)
+       |              / cast(hk AS double), 4) END AS est_distinct,
+       |  exact_distinct
+       |FROM kmv JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
 
   def q46Sql: String =
     s"""WITH h AS (SELECT DISTINCT cast(concat('0x', substr(md5(cast(l_orderkey AS varchar)), 1, 15)) AS bigint) AS h

@@ -60,6 +60,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(outliers === 2094) // SURVEY §2.6.1 divergence pinned
   }
 
+  test("atScale mode (stamp → repartition → restore) equals parity output") {
+    val out = Files.createTempDirectory("graft-pipeline3").toString
+    val cfg = Pipeline.Config(
+      rawCsvPath = s"$ref/CryptocurrencyData.csv",
+      apiFixturePath = Some(s"$ref/api_cryptocurrency_data_final.csv"),
+      outDir = out, reports = false, publish = false, materialize = false)
+    val parity = Pipeline.run(spark, cfg).cleaned.collect()
+    val scaled = Pipeline.run(spark, cfg.copy(atScale = true)).cleaned.collect()
+    assert(scaled.length === parity.length)
+    assert(scaled.head.schema.fieldNames.toSeq === parity.head.schema.fieldNames.toSeq,
+      "no _row_id may leak into the output")
+    scaled.zip(parity).zipWithIndex.foreach { case ((s, p), i) =>
+      assert(s === p, s"row $i differs between atScale and parity mode")
+    }
+  }
+
   test("missing pipeline output fails publish loudly (reference P305-313)") {
     intercept[java.io.FileNotFoundException] {
       graft.io.Publish.publishCsv(spark, "/nonexistent/file.csv",

@@ -382,6 +382,30 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("q57 grouped KMV: unfilled sketch is exact; filled estimates within error") {
+    val ev = graft.io.Tables.load(spark, sf, "events")
+    // sf0.001 has 15 users/group < k=64: every sketch is unfilled and
+    // the estimate must equal the exact distinct count
+    val rows = Sketches.q57GroupedKmv(ev).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) < Sketches.GroupKmvK, "sketch should be unfilled at sf0.001")
+      assert(r.getDouble(3) === r.getLong(4).toDouble, s"unfilled est must be exact: $r")
+    }
+    // filled branch: synthetic group with > k distinct users
+    import spark.implicits._
+    val big = (1 to 1000).map(u => ("view", u.toLong)).toDF("event_type", "user_id")
+    val r = Sketches.q57GroupedKmv(big).head()
+    assert(r.getLong(1) === Sketches.GroupKmvK.toLong)
+    val (est, exact) = (r.getDouble(3), r.getLong(4).toDouble)
+    val se = 1.0 / math.sqrt(Sketches.GroupKmvK) // ~12.5% relative
+    assert(math.abs(est / exact - 1.0) < 4 * se, s"est=$est exact=$exact")
+    // scale shape: the rank filter must compile to WindowGroupLimit
+    // (per-group top-k heaps), not a full per-group sort pipeline
+    val plan = Sketches.q57GroupedKmv(ev).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
