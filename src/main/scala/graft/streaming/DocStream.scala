@@ -45,4 +45,37 @@ object DocStream {
         md5(col("text")).as("text_md5"))
       .withWatermark("ts_utc", watermark)
       .dropDuplicatesWithinWatermark("text_md5")
+
+  /** Streaming corpus curation — the incremental form of the batch q40
+    * pipeline: quality/language gate (the same row-local
+    * [[graft.operators.LangQuality]] expressions — stateless, map-side)
+    * → first-seen exact dedup (stateful, hash-keyed) → per-language
+    * token accounting over event-time windows (watermarked, append-mode
+    * emittable once the window closes).
+    *
+    * This is the shape of a production ingest loop: every operator is
+    * the already-vetted batch expression, and the only state is the
+    * dedup keys plus one open aggregation window per language. Near-dup
+    * (Jaccard) removal stays a batch compaction pass (q22/q56) — its
+    * pair relation is inherently cross-document and unbounded-lookback,
+    * exactly what streaming state must not be. */
+  def curatedStream(docs: DataFrame, qmin: Double = 0.4,
+                    watermark: String = "1 hour",
+                    window: String = "1 hour"): DataFrame = {
+    val gated = graft.operators.LangQuality.withLangQuality(docs)
+      .withColumn("n_bpe_tokens", graft.operators.LangQuality.bpeTokens)
+      .filter(col("quality") >= qmin)
+      .select(col("doc_id"), col("ts"), col("lang_pred"), col("n_bpe_tokens"),
+        md5(col("text")).as("text_md5"))
+    gated
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts_utc"), window),
+        col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_bpe_tokens").as("sum_bpe_tokens"))
+      .select(col("window.start").as("win_start"), col("lang_pred"),
+        col("n_docs"), col("sum_bpe_tokens"))
+  }
 }

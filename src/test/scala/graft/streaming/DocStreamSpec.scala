@@ -48,6 +48,54 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curated stream: gate → dedup → windowed accounting matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = corpus
+    // an in-horizon exact duplicate (must be dropped by the stateful
+    // dedup) and a far-future gate-passing sentinel whose only job is to
+    // advance the watermark so the first-hour windows close and emit
+    val dup = docs.head.copy(doc_id = 99999L, ts = docs.head.ts + 1000000000L)
+    val sentinelText = (1 to 120).map(i => s"the word$i of text").mkString(" ")
+    val sentinel = DocStream.Doc(100000L, 100 * HourNs, sentinelText)
+
+    val input = MemoryStream[DocStream.Doc]
+    val q = DocStream.curatedStream(input.toDF())
+      .writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs :+ dup); q.processAllAvailable()
+      input.addData(Seq(sentinel)); q.processAllAvailable()
+      input.addData(Seq(sentinel.copy(doc_id = 100001L, ts = 101 * HourNs)))
+      q.processAllAvailable() // second bump closes nothing new for hour 0 but is harmless
+      val got = spark.sql(
+        "SELECT win_start, lang_pred, n_docs, sum_bpe_tokens FROM curated_out")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+
+      // batch equivalent over the same rows: gate, exact dedup, window
+      val static = (docs :+ dup).toDF()
+      val batch = graft.operators.LangQuality.withLangQuality(static)
+        .withColumn("n_bpe_tokens", graft.operators.LangQuality.bpeTokens)
+        .filter(org.apache.spark.sql.functions.col("quality") >= 0.4)
+        .selectExpr("doc_id", "timestamp_micros(ts div 1000) AS ts_utc",
+          "lang_pred", "n_bpe_tokens", "md5(text) AS text_md5")
+        .dropDuplicates("text_md5")
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts_utc"), "1 hour"),
+          org.apache.spark.sql.functions.col("lang_pred"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum("n_bpe_tokens").as("sum_bpe_tokens"))
+        .selectExpr("window.start AS win_start", "lang_pred", "n_docs", "sum_bpe_tokens")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(got.nonEmpty)
+      assert(got === batch,
+        "streamed curation must equal the batch gate+dedup+window on the same data")
+    } finally q.stop()
+  }
+
   test("watermark-bounded dedup: suppresses within horizon, re-admits after eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
