@@ -64,6 +64,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q55_salted_agg:      salted two-phase hot-key aggregation
   *  - q56_dedup_clusters:  near-dup connected components (min-label propagation)
   *  - q57_grouped_kmv:     per-group KMV distinct sketch (mergeable)
+  *  - q58_weighted_sample: quality-weighted deterministic sampling
   */
 object SparkEntry {
 
@@ -137,6 +138,7 @@ object SparkEntry {
     "q55_salted_agg" -> t("lineitem")(Skew.q55SaltedAgg),
     "q56_dedup_clusters" -> t("documents")(TextOps.q56DedupClusters(_)),
     "q57_grouped_kmv" -> ((s, dir) => Sketches.q57GroupedKmv(Tables.events(s, dir))),
+    "q58_weighted_sample" -> t("documents")(Curate.q58WeightedSample(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -199,5 +201,6 @@ object SparkEntry {
     "q55_salted_agg" -> Skew.q55Sql,
     "q56_dedup_clusters" -> TextOps.q56Sql(),
     "q57_grouped_kmv" -> Sketches.q57Sql,
+    "q58_weighted_sample" -> Curate.q58Sql(),
   )
 }

@@ -67,6 +67,40 @@ object Curate {
       .orderBy("split")
   }
 
+  /** q58: quality-weighted deterministic sampling — keep each document
+    * with probability proportional to its quality score (capped at 1),
+    * the corpus-building move that upsamples high-quality text without
+    * a hard gate. Membership is keyed by the portable doc-id hash (as
+    * q42/q51/q52: reproducible across engines, runs, and retries — a
+    * rand() sample is none of those), compared against quality×factor:
+    * u = (h mod 10^6)/10^6 < min(quality·factor, 1). Map-side filter —
+    * nothing shuffles but the per-language aggregate. */
+  def q58WeightedSample(documents: DataFrame, factor: Double = 1.5): DataFrame = {
+    val feats = LangQuality.withLangQuality(documents)
+      .withColumn("n_bpe_tokens", LangQuality.bpeTokens)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000L).cast("double")
+    feats
+      .filter(u < least(col("quality") * factor, lit(1.0)) * 1000000.0)
+      .groupBy("lang_pred")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum("n_bpe_tokens").as("sum_bpe_tokens"),
+        round(sum(col("quality").cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)), 6).as("avg_quality"))
+      .orderBy("lang_pred")
+  }
+
+  def q58Sql(factor: Double = 1.5): String =
+    s"""WITH $featsSqlCtes
+       |SELECT lang_pred, count(*) AS n_kept,
+       |  cast(sum(n_bpe_tokens) AS bigint) AS sum_bpe_tokens,
+       |  round(cast(sum(cast(quality AS decimal(18,6))) AS double) / count(*), 6) AS avg_quality
+       |FROM lq JOIN bpe USING (doc_id)
+       |WHERE cast((cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) AS bigint) % 1000000) AS double)
+       |      < least(quality * $factor, 1.0) * 1000000.0
+       |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+
   def q51Sql: String =
     """SELECT CASE (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) AS bigint) % 10)
       |         WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split,
@@ -74,10 +108,9 @@ object Curate {
       |  cast(sum(len(regexp_split_to_array(text, ' '))) AS bigint) AS sum_tokens
       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
 
-  /** Self-contained oracle re-derivation (the component CTEs restated,
-    * as the oracle deliberately re-derives rather than imports). */
-  def q40Sql(qmin: Double = 0.4, jaccard: Double = 0.2,
-             maxDf: Int = TextOps.DefaultMaxDf): String = {
+  /** Shared oracle CTE fragment: the row-local feature pass (lang-ID +
+    * quality + BPE token count) as `x, t, lq, bpe` — reused by q40/q58. */
+  private def featsSqlCtes: String = {
     def hitsSql(ws: Seq[String]) =
       s"len(list_filter(a, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
     val hitCols = LangQuality.Markers
@@ -90,7 +123,7 @@ object Curate {
         .foldLeft(Seq("TRUE"))(_ :+ _).mkString(" AND ")
       s"WHEN hits_$lang > 0 AND $geAll AND $beatsPrior THEN '$lang'"
     }.mkString(" ")
-    s"""WITH x AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+    s"""x AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
        |t AS (SELECT doc_id, len(a) AS n_tokens, len(list_distinct(a)) AS n_types, $hitCols FROM x),
        |lq AS (SELECT doc_id, CASE $caseArms ELSE 'unknown' END AS lang_pred,
        |         round(least(cast(n_tokens AS double) / 100.0, 1.0) * 0.4
@@ -99,7 +132,14 @@ object Curate {
        |       FROM t),
        |bpe AS (SELECT doc_id,
        |          len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS n_bpe_tokens
-       |        FROM documents),
+       |        FROM documents)""".stripMargin
+  }
+
+  /** Self-contained oracle re-derivation (the component CTEs restated,
+    * as the oracle deliberately re-derives rather than imports). */
+  def q40Sql(qmin: Double = 0.4, jaccard: Double = 0.2,
+             maxDf: Int = TextOps.DefaultMaxDf): String = {
+    s"""WITH $featsSqlCtes,
        |sh AS (SELECT DISTINCT doc_id,
        |         a[CAST(t.i AS INT)] || ' ' || a[CAST(t.i AS INT)+1] || ' ' || a[CAST(t.i AS INT)+2] AS s
        |       FROM x, range(1, 201) t(i) WHERE t.i <= greatest(len(a) - 2, 1)),

@@ -406,6 +406,24 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("q58 weighted sample: deterministic, rate tracks quality, subset of corpus") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val r1 = Curate.q58WeightedSample(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = Curate.q58WeightedSample(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 === r2, "weighted sample must be reproducible")
+    val total = graft.operators.LangQuality.q29LangQuality(docs)
+      .groupBy("lang_pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    r1.foreach { case (lang, kept) => assert(kept <= total(lang)) }
+    // factor=0 keeps nothing; a huge factor keeps everything
+    assert(Curate.q58WeightedSample(docs, factor = 0.0).count() === 0L)
+    val all = Curate.q58WeightedSample(docs, factor = 1e9).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all === total, "factor→∞ must keep the whole corpus")
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
