@@ -65,6 +65,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q56_dedup_clusters:  near-dup connected components (min-label propagation)
   *  - q57_grouped_kmv:     per-group KMV distinct sketch (mergeable)
   *  - q58_weighted_sample: quality-weighted deterministic sampling
+  *  - q59_sampled_quantiles: reproducible-sample quantile estimation
   */
 object SparkEntry {
 
@@ -139,6 +140,7 @@ object SparkEntry {
     "q56_dedup_clusters" -> t("documents")(TextOps.q56DedupClusters(_)),
     "q57_grouped_kmv" -> ((s, dir) => Sketches.q57GroupedKmv(Tables.events(s, dir))),
     "q58_weighted_sample" -> t("documents")(Curate.q58WeightedSample(_)),
+    "q59_sampled_quantiles" -> t("lineitem")(Sketches.q59SampledQuantiles),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -202,5 +204,6 @@ object SparkEntry {
     "q56_dedup_clusters" -> TextOps.q56Sql(),
     "q57_grouped_kmv" -> Sketches.q57Sql,
     "q58_weighted_sample" -> Curate.q58Sql(),
+    "q59_sampled_quantiles" -> Sketches.q59Sql,
   )
 }

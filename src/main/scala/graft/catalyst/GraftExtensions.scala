@@ -8,6 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `.config("spark.sql.extensions", "graft.catalyst.GraftExtensions")`
   * (or `withExtensions`). Injects:
   *  - SQL function `parse_magnitude(str)` — native codegen'd parser
+  *  - SQL function `dot_product(arr, arr)` — fused similarity kernel
+  *  - SQL function `byte_histogram(bin, bins)` — multimodal feature kernel
   *  - optimizer rule [[ApproxAboveThreshold]] — exact→approx percentile
   *    rewrite above a size threshold
   */
@@ -27,6 +29,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product takes exactly two arguments")
         DotProductExpr(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("byte_histogram"),
+      new ExpressionInfo(classOf[ByteHistogramExpr].getName, "byte_histogram"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "byte_histogram takes (binary, bins)")
+        val bins = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"byte_histogram bins must be an integer literal, got $other")
+        }
+        ByteHistogramExpr(args.head, bins)
       }))
     ext.injectOptimizerRule(_ => ApproxAboveThreshold)
   }

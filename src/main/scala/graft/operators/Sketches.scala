@@ -90,6 +90,49 @@ object Sketches {
        |  exact_distinct
        |FROM kmv JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
 
+  /** q59: sampled quantiles with a REPRODUCIBLE sample — the
+    * engine-portable alternative to t-digest/GK sketches (whose
+    * estimates are implementation-defined and can never hash-match
+    * across engines). A deterministic 1-in-`rate` hash sample of the
+    * rows feeds the exact type-7 percentile; the sample is a pure
+    * function of the data, so Spark and DuckDB compute quantiles of the
+    * IDENTICAL subset. Exact full-data quantiles ride along so the
+    * result exhibits its own estimation error. At scale the single
+    * exact-percentile reducer sees N/rate rows — the knob that makes
+    * exact interpolation affordable. */
+  val SampleRate = 20
+
+  def q59SampledQuantiles(lineitem: DataFrame): DataFrame = {
+    val h = conv(substring(md5(
+      concat(col("l_orderkey"), lit("-"), col("l_linenumber"))), 1, 15), 16, 10)
+      .cast("long") % SampleRate
+    val sampled = lineitem.filter(h === 0)
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("est_p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("est_p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("est_p99"),
+        count(lit(1)).as("n_sampled"))
+    val exact = lineitem.agg(
+      round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+      round(expr("percentile(l_extendedprice, 0.9)"), 4).as("exact_p90"),
+      round(expr("percentile(l_extendedprice, 0.99)"), 4).as("exact_p99"))
+    sampled.crossJoin(exact)
+  }
+
+  def q59Sql: String = {
+    val h = "cast(concat('0x', substr(md5(concat(l_orderkey, '-', l_linenumber)), 1, 15)) AS bigint)"
+    s"""WITH s AS (SELECT l_extendedprice FROM lineitem WHERE ($h % $SampleRate) = 0)
+       |SELECT
+       |  round(quantile_cont(l_extendedprice, 0.5), 4) AS est_p50,
+       |  round(quantile_cont(l_extendedprice, 0.9), 4) AS est_p90,
+       |  round(quantile_cont(l_extendedprice, 0.99), 4) AS est_p99,
+       |  count(*) AS n_sampled,
+       |  (SELECT round(quantile_cont(l_extendedprice, 0.5), 4) FROM lineitem) AS exact_p50,
+       |  (SELECT round(quantile_cont(l_extendedprice, 0.9), 4) FROM lineitem) AS exact_p90,
+       |  (SELECT round(quantile_cont(l_extendedprice, 0.99), 4) FROM lineitem) AS exact_p99
+       |FROM s""".stripMargin
+  }
+
   def q46Sql: String =
     s"""WITH h AS (SELECT DISTINCT cast(concat('0x', substr(md5(cast(l_orderkey AS varchar)), 1, 15)) AS bigint) AS h
        |           FROM lineitem),

@@ -131,6 +131,11 @@ class CatalystExtensionsSpec extends AnyFunSuite {
     val interp = expr.eval(null)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray().toSeq
     assert(interp === got(1))
+    // SQL registration via extensions: 4-bin histogram of a 2-byte payload
+    val viaSql = ext.sql(
+      "SELECT byte_histogram(encode('aA', 'UTF-8'), 4) AS h").head().getSeq[Double](0)
+    // 'a'=0x61 → bin 1, 'A'=0x41 → bin 1
+    assert(viaSql === Seq(0.0, 1.0, 0.0, 0.0))
   }
 
   test("percentile rewrites to approx above the size threshold, not below") {

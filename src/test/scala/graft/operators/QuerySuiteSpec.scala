@@ -424,6 +424,22 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(all === total, "factor→∞ must keep the whole corpus")
   }
 
+  test("q59 sampled quantiles: estimates bracket exact within sampling error") {
+    val li = graft.io.Tables.load(spark, sf, "lineitem")
+    val r = Sketches.q59SampledQuantiles(li).head()
+    val n = li.count()
+    val rate = r.getLong(3).toDouble / n
+    assert(rate > 0.02 && rate < 0.10, s"sample rate $rate vs 1/${Sketches.SampleRate}")
+    // median estimate within ~15% of exact for a 5% sample of 6k rows
+    Seq((0, 4), (1, 5)).foreach { case (est, exact) =>
+      val (e, x) = (r.getDouble(est), r.getDouble(exact))
+      assert(math.abs(e / x - 1.0) < 0.15, s"col $est: est $e vs exact $x")
+    }
+    // determinism: identical on re-run
+    val r2 = Sketches.q59SampledQuantiles(li).head()
+    (0 to 6).foreach(i => assert(r.get(i) === r2.get(i)))
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
