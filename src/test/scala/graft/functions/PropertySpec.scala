@@ -75,6 +75,34 @@ class PropertySpec extends AnyFunSuite {
       (if (vals.forall(_.isEmpty)) vals.size.toLong else 0L))
   }
 
+  test("bucketed avgRanks equals brute-force average ranks on random multisets") {
+    import spark.implicits._
+    // heavy ties + skew + negatives: the shapes that break rank code
+    val gens = Seq(
+      Gen.listOfN(400, Gen.chooseNum(0, 8).map(_.toDouble)),        // 9 values, huge ties
+      Gen.listOfN(400, Gen.chooseNum(-1e6, 1e6)),                    // near-unique
+      Gen.listOfN(400, Gen.oneOf(Gen.const(0.0), Gen.chooseNum(0.0, 1e-3))), // skewed at 0
+      Gen.listOfN(3, Gen.chooseNum(-5.0, 5.0)))                      // < bucket count
+    gens.zipWithIndex.foreach { case (g, gi) =>
+      val vals = g.sample.get
+      val df = vals.toDF("v0")
+      val got = graft.operators.RankStats.avgRanks(df, "v0").collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      // brute force: average rank of each distinct value (1-based,
+      // pandas rank(method="average") convention)
+      val sorted = vals.sorted
+      val want = vals.distinct.map { v =>
+        val first = sorted.indexOf(v) + 1
+        val last = sorted.lastIndexOf(v) + 1
+        v -> (first + last) / 2.0
+      }.toMap
+      assert(got.keySet === want.keySet, s"gen $gi distinct values")
+      want.foreach { case (v, r) =>
+        assert(math.abs(got(v) - r) < 1e-9, s"gen $gi value $v: got ${got(v)} want $r")
+      }
+    }
+  }
+
   test("outlier flag is invariant under row permutation") {
     import spark.implicits._
     val vals = Gen.listOfN(500, Gen.chooseNum(0.0, 1000.0)).sample.get
