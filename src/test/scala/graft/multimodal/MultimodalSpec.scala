@@ -91,4 +91,18 @@ class MultimodalSpec extends AnyFunSuite {
     val kinds = rows.map(_.getString(0)).toSet
     assert(kinds.subsetOf(Set("image", "audio", "video", "unknown")))
   }
+
+  test("metadata-only analytics over persisted decode never read payload bytes") {
+    // the realistic pipeline: decode once, persist, analyze many times —
+    // the analytic scan must prune `content` (the ~all-the-bytes column)
+    // down to the meta struct
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm").resolve("d").toString
+    decoded.write.mode("overwrite").parquet(dir)
+    val summary = Multimodal.metaSummary(spark.read.parquet(dir))
+    summary.collect()
+    val scan = summary.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema"), scan)
+    assert(!scan.contains("content"),
+      "metadata pass must not read the binary payload column:\n" + scan)
+  }
 }
