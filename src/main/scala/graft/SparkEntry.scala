@@ -66,6 +66,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q57_grouped_kmv:     per-group KMV distinct sketch (mergeable)
   *  - q58_weighted_sample: quality-weighted deterministic sampling
   *  - q59_sampled_quantiles: reproducible-sample quantile estimation
+  *  - q60_normalized_dedup: canonicalized exact dedup (case/punct/ws-insensitive)
+  *  - q61_repetition:      Gopher-style within-doc repetition metrics
   */
 object SparkEntry {
 
@@ -141,6 +143,8 @@ object SparkEntry {
     "q57_grouped_kmv" -> ((s, dir) => Sketches.q57GroupedKmv(Tables.events(s, dir))),
     "q58_weighted_sample" -> t("documents")(Curate.q58WeightedSample(_)),
     "q59_sampled_quantiles" -> t("lineitem")(Sketches.q59SampledQuantiles),
+    "q60_normalized_dedup" -> t("documents")(TextOps.q60NormalizedDedup),
+    "q61_repetition" -> t("documents")(TextOps.q61Repetition),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -205,5 +209,7 @@ object SparkEntry {
     "q57_grouped_kmv" -> Sketches.q57Sql,
     "q58_weighted_sample" -> Curate.q58Sql(),
     "q59_sampled_quantiles" -> Sketches.q59Sql,
+    "q60_normalized_dedup" -> TextOps.q60Sql,
+    "q61_repetition" -> TextOps.q61Sql,
   )
 }

@@ -157,6 +157,66 @@ object TextOps {
        |SELECT ida, idb, ninter, jaccard FROM pairs
        |ORDER BY ida, idb""".stripMargin
 
+  /** q60: normalization-aware exact dedup — q21's content-hash dedup
+    * after canonicalization (lowercase, strip non-alphanumerics,
+    * collapse whitespace): catches re-encodings of the same document
+    * that byte-exact hashing misses (case changes, punctuation drift,
+    * double spaces) while staying a pure map-side hash — the cheap
+    * middle ground between exact (q21) and similarity (q22/q27) dedup.
+    * Same scale shape as q21: the shuffle moves 128-bit hashes of the
+    * NORMALIZED text, never text. */
+  def q60NormalizedDedup(documents: DataFrame): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    documents
+      .groupBy(md5(norm).as("norm_md5"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+  }
+
+  def q60Sql: String =
+    """SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_md5,
+      |  min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
+
+  /** q61: within-document repetition metrics — the Gopher-style quality
+    * rules that catch boilerplate and degenerate generations: fraction
+    * of duplicate tokens and duplicate word-bigrams. Pure array
+    * expressions, one narrow scan; single-token docs define the bigram
+    * fraction as 0 (guarded identically in both engines — DuckDB `||`
+    * null-propagates where concat_ws skips, so the guard, not luck,
+    * carries the parity). */
+  def q61Repetition(documents: DataFrame): DataFrame = {
+    val a = split(col("text"), " ")
+    val bigrams = when(size(a) >= 2,
+      expr("transform(sequence(1, size(split(text, ' ')) - 1), " +
+           "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i]))"))
+      .otherwise(array())
+    documents
+      .select(col("doc_id"), size(a).as("n_tokens"), bigrams.as("bg"),
+        round(lit(1.0) - size(array_distinct(a)).cast("double") / size(a), 6)
+          .as("dup_token_frac"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        when(size(col("bg")) > 0,
+          round(lit(1.0) - size(array_distinct(col("bg"))).cast("double")
+            / size(col("bg")), 6)).otherwise(0.0).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  def q61Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+      |bg AS (SELECT doc_id, a,
+      |         CASE WHEN len(a) >= 2
+      |              THEN [a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT)+1] FOR i IN range(1, greatest(len(a), 2))]
+      |              ELSE [] END AS b
+      |       FROM tok)
+      |SELECT doc_id, len(a) AS n_tokens,
+      |  round(1.0 - cast(len(list_distinct(a)) AS double) / len(a), 6) AS dup_token_frac,
+      |  CASE WHEN len(b) > 0
+      |       THEN round(1.0 - cast(len(list_distinct(b)) AS double) / len(b), 6)
+      |       ELSE 0.0 END AS dup_bigram_frac
+      |FROM bg ORDER BY doc_id""".stripMargin
+
   /** Shared oracle-SQL fragment: the q22 near-dup pair relation as CTEs
     * ending in `pairs(ida, idb)` — reused by q22/q56 (and restated by
     * q40, which deliberately re-derives). */

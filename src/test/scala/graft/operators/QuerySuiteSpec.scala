@@ -119,6 +119,41 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(cl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"chain must unify: $cl")
   }
 
+  test("q60 normalized dedup: catches case/punct/whitespace re-encodings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World! This  is a TEST."),
+      (2L, "hello world this is a test"),   // same after normalization
+      (3L, "entirely different content here"),
+      (4L, "Hello world... this is a test")) // also same
+      .toDF("doc_id", "text")
+    val rows = TextOps.q60NormalizedDedup(docs).collect()
+    assert(rows.length === 2)
+    val byKeeper = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeeper === Map(1L -> 3L, 3L -> 1L),
+      "docs 1/2/4 must collapse to keeper 1; doc 3 stands alone")
+    // corpus sanity: partitions all docs
+    val corpus = graft.io.Tables.load(spark, sf, "documents")
+    val total = TextOps.q60NormalizedDedup(corpus)
+      .agg(org.apache.spark.sql.functions.sum("n_copies")).head().getLong(0)
+    assert(total === corpus.count())
+  }
+
+  test("q61 repetition: zero for all-distinct, 1-1/n for constant docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),          // all distinct: both fracs 0
+      (2L, "x x x x"),            // constant: dup_token 3/4, dup_bigram 2/3
+      (3L, "solo"))               // single token: bigram frac defined as 0
+      .toDF("doc_id", "text")
+    val m = TextOps.q61Repetition(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m(1L) === ((0.0, 0.0)))
+    assert(math.abs(m(2L)._1 - 0.75) < 1e-9)
+    assert(math.abs(m(2L)._2 - (1.0 - 1.0 / 3)) < 1e-6)
+    assert(m(3L) === ((0.0, 0.0)))
+  }
+
   test("q23 minhash: identical docs would share signatures; slots in range") {
     val rows = TextOps.q23Minhash(
       graft.io.Tables.load(spark, sf, "documents")).collect()
