@@ -106,16 +106,23 @@ object Sketches {
     val h = conv(substring(md5(
       concat(col("l_orderkey"), lit("-"), col("l_linenumber"))), 1, 15), 16, 10)
       .cast("long") % SampleRate
+    // ONE percentile aggregate per side (array form): the quantile
+    // buffer is built once and probed three times, instead of three
+    // independent single-reducer collection passes
     val sampled = lineitem.filter(h === 0)
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("est_p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("est_p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("est_p99"),
-        count(lit(1)).as("n_sampled"))
-    val exact = lineitem.agg(
-      round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
-      round(expr("percentile(l_extendedprice, 0.9)"), 4).as("exact_p90"),
-      round(expr("percentile(l_extendedprice, 0.99)"), 4).as("exact_p99"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("q"),
+           count(lit(1)).as("n_sampled"))
+      .select(
+        round(element_at(col("q"), 1), 4).as("est_p50"),
+        round(element_at(col("q"), 2), 4).as("est_p90"),
+        round(element_at(col("q"), 3), 4).as("est_p99"),
+        col("n_sampled"))
+    val exact = lineitem
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("q"))
+      .select(
+        round(element_at(col("q"), 1), 4).as("exact_p50"),
+        round(element_at(col("q"), 2), 4).as("exact_p90"),
+        round(element_at(col("q"), 3), 4).as("exact_p99"))
     sampled.crossJoin(exact)
   }
 

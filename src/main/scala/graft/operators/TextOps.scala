@@ -186,22 +186,24 @@ object TextOps {
     * fraction as 0 (guarded identically in both engines — DuckDB `||`
     * null-propagates where concat_ws skips, so the guard, not luck,
     * carries the parity). */
-  def q61Repetition(documents: DataFrame): DataFrame = {
-    val a = split(col("text"), " ")
-    val bigrams = when(size(a) >= 2,
-      expr("transform(sequence(1, size(split(text, ' ')) - 1), " +
-           "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i]))"))
-      .otherwise(array())
+  def q61Repetition(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), size(a).as("n_tokens"), bigrams.as("bg"),
-        round(lit(1.0) - size(array_distinct(a)).cast("double") / size(a), 6)
-          .as("dup_token_frac"))
-      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+      // hoist the token array into a column FIRST: a `split(text)`
+      // spelled inside the transform lambda is re-evaluated per element
+      // (no CSE across lambda scopes) — O(len²) splitting per doc
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), col("a"),
+        when(size(col("a")) >= 2,
+          expr("transform(sequence(1, size(a) - 1), " +
+               "i -> concat_ws(' ', a[i-1], a[i]))"))
+          .otherwise(array()).as("bg"))
+      .select(col("doc_id"), size(col("a")).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("a"))).cast("double")
+          / size(col("a")), 6).as("dup_token_frac"),
         when(size(col("bg")) > 0,
           round(lit(1.0) - size(array_distinct(col("bg"))).cast("double")
             / size(col("bg")), 6)).otherwise(0.0).as("dup_bigram_frac"))
       .orderBy("doc_id")
-  }
 
   def q61Sql: String =
     """WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
