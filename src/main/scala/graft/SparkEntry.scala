@@ -68,6 +68,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q59_sampled_quantiles: reproducible-sample quantile estimation
   *  - q60_normalized_dedup: canonicalized exact dedup (case/punct/ws-insensitive)
   *  - q61_repetition:      Gopher-style within-doc repetition metrics
+  *  - q62_ivf_recall:      recall@k of IVF ANN vs brute-force ground truth
   */
 object SparkEntry {
 
@@ -145,6 +146,7 @@ object SparkEntry {
     "q59_sampled_quantiles" -> t("lineitem")(Sketches.q59SampledQuantiles),
     "q60_normalized_dedup" -> t("documents")(TextOps.q60NormalizedDedup),
     "q61_repetition" -> t("documents")(TextOps.q61Repetition),
+    "q62_ivf_recall" -> t("embeddings")(VectorOps.q62IvfRecall(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -211,5 +213,6 @@ object SparkEntry {
     "q59_sampled_quantiles" -> Sketches.q59Sql,
     "q60_normalized_dedup" -> TextOps.q60Sql,
     "q61_repetition" -> TextOps.q61Sql,
+    "q62_ivf_recall" -> VectorOps.q62Sql(),
   )
 }

@@ -185,6 +185,67 @@ object VectorOps {
        |WHERE round(list_dot_product(a.ed, b.ed) / (a.nrm * b.nrm), 6) >= $threshold
        |ORDER BY ida, idb""".stripMargin
 
+  /** q62: ANN quality measurement — recall@k of the IVF path (q30)
+    * against brute-force ground truth over the SAME query set. The
+    * metric every ANN deployment tracks before trading exactness for
+    * speed; here it is itself a deterministic query (both rankings use
+    * the rounded-sim + vec_id total order), so the oracle re-derives
+    * the identical recall numbers. Per-query hits let a user see WHICH
+    * queries lose neighbors to cluster boundaries, not just the mean. */
+  def q62IvfRecall(embeddings: DataFrame, nCentroids: Int = 8, k: Int = 3): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("ed"))
+    val q = e.filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + 8)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+    val sim = dot(col("qe"), col("ed")) /
+      (sqrt(norm2(col("qe"))) * sqrt(norm2(col("ed"))))
+    val wRank = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    val exact = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(sim, 6).as("sim"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val approx = q30IvfTopk(embeddings, nCentroids, k)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    exact
+      .join(approx, col("qid") === col("aqid") && col("vec_id") === col("avid"),
+        "left")
+      .groupBy("qid")
+      .agg(count(col("aqid")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+      .orderBy("qid")
+  }
+
+  def q62Sql(nCentroids: Int = 8, k: Int = 3): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |c AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < $nCentroids),
+       |q AS (SELECT vec_id AS qid, ed AS qe FROM e
+       |      WHERE vec_id >= $nCentroids AND vec_id < ${nCentroids + 8}),
+       |exact AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(list_cosine_similarity(qe, e.ed), 6) DESC, e.vec_id) AS rn
+       |  FROM q JOIN e ON e.vec_id != q.qid) t WHERE rn <= $k),
+       |asg AS (SELECT vec_id, ed, cid FROM (
+       |  SELECT e.vec_id, e.ed, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid) AS arn
+       |  FROM e, c) t WHERE arn = 1),
+       |qa AS (SELECT vec_id AS qid, ed AS qe, cid AS qcid FROM asg
+       |       WHERE vec_id >= $nCentroids AND vec_id < ${nCentroids + 8}),
+       |approx AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(list_cosine_similarity(qe, a.ed), 6) DESC, a.vec_id) AS rn
+       |  FROM qa JOIN asg a ON a.cid = qa.qcid AND a.vec_id != qa.qid) t
+       |  WHERE rn <= $k)
+       |SELECT x.qid,
+       |  count(ap.qid) AS n_hits,
+       |  round(cast(count(ap.qid) AS double) / $k, 6) AS recall
+       |FROM exact x
+       |LEFT JOIN approx ap ON x.qid = ap.qid AND x.vec_id = ap.vec_id
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+
   /** Per-label embedding profile: count + exact-ish centroid norm stats.
     * Norms are rounded (order-independent within one vector: the fold is
     * sequential over the array, not over rows). */

@@ -475,6 +475,24 @@ class QuerySuiteSpec extends AnyFunSuite {
     (0 to 6).foreach(i => assert(r.get(i) === r2.get(i)))
   }
 
+  test("q62 recall@k: hits consistent with q30's own results; recall in [0,1]") {
+    val emb = graft.io.Tables.load(spark, sf, "embeddings")
+    val rows = VectorOps.q62IvfRecall(emb).collect()
+    assert(rows.length === 8, "one recall row per query")
+    val ivf = VectorOps.q30IvfTopk(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (hits, recall) = (r.getLong(1), r.getDouble(2))
+      assert(hits >= 0 && hits <= 3)
+      assert(math.abs(recall - hits / 3.0) < 5e-7) // recall column rounds to 6 dp
+    }
+    // in-cluster queries can't beat ground truth: total hits <= ivf size
+    assert(rows.map(_.getLong(1)).sum <= ivf.size)
+    // IVF with nprobe=1 over this data still finds most neighbors
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(mean > 0.3, s"suspiciously low mean recall $mean")
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
