@@ -29,10 +29,14 @@ object LangQuality {
     * by q29 and the composed curation pipeline (q40) so composition
     * costs one scan, not one per feature family. */
   def withLangQuality(df: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+    // tokenize ONCE into a temp column: a split() spelled inside each
+    // marker-filter lambda is re-evaluated per lambda (and per element
+    // for element-wise HOFs) — the q61 lesson, ~6 redundant O(len)
+    // splits per document across the feature family
+    val toks = col("_toks")
     def hits(words: Seq[String]) = {
       val list = words.map(w => s"'$w'").mkString(", ")
-      size(expr(s"filter(split(text, ' '), t -> t IN ($list))"))
+      size(expr(s"filter(_toks, t -> t IN ($list))"))
     }
     // argmax with first-listed precedence on ties; all-zero → "unknown"
     val best = Markers.foldRight(lit("unknown")) { case ((lang, _), acc) =>
@@ -49,10 +53,12 @@ object LangQuality {
         (col("n_types") / nTok) * 0.4 +
         least(col("hits_en").cast("double") / nTok * 5.0, lit(1.0)) * 0.2
     df
+      .withColumn("_toks", split(col("text"), " "))
       .withColumns(Map("n_tokens" -> size(toks), "n_types" -> size(array_distinct(toks))))
       .withColumns(Markers.map { case (l, ws) => s"hits_$l" -> hits(ws) }.toMap)
       .withColumn("lang_pred", best)
       .withColumn("quality", round(quality, 6))
+      .drop("_toks")
   }
 
   def q29LangQuality(documents: DataFrame): DataFrame =

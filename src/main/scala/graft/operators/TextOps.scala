@@ -40,15 +40,17 @@ object TextOps {
     * stopword ratio, mean token length (quality-scoring features).
     * Narrow, no shuffle. */
   def q20TextStats(documents: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+    val toks = col("_toks")
     val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
-    documents.select(
+    documents
+      .withColumn("_toks", split(col("text"), " ")) // tokenize once (lambda CSE, see q61)
+      .select(
         col("doc_id"),
         length(col("text")).as("n_chars_calc"),
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_types"),
         (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
-        (size(expr(s"filter(split(text, ' '), t -> t IN ($stopList))")).cast("double")
+        (size(expr(s"filter(_toks, t -> t IN ($stopList))")).cast("double")
           / size(toks)).as("stop_ratio"),
         (length(regexp_replace(col("text"), " ", "")).cast("double")
           / size(toks)).as("avg_token_len"))
