@@ -69,6 +69,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q60_normalized_dedup: canonicalized exact dedup (case/punct/ws-insensitive)
   *  - q61_repetition:      Gopher-style within-doc repetition metrics
   *  - q62_ivf_recall:      recall@k of IVF ANN vs brute-force ground truth
+  *  - q63_best_per_lang:   per-language top-k documents by quality
   */
 object SparkEntry {
 
@@ -147,6 +148,7 @@ object SparkEntry {
     "q60_normalized_dedup" -> t("documents")(TextOps.q60NormalizedDedup),
     "q61_repetition" -> t("documents")(TextOps.q61Repetition),
     "q62_ivf_recall" -> t("embeddings")(VectorOps.q62IvfRecall(_)),
+    "q63_best_per_lang" -> t("documents")(Curate.q63BestPerLang(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -214,5 +216,6 @@ object SparkEntry {
     "q60_normalized_dedup" -> TextOps.q60Sql,
     "q61_repetition" -> TextOps.q61Sql,
     "q62_ivf_recall" -> VectorOps.q62Sql(),
+    "q63_best_per_lang" -> Curate.q63Sql(),
   )
 }

@@ -101,6 +101,31 @@ object Curate {
        |      < least(quality * $factor, 1.0) * 1000000.0
        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
 
+  /** q63: per-language best-documents preview — top 3 by (quality desc,
+    * doc_id) within each predicted language, the curation spot-check a
+    * corpus owner runs after every pipeline change. The rank filter
+    * compiles to WindowGroupLimit: per-partition per-group top-k heaps
+    * feed the shuffle, so no group is ever fully sorted. */
+  def q63BestPerLang(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang_pred")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    LangQuality.withLangQuality(documents)
+      .select(col("doc_id"), col("lang_pred"), col("quality"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("lang_pred", "rk")
+  }
+
+  def q63Sql(k: Int = 3): String =
+    s"""WITH $featsSqlCtes
+       |SELECT doc_id, lang_pred, quality, rk FROM (
+       |  SELECT doc_id, lang_pred, quality,
+       |    row_number() OVER (PARTITION BY lang_pred
+       |      ORDER BY quality DESC, doc_id) AS rk
+       |  FROM lq) t
+       |WHERE rk <= $k ORDER BY lang_pred, rk""".stripMargin
+
   def q51Sql: String =
     """SELECT CASE (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) AS bigint) % 10)
       |         WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split,

@@ -493,6 +493,24 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(mean > 0.3, s"suspiciously low mean recall $mean")
   }
 
+  test("q63 best-per-lang: k rows per language, quality non-increasing, WindowGroupLimit") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val df = Curate.q63BestPerLang(docs)
+    val rows = df.collect()
+    rows.groupBy(_.getString(1)).foreach { case (lang, g) =>
+      assert(g.length <= 3, s"$lang has ${g.length} rows")
+      val qs = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(qs.zip(qs.tail).forall { case (a, b) => a >= b },
+        s"$lang quality not non-increasing")
+    }
+    // the global best doc appears as rank 1 of its language
+    val best = graft.operators.LangQuality.q29LangQuality(docs)
+      .orderBy(org.apache.spark.sql.functions.desc("quality"),
+        org.apache.spark.sql.functions.asc("doc_id")).head()
+    assert(rows.exists(r => r.getLong(0) == best.getLong(0) && r.getInt(3) == 1))
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
