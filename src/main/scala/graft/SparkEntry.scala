@@ -70,6 +70,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q61_repetition:      Gopher-style within-doc repetition metrics
   *  - q62_ivf_recall:      recall@k of IVF ANN vs brute-force ground truth
   *  - q63_best_per_lang:   per-language top-k documents by quality
+  *  - q64_winnow_pairs:    winnowing-overlap candidate pairs (MOSS-style)
   */
 object SparkEntry {
 
@@ -149,6 +150,7 @@ object SparkEntry {
     "q61_repetition" -> t("documents")(TextOps.q61Repetition),
     "q62_ivf_recall" -> t("embeddings")(VectorOps.q62IvfRecall(_)),
     "q63_best_per_lang" -> t("documents")(Curate.q63BestPerLang(_)),
+    "q64_winnow_pairs" -> t("documents")(Fuzzy.q64WinnowPairs(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -217,5 +219,6 @@ object SparkEntry {
     "q61_repetition" -> TextOps.q61Sql,
     "q62_ivf_recall" -> VectorOps.q62Sql(),
     "q63_best_per_lang" -> Curate.q63Sql(),
+    "q64_winnow_pairs" -> Fuzzy.q64Sql(),
   )
 }

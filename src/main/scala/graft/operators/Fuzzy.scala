@@ -167,7 +167,9 @@ object Fuzzy {
     * bucket-join candidate machinery as q27's LSH bands. */
   val WinnowW = 4
 
-  def q39Winnow(documents: DataFrame): DataFrame =
+  /** (doc_id, fp) winnowing-fingerprint relation, unordered — shared by
+    * q39 (the fingerprint dump) and q64 (overlap candidate pairs). */
+  def winnowFingerprints(documents: DataFrame): DataFrame =
     documents
       .withColumn("toks", split(col("text"), " "))
       .withColumn("hs", expr(
@@ -180,7 +182,53 @@ object Fuzzy {
            |  sequence(1, greatest(size(hs) - $WinnowW + 1, 1)),
            |  j -> array_min(slice(hs, j, $WinnowW))))""".stripMargin)))
       .select("doc_id", "fp")
-      .orderBy("doc_id", "fp")
+
+  def q39Winnow(documents: DataFrame): DataFrame =
+    winnowFingerprints(documents).orderBy("doc_id", "fp")
+
+  /** q64: winnowing-overlap candidate pairs — the MOSS-style detector:
+    * docs sharing ≥ `minShared` winnowing fingerprints are candidate
+    * local-overlap pairs (by the winnowing guarantee, any shared run of
+    * W+k−1 tokens forces a shared fingerprint, so real overlaps cannot
+    * be missed). A third pair-generation method next to set-similarity
+    * (q22) and MinHash-LSH (q27): this one targets CONTIGUOUS overlap —
+    * quotation, boilerplate, cross-doc duplication of passages — which
+    * bag-of-shingles Jaccard dilutes away on long documents. Same
+    * join-free posting-list shape as q22, same stop-fingerprint DF cap;
+    * `minShared` ≥ 2 suppresses single-hash coincidences. */
+  def q64WinnowPairs(documents: DataFrame, minShared: Int = 2,
+                     maxDf: Int = 64): DataFrame = {
+    val posting = winnowFingerprints(documents)
+      .groupBy("fp").agg(sort_array(collect_list("doc_id")).as("ids"))
+    posting
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ida, y AS idb))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.ida").as("ida"), col("p.idb").as("idb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("ida", "idb")
+  }
+
+  def q64Sql(minShared: Int = 2, maxDf: Int = 64): String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+       |hs AS (SELECT doc_id,
+       |         list_transform(range(1, greatest(len(a) - 2, 1) + 1),
+       |           i -> (cast(concat('0x', substr(md5(a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT)+1] || ' ' || a[CAST(i AS INT)+2]), 1, 15)) AS bigint) % $MinhashP)) AS h
+       |       FROM tok),
+       |fps AS (SELECT doc_id,
+       |         unnest(list_distinct(list_transform(
+       |           range(1, greatest(len(h) - $WinnowW + 1, 1) + 1),
+       |           j -> list_min(h[CAST(j AS INT):CAST(j + ${WinnowW - 1} AS INT)])))) AS fp
+       |       FROM hs),
+       |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $maxDf)
+       |SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS n_shared
+       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |JOIN keep k ON k.fp = a.fp
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY ida, idb""".stripMargin
 
   def q39Sql: String =
     s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),

@@ -511,6 +511,30 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("q64 winnow pairs: guarantee makes a long shared run a candidate pair") {
+    import spark.implicits._
+    // docs 1 & 2 share a 12-token run (≫ W+k−1 = 6): the winnowing
+    // guarantee forces shared fingerprints → must surface as a pair;
+    // doc 3 shares nothing
+    val shared = (1 to 12).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta"),
+      (2L, s"zeta eta theta iota $shared kappa lambda"),
+      (3L, "completely unrelated words only here nothing common at all")
+    ).toDF("doc_id", "text")
+    val pairs = Fuzzy.q64WinnowPairs(docs)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), s"got $pairs")
+    // corpus run: pairs are ordered and meet the minShared floor
+    val corpus = graft.io.Tables.load(spark, sf, "documents")
+    val rows = Fuzzy.q64WinnowPairs(corpus).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 2)
+    }
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
