@@ -71,6 +71,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q62_ivf_recall:      recall@k of IVF ANN vs brute-force ground truth
   *  - q63_best_per_lang:   per-language top-k documents by quality
   *  - q64_winnow_pairs:    winnowing-overlap candidate pairs (MOSS-style)
+  *  - q65_mad_outliers:    robust per-group MAD outlier census
   */
 object SparkEntry {
 
@@ -151,6 +152,7 @@ object SparkEntry {
     "q62_ivf_recall" -> t("embeddings")(VectorOps.q62IvfRecall(_)),
     "q63_best_per_lang" -> t("documents")(Curate.q63BestPerLang(_)),
     "q64_winnow_pairs" -> t("documents")(Fuzzy.q64WinnowPairs(_)),
+    "q65_mad_outliers" -> t("orders")(Relational2.q65MadOutliers(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -220,5 +222,6 @@ object SparkEntry {
     "q62_ivf_recall" -> VectorOps.q62Sql(),
     "q63_best_per_lang" -> Curate.q63Sql(),
     "q64_winnow_pairs" -> Fuzzy.q64Sql(),
+    "q65_mad_outliers" -> Relational2.q65Sql(),
   )
 }

@@ -535,6 +535,27 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("q65 MAD outliers: robust fence ignores a planted extreme; counts bounded") {
+    import spark.implicits._
+    // 50 tight values + one wild outlier per group: median/MAD barely
+    // move (50% breakdown), the outlier is flagged; a stddev fence
+    // would have been dragged by the very point it hunts
+    val rows = (1 to 50).map(i => ("1-URGENT", 100.0 + (i % 7))) :+ (("1-URGENT", 1e9))
+    val df = rows.toDF("o_orderpriority", "o_totalprice")
+    val r = Relational2.q65MadOutliers(df).head()
+    assert(math.abs(r.getDouble(1) - 103.0) < 1.0, s"median dragged: ${r.getDouble(1)}")
+    assert(r.getLong(3) >= 1, "the planted extreme must be flagged")
+    assert(r.getLong(3) <= 20, "robust fence must not flag the bulk")
+    // corpus: per-group counts bounded by group size, MAD >= 0
+    val orders = graft.io.Tables.load(spark, sf, "orders")
+    val sizes = orders.groupBy("o_orderpriority").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    Relational2.q65MadOutliers(orders).collect().foreach { x =>
+      assert(x.getDouble(2) >= 0.0)
+      assert(x.getLong(3) >= 0 && x.getLong(3) <= sizes(x.getString(0)))
+    }
+  }
+
   test("q37 range join: brackets partition lineitem exactly") {
     val li = graft.io.Tables.load(spark, sf, "lineitem")
     val rows = TemporalJoins.q37RangeJoin(li).collect()
