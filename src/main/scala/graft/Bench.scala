@@ -9,46 +9,60 @@ import org.apache.spark.sql.SparkSession
   *  - Queries execute into the `noop` sink: full computation of every
   *    output column is forced (a `count()` would let column pruning
   *    delete the projections under measurement), nothing is written.
-  *  - One untimed warmup run per query first (JIT + parquet footer +
-  *    codegen compilation), then best-of-two timed runs — the driver
-  *    compares engines on steady-state throughput, and the min of two
-  *    absorbs this box's scheduling noise without masking real cost.
+  *  - Protocol is MEDIAN-OF-3 INTERLEAVED: one untimed warmup pass over
+  *    the whole query list (JIT + parquet footer + codegen compilation),
+  *    then the full list is timed three times — interleaved, not three
+  *    back-to-back runs of one query — and the per-query median is
+  *    reported. Same-commit single-run timings on this box swing up to
+  *    ~5× with co-tenancy (r1 q18, r3 q28/q44 burned adjudication time);
+  *    interleaving decorrelates a noise burst from any one query, and
+  *    the median rejects a single outlier run. Per-query min/max across
+  *    the three runs ride along under "spread" so the noise floor is
+  *    visible in the artifact itself.
+  *  - Runs in the canonical [[GraftSession]] (extensions on): bench
+  *    measures the engine exactly as shipped.
   */
 object Bench {
+  val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.ansi.enabled", "false") // engine-canonical (GraftSession)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus = cpus, shufflePartitions = cpus,
+      appName = "graft-bench")
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t = try {
-        run(fn) // warmup
-        (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          run(fn)
-          (System.nanoTime() - t0) / 1e9
-        }.min
-      } catch { case _: Throwable => -1.0 }
-      name -> t
+    // warmup pass (untimed)
+    names.foreach { name =>
+      try run(SparkEntry.queries(name)) catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // three interleaved timed passes
+    val samples = (1 to Runs).map { _ =>
+      names.map { name =>
+        val t = try {
+          val t0 = System.nanoTime()
+          run(SparkEntry.queries(name))
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        name -> t
+      }.toMap
+    }
+    val results = names.map { name =>
+      val ts = samples.map(_(name)).filter(_ >= 0).sorted
+      val med = if (ts.isEmpty) -1.0 else ts(ts.length / 2)
+      (name, med, ts)
+    }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, ts) =>
+      val s = if (ts.isEmpty) "[]" else ts.mkString("[", ",", "]")
+      "\"" + k + "\":" + s
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs,"spread":$spread}""")
     spark.stop()
   }
 }

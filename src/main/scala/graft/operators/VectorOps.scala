@@ -54,21 +54,12 @@ object VectorOps {
        |      FROM s)
        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
 
-  /** q30: IVF-style ANN — the 100 TB scale path for similarity search.
-    * Coarse quantizer: 8 seed vectors (vec_id 0–7) act as centroids;
-    * every vector is assigned to its nearest centroid (argmax cosine,
-    * deterministic tiebreak on centroid id). A query (vec_id 8–15)
-    * probes ONLY its own cluster (nprobe=1) and reranks exactly there.
-    * The brute-force kernel (q24) touches N vectors per query; this
-    * touches ~N/8 — on a real deployment centroids come from k-means
-    * and the ratio is N/nlist. Assignment is one broadcast-NL join;
-    * no all-pairs shuffle ever materializes. */
-  /** IVF coarse-quantizer assignment: every vector → its nearest of the
-    * `nCentroids` seed vectors (argmax cosine, deterministic tiebreak
-    * on centroid id). One broadcast join + a per-vector window — no
-    * all-pairs shuffle. Shared by q30 (ANN search) and q54 (bucketed
-    * dedup); on a real deployment the seeds come from k-means. */
-  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
+  /** Ranked IVF assignment: every vector × its `maxRank` nearest seed
+    * centroids (rank 1 = the assignment bucket; ranks 2..p = the extra
+    * probe buckets a multi-probe query searches). One broadcast join +
+    * a per-vector window — no all-pairs shuffle. */
+  private def ivfAssignRanked(embeddings: DataFrame, nCentroids: Int,
+                              maxRank: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("ed"))
     val cents = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("ed").as("ce"))
@@ -78,13 +69,25 @@ object VectorOps {
     e.join(broadcast(cents))
       .select(col("vec_id"), col("ed"), col("cid"), round(simToCent, 6).as("csim"))
       .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("ed"), col("cid"))
+      .filter(col("arn") <= maxRank)
+      .select(col("vec_id"), col("ed"), col("cid"), col("arn"))
   }
 
-  def q30IvfTopk(embeddings: DataFrame, nCentroids: Int = 8, k: Int = 3): DataFrame = {
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    ivfAssignRanked(embeddings, nCentroids, 1).drop("arn")
+
+  /** q30: IVF ANN search with multi-probe. The corpus is bucketed by its
+    * single nearest centroid; a query probes its `nprobe` nearest
+    * centroids and reranks exactly inside those buckets only — the
+    * standard IVF recall knob (nprobe→nlist degrades to brute force).
+    * Work per query is ~nprobe·N/nlist; each candidate appears at most
+    * once (corpus vectors live in exactly one bucket), so no dedup pass
+    * is needed. */
+  def q30IvfTopk(embeddings: DataFrame, nCentroids: Int = 8, k: Int = 3,
+                 nprobe: Int = 2): DataFrame = {
     val assigned = ivfAssign(embeddings, nCentroids)
-    val queries = assigned.filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + 8)
+    val queries = ivfAssignRanked(embeddings, nCentroids, nprobe)
+      .filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + 8)
       .select(col("vec_id").as("qid"), col("ed").as("qe"), col("cid").as("qcid"))
     val sim = dot(col("qe"), col("ed")) / (sqrt(norm2(col("qe"))) * sqrt(norm2(col("ed"))))
     val wRank = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
@@ -96,16 +99,18 @@ object VectorOps {
       .orderBy("qid", "rn")
   }
 
-  def q30Sql(nCentroids: Int = 8, k: Int = 3): String =
+  def q30Sql(nCentroids: Int = 8, k: Int = 3, nprobe: Int = 2): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
        |c AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < $nCentroids),
-       |asg AS (SELECT vec_id, ed, cid FROM (
+       |ranked AS (
        |  SELECT e.vec_id, e.ed, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid) AS arn
-       |  FROM e, c) t WHERE arn = 1),
-       |q AS (SELECT vec_id AS qid, ed AS qe, cid AS qcid FROM asg
-       |      WHERE vec_id >= $nCentroids AND vec_id < ${nCentroids + 8}),
+       |  FROM e, c),
+       |asg AS (SELECT vec_id, ed, cid FROM ranked WHERE arn = 1),
+       |q AS (SELECT vec_id AS qid, ed AS qe, cid AS qcid FROM ranked
+       |      WHERE arn <= $nprobe
+       |        AND vec_id >= $nCentroids AND vec_id < ${nCentroids + 8}),
        |s AS (SELECT qid, a.vec_id,
        |        round(list_cosine_similarity(qe, a.ed), 6) AS sim
        |      FROM q JOIN asg a ON a.cid = q.qcid AND a.vec_id != q.qid),
@@ -114,13 +119,32 @@ object VectorOps {
        |      FROM s)
        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
 
+  /** Ceiling on q34's all-pairs input. ~25k 64-dim vectors ≈ 3·10⁸
+    * pairs is where the quadratic stops being interactive on one node;
+    * beyond it the caller must either use [[q54BucketedEmbDedup]] (the
+    * scale default) or raise the cap deliberately. */
+  val DefaultMaxVectors = 25000L
+
   /** q34: embedding-cosine near-duplicate pairs — the vector-space
     * analogue of q22's text Jaccard: all pairs above a high similarity
     * threshold. Norms are precomputed per vector BEFORE the self-join
     * (N norm computations + N²/2 dot products, instead of 3·N²/2 fold
     * passes); at 100 TB the all-pairs join is replaced by LSH/IVF
-    * bucketing (q30) with this as the in-bucket verifier. */
-  def q34EmbeddingDedup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    * bucketing (q30) with this as the in-bucket verifier.
+    *
+    * GUARDED quadratic: this operator is O(N²) by construction (its
+    * role is exact ground truth / in-bucket verification), so — like
+    * q22's `maxDf` and q45's `maxBlock` — it refuses to run past
+    * `maxVectors` rather than silently launching an unbounded all-pairs
+    * join. The count is a parquet-metadata-only job; the guard does not
+    * change any result below the cap, so the oracle needs no mirror. */
+  def q34EmbeddingDedup(embeddings: DataFrame, threshold: Double = 0.4,
+                        maxVectors: Long = DefaultMaxVectors): DataFrame = {
+    val n = embeddings.count()
+    require(n <= maxVectors,
+      s"q34EmbeddingDedup is an all-pairs O(N²) verifier: got $n vectors > " +
+      s"maxVectors=$maxVectors. Use q54BucketedEmbDedup (IVF equi-join, the " +
+      "scale default) or raise maxVectors explicitly to run all-pairs anyway.")
     val e = embeddings.select(col("vec_id"), col("embedding").as("ed"))
       .withColumn("nrm", sqrt(norm2(col("ed"))))
     val sim = round(dot(col("a.ed"), col("b.ed")) / (col("a.nrm") * col("b.nrm")), 6)
@@ -186,11 +210,13 @@ object VectorOps {
        |ORDER BY ida, idb""".stripMargin
 
   /** q62: ANN quality measurement — recall@k of the IVF path (q30)
-    * against brute-force ground truth over the SAME query set. The
-    * metric every ANN deployment tracks before trading exactness for
-    * speed; here it is itself a deterministic query (both rankings use
+    * against brute-force ground truth over the SAME query set, at
+    * nprobe=1 AND nprobe=2 side by side: the recall/cost tradeoff every
+    * ANN deployment tunes, measured as a query. nprobe=2's candidate
+    * set is a superset of nprobe=1's, so recall_p2 ≥ recall_p1 holds
+    * structurally (pinned by spec). Deterministic (both rankings use
     * the rounded-sim + vec_id total order), so the oracle re-derives
-    * the identical recall numbers. Per-query hits let a user see WHICH
+    * identical recall numbers. Per-query hits let a user see WHICH
     * queries lose neighbors to cluster boundaries, not just the mean. */
   def q62IvfRecall(embeddings: DataFrame, nCentroids: Int = 8, k: Int = 3): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("ed"))
@@ -204,15 +230,18 @@ object VectorOps {
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"))
-    val approx = q30IvfTopk(embeddings, nCentroids, k)
-      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    def approx(nprobe: Int) = q30IvfTopk(embeddings, nCentroids, k, nprobe)
+      .select(col("qid").as(s"aqid$nprobe"), col("vec_id").as(s"avid$nprobe"))
     exact
-      .join(approx, col("qid") === col("aqid") && col("vec_id") === col("avid"),
+      .join(approx(1), col("qid") === col("aqid1") && col("vec_id") === col("avid1"),
+        "left")
+      .join(approx(2), col("qid") === col("aqid2") && col("vec_id") === col("avid2"),
         "left")
       .groupBy("qid")
-      .agg(count(col("aqid")).as("n_hits"))
-      .select(col("qid"), col("n_hits"),
-        round(col("n_hits").cast("double") / k, 6).as("recall"))
+      .agg(count(col("aqid1")).as("n_hits_p1"), count(col("aqid2")).as("n_hits_p2"))
+      .select(col("qid"),
+        col("n_hits_p1"), round(col("n_hits_p1").cast("double") / k, 6).as("recall_p1"),
+        col("n_hits_p2"), round(col("n_hits_p2").cast("double") / k, 6).as("recall_p2"))
       .orderBy("qid")
   }
 
@@ -226,24 +255,29 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY qid
        |      ORDER BY round(list_cosine_similarity(qe, e.ed), 6) DESC, e.vec_id) AS rn
        |  FROM q JOIN e ON e.vec_id != q.qid) t WHERE rn <= $k),
-       |asg AS (SELECT vec_id, ed, cid FROM (
+       |ranked AS (
        |  SELECT e.vec_id, e.ed, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid) AS arn
-       |  FROM e, c) t WHERE arn = 1),
-       |qa AS (SELECT vec_id AS qid, ed AS qe, cid AS qcid FROM asg
-       |       WHERE vec_id >= $nCentroids AND vec_id < ${nCentroids + 8}),
-       |approx AS (SELECT qid, vec_id FROM (
-       |  SELECT qid, a.vec_id,
-       |    row_number() OVER (PARTITION BY qid
-       |      ORDER BY round(list_cosine_similarity(qe, a.ed), 6) DESC, a.vec_id) AS rn
-       |  FROM qa JOIN asg a ON a.cid = qa.qcid AND a.vec_id != qa.qid) t
+       |  FROM e, c),
+       |asg AS (SELECT vec_id, ed, cid FROM ranked WHERE arn = 1),
+       |ap AS (SELECT nprobe, qid, vec_id FROM (
+       |  SELECT p.nprobe, qa.vec_id AS qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY p.nprobe, qa.vec_id
+       |      ORDER BY round(list_cosine_similarity(qa.ed, a.ed), 6) DESC, a.vec_id) AS rn
+       |  FROM (VALUES (1), (2)) p(nprobe)
+       |  JOIN ranked qa ON qa.arn <= p.nprobe
+       |    AND qa.vec_id >= $nCentroids AND qa.vec_id < ${nCentroids + 8}
+       |  JOIN asg a ON a.cid = qa.cid AND a.vec_id != qa.vec_id) t
        |  WHERE rn <= $k)
        |SELECT x.qid,
-       |  count(ap.qid) AS n_hits,
-       |  round(cast(count(ap.qid) AS double) / $k, 6) AS recall
+       |  count(a1.qid) AS n_hits_p1,
+       |  round(cast(count(a1.qid) AS double) / $k, 6) AS recall_p1,
+       |  count(a2.qid) AS n_hits_p2,
+       |  round(cast(count(a2.qid) AS double) / $k, 6) AS recall_p2
        |FROM exact x
-       |LEFT JOIN approx ap ON x.qid = ap.qid AND x.vec_id = ap.vec_id
+       |LEFT JOIN ap a1 ON a1.nprobe = 1 AND x.qid = a1.qid AND x.vec_id = a1.vec_id
+       |LEFT JOIN ap a2 ON a2.nprobe = 2 AND x.qid = a2.qid AND x.vec_id = a2.vec_id
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
   /** Per-label embedding profile: count + exact-ish centroid norm stats.

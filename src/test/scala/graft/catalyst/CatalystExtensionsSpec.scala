@@ -138,6 +138,26 @@ class CatalystExtensionsSpec extends AnyFunSuite {
     assert(viaSql === Seq(0.0, 1.0, 0.0, 0.0))
   }
 
+  test("DEFAULT session carries the extensions: functions registered and the " +
+    "percentile rewrite fires above threshold with no opt-in") {
+    // GraftSession.local now defaults withGraftExtensions = true — the
+    // safety valve must be active in the session users (and Bench/Verify)
+    // actually get, not only in a specially-built one.
+    assert(base.sql("SELECT parse_magnitude('21 Million') AS v").head().getLong(0)
+      === 21000000L)
+    base.conf.set(ApproxAboveThreshold.ThresholdKey, "1") // everything is big
+    try {
+      val big = base.sql(
+        "SELECT percentile(l_quantity, 0.5) FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`")
+      assert(big.queryExecution.optimizedPlan.toString.contains("percentile_approx"),
+        big.queryExecution.optimizedPlan.toString)
+    } finally base.conf.unset(ApproxAboveThreshold.ThresholdKey)
+    // at the default 1 GiB threshold, test-scale aggregates stay EXACT
+    val small = base.sql(
+      "SELECT percentile(l_quantity, 0.5) FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`")
+    assert(!small.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
+  }
+
   test("percentile rewrites to approx above the size threshold, not below") {
     ext.conf.set(ApproxAboveThreshold.ThresholdKey, "1") // everything is big
     val big = ext.sql(

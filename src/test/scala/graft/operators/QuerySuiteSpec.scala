@@ -188,6 +188,19 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("q34 guard refuses to launch all-pairs beyond maxVectors") {
+    val emb = graft.io.Tables.load(spark, sf, "embeddings")
+    // over the cap: fails FAST at plan time (metadata count), pointing
+    // at the bucketed scale path — never launches the O(N²) join
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.q34EmbeddingDedup(emb, maxVectors = 10)
+    }
+    assert(ex.getMessage.contains("q54BucketedEmbDedup"))
+    // at-or-below the cap: behavior unchanged (same schema, same rows)
+    assert(VectorOps.q34EmbeddingDedup(emb).columns.toSeq
+      === Seq("ida", "idb", "sim"))
+  }
+
   test("q36 as-of join: one row per purchase, signup at-or-before it") {
     val events = graft.io.Tables.load(spark, sf, "events")
     val rows = TemporalJoins.q36AsofJoin(events).collect()
@@ -475,22 +488,30 @@ class QuerySuiteSpec extends AnyFunSuite {
     (0 to 6).foreach(i => assert(r.get(i) === r2.get(i)))
   }
 
-  test("q62 recall@k: hits consistent with q30's own results; recall in [0,1]") {
+  test("q62 recall@k: nprobe=2 ≥ nprobe=1 per query; hits consistent with q30") {
     val emb = graft.io.Tables.load(spark, sf, "embeddings")
     val rows = VectorOps.q62IvfRecall(emb).collect()
     assert(rows.length === 8, "one recall row per query")
-    val ivf = VectorOps.q30IvfTopk(emb).collect()
+    // q30's default is nprobe=2 — its pairs are the p2 candidate pool
+    val ivf2 = VectorOps.q30IvfTopk(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     rows.foreach { r =>
-      val (hits, recall) = (r.getLong(1), r.getDouble(2))
-      assert(hits >= 0 && hits <= 3)
-      assert(math.abs(recall - hits / 3.0) < 5e-7) // recall column rounds to 6 dp
+      val (h1, r1, h2, r2) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(h1 >= 0 && h1 <= 3 && h2 >= 0 && h2 <= 3)
+      assert(math.abs(r1 - h1 / 3.0) < 5e-7) // recall columns round to 6 dp
+      assert(math.abs(r2 - h2 / 3.0) < 5e-7)
+      // superset candidates ⇒ recall is monotone in nprobe
+      assert(h2 >= h1, s"qid ${r.getLong(0)}: nprobe=2 hits $h2 < nprobe=1 hits $h1")
     }
-    // in-cluster queries can't beat ground truth: total hits <= ivf size
-    assert(rows.map(_.getLong(1)).sum <= ivf.size)
-    // IVF with nprobe=1 over this data still finds most neighbors
-    val mean = rows.map(_.getDouble(2)).sum / rows.length
-    assert(mean > 0.3, s"suspiciously low mean recall $mean")
+    // hits can't beat ground truth: total p2 hits <= q30(p2) result size
+    assert(rows.map(_.getLong(3)).sum <= ivf2.size)
+    // IVF over this data still finds most neighbors, and probing 2
+    // centroids recovers strictly more than probing 1 in aggregate
+    val mean1 = rows.map(_.getDouble(2)).sum / rows.length
+    val mean2 = rows.map(_.getDouble(4)).sum / rows.length
+    assert(mean1 > 0.3, s"suspiciously low mean recall@p1 $mean1")
+    assert(mean2 >= mean1, s"mean recall p2 $mean2 < p1 $mean1")
   }
 
   test("q63 best-per-lang: k rows per language, quality non-increasing, WindowGroupLimit") {
