@@ -68,34 +68,47 @@ object RankStats {
 
   /** Cut points + per-bucket totals + offsets for a set of columns,
     * sharing the barrier jobs: ONE multi-column approxQuantile sketch
-    * and ONE joint groupBy over the (≤ Buckets^k, k ≤ 2 here) bucket-id
-    * tuples whose marginals give every column's totals (instead of two
-    * driver-blocking jobs per column). Each bucket id is computed once
-    * per row in the grouping keys; the shuffle moves ≤ 32^k rows. */
+    * and ONE wide indicator aggregate — per column, `Buckets` partial
+    * `sum(bucket = b)` counters, all in a single scan with map-side
+    * combine (k·Buckets scalars to the driver, no shuffle of cells).
+    * Unlike a joint groupBy over bucket-id tuples, this stays O(k·32)
+    * for ANY number of columns — the profiler's full Spearman matrix
+    * shares it across every numeric column. */
   private def prefixPlan(df: DataFrame, cols: Seq[String])
       : Map[String, (Array[Double], Map[Int, Long])] = {
     val probs = (1 until Buckets).map(_.toDouble / Buckets).toArray
     val allCuts = df.stat.approxQuantile(cols.toArray, probs, 0.01)
       .map(_.distinct.sorted)
-    val keys = cols.zip(allCuts).map { case (c, cuts) =>
-      bucketOf(col(c), cuts).as(s"$c!b")
+    val aggs = cols.zip(allCuts).flatMap { case (c, cuts) =>
+      val b = bucketOf(col(c), cuts)
+      (0 to cuts.length).map(i => sum((b === i).cast("long")).as(s"$c!$i"))
     }
-    val cells = df.groupBy(keys: _*).count().collect()
-      .map(r => (0 until cols.length).map(r.getInt) -> r.getLong(cols.length))
-    cols.zip(allCuts).zipWithIndex.map { case ((c, cuts), i) =>
-      val totals = cells.groupBy(_._1(i))
-        .map { case (b, g) => b -> g.map(_._2).sum }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zip(allCuts).map { case (c, cuts) =>
+      val totals = (0 to cuts.length).map { i =>
+        val fi = row.fieldIndex(s"$c!$i")
+        i -> (if (row.isNullAt(fi)) 0L else row.getLong(fi))
+      }.toMap
       c -> (cuts, exclusivePrefix(totals, cuts.length + 1))
     }.toMap
   }
 
-  /** (value, avg_rank) table for one numeric column via the grouped
-    * CDF. Ties get the average rank of their run, matching
+  /** (value, avg_rank) tables for several columns, SHARING the two
+    * barrier jobs (one sketch, one totals scan) across all of them.
+    * Ties get the average rank of their run, matching
     * `pandas.rank(method="average")` — the Spearman convention. */
-  def avgRanks(df: DataFrame, c: String): DataFrame = {
-    val (cuts, offsets) = prefixPlan(df, Seq(c))(c)
-    ranksFrom(df, c, cuts, offsets)
+  def rankTables(df: DataFrame, cols: Seq[String]): Map[String, DataFrame] = {
+    val plan = prefixPlan(df, cols)
+    cols.map { c =>
+      val (cuts, offsets) = plan(c)
+      c -> ranksFrom(df, c, cuts, offsets)
+    }.toMap
   }
+
+  /** (value, avg_rank) table for one numeric column via the grouped
+    * CDF. */
+  def avgRanks(df: DataFrame, c: String): DataFrame =
+    rankTables(df, Seq(c))(c)
 
   /** q38: Spearman rank correlation of quantity vs extended price.
     * Exercises both rank-join regimes: l_quantity's 50-value rank table

@@ -87,6 +87,14 @@ object HtmlReport {
       sb ++= "</table>"
     }
 
+    if (p.spearman.nonEmpty) {
+      sb ++= "<h2>Correlations (Spearman)</h2><table><tr><th>A</th><th>B</th><th>ρ</th></tr>"
+      p.spearman.foreach { case (a, b, r) =>
+        sb ++= s"<tr><td>${esc(a)}</td><td>${esc(b)}</td><td>${f"$r%.4f"}</td></tr>"
+      }
+      sb ++= "</table>"
+    }
+
     if (p.missingPatterns.nonEmpty) {
       sb ++= "<h2>Missing value patterns</h2>"
       sb ++= s"<p>Null-flag per column, in order: ${p.columnNames.map(esc).mkString(", ")}</p>"

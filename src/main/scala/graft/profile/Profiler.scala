@@ -39,6 +39,11 @@ case class TableProfile(
     nRows: Long, nCols: Int, nDuplicateRows: Long,
     numeric: Seq[NumericProfile], strings: Seq[StringProfile],
     correlations: Seq[(String, String, Double)], alerts: Seq[String],
+    /** A10 second correlation method: Spearman rank correlation for the
+      * same column pairs (ydata's correlation tab shows both). Listwise
+      * semantics: rows with a null in any profiled numeric column drop
+      * out (= pandas `df[cols].dropna().corr(method="spearman")`). */
+    spearman: Seq[(String, String, Double)] = Seq.empty,
     /** A11 per-row missing patterns: null-flag bitstring (one char per
       * column, in [[columnNames]] order, '1' = null) → row count,
       * most frequent first. */
@@ -74,8 +79,11 @@ object Profiler {
     * all rank columns. Cost: one value-join per column + one aggregate
     * scan; every join key table is bounded by column cardinality. */
   def spearmanMatrix(df: DataFrame, cols: Seq[String]): Seq[(String, String, Double)] = {
+    // ONE shared prefix plan for every column (one sketch job + one
+    // totals scan), not a pair of barrier jobs per column
+    val rankTabs = graft.operators.RankStats.rankTables(df, cols)
     val ranked = cols.foldLeft(df.select(cols.map(col): _*)) { (acc, c) =>
-      val r = graft.operators.RankStats.avgRanks(df, c)
+      val r = rankTabs(c)
         .withColumnsRenamed(Map("v" -> s"$c!v", "r" -> s"$c!rank"))
       acc.join(r, acc(c) === r(s"$c!v")).drop(s"$c!v")
     }
@@ -96,7 +104,8 @@ object Profiler {
   }
 
   def profile(df: DataFrame, bins: Int = DefaultBins, topK: Int = DefaultTopK,
-              approxQuantiles: Boolean = false): TableProfile = {
+              approxQuantiles: Boolean = false,
+              withSpearman: Boolean = true): TableProfile = {
     val numCols = df.schema.fields.filter(isNumeric).map(_.name).toSeq
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
     val nRows = df.count()
@@ -221,9 +230,14 @@ object Profiler {
     val correlations = corrPairs.flatMap { case (a, b) =>
       g[Double](s"$a!corr!$b").map(r => (a, b, r))
     }
+
+    // ---- pass 5: Spearman matrix (A10's second method) ---------------
+    val spearman =
+      if (withSpearman && numCols.size >= 2) spearmanMatrix(df, numCols)
+      else Seq.empty
     TableProfile(nRows, df.columns.length, nDup, numeric, strings,
       correlations, alerts(nRows, numeric, strings, correlations),
-      df.columns.toSeq, missingPatterns, headRows, tailRows)
+      spearman, df.columns.toSeq, missingPatterns, headRows, tailRows)
   }
 
   /** A13: thresholded alert rules over the computed stats — the same

@@ -105,6 +105,34 @@ class ProfilerSpec extends AnyFunSuite {
     assert(math.abs(qp - viaQ38) < 1e-6, s"profiler $qp vs q38 $viaQ38")
   }
 
+  test("full Spearman matrix matches pandas on the reference API fixture") {
+    // pandas: df[numeric].corr(method='spearman') over
+    // api_cryptocurrency_data_final.csv (ydata's correlation tab)
+    val expected = Map(
+      ("current_price", "price_change_percentage_24h") -> 0.2790663,
+      ("current_price", "market_cap") -> 0.2489244,
+      ("current_price", "total_volume") -> -0.0677008,
+      ("current_price", "high_24h") -> 0.9975095,
+      ("current_price", "low_24h") -> 0.9974647,
+      ("price_change_percentage_24h", "market_cap") -> 0.0789679,
+      ("price_change_percentage_24h", "total_volume") -> -0.0669187,
+      ("price_change_percentage_24h", "high_24h") -> 0.2817399,
+      ("price_change_percentage_24h", "low_24h") -> 0.2729861,
+      ("market_cap", "total_volume") -> 0.5121872,
+      ("market_cap", "high_24h") -> 0.2381488,
+      ("market_cap", "low_24h") -> 0.2475975,
+      ("total_volume", "high_24h") -> -0.0789009,
+      ("total_volume", "low_24h") -> -0.0672849,
+      ("high_24h", "low_24h") -> 0.9939990)
+    val api = Profiler.profile(CryptoCsv.readApiFixture(
+      spark, "/root/reference/api_cryptocurrency_data_final.csv"))
+    assert(api.spearman.size === expected.size, "one entry per numeric pair")
+    api.spearman.foreach { case (a, b, rho) =>
+      val want = expected.getOrElse((a, b), expected((b, a)))
+      assert(math.abs(rho - want) < 1e-6, s"$a~$b: got $rho want $want")
+    }
+  }
+
   test("A11 missing patterns partition the rows; all-present pattern dominates post-fill") {
     import spark.implicits._
     val df = Seq(
@@ -130,7 +158,8 @@ class ProfilerSpec extends AnyFunSuite {
 
   test("HTML report renders all sections") {
     val html = HtmlReport.render("test report", prof)
-    Seq("Overview", "Variables", "Correlations", "current_price",
+    Seq("Overview", "Variables", "Correlations (Pearson)",
+        "Correlations (Spearman)", "current_price",
         "coin", "Duplicate rows", "Missing value patterns",
         "First rows", "Last rows", "Bitcoin").foreach { s =>
       assert(html.contains(s), s"missing section: $s")
