@@ -30,6 +30,18 @@ object JsonLines {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
+  /** Streaming read of a JSONL drop directory — same declared-schema +
+    * corrupt-capture contract as [[read]], as a file-source stream:
+    * files landing in `path` are discovered per micro-batch, each read
+    * once (exactly-once with checkpointing), lines split in parallel.
+    * This is the engine's own wire format as a live ingest edge. */
+  def readStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(StructType(schema.fields :+ StructField(CorruptCol, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
   /** Split a permissive read into (clean rows without the corrupt
     * column, corrupt raw lines). Spark requires caching the parsed
     * frame before filtering on the corrupt column alone — the raw

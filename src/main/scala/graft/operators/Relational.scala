@@ -37,8 +37,10 @@ object Relational {
         // Products of 2-decimal factors carry ≤6 decimal digits, so the
         // scale-6 cast is exact — rounding here would NOT be portable
         // (Spark casts HALF_UP; DuckDB resolves halves differently).
-        sum((price * discFactor).cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
-        sum((price * discFactor * taxFactor).cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+        // Final conversion via d2d: a scale-6 sum's unscaled value
+        // crosses 2^53 at sf1, where native decimal→double casts diverge.
+        d2d(sum((price * discFactor).cast(DecimalType(18, 6)))).as("sum_disc_price"),
+        d2d(sum((price * discFactor * taxFactor).cast(DecimalType(18, 6)))).as("sum_charge"),
         avgd(col("l_quantity")).as("avg_qty"),
         avgd(col("l_extendedprice")).as("avg_price"),
         avgd(col("l_discount")).as("avg_disc"),
@@ -50,8 +52,8 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${sumdSql("l_quantity")} AS sum_qty,
        |  ${sumdSql("l_extendedprice")} AS sum_base_price,
-       |  cast(sum(cast(cast(l_extendedprice AS decimal(18,4)) * (1 - cast(l_discount AS decimal(6,4))) AS decimal(18,6))) AS double) AS sum_disc_price,
-       |  cast(sum(cast(cast(l_extendedprice AS decimal(18,4)) * (1 - cast(l_discount AS decimal(6,4))) * (1 + cast(l_tax AS decimal(6,4))) AS decimal(18,6))) AS double) AS sum_charge,
+       |  ${d2dSql("sum(cast(cast(l_extendedprice AS decimal(18,4)) * (1 - cast(l_discount AS decimal(6,4))) AS decimal(18,6)))")} AS sum_disc_price,
+       |  ${d2dSql("sum(cast(cast(l_extendedprice AS decimal(18,4)) * (1 - cast(l_discount AS decimal(6,4))) * (1 + cast(l_tax AS decimal(6,4))) AS decimal(18,6)))")} AS sum_charge,
        |  ${avgdSql("l_quantity")} AS avg_qty,
        |  ${avgdSql("l_extendedprice")} AS avg_price,
        |  ${avgdSql("l_discount")} AS avg_disc,

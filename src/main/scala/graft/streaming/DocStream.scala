@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Streaming deduplication over a document stream — the incremental
   * form of the batch exact-dedup operator (q21): emit each distinct
@@ -77,5 +78,31 @@ object DocStream {
            sum("n_bpe_tokens").as("sum_bpe_tokens"))
       .select(col("window.start").as("win_start"), col("lang_pred"),
         col("n_docs"), col("sum_bpe_tokens"))
+  }
+
+  /** JSONL wire schema for a document drop directory. */
+  val JsonlDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("ts", LongType),
+    StructField("text", StringType)))
+
+  /** End-to-end streaming curation over the engine's OWN wire format:
+    * a JSONL drop directory ([[graft.io.JsonLines.readStream]] — files
+    * landing in `dir` are picked up per micro-batch) feeding
+    * [[curatedStream]], with the JSONL source's corrupt-line accounting
+    * preserved: returns (curated windows, corrupt lines). A malformed
+    * line never kills the ingest loop and never silently vanishes — it
+    * flows to the second stream, where a production deployment counts
+    * or dead-letters it. The corrupt branch keeps `doc_id` in its
+    * projection so the scan never references ONLY the internal corrupt
+    * column (which Spark disallows on unparsed-file sources). */
+  def curatedJsonlStream(spark: SparkSession, dir: String, qmin: Double = 0.4,
+                         watermark: String = "1 hour",
+                         window: String = "1 hour"): (DataFrame, DataFrame) = {
+    val raw = graft.io.JsonLines.readStream(spark, dir, JsonlDocSchema)
+    val clean = raw.filter(col(graft.io.JsonLines.CorruptCol).isNull)
+      .drop(graft.io.JsonLines.CorruptCol)
+    val bad = raw.filter(col(graft.io.JsonLines.CorruptCol).isNotNull)
+      .select(col("doc_id"), col(graft.io.JsonLines.CorruptCol))
+    (curatedStream(clean, qmin, watermark, window), bad)
   }
 }

@@ -17,8 +17,13 @@ class DocStreamSpec extends AnyFunSuite {
 
   private def corpus: Seq[DocStream.Doc] = {
     import spark.implicits._
+    // ts strictly AFTER epoch 0: a row whose event time equals the
+    // stream's initial watermark (epoch 0 exactly) is judged late by
+    // the stateful dedup and silently dropped — a boundary no real
+    // deployment hits (1970 event times), but one a test corpus built
+    // from doc_id*1e9 does
     Tables.load(spark, sf, "documents")
-      .selectExpr("doc_id", "doc_id * 1000000000 AS ts", "text")
+      .selectExpr("doc_id", "(doc_id + 1) * 1000000000 AS ts", "text")
       .as[DocStream.Doc].collect().sortBy(_.doc_id).toSeq
   }
 
@@ -94,6 +99,71 @@ class DocStreamSpec extends AnyFunSuite {
       assert(got === batch,
         "streamed curation must equal the batch gate+dedup+window on the same data")
     } finally q.stop()
+  }
+
+  test("JSONL drop-directory stream: curation equals batch; corrupt lines counted, never fatal") {
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory("graft_jsonl_stream")
+    val ckpt1 = Files.createTempDirectory("graft_jsonl_ck1")
+    val ckpt2 = Files.createTempDirectory("graft_jsonl_ck2")
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    def drop(name: String, lines: Seq[String]): Unit =
+      Files.writeString(dir.resolve(name), lines.mkString("\n") + "\n")
+
+    val docs = corpus
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val sentinel = DocStream.Doc(100000L, 100 * HourNs,
+      (1 to 120).map(i => s"the word$i of text").mkString(" "))
+    // two malformed lines: truncated JSON and a type-garbled record
+    val garbage = Seq("""{"doc_id": 7, "ts": """, """not json at all""")
+
+    drop("batch1.jsonl", b1.map(jline) ++ garbage.take(1))
+    val (curated, corrupt) = DocStream.curatedJsonlStream(spark, dir.toString)
+    val q1 = curated.writeStream.format("memory").queryName("jsonl_curated")
+      .option("checkpointLocation", ckpt1.toString)
+      .outputMode("append").start()
+    val q2 = corrupt.writeStream.format("memory").queryName("jsonl_corrupt")
+      .option("checkpointLocation", ckpt2.toString)
+      .outputMode("append").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      // second file lands later: incremental pickup + watermark advance
+      drop("batch2.jsonl", b2.map(jline) ++ garbage.drop(1) :+ jline(sentinel))
+      q1.processAllAvailable(); q2.processAllAvailable()
+
+      val got = spark.sql(
+        "SELECT win_start, lang_pred, n_docs, sum_bpe_tokens FROM jsonl_curated")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      // batch equivalent over the SAME clean rows
+      import spark.implicits._
+      val batch = graft.operators.LangQuality.withLangQuality(docs.toDF())
+        .withColumn("n_bpe_tokens", graft.operators.LangQuality.bpeTokens)
+        .filter(org.apache.spark.sql.functions.col("quality") >= 0.4)
+        .selectExpr("timestamp_micros(ts div 1000) AS ts_utc",
+          "lang_pred", "n_bpe_tokens", "md5(text) AS text_md5")
+        .dropDuplicates("text_md5")
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts_utc"), "1 hour"),
+          org.apache.spark.sql.functions.col("lang_pred"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum("n_bpe_tokens").as("sum_bpe_tokens"))
+        .selectExpr("window.start AS win_start", "lang_pred", "n_docs", "sum_bpe_tokens")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(got.nonEmpty)
+      assert(got === batch,
+        "file-source JSONL curation must equal the batch pipeline on the same rows")
+
+      // corrupt accounting: both garbage lines surfaced, data columns null
+      val bad = spark.sql(s"SELECT * FROM jsonl_corrupt").collect()
+      assert(bad.length === garbage.length)
+      assert(bad.forall(_.isNullAt(0)), "corrupt rows must not parse a doc_id")
+      assert(bad.map(_.getString(1).trim).toSet === garbage.map(_.trim).toSet,
+        "every malformed raw line must be captured verbatim")
+    } finally { q1.stop(); q2.stop() }
   }
 
   test("watermark-bounded dedup: suppresses within horizon, re-admits after eviction") {
