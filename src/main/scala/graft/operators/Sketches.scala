@@ -99,7 +99,15 @@ object Sketches {
     * IDENTICAL subset. Exact full-data quantiles ride along so the
     * result exhibits its own estimation error. At scale the single
     * exact-percentile reducer sees N/rate rows — the knob that makes
-    * exact interpolation affordable. */
+    * exact interpolation affordable.
+    *
+    * The exact ride-along's own scale story is the canonical session's
+    * [[graft.catalyst.ApproxAboveThreshold]] valve (on by default since
+    * round 4): above the size threshold the unconditional full-data
+    * `percentile` — the one remaining single-reducer funnel here —
+    * rewrites to the mergeable approx sketch (array form included;
+    * pinned by CatalystExtensionsSpec), while every at-threshold-or-below
+    * run, including the oracle gates, stays exact. */
   val SampleRate = 20
 
   def q59SampledQuantiles(lineitem: DataFrame): DataFrame = {

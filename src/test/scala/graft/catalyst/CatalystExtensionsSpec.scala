@@ -158,6 +158,21 @@ class CatalystExtensionsSpec extends AnyFunSuite {
     assert(!small.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
   }
 
+  test("the valve also rewrites q59's array-form exact ride-along percentile") {
+    // q59's unconditional exact percentile(col, array(...)) is the one
+    // single-reducer funnel it keeps at scale — the default session's
+    // rule must cover the ARRAY probe form, not just scalar percentiles
+    base.conf.set(ApproxAboveThreshold.ThresholdKey, "1")
+    try {
+      val df = graft.operators.Sketches.q59SampledQuantiles(
+        graft.io.Tables.load(base, "/root/testdata/sf0.001", "lineitem"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("percentile_approx"), plan)
+      assert(!plan.contains("percentile(") || plan.contains("percentile_approx"),
+        "exact percentile must be rewritten above threshold")
+    } finally base.conf.unset(ApproxAboveThreshold.ThresholdKey)
+  }
+
   test("percentile rewrites to approx above the size threshold, not below") {
     ext.conf.set(ApproxAboveThreshold.ThresholdKey, "1") // everything is big
     val big = ext.sql(
