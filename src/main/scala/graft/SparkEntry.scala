@@ -72,6 +72,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q63_best_per_lang:   per-language top-k documents by quality
   *  - q64_winnow_pairs:    winnowing-overlap candidate pairs (MOSS-style)
   *  - q65_mad_outliers:    robust per-group MAD outlier census
+  *  - q66_decontaminate:   train/benchmark n-gram contamination census
+  *  - q67_seq_pack:        global sequence packing (distributed prefix sum)
+  *  - q68_quantized_recall: int8-quantized ANN recall vs float ground truth
   */
 object SparkEntry {
 
@@ -153,6 +156,9 @@ object SparkEntry {
     "q63_best_per_lang" -> t("documents")(Curate.q63BestPerLang(_)),
     "q64_winnow_pairs" -> t("documents")(Fuzzy.q64WinnowPairs(_)),
     "q65_mad_outliers" -> t("orders")(Relational2.q65MadOutliers(_)),
+    "q66_decontaminate" -> t("documents")(Contamination.q66Decontaminate(_)),
+    "q67_seq_pack" -> t("documents")(Packing.q67SequencePack(_)),
+    "q68_quantized_recall" -> t("embeddings")(VectorOps.q68QuantizedRecall(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -223,5 +229,8 @@ object SparkEntry {
     "q63_best_per_lang" -> Curate.q63Sql(),
     "q64_winnow_pairs" -> Fuzzy.q64Sql(),
     "q65_mad_outliers" -> Relational2.q65Sql(),
+    "q66_decontaminate" -> Contamination.q66Sql(),
+    "q67_seq_pack" -> Packing.q67Sql(),
+    "q68_quantized_recall" -> VectorOps.q68Sql(),
   )
 }

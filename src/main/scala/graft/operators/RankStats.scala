@@ -37,8 +37,9 @@ object RankStats {
 
   /** Order-preserving bucket id: #cuts strictly below v. Monotone in v,
     * ties share a bucket; null → bucket 0 (sorts first, as in a global
-    * orderBy). Codegen'd indicator sum — no join, no udf. */
-  private def bucketOf(v: Column, cuts: Array[Double]): Column =
+    * orderBy). Codegen'd indicator sum — no join, no udf. Shared with
+    * [[Packing]]'s token-offset prefix sum. */
+  private[operators] def bucketOf(v: Column, cuts: Array[Double]): Column =
     cuts.map(cut => when(v > lit(cut), 1).otherwise(0))
       .foldLeft(lit(0): Column)(_ + _)
 

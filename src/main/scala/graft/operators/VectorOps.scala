@@ -280,6 +280,81 @@ object VectorOps {
        |LEFT JOIN ap a2 ON a2.nprobe = 2 AND x.qid = a2.qid AND x.vec_id = a2.vec_id
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
+  /** q68: int8 quantization quality — recall@k of brute-force search
+    * over SYMMETRICALLY QUANTIZED vectors (per-vector scale =
+    * max|x|/127, the faiss/ScaNN SQ8 default) against the float ground
+    * truth on the same query set. At 100 TB the embedding column is the
+    * bandwidth bottleneck — SQ8 cuts scan bytes 4× and the integer dot
+    * product is exact arithmetic — and this query measures exactly what
+    * that buys/costs, like q62 does for IVF.
+    *
+    * Cross-engine determinism: everything is exact — vectors widen to
+    * double, the quantized codes are integers (`floor(x/s + 0.5)`, a
+    * deterministic half-up round in any engine), the int dot products
+    * (≤ 64·127² ≈ 1e6) are exact in doubles — so the oracle re-derives
+    * identical rankings; scale factors cancel out of the quantized
+    * cosine entirely. */
+  def q68QuantizedRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val qv = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .withColumn("_s",
+        greatest(array_max(expr("transform(ed, x -> abs(x))")), lit(1e-30)) / 127d)
+      .withColumn("qe", expr("transform(ed, x -> CAST(floor(x / _s + 0.5d) AS BIGINT))"))
+      .drop("_s")
+      .withColumn("nrm", sqrt(norm2(col("ed"))))
+      .withColumn("qnrm", sqrt(aggregate(zip_with(col("qe"), col("qe"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x).cast("double")))
+    val q = qv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("ed").as("qed"), col("nrm").as("qfn"),
+              col("qe").as("qqe"), col("qnrm").as("qqn"))
+    val cand = broadcast(q).join(qv, col("vec_id") =!= col("qid"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    val exact = cand
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qed"), col("ed")) / (col("qfn") * col("nrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val qdotC = aggregate(zip_with(col("qqe"), col("qe"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    val quant = cand
+      .select(col("qid"), col("vec_id"),
+        round(qdotC / (col("qqn") * col("qnrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid").as("zqid"), col("vec_id").as("zvid"))
+    exact
+      .join(quant, col("qid") === col("zqid") && col("vec_id") === col("zvid"), "left")
+      .groupBy("qid")
+      .agg(count(col("zqid")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall_q"))
+      .orderBy("qid")
+  }
+
+  def q68Sql(nQueries: Int = 8, k: Int = 5): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |qv AS (SELECT vec_id, ed,
+       |         list_transform(ed, x -> CAST(floor(
+       |           x / (greatest(list_max(list_transform(ed, y -> abs(y))), 1e-30) / 127)
+       |           + 0.5) AS BIGINT)) AS qe
+       |       FROM e),
+       |qvd AS (SELECT vec_id, ed,
+       |          list_transform(qe, x -> CAST(x AS DOUBLE)) AS qed FROM qv),
+       |q AS (SELECT vec_id AS qid, ed AS q_ed, qed AS q_qed FROM qvd
+       |      WHERE vec_id < $nQueries),
+       |exact AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, v.vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY round(list_cosine_similarity(q_ed, v.ed), 6) DESC, v.vec_id) AS rn
+       |  FROM q JOIN qvd v ON v.vec_id != q.qid) t WHERE rn <= $k),
+       |quant AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, v.vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY round(list_cosine_similarity(q_qed, v.qed), 6) DESC, v.vec_id) AS rn
+       |  FROM q JOIN qvd v ON v.vec_id != q.qid) t WHERE rn <= $k)
+       |SELECT x.qid, count(z.qid) AS n_hits,
+       |  round(cast(count(z.qid) AS DOUBLE) / $k, 6) AS recall_q
+       |FROM exact x
+       |LEFT JOIN quant z ON x.qid = z.qid AND x.vec_id = z.vec_id
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+
   /** Per-label embedding profile: count + exact-ish centroid norm stats.
     * Norms are rounded (order-independent within one vector: the fold is
     * sequential over the array, not over rows). */
