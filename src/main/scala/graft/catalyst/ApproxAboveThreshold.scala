@@ -31,11 +31,24 @@ object ApproxAboveThreshold extends Rule[LogicalPlan] {
   private def accuracy: Int =
     SQLConf.get.getConfString(AccuracyKey, "10000").toInt
 
+  private def hasExactPercentile(agg: Aggregate): Boolean =
+    agg.aggregateExpressions.exists(_.exists {
+      case AggregateExpression(p: Percentile, _, _, _, _) =>
+        p.frequencyExpression == Literal(1L)
+      case _ => false
+    })
+
+  /** Cost discipline: `child.stats` is a recursive walk of the whole
+    * subtree (uncached on freshly-rewritten nodes), so it must be the
+    * LAST predicate checked, and the rule must run ONCE per query
+    * (pre-CBO batch), never inside the operator-optimization fixpoint —
+    * an earlier fixpoint placement taxed every query in the suite
+    * 20–50% whether or not it contained a percentile. */
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val t = threshold
     if (t < 0) return plan
     plan.transform {
-      case agg: Aggregate if agg.child.stats.sizeInBytes > t =>
+      case agg: Aggregate if hasExactPercentile(agg) && agg.child.stats.sizeInBytes > t =>
         agg.transformExpressions {
           case ae @ AggregateExpression(p: Percentile, _, _, _, _)
               if p.frequencyExpression == Literal(1L) =>

@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ByteHistogramExpr(args.head, bins)
       }))
-    ext.injectOptimizerRule(_ => ApproxAboveThreshold)
+    // Pre-CBO batch: runs ONCE per query, after operator optimization.
+    // injectOptimizerRule would place it in the operator-optimization
+    // FIXPOINT (up to 100 iterations/query); combined with the stats
+    // walk the rule needs, that taxed the whole suite ~17%.
+    ext.injectPreCBORule(_ => ApproxAboveThreshold)
   }
 }
