@@ -48,13 +48,18 @@ object Contamination {
     val isBench = pmod(col("doc_id"), lit(benchMod.toLong)) === benchRem
     val bench = grams.filter(isBench).select(col("h"), col("doc_id").as("bench_id"))
     val train = grams.filter(!isBench)
-    val gramCounts = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    // One scan of the training corpus: LEFT-join the broadcast bench set
+    // (a hit gram fans out per matching bench doc; countDistinct absorbs
+    // the fan-out) and fold total-gram + hit accounting into the same
+    // per-doc aggregation — tokenizing 100 TB of text twice would double
+    // the query's dominant cost for no information.
     train
-      .join(broadcast(bench), "h")
+      .join(broadcast(bench), Seq("h"), "left")
       .groupBy("doc_id")
-      .agg(countDistinct("h").as("n_hit_grams"),
+      .agg(countDistinct("h").as("n_grams"),
+           countDistinct(when(col("bench_id").isNotNull, col("h"))).as("n_hit_grams"),
            countDistinct("bench_id").as("n_bench_docs"))
-      .join(gramCounts, "doc_id")
+      .filter(col("n_hit_grams") > 0)
       .select(col("doc_id"), col("n_grams"), col("n_hit_grams"), col("n_bench_docs"),
         round(col("n_hit_grams").cast("double") / col("n_grams"), 6)
           .as("contamination"))
