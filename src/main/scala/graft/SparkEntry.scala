@@ -75,6 +75,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q66_decontaminate:   train/benchmark n-gram contamination census
   *  - q67_seq_pack:        global sequence packing (distributed prefix sum)
   *  - q68_quantized_recall: int8-quantized ANN recall vs float ground truth
+  *  - q69_domain_mix:      domain-mixture token-budget allocation
+  *  - q70_manifest:        bucketed XOR content manifest (corpus versioning)
   */
 object SparkEntry {
 
@@ -159,6 +161,8 @@ object SparkEntry {
     "q66_decontaminate" -> t("documents")(Contamination.q66Decontaminate(_)),
     "q67_seq_pack" -> t("documents")(Packing.q67SequencePack(_)),
     "q68_quantized_recall" -> t("embeddings")(VectorOps.q68QuantizedRecall(_)),
+    "q69_domain_mix" -> t("documents")(Curate.q69DomainMix(_)),
+    "q70_manifest" -> t("documents")(Provenance.q70Manifest(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -232,5 +236,7 @@ object SparkEntry {
     "q66_decontaminate" -> Contamination.q66Sql(),
     "q67_seq_pack" -> Packing.q67Sql(),
     "q68_quantized_recall" -> VectorOps.q68Sql(),
+    "q69_domain_mix" -> Curate.q69Sql(),
+    "q70_manifest" -> Provenance.q70Sql(),
   )
 }

@@ -184,4 +184,46 @@ object Curate {
        |WHERE quality >= $qmin AND doc_id NOT IN (SELECT doc_id FROM losers)
        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
   }
+
+  /** q69: domain-mixture token-budget allocation — the planning step
+    * that precedes any reweighted pre-training run (Pile/DoReMi-style):
+    * given per-domain (here: language) token inventories and a total
+    * token budget (`budgetFrac` of the corpus), compute each domain's
+    * sampling rate toward a UNIFORM target mixture. One-shot
+    * proportional allocation with a rate cap at 1.0 — a domain smaller
+    * than its target share keeps everything (the leftover is reported,
+    * not silently re-spread: waterfilling is a policy choice this
+    * operator leaves to the caller).
+    *
+    * Scale shape: one narrow token-count scan → groupBy(lang) (domains
+    * are few) → broadcast of a 1-row totals aggregate. Nothing else.
+    * The emitted `rate` drives the same deterministic hash filter as
+    * q58, so the plan is directly executable. */
+  def q69DomainMix(documents: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
+    val perLang = documents
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("lang_tokens"))
+    val totals = perLang.agg(
+      sum("lang_tokens").as("total_tokens"), count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
+      .withColumn("rate", round(least(lit(1.0),
+        col("total_tokens") * budgetFrac / col("n_langs") / col("lang_tokens")), 6))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("rate"),
+        floor(col("rate") * col("lang_tokens")).cast("long").as("alloc_tokens"))
+      .orderBy("lang")
+  }
+
+  def q69Sql(budgetFrac: Double = 0.5): String =
+    s"""WITH pl AS (SELECT lang, count(*) AS n_docs,
+       |              sum(len(regexp_split_to_array(text, ' '))) AS lang_tokens
+       |            FROM documents GROUP BY lang),
+       |t AS (SELECT sum(lang_tokens) AS total_tokens, count(*) AS n_langs FROM pl)
+       |SELECT lang, n_docs, CAST(lang_tokens AS BIGINT) AS lang_tokens,
+       |  round(least(1.0,
+       |    CAST(total_tokens AS DOUBLE) * $budgetFrac / n_langs / lang_tokens), 6) AS rate,
+       |  CAST(floor(round(least(1.0,
+       |    CAST(total_tokens AS DOUBLE) * $budgetFrac / n_langs / lang_tokens), 6)
+       |    * lang_tokens) AS BIGINT) AS alloc_tokens
+       |FROM pl, t ORDER BY lang""".stripMargin
 }

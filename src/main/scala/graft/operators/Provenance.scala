@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus manifests — the data-versioning primitive a 100 TB pipeline
+  * needs before anything else: a compact, deterministic fingerprint of
+  * corpus content that two snapshots (or two clusters, or engine
+  * versions) can compare WITHOUT moving the corpus. Beyond-reference
+  * scope (SURVEY §7.5), same role as parquet column statistics but
+  * content-addressed.
+  *
+  * Shape: per id-bucket, a row-order-independent XOR of per-row content
+  * hashes plus count/min/max/bytes. XOR is commutative (no sort, no
+  * window), overflow-free (unlike a 60-bit hash SUM, which would wrap
+  * differently in engines with 128-bit accumulators), and mergeable —
+  * partial manifests from independent file groups combine by XOR, so
+  * incremental re-manifest of an appended corpus touches only new
+  * files. A changed/dropped/duplicated row flips its bucket's
+  * signature; count+bytes catch the pair-cancellation blind spot
+  * (XOR of an even number of identical rows).
+  *
+  * Scale: one narrow map pass + a `buckets`-row aggregate; the manifest
+  * is O(buckets) however big the corpus is.
+  */
+object Provenance {
+
+  /** q70: bucketed content manifest of the documents table. */
+  def q70Manifest(documents: DataFrame, buckets: Int = 64): DataFrame =
+    documents
+      .select(
+        pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+        col("doc_id"),
+        conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        col("n_chars"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("content_sig"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("bucket")
+
+  def q70Sql(buckets: Int = 64): String =
+    s"""WITH h AS (SELECT doc_id % $buckets AS bucket, doc_id,
+       |             CAST(concat('0x', substr(md5(concat_ws('|', doc_id, text)), 1, 15))
+       |               AS BIGINT) AS h,
+       |             n_chars
+       |           FROM documents)
+       |SELECT bucket, count(*) AS n_docs, bit_xor(h) AS content_sig,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
+}

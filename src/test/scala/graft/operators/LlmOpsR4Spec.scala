@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-4 LLM-pipeline operators: decontamination (q66), global
-  * sequence packing (q67), int8-quantized recall (q68). */
+  * sequence packing (q67), int8-quantized recall (q68), domain-mixture
+  * allocation (q69), corpus manifest (q70). */
 class LlmOpsR4Spec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
@@ -96,5 +97,60 @@ class LlmOpsR4Spec extends AnyFunSuite {
     // int8 on 64-dim unit-ish vectors: average recall should be high
     val mean = a.map(_.getDouble(2)).sum / a.length
     assert(mean >= 0.6, s"mean quantized recall $mean suspiciously low")
+  }
+
+  // ---- q69 domain mixture -----------------------------------------
+
+  test("q69 caps oversized domains and keeps undersized ones whole") {
+    import spark.implicits._
+    // big: 10 docs x 100 tokens = 1000; tiny: 1 doc x 10 tokens.
+    // budget = 0.5 * 1010 = 505; uniform target = 252.5 per lang.
+    val big = (1 to 10).map(i => (i.toLong, Seq.fill(100)("w").mkString(" "), "en"))
+    val tiny = Seq((11L, Seq.fill(10)("w").mkString(" "), "de"))
+    val docs = (big ++ tiny).toDF("doc_id", "text", "lang")
+    val out = Curate.q69DomainMix(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("de").getDouble(3) === 1.0 && out("de").getLong(4) === 10L)
+    assert(out("en").getDouble(3) === 0.2525)
+    assert(out("en").getLong(4) === 252L) // floor(0.2525 * 1000)
+  }
+
+  test("q69 on testdata: rates in (0, 1], alloc bounded by inventory") {
+    val rows = Curate.q69DomainMix(Tables.load(spark, sf, "documents")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getLong(4) <= r.getLong(2), "alloc exceeds inventory")
+    }
+  }
+
+  // ---- q70 corpus manifest ----------------------------------------
+
+  test("q70 manifest is row-order and partitioning invariant") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = Provenance.q70Manifest(docs).collect().toSeq
+    val b = Provenance.q70Manifest(
+      docs.repartition(7).sortWithinPartitions(col("n_chars"))).collect().toSeq
+    assert(a === b)
+    assert(a.map(_.getLong(0)).distinct.size === a.size)
+  }
+
+  test("q70 flips exactly the edited row's bucket signature") {
+    val docs = Tables.load(spark, sf, "documents")
+    val base = Provenance.q70Manifest(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 5L, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+    val after = Provenance.q70Manifest(edited).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(base.keySet === after.keySet)
+    base.keySet.foreach { bkt =>
+      if (bkt == 5L % 64) {
+        assert(base(bkt)._1 === after(bkt)._1, "count must not change")
+        assert(base(bkt)._2 !== after(bkt)._2, "signature must flip")
+      } else assert(base(bkt) === after(bkt), s"untouched bucket $bkt changed")
+    }
   }
 }
