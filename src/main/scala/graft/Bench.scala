@@ -34,7 +34,13 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // Optional comma-separated filter (SPARK_GRAFT_QUERIES) for
+    // targeted runs — e.g. timing only new queries at a rehearsal sf
+    // without repeating the full suite. Driver runs leave it unset.
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filter.forall(_.contains(n)))
     // warmup pass (untimed)
     names.foreach { name =>
       try run(SparkEntry.queries(name)) catch { case _: Throwable => () }
