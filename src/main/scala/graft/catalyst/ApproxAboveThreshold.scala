@@ -1,6 +1,6 @@
 package graft.catalyst
 
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -52,8 +52,15 @@ object ApproxAboveThreshold extends Rule[LogicalPlan] {
         agg.transformExpressions {
           case ae @ AggregateExpression(p: Percentile, _, _, _, _)
               if p.frequencyExpression == Literal(1L) =>
-            ae.copy(aggregateFunction = new ApproximatePercentile(
+            // Type discipline: exact Percentile always yields DOUBLE (or
+            // ARRAY<DOUBLE>) via interpolation, but ApproximatePercentile
+            // yields the CHILD's type — on int/long columns an uncast
+            // swap would leave every downstream double-typed attribute
+            // reference stale. Cast back to the exact aggregate's type.
+            val approx = ae.copy(aggregateFunction = new ApproximatePercentile(
               p.child, p.percentageExpression, Literal(accuracy)))
+            if (approx.dataType == ae.dataType) approx
+            else Cast(approx, ae.dataType): Expression
         }
     }
   }

@@ -68,12 +68,13 @@ object Contamination {
 
   def q66Sql(n: Int = 8, benchMod: Int = 50, benchRem: Int = 7): String =
     s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+       |pos AS (SELECT doc_id, a,
+       |          unnest(generate_series(1, len(a) - ${n - 1})) AS i FROM tok),
        |ng AS (SELECT DISTINCT doc_id,
        |         cast(concat('0x', substr(md5(list_aggregate(
-       |           a[CAST(t.i AS INT):CAST(t.i AS INT) + ${n - 1}], 'string_agg', ' ')),
+       |           a[CAST(i AS INT):CAST(i AS INT) + ${n - 1}], 'string_agg', ' ')),
        |           1, 15)) AS BIGINT) AS h
-       |       FROM tok, range(1, 201) t(i)
-       |       WHERE CAST(t.i AS INT) + ${n - 1} <= len(a)),
+       |       FROM pos),
        |bench AS (SELECT h, doc_id AS bench_id FROM ng WHERE doc_id % $benchMod = $benchRem),
        |train AS (SELECT doc_id, h FROM ng WHERE doc_id % $benchMod <> $benchRem),
        |cnt AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id)

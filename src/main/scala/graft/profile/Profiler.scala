@@ -79,10 +79,16 @@ object Profiler {
     * all rank columns. Cost: one value-join per column + one aggregate
     * scan; every join key table is bounded by column cardinality. */
   def spearmanMatrix(df: DataFrame, cols: Seq[String]): Seq[(String, String, Double)] = {
+    // Listwise semantics for real: rank AFTER dropping rows with a null
+    // in any profiled column (= pandas df[cols].dropna().corr("spearman")).
+    // Ranking the full per-column population first would hand tie-averaged
+    // ranks to rows that later drop out, skewing the surviving ranks when
+    // nulls are staggered across columns.
+    val base = df.select(cols.map(col): _*).na.drop(cols)
     // ONE shared prefix plan for every column (one sketch job + one
     // totals scan), not a pair of barrier jobs per column
-    val rankTabs = graft.operators.RankStats.rankTables(df, cols)
-    val ranked = cols.foldLeft(df.select(cols.map(col): _*)) { (acc, c) =>
+    val rankTabs = graft.operators.RankStats.rankTables(base, cols)
+    val ranked = cols.foldLeft(base) { (acc, c) =>
       val r = rankTabs(c)
         .withColumnsRenamed(Map("v" -> s"$c!v", "r" -> s"$c!rank"))
       acc.join(r, acc(c) === r(s"$c!v")).drop(s"$c!v")

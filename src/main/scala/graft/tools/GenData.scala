@@ -177,13 +177,17 @@ object GenData {
     df.coalesce(1).write.mode("overwrite")
       .option("parquet.block.size", (16 * 1024 * 1024).toString)
       .parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { s =>
+      s.filter(_.toString.endsWith(".parquet")).findFirst()
+        .orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    }
     Files.move(part, Paths.get(s"$outDir/$name.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     // clean the temp dir (part metadata markers)
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(p => Files.deleteIfExists(p))
+    scala.util.Using.resource(Files.walk(Paths.get(tmp))) { s =>
+      s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 
   def generate(spark: SparkSession, sf: Double, outDir: String): Unit = {

@@ -173,6 +173,25 @@ class CatalystExtensionsSpec extends AnyFunSuite {
     } finally base.conf.unset(ApproxAboveThreshold.ThresholdKey)
   }
 
+  test("valve preserves the exact percentile's DOUBLE output type on integral columns") {
+    // Exact Percentile interpolates → DOUBLE; ApproximatePercentile returns
+    // the CHILD type. On an int/long column the rewrite must cast back, or
+    // every downstream double-typed attribute reference is stale.
+    base.conf.set(ApproxAboveThreshold.ThresholdKey, "1")
+    try {
+      val li = "parquet.`/root/testdata/sf0.001/lineitem.parquet`"
+      val scalar = base.sql(s"SELECT percentile(l_orderkey, 0.5) AS p FROM $li")
+      assert(scalar.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
+      assert(scalar.schema.head.dataType === org.apache.spark.sql.types.DoubleType,
+        scalar.schema.treeString)
+      assert(scalar.head().getDouble(0) > 0.0) // getDouble throws if plan emits LONG
+      val arr = base.sql(s"SELECT percentile(l_orderkey, array(0.25, 0.75)) AS p FROM $li")
+      assert(arr.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
+      val got = arr.head().getSeq[Double](0)
+      assert(got.length === 2 && got(0) <= got(1))
+    } finally base.conf.unset(ApproxAboveThreshold.ThresholdKey)
+  }
+
   test("percentile rewrites to approx above the size threshold, not below") {
     ext.conf.set(ApproxAboveThreshold.ThresholdKey, "1") // everything is big
     val big = ext.sql(

@@ -133,6 +133,22 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("spearman is listwise under STAGGERED nulls: rank after drop, like pandas") {
+    // Nulls in different rows per column: ranks must be computed over the
+    // listwise-surviving rows (pandas df[cols].dropna().corr('spearman')),
+    // NOT per-column over each column's full non-null population.
+    import spark.implicits._
+    val df = Seq[(Option[Double], Option[Double])](
+      (Some(1.0), Some(5.0)), (Some(2.0), None), (None, Some(3.0)),
+      (Some(4.0), Some(1.0)), (Some(2.0), Some(2.0)), (Some(5.0), Some(4.0)),
+      (Some(2.0), Some(6.0))).toDF("x", "y")
+    // survivors: (1,5),(4,1),(2,2),(5,4),(2,6); ranks x=(1,4,2.5,5,2.5)
+    // (tie-averaged over survivors only), y=(4,1,2,3,5); Pearson = -4.5/sqrt(95)
+    val rho = Profiler.spearmanMatrix(df, Seq("x", "y")).head._3
+    val want = -4.5 / math.sqrt(95.0)
+    assert(math.abs(rho - want) < 1e-12, s"got $rho want $want")
+  }
+
   test("A11 missing patterns partition the rows; all-present pattern dominates post-fill") {
     import spark.implicits._
     val df = Seq(
