@@ -77,6 +77,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q68_quantized_recall: int8-quantized ANN recall vs float ground truth
   *  - q69_domain_mix:      domain-mixture token-budget allocation
   *  - q70_manifest:        bucketed XOR content manifest (corpus versioning)
+  *  - q71_image_decode:    REAL ImageIO PNG round trip (formula-pixel oracle)
   */
 object SparkEntry {
 
@@ -163,6 +164,7 @@ object SparkEntry {
     "q68_quantized_recall" -> t("embeddings")(VectorOps.q68QuantizedRecall(_)),
     "q69_domain_mix" -> t("documents")(Curate.q69DomainMix(_)),
     "q70_manifest" -> t("documents")(Provenance.q70Manifest(_)),
+    "q71_image_decode" -> t("documents")(graft.multimodal.Multimodal.q71ImageDecode),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -238,5 +240,6 @@ object SparkEntry {
     "q68_quantized_recall" -> VectorOps.q68Sql(),
     "q69_domain_mix" -> Curate.q69Sql(),
     "q70_manifest" -> Provenance.q70Sql(),
+    "q71_image_decode" -> graft.multimodal.Multimodal.q71Sql,
   )
 }

@@ -1,0 +1,203 @@
+package graft.multimodal
+
+import java.awt.image.{AffineTransformOp, BufferedImage}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.{IIOImage, ImageIO}
+import javax.sound.sampled.AudioSystem
+
+/** Real media codecs over JDK-builtin libraries — no external deps:
+  * `javax.imageio` (PNG/JPEG/BMP/GIF; animated GIF is the video path)
+  * and `javax.sound.sampled` (WAV/PCM). This object IS the decode seam
+  * that rounds 2–4 shipped as `StubDecoder`: kind is sniffed from magic
+  * bytes, dimensions/channels/frame counts come from the actual
+  * container headers, and pixel access does a full image decode.
+  *
+  * Everything here is per-row compute with no Spark dependency, invoked
+  * from `mapPartitions` in [[Multimodal]] so codec init (reader lookup)
+  * happens once per partition and payload bytes never leave executors.
+  */
+object Codecs {
+
+  /** ImageIO's default decode path spools through a disk-backed cache
+    * file per call — catastrophic for a 32-thread executor. In-memory
+    * streams only. (Safe to set repeatedly; executors race benignly.) */
+  ImageIO.setUseCache(false)
+
+  final case class Meta(kind: String, width: Int, height: Int,
+                        channels: Int, sampleRate: Int, nFrames: Int)
+
+  val Unknown: Meta = Meta("unknown", 0, 0, 0, 0, 1)
+
+  /** Container sniff from magic bytes (public file-format signatures). */
+  def sniff(p: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < p.length) p(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "image"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "image"
+    else if (at(0) == 'B' && at(1) == 'M') "image"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "gif"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+             at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "audio"
+    else "unknown"
+  }
+
+  /** Header-level decode: dimensions and channel count from the image
+    * reader (header parse only — no pixel decode), frame count for
+    * animated GIFs, WAV format fields from the RIFF header. Payloads
+    * that no installed codec claims come back [[Unknown]] rather than
+    * failing the partition. */
+  def decode(p: Array[Byte]): Meta = sniff(p) match {
+    case "image" | "gif" =>
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(p))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Unknown
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            val channels = {
+              val it = r.getImageTypes(0)
+              if (it.hasNext) it.next().getNumComponents else 0
+            }
+            // multi-frame GIF = the container's video stand-in
+            val kind = if (n > 1) "video" else "image"
+            Meta(kind, r.getWidth(0), r.getHeight(0), channels, 0, math.max(n, 1))
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => Unknown } finally iis.close()
+    case "audio" =>
+      try {
+        val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(p))
+        val f = aff.getFormat
+        Meta("audio", 0, 0, f.getChannels, f.getSampleRate.toInt,
+          math.max(aff.getFrameLength, 1))
+      } catch { case _: Exception => Unknown }
+    case _ => Unknown
+  }
+
+  /** Full pixel decode → (width, height, sum over all pixels of
+    * R+G+B). Channel-order independent, so it is stable across whatever
+    * BufferedImage layout the decoder picks. Lossless formats (PNG)
+    * round-trip exactly — the q71 oracle re-derives this sum from the
+    * generator formula. */
+  def pixelSum(p: Array[Byte]): Option[(Int, Int, Long)] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(p))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some((img.getWidth, img.getHeight, sum))
+    }
+  }
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic RGB test image: channel value at pixel p (row-major),
+    * channel c ∈ {R=0,G=1,B=2} is `(seed * 131 + 3p + c) mod 256`.
+    * The q71 DuckDB oracle recomputes sums over this formula, so a green
+    * row certifies a REAL PNG encode→decode round trip. */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = seed * 131L + 3L * p
+        val r = java.lang.Math.floorMod(base, 256L).toInt
+        val g = java.lang.Math.floorMod(base + 1L, 256L).toInt
+        val b = java.lang.Math.floorMod(base + 2L, 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1; p += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Deterministic 16-bit mono PCM WAV (hand-built RIFF header, parsed
+    * back by `javax.sound.sampled`). */
+  def synthWav(seed: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort((java.lang.Math.floorMod(seed * 31L + i, 65536L) - 32768L).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic animated GIF (the multi-frame/video fixture):
+    * `frames` solid-tone frames via ImageIO's GIF sequence writer. */
+  def synthGif(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val tone = java.lang.Math.floorMod(seed * 17L + f * 9L, 256L).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, (tone << 16) | (tone << 8) | tone); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Real image resize: decode → nearest-neighbor affine scale (exact,
+    * interpolation-free — deterministic across JVMs) → PNG re-encode.
+    * Returns None for payloads no codec claims (caller falls back). */
+  def resizeImage(p: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(p))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val sx = targetW.toDouble / img.getWidth
+      val sy = targetH.toDouble / img.getHeight
+      val op = new AffineTransformOp(
+        java.awt.geom.AffineTransform.getScaleInstance(sx, sy),
+        AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
+      val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+      op.filter(img, dst)
+      Some(encodePng(dst))
+    }
+  }
+}
