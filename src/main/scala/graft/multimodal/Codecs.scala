@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import java.awt.image.{AffineTransformOp, BufferedImage}
+import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.{IIOImage, ImageIO}
@@ -181,8 +181,10 @@ object Codecs {
     out.toByteArray
   }
 
-  /** Real image resize: decode → nearest-neighbor affine scale (exact,
+  /** Real image resize: decode → nearest-neighbor scale (exact,
     * interpolation-free — deterministic across JVMs) → PNG re-encode.
+    * Explicit pixel loop rather than `AffineTransformOp`, which refuses
+    * palette-indexed sources (GIF frames decode as TYPE_BYTE_INDEXED).
     * Returns None for payloads no codec claims (caller falls back). */
   def resizeImage(p: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
     val img =
@@ -190,13 +192,18 @@ object Codecs {
       catch { case _: Exception => null }
     if (img == null) None
     else {
-      val sx = targetW.toDouble / img.getWidth
-      val sy = targetH.toDouble / img.getHeight
-      val op = new AffineTransformOp(
-        java.awt.geom.AffineTransform.getScaleInstance(sx, sy),
-        AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
+      val (sw, sh) = (img.getWidth, img.getHeight)
       val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
-      op.filter(img, dst)
+      var y = 0
+      while (y < targetH) {
+        val sy = ((y.toLong * sh) / targetH).toInt
+        var x = 0
+        while (x < targetW) {
+          dst.setRGB(x, y, img.getRGB(((x.toLong * sw) / targetW).toInt, sy))
+          x += 1
+        }
+        y += 1
+      }
       Some(encodePng(dst))
     }
   }

@@ -4,10 +4,11 @@ import graft.TestSpark
 import graft.io.Tables
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal plumbing: schema contracts, determinism, partition
-  * preservation, feature shape, and payload pruning. The decode itself
-  * is the documented stub — these tests pin the Spark side that stays
-  * when a real codec replaces it. */
+/** Multimodal plumbing AND real-codec semantics: schema contracts,
+  * determinism, partition preservation, feature shape, payload pruning
+  * over the documents table (whose UTF-8 payloads sniff as
+  * kind='unknown'), plus kind-dependent behavior over synthesized real
+  * containers (PNG / animated GIF / WAV from [[Codecs]]). */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
@@ -16,6 +17,20 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val withContent = Multimodal.withPayload(docs)
   private lazy val decoded = Multimodal.decodeMeta(withContent)
 
+  /** One payload per kind the codecs claim, plus an unclaimed one. */
+  private lazy val fixtures = {
+    import spark.implicits._
+    Seq(
+      (1L, Codecs.synthPng(1L, 16, 8)),
+      (2L, Codecs.synthPng(2L, 32, 16)),
+      (3L, Codecs.synthGif(3L, 8, 8, 61)),  // video: frames 0,30,60 sampled
+      (4L, Codecs.synthGif(4L, 8, 8, 31)),  // video: frames 0,30 sampled
+      (5L, Codecs.synthWav(5L, 8000, 100)),
+      (6L, "plain text payload".getBytes("UTF-8")))
+      .toDF("doc_id", "content").repartition(2)
+  }
+  private lazy val decodedFix = Multimodal.decodeMeta(fixtures)
+
   test("payload + metadata schema contract") {
     assert(withContent.schema("content").dataType.typeName === "binary")
     val meta = decoded.schema("meta").dataType
@@ -23,7 +38,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.count() === docs.count())
   }
 
-  test("stub decode is deterministic and content-derived") {
+  test("real codecs decode correct metadata per container kind") {
+    val m = decodedFix.select("doc_id", "meta.*").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // PNG: dims + 3 channels, single frame
+    assert(m(1L).getString(1) === "image" && m(1L).getInt(2) === 16 && m(1L).getInt(3) === 8)
+    assert(m(2L).getString(1) === "image" && m(2L).getInt(2) === 32 && m(2L).getInt(3) === 16)
+    assert(m(1L).getInt(4) === 3 && m(1L).getInt(6) === 1)
+    // animated GIF: kind=video with the true frame count
+    assert(m(3L).getString(1) === "video" && m(3L).getInt(6) === 61)
+    assert(m(4L).getString(1) === "video" && m(4L).getInt(6) === 31)
+    // WAV: mono PCM header fields
+    assert(m(5L).getString(1) === "audio" && m(5L).getInt(4) === 1)
+    assert(m(5L).getInt(5) === 8000 && m(5L).getInt(6) === 100)
+    // unclaimed payload: kind=unknown, true n_bytes, no failure
+    assert(m(6L).getString(1) === "unknown")
+    assert(m(6L).getLong(7) === "plain text payload".getBytes("UTF-8").length.toLong)
+  }
+
+  test("decode is deterministic and content-derived") {
     val a = decoded.select("doc_id", "meta").collect().sortBy(_.getLong(0))
     val b = Multimodal.decodeMeta(withContent)
       .select("doc_id", "meta").collect().sortBy(_.getLong(0))
@@ -51,38 +84,55 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("frame sampling: every-30th index, bounded by n_frames") {
-    val rows = Multimodal.sampleFrames(decoded)
-      .filter("meta.kind = 'video'")
+    val sampled = Multimodal.sampleFrames(decodedFix)
+    val video = sampled.filter("meta.kind = 'video'")
       .select("meta.n_frames", "sampled_frames").collect()
-    assert(rows.nonEmpty, "stub should yield some video rows")
-    rows.foreach { r =>
+    assert(video.length === 2, "both animated GIFs must decode as video")
+    video.foreach { r =>
       val n = r.getInt(0)
       val s = r.getSeq[Int](1)
       assert(s.head === 0 && s.last <= n - 1)
       assert(s.zip(s.tail).forall { case (a, b) => b - a === 30 })
     }
+    // 61 frames → 0,30,60; 31 frames → 0,30
+    assert(video.map(_.getSeq[Int](1).length).sorted === Seq(2, 3))
+    // non-video rows get the degenerate single-frame list
+    sampled.filter("meta.kind <> 'video'").select("sampled_frames").collect()
+      .foreach(r => assert(r.getSeq[Int](0) === Seq(0)))
   }
 
-  test("resize: meta rewritten to target dims, payload scaled by pixel ratio") {
-    val resized = Multimodal.resize(decoded, targetW = 64, targetH = 32)
-    assert(resized.schema === decoded.schema, "resize must preserve the schema contract")
+  test("resize: real decode→scale→re-encode for images, byte-resample fallback otherwise") {
+    val resized = Multimodal.resize(decodedFix, targetW = 64, targetH = 32)
+    assert(resized.schema === decodedFix.schema, "resize must preserve the schema contract")
     val rows = resized
-      .select("doc_id", "meta.width", "meta.height", "meta.n_bytes", "content").collect()
-    val orig = decoded
+      .select("doc_id", "meta.kind", "meta.width", "meta.height", "meta.n_bytes", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val orig = decodedFix
       .select("doc_id", "meta.width", "meta.height", "content").collect()
       .map(r => r.getLong(0) -> r).toMap
-    rows.foreach { r =>
-      assert(r.getInt(1) === 64 && r.getInt(2) === 32)
-      val o = orig(r.getLong(0))
-      val ratio = (64L * 32).toDouble / (o.getInt(1).toLong * o.getInt(2))
+    rows.values.foreach(r => assert(r.getInt(2) === 64 && r.getInt(3) === 32))
+    // image/gif payloads take the REAL path: output decodes as a 64x32 PNG
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      val decodedBack = Codecs.pixelSum(rows(id).getAs[Array[Byte]](5))
+      assert(decodedBack.isDefined, s"doc $id: resized payload must decode")
+      val (w, h, _) = decodedBack.get
+      assert(w === 64 && h === 32)
+      assert(rows(id).getLong(4) === rows(id).getAs[Array[Byte]](5).length.toLong)
+    }
+    // unclaimed payloads: even byte-resample scaled by the pixel ratio,
+    // with the engine's max(w*h, 1) zero-dims guard mirrored here
+    Seq(5L, 6L).foreach { id =>
+      val o = orig(id)
+      val ratio = (64L * 32).toDouble / math.max(o.getInt(1).toLong * o.getInt(2), 1L)
       val expectLen = math.max((o.getAs[Array[Byte]](3).length * ratio).toInt, 1)
-      assert(r.getLong(3) === expectLen.toLong)
-      assert(r.getAs[Array[Byte]](4).length === expectLen)
+      assert(rows(id).getLong(4) === expectLen.toLong)
+      assert(rows(id).getAs[Array[Byte]](5).length === expectLen)
     }
     // deterministic: same input → same bytes
-    val again = Multimodal.resize(decoded, 64, 32)
-      .select("doc_id", "content").collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
-    rows.foreach(r => assert(again(r.getLong(0)) === r.getAs[Array[Byte]](4).toSeq))
+    val again = Multimodal.resize(decodedFix, 64, 32)
+      .select("doc_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    rows.values.foreach(r => assert(again(r.getLong(0)) === r.getAs[Array[Byte]](5).toSeq))
   }
 
   test("metadata summary partitions rows by kind") {
