@@ -68,7 +68,14 @@ object Bench {
       "\"" + k + "\":" + s
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs,"spread":$spread}""")
+    // stdout: the driver-contract line, kept lean (no spread dict) so a
+    // tail-truncating log capture still gets parseable JSON; the full
+    // artifact including per-run spreads goes to BENCH.json alongside.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs}"""
+    println(line)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs,"spread":$spread}"""
+    val pw = new java.io.PrintWriter("BENCH.json")
+    try pw.println(full) finally pw.close()
     spark.stop()
   }
 }
