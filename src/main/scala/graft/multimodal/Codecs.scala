@@ -181,30 +181,78 @@ object Codecs {
     out.toByteArray
   }
 
-  /** Real image resize: decode → nearest-neighbor scale (exact,
-    * interpolation-free — deterministic across JVMs) → PNG re-encode.
-    * Explicit pixel loop rather than `AffineTransformOp`, which refuses
-    * palette-indexed sources (GIF frames decode as TYPE_BYTE_INDEXED).
-    * Returns None for payloads no codec claims (caller falls back). */
+  /** Nearest-neighbor scale (exact, interpolation-free — deterministic
+    * across JVMs). Explicit pixel loop rather than `AffineTransformOp`,
+    * which refuses palette-indexed sources (GIF frames decode as
+    * TYPE_BYTE_INDEXED). */
+  private def scaleNN(img: BufferedImage, targetW: Int, targetH: Int): BufferedImage = {
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < targetH) {
+      val sy = ((y.toLong * sh) / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        dst.setRGB(x, y, img.getRGB(((x.toLong * sw) / targetW).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    dst
+  }
+
+  /** Real image resize: decode → [[scaleNN]] → PNG re-encode. For
+    * multi-frame inputs (animated GIF) this takes frame 0 only — the
+    * output is honestly a single-frame image; use [[resizeFrames]] to
+    * keep every frame. Returns None for payloads no codec claims
+    * (caller passes the payload through unchanged). */
   def resizeImage(p: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
     val img =
       try ImageIO.read(new ByteArrayInputStream(p))
       catch { case _: Exception => null }
     if (img == null) None
-    else {
-      val (sw, sh) = (img.getWidth, img.getHeight)
-      val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < targetH) {
-        val sy = ((y.toLong * sh) / targetH).toInt
-        var x = 0
-        while (x < targetW) {
-          dst.setRGB(x, y, img.getRGB(((x.toLong * sw) / targetW).toInt, sy))
-          x += 1
-        }
-        y += 1
+    else Some(encodePng(scaleNN(img, targetW, targetH)))
+  }
+
+  /** Frame-complete resize: every frame of a multi-frame container is
+    * [[scaleNN]]-scaled and the result re-encoded as an animated GIF of
+    * the same frame count (single-frame inputs re-encode as PNG, frame
+    * count 1). Assumes full-raster frames, which is what [[synthGif]]
+    * and any frame-sampled pipeline output produce; GIF delta-frames
+    * with offsets would resize per-raster, not per-composite — a
+    * documented limit of the JDK-only codec set. Returns the bytes and
+    * the output frame count; None when no codec claims the payload. */
+  def resizeFrames(p: Array[Byte], targetW: Int, targetH: Int): Option[(Array[Byte], Int)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(p))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          if (n <= 1) Some((encodePng(scaleNN(r.read(0), targetW, targetH)), 1))
+          else {
+            val out = new ByteArrayOutputStream()
+            val ios = ImageIO.createImageOutputStream(out)
+            val writer = ImageIO.getImageWritersByFormatName("gif").next()
+            try {
+              writer.setOutput(ios)
+              writer.prepareWriteSequence(null)
+              var f = 0
+              while (f < n) {
+                writer.writeToSequence(
+                  new IIOImage(scaleNN(r.read(f), targetW, targetH), null, null),
+                  writer.getDefaultWriteParam)
+                f += 1
+              }
+              writer.endWriteSequence()
+            } finally { writer.dispose(); ios.close() }
+            Some((out.toByteArray, n))
+          }
+        } finally r.dispose()
       }
-      Some(encodePng(dst))
-    }
+    } catch { case _: Exception => None } finally iis.close()
   }
 }

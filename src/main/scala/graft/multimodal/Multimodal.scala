@@ -71,14 +71,19 @@ object Multimodal {
     df.withColumn("features",
       graft.catalyst.native.byteHistogram(col(contentCol), bins))
 
-  /** Resize: payload→payload partition-wise transform. Image payloads
-    * take the REAL path — decode, nearest-neighbor scale, PNG re-encode
-    * ([[Codecs.resizeImage]]) — and the metadata struct is rewritten
-    * from the actual output. Payloads no codec claims keep the even
-    * byte-resample fallback (opaque bytes stay proportional to the
-    * pixel-count ratio) so mixed corpora never fail mid-partition.
-    * Shape contract: binary in → binary out, meta rewritten, partition
-    * preserving, payload never leaves the executor. */
+  /** Resize: payload→payload partition-wise transform. Payloads a codec
+    * claims take the REAL path — decode, nearest-neighbor scale, PNG
+    * re-encode ([[Codecs.resizeImage]]) — and the metadata struct is
+    * rewritten to describe the ACTUAL output: a single-frame RGB PNG,
+    * so `kind='image'`, `n_frames=1` even when the input was a
+    * multi-frame GIF (use [[resizeFrames]] to keep every frame).
+    * Payloads no codec claims (text, audio, corrupt bytes) pass through
+    * UNCHANGED — bytes and meta both — so mixed corpora never fail and
+    * never inflate: the pre-r7 byte-resample fallback scaled opaque
+    * payloads by targetW·targetH / (0·0 → 1), a ~1e6× memory blow-up
+    * on any non-image row. Shape contract: binary in → binary out,
+    * meta always describes the bytes, partition preserving, payload
+    * never leaves the executor. */
   def resize(df: DataFrame, targetW: Int, targetH: Int,
              contentCol: String = "content"): DataFrame = {
     val spark = df.sparkSession
@@ -88,24 +93,44 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](cIdx)
-        val meta = r.getStruct(mIdx)
-        val (out, channels) = Codecs.resizeImage(payload, targetW, targetH) match {
-          case Some(png) => (png, 3)
-          case None => // opaque fallback: even byte-resample by pixel ratio
-            val (w, h) = (meta.getInt(1), meta.getInt(2))
-            val ratio = (targetW.toLong * targetH).toDouble / math.max(w.toLong * h, 1L)
-            val outLen = math.max((payload.length * ratio).toInt, 1)
-            val o = new Array[Byte](outLen)
-            var i = 0
-            while (i < outLen) {
-              o(i) = payload(((i.toLong * payload.length) / outLen).toInt)
-              i += 1
-            }
-            (o, meta.getInt(3))
+        Codecs.resizeImage(payload, targetW, targetH) match {
+          case Some(png) =>
+            val meta = r.getStruct(mIdx)
+            val newMeta = Row("image", targetW, targetH, 3,
+              meta.getInt(4), 1, png.length.toLong)
+            Row.fromSeq(r.toSeq.updated(cIdx, png).updated(mIdx, newMeta))
+          case None => r // unclaimed payload: pass through, meta still true
         }
-        val newMeta = Row(meta.getString(0), targetW, targetH, channels,
-          meta.getInt(4), meta.getInt(5), out.length.toLong)
-        Row.fromSeq(r.toSeq.updated(cIdx, out).updated(mIdx, newMeta))
+      }
+    }
+    spark.createDataFrame(rdd, inSchema)
+  }
+
+  /** Frame-complete resize: multi-frame payloads (animated GIF — the
+    * video stand-in) have EVERY frame scaled and re-encoded as an
+    * animated GIF with the same frame count, so `kind='video'` and
+    * `n_frames` stay truthful; single-frame images re-encode as PNG
+    * with `kind='image'`. Unclaimed payloads pass through unchanged,
+    * same as [[resize]]. Same shape contract: partition preserving,
+    * payloads stay on executors. */
+  def resizeFrames(df: DataFrame, targetW: Int, targetH: Int,
+                   contentCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val cIdx = inSchema.fieldIndex(contentCol)
+    val mIdx = inSchema.fieldIndex("meta")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](cIdx)
+        Codecs.resizeFrames(payload, targetW, targetH) match {
+          case Some((out, nFrames)) =>
+            val meta = r.getStruct(mIdx)
+            val kind = if (nFrames > 1) "video" else "image"
+            val newMeta = Row(kind, targetW, targetH, 3,
+              meta.getInt(4), nFrames, out.length.toLong)
+            Row.fromSeq(r.toSeq.updated(cIdx, out).updated(mIdx, newMeta))
+          case None => r
+        }
       }
     }
     spark.createDataFrame(rdd, inSchema)

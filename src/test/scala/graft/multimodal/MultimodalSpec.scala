@@ -101,38 +101,74 @@ class MultimodalSpec extends AnyFunSuite {
       .foreach(r => assert(r.getSeq[Int](0) === Seq(0)))
   }
 
-  test("resize: real decode→scale→re-encode for images, byte-resample fallback otherwise") {
+  test("resize: real decode→scale→re-encode for images, pass-through otherwise") {
     val resized = Multimodal.resize(decodedFix, targetW = 64, targetH = 32)
     assert(resized.schema === decodedFix.schema, "resize must preserve the schema contract")
     val rows = resized
-      .select("doc_id", "meta.kind", "meta.width", "meta.height", "meta.n_bytes", "content")
+      .select("doc_id", "meta.kind", "meta.width", "meta.height", "meta.n_bytes",
+        "content", "meta.n_frames")
       .collect().map(r => r.getLong(0) -> r).toMap
-    val orig = decodedFix
-      .select("doc_id", "meta.width", "meta.height", "content").collect()
+    val orig = decodedFix.select("doc_id", "meta", "content").collect()
       .map(r => r.getLong(0) -> r).toMap
-    rows.values.foreach(r => assert(r.getInt(2) === 64 && r.getInt(3) === 32))
-    // image/gif payloads take the REAL path: output decodes as a 64x32 PNG
+    // image/gif payloads take the REAL path: output decodes as a 64x32 PNG,
+    // and the meta honestly describes it — kind='image', n_frames=1 even for
+    // the animated GIFs (frame 0 only; resizeFrames keeps every frame)
     Seq(1L, 2L, 3L, 4L).foreach { id =>
-      val decodedBack = Codecs.pixelSum(rows(id).getAs[Array[Byte]](5))
+      val r = rows(id)
+      assert(r.getString(1) === "image" && r.getInt(2) === 64 && r.getInt(3) === 32)
+      assert(r.getInt(6) === 1, s"doc $id: single-frame PNG must say n_frames=1")
+      val decodedBack = Codecs.pixelSum(r.getAs[Array[Byte]](5))
       assert(decodedBack.isDefined, s"doc $id: resized payload must decode")
       val (w, h, _) = decodedBack.get
       assert(w === 64 && h === 32)
-      assert(rows(id).getLong(4) === rows(id).getAs[Array[Byte]](5).length.toLong)
+      assert(r.getLong(4) === r.getAs[Array[Byte]](5).length.toLong)
     }
-    // unclaimed payloads: even byte-resample scaled by the pixel ratio,
-    // with the engine's max(w*h, 1) zero-dims guard mirrored here
+    // unclaimed payloads (WAV, text) pass through BYTE-IDENTICAL with meta
+    // untouched — no byte-resample blow-up on non-image corpora
     Seq(5L, 6L).foreach { id =>
       val o = orig(id)
-      val ratio = (64L * 32).toDouble / math.max(o.getInt(1).toLong * o.getInt(2), 1L)
-      val expectLen = math.max((o.getAs[Array[Byte]](3).length * ratio).toInt, 1)
-      assert(rows(id).getLong(4) === expectLen.toLong)
-      assert(rows(id).getAs[Array[Byte]](5).length === expectLen)
+      assert(rows(id).getAs[Array[Byte]](5).toSeq === o.getAs[Array[Byte]](2).toSeq,
+        s"doc $id: unclaimed payload must survive resize byte-identical")
+      assert(resized.filter(s"doc_id = $id").select("meta").head().getStruct(0)
+        === o.getStruct(1), s"doc $id: meta must be untouched on pass-through")
     }
     // deterministic: same input → same bytes
     val again = Multimodal.resize(decodedFix, 64, 32)
       .select("doc_id", "content").collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     rows.values.foreach(r => assert(again(r.getLong(0)) === r.getAs[Array[Byte]](5).toSeq))
+  }
+
+  test("resizeFrames: every GIF frame resized, kind/n_frames preserved") {
+    val resized = Multimodal.resizeFrames(decodedFix, targetW = 16, targetH = 16)
+    assert(resized.schema === decodedFix.schema)
+    val rows = resized
+      .select("doc_id", "meta.kind", "meta.width", "meta.height", "meta.n_frames",
+        "content", "meta.n_bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // animated GIFs stay video with the SAME frame count, re-decodable
+    Seq(3L -> 61, 4L -> 31).foreach { case (id, nf) =>
+      val r = rows(id)
+      assert(r.getString(1) === "video" && r.getInt(4) === nf,
+        s"doc $id: frame-complete resize must keep kind=video/n_frames=$nf")
+      val back = Codecs.decode(r.getAs[Array[Byte]](5))
+      assert(back.kind === "video" && back.nFrames === nf)
+      assert(back.width === 16 && back.height === 16)
+      assert(r.getLong(6) === r.getAs[Array[Byte]](5).length.toLong)
+    }
+    // single-frame images become 16x16 PNGs, kind=image/n_frames=1
+    Seq(1L, 2L).foreach { id =>
+      val r = rows(id)
+      assert(r.getString(1) === "image" && r.getInt(4) === 1)
+      val (w, h, _) = Codecs.pixelSum(r.getAs[Array[Byte]](5)).get
+      assert(w === 16 && h === 16)
+    }
+    // unclaimed payloads pass through byte-identical
+    val orig = decodedFix.select("doc_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    Seq(5L, 6L).foreach { id =>
+      assert(rows(id).getAs[Array[Byte]](5).toSeq === orig(id))
+    }
   }
 
   test("metadata summary partitions rows by kind") {
