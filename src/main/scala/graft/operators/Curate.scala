@@ -165,9 +165,7 @@ object Curate {
   def q40Sql(qmin: Double = 0.4, jaccard: Double = 0.2,
              maxDf: Int = TextOps.DefaultMaxDf): String = {
     s"""WITH $featsSqlCtes,
-       |sh AS (SELECT DISTINCT doc_id,
-       |         a[CAST(t.i AS INT)] || ' ' || a[CAST(t.i AS INT)+1] || ' ' || a[CAST(t.i AS INT)+2] AS s
-       |       FROM x, range(1, 201) t(i) WHERE t.i <= greatest(len(a) - 2, 1)),
+       |${TextOps.shingleSqlFrom("tok AS (SELECT doc_id, a FROM x)")},
        |shh AS (SELECT doc_id,
        |          cast(concat('0x', substr(md5(s), 1, 15)) AS bigint) AS h FROM sh),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),

@@ -108,11 +108,7 @@ object Fuzzy {
     val bandRows = (0 until 4)
       .map(i => s"SELECT doc_id, $i AS band, mh${2 * i} AS x, mh${2 * i + 1} AS y FROM sig")
       .mkString(" UNION ALL ")
-    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
-       |sh AS (SELECT DISTINCT doc_id,
-       |         a[CAST(t.i AS INT)] || ' ' || a[CAST(t.i AS INT)+1] || ' ' || a[CAST(t.i AS INT)+2] AS s
-       |       FROM tok, range(1, 201) t(i)
-       |       WHERE t.i <= greatest(len(a) - 2, 1)),
+    s"""WITH ${TextOps.shinglesSql},
        |sig AS (SELECT doc_id, $slots FROM sh GROUP BY doc_id),
        |bands AS ($bandRows),
        |cand AS (SELECT DISTINCT p.doc_id AS ida, q.doc_id AS idb
@@ -244,11 +240,7 @@ object Fuzzy {
        |SELECT doc_id, fp FROM fp ORDER BY doc_id, fp""".stripMargin
 
   def q28Sql: String =
-    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
-       |sh AS (SELECT DISTINCT doc_id,
-       |         a[CAST(t.i AS INT)] || ' ' || a[CAST(t.i AS INT)+1] || ' ' || a[CAST(t.i AS INT)+2] AS s
-       |       FROM tok, range(1, 201) t(i)
-       |       WHERE t.i <= greatest(len(a) - 2, 1)),
+    s"""WITH ${TextOps.shinglesSql},
        |h AS (SELECT DISTINCT doc_id, ${portableHashSql("s")} AS h FROM sh),
        |r AS (SELECT doc_id, h,
        |        row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn

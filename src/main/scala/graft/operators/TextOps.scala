@@ -29,12 +29,23 @@ object TextOps {
              "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))))
       .select("doc_id", "s")
 
-  private val shinglesSql =
-    """tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         a[CAST(t.i AS INT)] || ' ' || a[CAST(t.i AS INT)+1] || ' ' || a[CAST(t.i AS INT)+2] AS s
-      |       FROM tok, range(1, 201) t(i)
-      |       WHERE t.i <= greatest(len(a) - 2, 1))""".stripMargin
+  // Per-doc generate_series (no position cap): the former `range(1, 201)`
+  // cross join silently truncated shingles for docs >202 tokens while the
+  // Spark side was uncapped — a latent oracle divergence (same bug r5
+  // fixed in q66Sql). This mirrors sequence(1, greatest(size-2, 1)) exactly.
+  // ONE shared definition (`shingleSqlFrom`) so q22/q23/q27/q28/q40/q56
+  // cannot re-grow private capped copies.
+  private[operators] def shingleSqlFrom(tokCte: String): String =
+    s"""$tokCte,
+       |pos AS (SELECT doc_id, a,
+       |          unnest(generate_series(1, greatest(len(a) - 2, 1))) AS i
+       |        FROM tok),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT)+1] || ' ' || a[CAST(i AS INT)+2] AS s
+       |       FROM pos)""".stripMargin
+
+  private[operators] val shinglesSql = shingleSqlFrom(
+    "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)")
 
   /** Per-document text statistics: token/type counts, type-token ratio,
     * stopword ratio, mean token length (quality-scoring features).

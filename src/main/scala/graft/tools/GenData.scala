@@ -126,7 +126,14 @@ object GenData {
 
   // ---- documents --------------------------------------------------------
   private def freshTokens(id: Long): Array[String] = {
-    val n = (10 + mod(h(T.Doc, id, 1L), 91)).toInt
+    // ~1 % long docs (250–400 tokens) deliberately exceed the 202-token
+    // point where the old `range(1, 201)` shingle oracle silently
+    // truncated — they keep the q22/q23/q27/q28 parity non-vacuous now
+    // that shinglesSql generates per-doc positions. The rest match the
+    // driver's measured 10–100 token range.
+    val n =
+      if (u(h(T.Doc, id, 8L)) < 0.01) (250 + mod(h(T.Doc, id, 9L), 151)).toInt
+      else (10 + mod(h(T.Doc, id, 1L), 91)).toInt
     Array.tabulate(n)(j => Vocab(mod(h(T.Doc, id, 2L, j.toLong), 30).toInt))
   }
 
