@@ -41,7 +41,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q32_anti_join:       anti join
   *  - q33_semi_intersect:  semi join / intersect
   *  - q34_emb_dedup:       exact embedding near-dup (in-bucket verifier)
-  *  - q35_token_count:     whitespace + BPE-ish token accounting
+  *  - q35_token_count:     whitespace + learned-BPE token accounting
   *  - q36_asof_join:       as-of join (union + window, join-free)
   *  - q37_range_join:      range/bracket join
   *  - q38_spearman:        Spearman rank correlation (distributed prefix sum)
@@ -128,7 +128,7 @@ object SparkEntry {
       Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem"))),
     "q33_semi_intersect" -> t("orders")(Relational2.q33SemiIntersect),
     "q34_emb_dedup" -> t("embeddings")(VectorOps.q34EmbeddingDedup(_)),
-    "q35_token_count" -> t("documents")(LangQuality.q35TokenCount),
+    "q35_token_count" -> t("documents")(Bpe.q35TokenCount(_)),
     "q36_asof_join" -> ((s, dir) => TemporalJoins.q36AsofJoin(Tables.load(s, dir, "events"))),
     "q37_range_join" -> t("lineitem")(TemporalJoins.q37RangeJoin),
     "q38_spearman" -> t("lineitem")(RankStats.q38Spearman),
@@ -204,7 +204,7 @@ object SparkEntry {
     "q32_anti_join" -> Relational2.q32Sql,
     "q33_semi_intersect" -> Relational2.q33Sql,
     "q34_emb_dedup" -> VectorOps.q34Sql(),
-    "q35_token_count" -> LangQuality.q35Sql,
+    "q35_token_count" -> Bpe.q35Sql(),
     "q36_asof_join" -> TemporalJoins.q36Sql,
     "q37_range_join" -> TemporalJoins.q37Sql,
     "q38_spearman" -> RankStats.q38Sql,

@@ -14,7 +14,14 @@ object Verify {
     val spark = GraftSession.local(cpus = cpus, shufflePartitions = cpus,
       appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated filter (SPARK_GRAFT_QUERIES), same
+    // contract as Bench: targeted re-checks during development. Driver
+    // runs leave it unset and dump everything.
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => filter.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

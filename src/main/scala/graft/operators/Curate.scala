@@ -197,9 +197,13 @@ object Curate {
     * are few) → broadcast of a 1-row totals aggregate. Nothing else.
     * The emitted `rate` drives the same deterministic hash filter as
     * q58, so the plan is directly executable. */
-  def q69DomainMix(documents: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
+  def q69DomainMix(documents: DataFrame, budgetFrac: Double = 0.5,
+                   learned: Boolean = true): DataFrame = {
+    val tok =
+      if (learned) Bpe.tokenCount(Bpe.merges(documents), col("text"))
+      else size(split(col("text"), " "))
     val perLang = documents
-      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("lang"), tok.cast("long").as("n_tokens"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("lang_tokens"))
     val totals = perLang.agg(
@@ -213,9 +217,9 @@ object Curate {
   }
 
   def q69Sql(budgetFrac: Double = 0.5): String =
-    s"""WITH pl AS (SELECT lang, count(*) AS n_docs,
-       |              sum(len(regexp_split_to_array(text, ' '))) AS lang_tokens
-       |            FROM documents GROUP BY lang),
+    s"""WITH ${Bpe.tokenSqlCtes()},
+       |pl AS (SELECT lang, count(*) AS n_docs, sum(n_tokens) AS lang_tokens
+       |       FROM documents JOIN bpe_tok USING (doc_id) GROUP BY lang),
        |t AS (SELECT sum(lang_tokens) AS total_tokens, count(*) AS n_langs FROM pl)
        |SELECT lang, n_docs, CAST(lang_tokens AS BIGINT) AS lang_tokens,
        |  round(least(1.0,

@@ -66,33 +66,13 @@ object LangQuality {
       .select("doc_id", "lang_pred", "hits_en", "hits_es", "hits_de", "hits_fr", "quality")
       .orderBy("doc_id")
 
-  /** BPE-ish subword token count (the q35 kernel), as a column. */
+  /** Regex subword chunker (≤4-char lowercase pieces, digits, residual
+    * symbols) as a column — the zero-training row-local token-count
+    * mode. The LEARNED merge-table tokenizer is [[Bpe]]; q40/q58 keep
+    * this one so the composed pipelines stay a single self-contained
+    * scan with no training pass. */
   def bpeTokens: org.apache.spark.sql.Column =
     size(expr("regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)"))
-
-  /** q35: token counting, whitespace vs BPE-ish. The subword pass is a
-    * greedy regex chunker (≤4-char lowercase pieces, digits, residual
-    * symbols) — the deterministic stand-in for a learned BPE merge
-    * table; the ratio column is the tokens-per-word "fertility" a
-    * training pipeline budgets context length with. Pure regexp — one
-    * narrow scan. */
-  def q35TokenCount(documents: DataFrame): DataFrame =
-    documents.select(
-        col("doc_id"),
-        size(split(col("text"), " ")).as("n_ws_tokens"),
-        size(expr("regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)"))
-          .as("n_bpe_tokens"))
-      .withColumn("fertility",
-        col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
-      .orderBy("doc_id")
-
-  def q35Sql: String =
-    """SELECT doc_id,
-      |  len(regexp_split_to_array(text, ' ')) AS n_ws_tokens,
-      |  len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS n_bpe_tokens,
-      |  cast(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS double)
-      |    / len(regexp_split_to_array(text, ' ')) AS fertility
-      |FROM documents ORDER BY doc_id""".stripMargin
 
   def q29Sql: String = {
     def hitsSql(ws: Seq[String]) =

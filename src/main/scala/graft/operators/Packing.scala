@@ -34,10 +34,16 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** q67: (doc_id → seq_id, tok_offset, spans_boundary) packing plan for
-    * fixed `seqLen`-token training sequences over the doc_id order. */
-  def q67SequencePack(documents: DataFrame, seqLen: Int = 2048): DataFrame = {
-    val d = documents.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    * fixed `seqLen`-token training sequences over the doc_id order.
+    * Counts are LEARNED-BPE tokens ([[Bpe]]) — packing plans budget the
+    * same units the model trains on; `learned = false` falls back to
+    * whitespace words. */
+  def q67SequencePack(documents: DataFrame, seqLen: Int = 2048,
+                      learned: Boolean = true): DataFrame = {
+    val tok =
+      if (learned) Bpe.tokenCount(Bpe.merges(documents), col("text"))
+      else size(split(col("text"), " "))
+    val d = documents.select(col("doc_id"), tok.cast("long").as("n_tokens"))
     // 1. order-preserving doc_id buckets from one loose sketch
     val probs = (1 until RankStats.Buckets).map(_.toDouble / RankStats.Buckets).toArray
     val cuts = d.stat.approxQuantile("doc_id", probs, 0.01).distinct.sorted
@@ -70,8 +76,8 @@ object Packing {
   }
 
   def q67Sql(seqLen: Int = 2048): String =
-    s"""WITH d AS (SELECT doc_id, len(regexp_split_to_array(text, ' ')) AS n_tokens
-       |           FROM documents),
+    s"""WITH ${Bpe.tokenSqlCtes()},
+       |d AS (SELECT doc_id, n_tokens FROM bpe_tok),
        |c AS (SELECT doc_id, n_tokens,
        |        sum(n_tokens) OVER (ORDER BY doc_id
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok

@@ -46,8 +46,12 @@ class LlmOpsR4Spec extends AnyFunSuite {
     val docs = Tables.load(spark, sf, "documents")
     val out = Packing.q67SequencePack(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // expected pack re-derives offsets sequentially from the SAME
+    // learned-BPE counts — the packing logic is under test, the
+    // tokenizer has its own spec (BpeSpec)
     val expected = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .select(col("doc_id"),
+        Bpe.tokenCount(Bpe.merges(docs), col("text")).cast("long").as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       .foldLeft((0L, Vector.empty[(Long, Long, Long, Long, Int)])) {
         case ((start, acc), (id, n)) =>
