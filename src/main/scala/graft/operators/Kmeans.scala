@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LEARNED IVF coarse quantizer — seeded k-means over the embedding
+  * corpus, replacing the round-3 "first N vectors are the centroids"
+  * placeholder for q30/q54/q62 (the first-N mode stays available as
+  * `centroids = "seeded"`).
+  *
+  * Trainer (Lloyd's algorithm, cosine assignment):
+  *  - init: the `k` vectors ranked first by the portable md5-derived
+  *    hash of vec_id (the same deterministic splitmix-style keying as
+  *    q42/q51/q58 sampling — seeded, content-independent, identical in
+  *    both engines), cid = rank order;
+  *  - `iters` fixed iterations of: assign every training vector to its
+  *    nearest centroid by (rounded cosine desc, cid asc) — the exact
+  *    tie-break the IVF assignment itself uses — then recompute each
+  *    centroid as the element-wise mean ROUNDED TO 6 DP; an emptied
+  *    cluster keeps its previous centroid.
+  *  - training reads a bounded hash-ranked sample (`trainN`, cap
+  *    mirrored in the oracle): k-means statistics saturate on a tiny
+  *    fraction of any real corpus, so at 100 TB the trainer touches a
+  *    fixed-size prefix while assignment stays one broadcast join over
+  *    everything.
+  *
+  * Only the k×dim centroid matrix ever reaches the driver (one 8-row
+  * collect per iteration — the same documented scalar-barrier shape as
+  * q08's medians); it folds back into query plans as a broadcast
+  * literal table, so q30/q54/q62 keep their exact r6 plan shapes.
+  *
+  * Cross-engine determinism: init vectors are exact doubles (float
+  * widening), dot products are sequential folds (bit-identical in both
+  * engines), assignment sims are rounded to 6, and the only
+  * order-sensitive arithmetic — the mean — is rounded to 6 dp, leaving
+  * a ~1e-11 flip probability per coordinate against the oracle's own
+  * rounded mean. The DuckDB oracle re-derives the identical training
+  * run from unrolled CTEs (c0 → a_i/m_i/c_i), so the oracle SQL stays
+  * static and data-independent.
+  */
+object Kmeans {
+
+  val DefaultK = 8
+  val DefaultIters = 3
+  val DefaultTrainN = 2048
+
+  /** Portable 60-bit hash of vec_id (same construction as q42/q51). */
+  private def hv = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+    .cast("long")
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.catalyst.native.dotProduct(a, b)
+
+  /** One trained centroid table per corpus per JVM (q30/q54/q62 share). */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+
+  def centroids(embeddings: DataFrame, k: Int = DefaultK,
+                iters: Int = DefaultIters,
+                trainN: Int = DefaultTrainN): Seq[(Int, Seq[Double])] = {
+    val files = embeddings.inputFiles
+    if (files.isEmpty) train(embeddings, k, iters, trainN)
+    else memo.getOrElseUpdate(files.sorted.mkString(",") + s"#$k#$iters#$trainN",
+      train(embeddings, k, iters, trainN))
+  }
+
+  def train(embeddings: DataFrame, k: Int, iters: Int,
+            trainN: Int): Seq[(Int, Seq[Double])] = {
+    val spark = embeddings.sparkSession
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    // bounded hash-ranked training sample, materialized once (TakeOrdered
+    // heap at scale — never a full sort)
+    val trainSet = e.withColumn("hv", hv).orderBy("hv", "vec_id")
+      .limit(trainN).select("vec_id", "ed").localCheckpoint()
+    // init = the first k vectors in (hv, vec_id) order, cid = rank
+    // (collect after orderBy+limit returns rows in sort order)
+    var cents: Array[Array[Double]] = e.withColumn("hv", hv)
+      .orderBy("hv", "vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val cdf = centroidDf(spark, cents)
+      val csim = round(dot(col("ed"), col("ce")) /
+        (sqrt(dot(col("ed"), col("ed"))) * sqrt(dot(col("ce"), col("ce")))), 6)
+      val wA = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+      val next = cents.map(_.clone())
+      trainSet.join(broadcast(cdf))
+        .select(col("vec_id"), col("ed"), col("cid"), csim.as("csim"))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select(col("cid"), posexplode(col("ed")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(round(avg("v"), 6).as("m"))
+        .collect()
+        .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+    }
+    cents.zipWithIndex.map { case (a, i) => (i, a.toSeq) }.toSeq
+  }
+
+  private def centroidDf(spark: SparkSession, cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (a, i) => (i, a.toSeq) }.toSeq
+      .toDF("cid", "ce")
+  }
+
+  /** Trained centroids as a broadcast-able literal (cid, ce) frame. */
+  def centroidTable(embeddings: DataFrame, k: Int = DefaultK,
+                    iters: Int = DefaultIters,
+                    trainN: Int = DefaultTrainN): DataFrame =
+    centroidDf(embeddings.sparkSession,
+      centroids(embeddings, k, iters, trainN).map(_._2.toArray).toArray)
+
+  /** The unrolled training CTEs for the oracle. Requires an
+    * `e(vec_id, ed)` CTE in scope; ends by defining `c(cid, ce)` — the
+    * drop-in replacement for the old first-N centroid CTE. */
+  def sqlCtes(k: Int = DefaultK, iters: Int = DefaultIters,
+              trainN: Int = DefaultTrainN): String = {
+    val init =
+      s"""tr AS MATERIALIZED (
+         |  SELECT vec_id, ed,
+         |    cast(concat('0x', substr(md5(cast(vec_id AS varchar)), 1, 15)) AS bigint) AS hv
+         |  FROM e ORDER BY hv, vec_id LIMIT $trainN),
+         |c0 AS (SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cid, ed AS ce
+         |       FROM tr ORDER BY hv, vec_id LIMIT $k)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (SELECT cid, ed FROM (
+         |  SELECT t.ed, c.cid, row_number() OVER (PARTITION BY t.vec_id
+         |    ORDER BY round(list_cosine_similarity(t.ed, c.ce), 6) DESC, c.cid) AS rn
+         |  FROM tr t, c${i - 1} c) z WHERE rn = 1),
+         |m$i AS (SELECT cid, d, round(avg(ed[d]), 6) AS v
+         |        FROM a$i, UNNEST(range(1, 65)) AS dd(d) GROUP BY cid, d),
+         |c$i AS (SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+         |        FROM c${i - 1} p LEFT JOIN
+         |          (SELECT cid, list(v ORDER BY d) AS ce FROM m$i GROUP BY cid) n
+         |          USING (cid))""".stripMargin
+    }
+    ((init +: steps) :+ s"c AS (SELECT cid, ce FROM c$iters)").mkString(",\n")
+  }
+}

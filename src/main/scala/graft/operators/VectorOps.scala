@@ -54,15 +54,28 @@ object VectorOps {
        |      FROM s)
        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
 
-  /** Ranked IVF assignment: every vector × its `maxRank` nearest seed
+  /** Centroid table for the IVF family: `"kmeans"` (default) = the
+    * LEARNED coarse quantizer ([[Kmeans]]; broadcast literal, so query
+    * plan shapes are unchanged), `"seeded"` = the round-3 first-N
+    * placeholder, kept as the comparison baseline q62's recall-lift
+    * spec pins against. */
+  private def centroidSource(embeddings: DataFrame, e: DataFrame,
+                             nCentroids: Int, mode: String): DataFrame = mode match {
+    case "kmeans" => Kmeans.centroidTable(embeddings, nCentroids)
+    case "seeded" => e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("ed").as("ce"))
+    case other => throw new IllegalArgumentException(
+      s"centroids must be 'kmeans' or 'seeded', got '$other'")
+  }
+
+  /** Ranked IVF assignment: every vector × its `maxRank` nearest
     * centroids (rank 1 = the assignment bucket; ranks 2..p = the extra
     * probe buckets a multi-probe query searches). One broadcast join +
     * a per-vector window — no all-pairs shuffle. */
   private def ivfAssignRanked(embeddings: DataFrame, nCentroids: Int,
-                              maxRank: Int): DataFrame = {
+                              maxRank: Int, centroids: String): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("ed"))
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("ed").as("ce"))
+    val cents = centroidSource(embeddings, e, nCentroids, centroids)
     val simToCent = dot(col("ed"), col("ce")) / (sqrt(norm2(col("ed"))) * sqrt(norm2(col("ce"))))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(desc("csim"), asc("cid"))
@@ -73,8 +86,9 @@ object VectorOps {
       .select(col("vec_id"), col("ed"), col("cid"), col("arn"))
   }
 
-  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame =
-    ivfAssignRanked(embeddings, nCentroids, 1).drop("arn")
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int,
+                centroids: String = "kmeans"): DataFrame =
+    ivfAssignRanked(embeddings, nCentroids, 1, centroids).drop("arn")
 
   /** q30: IVF ANN search with multi-probe. The corpus is bucketed by its
     * single nearest centroid; a query probes its `nprobe` nearest
@@ -84,9 +98,9 @@ object VectorOps {
     * once (corpus vectors live in exactly one bucket), so no dedup pass
     * is needed. */
   def q30IvfTopk(embeddings: DataFrame, nCentroids: Int = 8, k: Int = 3,
-                 nprobe: Int = 2): DataFrame = {
-    val assigned = ivfAssign(embeddings, nCentroids)
-    val queries = ivfAssignRanked(embeddings, nCentroids, nprobe)
+                 nprobe: Int = 2, centroids: String = "kmeans"): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCentroids, centroids)
+    val queries = ivfAssignRanked(embeddings, nCentroids, nprobe, centroids)
       .filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + 8)
       .select(col("vec_id").as("qid"), col("ed").as("qe"), col("cid").as("qcid"))
     val sim = dot(col("qe"), col("ed")) / (sqrt(norm2(col("qe"))) * sqrt(norm2(col("ed"))))
@@ -101,7 +115,7 @@ object VectorOps {
 
   def q30Sql(nCentroids: Int = 8, k: Int = 3, nprobe: Int = 2): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-       |c AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < $nCentroids),
+       |${Kmeans.sqlCtes(nCentroids)},
        |ranked AS (
        |  SELECT e.vec_id, e.ed, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -182,8 +196,9 @@ object VectorOps {
     * standard IVF one: a pair split across clusters is missed (q34
     * remains the exact baseline / in-bucket verifier). */
   def q54BucketedEmbDedup(embeddings: DataFrame, nCentroids: Int = 8,
-                          threshold: Double = 0.4): DataFrame = {
-    val assigned = ivfAssign(embeddings, nCentroids)
+                          threshold: Double = 0.4,
+                          centroids: String = "kmeans"): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCentroids, centroids)
       .withColumn("nrm", sqrt(norm2(col("ed"))))
     val sim = round(dot(col("a.ed"), col("b.ed")) / (col("a.nrm") * col("b.nrm")), 6)
     assigned.as("a")
@@ -196,7 +211,7 @@ object VectorOps {
 
   def q54Sql(nCentroids: Int = 8, threshold: Double = 0.4): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-       |c AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < $nCentroids),
+       |${Kmeans.sqlCtes(nCentroids)},
        |asg AS (SELECT vec_id, ed, cid FROM (
        |  SELECT e.vec_id, e.ed, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -218,7 +233,8 @@ object VectorOps {
     * the rounded-sim + vec_id total order), so the oracle re-derives
     * identical recall numbers. Per-query hits let a user see WHICH
     * queries lose neighbors to cluster boundaries, not just the mean. */
-  def q62IvfRecall(embeddings: DataFrame, nCentroids: Int = 8, k: Int = 3): DataFrame = {
+  def q62IvfRecall(embeddings: DataFrame, nCentroids: Int = 8, k: Int = 3,
+                   centroids: String = "kmeans"): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("ed"))
     val q = e.filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + 8)
       .select(col("vec_id").as("qid"), col("ed").as("qe"))
@@ -230,7 +246,7 @@ object VectorOps {
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"))
-    def approx(nprobe: Int) = q30IvfTopk(embeddings, nCentroids, k, nprobe)
+    def approx(nprobe: Int) = q30IvfTopk(embeddings, nCentroids, k, nprobe, centroids)
       .select(col("qid").as(s"aqid$nprobe"), col("vec_id").as(s"avid$nprobe"))
     exact
       .join(approx(1), col("qid") === col("aqid1") && col("vec_id") === col("avid1"),
@@ -247,7 +263,7 @@ object VectorOps {
 
   def q62Sql(nCentroids: Int = 8, k: Int = 3): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-       |c AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < $nCentroids),
+       |${Kmeans.sqlCtes(nCentroids)},
        |q AS (SELECT vec_id AS qid, ed AS qe FROM e
        |      WHERE vec_id >= $nCentroids AND vec_id < ${nCentroids + 8}),
        |exact AS (SELECT qid, vec_id FROM (
