@@ -61,17 +61,25 @@ object Bench {
       val med = if (ts.isEmpty) -1.0 else ts(ts.length / 2)
       (name, med, ts)
     }
+    def r3(x: Double): String = // 3-dp, no scientific notation
+      java.math.BigDecimal.valueOf(x).setScale(3, java.math.RoundingMode.HALF_UP)
+        .toPlainString
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val qs3 = results.map { case (k, med, _) => "\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, ts) =>
       val s = if (ts.isEmpty) "[]" else ts.mkString("[", ",", "]")
       "\"" + k + "\":" + s
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // stdout: the driver-contract line, kept lean (no spread dict) so a
-    // tail-truncating log capture still gets parseable JSON; the full
-    // artifact including per-run spreads goes to BENCH.json alongside.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs}"""
+    // stdout: the driver-contract line. The driver's log capture keeps
+    // only the last 2000 chars of stdout (measured from BENCH_r06's
+    // truncated `tail`, which also swallows ~100 chars of trailing sbt
+    // noise) — full-precision doubles put the 71-query dict at ~6 KB,
+    // so the stdout line carries 3-dp values (1.7 KB, whole line inside
+    // the window); BENCH.json alongside keeps full precision + spreads.
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir"}"""
     println(line)
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs,"spread":$spread}"""
     val pw = new java.io.PrintWriter("BENCH.json")

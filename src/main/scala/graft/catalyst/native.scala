@@ -26,4 +26,10 @@ object native {
     * multimodal feature kernel, inside whole-stage codegen. */
   def byteHistogram(c: Column, bins: Int): Column =
     ColumnBridge.column(ByteHistogramExpr(ColumnBridge.expression(c), bins))
+
+  /** Native single-pass learned-BPE token counter (see
+    * [[BpeTokenCountExpr]]): same result as the replace-chain
+    * application, without 21 intermediate strings per row. */
+  def bpeTokenCount(merges: Seq[String], text: Column): Column =
+    ColumnBridge.column(BpeTokenCountExpr(ColumnBridge.expression(text), merges))
 }

@@ -104,9 +104,17 @@ object Bpe {
     * encode → fold of replaces → count '<' sentinels. Every step is a
     * codegen'd string primitive; the whole chain stays inside
     * whole-stage codegen. */
-  def tokenCount(ms: Seq[String], text: Column): Column = {
+  def tokenCount(ms: Seq[String], text: Column): Column =
+    graft.catalyst.native.bpeTokenCount(ms, text)
+
+  /** The declarative replace-chain form of [[tokenCount]] — the
+    * specification the native kernel and the DuckDB oracle both mirror
+    * (BpeSpec pins all three equal). ~5× slower than the native pass
+    * (21 intermediate strings per row); kept as the reference
+    * semantics, not the hot path. */
+  def tokenCountChain(ms: Seq[String], text: Column): Column = {
     val applied = ms.foldLeft(encode(text))((c, m) => replace(c, lit(m), lit(merged(m))))
-    length(applied) - length(replace(applied, lit("<"), lit("")))
+    size(split(applied, lit("<"))) - 1
   }
 
   /** q35: token accounting, whitespace vs learned BPE; `fertility` =

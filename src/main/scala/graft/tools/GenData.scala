@@ -60,6 +60,12 @@ object GenData {
   def u(x: Long): Double = (x >>> 11) * (1.0 / (1L << 53))
   /** Uniform long in [0, n). */
   def mod(x: Long, n: Long): Long = java.lang.Math.floorMod(x, n)
+  /** Zipf(s≈1) long in [0, n): inverse-CDF of the log-uniform law,
+    * P(k) ≈ 1/((k+1)·ln n) — so key 0 alone draws ln2/ln(n) of all rows
+    * (~4.9 % at n = 1.5M: a genuinely hot key at any sf). Used by the
+    * skew-rehearsal mode for l_orderkey. */
+  def zipf(x: Long, n: Long): Long =
+    math.min(n - 1, math.exp(u(x) * math.log(n.toDouble)).toLong - 1).max(0)
   private def round2(x: Double): Double = math.rint(x * 100.0) / 100.0
 
   // ---- table ids (distinct hash streams per table/field) ----------------
@@ -197,7 +203,8 @@ object GenData {
     }
   }
 
-  def generate(spark: SparkSession, sf: Double, outDir: String): Unit = {
+  def generate(spark: SparkSession, sf: Double, outDir: String,
+               zipfOrders: Boolean = false): Unit = {
     import spark.implicits._
     Files.createDirectories(Paths.get(outDir))
 
@@ -242,8 +249,11 @@ object GenData {
     }.toDF(), outDir, "orders")
 
     val shipDateSpan = ShipDate1 - ShipDate0 + 1
+    val liKey: Long => Long =
+      if (zipfOrders) id => zipf(h(T.Li, id, 1L), nOrd)
+      else id => mod(h(T.Li, id, 1L), nOrd)
     writeOne(spark.range(0, nLi, 1, 32).map { id =>
-      Lineitem(mod(h(T.Li, id, 1L), nOrd), mod(h(T.Li, id, 2L), nPart),
+      Lineitem(liKey(id), mod(h(T.Li, id, 2L), nPart),
         mod(h(T.Li, id, 3L), nSupp), 1 + mod(h(T.Li, id, 4L), 7).toInt,
         (1 + mod(h(T.Li, id, 5L), 50)).toDouble,
         round2(900.0 + 104100.0 * u(h(T.Li, id, 6L))),
@@ -266,12 +276,14 @@ object GenData {
     writeOne(spark.range(0, nEmb, 1, 32).map(id => embFor(id)).toDF(), outDir, "embeddings")
   }
 
+  /** Usage: runMain graft.tools.GenData <sf> <outDir> [zipf] */
   def main(args: Array[String]): Unit = {
-    val Array(sfStr, outDir) = args
+    val (sfStr, outDir) = (args(0), args(1))
+    val zipfOrders = args.length > 2 && args(2) == "zipf"
     val spark = GraftSession.local(
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
       appName = "graft-gendata")
-    generate(spark, sfStr.toDouble, outDir)
+    generate(spark, sfStr.toDouble, outDir, zipfOrders)
     spark.stop()
   }
 }

@@ -54,16 +54,19 @@ class BpeSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_.matches("(<[^>]+>){2}")))
   }
 
-  test("tokenCount column equals the sequential apply, and is sane") {
+  test("native tokenCount == replace chain == sequential apply, and is sane") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents").limit(50)
     val ms = Bpe.merges(docs.cache())
     val rows = docs
-      .select(col("text"), Bpe.tokenCount(ms, col("text")).as("n"))
+      .select(col("text"),
+        Bpe.tokenCount(ms, col("text")).as("n"),
+        Bpe.tokenCountChain(ms, col("text")).as("nc"))
       .collect()
     rows.foreach { r =>
       val t = r.getString(0)
       assert(r.getInt(1) === refCount(ms, t), s"mismatch on: ${t.take(40)}")
+      assert(r.getInt(1) === r.getInt(2), s"native != chain on: ${t.take(40)}")
       // every word is >= 1 token; nothing exceeds the char count
       val words = t.split(' ')
       assert(r.getInt(1) >= words.length)
