@@ -31,6 +31,13 @@ object Bench {
     val spark = GraftSession.local(cpus = cpus, shufflePartitions = cpus,
       appName = "graft-bench")
 
+    // Optional valve-threshold override (bytes) for scale rehearsals:
+    // timing the exact-percentile barrier vs the sketch path on the same
+    // data. Driver runs leave it unset (default 1 GiB threshold).
+    sys.env.get("SPARK_GRAFT_VALVE_THRESHOLD").foreach { t =>
+      spark.conf.set(graft.catalyst.ApproxAboveThreshold.ThresholdKey, t)
+    }
+
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 

@@ -22,6 +22,12 @@ object ValveCheck {
     val spark = GraftSession.local(
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
       appName = "graft-valve-check")
+    // Optional threshold override (bytes): the deployment knob. Lets the
+    // rehearsal show the rewrite firing on real data at a size this box
+    // can hold, plus the default-threshold reading at the same sf.
+    sys.env.get("SPARK_GRAFT_VALVE_THRESHOLD").foreach { t =>
+      spark.conf.set(graft.catalyst.ApproxAboveThreshold.ThresholdKey, t)
+    }
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.optimizedPlan
