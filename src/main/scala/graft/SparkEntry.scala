@@ -165,6 +165,9 @@ object SparkEntry {
     "q69_domain_mix" -> t("documents")(Curate.q69DomainMix(_)),
     "q70_manifest" -> t("documents")(Provenance.q70Manifest(_)),
     "q71_image_decode" -> t("documents")(graft.multimodal.Multimodal.q71ImageDecode),
+    "q72_rplsh_dedup" -> t("embeddings")(RpLsh.q72RplshDedup(_)),
+    "q73_incremental_dedup" -> t("documents")(Provenance.q73IncrementalDedup),
+    "q74_lsh_recall" -> t("documents")(Fuzzy.q74LshRecall(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -241,5 +244,8 @@ object SparkEntry {
     "q69_domain_mix" -> Curate.q69Sql(),
     "q70_manifest" -> Provenance.q70Sql(),
     "q71_image_decode" -> graft.multimodal.Multimodal.q71Sql,
+    "q72_rplsh_dedup" -> RpLsh.q72Sql(),
+    "q73_incremental_dedup" -> Provenance.q73Sql,
+    "q74_lsh_recall" -> Fuzzy.q74Sql(),
   )
 }

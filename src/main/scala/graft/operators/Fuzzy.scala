@@ -65,20 +65,28 @@ object Fuzzy {
     * band become candidates; candidates only are verified with exact
     * Jaccard. This is the operator that replaces q22's all-pairs join
     * at scale: the band join touches O(n) signature rows. */
-  def q27LshDedup(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
-    val sh = shingles(documents)
+  /** Band-collision candidate pairs over an existing (doc_id, s) shingle
+    * frame — q27's pair-generation stage, exposed so q74 can measure its
+    * recall against the exact q22 ground truth. (ida < idb, distinct;
+    * no similarity verify yet.) */
+  def lshCandidates(sh: DataFrame): DataFrame = {
     val sig = TextOps.minhashSignatures(sh)
     val bandCols = (0 until 4).map { i =>
       struct(lit(i).as("band"), col(s"mh${2 * i}").as("x"), col(s"mh${2 * i + 1}").as("y"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.x"), col("b.y"))
-    val cand = bands.as("p")
+    bands.as("p")
       .join(bands.as("q"),
         col("p.band") === col("q.band") && col("p.x") === col("q.x") &&
           col("p.y") === col("q.y") && col("p.doc_id") < col("q.doc_id"))
       .select(col("p.doc_id").as("ida"), col("q.doc_id").as("idb"))
       .distinct()
+  }
+
+  def q27LshDedup(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val sh = shingles(documents)
+    val cand = lshCandidates(sh)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // CANDIDATE-DRIVEN verification: fan each candidate pair out to its
     // left side's shingles, then probe the right side — work scales
@@ -127,6 +135,61 @@ object Fuzzy {
        |JOIN sizes sb ON ib = sb.doc_id
        |WHERE cast(ninter AS double) / (sa.n + sb.n - ninter) >= $threshold
        |ORDER BY ida, idb""".stripMargin
+  }
+
+  /** q74: LSH candidate-recall accounting — the q62-for-text: per
+    * similarity decile of the exact q22 ground-truth pairs, what
+    * fraction did q27's band-collision stage surface as candidates?
+    * This is the measurement that justifies replacing the all-pairs
+    * join with LSH at scale: banding is probabilistic (a pair colliding
+    * on NO band is lost before verification, the only recall loss in
+    * q27 — verification itself is exact), and its miss rate
+    * (1 − (1 − s^r)^b falling with similarity s) is a deployment knob
+    * that must be MEASURED, not assumed. Output: one row per decile
+    * with n_truth / n_found / recall; a pipeline alerts when recall at
+    * its dedup threshold drops below target and re-tunes bands.
+    *
+    * Cost shape: both inputs are already-sublinear relations (q22's
+    * capped posting-list pairs, q27's band buckets); the recall join is
+    * pair-keyed equi — nothing here re-introduces an all-pairs scan. */
+  def q74LshRecall(documents: DataFrame, threshold: Double = 0.2,
+                   maxDf: Int = TextOps.DefaultMaxDf): DataFrame = {
+    val truth = TextOps.q22NgramJaccard(documents, threshold, maxDf)
+      .select(col("ida"), col("idb"), col("jaccard"))
+    val cand = lshCandidates(shingles(documents))
+      .select(col("ida").as("ca"), col("idb").as("cb"))
+    truth
+      .join(cand, col("ida") === col("ca") && col("idb") === col("cb"), "left")
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("sim_decile"))
+      .agg(count(lit(1)).as("n_truth"), count(col("ca")).as("n_found"))
+      .select(col("sim_decile"), col("n_truth"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_truth"), 6).as("recall"))
+      .orderBy("sim_decile")
+  }
+
+  def q74Sql(threshold: Double = 0.2, maxDf: Int = TextOps.DefaultMaxDf): String = {
+    // Signatures re-derived from the pairs CTEs' `shh` relation:
+    // shh.h is the raw md5-60bit hash, so slot_i folds it mod P inline
+    // (identical to portableHashSql, which mods at hash time).
+    val slots = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * (h % $MinhashP) + $b) % $MinhashP) AS mh$i"
+    }.mkString(", ")
+    val bandRows = (0 until 4)
+      .map(i => s"SELECT doc_id, $i AS band, mh${2 * i} AS x, mh${2 * i + 1} AS y FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH ${TextOps.pairsSqlCtes(threshold, maxDf)},
+       |sig AS (SELECT doc_id, $slots FROM shh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT p.doc_id AS ida, q.doc_id AS idb
+       |         FROM bands p JOIN bands q
+       |           ON p.band = q.band AND p.x = q.x AND p.y = q.y
+       |          AND p.doc_id < q.doc_id)
+       |SELECT CAST(floor(jaccard * 10) AS INT) AS sim_decile,
+       |  count(*) AS n_truth, count(c.ida) AS n_found,
+       |  round(CAST(count(c.ida) AS DOUBLE) / count(*), 6) AS recall
+       |FROM pairs p
+       |LEFT JOIN cand c ON p.ida = c.ida AND p.idb = c.idb
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** q28: bottom-k document fingerprint (k=4 smallest distinct shingle

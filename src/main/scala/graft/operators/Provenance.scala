@@ -53,4 +53,50 @@ object Provenance {
        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Batch-membership modulus for q73: doc_id % 17 == 0 plays the
+    * incoming batch (~6 %), the rest plays the already-ingested corpus —
+    * deterministic, engine-portable, and coprime to GenData's planting
+    * strides so the batch catches planted duplicates. */
+  val BatchMod = 17L
+
+  /** q73: INCREMENTAL exact dedup — the ingestion-time shape of q21.
+    * A full re-dedup of corpus+batch rescans everything ever ingested;
+    * the incremental form joins the new batch against the corpus's
+    * persisted CONTENT-HASH STATE only: per new doc, is its 60-bit text
+    * hash already present? Output is the per-source admission report
+    * (n_batch / n_dup / n_new) a pipeline logs every ingest tick.
+    *
+    * Scale shape: the corpus state is 8-byte hashes — ~0.01 % of a
+    * 100 TB corpus — partitioned once by hash and reused across ticks;
+    * the batch (≪ corpus) hashes map-side and joins LEFT against the
+    * state on the hash key. AQE broadcasts the batch side at runtime
+    * (pinned in PlanShapeSpec), so the corpus state is probed in place:
+    * no shuffle of either side grows with corpus size. Text never moves:
+    * both sides reduce to hashes before the join. */
+  def q73IncrementalDedup(documents: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val batch = documents.filter(pmod(col("doc_id"), lit(BatchMod)) === 0)
+      .select(col("source"), h.as("h"))
+    val corpusState = documents.filter(pmod(col("doc_id"), lit(BatchMod)) =!= 0)
+      .select(h.as("ch")).distinct()
+    batch
+      .join(corpusState, col("h") === col("ch"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+           count(col("ch")).as("n_dup"),
+           (count(lit(1)) - count(col("ch"))).as("n_new"))
+      .orderBy("source")
+  }
+
+  def q73Sql: String =
+    s"""WITH h AS (SELECT doc_id, source,
+       |             CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+       |           FROM documents),
+       |b AS (SELECT source, h FROM h WHERE doc_id % $BatchMod = 0),
+       |c AS (SELECT DISTINCT h FROM h WHERE doc_id % $BatchMod <> 0)
+       |SELECT b.source, count(*) AS n_batch, count(c.h) AS n_dup,
+       |  count(*) - count(c.h) AS n_new
+       |FROM b LEFT JOIN c ON b.h = c.h
+       |GROUP BY b.source ORDER BY source""".stripMargin
 }

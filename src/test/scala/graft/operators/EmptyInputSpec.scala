@@ -37,7 +37,10 @@ class EmptyInputSpec extends AnyFunSuite {
       "q45_edit_distance" -> Relational3.q45EditDistance(empty("part")),
       "q47_tfidf" -> TfIdf.q47Tfidf(empty("documents")),
       "q48_chunk" -> Chunking.q48Chunk(empty("documents")),
-      "q50_cohort" -> Funnels.q50Cohort(empty("events")))
+      "q50_cohort" -> Funnels.q50Cohort(empty("events")),
+      "q72_rplsh_dedup" -> RpLsh.q72RplshDedup(empty("embeddings")),
+      "q73_incremental_dedup" -> Provenance.q73IncrementalDedup(empty("documents")),
+      "q74_lsh_recall" -> Fuzzy.q74LshRecall(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }

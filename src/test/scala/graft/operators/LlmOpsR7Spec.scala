@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 coverage additions: RP-LSH embedding near-dup (q72),
+  * incremental batch-vs-corpus dedup (q73), LSH candidate-recall
+  * accounting (q74). */
+class LlmOpsR7Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- q72 RP-LSH embedding near-dup ------------------------------
+
+  test("q72 output pairs are ordered, thresholded, and a subset of exact q34") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val lsh = RpLsh.q72RplshDedup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.nonEmpty, "RP-LSH found no near-dup pairs at sf0.001")
+    lsh.foreach { case (a, b, s) =>
+      assert(a < b, s"unordered pair ($a, $b)")
+      assert(s >= 0.4, s"below-threshold pair ($a, $b, $s)")
+    }
+    val exact = VectorOps.q34EmbeddingDedup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    lsh.foreach(p => assert(exact.contains(p),
+      s"LSH pair $p not in exact all-pairs ground truth"))
+  }
+
+  test("q72 always finds identical vectors (all buckets collide at theta=0)") {
+    import spark.implicits._
+    // 12 deterministic synthetic vectors; 9 is a byte-identical clone of
+    // 2. Identical vectors produce identical sign patterns in EVERY
+    // table, so the pair (2, 9) is found with probability 1 — the one
+    // recall statement hyperplane LSH makes deterministically.
+    val vecs = (0 until 12).map { i =>
+      val ed = Array.tabulate(64)(d =>
+        (math.sin(i * 64 + d) * 100).toFloat) // fixed, seedless, portable
+      (i.toLong, if (i == 9) Array.tabulate(64)(d =>
+        (math.sin(2 * 64 + d) * 100).toFloat) else ed)
+    }.toDF("vec_id", "embedding")
+    val out = RpLsh.q72RplshDedup(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists { case (a, b, s) => a == 2L && b == 9L && s == 1.0 },
+      s"clone pair (2, 9) missed: ${out.mkString(", ")}")
+  }
+
+  test("q72 signatures are deterministic across runs") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val s1 = RpLsh.signatures(emb, 4, 8, 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val s2 = RpLsh.signatures(emb, 4, 8, 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(s1 === s2)
+    assert(s1.map(_._1).distinct.size * 4 === s1.size,
+      "expected exactly nTables signature rows per vector")
+  }
+
+  test("q72 candidate verify is an equi-join on (tbl, code) — no cartesian pair scan") {
+    val df = RpLsh.q72RplshDedup(Tables.load(spark, sf, "embeddings"))
+    df.collect() // AQE: judge the final executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair-generation join must key on the signature columns
+    val candJoin = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[tbl#\\d+, code#\\d+L?\\]".r
+    assert(candJoin.findFirstIn(p).isDefined, "no (tbl, code) equi-join found:\n" + p)
+    // nested-loop joins may only be the plane fan-out: condition-free
+    // cross joins against the broadcast 32-row plane table
+    p.split("\n").filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.trim.matches(".*BroadcastNestedLoopJoin Build(Left|Right), (Inner|Cross)$"),
+        "a conditioned BNLJ scans vector pairs:\n" + p)
+    }
+  }
+
+  // ---- q73 incremental dedup --------------------------------------
+
+  test("q73 admission report is consistent with direct recomputation") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = RpLshFixtures.collectQ73(docs)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nBatch, nDup, nNew) =>
+      assert(nDup + nNew === nBatch, "n_dup + n_new must equal n_batch")
+      assert(nDup >= 0 && nNew >= 0)
+    }
+    val batchTotal = docs.filter(pmod(col("doc_id"), lit(17)) === 0).count()
+    assert(rows.map(_._2).sum === batchTotal,
+      "per-source batch counts must cover the whole batch")
+  }
+
+  test("q73 catches a planted cross-batch duplicate and admits new text") {
+    import spark.implicits._
+    // corpus: ids 1, 2 (not % 17); batch: 17 (dup of 1), 34 (new)
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"), (2L, "delta epsilon", "s1"),
+      (17L, "alpha beta gamma", "s1"), (34L, "zeta eta theta", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = RpLshFixtures.collectQ73(docs)
+      .map { case (s, a, b, c) => s -> ((a, b, c)) }.toMap
+    assert(out("s1") === ((1L, 1L, 0L)), s"s1 row wrong: $out")
+    assert(out("s2") === ((1L, 0L, 1L)), s"s2 row wrong: $out")
+  }
+
+  // ---- q74 LSH recall accounting ----------------------------------
+
+  test("q74 deciles partition the q22 ground truth; recall in [0, 1]") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = Fuzzy.q74LshRecall(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nTruth, nFound, recall) =>
+      assert(nFound <= nTruth, "found more pairs than exist")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - nFound.toDouble / nTruth) < 1e-6)
+    }
+    val truthTotal = TextOps.q22NgramJaccard(docs).count()
+    assert(rows.map(_._2).sum === truthTotal,
+      "decile n_truth must sum to the q22 pair count")
+  }
+
+  test("q74 reports recall 1.0 for identical documents (signatures equal)") {
+    import spark.implicits._
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, other)).toDF("doc_id", "text")
+    val rows = Fuzzy.q74LshRecall(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the only ground-truth pair is (1, 2) at jaccard 1.0 (decile 10);
+    // identical shingle sets give identical MinHash signatures, so every
+    // band collides and the candidate stage cannot miss it
+    assert(rows.toSeq === Seq((10, 1L, 1L, 1.0)), rows.mkString(", "))
+  }
+}
+
+/** Small shared collectors kept out of the test bodies. */
+private object RpLshFixtures {
+  def collectQ73(docs: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long)] =
+    Provenance.q73IncrementalDedup(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+}
