@@ -168,6 +168,7 @@ object SparkEntry {
     "q72_rplsh_dedup" -> t("embeddings")(RpLsh.q72RplshDedup(_)),
     "q73_incremental_dedup" -> t("documents")(Provenance.q73IncrementalDedup),
     "q74_lsh_recall" -> t("documents")(Fuzzy.q74LshRecall(_)),
+    "q75_manifest_diff" -> t("documents")(Provenance.q75ManifestDiff(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -247,5 +248,6 @@ object SparkEntry {
     "q72_rplsh_dedup" -> RpLsh.q72Sql(),
     "q73_incremental_dedup" -> Provenance.q73Sql,
     "q74_lsh_recall" -> Fuzzy.q74Sql(),
+    "q75_manifest_diff" -> Provenance.q75Sql(),
   )
 }

@@ -99,4 +99,78 @@ object Provenance {
        |  count(*) - count(c.h) AS n_new
        |FROM b LEFT JOIN c ON b.h = c.h
        |GROUP BY b.source ORDER BY source""".stripMargin
+
+  /** q75: manifest DIFF — the consumer of q70's manifests: given two
+    * corpus snapshots, which id-buckets changed, and how? This is how
+    * two 100 TB snapshots are compared WITHOUT moving either corpus:
+    * each side reduces to its O(buckets) manifest independently (on its
+    * own cluster, in its own datacenter), and the diff is a joined scan
+    * of two tiny tables. Output: one row per bucket that differs, with
+    * the count delta and a change class — 'grown' (docs added),
+    * 'shrunk' (docs removed), 'mutated' (same count, different content
+    * signature: an in-place edit XOR flips the signature).
+    *
+    * Snapshot A here is the q73 corpus (doc_id % BatchMod != 0) and
+    * snapshot B the full table — so the diff is exactly "what did this
+    * ingest tick change", and the planted duplicates make 'grown'
+    * buckets with unchanged-vs-flipped signatures both occur. */
+  /** Generic two-snapshot diff: any two document tables, compared via
+    * their manifests only. 'mutated' (same count, flipped signature —
+    * an in-place edit) is reachable here; q75's ingest-tick
+    * specialization can only grow. */
+  def manifestDiff(beforeDocs: DataFrame, afterDocs: DataFrame,
+                   buckets: Int = 64): DataFrame = {
+    val before = q70Manifest(beforeDocs, buckets)
+      .select(col("bucket"), col("n_docs").as("n_before"),
+        col("content_sig").as("sig_before"))
+    val after = q70Manifest(afterDocs, buckets)
+      .select(col("bucket").as("bucket_b"), col("n_docs").as("n_after"),
+        col("content_sig").as("sig_after"))
+    before
+      .join(after, col("bucket") === col("bucket_b"), "full")
+      // null-safe signature compare BEFORE projecting the sigs away:
+      // a bucket present on one side only is a change (other sig null)
+      .filter(!(col("sig_before") <=> col("sig_after")) ||
+        !(col("n_before") <=> col("n_after")))
+      .select(
+        coalesce(col("bucket"), col("bucket_b")).as("bucket"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .withColumn("delta", col("n_after") - col("n_before"))
+      .withColumn("change",
+        when(col("delta") > 0, lit("grown"))
+          .when(col("delta") < 0, lit("shrunk"))
+          .otherwise(lit("mutated")))
+      .orderBy("bucket")
+  }
+
+  def q75ManifestDiff(documents: DataFrame, buckets: Int = 64): DataFrame =
+    manifestDiff(
+      documents.filter(pmod(col("doc_id"), lit(BatchMod)) =!= 0),
+      documents, buckets)
+
+  def q75Sql(buckets: Int = 64): String =
+    s"""WITH hb AS (SELECT doc_id % $buckets AS bucket,
+       |              CAST(concat('0x', substr(md5(concat_ws('|', doc_id, text)), 1, 15))
+       |                AS BIGINT) AS h
+       |            FROM documents WHERE doc_id % $BatchMod <> 0),
+       |before_m AS (SELECT bucket, count(*) AS n_before, bit_xor(h) AS sig_before
+       |             FROM hb GROUP BY bucket),
+       |ha AS (SELECT doc_id % $buckets AS bucket,
+       |              CAST(concat('0x', substr(md5(concat_ws('|', doc_id, text)), 1, 15))
+       |                AS BIGINT) AS h
+       |            FROM documents),
+       |after_m AS (SELECT bucket, count(*) AS n_after, bit_xor(h) AS sig_after
+       |            FROM ha GROUP BY bucket)
+       |SELECT coalesce(b.bucket, a.bucket) AS bucket,
+       |  coalesce(b.n_before, 0) AS n_before,
+       |  coalesce(a.n_after, 0) AS n_after,
+       |  coalesce(a.n_after, 0) - coalesce(b.n_before, 0) AS delta,
+       |  CASE WHEN coalesce(a.n_after, 0) > coalesce(b.n_before, 0) THEN 'grown'
+       |       WHEN coalesce(a.n_after, 0) < coalesce(b.n_before, 0) THEN 'shrunk'
+       |       ELSE 'mutated' END AS change
+       |FROM before_m b FULL JOIN after_m a ON b.bucket = a.bucket
+       |WHERE b.sig_before IS DISTINCT FROM a.sig_after
+       |   OR b.n_before IS DISTINCT FROM a.n_after
+       |ORDER BY bucket""".stripMargin
 }

@@ -119,6 +119,42 @@ class LlmOpsR7Spec extends AnyFunSuite {
       "decile n_truth must sum to the q22 pair count")
   }
 
+  // ---- q75 manifest diff ------------------------------------------
+
+  test("q75 reports exactly the batch's buckets as grown, with correct deltas") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = Provenance.q75ManifestDiff(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nb, na, d, change) =>
+      assert(d === na - nb)
+      assert(change === (if (d > 0) "grown" else if (d < 0) "shrunk" else "mutated"))
+    }
+    // every batch doc (doc_id % 17 == 0) grows its bucket; nothing shrinks
+    val batchByBucket = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .groupBy(pmod(col("doc_id"), lit(64)).as("bucket")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._4).toMap === batchByBucket)
+  }
+
+  test("q75/manifestDiff classifies grown, shrunk, mutated; silent on unchanged") {
+    import spark.implicits._
+    // buckets (mod 64): 1 unchanged, 2 mutated (in-place edit, same
+    // count), 3 shrunk (doc removed), 4 grown (doc added)
+    val before = Seq(
+      (1L, "steady", "s", 6L), (2L, "old text", "s", 8L),
+      (3L, "kept", "s", 4L), (67L, "dropped", "s", 7L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val after = Seq(
+      (1L, "steady", "s", 6L), (2L, "NEW text", "s", 8L),
+      (3L, "kept", "s", 4L), (4L, "added", "s", 5L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val rows = Provenance.manifestDiff(before, after).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    assert(rows.toSeq === Seq((2L, 0L, "mutated"), (3L, -1L, "shrunk"),
+      (4L, 1L, "grown")), rows.mkString(", "))
+  }
+
   test("q74 reports recall 1.0 for identical documents (signatures equal)") {
     import spark.implicits._
     val text = (1 to 30).map(i => s"w$i").mkString(" ")
