@@ -78,6 +78,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q69_domain_mix:      domain-mixture token-budget allocation
   *  - q70_manifest:        bucketed XOR content manifest (corpus versioning)
   *  - q71_image_decode:    REAL ImageIO PNG round trip (formula-pixel oracle)
+  *  - q72_rplsh_dedup:     random-hyperplane LSH embedding near-dup (training-free)
+  *  - q73_incremental_dedup: batch-vs-corpus-state admission report
+  *  - q74_lsh_recall:      LSH candidate recall per similarity decile vs exact q22
+  *  - q75_manifest_diff:   snapshot diff over q70 manifests (grown/shrunk/mutated)
   */
 object SparkEntry {
 
