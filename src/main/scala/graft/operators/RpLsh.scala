@@ -77,6 +77,29 @@ object RpLsh {
       .agg(sum("bit").as("code"))
   }
 
+  /** Bucket-occupancy diagnostics for tuning `bits`: (max bucket size,
+    * total candidate pairs Σ k·(k−1)/2 across buckets). Eager — one
+    * action — and logged, mirroring [[TextOps.droppedShingleStats]]:
+    * a deployment checks occupancy BEFORE launching the verify join
+    * and widens `bits` (target ≈ log₂N per table) when the projected
+    * pair count crosses its budget, instead of discovering a hot
+    * bucket as a straggler task at hour three. */
+  def bucketStats(embeddings: DataFrame, nTables: Int = 4, bits: Int = 8,
+                  dim: Int = 64): (Long, Long) = {
+    val r = signatures(embeddings, nTables, bits, dim)
+      .groupBy("tbl", "code").agg(count(lit(1)).as("k"))
+      .agg(coalesce(max("k"), lit(0L)).as("max_bucket"),
+        // integer div: `/` on longs is double division — inexact past 2^53
+        coalesce(sum(expr("(k * (k - 1)) div 2")), lit(0L))
+          .cast("long").as("n_cand_pairs"))
+      .head()
+    val stats = (r.getLong(0), r.getLong(1))
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"rp-lsh ${nTables}x${bits}bit: max bucket ${stats._1}, " +
+            s"candidate pairs ${stats._2} (pre-dedup across tables)")
+    stats
+  }
+
   /** q72: RP-LSH near-duplicate pairs — bucket-collision candidates
     * (OR over tables, deduplicated), then the exact cosine verify with
     * the threshold inside the join output filter. Same output contract

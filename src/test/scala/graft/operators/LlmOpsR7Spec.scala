@@ -58,6 +58,17 @@ class LlmOpsR7Spec extends AnyFunSuite {
       "expected exactly nTables signature rows per vector")
   }
 
+  test("q72 bucketStats matches a direct recount and widening bits shrinks buckets") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (maxB, nCand) = RpLsh.bucketStats(emb, 4, 8, 64)
+    val direct = RpLsh.signatures(emb, 4, 8, 64).collect()
+      .groupBy(r => (r.getInt(1), r.getLong(2))).values.map(_.length.toLong)
+    assert(maxB === direct.max)
+    assert(nCand === direct.map(k => k * (k - 1) / 2).sum)
+    val (maxWide, _) = RpLsh.bucketStats(emb, 4, 12, 64)
+    assert(maxWide <= maxB, "wider codes must not grow the max bucket")
+  }
+
   test("q72 candidate verify is an equi-join on (tbl, code) — no cartesian pair scan") {
     val df = RpLsh.q72RplshDedup(Tables.load(spark, sf, "embeddings"))
     df.collect() // AQE: judge the final executed plan
