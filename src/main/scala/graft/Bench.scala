@@ -89,7 +89,10 @@ object Bench {
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir"}"""
     println(line)
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs,"spread":$spread}"""
-    val pw = new java.io.PrintWriter("BENCH.json")
+    // targeted runs (SPARK_GRAFT_QUERIES set) must not clobber the
+    // canonical full-suite artifact the driver/judge reads
+    val outFile = if (filter.isDefined) "BENCH_partial.json" else "BENCH.json"
+    val pw = new java.io.PrintWriter(outFile)
     try pw.println(full) finally pw.close()
     spark.stop()
   }
