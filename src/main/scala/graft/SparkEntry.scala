@@ -82,6 +82,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q73_incremental_dedup: batch-vs-corpus-state admission report
   *  - q74_lsh_recall:      LSH candidate recall per similarity decile vs exact q22
   *  - q75_manifest_diff:   snapshot diff over q70 manifests (grown/shrunk/mutated)
+  *  - q76_emb_dedup_recall: per-decile pair recall of q54/q72 vs exact q34
   */
 object SparkEntry {
 
@@ -173,6 +174,7 @@ object SparkEntry {
     "q73_incremental_dedup" -> t("documents")(Provenance.q73IncrementalDedup),
     "q74_lsh_recall" -> t("documents")(Fuzzy.q74LshRecall(_)),
     "q75_manifest_diff" -> t("documents")(Provenance.q75ManifestDiff(_)),
+    "q76_emb_dedup_recall" -> t("embeddings")(VectorOps.q76EmbDedupRecall(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -253,5 +255,6 @@ object SparkEntry {
     "q73_incremental_dedup" -> Provenance.q73Sql,
     "q74_lsh_recall" -> Fuzzy.q74Sql(),
     "q75_manifest_diff" -> Provenance.q75Sql(),
+    "q76_emb_dedup_recall" -> VectorOps.q76Sql(),
   )
 }

@@ -371,6 +371,87 @@ object VectorOps {
        |LEFT JOIN quant z ON x.qid = z.qid AND x.vec_id = z.vec_id
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
+  /** q76: embedding-dedup recall accounting — the q74-for-vectors,
+    * closing the measurement triangle: q62 measures IVF *search*
+    * recall@k; this measures *dedup pair* recall of BOTH sublinear
+    * paths (q54 learned-IVF buckets, q72 RP-LSH sign buckets) against
+    * the exact q34 all-pairs ground truth, per similarity decile.
+    * Neither path can produce a false pair (both rerank candidates
+    * with the identical rounded exact cosine), so the only quantity to
+    * measure is which true pairs each bucketing loses — and at which
+    * similarity: IVF loses pairs split across centroid boundaries,
+    * LSH loses pairs that collide on no table, both concentrated in
+    * the weak-similarity tail (measured at sf0.01: recall 1.0 for
+    * every pair at sim ≥ 0.6, see bench_history/NOTES_r7.md).
+    *
+    * Like q34 it carries the all-pairs guard implicitly (it CALLS q34):
+    * this is a measurement/tuning query run on samples, not a corpus
+    * pass — at 100 TB you measure on a slice, then run only q54/q72. */
+  def q76EmbDedupRecall(embeddings: DataFrame, threshold: Double = 0.4,
+                        nCentroids: Int = 8, nTables: Int = 4,
+                        bits: Int = 8): DataFrame = {
+    val exact = q34EmbeddingDedup(embeddings, threshold)
+    val ivf = q54BucketedEmbDedup(embeddings, nCentroids, threshold)
+      .select(col("ida").as("va"), col("idb").as("vb"))
+    val lsh = RpLsh.q72RplshDedup(embeddings, nTables, bits, threshold)
+      .select(col("ida").as("la"), col("idb").as("lb"))
+    exact
+      .join(lsh, col("ida") === col("la") && col("idb") === col("lb"), "left")
+      .join(ivf, col("ida") === col("va") && col("idb") === col("vb"), "left")
+      .groupBy(floor(col("sim") * 10).cast("int").as("sim_decile"))
+      .agg(count(lit(1)).as("n_truth"),
+        count(col("la")).as("n_lsh"), count(col("va")).as("n_ivf"))
+      .select(col("sim_decile"), col("n_truth"), col("n_lsh"), col("n_ivf"),
+        round(col("n_lsh").cast("double") / col("n_truth"), 6).as("recall_lsh"),
+        round(col("n_ivf").cast("double") / col("n_truth"), 6).as("recall_ivf"))
+      .orderBy("sim_decile")
+  }
+
+  def q76Sql(threshold: Double = 0.4, nCentroids: Int = 8, nTables: Int = 4,
+             bits: Int = 8, dim: Int = 64): String = {
+    val simAB = "round(list_dot_product(a.ed, b.ed) / (a.nrm * b.nrm), 6)"
+    val comp = s"(CAST(concat('0x', substr(md5(p || '-' || d), 1, 15)) AS BIGINT)" +
+      s" % 2000001) / 1000000.0 - 1.0"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |n AS (SELECT vec_id, ed, sqrt(list_dot_product(ed, ed)) AS nrm FROM e),
+       |exact AS (SELECT a.vec_id AS ida, b.vec_id AS idb, $simAB AS sim
+       |          FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |          WHERE $simAB >= $threshold),
+       |${Kmeans.sqlCtes(nCentroids)},
+       |asg AS (SELECT vec_id, ed, cid FROM (
+       |  SELECT e.vec_id, e.ed, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid) AS arn
+       |  FROM e, c) t WHERE arn = 1),
+       |nasg AS (SELECT vec_id, ed, cid, sqrt(list_dot_product(ed, ed)) AS nrm FROM asg),
+       |ivf AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |        FROM nasg a JOIN nasg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |        WHERE $simAB >= $threshold),
+       |planes AS (SELECT p, [$comp FOR d IN range(0, $dim)] AS pv
+       |           FROM range(0, ${nTables * bits}) t(p)),
+       |sig AS (SELECT e.vec_id, CAST(pl.p // $bits AS INT) AS tbl,
+       |          CAST(sum(CASE WHEN list_dot_product(e.ed, pl.pv) >= 0
+       |                        THEN 1 << CAST(pl.p % $bits AS INT)
+       |                        ELSE 0 END) AS BIGINT) AS code
+       |        FROM e, planes pl GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |         FROM sig a JOIN sig b
+       |           ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id),
+       |lsh AS (SELECT c.ida AS la, c.idb AS lb
+       |        FROM cand c
+       |        JOIN n a ON c.ida = a.vec_id
+       |        JOIN n b ON c.idb = b.vec_id
+       |        WHERE $simAB >= $threshold)
+       |SELECT CAST(floor(sim * 10) AS INT) AS sim_decile,
+       |  count(*) AS n_truth, count(l.la) AS n_lsh, count(v.va) AS n_ivf,
+       |  round(CAST(count(l.la) AS DOUBLE) / count(*), 6) AS recall_lsh,
+       |  round(CAST(count(v.va) AS DOUBLE) / count(*), 6) AS recall_ivf
+       |FROM exact x
+       |LEFT JOIN lsh l ON x.ida = l.la AND x.idb = l.lb
+       |LEFT JOIN ivf v ON x.ida = v.va AND x.idb = v.vb
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Per-label embedding profile: count + exact-ish centroid norm stats.
     * Norms are rounded (order-independent within one vector: the fold is
     * sequential over the array, not over rows). */

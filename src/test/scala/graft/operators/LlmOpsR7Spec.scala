@@ -130,6 +130,29 @@ class LlmOpsR7Spec extends AnyFunSuite {
       "decile n_truth must sum to the q22 pair count")
   }
 
+  // ---- q76 embedding-dedup recall accounting ----------------------
+
+  test("q76 deciles partition q34; per-path found counts sum to the path totals") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val rows = VectorOps.q76EmbDedupRecall(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nT, nL, nV, rL, rV) =>
+      assert(nL <= nT && nV <= nT)
+      assert(rL >= 0.0 && rL <= 1.0 && rV >= 0.0 && rV <= 1.0)
+    }
+    assert(rows.map(_._2).sum === VectorOps.q34EmbeddingDedup(emb).count())
+    assert(rows.map(_._3).sum === RpLsh.q72RplshDedup(emb).count(),
+      "every LSH pair is a true pair, so decile hits must sum to the LSH total")
+    assert(rows.map(_._4).sum === VectorOps.q54BucketedEmbDedup(emb).count(),
+      "every IVF pair is a true pair, so decile hits must sum to the IVF total")
+    // measured posture on this corpus: nothing at sim >= 0.6 is lost
+    rows.filter(_._1 >= 6).foreach { case (d, _, _, _, rL, rV) =>
+      assert(rL === 1.0 && rV === 1.0, s"high-sim decile $d lost pairs")
+    }
+  }
+
   // ---- q75 manifest diff ------------------------------------------
 
   test("q75 reports exactly the batch's buckets as grown, with correct deltas") {
