@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Streaming deduplication over a document stream — the incremental
@@ -78,6 +79,67 @@ object DocStream {
            sum("n_bpe_tokens").as("sum_bpe_tokens"))
       .select(col("window.start").as("win_start"), col("lang_pred"),
         col("n_docs"), col("sum_bpe_tokens"))
+  }
+
+  /** Per-document admission verdict emitted by [[admissionStream]]. */
+  case class Admission(doc_id: Long, h: Long, verdict: String)
+
+  /** Dedup-state payload: whether the hash was seeded from the batch
+    * corpus (vs first seen on the stream). One boolean per distinct
+    * hash — with the 8-byte key, ~9 bytes of state per distinct
+    * document content, same footprint argument as batch q73. */
+  case class AdmitState(fromCorpus: Boolean)
+
+  /** Bootstrapped streaming admission — the streaming twin of the batch
+    * incremental-dedup report (q73, `Provenance.q73IncrementalDedup`):
+    * a continuous ingest stream is admitted against the EXISTING
+    * corpus, without ever rescanning corpus text.
+    *
+    * `corpusHashes` is the persisted corpus state — one `h` column of
+    * the portable 60-bit content hashes (the q70 manifest / q73 state
+    * convention: `conv(substring(md5(text),1,15),16,10)`). It seeds
+    * `flatMapGroupsWithState`'s `initialState`, so the state store
+    * starts as the corpus membership set and the stream then maintains
+    * it incrementally: each arriving document is verdicted
+    * `dup_corpus` (hash seeded from the corpus), `dup_stream` (first
+    * seen earlier ON the stream — including earlier in the same
+    * micro-batch, ordered by doc_id), or `new` (admit it).
+    *
+    * Scale shape: the corpus side reduces to 8-byte hashes map-side
+    * and is shuffled ONCE into the state store's key partitioning at
+    * query start; per micro-batch, only the batch's (doc_id, h) pairs
+    * shuffle — the exact cost profile of the batch q73 join, but with
+    * the corpus-state scan amortized across all future ticks instead
+    * of re-read per tick. Unbounded-corpus deployments bound state the
+    * same way [[dedupWithinWatermark]] does — this variant is the
+    * exact-membership mode. */
+  def admissionStream(docs: DataFrame, corpusHashes: DataFrame): Dataset[Admission] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs
+      .select(col("doc_id").cast("long"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+      .as[(Long, Long)]
+    val init = corpusHashes.select(col("h").cast("long")).distinct().as[Long]
+      .groupByKey(identity).mapValues(_ => AdmitState(fromCorpus = true))
+    hashed
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[AdmitState, Admission](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), init) {
+        case (h, rows, state: GroupState[AdmitState]) =>
+          // deterministic within-batch order: lowest doc_id is "first"
+          val sorted = rows.toSeq.sortBy(_._1)
+          val verdicts =
+            if (state.exists && state.get.fromCorpus)
+              sorted.map(r => Admission(r._1, h, "dup_corpus"))
+            else if (state.exists)
+              sorted.map(r => Admission(r._1, h, "dup_stream"))
+            else
+              Admission(sorted.head._1, h, "new") ::
+                sorted.tail.map(r => Admission(r._1, h, "dup_stream")).toList
+          if (!state.exists) state.update(AdmitState(fromCorpus = false))
+          verdicts.iterator
+      }
   }
 
   /** JSONL wire schema for a document drop directory. */

@@ -166,6 +166,64 @@ class DocStreamSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("bootstrapped admission stream: verdicts reconcile with batch q73; state carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, conv, md5, pmod, substring, lit}
+    val documents = Tables.load(spark, sf, "documents")
+    val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    // the q73 split: corpus = doc_id % 17 != 0, batch = the rest
+    val corpusHashes = documents
+      .filter(pmod(col("doc_id"), lit(17)) =!= 0).select(h.as("h"))
+    val batchDocs = documents.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .selectExpr("doc_id", "(doc_id + 1) * 1000000000 AS ts", "text")
+      .as[DocStream.Doc].collect().sortBy(_.doc_id).toSeq
+    assert(batchDocs.nonEmpty)
+    // tick 2 re-sends tick-1 docs under fresh ids: cross-micro-batch dups.
+    // Candidates are restricted to texts NOT in the corpus, so their
+    // expected verdict is unambiguously dup_stream (not dup_corpus).
+    val (t1, t2) = batchDocs.splitAt(batchDocs.length / 2)
+    val corpusSet = corpusHashes.collect().map(_.getLong(0)).toSet
+    def h60(text: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val resent = t1.filter(d => !corpusSet.contains(h60(d.text)))
+      .take(3).map(d => d.copy(doc_id = d.doc_id + 500000))
+    assert(resent.length === 3, "need 3 non-corpus tick-1 docs to re-send")
+
+    val input = MemoryStream[DocStream.Doc]
+    val q = DocStream.admissionStream(input.toDF(), corpusHashes)
+      .writeStream.format("memory").queryName("admit_out")
+      .outputMode("append").start()
+    try {
+      input.addData(t1); q.processAllAvailable()
+      input.addData(t2 ++ resent); q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, verdict FROM admit_out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size === batchDocs.length + resent.length,
+        "exactly one verdict per streamed document")
+
+      // reconcile against the batch q73 report on the same split
+      val report = graft.operators.Provenance.q73IncrementalDedup(documents)
+        .agg(org.apache.spark.sql.functions.sum("n_batch"),
+          org.apache.spark.sql.functions.sum("n_dup"),
+          org.apache.spark.sql.functions.sum("n_new")).collect()(0)
+      val streamed = got.filterNot(_._1 >= 500000)
+      assert(streamed.size.toLong === report.getLong(0))
+      assert(streamed.values.count(_ == "dup_corpus").toLong === report.getLong(1),
+        "corpus-dup verdicts must equal q73's n_dup")
+      assert(streamed.values.count(v => v == "new" || v == "dup_stream").toLong
+        === report.getLong(2),
+        "new + stream-dup verdicts must equal q73's n_new (q73 only knows the corpus)")
+
+      // cross-micro-batch state: every tick-2 re-send is a stream dup
+      resent.foreach(d => assert(got(d.doc_id) == "dup_stream",
+        s"re-sent doc ${d.doc_id} must be caught by carried stream state"))
+      // its tick-1 original was admitted (corpus membership untouched)
+      resent.foreach(d => assert(got(d.doc_id - 500000) != "dup_corpus"))
+    } finally q.stop()
+  }
+
   test("watermark-bounded dedup: suppresses within horizon, re-admits after eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
