@@ -40,7 +40,9 @@ class EmptyInputSpec extends AnyFunSuite {
       "q50_cohort" -> Funnels.q50Cohort(empty("events")),
       "q72_rplsh_dedup" -> RpLsh.q72RplshDedup(empty("embeddings")),
       "q73_incremental_dedup" -> Provenance.q73IncrementalDedup(empty("documents")),
-      "q74_lsh_recall" -> Fuzzy.q74LshRecall(empty("documents")))
+      "q74_lsh_recall" -> Fuzzy.q74LshRecall(empty("documents")),
+      "q75_manifest_diff" -> Provenance.q75ManifestDiff(empty("documents")),
+      "q76_emb_dedup_recall" -> VectorOps.q76EmbDedupRecall(empty("embeddings")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }
