@@ -83,6 +83,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q74_lsh_recall:      LSH candidate recall per similarity decile vs exact q22
   *  - q75_manifest_diff:   snapshot diff over q70 manifests (grown/shrunk/mutated)
   *  - q76_emb_dedup_recall: per-decile pair recall of q54/q72 vs exact q34
+  *  - q77_lm_perplexity:   corpus-trained bigram-LM cross-entropy gate (CCNet shape)
   */
 object SparkEntry {
 
@@ -175,6 +176,7 @@ object SparkEntry {
     "q74_lsh_recall" -> t("documents")(Fuzzy.q74LshRecall(_)),
     "q75_manifest_diff" -> t("documents")(Provenance.q75ManifestDiff(_)),
     "q76_emb_dedup_recall" -> t("embeddings")(VectorOps.q76EmbDedupRecall(_)),
+    "q77_lm_perplexity" -> t("documents")(LmScore.q77LmPerplexity(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,5 +258,6 @@ object SparkEntry {
     "q74_lsh_recall" -> Fuzzy.q74Sql(),
     "q75_manifest_diff" -> Provenance.q75Sql(),
     "q76_emb_dedup_recall" -> VectorOps.q76Sql(),
+    "q77_lm_perplexity" -> LmScore.q77Sql(),
   )
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained language-model perplexity scoring — the CCNet-shaped
+  * quality gate (Wenzek et al., "CCNet: Extracting High Quality
+  * Monolingual Datasets from Web Crawl Data", LREC 2020): train a
+  * statistical LM on the corpus, score every document by per-token
+  * cross-entropy, flag the high-perplexity tail. The reference pipeline
+  * has no LM gate (its quality signals are row-local ratios —
+  * `crypto_etl_pipeline.py:139-170`'s cleaning ladder is regex/cast
+  * only); this is a beyond-reference training-data operator, a
+  * miniature of the KenLM 5-gram filter: a word-BIGRAM Laplace model,
+  * which keeps both training and scoring as two aggregate passes.
+  *
+  * Determinism contract (the reason scores cross-check in DuckDB):
+  * each bigram's surprisal -log2((c12+1)/(c1+V)) is rounded ONCE to
+  * integer micro-bits (×1e6, nearest), and every downstream total is
+  * LONG arithmetic — order-free sums, integer flag comparison
+  * (mb > nbg·T_micro), one final double division rounded to 6 dp. No
+  * float ever accumulates across rows, so partition order can't move
+  * the result — the same micro-integer discipline as q67's packing.
+  *
+  * Scale shape: tokenize/bigram map-side; every shuffle key is a
+  * 60-bit hash (never a word pair string). Training = one groupBy on
+  * bigram hash + one on prefix hash (counts only); scoring re-joins
+  * the bigram stream to the model on the hash — at web scale the model
+  * is Zipf-heavy-tailed, so the join stays a shuffle equi-join (AQE
+  * broadcasts it when the model is small) and the hot-prefix skew
+  * lives in the COUNT aggregates, where map-side partial aggregation
+  * absorbs it (the q55 salting valve exists if a single bigram ever
+  * dominates a partition). Vocabulary size V is the one scalar
+  * barrier, folded back as a 1-row broadcast like q47's N.
+  */
+object LmScore {
+
+  /** Flag threshold in bits/token. Corpus-calibrated: the synthetic
+    * word corpora average ≈ 4.89–4.91 bits/token with p97 ≈ 4.95–4.98
+    * (measured at sf0.001/0.01/0.1 and the GenData long-doc corpus),
+    * so 4.98 flags the genuinely-rare-continuation tail (~3 % of
+    * docs), not half the corpus. Deployments tune this like any CCNet
+    * perplexity cut. */
+  val DefaultFlagBits = 4.98
+
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** q77: per-source LM cross-entropy report — n docs scored, total
+    * bigrams, average bits/token, and how many docs the perplexity
+    * gate flags. Documents with fewer than 2 tokens carry no bigram
+    * evidence and are excluded (mirrored in the oracle). */
+  def q77LmPerplexity(documents: DataFrame,
+                      flagBits: Double = DefaultFlagBits): DataFrame = {
+    val flagMicro = math.round(flagBits * 1e6)
+    val bg = documents
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(a)-1), i -> struct(a[i-1] AS w1, a[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("source"),
+        h60(concat(col("b.w1"), lit("\u0001"), col("b.w2"))).as("bgh"),
+        h60(col("b.w1")).as("w1h"),
+        h60(col("b.w2")).as("w2h"))
+    val c12 = bg.groupBy(col("w1h"), col("bgh")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1h").agg(sum("c12").as("c1"))
+    val v = bg.agg(count_distinct(col("w2h")).as("v"))
+    val model = c12.join(c1, "w1h").crossJoin(broadcast(v))
+      .select(col("bgh"),
+        round(-log2((col("c12") + lit(1)).cast("double")
+          / (col("c1") + col("v")).cast("double")) * lit(1e6))
+          .cast("long").as("microbits"))
+    val perDoc = bg.select("doc_id", "source", "bgh")
+      .join(model, "bgh")
+      .groupBy("doc_id", "source")
+      .agg(sum("microbits").as("mb"), count(lit(1)).as("nbg"))
+    perDoc
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nbg").as("n_bigrams"),
+        round(sum(col("mb")).cast("double")
+          / (sum(col("nbg")).cast("double") * lit(1e6)), 6).as("avg_bits"),
+        sum(when(col("mb") > col("nbg") * lit(flagMicro), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .orderBy("source")
+  }
+
+  def q77Sql(flagBits: Double = DefaultFlagBits): String = {
+    val flagMicro = math.round(flagBits * 1e6)
+    def h60(s: String) =
+      s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, regexp_split_to_array(text, ' ') AS a
+       |  FROM documents WHERE len(regexp_split_to_array(text, ' ')) >= 2),
+       |bg AS (
+       |  SELECT doc_id, source,
+       |    ${h60("a[i] || chr(1) || a[i+1]")} AS bgh,
+       |    ${h60("a[i]")} AS w1h, ${h60("a[i+1]")} AS w2h
+       |  FROM tok, unnest(generate_series(1, len(a) - 1)) AS t(i)),
+       |c12 AS (SELECT w1h, bgh, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1h, sum(c12) AS c1 FROM c12 GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w2h) AS v FROM bg),
+       |model AS (
+       |  SELECT bgh, CAST(round(-log2((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE)
+       |    * 1e6) AS BIGINT) AS microbits
+       |  FROM c12 JOIN c1 USING (w1h), v),
+       |per_doc AS (
+       |  SELECT doc_id, source, sum(microbits)::BIGINT AS mb,
+       |    count(*) AS nbg
+       |  FROM bg JOIN model USING (bgh) GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs, sum(nbg)::BIGINT AS n_bigrams,
+       |  round(sum(mb)::DOUBLE / (sum(nbg)::DOUBLE * 1e6), 6) AS avg_bits,
+       |  sum(CASE WHEN mb > nbg * $flagMicro THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_flagged
+       |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+}
