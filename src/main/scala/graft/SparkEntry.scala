@@ -84,6 +84,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q75_manifest_diff:   snapshot diff over q70 manifests (grown/shrunk/mutated)
   *  - q76_emb_dedup_recall: per-decile pair recall of q54/q72 vs exact q34
   *  - q77_lm_perplexity:   corpus-trained bigram-LM cross-entropy gate (CCNet shape)
+  *  - q78_pii_scrub:       email/phone/IP redaction report (deterministic injection)
   */
 object SparkEntry {
 
@@ -177,6 +178,7 @@ object SparkEntry {
     "q75_manifest_diff" -> t("documents")(Provenance.q75ManifestDiff(_)),
     "q76_emb_dedup_recall" -> t("embeddings")(VectorOps.q76EmbDedupRecall(_)),
     "q77_lm_perplexity" -> t("documents")(LmScore.q77LmPerplexity(_)),
+    "q78_pii_scrub" -> t("documents")(PiiScrub.q78PiiScrub),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -259,5 +261,6 @@ object SparkEntry {
     "q75_manifest_diff" -> Provenance.q75Sql(),
     "q76_emb_dedup_recall" -> VectorOps.q76Sql(),
     "q77_lm_perplexity" -> LmScore.q77Sql(),
+    "q78_pii_scrub" -> PiiScrub.q78Sql,
   )
 }

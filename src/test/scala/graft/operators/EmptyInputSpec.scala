@@ -43,7 +43,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "q74_lsh_recall" -> Fuzzy.q74LshRecall(empty("documents")),
       "q75_manifest_diff" -> Provenance.q75ManifestDiff(empty("documents")),
       "q76_emb_dedup_recall" -> VectorOps.q76EmbDedupRecall(empty("embeddings")),
-      "q77_lm_perplexity" -> LmScore.q77LmPerplexity(empty("documents")))
+      "q77_lm_perplexity" -> LmScore.q77LmPerplexity(empty("documents")),
+      "q78_pii_scrub" -> PiiScrub.q78PiiScrub(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }
