@@ -85,6 +85,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q76_emb_dedup_recall: per-decile pair recall of q54/q72 vs exact q34
   *  - q77_lm_perplexity:   corpus-trained bigram-LM cross-entropy gate (CCNet shape)
   *  - q78_pii_scrub:       email/phone/IP redaction report (deterministic injection)
+  *  - q79_source_divergence: per-source Jensen-Shannon vs the corpus unigram mix
   */
 object SparkEntry {
 
@@ -179,6 +180,7 @@ object SparkEntry {
     "q76_emb_dedup_recall" -> t("embeddings")(VectorOps.q76EmbDedupRecall(_)),
     "q77_lm_perplexity" -> t("documents")(LmScore.q77LmPerplexity(_)),
     "q78_pii_scrub" -> t("documents")(PiiScrub.q78PiiScrub),
+    "q79_source_divergence" -> t("documents")(MixStats.q79SourceDivergence),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -262,5 +264,6 @@ object SparkEntry {
     "q76_emb_dedup_recall" -> VectorOps.q76Sql(),
     "q77_lm_perplexity" -> LmScore.q77Sql(),
     "q78_pii_scrub" -> PiiScrub.q78Sql,
+    "q79_source_divergence" -> MixStats.q79Sql,
   )
 }

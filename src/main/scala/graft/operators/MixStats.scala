@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-mix distribution diagnostics — per-source Jensen–Shannon
+  * divergence between the source's unigram distribution and the whole
+  * corpus's. This is the signal a data-mixing pipeline watches next to
+  * its token budgets (q69): a source whose JS spikes is distributionally
+  * unlike the mix (fresh domain, contamination, or a scrape gone wrong).
+  * Beyond-reference operator (the reference has no text corpus at all).
+  *
+  * The vocabulary tail is closed-form, which is what keeps this ONE
+  * equi-join instead of a vocab×sources expansion: for a word absent
+  * from source s (p_s = 0), its JS term is 0.5·p_c·log2(p_c/(p_c/2)) =
+  * 0.5·p_c, so the whole absent-word tail sums to
+  * 0.5·(1 − Σ_{w∈s} p_c(w)) — computable from the source's OWN rows.
+  * Only (source, word) pairs that exist are ever materialized.
+  *
+  * Determinism: the same micro-integer discipline as q77 — each
+  * present-word JS term is rounded once to pico-bits (×1e12 — terms
+  * are ≤ 1, and vocab ≤ 1e5 keeps the long sum ≪ 2^63), the tail uses
+  * exact long token counts, and the one final double expression is
+  * written with identical association in Spark and the oracle.
+  *
+  * Scale shape: tokenize map-side; shuffle keys are the 60-bit word
+  * hash (count aggregates with map-side partials — Zipf-hot words
+  * collapse before the exchange) and the source id. The corpus-count
+  * side joins the per-source side on the word hash; corpus total N is
+  * the one scalar barrier (1-row broadcast, q47's N pattern). */
+object MixStats {
+
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** q79: per-source (n_tokens, n_types, js_bits vs corpus). */
+  def q79SourceDivergence(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .select(col("source"), h60(col("w")).as("wh"))
+    val csw = tok.groupBy("source", "wh").agg(count(lit(1)).as("c_sw"))
+    val ns = csw.groupBy("source")
+      .agg(sum("c_sw").as("n_s"), count(lit(1)).as("n_types"))
+    val cw = csw.groupBy("wh").agg(sum("c_sw").as("c_w"))
+    val n = cw.agg(sum("c_w").as("n"))
+    val ps = col("c_sw").cast("double") / col("n_s").cast("double")
+    val pc = col("c_w").cast("double") / col("n").cast("double")
+    val term = ps * log2(lit(2) * ps / (ps + pc)) +
+      pc * log2(lit(2) * pc / (ps + pc))
+    csw
+      .join(ns, "source")
+      .join(cw, "wh")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"), col("n_types"), col("n"),
+        round(term * lit(1e12)).cast("long").as("tp"), col("c_w"))
+      .groupBy("source", "n_s", "n_types", "n")
+      .agg(sum("tp").as("sumt"), sum("c_w").as("sumcw"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_types"),
+        round(lit(0.5) * col("sumt").cast("double") / lit(1e12)
+          + lit(0.5) * (col("n") - col("sumcw")).cast("double")
+            / col("n").cast("double"), 6).as("js_bits"))
+      .orderBy("source")
+  }
+
+  def q79Sql: String = {
+    def h60(s: String) =
+      s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
+    s"""WITH tok AS (
+       |  SELECT source, ${h60("w")} AS wh
+       |  FROM (SELECT source, unnest(regexp_split_to_array(text, ' ')) AS w
+       |        FROM documents)),
+       |csw AS (SELECT source, wh, count(*) AS c_sw FROM tok GROUP BY 1, 2),
+       |ns AS (SELECT source, sum(c_sw)::BIGINT AS n_s, count(*) AS n_types
+       |       FROM csw GROUP BY 1),
+       |cw AS (SELECT wh, sum(c_sw)::BIGINT AS c_w FROM csw GROUP BY 1),
+       |n AS (SELECT sum(c_w)::BIGINT AS n FROM cw),
+       |terms AS (
+       |  SELECT csw.source, ns.n_s, ns.n_types, n.n, cw.c_w,
+       |    CAST(round((
+       |      (c_sw::DOUBLE / n_s::DOUBLE)
+       |        * log2(2 * (c_sw::DOUBLE / n_s::DOUBLE)
+       |          / ((c_sw::DOUBLE / n_s::DOUBLE) + (c_w::DOUBLE / n::DOUBLE)))
+       |      + (c_w::DOUBLE / n::DOUBLE)
+       |        * log2(2 * (c_w::DOUBLE / n::DOUBLE)
+       |          / ((c_sw::DOUBLE / n_s::DOUBLE) + (c_w::DOUBLE / n::DOUBLE)))
+       |    ) * 1e12) AS BIGINT) AS tp
+       |  FROM csw JOIN ns USING (source) JOIN cw USING (wh), n)
+       |SELECT source, n_s AS n_tokens, n_types,
+       |  round(0.5 * sum(tp)::DOUBLE / 1e12
+       |    + 0.5 * (any_value(n) - sum(c_w))::DOUBLE
+       |      / any_value(n)::DOUBLE, 6) AS js_bits
+       |FROM terms GROUP BY source, n_s, n_types
+       |ORDER BY source""".stripMargin
+  }
+}
