@@ -46,4 +46,17 @@ class MixStatsSpec extends AnyFunSuite {
     val b = MixStats.q79SourceDivergence(docs.coalesce(1)).collect().toSeq
     assert(a === b, "pico-bit integer accounting must be partition-order invariant")
   }
+
+  test("plan: corpus counts equi-join on the word hash; only the scalar N nested-loops") {
+    val df = MixStats.q79SourceDivergence(Tables.load(spark, sf, "documents"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    val wordJoin = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[wh#\\d+L?\\]".r
+    assert(wordJoin.findFirstIn(p).isDefined, "no wh equi-join found:\n" + p)
+    p.split("\n").filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.trim.matches(".*BroadcastNestedLoopJoin Build(Left|Right), (Inner|Cross)$"),
+        "a conditioned BNLJ appeared in the JS plan:\n" + p)
+    }
+  }
 }
