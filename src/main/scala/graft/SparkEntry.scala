@@ -86,6 +86,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q77_lm_perplexity:   corpus-trained bigram-LM cross-entropy gate (CCNet shape)
   *  - q78_pii_scrub:       email/phone/IP redaction report (deterministic injection)
   *  - q79_source_divergence: per-source Jensen-Shannon vs the corpus unigram mix
+  *  - q80_source_jaccard:  source-pair shingle-set Jaccard overlap matrix
   */
 object SparkEntry {
 
@@ -181,6 +182,7 @@ object SparkEntry {
     "q77_lm_perplexity" -> t("documents")(LmScore.q77LmPerplexity(_)),
     "q78_pii_scrub" -> t("documents")(PiiScrub.q78PiiScrub),
     "q79_source_divergence" -> t("documents")(MixStats.q79SourceDivergence),
+    "q80_source_jaccard" -> t("documents")(MixStats.q80SourceJaccard),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -265,5 +267,6 @@ object SparkEntry {
     "q77_lm_perplexity" -> LmScore.q77Sql(),
     "q78_pii_scrub" -> PiiScrub.q78Sql,
     "q79_source_divergence" -> MixStats.q79Sql,
+    "q80_source_jaccard" -> MixStats.q80Sql,
   )
 }

@@ -62,6 +62,67 @@ object MixStats {
       .orderBy("source")
   }
 
+  /** q80: source-pair textual overlap — exact Jaccard between the
+    * word-trigram shingle SETS of every pair of sources that share at
+    * least one shingle. The set-level companion to q79's
+    * distributional JS: q79 says "this source's word mix drifted",
+    * q80 says "these two sources literally share n-grams" (mirrored
+    * boilerplate, cross-posted content, a scrape duplicated under two
+    * names). Reuses q22's exact shingle definition
+    * ([[TextOps.shingles]] / the shared uncapped oracle CTE), so its
+    * numbers are commensurable with the near-dup family.
+    *
+    * Scale shape: per-source distinct shingle hashes (map-side explode
+    * + distinct on the 60-bit hash), then a self-equi-join on the
+    * hash: a shingle present in k sources yields k(k−1)/2 pair rows,
+    * so the join output is bounded by distinct-shingles × S²/2 and
+    * the RESULT by S² — this is a per-domain diagnostic (S in the
+    * dozens-to-hundreds), not a per-document operator; union sizes
+    * come from the closed form |A∪B| = |A|+|B|−|A∩B|, never a union
+    * materialization. */
+  def q80SourceJaccard(documents: DataFrame): DataFrame = {
+    val srcSh = TextOps.shingles(documents)
+      .join(documents.select("doc_id", "source"), "doc_id")
+      .select(col("source"), h60(col("s")).as("shh")).distinct()
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val pairs = srcSh.as("a")
+      .join(srcSh.as("b"),
+        col("a.shh") === col("b.shh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def q80Sql: String = {
+    def h60(s: String) =
+      s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
+    s"""WITH ${TextOps.shinglesSql},
+       |ds AS (SELECT DISTINCT d.source, ${h60("sh.s")} AS shh
+       |       FROM sh JOIN documents d USING (doc_id)),
+       |sizes AS (SELECT source, count(*) AS n_sh FROM ds GROUP BY 1),
+       |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+       |            count(*) AS n_common
+       |          FROM ds a JOIN ds b
+       |            ON a.shh = b.shh AND a.source < b.source
+       |          GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_common,
+       |  round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6)
+       |    AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.source = source_a
+       |JOIN sizes sb ON sb.source = source_b
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   def q79Sql: String = {
     def h60(s: String) =
       s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"

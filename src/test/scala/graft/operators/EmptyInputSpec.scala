@@ -45,7 +45,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "q76_emb_dedup_recall" -> VectorOps.q76EmbDedupRecall(empty("embeddings")),
       "q77_lm_perplexity" -> LmScore.q77LmPerplexity(empty("documents")),
       "q78_pii_scrub" -> PiiScrub.q78PiiScrub(empty("documents")),
-      "q79_source_divergence" -> MixStats.q79SourceDivergence(empty("documents")))
+      "q79_source_divergence" -> MixStats.q79SourceDivergence(empty("documents")),
+      "q80_source_jaccard" -> MixStats.q80SourceJaccard(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }

@@ -47,6 +47,44 @@ class MixStatsSpec extends AnyFunSuite {
     assert(a === b, "pico-bit integer accounting must be partition-order invariant")
   }
 
+  test("q80: a cloned source pairs at jaccard 1.0 with its original; bounds hold") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "source")
+    // clone src0's docs verbatim under a new source name: identical
+    // shingle set -> jaccard exactly 1.0 against src0
+    val clone = docs.filter(col("source") === "src0")
+      .select((col("doc_id") + 700000).as("doc_id"), col("text"),
+        lit("srcclone").as("source"))
+    val out = MixStats.q80SourceJaccard(docs.unionByName(clone)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    out.values.foreach { case (n, j) =>
+      assert(n > 0L && j > 0.0 && j <= 1.0)
+    }
+    val (_, jClone) = out(("src0", "srcclone"))
+    assert(jClone === 1.0, "identical shingle sets must score exactly 1.0")
+    // ordering contract: every pair appears once, lexicographically
+    out.keys.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("q80 n_common reconciles with a direct distinct-shingle intersection") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val out = MixStats.q80SourceJaccard(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val srcSh = TextOps.shingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("s")).distinct()
+      .as[(String, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val sources = srcSh.keys.toSeq.sorted
+    for (a <- sources; b <- sources if a < b) {
+      val expected = (srcSh(a) & srcSh(b)).size.toLong
+      assert(out.getOrElse((a, b), 0L) === expected, s"($a, $b)")
+    }
+  }
+
   test("plan: corpus counts equi-join on the word hash; only the scalar N nested-loops") {
     val df = MixStats.q79SourceDivergence(Tables.load(spark, sf, "documents"))
     df.collect()
