@@ -87,6 +87,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q78_pii_scrub:       email/phone/IP redaction report (deterministic injection)
   *  - q79_source_divergence: per-source Jensen-Shannon vs the corpus unigram mix
   *  - q80_source_jaccard:  source-pair shingle-set Jaccard overlap matrix
+  *  - q81_quality_calibration: q77 LM bits-band vs q29 heuristic quality
   */
 object SparkEntry {
 
@@ -183,6 +184,7 @@ object SparkEntry {
     "q78_pii_scrub" -> t("documents")(PiiScrub.q78PiiScrub),
     "q79_source_divergence" -> t("documents")(MixStats.q79SourceDivergence),
     "q80_source_jaccard" -> t("documents")(MixStats.q80SourceJaccard),
+    "q81_quality_calibration" -> t("documents")(LmScore.q81QualityCalibration),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -268,5 +270,6 @@ object SparkEntry {
     "q78_pii_scrub" -> PiiScrub.q78Sql,
     "q79_source_divergence" -> MixStats.q79Sql,
     "q80_source_jaccard" -> MixStats.q80Sql,
+    "q81_quality_calibration" -> LmScore.q81Sql,
   )
 }

@@ -46,13 +46,12 @@ object LmScore {
   private def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** q77: per-source LM cross-entropy report — n docs scored, total
-    * bigrams, average bits/token, and how many docs the perplexity
-    * gate flags. Documents with fewer than 2 tokens carry no bigram
-    * evidence and are excluded (mirrored in the oracle). */
-  def q77LmPerplexity(documents: DataFrame,
-                      flagBits: Double = DefaultFlagBits): DataFrame = {
-    val flagMicro = math.round(flagBits * 1e6)
+  /** Per-document LM evidence: (doc_id, source, mb, nbg) — mb is the
+    * exact long sum of micro-bit surprisals, nbg the bigram count.
+    * Shared by the q77 report and the q81 calibration join. Documents
+    * with fewer than 2 tokens carry no bigram evidence and are
+    * excluded (mirrored in the oracle). */
+  def perDocBits(documents: DataFrame): DataFrame = {
     val bg = documents
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("a"))
       .filter(size(col("a")) >= 2)
@@ -71,11 +70,19 @@ object LmScore {
         round(-log2((col("c12") + lit(1)).cast("double")
           / (col("c1") + col("v")).cast("double")) * lit(1e6))
           .cast("long").as("microbits"))
-    val perDoc = bg.select("doc_id", "source", "bgh")
+    bg.select("doc_id", "source", "bgh")
       .join(model, "bgh")
       .groupBy("doc_id", "source")
       .agg(sum("microbits").as("mb"), count(lit(1)).as("nbg"))
-    perDoc
+  }
+
+  /** q77: per-source LM cross-entropy report — n docs scored, total
+    * bigrams, average bits/token, and how many docs the perplexity
+    * gate flags. */
+  def q77LmPerplexity(documents: DataFrame,
+                      flagBits: Double = DefaultFlagBits): DataFrame = {
+    val flagMicro = math.round(flagBits * 1e6)
+    perDocBits(documents)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("nbg").as("n_bigrams"),
@@ -86,11 +93,13 @@ object LmScore {
       .orderBy("source")
   }
 
-  def q77Sql(flagBits: Double = DefaultFlagBits): String = {
-    val flagMicro = math.round(flagBits * 1e6)
+  /** The per-document CTE chain (…→ per_doc(doc_id, source, mb, nbg)),
+    * shared by the q77 and q81 oracles — one definition so the two
+    * cannot drift. */
+  private def perDocSqlCtes: String = {
     def h60(s: String) =
       s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, source, regexp_split_to_array(text, ' ') AS a
        |  FROM documents WHERE len(regexp_split_to_array(text, ' ')) >= 2),
        |bg AS (
@@ -108,11 +117,73 @@ object LmScore {
        |per_doc AS (
        |  SELECT doc_id, source, sum(microbits)::BIGINT AS mb,
        |    count(*) AS nbg
-       |  FROM bg JOIN model USING (bgh) GROUP BY 1, 2)
+       |  FROM bg JOIN model USING (bgh) GROUP BY 1, 2)""".stripMargin
+  }
+
+  def q77Sql(flagBits: Double = DefaultFlagBits): String = {
+    val flagMicro = math.round(flagBits * 1e6)
+    s"""WITH $perDocSqlCtes
        |SELECT source, count(*) AS n_docs, sum(nbg)::BIGINT AS n_bigrams,
        |  round(sum(mb)::DOUBLE / (sum(nbg)::DOUBLE * 1e6), 6) AS avg_bits,
        |  sum(CASE WHEN mb > nbg * $flagMicro THEN 1 ELSE 0 END)::BIGINT
        |    AS n_flagged
        |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q81: calibration of the engine's two independent quality signals —
+    * per 0.1-bit band of LM cross-entropy (q77's per-doc bits/token),
+    * how many docs land there and what the heuristic quality score
+    * (q29's row-local ladder) averages. This is the query a pipeline
+    * runs before trusting either gate alone: if the LM tail does not
+    * coincide with low heuristic quality, the two filters are catching
+    * DIFFERENT failure modes and should compose (AND/OR decided from
+    * this table), not substitute.
+    *
+    * Determinism: the band is INTEGER floor-division on the exact
+    * micro-bit longs ((10·mb) div (nbg·1e6) — never a float bucket
+    * edge), and avg_quality sums the 6-dp-rounded quality re-scaled to
+    * exact micro longs. Same discipline as q77; partition-order-free.
+    *
+    * Scale shape: q77's per-doc evidence joined doc_id-to-doc_id with
+    * the row-local quality pass — one equi-join on an 8-byte key, then
+    * a ≤ ~dozen-row aggregate. */
+  def q81QualityCalibration(documents: DataFrame): DataFrame = {
+    val bits = perDocBits(documents).select(col("doc_id"), col("mb"), col("nbg"))
+    val qual = LangQuality.withLangQuality(documents)
+      .select(col("doc_id"),
+        round(col("quality") * lit(1e6)).cast("long").as("qm"))
+    bits.join(qual, "doc_id")
+      .select(expr("(10 * mb) div (nbg * 1000000)").as("bits_band"),
+        col("mb"), col("nbg"), col("qm"))
+      .groupBy("bits_band")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("mb")).cast("double")
+          / (sum(col("nbg")).cast("double") * lit(1e6)), 6).as("avg_bits"),
+        round(sum(col("qm")).cast("double")
+          / (count(lit(1)).cast("double") * lit(1e6)), 6).as("avg_quality"))
+      .orderBy("bits_band")
+  }
+
+  def q81Sql: String = {
+    val en = LangQuality.Markers.find(_._1 == "en").get._2
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH $perDocSqlCtes,
+       |qual AS (
+       |  SELECT doc_id, CAST(round(round(
+       |      least(cast(n_tokens AS double) / 100.0, 1.0) * 0.4
+       |      + (n_types / cast(n_tokens AS double)) * 0.4
+       |      + least(cast(hits_en AS double) / cast(n_tokens AS double)
+       |          * 5.0, 1.0) * 0.2, 6) * 1e6) AS BIGINT) AS qm
+       |  FROM (SELECT doc_id, len(a) AS n_tokens,
+       |          len(list_distinct(a)) AS n_types,
+       |          len(list_filter(a, t -> t IN ($en))) AS hits_en
+       |        FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS a
+       |              FROM documents) x) t)
+       |SELECT (10 * mb) // (nbg * 1000000) AS bits_band,
+       |  count(*) AS n_docs,
+       |  round(sum(mb)::DOUBLE / (sum(nbg)::DOUBLE * 1e6), 6) AS avg_bits,
+       |  round(sum(qm)::DOUBLE / (count(*)::DOUBLE * 1e6), 6) AS avg_quality
+       |FROM per_doc JOIN qual USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

@@ -46,7 +46,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "q77_lm_perplexity" -> LmScore.q77LmPerplexity(empty("documents")),
       "q78_pii_scrub" -> PiiScrub.q78PiiScrub(empty("documents")),
       "q79_source_divergence" -> MixStats.q79SourceDivergence(empty("documents")),
-      "q80_source_jaccard" -> MixStats.q80SourceJaccard(empty("documents")))
+      "q80_source_jaccard" -> MixStats.q80SourceJaccard(empty("documents")),
+      "q81_quality_calibration" -> LmScore.q81QualityCalibration(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }

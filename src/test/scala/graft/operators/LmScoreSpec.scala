@@ -68,6 +68,35 @@ class LmScoreSpec extends AnyFunSuite {
     assert(a === b, "micro-integer accounting must be partition-order invariant")
   }
 
+  test("q81 bands partition the scored docs; band edges are exact integer cuts") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val out = LmScore.q81QualityCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // every scored doc lands in exactly one band
+    assert(out.map(_._2).sum === LmScore.perDocBits(docs).count())
+    out.foreach { case (band, _, avgBits, avgQual) =>
+      // token-weighted avg_bits sits inside the band's own doc range
+      // only loosely (weighting differs), but the band cut itself is
+      // exact: band = floor(10 * bits), so avgBits of members is
+      // within (band/10 - 0.1, band/10 + 0.2) for 0.1-wide bands
+      assert(avgBits > band / 10.0 - 0.1 && avgBits < band / 10.0 + 0.2,
+        s"band $band avg_bits $avgBits")
+      assert(avgQual >= 0.0 && avgQual <= 1.2, s"quality ladder range: $avgQual")
+    }
+    assert(out.map(_._1).sorted.toSeq === out.map(_._1).toSeq, "ordered by band")
+    // a planted gibberish doc must land in a strictly higher band than
+    // the corpus median band
+    val gib = (1 to 60).map(i => s"vvq${i}z").mkString(" ")
+    val planted = docs.select("doc_id", "text", "source").unionByName(
+      Seq((888888L, gib, "src0")).toDF("doc_id", "text", "source"))
+    val bands = LmScore.q81QualityCalibration(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(bands.map(_._1).max > out.map(_._1).max,
+      "the gibberish doc must open a band above the natural corpus")
+  }
+
   test("plan: scoring join is an equi-join on the bigram hash; scalar V broadcasts") {
     val df = LmScore.q77LmPerplexity(Tables.load(spark, sf, "documents"))
     df.collect()
