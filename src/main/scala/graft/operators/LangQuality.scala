@@ -74,9 +74,18 @@ object LangQuality {
   def bpeTokens: org.apache.spark.sql.Column =
     size(expr("regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)"))
 
+  /** ONE oracle-side definition of the quality ladder (over a scope
+    * exposing n_tokens, n_types, hits_en) — shared by q29Sql and
+    * q81Sql so the two cannot drift (the shinglesSql lesson). */
+  private[operators] val qualitySql: String =
+    """round(least(cast(n_tokens AS double) / 100.0, 1.0) * 0.4
+      |      + (n_types / cast(n_tokens AS double)) * 0.4
+      |      + least(cast(hits_en AS double) / cast(n_tokens AS double) * 5.0, 1.0) * 0.2, 6)""".stripMargin
+
+  private[operators] def hitsSql(ws: Seq[String]) =
+    s"len(list_filter(a, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+
   def q29Sql: String = {
-    def hitsSql(ws: Seq[String]) =
-      s"len(list_filter(a, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
     val hitCols = Markers.map { case (l, ws) => s"${hitsSql(ws)} AS hits_$l" }.mkString(", ")
     val caseArms = Markers.map { case (lang, _) =>
       val geAll = Markers.map { case (o, _) => s"hits_$lang >= hits_$o" }.mkString(" AND ")
@@ -87,9 +96,7 @@ object LangQuality {
     }.mkString(" ")
     s"""SELECT doc_id, CASE $caseArms ELSE 'unknown' END AS lang_pred,
        |  hits_en, hits_es, hits_de, hits_fr,
-       |  round(least(cast(n_tokens AS double) / 100.0, 1.0) * 0.4
-       |      + (n_types / cast(n_tokens AS double)) * 0.4
-       |      + least(cast(hits_en AS double) / cast(n_tokens AS double) * 5.0, 1.0) * 0.2, 6) AS quality
+       |  $qualitySql AS quality
        |FROM (
        |  SELECT doc_id, len(a) AS n_tokens, len(list_distinct(a)) AS n_types, $hitCols
        |  FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents) x) t

@@ -165,18 +165,15 @@ object LmScore {
   }
 
   def q81Sql: String = {
-    val en = LangQuality.Markers.find(_._1 == "en").get._2
-      .map(w => s"'$w'").mkString(", ")
+    val enHits = LangQuality.hitsSql(
+      LangQuality.Markers.find(_._1 == "en").get._2)
     s"""WITH $perDocSqlCtes,
        |qual AS (
-       |  SELECT doc_id, CAST(round(round(
-       |      least(cast(n_tokens AS double) / 100.0, 1.0) * 0.4
-       |      + (n_types / cast(n_tokens AS double)) * 0.4
-       |      + least(cast(hits_en AS double) / cast(n_tokens AS double)
-       |          * 5.0, 1.0) * 0.2, 6) * 1e6) AS BIGINT) AS qm
+       |  SELECT doc_id,
+       |    CAST(round(${LangQuality.qualitySql} * 1e6) AS BIGINT) AS qm
        |  FROM (SELECT doc_id, len(a) AS n_tokens,
        |          len(list_distinct(a)) AS n_types,
-       |          len(list_filter(a, t -> t IN ($en))) AS hits_en
+       |          $enHits AS hits_en
        |        FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS a
        |              FROM documents) x) t)
        |SELECT (10 * mb) // (nbg * 1000000) AS bits_band,
