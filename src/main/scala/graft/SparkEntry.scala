@@ -88,6 +88,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q79_source_divergence: per-source Jensen-Shannon vs the corpus unigram mix
   *  - q80_source_jaccard:  source-pair shingle-set Jaccard overlap matrix
   *  - q81_quality_calibration: q77 LM bits-band vs q29 heuristic quality
+  *  - q82_ngram_novelty:   val-vs-train n-gram novelty curve (n = 1, 2, 3)
   */
 object SparkEntry {
 
@@ -185,6 +186,7 @@ object SparkEntry {
     "q79_source_divergence" -> t("documents")(MixStats.q79SourceDivergence),
     "q80_source_jaccard" -> t("documents")(MixStats.q80SourceJaccard),
     "q81_quality_calibration" -> t("documents")(LmScore.q81QualityCalibration),
+    "q82_ngram_novelty" -> t("documents")(Novelty.q82NgramNovelty),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -271,5 +273,6 @@ object SparkEntry {
     "q79_source_divergence" -> MixStats.q79Sql,
     "q80_source_jaccard" -> MixStats.q80Sql,
     "q81_quality_calibration" -> LmScore.q81Sql,
+    "q82_ngram_novelty" -> Novelty.q82Sql,
   )
 }

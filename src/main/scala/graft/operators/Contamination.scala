@@ -88,3 +88,83 @@ object Contamination {
        |GROUP BY t.doc_id, cnt.n_grams
        |ORDER BY t.doc_id""".stripMargin
 }
+
+/** q82 lives with q66: both reason about n-gram membership across a
+  * split boundary — q66 asks "is eval text IN the training corpus",
+  * q82 asks the complementary coverage question. */
+object Novelty {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** q82: n-gram novelty curve — for n ∈ {1, 2, 3}, the fraction of
+    * the val split's DISTINCT n-grams never seen in the train split
+    * (q51's deterministic hash split: decile 1 = val, 2–9 = train;
+    * the test decile is untouched, as it must be). This is the
+    * coverage/memorization curve a training run reads before trusting
+    * held-out loss: low unigram novelty + high trigram novelty is the
+    * healthy shape (shared vocabulary, novel composition); LOW
+    * trigram novelty means val text is near-verbatim in train and
+    * held-out loss is optimistic — the same failure q66 hunts at the
+    * document level, here as a corpus-level rate.
+    *
+    * Scale shape: n-gram explode is map-side off one tokenize; each
+    * level reduces to DISTINCT 60-bit hashes per split (map-side
+    * partial distinct), and novelty is one left join of the val set
+    * against the train set per level — hash keys only, counts only
+    * out. */
+  def q82NgramNovelty(documents: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 10
+    val base = documents
+      .select(split(col("text"), " ").as("a"),
+        when(h === 1, "val").when(h >= 2, "train").as("split"))
+      .filter(col("split").isNotNull)
+    def level(n: Int): DataFrame = {
+      val g = base.select(col("split"), explode(expr(
+        s"CASE WHEN size(a) >= $n THEN transform(sequence(1, size(a) - $n + 1), " +
+        s"i -> array_join(slice(a, i, $n), ' ')) ELSE array() END")).as("g"))
+        .select(col("split"), h60(col("g")).as("gh")).distinct()
+      val v = g.filter(col("split") === "val").select("gh")
+      val t = g.filter(col("split") === "train").select(col("gh").as("th"))
+      v.join(t, col("gh") === col("th"), "left")
+        .agg(count(lit(1)).as("n_val"),
+          (count(lit(1)) - count(col("th"))).as("n_unseen"))
+        .select(lit(n).as("n"), col("n_val"), col("n_unseen"),
+          round(col("n_unseen").cast("double") / col("n_val").cast("double"), 6)
+            .as("novelty"))
+    }
+    (1 to 3).map(level).reduce(_ unionByName _).orderBy("n")
+  }
+
+  def q82Sql: String = {
+    def h60(s: String) =
+      s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
+    def lvl(n: Int) =
+      s"""g$n AS (SELECT DISTINCT split,
+         |  ${h60(s"array_to_string(a[i:i+${n - 1}], ' ')")} AS gh
+         |  FROM base, unnest(generate_series(1, len(a) - ${n - 1})) t(i)),
+         |r$n AS (SELECT $n AS n, count(*) AS n_val,
+         |    sum(CASE WHEN t.gh IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unseen
+         |  FROM (SELECT gh FROM g$n WHERE split = 'val') v
+         |  LEFT JOIN (SELECT gh FROM g$n WHERE split = 'train') t
+         |    ON v.gh = t.gh)""".stripMargin
+    s"""WITH doc AS (
+       |  SELECT regexp_split_to_array(text, ' ') AS a,
+       |    CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 10 = 1 THEN 'val'
+       |         WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 10 >= 2 THEN 'train'
+       |    END AS split
+       |  FROM documents),
+       |base AS (SELECT * FROM doc WHERE split IS NOT NULL),
+       |${lvl(1)},
+       |${lvl(2)},
+       |${lvl(3)}
+       |SELECT n, n_val, n_unseen,
+       |  round(n_unseen::DOUBLE / n_val::DOUBLE, 6) AS novelty
+       |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |      UNION ALL SELECT * FROM r3) u
+       |ORDER BY n""".stripMargin
+  }
+}

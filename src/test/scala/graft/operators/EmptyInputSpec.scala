@@ -65,5 +65,13 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(kmv.getLong(0) === 0L, "k of empty sketch")
     assert(kmv.isNullAt(1) && kmv.isNullAt(2), "estimate of nothing must be null")
     assert(kmv.getLong(3) === 0L)
+
+    // q82 is a global agg per level: 3 rows, zero counts, null rate
+    val novelty = Novelty.q82NgramNovelty(empty("documents")).collect()
+    assert(novelty.length === 3)
+    novelty.foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L)
+      assert(r.isNullAt(3), "novelty of an empty val set must be null")
+    }
   }
 }
