@@ -89,6 +89,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q80_source_jaccard:  source-pair shingle-set Jaccard overlap matrix
   *  - q81_quality_calibration: q77 LM bits-band vs q29 heuristic quality
   *  - q82_ngram_novelty:   val-vs-train n-gram novelty curve (n = 1, 2, 3)
+  *  - q83_label_drift:     per-label centroid angular drift vs corpus centroid
   */
 object SparkEntry {
 
@@ -187,6 +188,7 @@ object SparkEntry {
     "q80_source_jaccard" -> t("documents")(MixStats.q80SourceJaccard),
     "q81_quality_calibration" -> t("documents")(LmScore.q81QualityCalibration),
     "q82_ngram_novelty" -> t("documents")(Novelty.q82NgramNovelty),
+    "q83_label_drift" -> t("embeddings")(VectorOps.q83LabelDrift),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -274,5 +276,6 @@ object SparkEntry {
     "q80_source_jaccard" -> MixStats.q80Sql,
     "q81_quality_calibration" -> LmScore.q81Sql,
     "q82_ngram_novelty" -> Novelty.q82Sql,
+    "q83_label_drift" -> VectorOps.q83Sql,
   )
 }

@@ -469,4 +469,68 @@ object VectorOps {
       |  round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
       |  round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  /** q83: per-label centroid drift — angular distance between each
+    * label's embedding centroid and the whole corpus's, the
+    * embedding-space twin of q79's token-space JS: "this slice of the
+    * corpus sits somewhere else in representation space" (an encoder
+    * change, a domain shift, a poisoned shard). q25 deliberately avoids
+    * cross-row vector sums (float accumulation is partition-order-
+    * dependent); this query is the engine's first true cross-row
+    * centroid, made order-free by the micro-integer discipline:
+    * components are rounded ONCE to nano-units (×1e9 longs — exact up
+    * to ~3e10 rows at this value range), per-(label, pos) sums are
+    * exact long arithmetic, and the cosine is taken on DECIMAL(38,0)
+    * products of those sums (HUGEINT in the oracle) — exact integers
+    * until one final correctly-rounded double conversion in both
+    * engines. Cosine is scale-invariant, so the sums ARE the centroids
+    * (no division by counts anywhere).
+    *
+    * Scale shape: explode is map-side; everything shuffles as (label,
+    * pos) or (pos) keyed longs — dim × labels rows, independent of
+    * corpus size; map-side partial sums absorb the row count. */
+  def q83LabelDrift(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val comp = embeddings
+      .select(col("label"), col("embedding").cast("array<double>").as("a"))
+      .withColumn("pos", explode(expr("sequence(1, size(a))")))
+      .select(col("label"), col("pos"),
+        round(element_at(col("a"), col("pos")) * lit(1e9)).cast("long").as("v"))
+    val byLabel = comp.groupBy("label", "pos").agg(sum("v").as("sl"))
+    val corpus = byLabel.groupBy("pos").agg(sum("sl").as("sc"))
+    val n = embeddings.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    byLabel.join(corpus, "pos")
+      .select(col("label"),
+        (col("sl").cast(dec) * col("sc").cast(dec)).as("dp"),
+        (col("sl").cast(dec) * col("sl").cast(dec)).as("ll"),
+        (col("sc").cast(dec) * col("sc").cast(dec)).as("cc"))
+      .groupBy("label")
+      .agg(sum("dp").as("dot"), sum("ll").as("nl"), sum("cc").as("nc"))
+      .join(n, "label")
+      .select(col("label"), col("n_vecs"),
+        round(lit(1.0) - col("dot").cast("double")
+          / (sqrt(col("nl").cast("double")) * sqrt(col("nc").cast("double"))), 6)
+          .as("drift"))
+      .orderBy("label")
+  }
+
+  def q83Sql: String =
+    """WITH comp AS (
+      |  SELECT label, i AS pos,
+      |    CAST(round(embedding[i]::DOUBLE * 1e9) AS BIGINT) AS v
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |by_label AS (SELECT label, pos, sum(v)::BIGINT AS sl
+      |             FROM comp GROUP BY 1, 2),
+      |corpus AS (SELECT pos, sum(sl)::BIGINT AS sc FROM by_label GROUP BY 1),
+      |agg AS (
+      |  SELECT label,
+      |    sum(sl::HUGEINT * sc) AS dot,
+      |    sum(sl::HUGEINT * sl) AS nl,
+      |    sum(sc::HUGEINT * sc) AS nc
+      |  FROM by_label JOIN corpus USING (pos) GROUP BY 1),
+      |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+      |SELECT label, n_vecs,
+      |  round(1.0 - dot::DOUBLE / (sqrt(nl::DOUBLE) * sqrt(nc::DOUBLE)), 6)
+      |    AS drift
+      |FROM agg JOIN n USING (label) ORDER BY label""".stripMargin
 }

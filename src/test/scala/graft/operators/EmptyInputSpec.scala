@@ -47,7 +47,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "q78_pii_scrub" -> PiiScrub.q78PiiScrub(empty("documents")),
       "q79_source_divergence" -> MixStats.q79SourceDivergence(empty("documents")),
       "q80_source_jaccard" -> MixStats.q80SourceJaccard(empty("documents")),
-      "q81_quality_calibration" -> LmScore.q81QualityCalibration(empty("documents")))
+      "q81_quality_calibration" -> LmScore.q81QualityCalibration(empty("documents")),
+      "q83_label_drift" -> VectorOps.q83LabelDrift(empty("embeddings")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }

@@ -153,6 +153,40 @@ class LlmOpsR7Spec extends AnyFunSuite {
     }
   }
 
+  // ---- q83 label centroid drift -----------------------------------
+
+  test("q83 drift is hand-exact on a 2-D fixture and scale-invariant") {
+    import spark.implicits._
+    // labels 0/1 on orthogonal axes; corpus sum = (1, 1):
+    // drift = 1 - cos(axis, diagonal) = 1 - 1/sqrt(2) = 0.292893 both
+    val fixture = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.q83LabelDrift(fixture).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0) === ((1L, 0.292893)) && out(1) === ((1L, 0.292893)))
+    // cosine is scale-invariant: doubling one label's vectors moves the
+    // CORPUS centroid, so only the other label's drift may change — and
+    // the scaled label's own direction is unchanged
+    val scaled = Seq(
+      (1L, Array(2.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out2 = VectorOps.q83LabelDrift(scaled).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    // corpus sum now (2,1): cos(l0) = 2/sqrt(5), cos(l1) = 1/sqrt(5)
+    assert(out2(0) === 0.105573 && out2(1) === 0.552786)
+  }
+
+  test("q83 on the corpus: bounded drift, counts reconcile, partition-order-free") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val out = VectorOps.q83LabelDrift(emb).collect()
+    assert(out.map(_.getLong(1)).sum === emb.count())
+    out.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 2.0))
+    val a = VectorOps.q83LabelDrift(emb.repartition(13)).collect().toSeq
+    val b = VectorOps.q83LabelDrift(emb.coalesce(1)).collect().toSeq
+    assert(a === b, "nano-int centroid sums must be partition-order invariant")
+  }
+
   // ---- q75 manifest diff ------------------------------------------
 
   test("q75 reports exactly the batch's buckets as grown, with correct deltas") {
