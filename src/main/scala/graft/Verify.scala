@@ -43,7 +43,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (name, _) => filter.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Filtered dev runs must not clobber the canonical full dump the
+    // driver compares against (same clobber class Bench fixed with
+    // BENCH_partial.json) — a targeted re-check would otherwise shrink
+    // oracle_sql.json to its subset and zero every other query's check.
+    val jsonName =
+      if (filter.isDefined) "oracle_sql_partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$jsonName"), json)
     spark.stop()
   }
 }

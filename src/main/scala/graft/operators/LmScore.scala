@@ -65,6 +65,17 @@ object LmScore {
     val c12 = bg.groupBy(col("w1h"), col("bgh")).agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1h").agg(sum("c12").as("c1"))
     val v = bg.agg(count_distinct(col("w2h")).as("v"))
+    // Known cross-engine boundary: log2 here is Spark's
+    // Math.log(x)/Math.log(2) vs DuckDB's std::log2 — they can differ in
+    // the last ulp, so a surprisal landing within ~1e-9 of a .5 micro-bit
+    // boundary could round to different longs per engine (flipping mb by
+    // 1 and, at the exact gate threshold, a flag). The surprisal domain
+    // is the discrete set {-log2((c12+1)/(c1+V))}, so the risk is
+    // measurable, not hypothetical: LmScoreSpec's boundary-margin test
+    // asserts every distinct model probability sits ≥100× ulp-scale
+    // away from a rounding boundary on the shipped corpora. The same
+    // exposure (and the same measured-margin defense) applies to
+    // MixStats' pico-bit JS terms and RpLsh's sign test near zero.
     val model = c12.join(c1, "w1h").crossJoin(broadcast(v))
       .select(col("bgh"),
         round(-log2((col("c12") + lit(1)).cast("double")

@@ -31,8 +31,22 @@ object PiiScrub {
   val InjectMod = 50
 
   val EmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** E.164-lite (`+CC-NNN-NNNN`) — the harness's injected format, NOT a
+    * general phone detector: real-world formats ((555) 123-4567, dotted,
+    * bare national) are out of scope here because a broad digit-run
+    * pattern over arbitrary corpus text trades precision for recall in
+    * ways a deployment must tune per locale. Production swaps in its own
+    * locale-aware pattern set through the same [[scrub]] chain. */
   val PhonePat = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
-  val Ipv4Pat = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Octet-valid IPv4 (each octet 0–255, no leading-zero ambiguity
+    * beyond plain `[1-9]?[0-9]`): `999.999.999.999` is rejected. The
+    * alternation is RE2 ∩ java.regex like the others, and since both
+    * engines run the identical pattern string, narrowing it keeps
+    * oracle parity automatically. */
+  val Ipv4Pat = "\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\.){3}" +
+    "(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\b"
 
   /** Redact all three PII classes from a text column. Email first:
     * its local part may contain digits/dots that the other patterns

@@ -127,8 +127,13 @@ object RpLsh {
 
   def q72Sql(nTables: Int = 4, bits: Int = 8, threshold: Double = 0.4,
              dim: Int = 64): String = {
+    // Explicit ::DOUBLE pins the oracle to IEEE double division/subtract,
+    // matching Spark's `1000000.0D` literals — without it DuckDB would be
+    // free to run DECIMAL arithmetic here, and a future change to its
+    // decimal→double promotion could flip the sign bit of a near-zero
+    // plane component on the oracle side only.
     val comp = s"(CAST(concat('0x', substr(md5(p || '-' || d), 1, 15)) AS BIGINT)" +
-      s" % 2000001) / 1000000.0 - 1.0"
+      s" % 2000001) / 1000000.0::DOUBLE - 1.0::DOUBLE"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
        |planes AS (SELECT p,
        |             [$comp FOR d IN range(0, $dim)] AS pv

@@ -499,7 +499,23 @@ object VectorOps {
     val byLabel = comp.groupBy("label", "pos").agg(sum("v").as("sl"))
     val corpus = byLabel.groupBy("pos").agg(sum("sl").as("sc"))
     val n = embeddings.groupBy("label").agg(count(lit(1)).as("n_vecs"))
-    byLabel.join(corpus, "pos")
+    // Overflow guard — the two engines fail DIFFERENTLY past the exact
+    // range: DuckDB's HUGEINT (int128) stays exact to ~1.7e38 while
+    // Spark's non-ANSI DECIMAL(38,0) sum silently nulls on overflow, so
+    // an overflowing corpus would produce a silent divergence, not an
+    // error. Σ_pos s·s ≤ dim·max² with dim ≤ 4096, so |sums| < 1.5e17
+    // keeps every aggregate below 9.2e37 < 10^38. assert_true is
+    // row-local on the dim×labels intermediate (returns null → filter
+    // keeps all rows; throws loudly on the first violating sum).
+    val sumBound = lit(1.5e17)
+    val guarded = byLabel.join(corpus, "pos")
+      .filter(assert_true(
+        abs(col("sl")).cast("double") < sumBound &&
+          abs(col("sc")).cast("double") < sumBound,
+        lit("q83: component sum >= 1.5e17 would overflow DECIMAL(38,0) " +
+          "silently (oracle HUGEINT stays exact); re-scale nano-units " +
+          "or shard labels")).isNull)
+    guarded
       .select(col("label"),
         (col("sl").cast(dec) * col("sc").cast(dec)).as("dp"),
         (col("sl").cast(dec) * col("sl").cast(dec)).as("ll"),

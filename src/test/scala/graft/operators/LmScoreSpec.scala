@@ -97,6 +97,38 @@ class LmScoreSpec extends AnyFunSuite {
       "the gibberish doc must open a band above the natural corpus")
   }
 
+  test("boundary margin: no model surprisal sits near a .5 micro-bit rounding edge") {
+    // Cross-engine exposure (documented at the round(×1e6) in
+    // perDocBits): Spark's log2 and DuckDB's std::log2 may differ in the
+    // last ulp, which only matters if some -log2((c12+1)/(c1+V))·1e6
+    // lands within ~1e-9 of a .5 boundary (the ulp of log2 near 5 bits,
+    // ×1e6). This certifies the shipped corpus keeps a margin ≥100×
+    // that ulp scale (measured: 5.15e-5 at sf0.001) — turning the risk
+    // into a measured one (a future corpus that trips this assertion
+    // needs the fixed-point-log discipline, not just the comment).
+    val docs = Tables.load(spark, sf, "documents")
+    val bg = docs
+      .select(split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(a)-1), i -> struct(a[i-1] AS w1, a[i] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val v = bg.select(count_distinct(col("w2"))).collect()(0).getLong(0)
+    val counts = c12.groupBy("w1").agg(sum("c12").as("c1"))
+      .join(c12, "w1")
+      .select("c12", "c1").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(counts.nonEmpty)
+    val minMargin = counts.map { case (n12, n1) =>
+      val micro = -math.log((n12 + 1).toDouble / (n1 + v)) / math.log(2.0) * 1e6
+      math.abs(micro - math.floor(micro) - 0.5)
+    }.min
+    assert(minMargin > 1e-7,
+      f"surprisal within $minMargin%.2e micro-bits of a rounding boundary")
+  }
+
   test("plan: scoring join is an equi-join on the bigram hash; scalar V broadcasts") {
     val df = LmScore.q77LmPerplexity(Tables.load(spark, sf, "documents"))
     df.collect()

@@ -19,6 +19,8 @@ class PiiScrubSpec extends AnyFunSuite {
       ("call +44-020-7946 then +1-555-0100 twice: +1-555-0100", 0, 3, 0),
       ("hosts 192.168.0.1 and 10.0.0.255, version 1.2 stays", 0, 0, 2),
       ("mixed bob@x.io at 172.16.4.9 dial +1-555-1234", 1, 1, 1),
+      ("bad octets 999.999.999.999 and 256.1.1.1 are not IPs", 0, 0, 0),
+      ("edge octets 0.0.0.0 and 255.255.255.255 are", 0, 0, 2),
       ("no pii here, just words and 42 numbers", 0, 0, 0))
       .toDF("text", "ne", "np", "ni")
     val (ne, np, ni) = PiiScrub.piiCounts(col("text"))

@@ -77,7 +77,18 @@ def main(sf_dir: str, out_dir: str) -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
         except Exception as e:  # noqa: BLE001
             print(f"WARN no view for table {t}: {e}")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Targeted Verify runs (SPARK_GRAFT_QUERIES set) write
+    # oracle_sql_partial.json so they can't clobber the canonical full
+    # dump; prefer the partial file when it's the newer artifact.
+    import os
+    full, part = f"{out_dir}/oracle_sql.json", f"{out_dir}/oracle_sql_partial.json"
+    if os.path.exists(part) and (
+            not os.path.exists(full)
+            or os.path.getmtime(part) > os.path.getmtime(full)):
+        print(f"NOTE using {os.path.basename(part)} (targeted run)")
+        oracle = json.load(open(part))
+    else:
+        oracle = json.load(open(full))
     n_pass = n_fail = 0
     for name in sorted(oracle):
         try:
