@@ -1,0 +1,176 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, Kmeans, Provenance}
+
+/** Versioned persistence for LEARNED artifacts — the piece that turns
+  * the per-JVM trainers into something a multi-job deployment operates.
+  * At 100 TB you train a tokenizer / coarse quantizer / dedup state
+  * ONCE and ship the artifact with the corpus manifest; re-deriving it
+  * per process (the round-7 memoization) is correct but wasteful, and
+  * worse, two jobs training on different corpus snapshots silently
+  * disagree. Here every artifact is keyed by a CONTENT fingerprint of
+  * its training corpus (the q70 manifest machinery reduced to one
+  * 60-bit key) plus its hyperparameters, so:
+  *  - train-or-load is a pure cache: same corpus + same knobs → the
+  *    artifact IS the training result (specs pin bit-identity);
+  *  - a changed corpus gets a new key — stale artifacts can never be
+  *    served for fresh data (the failure mode path-keyed caches have);
+  *  - old versions remain on disk; the store's listing is itself a
+  *    table, so artifact evolution is manifest-diffable with the same
+  *    q75 machinery as the corpus (ArtifactStoreSpec demonstrates).
+  *
+  * All filesystem access goes through Hadoop's FileSystem API — the
+  * store works unchanged against HDFS/S3A object stores, not just
+  * local disk. Loads read O(artifact) rows (20 merges, k×dim
+  * centroids); only the corpus-hash state stays a DataFrame (it is
+  * ~N rows of 8-byte hashes and must never be collected).
+  *
+  * No reference analogue (the reference retrains nothing —
+  * `crypto_etl_pipeline.py` is stateless per run); this is
+  * beyond-reference deployment infrastructure for the learned
+  * operators (q35/q67/q69 BPE, q30/q54/q62 IVF, q73 admission).
+  */
+object ArtifactStore {
+
+  val DefaultBuckets = 64
+
+  /** 60-bit hex content fingerprint: the O(buckets) manifest
+    * (count + XOR-signature per id-bucket, the q70 shape) canonicalized
+    * to a string and hashed once more. Collected rows = `buckets`,
+    * independent of corpus size. */
+  def fingerprint(df: DataFrame, idCol: String, content: Column,
+                  buckets: Int = DefaultBuckets): String = {
+    val rows = df
+      .select(pmod(col(idCol), lit(buckets.toLong)).as("bucket"),
+        Provenance.contentHash60(concat_ws("|", col(idCol), content)).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("sig"))
+      .orderBy("bucket")
+      .collect()
+    val canon = rows.map(r =>
+      s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}").mkString(";")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(canon.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
+  def documentsFingerprint(documents: DataFrame): String =
+    fingerprint(documents, "doc_id", col("text"))
+
+  /** Embedding fingerprint hashes the exact float array (cast to a
+    * canonical string inside Spark) — engine-internal only, never
+    * compared against the oracle. */
+  def embeddingsFingerprint(embeddings: DataFrame): String =
+    fingerprint(embeddings, "vec_id",
+      concat_ws(",", col("embedding").cast("array<string>")))
+
+  // ---- filesystem plumbing ---------------------------------------------
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** An artifact exists iff its directory holds Spark's _SUCCESS marker
+    * — a killed half-written save is invisible and gets re-trained. */
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path, "_SUCCESS"))
+
+  private def artifactPath(root: String, kind: String, key: String): String =
+    s"$root/$kind/$key"
+
+  /** Store listing as a table: (kind, key) per persisted artifact. */
+  def listArtifacts(spark: SparkSession, root: String): Seq[(String, String)] = {
+    val rootPath = new Path(root)
+    val f = fs(spark, root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).filter(_.isDirectory).toSeq.flatMap { kindDir =>
+      f.listStatus(kindDir.getPath).filter(_.isDirectory).toSeq
+        .filter(d => f.exists(new Path(d.getPath, "_SUCCESS")))
+        .map(d => (kindDir.getPath.getName, d.getPath.getName))
+    }.sorted
+  }
+
+  // ---- BPE merge tables ------------------------------------------------
+
+  def bpeKey(fp: String, nMerges: Int, trainDocs: Long): String =
+    s"fp${fp}_m${nMerges}_t$trainDocs"
+
+  /** Train-or-load BPE merges. On load the merge table is ALSO seeded
+    * into [[Bpe]]'s memo, so the normal q35/q67/q69 paths serve the
+    * artifact for this corpus without retraining. */
+  def bpeMergesOrTrain(root: String, documents: DataFrame,
+                       nMerges: Int = Bpe.DefaultMerges,
+                       trainDocs: Long = Bpe.DefaultTrainDocs): Seq[String] = {
+    val spark = documents.sparkSession
+    val path = artifactPath(root, "bpe_merges",
+      bpeKey(documentsFingerprint(documents), nMerges, trainDocs))
+    if (exists(spark, path)) {
+      val ms = spark.read.parquet(path).orderBy("ord")
+        .collect().map(_.getAs[String]("pair")).toSeq
+      Bpe.preload(documents, ms, nMerges, trainDocs)
+      ms
+    } else {
+      val ms = Bpe.merges(documents, nMerges, trainDocs)
+      import spark.implicits._
+      ms.zipWithIndex.map { case (p, i) => (i, p) }.toDF("ord", "pair")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      ms
+    }
+  }
+
+  // ---- k-means centroid tables -----------------------------------------
+
+  def kmeansKey(fp: String, k: Int, iters: Int, trainN: Int): String =
+    s"fp${fp}_k${k}_i${iters}_n$trainN"
+
+  /** Train-or-load IVF centroids; loads seed [[Kmeans]]'s memo so
+    * q30/q54/q62 serve the artifact for this corpus. */
+  def centroidsOrTrain(root: String, embeddings: DataFrame,
+                       k: Int = Kmeans.DefaultK,
+                       iters: Int = Kmeans.DefaultIters,
+                       trainN: Int = Kmeans.DefaultTrainN): Seq[(Int, Seq[Double])] = {
+    val spark = embeddings.sparkSession
+    val path = artifactPath(root, "kmeans_centroids",
+      kmeansKey(embeddingsFingerprint(embeddings), k, iters, trainN))
+    if (exists(spark, path)) {
+      val cents = spark.read.parquet(path).orderBy("cid")
+        .collect().map(r => (r.getAs[Int]("cid"), r.getAs[Seq[Double]]("ce"))).toSeq
+      Kmeans.preload(embeddings, cents, k, iters, trainN)
+      cents
+    } else {
+      val cents = Kmeans.centroids(embeddings, k, iters, trainN)
+      import spark.implicits._
+      cents.toDF("cid", "ce").coalesce(1).write.mode("overwrite").parquet(path)
+      cents
+    }
+  }
+
+  // ---- q73 corpus hash state -------------------------------------------
+
+  /** Build-or-load the corpus content-hash state (`ch` long per distinct
+    * ingested document). Unlike the scalar artifacts this stays
+    * DISTRIBUTED: the return value is a DataFrame over the artifact
+    * parquet (or, on first build, over the freshly written artifact —
+    * reading back what was written, so both paths serve identical
+    * storage). ~8 bytes/doc: the state for a 100 TB corpus is a few GB,
+    * partitioned by hash and probed in place by each ingest tick's
+    * broadcast batch (the q73 plan). */
+  def corpusHashesOrBuild(root: String, corpusDocs: DataFrame): DataFrame = {
+    val spark = corpusDocs.sparkSession
+    val path = artifactPath(root, "corpus_hashes",
+      s"fp${documentsFingerprint(corpusDocs)}")
+    if (!exists(spark, path))
+      Provenance.corpusHashState(corpusDocs)
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** q73 admission against the persisted state — the multi-job form:
+    * tick N's report probes the state artifact written at tick N−1
+    * instead of re-hashing the whole corpus. */
+  def admissionAgainstStore(root: String, corpusDocs: DataFrame,
+                            batchDocs: DataFrame): DataFrame =
+    Provenance.admissionReport(batchDocs, corpusHashesOrBuild(root, corpusDocs))
+}

@@ -57,6 +57,7 @@ object Bpe {
     * Returns merges in learned (priority) order. */
   def train(documents: DataFrame, nMerges: Int = DefaultMerges,
             trainDocs: Long = DefaultTrainDocs): Seq[String] = {
+    trainRuns.incrementAndGet()
     val base = documents.filter(col("doc_id") < trainDocs)
       .select(encode(col("text")).as("s"))
       .cache()
@@ -90,15 +91,33 @@ object Bpe {
   // share the training run; spec-local in-memory frames skip the memo)
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
 
+  /** Count of actual training runs this JVM — the observable
+    * [[graft.io.ArtifactStore]]'s cold-load spec pins (a loaded
+    * artifact must leave this unchanged). */
+  val trainRuns = new java.util.concurrent.atomic.AtomicLong
+
+  private def memoKey(documents: DataFrame, nMerges: Int,
+                      trainDocs: Long): Option[String] = {
+    val files = documents.inputFiles
+    if (files.isEmpty) None
+    else Some(files.sorted.mkString(",") + s"#$nMerges#$trainDocs")
+  }
+
+  /** Seed the memo with an externally-persisted merge table (the
+    * ArtifactStore load path): subsequent [[merges]] calls for the same
+    * corpus+hyperparams serve the artifact and never train. */
+  def preload(documents: DataFrame, ms: Seq[String],
+              nMerges: Int = DefaultMerges,
+              trainDocs: Long = DefaultTrainDocs): Unit =
+    memoKey(documents, nMerges, trainDocs).foreach(memo.put(_, ms))
+
   /** Memoized merge table for a parquet-backed corpus. */
   def merges(documents: DataFrame, nMerges: Int = DefaultMerges,
-             trainDocs: Long = DefaultTrainDocs): Seq[String] = {
-    val files = documents.inputFiles
-    if (files.isEmpty) train(documents, nMerges, trainDocs)
-    else memo.getOrElseUpdate(
-      files.sorted.mkString(",") + s"#$nMerges#$trainDocs",
-      train(documents, nMerges, trainDocs))
-  }
+             trainDocs: Long = DefaultTrainDocs): Seq[String] =
+    memoKey(documents, nMerges, trainDocs) match {
+      case None      => train(documents, nMerges, trainDocs)
+      case Some(key) => memo.getOrElseUpdate(key, train(documents, nMerges, trainDocs))
+    }
 
   /** Learned-BPE token count of `text` under a trained merge table:
     * encode → fold of replaces → count '<' sentinels. Every step is a

@@ -56,17 +56,37 @@ object Kmeans {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
 
+  /** Count of actual training runs this JVM — the observable
+    * [[graft.io.ArtifactStore]]'s cold-load spec pins (a loaded
+    * artifact must leave this unchanged). */
+  val trainRuns = new java.util.concurrent.atomic.AtomicLong
+
+  private def memoKey(embeddings: DataFrame, k: Int, iters: Int,
+                      trainN: Int): Option[String] = {
+    val files = embeddings.inputFiles
+    if (files.isEmpty) None
+    else Some(files.sorted.mkString(",") + s"#$k#$iters#$trainN")
+  }
+
+  /** Seed the memo with an externally-persisted centroid table (the
+    * ArtifactStore load path): subsequent [[centroids]] calls for the
+    * same corpus+hyperparams serve the artifact and never train. */
+  def preload(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
+              k: Int = DefaultK, iters: Int = DefaultIters,
+              trainN: Int = DefaultTrainN): Unit =
+    memoKey(embeddings, k, iters, trainN).foreach(memo.put(_, cents))
+
   def centroids(embeddings: DataFrame, k: Int = DefaultK,
                 iters: Int = DefaultIters,
-                trainN: Int = DefaultTrainN): Seq[(Int, Seq[Double])] = {
-    val files = embeddings.inputFiles
-    if (files.isEmpty) train(embeddings, k, iters, trainN)
-    else memo.getOrElseUpdate(files.sorted.mkString(",") + s"#$k#$iters#$trainN",
-      train(embeddings, k, iters, trainN))
-  }
+                trainN: Int = DefaultTrainN): Seq[(Int, Seq[Double])] =
+    memoKey(embeddings, k, iters, trainN) match {
+      case None      => train(embeddings, k, iters, trainN)
+      case Some(key) => memo.getOrElseUpdate(key, train(embeddings, k, iters, trainN))
+    }
 
   def train(embeddings: DataFrame, k: Int, iters: Int,
             trainN: Int): Seq[(Int, Seq[Double])] = {
+    trainRuns.incrementAndGet()
     val spark = embeddings.sparkSession
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))

@@ -74,20 +74,34 @@ object Provenance {
     * (pinned in PlanShapeSpec), so the corpus state is probed in place:
     * no shuffle of either side grows with corpus size. Text never moves:
     * both sides reduce to hashes before the join. */
-  def q73IncrementalDedup(documents: DataFrame): DataFrame = {
-    val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
-    val batch = documents.filter(pmod(col("doc_id"), lit(BatchMod)) === 0)
-      .select(col("source"), h.as("h"))
-    val corpusState = documents.filter(pmod(col("doc_id"), lit(BatchMod)) =!= 0)
-      .select(h.as("ch")).distinct()
-    batch
-      .join(corpusState, col("h") === col("ch"), "left")
+  /** The shared 60-bit content hash (md5-first-15-hex) of a text column
+    * — the unit of both the q73 corpus state and the persisted
+    * [[graft.io.ArtifactStore]] corpus-hash artifact. */
+  def contentHash60(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+
+  /** The corpus's persisted content-hash state: one distinct 60-bit
+    * hash per already-ingested document — ~0.01 % of the corpus bytes. */
+  def corpusHashState(corpusDocs: DataFrame): DataFrame =
+    corpusDocs.select(contentHash60(col("text")).as("ch")).distinct()
+
+  /** Per-source admission report of a batch against an existing hash
+    * state (`ch` column) — the q73 kernel, factored out so the state can
+    * come from a live computation OR a loaded artifact parquet. */
+  def admissionReport(batchDocs: DataFrame, state: DataFrame): DataFrame =
+    batchDocs
+      .select(col("source"), contentHash60(col("text")).as("h"))
+      .join(state, col("h") === col("ch"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_batch"),
            count(col("ch")).as("n_dup"),
            (count(lit(1)) - count(col("ch"))).as("n_new"))
       .orderBy("source")
-  }
+
+  def q73IncrementalDedup(documents: DataFrame): DataFrame =
+    admissionReport(
+      documents.filter(pmod(col("doc_id"), lit(BatchMod)) === 0),
+      corpusHashState(documents.filter(pmod(col("doc_id"), lit(BatchMod)) =!= 0)))
 
   def q73Sql: String =
     s"""WITH h AS (SELECT doc_id, source,
