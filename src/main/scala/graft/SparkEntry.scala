@@ -90,6 +90,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q81_quality_calibration: q77 LM bits-band vs q29 heuristic quality
   *  - q82_ngram_novelty:   val-vs-train n-gram novelty curve (n = 1, 2, 3)
   *  - q83_label_drift:     per-label centroid angular drift vs corpus centroid
+  *  - q84_curation_v2:     composed curation pipeline v2 (scrub → quality+LM →
+  *                         dedup cascade → decontaminate → pack), one row/stage
   */
 object SparkEntry {
 
@@ -189,6 +191,8 @@ object SparkEntry {
     "q81_quality_calibration" -> t("documents")(LmScore.q81QualityCalibration),
     "q82_ngram_novelty" -> t("documents")(Novelty.q82NgramNovelty),
     "q83_label_drift" -> t("embeddings")(VectorOps.q83LabelDrift),
+    "q84_curation_v2" -> ((s, dir) => CurateV2.q84CurationPipeline(
+      Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -277,5 +281,6 @@ object SparkEntry {
     "q81_quality_calibration" -> LmScore.q81Sql,
     "q82_ngram_novelty" -> Novelty.q82Sql,
     "q83_label_drift" -> VectorOps.q83Sql,
+    "q84_curation_v2" -> CurateV2.q84Sql(),
   )
 }

@@ -33,10 +33,12 @@ object Contamination {
     * docs hit, and the contamination ratio a curation policy thresholds
     * on. Docs shorter than `n` tokens have no n-grams and cannot be
     * flagged (mirrored by the oracle's window bound). */
-  def q66Decontaminate(documents: DataFrame, n: Int = 8,
-                       benchMod: Int = 50, benchRem: Int = 7): DataFrame = {
-    // tokenize once, hoisted out of the lambda (lambda CSE — see q61)
-    val grams = documents
+  /** Distinct hashed word n-grams per document: (doc_id, h) with h the
+    * portable 60-bit md5 of the space-joined n-gram. Row-local explode
+    * off one tokenize (lambda CSE — see q61); shared by q66 and the
+    * composed q84 decontamination stage. */
+  def grams(documents: DataFrame, n: Int): DataFrame =
+    documents
       .withColumn("_toks", split(col("text"), " "))
       .withColumn("g", explode(array_distinct(expr(
         s"""IF(size(_toks) >= $n,
@@ -45,6 +47,24 @@ object Contamination {
            |   CAST(array() AS ARRAY<STRING>))""".stripMargin))))
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+
+  /** Oracle-side mirror of [[grams]]: CTEs ending in
+    * `${p}ng(doc_id, h)` over any relation exposing (doc_id, text) —
+    * prefix-parameterized like TextOps.shingleSqlFrom so q84 can derive
+    * bench- and train-side gram sets in one WITH clause. */
+  private[operators] def gramSqlCtes(docs: String, n: Int, p: String = ""): String =
+    s"""${p}tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM $docs),
+       |${p}pos AS (SELECT doc_id, a,
+       |          unnest(generate_series(1, len(a) - ${n - 1})) AS i FROM ${p}tok),
+       |${p}ng AS (SELECT DISTINCT doc_id,
+       |         cast(concat('0x', substr(md5(list_aggregate(
+       |           a[CAST(i AS INT):CAST(i AS INT) + ${n - 1}], 'string_agg', ' ')),
+       |           1, 15)) AS BIGINT) AS h
+       |       FROM ${p}pos)""".stripMargin
+
+  def q66Decontaminate(documents: DataFrame, n: Int = 8,
+                       benchMod: Int = 50, benchRem: Int = 7): DataFrame = {
+    val grams = this.grams(documents, n)
     val isBench = pmod(col("doc_id"), lit(benchMod.toLong)) === benchRem
     val bench = grams.filter(isBench).select(col("h"), col("doc_id").as("bench_id"))
     val train = grams.filter(!isBench)
@@ -67,14 +87,7 @@ object Contamination {
   }
 
   def q66Sql(n: Int = 8, benchMod: Int = 50, benchRem: Int = 7): String =
-    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
-       |pos AS (SELECT doc_id, a,
-       |          unnest(generate_series(1, len(a) - ${n - 1})) AS i FROM tok),
-       |ng AS (SELECT DISTINCT doc_id,
-       |         cast(concat('0x', substr(md5(list_aggregate(
-       |           a[CAST(i AS INT):CAST(i AS INT) + ${n - 1}], 'string_agg', ' ')),
-       |           1, 15)) AS BIGINT) AS h
-       |       FROM pos),
+    s"""WITH ${gramSqlCtes("documents", n)},
        |bench AS (SELECT h, doc_id AS bench_id FROM ng WHERE doc_id % $benchMod = $benchRem),
        |train AS (SELECT doc_id, h FROM ng WHERE doc_id % $benchMod <> $benchRem),
        |cnt AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id)

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Curation pipeline v2 (q84): the round-7 gates composed into ONE
+  * job — the pipeline a training-data deployment actually runs, end to
+  * end, with one report row per stage:
+  *
+  *   1. `pii_scrub`        — q78's redaction pass (injection harness +
+  *                           email/phone/IP scrub); transforms, drops 0
+  *   2. `quality_lm_gate`  — q29's heuristic ladder AND q77's
+  *                           corpus-trained bigram-LM perplexity gate,
+  *                           composed per q81's calibration finding
+  *                           (the two catch DIFFERENT failure modes)
+  *   3. `exact_dedup`      — q21 content-hash dedup (keeper = min id)
+  *   4. `near_dedup_lsh`   — q27 MinHash-LSH banding + exact verify;
+  *                           the higher doc_id of each pair drops
+  *   5. `emb_dedup_ivf`    — q54 IVF-bucketed cosine dedup; centroids
+  *                           trained once on the full corpus (the
+  *                           ArtifactStore shape), applied to survivors
+  *   6. `decontaminate`    — q66 word-8-gram overlap vs the held-out
+  *                           bench slice (raw text — the eval suite is
+  *                           never curated); any overlap drops
+  *   7. `pack`             — q67-shaped token accounting: total tokens
+  *                           and the `ceil(tokens/seqLen)` sequence
+  *                           count the packed corpus materializes to
+  *
+  * Report schema: (stage, stage_name, n_in, n_dropped, n_out,
+  * tokens_out, n_seqs) — n_in chains from the previous stage's n_out,
+  * so the per-stage drop accounting reconciles with each standalone
+  * query run on that stage's input (pinned by CurateV2Spec).
+  *
+  * Plan shape (the scale story): ONE labeled frame. Each stage
+  * contributes a drop-marker join — LM flags, dedup keepers, LSH
+  * losers, in-bucket embedding losers, contaminated ids — and every
+  * marker is keyed on the 8-byte doc_id; text/vectors never ride a
+  * pipeline shuffle that the standalone operators wouldn't also do.
+  * The final report is ONE aggregation over the labeled frame, folded
+  * to 7 rows with `stack` — no driver-side loop, no collect. Stages
+  * stay lazily composed (Catalyst sees the whole dataflow); at 100 TB
+  * a deployment inserts a checkpoint/write between the gate and dedup
+  * phases exactly where `base` is defined.
+  *
+  * Token accounting uses the zero-training regex-BPE count
+  * ([[LangQuality.bpeTokens]]) for the same reason q40/q58 do: the
+  * composed pipeline stays one self-contained dataflow with no
+  * training pass on the token side (the LEARNED tokenizer is q35/q67's
+  * own surface, persisted by the ArtifactStore).
+  */
+object CurateV2 {
+
+  def q84CurationPipeline(documents: DataFrame, embeddings: DataFrame,
+                          qmin: Double = 0.4,
+                          flagBits: Double = LmScore.DefaultFlagBits,
+                          jaccard: Double = 0.2,
+                          embThreshold: Double = 0.4,
+                          nCentroids: Int = Kmeans.DefaultK,
+                          gramN: Int = 8,
+                          benchMod: Int = 50, benchRem: Int = 7,
+                          seqLen: Int = 2048): DataFrame = {
+    val flagMicro = math.round(flagBits * 1e6)
+    // Stage 1 — the TRAIN side only (the bench slice is the held-out
+    // eval suite; it is compared against, never curated), scrubbed.
+    val train = documents
+      .filter(pmod(col("doc_id"), lit(benchMod.toLong)) =!= benchRem)
+    val scrubbed = train.select(col("doc_id"), col("source"),
+      PiiScrub.scrub(PiiScrub.augmented).as("text"))
+    val base = LangQuality.withLangQuality(scrubbed)
+      .withColumn("n_bpe", LangQuality.bpeTokens.cast("long"))
+      .select("doc_id", "source", "text", "quality", "n_bpe")
+    // Stage 2 — composed quality gate: heuristic ladder AND LM tail.
+    // Docs too short for bigram evidence pass the LM side (no evidence
+    // is not a flag) — mirrored in the oracle's LEFT JOIN + coalesce.
+    val lmFlagged = LmScore.perDocBits(base.select("doc_id", "source", "text"))
+      .filter(col("mb") > col("nbg") * lit(flagMicro))
+      .select(col("doc_id")).withColumn("_lmflag", lit(true))
+    val l2 = base.join(lmFlagged, Seq("doc_id"), "left")
+      .withColumn("d2",
+        col("quality") < qmin || coalesce(col("_lmflag"), lit(false)))
+      .drop("_lmflag")
+    // Stage 3 — q21 exact dedup among stage-2 survivors.
+    val keepers3 = l2.filter(!col("d2"))
+      .groupBy(md5(col("text")).as("k")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id").withColumn("_keep3", lit(true))
+    val l3 = l2.join(keepers3, Seq("doc_id"), "left")
+      .withColumn("d3", !col("d2") && !coalesce(col("_keep3"), lit(false)))
+      .drop("_keep3")
+    // Stage 4 — q27 LSH near-dedup among stage-3 survivors.
+    val surv3 = !col("d2") && !col("d3")
+    val losers4 = Fuzzy.q27LshDedup(
+        l3.filter(surv3).select("doc_id", "text"), jaccard)
+      .select(col("idb").as("doc_id")).distinct()
+      .withColumn("_lose4", lit(true))
+    val l4 = l3.join(losers4, Seq("doc_id"), "left")
+      .withColumn("d4", surv3 && coalesce(col("_lose4"), lit(false)))
+      .drop("_lose4")
+    // Stage 5 — q54 IVF embedding dedup among stage-4 survivors
+    // (vec_id ≡ doc_id; semi-join BEFORE the in-bucket pair join).
+    val surv4 = surv3 && !col("d4")
+    val losers5 = VectorOps.bucketedPairsAmong(embeddings,
+        l4.filter(surv4).select("doc_id"), nCentroids, embThreshold)
+      .select(col("idb").as("doc_id")).distinct()
+      .withColumn("_lose5", lit(true))
+    val l5 = l4.join(losers5, Seq("doc_id"), "left")
+      .withColumn("d5", surv4 && coalesce(col("_lose5"), lit(false)))
+      .drop("_lose5")
+    // Stage 6 — q66 decontamination: survivors sharing any word n-gram
+    // with the raw bench slice drop. Bench gram set broadcasts (eval
+    // suites stay small no matter the corpus size).
+    val surv5 = surv4 && !col("d5")
+    val benchGrams = Contamination.grams(
+        documents.filter(pmod(col("doc_id"), lit(benchMod.toLong)) === benchRem),
+        gramN)
+      .select("h").distinct()
+    val contaminated = Contamination.grams(
+        l5.filter(surv5).select("doc_id", "text"), gramN)
+      .join(broadcast(benchGrams), Seq("h"), "left_semi")
+      .select("doc_id").distinct().withColumn("_dirty6", lit(true))
+    val l6 = l5.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("d6", surv5 && coalesce(col("_dirty6"), lit(false)))
+      .drop("_dirty6")
+    // ONE aggregation over the labeled frame → 7 report rows via stack.
+    val lab = l6.withColumn("drop_stage",
+      when(col("d2"), 2).when(col("d3"), 3).when(col("d4"), 4)
+        .when(col("d5"), 5).when(col("d6"), 6))
+    def survives(k: Int) = col("drop_stage").isNull || col("drop_stage") > k
+    val aggs =
+      Seq(count(lit(1)).as("n1"), coalesce(sum("n_bpe"), lit(0L)).as("t1")) ++
+      (2 to 6).flatMap { k => Seq(
+        count(when(col("drop_stage") === k, 1)).as(s"dr$k"),
+        count(when(survives(k), 1)).as(s"n$k"),
+        coalesce(sum(when(survives(k), col("n_bpe"))), lit(0L)).as(s"t$k"))
+      }
+    lab.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"""stack(7,
+        1, 'pii_scrub',       n1, CAST(0 AS BIGINT), n1, t1, CAST(NULL AS BIGINT),
+        2, 'quality_lm_gate', n1, dr2, n2, t2, CAST(NULL AS BIGINT),
+        3, 'exact_dedup',     n2, dr3, n3, t3, CAST(NULL AS BIGINT),
+        4, 'near_dedup_lsh',  n3, dr4, n4, t4, CAST(NULL AS BIGINT),
+        5, 'emb_dedup_ivf',   n4, dr5, n5, t5, CAST(NULL AS BIGINT),
+        6, 'decontaminate',   n5, dr6, n6, t6, CAST(NULL AS BIGINT),
+        7, 'pack',            n6, CAST(0 AS BIGINT), n6, t6,
+           (t6 + ${seqLen - 1}) DIV $seqLen
+      ) AS (stage, stage_name, n_in, n_dropped, n_out, tokens_out, n_seqs)""")
+      .orderBy("stage")
+  }
+
+  /** Self-contained oracle: the same seven stages re-derived from the
+    * prefix-parameterized CTE generators each component oracle already
+    * uses (LangQuality.featSqlCtes, LmScore's chain, Fuzzy's LSH chain,
+    * Kmeans.sqlCtes, Contamination.gramSqlCtes) — one WITH clause, no
+    * name collisions, survivor sets as id CTEs. */
+  def q84Sql(qmin: Double = 0.4,
+             flagBits: Double = LmScore.DefaultFlagBits,
+             jaccard: Double = 0.2,
+             embThreshold: Double = 0.4,
+             nCentroids: Int = Kmeans.DefaultK,
+             gramN: Int = 8,
+             benchMod: Int = 50, benchRem: Int = 7,
+             seqLen: Int = 2048): String = {
+    val flagMicro = math.round(flagBits * 1e6)
+    s"""WITH
+       |tr0 AS (SELECT doc_id, source, text FROM documents
+       |        WHERE doc_id % $benchMod <> $benchRem),
+       |b0 AS (SELECT doc_id, source,
+       |         ${PiiScrub.scrubSql(s"(${PiiScrub.augSql})")} AS text
+       |       FROM tr0),
+       |${LangQuality.featSqlCtes("b0", "f_")},
+       |${LmScore.perDocSqlCtesFrom("b0", "lm_")},
+       |s2 AS (SELECT f.doc_id, f.n_bpe FROM f_feat f
+       |       LEFT JOIN lm_per_doc l ON l.doc_id = f.doc_id
+       |       WHERE f.quality >= $qmin
+       |         AND NOT coalesce(l.mb > l.nbg * $flagMicro, FALSE)),
+       |k3 AS (SELECT min(b.doc_id) AS doc_id
+       |       FROM b0 b JOIN s2 s ON s.doc_id = b.doc_id
+       |       GROUP BY md5(b.text)),
+       |s3 AS (SELECT doc_id, n_bpe FROM s2
+       |       WHERE doc_id IN (SELECT doc_id FROM k3)),
+       |${Fuzzy.lshPairsSqlCtes(
+           "nd_tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a " +
+             "FROM b0 WHERE doc_id IN (SELECT doc_id FROM s3))",
+           jaccard, "nd_")},
+       |s4 AS (SELECT doc_id, n_bpe FROM s3
+       |       WHERE doc_id NOT IN (SELECT idb FROM nd_pairs)),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |${Kmeans.sqlCtes(nCentroids)},
+       |easg AS (SELECT vec_id, ed, cid FROM (
+       |  SELECT e.vec_id, e.ed, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid) AS arn
+       |  FROM e, c WHERE e.vec_id IN (SELECT doc_id FROM s4)) t WHERE arn = 1),
+       |en AS (SELECT vec_id, ed, cid, sqrt(list_dot_product(ed, ed)) AS nrm
+       |       FROM easg),
+       |ep AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+       |       FROM en a JOIN en b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |       WHERE round(list_dot_product(a.ed, b.ed) / (a.nrm * b.nrm), 6)
+       |             >= $embThreshold),
+       |s5 AS (SELECT doc_id, n_bpe FROM s4
+       |       WHERE doc_id NOT IN (SELECT idb FROM ep)),
+       |${Contamination.gramSqlCtes(
+           s"(SELECT doc_id, text FROM documents WHERE doc_id % $benchMod = $benchRem) bsrc",
+           gramN, "db_")},
+       |${Contamination.gramSqlCtes(
+           "(SELECT doc_id, text FROM b0 WHERE doc_id IN (SELECT doc_id FROM s5)) tsrc",
+           gramN, "dt_")},
+       |s6 AS (SELECT doc_id, n_bpe FROM s5 WHERE doc_id NOT IN (
+       |         SELECT DISTINCT doc_id FROM dt_ng
+       |         WHERE h IN (SELECT h FROM db_ng))),
+       |o1 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM f_feat),
+       |o2 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s2),
+       |o3 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s3),
+       |o4 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s4),
+       |o5 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s5),
+       |o6 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s6)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage, 'pii_scrub' AS stage_name, o1.n AS n_in,
+       |    CAST(0 AS BIGINT) AS n_dropped, o1.n AS n_out, o1.t AS tokens_out,
+       |    CAST(NULL AS BIGINT) AS n_seqs FROM o1
+       |  UNION ALL SELECT 2, 'quality_lm_gate', o1.n, o1.n - o2.n, o2.n, o2.t,
+       |    NULL FROM o1, o2
+       |  UNION ALL SELECT 3, 'exact_dedup', o2.n, o2.n - o3.n, o3.n, o3.t,
+       |    NULL FROM o2, o3
+       |  UNION ALL SELECT 4, 'near_dedup_lsh', o3.n, o3.n - o4.n, o4.n, o4.t,
+       |    NULL FROM o3, o4
+       |  UNION ALL SELECT 5, 'emb_dedup_ivf', o4.n, o4.n - o5.n, o5.n, o5.t,
+       |    NULL FROM o4, o5
+       |  UNION ALL SELECT 6, 'decontaminate', o5.n, o5.n - o6.n, o6.n, o6.t,
+       |    NULL FROM o5, o6
+       |  UNION ALL SELECT 7, 'pack', o6.n, CAST(0 AS BIGINT), o6.n, o6.t,
+       |    (o6.t + ${seqLen - 1}) // $seqLen FROM o6
+       |) r ORDER BY stage""".stripMargin
+  }
+}

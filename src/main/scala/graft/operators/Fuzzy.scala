@@ -108,34 +108,47 @@ object Fuzzy {
       .orderBy("ida", "idb")
   }
 
-  def q27Sql(threshold: Double = 0.2): String = {
+  /** The full q27 LSH chain as CTEs — shingles (from the caller's
+    * `${p}tok(doc_id, a)` CTE), signatures, bands, candidates, exact
+    * verify — ending in `${p}pairs(ida, idb, jaccard)`. The `p` prefix
+    * renames every internal CTE so composed oracles (q84) can run LSH
+    * dedup on a DERIVED corpus inside one WITH clause (the same
+    * parameterization as TextOps.shingleSqlFrom / LmScore's chain). */
+  private[operators] def lshPairsSqlCtes(tokCte: String, threshold: Double,
+                                         p: String = ""): String = {
     val h = portableHashSql("s")
     val slots = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * $h + $b) % $MinhashP) AS mh$i"
     }.mkString(", ")
     val bandRows = (0 until 4)
-      .map(i => s"SELECT doc_id, $i AS band, mh${2 * i} AS x, mh${2 * i + 1} AS y FROM sig")
+      .map(i => s"SELECT doc_id, $i AS band, mh${2 * i} AS x, mh${2 * i + 1} AS y FROM ${p}sig")
       .mkString(" UNION ALL ")
-    s"""WITH ${TextOps.shinglesSql},
-       |sig AS (SELECT doc_id, $slots FROM sh GROUP BY doc_id),
-       |bands AS ($bandRows),
-       |cand AS (SELECT DISTINCT p.doc_id AS ida, q.doc_id AS idb
-       |         FROM bands p JOIN bands q
+    s"""${TextOps.shingleSqlFrom(tokCte, p)},
+       |${p}sig AS (SELECT doc_id, $slots FROM ${p}sh GROUP BY doc_id),
+       |${p}bands AS ($bandRows),
+       |${p}cand AS (SELECT DISTINCT p.doc_id AS ida, q.doc_id AS idb
+       |         FROM ${p}bands p JOIN ${p}bands q
        |           ON p.band = q.band AND p.x = q.x AND p.y = q.y
        |          AND p.doc_id < q.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ninter
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          JOIN cand ON a.doc_id = cand.ida AND b.doc_id = cand.idb
-       |          GROUP BY 1, 2)
-       |SELECT ia AS ida, ib AS idb,
-       |  cast(ninter AS double) / (sa.n + sb.n - ninter) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON ia = sa.doc_id
-       |JOIN sizes sb ON ib = sb.doc_id
-       |WHERE cast(ninter AS double) / (sa.n + sb.n - ninter) >= $threshold
-       |ORDER BY ida, idb""".stripMargin
+       |${p}sizes AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY doc_id),
+       |${p}inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ninter
+       |          FROM ${p}sh a JOIN ${p}sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          JOIN ${p}cand c ON a.doc_id = c.ida AND b.doc_id = c.idb
+       |          GROUP BY 1, 2),
+       |${p}pairs AS (SELECT ia AS ida, ib AS idb,
+       |            cast(ninter AS double) / (sa.n + sb.n - ninter) AS jaccard
+       |          FROM ${p}inter
+       |          JOIN ${p}sizes sa ON ia = sa.doc_id
+       |          JOIN ${p}sizes sb ON ib = sb.doc_id
+       |          WHERE cast(ninter AS double) / (sa.n + sb.n - ninter) >= $threshold)"""
+      .stripMargin
   }
+
+  def q27Sql(threshold: Double = 0.2): String =
+    s"""WITH ${lshPairsSqlCtes(
+         "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
+         threshold)}
+       |SELECT ida, idb, jaccard FROM pairs ORDER BY ida, idb""".stripMargin
 
   /** q74: LSH candidate-recall accounting — the q62-for-text: per
     * similarity decile of the exact q22 ground-truth pairs, what

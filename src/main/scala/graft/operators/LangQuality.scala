@@ -85,6 +85,23 @@ object LangQuality {
   private[operators] def hitsSql(ws: Seq[String]) =
     s"len(list_filter(a, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
 
+  /** Oracle-side row-local feature pass over any relation exposing
+    * (doc_id, text): CTEs ending in `${p}feat(doc_id, quality, n_bpe)`
+    * — the quality ladder plus the zero-training regex-BPE token count
+    * ([[bpeTokens]]). Prefix-parameterized like TextOps.shingleSqlFrom
+    * so the composed q84 oracle can score a DERIVED (scrubbed) corpus
+    * inside one WITH clause. */
+  private[operators] def featSqlCtes(docs: String, p: String = ""): String = {
+    val enHits = hitsSql(Markers.find(_._1 == "en").get._2)
+    s"""${p}x AS (SELECT doc_id, text, regexp_split_to_array(text, ' ') AS a FROM $docs),
+       |${p}t AS (SELECT doc_id, text, len(a) AS n_tokens,
+       |            len(list_distinct(a)) AS n_types, $enHits AS hits_en
+       |          FROM ${p}x),
+       |${p}feat AS (SELECT doc_id, $qualitySql AS quality,
+       |    len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS n_bpe
+       |  FROM ${p}t)""".stripMargin
+  }
+
   def q29Sql: String = {
     val hitCols = Markers.map { case (l, ws) => s"${hitsSql(ws)} AS hits_$l" }.mkString(", ")
     val caseArms = Markers.map { case (lang, _) =>

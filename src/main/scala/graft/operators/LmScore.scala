@@ -104,32 +104,37 @@ object LmScore {
       .orderBy("source")
   }
 
-  /** The per-document CTE chain (…→ per_doc(doc_id, source, mb, nbg)),
-    * shared by the q77 and q81 oracles — one definition so the two
-    * cannot drift. */
-  private def perDocSqlCtes: String = {
+  /** The per-document CTE chain (…→ ${p}per_doc(doc_id, source, mb,
+    * nbg)), shared by the q77 and q81 oracles — one definition so the
+    * two cannot drift. Parameterized like TextOps.shingleSqlFrom:
+    * `docs` is any relation exposing (doc_id, source, text) and `p`
+    * prefixes every internal CTE name, so a composed oracle (q84) can
+    * train/score the LM on a DERIVED corpus inside one WITH clause. */
+  private[operators] def perDocSqlCtesFrom(docs: String, p: String): String = {
     def h60(s: String) =
       s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
-    s"""tok AS (
+    s"""${p}tok AS (
        |  SELECT doc_id, source, regexp_split_to_array(text, ' ') AS a
-       |  FROM documents WHERE len(regexp_split_to_array(text, ' ')) >= 2),
-       |bg AS (
+       |  FROM $docs WHERE len(regexp_split_to_array(text, ' ')) >= 2),
+       |${p}bg AS (
        |  SELECT doc_id, source,
        |    ${h60("a[i] || chr(1) || a[i+1]")} AS bgh,
        |    ${h60("a[i]")} AS w1h, ${h60("a[i+1]")} AS w2h
-       |  FROM tok, unnest(generate_series(1, len(a) - 1)) AS t(i)),
-       |c12 AS (SELECT w1h, bgh, count(*) AS c12 FROM bg GROUP BY 1, 2),
-       |c1 AS (SELECT w1h, sum(c12) AS c1 FROM c12 GROUP BY 1),
-       |v AS (SELECT count(DISTINCT w2h) AS v FROM bg),
-       |model AS (
+       |  FROM ${p}tok, unnest(generate_series(1, len(a) - 1)) AS t(i)),
+       |${p}c12 AS (SELECT w1h, bgh, count(*) AS c12 FROM ${p}bg GROUP BY 1, 2),
+       |${p}c1 AS (SELECT w1h, sum(c12) AS c1 FROM ${p}c12 GROUP BY 1),
+       |${p}v AS (SELECT count(DISTINCT w2h) AS v FROM ${p}bg),
+       |${p}model AS (
        |  SELECT bgh, CAST(round(-log2((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE)
        |    * 1e6) AS BIGINT) AS microbits
-       |  FROM c12 JOIN c1 USING (w1h), v),
-       |per_doc AS (
+       |  FROM ${p}c12 JOIN ${p}c1 USING (w1h), ${p}v),
+       |${p}per_doc AS (
        |  SELECT doc_id, source, sum(microbits)::BIGINT AS mb,
        |    count(*) AS nbg
-       |  FROM bg JOIN model USING (bgh) GROUP BY 1, 2)""".stripMargin
+       |  FROM ${p}bg JOIN ${p}model USING (bgh) GROUP BY 1, 2)""".stripMargin
   }
+
+  private def perDocSqlCtes: String = perDocSqlCtesFrom("documents", "")
 
   def q77Sql(flagBits: Double = DefaultFlagBits): String = {
     val flagMicro = math.round(flagBits * 1e6)

@@ -68,17 +68,40 @@ object PiiScrub {
     * corpus: docs, injected docs, matches per class, and how many
     * characters redaction removed (original minus scrubbed length —
     * the byte-accounting a storage-budgeted rewrite pass tracks). */
-  def q78PiiScrub(documents: DataFrame): DataFrame = {
-    val injected = pmod(col("doc_id"), lit(InjectMod)) === 0
-    val aug = when(injected, concat(col("text"),
+  /** The deterministic injection harness as a column: every
+    * doc_id % [[InjectMod]] == 0 doc gets one email + one phone + one
+    * IP appended, all derived from doc_id. Shared by q78 and the
+    * composed q84 scrub stage (and mirrored by [[augSql]]). */
+  def augmented: Column =
+    when(pmod(col("doc_id"), lit(InjectMod)) === 0, concat(col("text"),
         lit(" reach user"), col("doc_id").cast("string"),
         lit("@example.com or +1-555-"),
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
         lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
         lit(".0.1")))
       .otherwise(col("text"))
+
+  /** Oracle-side mirror of [[augmented]] (an expression over a scope
+    * exposing doc_id and text). Deliberately ONE line: a multi-line
+    * fragment whose continuation lines start with `||` gets mangled by
+    * the EMBEDDING query's stripMargin (it strips the first pipe). */
+  private[operators] def augSql: String =
+    s"CASE WHEN doc_id % $InjectMod = 0 THEN text || ' reach user' || " +
+      "CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE text END"
+
+  /** Oracle-side [[scrub]]: the three regexp_replace passes in order. */
+  private[operators] def scrubSql(src: String): String = {
+    def rep(s: String, pat: String, tag: String) =
+      s"regexp_replace($s, '$pat', '$tag', 'g')"
+    rep(rep(rep(src, EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), Ipv4Pat, "<IP>")
+  }
+
+  def q78PiiScrub(documents: DataFrame): DataFrame = {
+    val injected = pmod(col("doc_id"), lit(InjectMod)) === 0
     val base = documents.select(col("doc_id"), col("source"),
-      injected.cast("long").as("inj"), aug.as("t"))
+      injected.cast("long").as("inj"), augmented.as("t"))
     val (ne, np, ni) = piiCounts(col("t"))
     base
       .select(col("source"), col("inj"),
@@ -93,19 +116,11 @@ object PiiScrub {
   }
 
   def q78Sql: String = {
-    def rep(src: String, pat: String, tag: String) =
-      s"regexp_replace($src, '$pat', '$tag', 'g')"
-    val scrubbed = rep(rep(rep("t", EmailPat, "<EMAIL>"),
-      PhonePat, "<PHONE>"), Ipv4Pat, "<IP>")
+    val scrubbed = scrubSql("t")
     s"""WITH aug AS (
        |  SELECT doc_id, source,
        |    CASE WHEN doc_id % $InjectMod = 0 THEN 1 ELSE 0 END AS inj,
-       |    CASE WHEN doc_id % $InjectMod = 0 THEN
-       |      text || ' reach user' || CAST(doc_id AS VARCHAR)
-       |        || '@example.com or +1-555-'
-       |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-       |        || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
-       |    ELSE text END AS t
+       |    $augSql AS t
        |  FROM documents)
        |SELECT source, count(*) AS n_docs, sum(inj)::BIGINT AS n_injected,
        |  sum(len(regexp_extract_all(t, '$EmailPat')))::BIGINT AS n_email,

@@ -34,15 +34,18 @@ object TextOps {
   // Spark side was uncapped — a latent oracle divergence (same bug r5
   // fixed in q66Sql). This mirrors sequence(1, greatest(size-2, 1)) exactly.
   // ONE shared definition (`shingleSqlFrom`) so q22/q23/q27/q28/q40/q56
-  // cannot re-grow private capped copies.
-  private[operators] def shingleSqlFrom(tokCte: String): String =
+  // cannot re-grow private capped copies. The `p` prefix renames every
+  // internal CTE (tok → ${p}tok, …) so composed oracles (q84) can stack
+  // several instances of the chain in one WITH clause without name
+  // collisions; the caller's token CTE must be named `${p}tok`.
+  private[operators] def shingleSqlFrom(tokCte: String, p: String = ""): String =
     s"""$tokCte,
-       |pos AS (SELECT doc_id, a,
+       |${p}pos AS (SELECT doc_id, a,
        |          unnest(generate_series(1, greatest(len(a) - 2, 1))) AS i
-       |        FROM tok),
-       |sh AS (SELECT DISTINCT doc_id,
+       |        FROM ${p}tok),
+       |${p}sh AS (SELECT DISTINCT doc_id,
        |         a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT)+1] || ' ' || a[CAST(i AS INT)+2] AS s
-       |       FROM pos)""".stripMargin
+       |       FROM ${p}pos)""".stripMargin
 
   private[operators] val shinglesSql = shingleSqlFrom(
     "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)")

@@ -209,6 +209,28 @@ object VectorOps {
       .orderBy("ida", "idb")
   }
 
+  /** q54's in-bucket pair relation restricted to a survivor id set —
+    * the composed-pipeline (q84) embedding-dedup stage. Centroids are
+    * trained on the FULL embeddings frame (the artifact shape: one
+    * trained quantizer per corpus, applied to any batch), then the
+    * semi-join to `ids` happens BEFORE the pair equi-join, so per-bucket
+    * work is (survivors/nlist)² — nothing outside the survivor set ever
+    * enters the quadratic. `ids` is a one-column (doc_id) frame with
+    * vec_id ≡ doc_id (GenData alignment). */
+  def bucketedPairsAmong(embeddings: DataFrame, ids: DataFrame,
+                         nCentroids: Int = 8, threshold: Double = 0.4,
+                         centroids: String = "kmeans"): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCentroids, centroids)
+      .join(ids.select(col(ids.columns.head).as("vec_id")), Seq("vec_id"), "left_semi")
+      .withColumn("nrm", sqrt(norm2(col("ed"))))
+    val sim = round(dot(col("a.ed"), col("b.ed")) / (col("a.nrm") * col("b.nrm")), 6)
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid")
+          && col("a.vec_id") < col("b.vec_id") && sim >= threshold)
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"), sim.as("sim"))
+  }
+
   def q54Sql(nCentroids: Int = 8, threshold: Double = 0.4): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
        |${Kmeans.sqlCtes(nCentroids)},

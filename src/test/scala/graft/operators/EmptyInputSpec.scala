@@ -74,5 +74,17 @@ class EmptyInputSpec extends AnyFunSuite {
       assert(r.getLong(1) === 0L && r.getLong(2) === 0L)
       assert(r.isNullAt(3), "novelty of an empty val set must be null")
     }
+
+    // q84 always reports its 7 stages; an empty corpus means all-zero
+    // accounting (and an empty pack), never a throw
+    val v2 = CurateV2.q84CurationPipeline(
+      empty("documents"), empty("embeddings")).collect()
+    assert(v2.length === 7)
+    v2.foreach { r =>
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L &&
+        r.getLong(4) === 0L && r.getLong(5) === 0L,
+        s"stage ${r.getInt(0)} non-zero on empty corpus")
+    }
+    assert(v2(6).getLong(6) === 0L, "ceil(0/seqLen) sequences")
   }
 }
