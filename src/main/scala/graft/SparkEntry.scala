@@ -92,6 +92,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q83_label_drift:     per-label centroid angular drift vs corpus centroid
   *  - q84_curation_v2:     composed curation pipeline v2 (scrub → quality+LM →
   *                         dedup cascade → decontaminate → pack), one row/stage
+  *  - q85_snapshot_drift:  per-changed-bucket JS drift between snapshots,
+  *                         scoped by the q75 manifest diff
   */
 object SparkEntry {
 
@@ -193,6 +195,7 @@ object SparkEntry {
     "q83_label_drift" -> t("embeddings")(VectorOps.q83LabelDrift),
     "q84_curation_v2" -> ((s, dir) => CurateV2.q84CurationPipeline(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
+    "q85_snapshot_drift" -> t("documents")(MixStats.q85SnapshotDrift(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -282,5 +285,6 @@ object SparkEntry {
     "q82_ngram_novelty" -> Novelty.q82Sql,
     "q83_label_drift" -> VectorOps.q83Sql,
     "q84_curation_v2" -> CurateV2.q84Sql(),
+    "q85_snapshot_drift" -> MixStats.q85Sql(),
   )
 }

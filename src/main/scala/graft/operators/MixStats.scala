@@ -123,6 +123,124 @@ object MixStats {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** q85: snapshot-over-snapshot drift — the daily monitoring loop a
+    * production corpus runs: did this ingest tick shift the content
+    * distribution, and WHERE? Snapshots follow the q73/q75 ingest-tick
+    * convention (before = doc_id % BatchMod ≠ 0, after = the full
+    * table); the q75 MANIFEST DIFF picks the changed id-buckets first
+    * (O(buckets) work), and the expensive distribution pass then reads
+    * ONLY documents in changed buckets — unchanged buckets are never
+    * tokenized (on a bucket-partitioned corpus layout that is partition
+    * pruning; here it is the broadcast semi-join on the bucket key).
+    * That scoping is the incremental win: drift cost scales with the
+    * ingest tick, not the corpus.
+    *
+    * Output: one row per CHANGED bucket — doc and token counts on both
+    * sides plus js_bits, the Jensen–Shannon divergence between the
+    * bucket's before and after unigram distributions (q79's metric,
+    * snapshot-over-snapshot instead of source-vs-corpus). Since
+    * after ⊇ before, every before-word exists in after, so the
+    * absent-word tail is one-sided and closed-form: words new in the
+    * batch contribute 0.5·(1 − Σ_{w∈before} q(w)) computed from the
+    * before-side rows — only (bucket, word) pairs that exist ever
+    * materialize (q79's trick). Same pico-bit integer discipline:
+    * each present-word term rounds ONCE to ×1e12 long; all sums are
+    * long; one final double expression with pinned association. An
+    * all-new bucket (empty before side) degenerates to js = 0.5 by the
+    * same formula — no special case. */
+  def q85SnapshotDrift(documents: DataFrame, buckets: Int = 64): DataFrame = {
+    val isBefore = pmod(col("doc_id"), lit(Provenance.BatchMod)) =!= 0
+    val changed = Provenance.manifestDiff(
+        documents.filter(isBefore), documents, buckets)
+      .select("bucket")
+    val tok = documents
+      .select(pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+        isBefore.cast("long").as("b"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(changed), Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("b"), h60(col("w")).as("wh"))
+    val cnt = tok.groupBy("bucket", "wh")
+      .agg(count(lit(1)).as("c_a"), sum("b").as("c_b"))
+    val tot = cnt.groupBy("bucket")
+      .agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    val dc = documents
+      .select(pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+        isBefore.cast("long").as("b"))
+      .join(broadcast(changed), Seq("bucket"), "left_semi")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_after"), sum("b").as("n_before"))
+    val p = col("c_b").cast("double") / col("n_b").cast("double")
+    val q = col("c_a").cast("double") / col("n_a").cast("double")
+    val term = p * log2(lit(2) * p / (p + q)) +
+      q * log2(lit(2) * q / (p + q))
+    cnt.join(tot, "bucket")
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        when(col("c_b") > 0, round(term * lit(1e12)).cast("long"))
+          .otherwise(0L).as("tp"),
+        when(col("c_b") > 0, col("c_a")).otherwise(0L).as("cwp"))
+      .groupBy("bucket", "n_a", "n_b")
+      .agg(sum("tp").as("sumt"), sum("cwp").as("sumcw"))
+      .join(dc, "bucket")
+      .select(col("bucket"), col("n_before"), col("n_after"),
+        col("n_b").as("tok_before"), col("n_a").as("tok_after"),
+        round(lit(0.5) * col("sumt").cast("double") / lit(1e12)
+          + lit(0.5) * (col("n_a") - col("sumcw")).cast("double")
+            / col("n_a").cast("double"), 6).as("js_bits"))
+      .orderBy("bucket")
+  }
+
+  def q85Sql(buckets: Int = 64): String = {
+    def h60(s: String) =
+      s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
+    val bm = Provenance.BatchMod
+    s"""WITH hb AS (SELECT doc_id % $buckets AS bucket,
+       |              ${h60("concat_ws('|', doc_id, text)")} AS h
+       |            FROM documents WHERE doc_id % $bm <> 0),
+       |bmf AS (SELECT bucket, count(*) AS n_before, bit_xor(h) AS sig_before
+       |        FROM hb GROUP BY 1),
+       |ha AS (SELECT doc_id % $buckets AS bucket,
+       |              ${h60("concat_ws('|', doc_id, text)")} AS h
+       |            FROM documents),
+       |amf AS (SELECT bucket, count(*) AS n_after, bit_xor(h) AS sig_after
+       |        FROM ha GROUP BY 1),
+       |chg AS (SELECT coalesce(b.bucket, a.bucket) AS bucket
+       |        FROM bmf b FULL JOIN amf a ON b.bucket = a.bucket
+       |        WHERE b.sig_before IS DISTINCT FROM a.sig_after
+       |           OR b.n_before IS DISTINCT FROM a.n_after),
+       |tok AS (SELECT doc_id % $buckets AS bucket,
+       |          CASE WHEN doc_id % $bm <> 0 THEN 1 ELSE 0 END AS b,
+       |          ${h60("w")} AS wh
+       |        FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
+       |              FROM documents) u
+       |        WHERE doc_id % $buckets IN (SELECT bucket FROM chg)),
+       |cnt AS (SELECT bucket, wh, count(*) AS c_a, sum(b)::BIGINT AS c_b
+       |        FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT bucket, sum(c_a)::BIGINT AS n_a, sum(c_b)::BIGINT AS n_b
+       |        FROM cnt GROUP BY 1),
+       |dc AS (SELECT doc_id % $buckets AS bucket, count(*) AS n_after,
+       |         sum(CASE WHEN doc_id % $bm <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_before
+       |       FROM documents WHERE doc_id % $buckets IN (SELECT bucket FROM chg)
+       |       GROUP BY 1),
+       |terms AS (SELECT cnt.bucket, n_a, n_b,
+       |    CASE WHEN c_b > 0 THEN CAST(round((
+       |      (c_b::DOUBLE / n_b::DOUBLE)
+       |        * log2(2 * (c_b::DOUBLE / n_b::DOUBLE)
+       |          / ((c_b::DOUBLE / n_b::DOUBLE) + (c_a::DOUBLE / n_a::DOUBLE)))
+       |      + (c_a::DOUBLE / n_a::DOUBLE)
+       |        * log2(2 * (c_a::DOUBLE / n_a::DOUBLE)
+       |          / ((c_b::DOUBLE / n_b::DOUBLE) + (c_a::DOUBLE / n_a::DOUBLE)))
+       |    ) * 1e12) AS BIGINT) ELSE 0 END AS tp,
+       |    CASE WHEN c_b > 0 THEN c_a ELSE 0 END AS cwp
+       |  FROM cnt JOIN tot USING (bucket))
+       |SELECT t.bucket, dc.n_before, dc.n_after,
+       |  t.n_b AS tok_before, t.n_a AS tok_after,
+       |  round(0.5 * sum(tp)::DOUBLE / 1e12
+       |    + 0.5 * (t.n_a - sum(cwp))::DOUBLE / t.n_a::DOUBLE, 6) AS js_bits
+       |FROM terms t JOIN dc ON dc.bucket = t.bucket
+       |GROUP BY t.bucket, dc.n_before, dc.n_after, t.n_b, t.n_a
+       |ORDER BY t.bucket""".stripMargin
+  }
+
   def q79Sql: String = {
     def h60(s: String) =
       s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"

@@ -85,6 +85,32 @@ class MixStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q85 rows are exactly the q75-changed buckets; after dominates before") {
+    val docs = Tables.load(spark, sf, "documents")
+    val drift = MixStats.q85SnapshotDrift(docs).collect()
+    val changed = Provenance.q75ManifestDiff(docs).select("bucket").collect()
+      .map(_.getLong(0)).toSet
+    assert(drift.map(_.getLong(0)).toSet === changed,
+      "drift rows must cover exactly the manifest-diff buckets")
+    drift.foreach { r =>
+      val (nb, na, tb, ta, js) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(na >= nb && ta >= tb, s"bucket ${r.getLong(0)}: after ⊉ before")
+      assert(na > nb, s"bucket ${r.getLong(0)} changed but gained no docs " +
+        "(ingest-tick snapshots can only grow)")
+      assert(js >= 0.0 && js <= 1.0, s"JS out of range: $js")
+      assert(js < 0.5, s"bucket ${r.getLong(0)}: a grown bucket sharing its " +
+        s"before-content should sit well below the disjoint bound (got $js)")
+    }
+  }
+
+  test("q85 on a tick-free corpus (before == after) reports zero drift rows") {
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(Provenance.BatchMod)) =!= 0)
+    assert(MixStats.q85SnapshotDrift(docs).count() === 0L,
+      "identical snapshots must produce an empty drift report")
+  }
+
   test("plan: corpus counts equi-join on the word hash; only the scalar N nested-loops") {
     val df = MixStats.q79SourceDivergence(Tables.load(spark, sf, "documents"))
     df.collect()
