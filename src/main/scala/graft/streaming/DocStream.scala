@@ -112,7 +112,14 @@ object DocStream {
     * the corpus-state scan amortized across all future ticks instead
     * of re-read per tick. Unbounded-corpus deployments bound state the
     * same way [[dedupWithinWatermark]] does — this variant is the
-    * exact-membership mode. */
+    * exact-membership mode.
+    *
+    * Durability: state (including the corpus seed) lives in the
+    * checkpointed state store — a restarted query restores it from the
+    * checkpoint and does NOT re-seed from `initialState`, so kill +
+    * restart loses nothing and re-verdicts nothing (DocStreamSpec's
+    * kill/restart test pins this, with the corpus side loaded from the
+    * persisted [[graft.io.ArtifactStore]] hash artifact). */
   def admissionStream(docs: DataFrame, corpusHashes: DataFrame): Dataset[Admission] = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -224,6 +224,95 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admission stream survives kill + restart: checkpoint state, persisted corpus artifact, no dup / no loss") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, conv, md5, pmod, substring, lit}
+    val documents = Tables.load(spark, sf, "documents")
+    val corpusDocs = documents.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+    // corpus state comes from the PERSISTED ArtifactStore parquet — the
+    // multi-job deployment shape: restart reads the artifact + the
+    // checkpoint, never the corpus text
+    val artRoot = Files.createTempDirectory("graft_admit_art").toString
+    val state = graft.io.ArtifactStore.corpusHashesOrBuild(artRoot, corpusDocs)
+      .select(col("ch").as("h"))
+
+    val batchDocs = documents.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .selectExpr("doc_id", "(doc_id + 1) * 1000000000 AS ts", "text")
+      .as[DocStream.Doc](org.apache.spark.sql.Encoders.product[DocStream.Doc])
+      .collect().sortBy(_.doc_id).toSeq
+    val (t1, t2) = batchDocs.splitAt(batchDocs.length / 2)
+    assert(t1.nonEmpty && t2.nonEmpty)
+    val corpusSet = state.collect().map(_.getLong(0)).toSet
+    def h60(text: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    // post-restart probes: a re-send of a tick-1 doc (stream state must
+    // have survived the restart) and a clone of a CORPUS doc (the
+    // initialState seeding must have survived too — a restarted query
+    // restores state from the checkpoint, it does NOT re-seed)
+    val resent = t1.filter(d => !corpusSet.contains(h60(d.text)))
+      .take(2).map(d => d.copy(doc_id = d.doc_id + 500000))
+    assert(resent.nonEmpty, "need non-corpus tick-1 docs to re-send")
+    val corpusClone = {
+      import spark.implicits._
+      val r = corpusDocs.orderBy("doc_id").limit(1)
+        .selectExpr("doc_id", "(doc_id + 1) * 1000000000 AS ts", "text")
+        .as[DocStream.Doc].head()
+      r.copy(doc_id = 600000L)
+    }
+
+    val dir = Files.createTempDirectory("graft_admit_jsonl")
+    val ckpt = Files.createTempDirectory("graft_admit_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_admit_out").toString
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    def drop(name: String, ds: Seq[DocStream.Doc]): Unit =
+      Files.writeString(dir.resolve(name), ds.map(jline).mkString("\n") + "\n")
+    def startQuery() = {
+      val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+        DocStream.JsonlDocSchema)
+        .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+        .drop(graft.io.JsonLines.CorruptCol)
+      DocStream.admissionStream(raw, state)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    // tick 1 → kill
+    drop("tick1.jsonl", t1)
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // tick 2 lands while the query is DOWN; a fresh query object resumes
+    // from the checkpoint and picks it up
+    drop("tick2.jsonl", t2 ++ resent :+ corpusClone)
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+    // no loss, no dup across the restart: exactly one verdict per doc
+    assert(got.length === got.map(_._1).distinct.length,
+      "restart emitted a second verdict for some doc (dup)")
+    assert(got.length === batchDocs.length + resent.length + 1,
+      "restart lost or duplicated documents")
+    val byId = got.toMap
+    resent.foreach(d => assert(byId(d.doc_id) === "dup_stream",
+      s"re-sent doc ${d.doc_id}: tick-1 stream state must survive the restart"))
+    assert(byId(600000L) === "dup_corpus",
+      "corpus clone after restart: the seeded corpus state must survive via checkpoint")
+    // and the verdict totals still reconcile with batch q73 on the same split
+    val report = graft.operators.Provenance.q73IncrementalDedup(documents)
+      .agg(org.apache.spark.sql.functions.sum("n_batch"),
+        org.apache.spark.sql.functions.sum("n_dup"),
+        org.apache.spark.sql.functions.sum("n_new")).collect()(0)
+    val streamed = byId.filterNot(_._1 >= 500000)
+    assert(streamed.size.toLong === report.getLong(0))
+    assert(streamed.values.count(_ == "dup_corpus").toLong === report.getLong(1))
+    assert(streamed.values.count(v => v == "new" || v == "dup_stream").toLong
+      === report.getLong(2))
+  }
+
   test("watermark-bounded dedup: suppresses within horizon, re-admits after eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
