@@ -72,6 +72,72 @@ object Profiler {
   val DefaultBins = 10
   val DefaultTopK = 10
 
+  /** Valve for the string top-k path: a column whose exact distinct
+    * count (pass 1) exceeds this many values takes the heavy-hitter
+    * sketch path instead of the exact full groupBy. −1 = never sketch.
+    * Same pattern as the percentile valve
+    * ([[graft.catalyst.ApproxAboveThreshold]]): small/parity workloads
+    * keep exactness, 100 TB keeps liveness, no caller changes. */
+  val TopkSketchThresholdKey = "spark.graft.profile.topkSketchThresholdDistinct"
+  val DefaultTopkSketchThreshold = 100000L
+
+  /** Observable for the valve spec (the ArtifactStore `trainRuns`
+    * pattern): number of sketch-path top-k executions this JVM. */
+  val sketchTopKRuns = new java.util.concurrent.atomic.AtomicLong
+
+  /** Exact top-k: full groupBy — one shuffle row per distinct value
+    * per partition (map-side partials). The right path while distinct
+    * counts are bounded; the scale problem is the shuffle growing with
+    * column cardinality, not k. */
+  def topKExact(df: DataFrame, c: String, topK: Int): Seq[(String, Long)] =
+    df.filter(col(c).isNotNull).groupBy(c).count()
+      .orderBy(desc("count"), asc(c)).limit(topK).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Heavy-hitter top-k for HIGH-cardinality columns: two phases.
+    *  1. Per-partition Space-Saving (Metwally et al. 2005) with
+    *     capacity max(20·k, 256): each partition emits ≤ capacity
+    *     candidate values, and any value whose in-partition count
+    *     exceeds partitionRows/capacity is GUARANTEED present (the
+    *     Space-Saving bound) — so a genuinely frequent value survives
+    *     into the candidate union. A column with no repeated values has
+    *     no heavy hitters at all; there the exact path's top-k is pure
+    *     lexicographic tie-breaking among count-1 values, which no
+    *     frequency sketch can (or should) reproduce — the sketch path
+    *     still returns k count-1 values with exact counts.
+    *  2. One exact recount restricted to the broadcast candidate set
+    *     (semi-join): reported counts are EXACT for every candidate;
+    *     approximation risk lives only in candidate selection.
+    * Shuffle cost: candidates × partitions rows, independent of column
+    * cardinality — vs the exact path's distinct-values × partitions.
+    * The candidate pass is the documented mapPartitions exception
+    * (genuine per-partition imperative state, like the RocksDB pattern
+    * a native SpaceSaving aggregate would need). */
+  def topKSketch(df: DataFrame, c: String, topK: Int): Seq[(String, Long)] = {
+    sketchTopKRuns.incrementAndGet()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cap = math.max(topK * 20, 256)
+    val cand = df.select(col(c)).filter(col(c).isNotNull).as[String]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { v =>
+          if (m.contains(v) || m.size < cap) m(v) = m.getOrElse(v, 0L) + 1L
+          else { // evict the current min; the newcomer inherits its count
+            val (mk, mv) = m.minBy(_._2)
+            m.remove(mk)
+            m.update(v, mv + 1L)
+          }
+        }
+        m.keysIterator
+      }.distinct().toDF(c)
+    df.filter(col(c).isNotNull)
+      .join(broadcast(cand), Seq(c), "left_semi")
+      .groupBy(c).count()
+      .orderBy(desc("count"), asc(c)).limit(topK).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
   /** Spearman rank-correlation matrix (the profiling suite's second
     * correlation method, SURVEY A10): per-column average ranks via the
     * grouped-CDF ([[graft.operators.RankStats.avgRanks]] — no global
@@ -212,11 +278,18 @@ object Profiler {
     val headRows = fmtRows(df.limit(sampleN).collect())
     val tailRows = fmtRows(df.tail(sampleN))
 
-    // ---- pass 4: string top-k ----------------------------------------
+    // ---- pass 4: string top-k (valve-selected path) ------------------
+    // Same discipline as the percentile valve (ApproxAboveThreshold):
+    // exact below the threshold, sketch above — keyed here on the exact
+    // per-column distinct count pass 1 already computed, so the valve
+    // decision is free.
+    val topkThresh = df.sparkSession.conf
+      .getOption(TopkSketchThresholdKey).map(_.toLong)
+      .getOrElse(DefaultTopkSketchThreshold)
     val tops = strCols.map { c =>
-      c -> df.filter(col(c).isNotNull).groupBy(c).count()
-        .orderBy(desc("count"), asc(c)).limit(topK).collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      c -> (if (topkThresh >= 0 && gl(s"$c!dist") > topkThresh)
+              topKSketch(df, c, topK)
+            else topKExact(df, c, topK))
     }.toMap
 
     val numeric = numCols.map { c =>

@@ -122,6 +122,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "shingle grouping should be computed once:\n" + p)
   }
 
+  test("q38 spearman: every window is bucket-partitioned, no global-window funnel") {
+    // the distributed rank CDF's whole point: a naive
+    // `sum() over (order by v)` window has an EMPTY partition spec and
+    // funnels the entire column through one task — the r7-adjudicated
+    // most-expensive plans (q34/q37/q38) are pinned structurally so a
+    // real regression is caught by shape, not wall-clock
+    val df = RankStats.q38Spearman(Tables.load(spark, sf, "lineitem"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,)]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, "expected the per-bucket rank windows:\n" + p)
+    // a PARTITIONED window prints windowspecdefinition(b#…, v#… ASC …);
+    // an unpartitioned one starts directly with the order spec — its
+    // first argument carries the sort direction
+    specs.foreach(s => assert(!s.contains("ASC") && !s.contains("DESC"),
+      s"an unpartitioned (single-task) window appeared: spec starts '$s'\n" + p))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q48 chunking is map-only before the output sort") {
     val p = plan(Chunking.q48Chunk(Tables.load(spark, sf, "documents")))
     assert(!p.contains("hashpartitioning"),

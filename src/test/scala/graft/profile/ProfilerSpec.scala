@@ -182,4 +182,56 @@ class ProfilerSpec extends AnyFunSuite {
     }
     assert(!html.contains("<script"), "report should be static")
   }
+
+  test("top-k sketch path equals the exact path where heavy hitters exist") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    // real low-cardinality skew: every value fits in capacity, no eviction
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    assert(Profiler.topKSketch(docs, "source", 10) ===
+      Profiler.topKExact(docs, "source", 10))
+    // high-cardinality skew: ~16k unique cold values (count 1) + 10 hot
+    // values at ~400 each. Per 4-partition split each hot value's
+    // in-partition count (~100) far exceeds rows/capacity (~20), so the
+    // Space-Saving bound guarantees all ten surface as candidates and
+    // the exact recount ranks them identically to the full groupBy.
+    val skewed = spark.range(20000)
+      .select(when(col("id") % 5 === 0,
+          concat(lit("hot"), org.apache.spark.sql.functions.expr("(id div 5) % 10")))
+        .otherwise(concat(lit("cold"), col("id"))).as("v"))
+      .repartition(4)
+    val exact = Profiler.topKExact(skewed, "v", 10)
+    assert(exact.forall(_._2 === 400L), "expected the 10 hot values on top")
+    assert(Profiler.topKSketch(skewed, "v", 10) === exact,
+      "sketch top-k diverged from exact on skewed high-cardinality data")
+  }
+
+  test("valve: high-cardinality columns take the sketch path above threshold, exact below") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val strCols = docs.schema.fields
+      .count(_.dataType == org.apache.spark.sql.types.StringType)
+    assert(strCols > 0)
+    val before = Profiler.sketchTopKRuns.get()
+    try {
+      // threshold 0: every string column's distinct count exceeds it
+      spark.conf.set(Profiler.TopkSketchThresholdKey, "0")
+      val p1 = Profiler.profile(docs, withSpearman = false)
+      assert(Profiler.sketchTopKRuns.get() === before + strCols,
+        "every string column must take the sketch path at threshold 0")
+      // threshold -1: valve disarmed, exact path only
+      spark.conf.set(Profiler.TopkSketchThresholdKey, "-1")
+      val p2 = Profiler.profile(docs, withSpearman = false)
+      assert(Profiler.sketchTopKRuns.get() === before + strCols,
+        "disarmed valve must never sketch")
+      // the two paths agree wherever frequency carries signal; on the
+      // all-unique text column only the (exact) counts are comparable —
+      // count-1 tie-breaking is outside any frequency sketch's contract
+      val t1 = p1.strings.map(s => s.name -> s.topValues).toMap
+      val t2 = p2.strings.map(s => s.name -> s.topValues).toMap
+      assert(t1.keySet === t2.keySet)
+      t1.keySet.foreach { k =>
+        if (k == "text") assert(t1(k).map(_._2) === t2(k).map(_._2))
+        else assert(t1(k) === t2(k), s"paths diverged on '$k'")
+      }
+    } finally spark.conf.unset(Profiler.TopkSketchThresholdKey)
+  }
 }
