@@ -113,7 +113,15 @@ object Fuzzy {
     * verify — ending in `${p}pairs(ida, idb, jaccard)`. The `p` prefix
     * renames every internal CTE so composed oracles (q84) can run LSH
     * dedup on a DERIVED corpus inside one WITH clause (the same
-    * parameterization as TextOps.shingleSqlFrom / LmScore's chain). */
+    * parameterization as TextOps.shingleSqlFrom / LmScore's chain).
+    *
+    * The verify CTE is CANDIDATE-DRIVEN, mirroring the Spark side: the
+    * small cand relation fans out to its left doc's shingles, then
+    * probes the right doc — work is |cand|·shingles-per-doc. The
+    * earlier sh⋈sh-then-filter form had no DF cap (q27's banding is
+    * what bounds candidates, not a stop-shingle cap), so a hot shingle
+    * at gen-sf1 blew the oracle's join memory before the cand
+    * constraint applied. */
   private[operators] def lshPairsSqlCtes(tokCte: String, threshold: Double,
                                          p: String = ""): String = {
     val h = portableHashSql("s")
@@ -131,9 +139,10 @@ object Fuzzy {
        |           ON p.band = q.band AND p.x = q.x AND p.y = q.y
        |          AND p.doc_id < q.doc_id),
        |${p}sizes AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY doc_id),
-       |${p}inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ninter
-       |          FROM ${p}sh a JOIN ${p}sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          JOIN ${p}cand c ON a.doc_id = c.ida AND b.doc_id = c.idb
+       |${p}inter AS (SELECT c.ida AS ia, c.idb AS ib, count(*) AS ninter
+       |          FROM ${p}cand c
+       |          JOIN ${p}sh a ON a.doc_id = c.ida
+       |          JOIN ${p}sh b ON b.doc_id = c.idb AND b.s = a.s
        |          GROUP BY 1, 2),
        |${p}pairs AS (SELECT ia AS ida, ib AS idb,
        |            cast(ninter AS double) / (sa.n + sb.n - ninter) AS jaccard
