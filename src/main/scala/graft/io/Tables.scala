@@ -1,24 +1,44 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated synthetic tables (TESTDATA.md).
   *
-  * All tables are parquet under `sfDir`. The `events` table carries a
-  * nanosecond-precision timestamp column, which Spark's parquet reader
-  * only accepts as a raw long (`spark.sql.legacy.parquet.nanosAsLong`);
-  * [[events]] exposes both the raw nanos (`ts`, long) and a derived
-  * microsecond timestamp (`ts_utc`) for time arithmetic.
+  * All tables are parquet under `sfDir`. The `events` table's `ts`
+  * column has shipped in two physical layouts across testdata
+  * generations: TIMESTAMP_NS (which Spark's parquet reader only
+  * accepts as a raw long via `spark.sql.legacy.parquet.nanosAsLong`)
+  * and plain µs TIMESTAMP. [[load]] normalizes both to the engine's
+  * internal convention — `ts` = epoch NANOS as long — so every
+  * operator's integral-ns arithmetic and every DuckDB oracle
+  * (`epoch_ns(ts)` / `epoch_us(ts)` work on either physical type)
+  * are layout-independent. [[events]] additionally derives the
+  * microsecond `ts_utc` timestamp for event-time operations.
   */
 object Tables {
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize an events frame so `ts` is epoch nanos (long) whatever
+    * the physical parquet type was. µs → ns is exact (×1000); the NTZ
+    * cast is µs-preserving under the session's pinned UTC zone. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported events.ts type $other")
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
   }
 
   /** `events` with `ts` kept as raw nanos and `ts_utc` as a proper

@@ -69,7 +69,11 @@ object EventStream {
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream.schema(schema).parquet(eventsDir)
+    // same two-layout normalization as the batch loader: `ts` becomes
+    // epoch nanos (long) whether the files carry TIMESTAMP_NS or µs
+    // TIMESTAMP
+    graft.io.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(eventsDir))
       .withColumn("ts_utc",
         // integral div, not `/`: double division is lossy above 2^53 ns
         timestamp_micros(expr("ts div 1000")))
