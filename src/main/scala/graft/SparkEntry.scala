@@ -94,6 +94,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         dedup cascade → decontaminate → pack), one row/stage
   *  - q85_snapshot_drift:  per-changed-bucket JS drift between snapshots,
   *                         scoped by the q75 manifest diff
+  *  - q86_substring_dups:  cross-doc repeated-substring coverage census
+  *                         (distributed k-gram re-expression of suffix-array dedup)
   */
 object SparkEntry {
 
@@ -196,6 +198,7 @@ object SparkEntry {
     "q84_curation_v2" -> ((s, dir) => CurateV2.q84CurationPipeline(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
     "q85_snapshot_drift" -> t("documents")(MixStats.q85SnapshotDrift(_)),
+    "q86_substring_dups" -> t("documents")(SubstringDedup.q86SubstringDups(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -286,5 +289,6 @@ object SparkEntry {
     "q83_label_drift" -> VectorOps.q83Sql,
     "q84_curation_v2" -> CurateV2.q84Sql(),
     "q85_snapshot_drift" -> MixStats.q85Sql(),
+    "q86_substring_dups" -> SubstringDedup.q86Sql(),
   )
 }

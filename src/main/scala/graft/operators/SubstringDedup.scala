@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact repeated-substring detection — the "dedup by duplicated
+  * spans" pass (Lee et al. 2021, "Deduplicating Training Data Makes
+  * Language Models Better") that complements whole-doc dedup: q21/q60
+  * drop byte-identical documents and q22/q27 score whole-doc
+  * similarity, but none of them SEE a 200-token boilerplate header
+  * pasted into ten thousand otherwise-distinct documents. This
+  * operator measures, per document, how much of it is covered by
+  * token k-grams that also occur in at least one OTHER document.
+  *
+  * Suffix arrays (the paper's tool) are a single-machine construction;
+  * the distributed re-expression is the standard k-gram posting
+  * relation, which Spark executes as two hash shuffles:
+  *   1. every doc emits one posting per token position — (doc_id,
+  *      position, 60-bit md5 gram hash); linear in corpus tokens,
+  *      ~20 bytes per posting, the gram TEXT never leaves the scan;
+  *   2. cross-doc grams = groupBy(hash) HAVING count(DISTINCT doc) >= 2
+  *      (partial aggregation collapses within-partition repeats before
+  *      the shuffle, so boilerplate costs one row per partition, not
+  *      one per occurrence);
+  *   3. a semi-join marks duplicated positions, and per-doc interval
+  *      merge (windows PARTITIONED by doc_id — never a global window)
+  *      turns overlapping [i, i+k-1] spans into exact covered-token
+  *      counts.
+  * Nothing here is quadratic: unlike the q22 similarity self-join, a
+  * gram shared by f documents costs f posting rows, not f²/2 pairs, so
+  * no document-frequency cap is needed and the plan survives 100 TB
+  * unchanged.
+  *
+  * Output: one row per document — n_tokens, how many of its k-gram
+  * positions are cross-doc duplicated, exact covered-token count after
+  * overlap merge, and the covered fraction. A curation pass drops or
+  * trims docs above a dup_frac threshold. Within-doc repetition is
+  * deliberately out of scope (that is q61's Gopher-style census).
+  */
+object SubstringDedup {
+
+  /** Span length in tokens. 8 ≈ the paper's 50-char threshold at this
+    * corpus's ~6 chars/token; long enough that chance collisions of
+    * real text are negligible, short enough to catch template spans. */
+  val DefaultK = 8
+
+  /** q86: per-document duplicated-substring coverage census. */
+  def q86SubstringDups(documents: DataFrame, k: Int = DefaultK): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    // one posting per k-gram position; hash is the portable 60-bit md5
+    // prefix (TextOps convention) so the oracle re-derives it exactly
+    val pos = base.filter(col("n_tokens") >= k)
+      .withColumn("i", explode(expr(s"sequence(1, n_tokens - ${k - 1})")))
+      .withColumn("h",
+        conv(substring(md5(expr(s"concat_ws(' ', slice(toks, i, $k))")), 1, 15),
+          16, 10).cast("long"))
+      .select("doc_id", "n_tokens", "i", "h")
+    // cross-doc duplicated grams: seen in >= 2 distinct documents
+    val dup = pos.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("h")
+    // exact covered tokens per doc: merge overlapping [i, i+k-1] spans
+    // via running max of span end over the preceding positions
+    val w = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = pos.join(dup, "h")
+      .withColumn("e", col("i") + lit(k - 1))
+      .withColumn("pmax", max("e").over(w))
+      .withColumn("contrib",
+        greatest(lit(0L),
+          col("e") - greatest(col("i") - 1, coalesce(col("pmax"), lit(0L)))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"), sum("contrib").as("covered_tokens"))
+    base.select("doc_id", "n_tokens")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  def q86Sql(k: Int = DefaultK): String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+       |base AS (SELECT doc_id, len(a) AS n_tokens, a FROM tok),
+       |pos AS (SELECT doc_id, a,
+       |          unnest(generate_series(1, n_tokens - ${k - 1})) AS i
+       |        FROM base WHERE n_tokens >= $k),
+       |g AS (SELECT doc_id, i,
+       |        cast(concat('0x', substr(md5(array_to_string(
+       |          a[CAST(i AS INT):CAST(i + ${k - 1} AS INT)], ' ')), 1, 15)) AS bigint) AS h
+       |      FROM pos),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT doc_id, i, i + ${k - 1} AS e,
+       |          max(i + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY i
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |        FROM g JOIN dup USING (h)),
+       |agg AS (SELECT doc_id, count(*) AS n_dup_grams,
+       |          CAST(sum(greatest(0, e - greatest(i - 1, coalesce(pmax, 0)))) AS BIGINT)
+       |            AS covered_tokens
+       |        FROM cov GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       |  coalesce(ag.n_dup_grams, 0) AS n_dup_grams,
+       |  coalesce(ag.covered_tokens, 0) AS covered_tokens,
+       |  round(coalesce(ag.covered_tokens, 0) / CAST(b.n_tokens AS DOUBLE), 6) AS dup_frac
+       |FROM base b LEFT JOIN agg ag USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+}

@@ -48,7 +48,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "q79_source_divergence" -> MixStats.q79SourceDivergence(empty("documents")),
       "q80_source_jaccard" -> MixStats.q80SourceJaccard(empty("documents")),
       "q81_quality_calibration" -> LmScore.q81QualityCalibration(empty("documents")),
-      "q83_label_drift" -> VectorOps.q83LabelDrift(empty("embeddings")))
+      "q83_label_drift" -> VectorOps.q83LabelDrift(empty("embeddings")),
+      "q86_substring_dups" -> SubstringDedup.q86SubstringDups(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }
