@@ -96,6 +96,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         scoped by the q75 manifest diff
   *  - q86_substring_dups:  cross-doc repeated-substring coverage census
   *                         (distributed k-gram re-expression of suffix-array dedup)
+  *  - q87_pq_recall:       product-quantization ADC recall@k vs exact L2
+  *                         (trained per-subspace codebooks, 64 dims → 4 codes)
   */
 object SparkEntry {
 
@@ -199,6 +201,7 @@ object SparkEntry {
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
     "q85_snapshot_drift" -> t("documents")(MixStats.q85SnapshotDrift(_)),
     "q86_substring_dups" -> t("documents")(SubstringDedup.q86SubstringDups(_)),
+    "q87_pq_recall" -> t("embeddings")(Pq.q87PqRecall(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -290,5 +293,6 @@ object SparkEntry {
     "q84_curation_v2" -> CurateV2.q84Sql(),
     "q85_snapshot_drift" -> MixStats.q85Sql(),
     "q86_substring_dups" -> SubstringDedup.q86Sql(),
+    "q87_pq_recall" -> Pq.q87Sql(),
   )
 }

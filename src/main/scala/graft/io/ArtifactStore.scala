@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Kmeans, Provenance}
+import graft.operators.{Bpe, Kmeans, Pq, Provenance}
 
 /** Versioned persistence for LEARNED artifacts — the piece that turns
   * the per-JVM trainers into something a multi-job deployment operates.
@@ -144,6 +144,35 @@ object ArtifactStore {
       import spark.implicits._
       cents.toDF("cid", "ce").coalesce(1).write.mode("overwrite").parquet(path)
       cents
+    }
+  }
+
+  // ---- PQ codebooks ----------------------------------------------------
+
+  def pqKey(fp: String, m: Int, subDim: Int, kCb: Int, iters: Int,
+            trainN: Int): String =
+    s"fp${fp}_m${m}x${subDim}_k${kCb}_i${iters}_n$trainN"
+
+  /** Train-or-load PQ codebooks; loads seed [[Pq]]'s memo so q87 (and
+    * any ADC consumer) serves the artifact for this corpus. */
+  def pqCodebooksOrTrain(root: String, embeddings: DataFrame,
+                         m: Int = Pq.DefaultM, subDim: Int = Pq.DefaultSubDim,
+                         kCb: Int = Pq.DefaultKCb, iters: Int = Pq.DefaultIters,
+                         trainN: Int = Pq.DefaultTrainN): Seq[(Int, Int, Seq[Double])] = {
+    val spark = embeddings.sparkSession
+    val path = artifactPath(root, "pq_codebooks",
+      pqKey(embeddingsFingerprint(embeddings), m, subDim, kCb, iters, trainN))
+    if (exists(spark, path)) {
+      val cb = spark.read.parquet(path).orderBy("sub", "cid")
+        .collect().map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid"),
+          r.getAs[Seq[Double]]("ce"))).toSeq
+      Pq.preload(embeddings, cb, m, subDim, kCb, iters, trainN)
+      cb
+    } else {
+      val cb = Pq.codebooks(embeddings, m, subDim, kCb, iters, trainN)
+      import spark.implicits._
+      cb.toDF("sub", "cid", "ce").coalesce(1).write.mode("overwrite").parquet(path)
+      cb
     }
   }
 

@@ -1,0 +1,304 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the missing middle of the ANN ladder:
+  * q30/q54 (IVF) prune WHICH vectors to score, q68 (SQ8) shrinks each
+  * coordinate to int8; PQ shrinks each vector to `m` small codes
+  * (64 float dims → 16 codes of 4 bits here, 32× under float32), which
+  * is what makes a 100 TB embedding corpus fit executor memory for
+  * candidate scanning at all.
+  *
+  * Training: the 64-dim space splits into `m` = 16 contiguous 4-dim
+  * subspaces; each gets its own k = 16 codebook via Lloyd's iterations
+  * under squared-L2 — run as ONE assignment plan per iteration across
+  * all subspaces (slices exploded once, codebooks broadcast, window
+  * partitioned by (vec_id, sub)), so training is `iters` scans of the
+  * bounded hash-ranked sample and one ≤ m·k·subDim-row collect each —
+  * the same documented scalar-barrier shape as [[Kmeans]].
+  *
+  * Search (q87): asymmetric distance computation (ADC). Per query the
+  * engine materializes an m×k lookup table of exact subspace distances
+  * query→centroid (a broadcast of Q·m·k tiny rows), then approximate
+  * distance to ANY database vector is the sum of m lookups on its
+  * codes — O(N·m) adds with no float vector ever touched. q87 reports
+  * recall@k vs exact L2 ground truth per query at both operating
+  * points (raw ADC, and ADC-shortlist + exact re-rank), the same
+  * measured-receipt convention as q62/q68/q74/q76.
+  *
+  * Cross-engine determinism: subspace d² is composed from inner
+  * products (`ip(a,a) − 2·ip(a,b) + ip(b,b)`) — sequential folds that
+  * are bit-identical in both engines — rounded to 6 dp for every
+  * assignment/ranking, ties broken by cid/vec_id; centroid means are
+  * rounded to 6 dp (the [[Kmeans]] discipline, ~1e-11/coordinate flip
+  * risk). The one order-sensitive sum is ADC's m-term addition: the
+  * engines may add the m partial distances in different orders, so a
+  * sum landing within ~1e-16·|adc| of a 0.5e-6 rounding boundary could
+  * flip — the same documented exposure class as LmScore's micro-bits.
+  */
+object Pq {
+
+  val DefaultM = 16       // subspaces
+  val DefaultSubDim = 4   // dims per subspace (m × subDim = 64)
+  val DefaultKCb = 16     // codes per subspace codebook
+  val DefaultIters = 2
+  val DefaultTrainN = 2048
+  val DefaultNQueries = 8
+  val DefaultTopK = 5
+  val DefaultRerankR = 50 // ADC shortlist size fed to exact re-rank
+
+  private def dot(a: Column, b: Column) = graft.catalyst.native.dotProduct(a, b)
+
+  /** Squared L2 via inner products: each ip is a deterministic
+    * sequential fold; the 3-term combination is left-associative in
+    * both engines. */
+  private def d2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2d) * dot(a, b) + dot(b, b)
+
+  private def d2Sql(a: String, b: String): String =
+    s"list_inner_product($a, $a) - 2 * list_inner_product($a, $b) + list_inner_product($b, $b)"
+
+  /** Portable 60-bit hash of vec_id (q42/q51/Kmeans convention). */
+  private def hv = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+    .cast("long")
+
+  /** One trained codebook per corpus per JVM. */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Int, Int, Seq[Double])]]
+
+  /** Actual training runs this JVM (ArtifactStore cold-load pin). */
+  val trainRuns = new java.util.concurrent.atomic.AtomicLong
+
+  private def memoKey(embeddings: DataFrame, m: Int, subDim: Int, kCb: Int,
+                      iters: Int, trainN: Int): Option[String] = {
+    val files = embeddings.inputFiles
+    if (files.isEmpty) None
+    else Some(files.sorted.mkString(",") + s"#pq#$m#$subDim#$kCb#$iters#$trainN")
+  }
+
+  /** Seed the memo with a persisted codebook (ArtifactStore load path). */
+  def preload(embeddings: DataFrame, cb: Seq[(Int, Int, Seq[Double])],
+              m: Int = DefaultM, subDim: Int = DefaultSubDim,
+              kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+              trainN: Int = DefaultTrainN): Unit =
+    memoKey(embeddings, m, subDim, kCb, iters, trainN).foreach(memo.put(_, cb))
+
+  /** (sub, cid, centroid) rows for all m codebooks, train-or-memo. */
+  def codebooks(embeddings: DataFrame, m: Int = DefaultM,
+                subDim: Int = DefaultSubDim, kCb: Int = DefaultKCb,
+                iters: Int = DefaultIters,
+                trainN: Int = DefaultTrainN): Seq[(Int, Int, Seq[Double])] =
+    memoKey(embeddings, m, subDim, kCb, iters, trainN) match {
+      case None      => train(embeddings, m, subDim, kCb, iters, trainN)
+      case Some(key) =>
+        memo.getOrElseUpdate(key, train(embeddings, m, subDim, kCb, iters, trainN))
+    }
+
+  /** All m subspace slices of a 64-dim vector column, exploded to one
+    * row per (source row, sub). */
+  private def sliceAll(df: DataFrame, edCol: String, m: Int, subDim: Int): DataFrame = {
+    val slices = (0 until m).map(s => struct(lit(s).as("sub"),
+      expr(s"slice($edCol, ${s * subDim + 1}, $subDim)").as("sv")))
+    df.withColumn("_z", explode(array(slices: _*)))
+      .withColumn("sub", col("_z.sub")).withColumn("sv", col("_z.sv"))
+      .drop("_z", edCol)
+  }
+
+  def train(embeddings: DataFrame, m: Int, subDim: Int, kCb: Int,
+            iters: Int, trainN: Int): Seq[(Int, Int, Seq[Double])] = {
+    trainRuns.incrementAndGet()
+    val spark = embeddings.sparkSession
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    val trainSet = e.withColumn("hv", hv).orderBy("hv", "vec_id")
+      .limit(trainN).select("vec_id", "ed").localCheckpoint()
+    val trSl = sliceAll(trainSet, "ed", m, subDim)
+    // init: subspace slices of the first kCb vectors in (hv, vec_id)
+    // order — the same rows seed every subspace's codebook
+    var cents: Array[Array[Array[Double]]] = {
+      val init = e.withColumn("hv", hv).orderBy("hv", "vec_id").limit(kCb)
+        .collect().map(_.getSeq[Double](1).toArray)
+      Array.tabulate(m, kCb)((s, i) => init(i).slice(s * subDim, (s + 1) * subDim))
+    }
+    for (_ <- 1 to iters) {
+      val cb = codebookDf(spark, cents)
+      val wA = Window.partitionBy("vec_id", "sub").orderBy(asc("d2r"), asc("cid"))
+      val next = cents.map(_.map(_.clone()))
+      trSl.join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("cid"),
+          round(d2(col("sv"), col("ce")), 6).as("d2r"), col("sv"))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "cid", "pos").agg(round(avg("v"), 6).as("mn"))
+        .collect()
+        .foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      cents = next
+    }
+    (for (s <- 0 until m; i <- 0 until kCb) yield (s, i, cents(s)(i).toSeq)).toSeq
+  }
+
+  private def codebookDf(spark: SparkSession,
+                         cents: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (ks, s) =>
+      ks.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+    }.toSeq.toDF("sub", "cid", "ce")
+  }
+
+  /** Trained codebooks as a broadcast-able literal (sub, cid, ce) frame. */
+  def codebookTable(embeddings: DataFrame, m: Int = DefaultM,
+                    subDim: Int = DefaultSubDim, kCb: Int = DefaultKCb,
+                    iters: Int = DefaultIters,
+                    trainN: Int = DefaultTrainN): DataFrame = {
+    val cb = codebooks(embeddings, m, subDim, kCb, iters, trainN)
+    val arr = Array.tabulate(m, kCb)((s, i) => cb.find(r => r._1 == s && r._2 == i).get._3.toArray)
+    codebookDf(embeddings.sparkSession, arr)
+  }
+
+  /** q87: PQ-ADC recall@k vs exact L2 ground truth, per query — at BOTH
+    * operating points a deployment cares about: raw ADC top-k (pure
+    * 4-byte-code scan, zero float reads) and ADC top-`rerankR` shortlist
+    * + exact re-rank (the production pattern: the code scan prunes
+    * N → R, then R float vectors are fetched and scored exactly). The
+    * gap between the two columns is the measured price of never
+    * touching floats — the same receipt convention as q74/q76. */
+  def q87PqRecall(embeddings: DataFrame, m: Int = DefaultM,
+                  subDim: Int = DefaultSubDim, kCb: Int = DefaultKCb,
+                  iters: Int = DefaultIters, trainN: Int = DefaultTrainN,
+                  nQueries: Int = DefaultNQueries,
+                  kTop: Int = DefaultTopK,
+                  rerankR: Int = DefaultRerankR): DataFrame = {
+    val cb = codebookTable(embeddings, m, subDim, kCb, iters, trainN)
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    val sl = sliceAll(e, "ed", m, subDim)
+    // encode: per (vector, subspace) the nearest centroid's code
+    val wEnc = Window.partitionBy("vec_id", "sub").orderBy(asc("d2r"), asc("cid"))
+    val codes = sl.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"),
+        round(d2(col("sv"), col("ce")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+    // per-query ADC lookup table: exact subspace distance to every code
+    val lut = sl.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("sub").as("lsub"), col("sv").as("qsv"))
+      .join(broadcast(cb), col("lsub") === col("sub"))
+      .select(col("qid"), col("lsub"), col("cid").as("lcid"),
+        d2(col("qsv"), col("ce")).as("pd"))
+    val adc = codes
+      .join(broadcast(lut),
+        codes("sub") === lut("lsub") && codes("code") === lut("lcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(round(sum("pd"), 6).as("adc"))
+    val wTop = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+    val ranked = adc.withColumn("rn", row_number().over(wTop))
+    val approx = ranked.filter(col("rn") <= kTop)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    // ADC shortlist → exact re-rank over the R fetched float vectors
+    val short = ranked.filter(col("rn") <= rerankR)
+      .select(col("qid").as("sqid"), col("vec_id").as("svid"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("ed").as("qed"))
+    val wEx = Window.partitionBy("qid").orderBy(asc("d2r"), asc("vec_id"))
+    val rerank = short
+      .join(broadcast(q), col("sqid") === col("qid"))
+      .join(e.select(col("vec_id").as("svid2"), col("ed").as("ved")),
+        col("svid") === col("svid2"))
+      .select(col("qid"), col("svid").as("vec_id"),
+        round(d2(col("qed"), col("ved")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEx)).filter(col("rn") <= kTop)
+      .select(col("qid").as("rqid"), col("vec_id").as("rvid"))
+    // exact L2 ground truth over full vectors
+    val exact = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(d2(col("qed"), col("ed")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEx)).filter(col("rn") <= kTop)
+      .select(col("qid"), col("vec_id"))
+    exact
+      .join(approx, col("qid") === col("aqid") && col("vec_id") === col("avid"),
+        "left")
+      .join(rerank, col("qid") === col("rqid") && col("vec_id") === col("rvid"),
+        "left")
+      .groupBy("qid")
+      .agg(count(col("aqid")).as("n_hits_adc"), count(col("rqid")).as("n_hits_rr"))
+      .select(col("qid"), col("n_hits_adc"),
+        round(col("n_hits_adc").cast("double") / kTop, 6).as("recall_adc"),
+        col("n_hits_rr"),
+        round(col("n_hits_rr").cast("double") / kTop, 6).as("recall_rr"))
+      .orderBy("qid")
+  }
+
+  /** The unrolled per-subspace training + encode + ADC oracle. */
+  def q87Sql(m: Int = DefaultM, subDim: Int = DefaultSubDim,
+             kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+             trainN: Int = DefaultTrainN, nQueries: Int = DefaultNQueries,
+             kTop: Int = DefaultTopK, rerankR: Int = DefaultRerankR): String = {
+    val shared =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |tr AS MATERIALIZED (
+         |  SELECT vec_id, ed,
+         |    cast(concat('0x', substr(md5(cast(vec_id AS varchar)), 1, 15)) AS bigint) AS hv
+         |  FROM e ORDER BY hv, vec_id LIMIT $trainN),
+         |ini AS (SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cid, ed
+         |        FROM tr ORDER BY hv, vec_id LIMIT $kCb)""".stripMargin
+    val subs = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      val init =
+        s"""p${s}tr AS (SELECT vec_id, ed[$lo:$hi] AS sv FROM tr),
+           |p${s}c0 AS (SELECT cid, ed[$lo:$hi] AS ce FROM ini)""".stripMargin
+      val steps = (1 to iters).map { i =>
+        s"""p${s}a$i AS (SELECT cid, sv FROM (
+           |  SELECT t.sv, c.cid, row_number() OVER (PARTITION BY t.vec_id
+           |    ORDER BY round(${d2Sql("t.sv", "c.ce")}, 6), c.cid) AS rn
+           |  FROM p${s}tr t, p${s}c${i - 1} c) z WHERE rn = 1),
+           |p${s}m$i AS (SELECT cid, d, round(avg(sv[d]), 6) AS v
+           |        FROM p${s}a$i, UNNEST(range(1, ${subDim + 1})) AS dd(d) GROUP BY cid, d),
+           |p${s}c$i AS (SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+           |        FROM p${s}c${i - 1} p LEFT JOIN
+           |          (SELECT cid, list(v ORDER BY d) AS ce FROM p${s}m$i GROUP BY cid) n
+           |          USING (cid))""".stripMargin
+      }
+      val encode =
+        s"""p${s}sl AS (SELECT vec_id, ed[$lo:$hi] AS sv FROM e),
+           |p${s}enc AS (SELECT vec_id, cid AS code FROM (
+           |  SELECT sl.vec_id, c.cid, row_number() OVER (PARTITION BY sl.vec_id
+           |    ORDER BY round(${d2Sql("sl.sv", "c.ce")}, 6), c.cid) AS rn
+           |  FROM p${s}sl sl, p${s}c$iters c) z WHERE rn = 1),
+           |p${s}lut AS (SELECT q.vec_id AS qid, c.cid,
+           |    ${d2Sql("q.sv", "c.ce")} AS pd
+           |  FROM p${s}sl q, p${s}c$iters c WHERE q.vec_id < $nQueries),
+           |p${s}pd AS (SELECT l.qid, en.vec_id, l.pd
+           |  FROM p${s}enc en JOIN p${s}lut l ON l.cid = en.code)""".stripMargin
+      ((init +: steps) :+ encode).mkString(",\n")
+    }
+    val unionPd = (0 until m).map(s => s"SELECT * FROM p${s}pd").mkString(" UNION ALL ")
+    s"""WITH $shared,
+       |${subs.mkString(",\n")},
+       |adc AS (SELECT qid, vec_id, round(sum(pd), 6) AS adc
+       |        FROM ($unionPd) u WHERE vec_id <> qid GROUP BY qid, vec_id),
+       |rk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |         ORDER BY adc, vec_id) AS rn FROM adc),
+       |ap AS (SELECT qid, vec_id FROM rk WHERE rn <= $kTop),
+       |rr AS (SELECT qid, vec_id FROM (
+       |  SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+       |    ORDER BY round(${d2Sql("q.ed", "v.ed")}, 6), s.vec_id) AS rn
+       |  FROM rk s JOIN e q ON q.vec_id = s.qid JOIN e v ON v.vec_id = s.vec_id
+       |  WHERE s.rn <= $rerankR) z WHERE rn <= $kTop),
+       |ex AS (SELECT qid, vec_id FROM (
+       |  SELECT q.vec_id AS qid, v.vec_id, row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY round(${d2Sql("q.ed", "v.ed")}, 6), v.vec_id) AS rn
+       |  FROM e q, e v WHERE q.vec_id < $nQueries AND v.vec_id <> q.vec_id) z
+       |  WHERE rn <= $kTop)
+       |SELECT ex.qid, count(ap.vec_id) AS n_hits_adc,
+       |  round(CAST(count(ap.vec_id) AS DOUBLE) / $kTop, 6) AS recall_adc,
+       |  count(rr.vec_id) AS n_hits_rr,
+       |  round(CAST(count(rr.vec_id) AS DOUBLE) / $kTop, 6) AS recall_rr
+       |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+       |LEFT JOIN rr ON rr.qid = ex.qid AND rr.vec_id = ex.vec_id
+       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.TestSpark
+import graft.io.ArtifactStore
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q87 product quantization: codebook shape, memoized training, the
+  * re-rank dominance invariant, and the ArtifactStore train-or-load
+  * path. */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("codebooks: m×kCb entries of subDim dims, memo trains once") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val t0 = Pq.trainRuns.get()
+    val cb = Pq.codebooks(emb, m = 8, subDim = 8, kCb = 4, iters = 1, trainN = 256)
+    assert(Pq.trainRuns.get() === t0 + 1)
+    assert(cb.length === 8 * 4)
+    assert(cb.forall(_._3.length === 8))
+    assert(cb.map(r => (r._1, r._2)).toSet ===
+      (for (s <- 0 until 8; i <- 0 until 4) yield (s, i)).toSet)
+    // second call with identical knobs serves the memo
+    Pq.codebooks(emb, m = 8, subDim = 8, kCb = 4, iters = 1, trainN = 256)
+    assert(Pq.trainRuns.get() === t0 + 1, "memo must serve the second call")
+  }
+
+  test("q87: bounds hold and exact re-rank never loses to raw ADC") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Pq.q87PqRecall(emb).collect()
+    assert(out.length === Pq.DefaultNQueries)
+    out.foreach { r =>
+      val (hAdc, rAdc) = (r.getLong(1), r.getDouble(2))
+      val (hRr, rRr) = (r.getLong(3), r.getDouble(4))
+      assert(hAdc >= 0 && hAdc <= Pq.DefaultTopK && rAdc >= 0.0 && rAdc <= 1.0)
+      assert(hRr >= 0 && hRr <= Pq.DefaultTopK && rRr >= 0.0 && rRr <= 1.0)
+      // any ground-truth vector in ADC top-k is in the shortlist, and
+      // exact re-rank ranks it ≤ its global rank ≤ k — so re-rank
+      // recall dominates structurally, not statistically
+      assert(hRr >= hAdc, s"re-rank lost hits for qid ${r.getLong(0)}")
+    }
+  }
+
+  test("artifact store: copied corpus loads the codebook, q87 bit-identical") {
+    def tmpDir(p: String) = Files.createTempDirectory(p).toString
+    val root = tmpDir("graft_artifacts_pq")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dst = tmpDir("graft_copy_emb_pq")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      Paths.get(s"$dst/embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val embCopy = spark.read.parquet(s"$dst/embeddings.parquet")
+    val t0 = Pq.trainRuns.get()
+    val c1 = ArtifactStore.pqCodebooksOrTrain(root, emb, m = 4, subDim = 16,
+      kCb = 4, iters = 1, trainN = 256)
+    assert(Pq.trainRuns.get() === t0 + 1, "first call must train")
+    val t1 = Pq.trainRuns.get()
+    val c2 = ArtifactStore.pqCodebooksOrTrain(root, embCopy, m = 4, subDim = 16,
+      kCb = 4, iters = 1, trainN = 256)
+    assert(Pq.trainRuns.get() === t1, "copied corpus must load, not retrain")
+    assert(c2 === c1, "loaded codebooks must equal the trained ones")
+    // default-knob artifact + preload → the real q87 path, bit-identical
+    ArtifactStore.pqCodebooksOrTrain(root, emb)
+    val tq = Pq.trainRuns.get()
+    ArtifactStore.pqCodebooksOrTrain(root, embCopy)
+    val a = Pq.q87PqRecall(emb).collect().toSeq
+    val b = Pq.q87PqRecall(embCopy).collect().toSeq
+    assert(Pq.trainRuns.get() === tq, "q87 on the copy must ride the loaded artifact")
+    assert(a === b)
+  }
+}
