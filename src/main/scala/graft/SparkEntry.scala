@@ -98,6 +98,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         (distributed k-gram re-expression of suffix-array dedup)
   *  - q87_pq_recall:       product-quantization ADC recall@k vs exact L2
   *                         (trained per-subspace codebooks, 64 dims → 4 codes)
+  *  - q88_fuzzy_decontam:  near-dup eval→train leakage via cross-split
+  *                         MinHash-LSH (q66's verbatim pass, fuzzified)
   */
 object SparkEntry {
 
@@ -202,6 +204,7 @@ object SparkEntry {
     "q85_snapshot_drift" -> t("documents")(MixStats.q85SnapshotDrift(_)),
     "q86_substring_dups" -> t("documents")(SubstringDedup.q86SubstringDups(_)),
     "q87_pq_recall" -> t("embeddings")(Pq.q87PqRecall(_)),
+    "q88_fuzzy_decontam" -> t("documents")(Contamination.q88FuzzyDecontam(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -294,5 +297,6 @@ object SparkEntry {
     "q85_snapshot_drift" -> MixStats.q85Sql(),
     "q86_substring_dups" -> SubstringDedup.q86Sql(),
     "q87_pq_recall" -> Pq.q87Sql(),
+    "q88_fuzzy_decontam" -> Contamination.q88Sql(),
   )
 }

@@ -86,6 +86,101 @@ object Contamination {
       .orderBy("doc_id")
   }
 
+  /** q88: FUZZY decontamination — near-duplicate (not just verbatim)
+    * leakage of held-out text into the training split. q66 flags a
+    * training doc only when an 8-gram survives verbatim; a benchmark
+    * item that was paraphrased, reformatted, or partially rewritten
+    * into the training corpus shares almost no exact 8-grams while its
+    * shingle-set Jaccard stays high — exactly the near-dup signal the
+    * q27 LSH machinery measures. This operator runs MinHash-LSH
+    * ACROSS the q51 hash split (deciles 0–1 = held-out, 2–9 = train):
+    * band-signature collisions between the two sides yield candidate
+    * (train, eval) pairs; candidates only are exact-verified; every
+    * training doc with a verified match above `threshold` is reported
+    * with its match count, best Jaccard, and best-matching eval doc
+    * (ties broken by lowest eval id — deterministic).
+    *
+    * Scale shape: both sides reduce to 4 band rows of three longs per
+    * doc before any join; the held-out side is small by construction
+    * (eval suites stay thousands of docs at any corpus size), so its
+    * band table BROADCASTS and the training side streams past it —
+    * the q66 broadcast shape, lifted from exact gram membership to
+    * LSH candidates. Exact verification is candidate-driven (q27's
+    * shape): work is |candidates|·shingles-per-doc, never all-pairs.
+    *
+    * The oracle reuses the ONE q27 LSH chain (`lshPairsSqlCtes`) and
+    * filters its symmetric pair set to side-crossing pairs — band
+    * collision is symmetric, so cross-side candidates are exactly the
+    * cross-side subset of the within-corpus candidates, and the two
+    * formulations provably agree while the oracle keeps the
+    * single-definition discipline. */
+  def q88FuzzyDecontam(documents: DataFrame,
+                       threshold: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val decileOf = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 10
+    val sh = TextOps.shingles(documents)
+    val sig = TextOps.minhashSignatures(sh)
+    val bandCols = (0 until 4).map { i =>
+      struct(lit(i).as("band"), col(s"mh${2 * i}").as("x"),
+        col(s"mh${2 * i + 1}").as("y"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.x").as("x"),
+        col("b.y").as("y"), decileOf(col("doc_id")).as("d"))
+    val evalBands = bands.filter(col("d") <= 1)
+      .select(col("doc_id").as("eval_id"), col("band"), col("x"), col("y"))
+    val trainBands = bands.filter(col("d") >= 2)
+      .select(col("doc_id").as("train_id"), col("band"), col("x"), col("y"))
+    val cand = trainBands
+      .join(broadcast(evalBands), Seq("band", "x", "y"))
+      .select("train_id", "eval_id").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("a"), col("train_id") === col("a.doc_id"))
+      .join(sh.as("b"), col("eval_id") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("train_id").as("ti"), col("eval_id").as("ei"))
+      .agg(count(lit(1)).as("ninter"))
+    val pairs = inter
+      .join(sizes.as("sa"), col("ti") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("ei") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("ninter").cast("double") / (col("sa.n") + col("sb.n") - col("ninter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ti"), col("ei"), col("jaccard"))
+    val wAll = Window.partitionBy("ti")
+    val wBest = Window.partitionBy("ti").orderBy(desc("jaccard"), asc("ei"))
+    pairs
+      .withColumn("n_eval_matches", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("ti").as("train_id"), col("n_eval_matches"),
+        round(col("jaccard"), 6).as("best_jaccard"), col("ei").as("best_eval_id"))
+      .orderBy("train_id")
+  }
+
+  def q88Sql(threshold: Double = 0.2): String =
+    s"""WITH ${Fuzzy.lshPairsSqlCtes(
+         "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
+         threshold)},
+       |dec AS (SELECT doc_id,
+       |          cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) AS bigint) % 10 AS d
+       |        FROM documents),
+       |cr AS (SELECT CASE WHEN da.d >= 2 THEN p.ida ELSE p.idb END AS train_id,
+       |              CASE WHEN da.d >= 2 THEN p.idb ELSE p.ida END AS eval_id,
+       |              p.jaccard
+       |       FROM pairs p
+       |       JOIN dec da ON da.doc_id = p.ida
+       |       JOIN dec db ON db.doc_id = p.idb
+       |       WHERE (da.d <= 1) <> (db.d <= 1)),
+       |rk AS (SELECT train_id, eval_id, jaccard,
+       |         count(*) OVER (PARTITION BY train_id) AS n_eval_matches,
+       |         row_number() OVER (PARTITION BY train_id
+       |           ORDER BY jaccard DESC, eval_id) AS rn
+       |       FROM cr)
+       |SELECT train_id, n_eval_matches, round(jaccard, 6) AS best_jaccard,
+       |  eval_id AS best_eval_id
+       |FROM rk WHERE rn = 1 ORDER BY train_id""".stripMargin
+
   def q66Sql(n: Int = 8, benchMod: Int = 50, benchRem: Int = 7): String =
     s"""WITH ${gramSqlCtes("documents", n)},
        |bench AS (SELECT h, doc_id AS bench_id FROM ng WHERE doc_id % $benchMod = $benchRem),
