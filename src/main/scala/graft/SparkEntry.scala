@@ -100,6 +100,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         (trained per-subspace codebooks, 64 dims → 4 codes)
   *  - q88_fuzzy_decontam:  near-dup eval→train leakage via cross-split
   *                         MinHash-LSH (q66's verbatim pass, fuzzified)
+  *  - q89_lang_fertility:  per-language BPE fertility (tokenizer equity)
   */
 object SparkEntry {
 
@@ -205,6 +206,7 @@ object SparkEntry {
     "q86_substring_dups" -> t("documents")(SubstringDedup.q86SubstringDups(_)),
     "q87_pq_recall" -> t("embeddings")(Pq.q87PqRecall(_)),
     "q88_fuzzy_decontam" -> t("documents")(Contamination.q88FuzzyDecontam(_)),
+    "q89_lang_fertility" -> t("documents")(Bpe.q89LangFertility(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -298,5 +300,6 @@ object SparkEntry {
     "q86_substring_dups" -> SubstringDedup.q86Sql(),
     "q87_pq_recall" -> Pq.q87Sql(),
     "q88_fuzzy_decontam" -> Contamination.q88Sql(),
+    "q89_lang_fertility" -> Bpe.q89Sql(),
   )
 }

@@ -154,6 +154,44 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** q89: per-language tokenizer fertility — BPE tokens per whitespace
+    * word, aggregated by the document's language tag. Fertility
+    * disparity is the standard tokenizer-equity metric for a
+    * multilingual corpus (a language at 2× fertility pays 2× context
+    * and 2× compute per word); a curation loop reads this table before
+    * fixing the merge budget or re-balancing the language mix (q69's
+    * token budgets are denominated in exactly these units). Row-local
+    * feature pass + one partial-aggregated groupBy on a low-cardinality
+    * key: the 100 TB cost is the scan, as it must be. */
+  def q89LangFertility(documents: DataFrame,
+                       nMerges: Int = DefaultMerges): DataFrame = {
+    val ms = merges(documents, nMerges)
+    documents.select(col("lang"),
+        size(split(col("text"), " ")).as("ws"),
+        tokenCount(ms, col("text")).as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").cast("long").as("sum_ws_tokens"),
+        sum("bpe").cast("long").as("sum_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("sum_bpe_tokens").cast("double") / col("sum_ws_tokens"), 6))
+      .orderBy("lang")
+  }
+
+  def q89Sql(nMerges: Int = DefaultMerges,
+             trainDocs: Long = DefaultTrainDocs): String =
+    s"""WITH ${tokenSqlCtes(nMerges, trainDocs)},
+       |ws AS (SELECT doc_id, len(regexp_split_to_array(text, ' ')) AS ws
+       |       FROM documents)
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(ws.ws) AS BIGINT) AS sum_ws_tokens,
+       |  CAST(sum(bt.n_tokens) AS BIGINT) AS sum_bpe_tokens,
+       |  round(CAST(sum(bt.n_tokens) AS DOUBLE) / sum(ws.ws), 6) AS fertility
+       |FROM documents d
+       |JOIN bpe_tok bt USING (doc_id)
+       |JOIN ws USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   // ---- oracle SQL generation ------------------------------------------
 
   /** The unrolled training CTEs: s0 (encoded train set), then per

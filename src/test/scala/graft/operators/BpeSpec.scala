@@ -114,4 +114,17 @@ class BpeSpec extends AnyFunSuite {
     assert(bpe("en")._2 > bpe("zz")._2,
       s"expected en rate > zz rate, got $bpe")
   }
+
+  test("q89 fertility: reconciles with per-doc q35 and stays >= 1") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val out = Bpe.q89LangFertility(docs).collect()
+    assert(out.nonEmpty)
+    // BPE never splits a word into zero tokens: fertility >= 1 per lang
+    out.foreach(r => assert(r.getDouble(4) >= 1.0, s"lang ${r.getString(0)}"))
+    // per-language sums must reconcile with the per-doc q35 accounting
+    val q35 = Bpe.q35TokenCount(docs).collect()
+    assert(out.map(_.getLong(2)).sum === q35.map(_.getInt(1).toLong).sum)
+    assert(out.map(_.getLong(3)).sum === q35.map(_.getInt(2).toLong).sum)
+    assert(out.map(_.getLong(1)).sum === q35.length.toLong)
+  }
 }
