@@ -150,4 +150,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange \\(\\d+\\)".r.findAllIn(p).toSet.size === 1,
       "only the final rangepartitioning exchange expected:\n" + p)
   }
+
+  test("q86 interval-merge windows are doc-partitioned, no global funnel") {
+    val df = SubstringDedup.q86SubstringDups(Tables.load(spark, sf, "documents"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,)]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, "expected the per-doc interval-merge window:\n" + p)
+    specs.foreach(s => assert(!s.contains("ASC") && !s.contains("DESC"),
+      s"an unpartitioned (single-task) window appeared: spec starts '$s'\n" + p))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q88 broadcasts the held-out band side; no cartesian anywhere") {
+    val p = plan(Contamination.q88FuzzyDecontam(Tables.load(spark, sf, "documents")))
+    assert(p.contains("BroadcastHashJoin"),
+      "held-out band table must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q87 PQ search: codebook and LUT broadcast; windows are keyed") {
+    val df = Pq.q87PqRecall(Tables.load(spark, sf, "embeddings"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // encode + ADC joins are broadcasts of the tiny codebook/LUT sides
+    assert(p.contains("BroadcastHashJoin"), p)
+    val specs = "windowspecdefinition\\(([^,)]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    specs.foreach(s => assert(!s.contains("ASC") && !s.contains("DESC"),
+      s"an unpartitioned (single-task) window appeared: spec starts '$s'\n" + p))
+  }
 }
