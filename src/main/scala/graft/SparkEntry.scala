@@ -101,6 +101,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q88_fuzzy_decontam:  near-dup eval→train leakage via cross-split
   *                         MinHash-LSH (q66's verbatim pass, fuzzified)
   *  - q89_lang_fertility:  per-language BPE fertility (tokenizer equity)
+  *  - q90_boilerplate:     top cross-doc duplicated k-grams, text recovered
+  *                         (two-phase: hash census → broadcast winner join)
   */
 object SparkEntry {
 
@@ -207,6 +209,7 @@ object SparkEntry {
     "q87_pq_recall" -> t("embeddings")(Pq.q87PqRecall(_)),
     "q88_fuzzy_decontam" -> t("documents")(Contamination.q88FuzzyDecontam(_)),
     "q89_lang_fertility" -> t("documents")(Bpe.q89LangFertility(_)),
+    "q90_boilerplate" -> t("documents")(SubstringDedup.q90Boilerplate(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -301,5 +304,6 @@ object SparkEntry {
     "q87_pq_recall" -> Pq.q87Sql(),
     "q88_fuzzy_decontam" -> Contamination.q88Sql(),
     "q89_lang_fertility" -> Bpe.q89Sql(),
+    "q90_boilerplate" -> SubstringDedup.q90Sql(),
   )
 }

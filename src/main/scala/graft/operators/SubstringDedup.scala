@@ -86,6 +86,63 @@ object SubstringDedup {
       .orderBy("doc_id")
   }
 
+  /** q90: boilerplate miner — the top cross-doc duplicated k-grams with
+    * their text recovered. q86 answers "how much of each document is
+    * duplicated span"; this answers the operator's follow-up question,
+    * "what IS the boilerplate" — the table a curation loop reads before
+    * writing a strip rule (license headers, navigation chrome,
+    * templated disclaimers).
+    *
+    * Two-phase text recovery keeps the scale discipline: phase 1 is the
+    * q86 posting census (8-byte hashes only) ending in a top-N by
+    * (distinct-doc frequency, hash) — a TakeOrderedAndProject heap,
+    * never a global sort; phase 2 regenerates grams WITH text but joins
+    * them against the broadcast N-row winner set, so gram text crosses
+    * the wire only for the N winners (min() collapses the identical
+    * copies). */
+  def q90Boilerplate(documents: DataFrame, k: Int = DefaultK,
+                     topN: Int = 20): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= k)
+      .withColumn("i", explode(expr(s"sequence(1, n_tokens - ${k - 1})")))
+      .withColumn("g", expr(s"concat_ws(' ', slice(toks, i, $k))"))
+      .select(col("doc_id"), col("g"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+    val top = base
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("df_docs") >= 2)
+      .orderBy(desc("df_docs"), asc("h")).limit(topN)
+    base
+      .join(broadcast(top), "h")
+      .groupBy("h", "df_docs", "n_occurrences")
+      .agg(min(col("g")).as("gram"))
+      .select(col("h").as("gram_h"), col("gram"), col("df_docs"),
+        col("n_occurrences"))
+      .orderBy(desc("df_docs"), asc("gram_h"))
+  }
+
+  def q90Sql(k: Int = DefaultK, topN: Int = 20): String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
+       |base AS (SELECT doc_id, a, len(a) AS n_tokens FROM tok WHERE len(a) >= $k),
+       |pos AS (SELECT doc_id, a,
+       |          unnest(generate_series(1, n_tokens - ${k - 1})) AS i FROM base),
+       |g AS (SELECT doc_id,
+       |        array_to_string(a[CAST(i AS INT):CAST(i + ${k - 1} AS INT)], ' ') AS g
+       |      FROM pos),
+       |hg AS (SELECT doc_id, g,
+       |         cast(concat('0x', substr(md5(g), 1, 15)) AS bigint) AS h FROM g),
+       |top AS (SELECT h, count(DISTINCT doc_id) AS df_docs, count(*) AS n_occurrences
+       |        FROM hg GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+       |        ORDER BY df_docs DESC, h LIMIT $topN)
+       |SELECT t.h AS gram_h, min(hg.g) AS gram, t.df_docs, t.n_occurrences
+       |FROM hg JOIN top t USING (h)
+       |GROUP BY t.h, t.df_docs, t.n_occurrences
+       |ORDER BY t.df_docs DESC, gram_h""".stripMargin
+
   def q86Sql(k: Int = DefaultK): String =
     s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
        |base AS (SELECT doc_id, len(a) AS n_tokens, a FROM tok),

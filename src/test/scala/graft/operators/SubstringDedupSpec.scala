@@ -53,6 +53,25 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(3L)._4 === 0.0)
   }
 
+  test("q90: planted boilerplate tops the miner with its text recovered") {
+    import spark.implicits._
+    val header = "this document is provided as is without any warranty"  // 9 tokens
+    val docs = (1L to 6L).map(i => (i, s"$header unique$i tail$i words$i here$i")) :+
+      (7L, "a completely different document with nothing shared at all")
+    val out = SubstringDedup.q90Boilerplate(docs.toDF("doc_id", "text")).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // the 8-gram prefix of the planted header is in all 6 docs — rank 1
+    val topRow = out.head
+    assert(topRow.getLong(2) === 6L, "df_docs of the planted header")
+    assert(header.split(" ").take(8).mkString(" ") === topRow.getString(1) ||
+      topRow.getString(1).startsWith("document is provided"),
+      s"unexpected top gram: ${topRow.getString(1)}")
+    // df is non-increasing down the report
+    assert(out.map(_.getLong(2)).sliding(2).forall { case Array(a, b) => a >= b })
+    // the fully-unique doc contributes no gram
+    assert(!out.exists(_.getString(1).contains("completely different")))
+  }
+
   test("real corpus: bounds hold and exact-dup docs are fully covered") {
     val docs = Tables.load(spark, sf, "documents")
     val out = SubstringDedup.q86SubstringDups(docs).collect()
