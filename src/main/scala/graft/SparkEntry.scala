@@ -103,6 +103,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q89_lang_fertility:  per-language BPE fertility (tokenizer equity)
   *  - q90_boilerplate:     top cross-doc duplicated k-grams, text recovered
   *                         (two-phase: hash census → broadcast winner join)
+  *  - q91_curation_v3:     v2 pipeline + fuzzy-decontam + boilerplate gates
+  *                         (nine stages, one labeled-frame plan)
   */
 object SparkEntry {
 
@@ -210,6 +212,8 @@ object SparkEntry {
     "q88_fuzzy_decontam" -> t("documents")(Contamination.q88FuzzyDecontam(_)),
     "q89_lang_fertility" -> t("documents")(Bpe.q89LangFertility(_)),
     "q90_boilerplate" -> t("documents")(SubstringDedup.q90Boilerplate(_)),
+    "q91_curation_v3" -> ((s, dir) => CurateV2.q91CurationV3(
+      Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -305,5 +309,6 @@ object SparkEntry {
     "q88_fuzzy_decontam" -> Contamination.q88Sql(),
     "q89_lang_fertility" -> Bpe.q89Sql(),
     "q90_boilerplate" -> SubstringDedup.q90Sql(),
+    "q91_curation_v3" -> CurateV2.q91Sql(),
   )
 }

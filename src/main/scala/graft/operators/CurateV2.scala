@@ -61,15 +61,18 @@ import org.apache.spark.sql.functions._
   */
 object CurateV2 {
 
-  def q84CurationPipeline(documents: DataFrame, embeddings: DataFrame,
+  /** Stages 1–6 as ONE labeled frame (d2…d6 drop markers + n_bpe) —
+    * the shared core of q84 (7-stage report) and q91 (v3: two more
+    * gates on top). Extraction changes nothing about q84's plan: the
+    * report aggregation is the only code that moved. */
+  private[operators] def labeledFrame(documents: DataFrame, embeddings: DataFrame,
                           qmin: Double = 0.4,
                           flagBits: Double = LmScore.DefaultFlagBits,
                           jaccard: Double = 0.2,
                           embThreshold: Double = 0.4,
                           nCentroids: Int = Kmeans.DefaultK,
                           gramN: Int = 8,
-                          benchMod: Int = 50, benchRem: Int = 7,
-                          seqLen: Int = 2048): DataFrame = {
+                          benchMod: Int = 50, benchRem: Int = 7): DataFrame = {
     val flagMicro = math.round(flagBits * 1e6)
     // Stage 1 — the TRAIN side only (the bench slice is the held-out
     // eval suite; it is compared against, never curated), scrubbed.
@@ -137,9 +140,22 @@ object CurateV2 {
       .join(broadcast(benchGrams), Seq("h"), "left_semi")
       .select("doc_id").distinct().withColumn("_dirty6", lit(true))
       .localCheckpoint()
-    val l6 = l5.join(contaminated, Seq("doc_id"), "left")
+    l5.join(contaminated, Seq("doc_id"), "left")
       .withColumn("d6", surv5 && coalesce(col("_dirty6"), lit(false)))
       .drop("_dirty6")
+  }
+
+  def q84CurationPipeline(documents: DataFrame, embeddings: DataFrame,
+                          qmin: Double = 0.4,
+                          flagBits: Double = LmScore.DefaultFlagBits,
+                          jaccard: Double = 0.2,
+                          embThreshold: Double = 0.4,
+                          nCentroids: Int = Kmeans.DefaultK,
+                          gramN: Int = 8,
+                          benchMod: Int = 50, benchRem: Int = 7,
+                          seqLen: Int = 2048): DataFrame = {
+    val l6 = labeledFrame(documents, embeddings, qmin, flagBits, jaccard,
+      embThreshold, nCentroids, gramN, benchMod, benchRem)
     // ONE aggregation over the labeled frame → 7 report rows via stack.
     val lab = l6.withColumn("drop_stage",
       when(col("d2"), 2).when(col("d3"), 3).when(col("d4"), 4)
@@ -166,24 +182,116 @@ object CurateV2 {
       .orderBy("stage")
   }
 
+  /** q91 — curation pipeline v3: v2's six gates plus the two
+    * round-8-continuation gates a complete dedup surface implies,
+    * composed in the same labeled-frame discipline:
+    *
+    *   7. `fuzzy_decontam`   — q88's near-dup leakage pass against the
+    *                           RAW bench slice: survivors whose shingle
+    *                           Jaccard vs any bench doc ≥
+    *                           `fuzzyThreshold` drop (q66/stage 6 only
+    *                           catches verbatim 8-grams)
+    *   8. `boilerplate_gate` — q86's duplicated-span coverage WITHIN
+    *                           the survivor corpus: docs more than
+    *                           `boilMaxFrac` covered by cross-doc
+    *                           repeated spans drop (dedup stages 3–5
+    *                           keep one copy of near-identical DOCS;
+    *                           this catches template-dominated docs
+    *                           whose unique remainder is noise)
+    *   9. `pack`             — the q67-shaped accounting, now over the
+    *                           v3 survivor set
+    *
+    * Stage order matters and is deliberate: boilerplate coverage is
+    * computed AFTER near-dedup so surviving clone families don't
+    * self-report as boilerplate, and fuzzy decontamination sees the
+    * post-dedup corpus so each leaked bench doc drops its (single)
+    * surviving near-copy. Markers stay doc_id-keyed checkpoints; the
+    * report is ONE aggregation folded to 9 rows. */
+  def q91CurationV3(documents: DataFrame, embeddings: DataFrame,
+                    qmin: Double = 0.4,
+                    flagBits: Double = LmScore.DefaultFlagBits,
+                    jaccard: Double = 0.2,
+                    embThreshold: Double = 0.4,
+                    nCentroids: Int = Kmeans.DefaultK,
+                    gramN: Int = 8,
+                    benchMod: Int = 50, benchRem: Int = 7,
+                    fuzzyThreshold: Double = 0.5,
+                    boilMaxFrac: Double = 0.5,
+                    boilK: Int = SubstringDedup.DefaultK,
+                    seqLen: Int = 2048): DataFrame = {
+    val l6 = labeledFrame(documents, embeddings, qmin, flagBits, jaccard,
+      embThreshold, nCentroids, gramN, benchMod, benchRem)
+    val isBench = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(benchMod.toLong)) === benchRem
+    val surv6 = !col("d2") && !col("d3") && !col("d4") && !col("d5") && !col("d6")
+    // Stage 7 — fuzzy decontamination: LSH pairs over survivors ∪ raw
+    // bench slice, filtered to side-crossing pairs; the survivor drops.
+    val union = l6.filter(surv6).select("doc_id", "text")
+      .union(documents.filter(isBench(col("doc_id"))).select("doc_id", "text"))
+    val losers7 = Fuzzy.q27LshDedup(union, fuzzyThreshold)
+      .filter(isBench(col("ida")) =!= isBench(col("idb")))
+      .select(when(isBench(col("ida")), col("idb")).otherwise(col("ida"))
+        .as("doc_id"))
+      .distinct().withColumn("_lose7", lit(true)).localCheckpoint()
+    val l7 = l6.join(losers7, Seq("doc_id"), "left")
+      .withColumn("d7", surv6 && coalesce(col("_lose7"), lit(false)))
+      .drop("_lose7")
+    // Stage 8 — boilerplate gate: duplicated-span coverage within the
+    // surviving corpus; template-dominated docs drop.
+    val surv7 = surv6 && !col("d7")
+    val losers8 = SubstringDedup.coverage(
+        l7.filter(surv7).select("doc_id", "text"), boilK)
+      .filter(col("dup_frac") > boilMaxFrac).select("doc_id")
+      .withColumn("_lose8", lit(true)).localCheckpoint()
+    val l8 = l7.join(losers8, Seq("doc_id"), "left")
+      .withColumn("d8", surv7 && coalesce(col("_lose8"), lit(false)))
+      .drop("_lose8")
+    val lab = l8.withColumn("drop_stage",
+      when(col("d2"), 2).when(col("d3"), 3).when(col("d4"), 4)
+        .when(col("d5"), 5).when(col("d6"), 6).when(col("d7"), 7)
+        .when(col("d8"), 8))
+    def survives(k: Int) = col("drop_stage").isNull || col("drop_stage") > k
+    val aggs =
+      Seq(count(lit(1)).as("n1"), coalesce(sum("n_bpe"), lit(0L)).as("t1")) ++
+      (2 to 8).flatMap { k => Seq(
+        count(when(col("drop_stage") === k, 1)).as(s"dr$k"),
+        count(when(survives(k), 1)).as(s"n$k"),
+        coalesce(sum(when(survives(k), col("n_bpe"))), lit(0L)).as(s"t$k"))
+      }
+    lab.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"""stack(9,
+        1, 'pii_scrub',        n1, CAST(0 AS BIGINT), n1, t1, CAST(NULL AS BIGINT),
+        2, 'quality_lm_gate',  n1, dr2, n2, t2, CAST(NULL AS BIGINT),
+        3, 'exact_dedup',      n2, dr3, n3, t3, CAST(NULL AS BIGINT),
+        4, 'near_dedup_lsh',   n3, dr4, n4, t4, CAST(NULL AS BIGINT),
+        5, 'emb_dedup_ivf',    n4, dr5, n5, t5, CAST(NULL AS BIGINT),
+        6, 'decontaminate',    n5, dr6, n6, t6, CAST(NULL AS BIGINT),
+        7, 'fuzzy_decontam',   n6, dr7, n7, t7, CAST(NULL AS BIGINT),
+        8, 'boilerplate_gate', n7, dr8, n8, t8, CAST(NULL AS BIGINT),
+        9, 'pack',             n8, CAST(0 AS BIGINT), n8, t8,
+           (t8 + ${seqLen - 1}) DIV $seqLen
+      ) AS (stage, stage_name, n_in, n_dropped, n_out, tokens_out, n_seqs)""")
+      .orderBy("stage")
+  }
+
   /** Self-contained oracle: the same seven stages re-derived from the
     * prefix-parameterized CTE generators each component oracle already
     * uses (LangQuality.featSqlCtes, LmScore's chain, Fuzzy's LSH chain,
     * Kmeans.sqlCtes, Contamination.gramSqlCtes) — one WITH clause, no
     * name collisions, survivor sets as id CTEs. */
-  def q84Sql(qmin: Double = 0.4,
-             flagBits: Double = LmScore.DefaultFlagBits,
-             jaccard: Double = 0.2,
-             embThreshold: Double = 0.4,
-             nCentroids: Int = Kmeans.DefaultK,
-             gramN: Int = 8,
-             benchMod: Int = 50, benchRem: Int = 7,
-             seqLen: Int = 2048): String = {
+  /** Oracle stages 1–6 (tr0 … s6) — the WITH-body shared verbatim by
+    * q84Sql and q91Sql, so the composed oracles cannot drift. */
+  private def coreSqlCtes(qmin: Double,
+             flagBits: Double,
+             jaccard: Double,
+             embThreshold: Double,
+             nCentroids: Int,
+             gramN: Int,
+             benchMod: Int, benchRem: Int): String = {
     val flagMicro = math.round(flagBits * 1e6)
-    s"""WITH
-       |tr0 AS (SELECT doc_id, source, text FROM documents
+    s"""tr0 AS (SELECT doc_id, source, text FROM documents
        |        WHERE doc_id % $benchMod <> $benchRem),
-       |b0 AS (SELECT doc_id, source,
+       |b0 AS MATERIALIZED (SELECT doc_id, source,
        |         ${PiiScrub.scrubSql(s"(${PiiScrub.augSql})")} AS text
        |       FROM tr0),
        |${LangQuality.featSqlCtes("b0", "f_")},
@@ -226,7 +334,20 @@ object CurateV2 {
            gramN, "dt_")},
        |s6 AS (SELECT doc_id, n_bpe FROM s5 WHERE doc_id NOT IN (
        |         SELECT DISTINCT doc_id FROM dt_ng
-       |         WHERE h IN (SELECT h FROM db_ng))),
+       |         WHERE h IN (SELECT h FROM db_ng)))""".stripMargin
+  }
+
+  def q84Sql(qmin: Double = 0.4,
+             flagBits: Double = LmScore.DefaultFlagBits,
+             jaccard: Double = 0.2,
+             embThreshold: Double = 0.4,
+             nCentroids: Int = Kmeans.DefaultK,
+             gramN: Int = 8,
+             benchMod: Int = 50, benchRem: Int = 7,
+             seqLen: Int = 2048): String = {
+    s"""WITH
+       |${coreSqlCtes(qmin, flagBits, jaccard, embThreshold, nCentroids,
+                      gramN, benchMod, benchRem)},
        |o1 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM f_feat),
        |o2 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s2),
        |o3 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s3),
@@ -249,6 +370,69 @@ object CurateV2 {
        |    NULL FROM o5, o6
        |  UNION ALL SELECT 7, 'pack', o6.n, CAST(0 AS BIGINT), o6.n, o6.t,
        |    (o6.t + ${seqLen - 1}) // $seqLen FROM o6
+       |) r ORDER BY stage""".stripMargin
+  }
+
+  def q91Sql(qmin: Double = 0.4,
+             flagBits: Double = LmScore.DefaultFlagBits,
+             jaccard: Double = 0.2,
+             embThreshold: Double = 0.4,
+             nCentroids: Int = Kmeans.DefaultK,
+             gramN: Int = 8,
+             benchMod: Int = 50, benchRem: Int = 7,
+             fuzzyThreshold: Double = 0.5,
+             boilMaxFrac: Double = 0.5,
+             boilK: Int = SubstringDedup.DefaultK,
+             seqLen: Int = 2048): String = {
+    val isB = (c: String) => s"$c % $benchMod = $benchRem"
+    s"""WITH
+       |${coreSqlCtes(qmin, flagBits, jaccard, embThreshold, nCentroids,
+                      gramN, benchMod, benchRem)},
+       |fzsrc AS MATERIALIZED (
+       |  SELECT doc_id, text FROM b0 WHERE doc_id IN (SELECT doc_id FROM s6)
+       |  UNION ALL
+       |  SELECT doc_id, text FROM documents WHERE ${isB("doc_id")}),
+       |${Fuzzy.lshPairsSqlCtes(
+           "fz_tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM fzsrc)",
+           fuzzyThreshold, "fz_")},
+       |s7 AS (SELECT doc_id, n_bpe FROM s6 WHERE doc_id NOT IN (
+       |         SELECT CASE WHEN ${isB("ida")} THEN idb ELSE ida END
+       |         FROM fz_pairs WHERE (${isB("ida")}) <> (${isB("idb")}))),
+       |bpsrc AS MATERIALIZED (
+       |  SELECT doc_id, text FROM b0 WHERE doc_id IN (SELECT doc_id FROM s7)),
+       |${SubstringDedup.coverageSqlCtes("bpsrc", boilK, "bp_")},
+       |s8 AS (SELECT doc_id, n_bpe FROM s7 WHERE doc_id NOT IN (
+       |         SELECT b.doc_id FROM bp_base b JOIN bp_agg ag USING (doc_id)
+       |         WHERE round(ag.covered_tokens / CAST(b.n_tokens AS DOUBLE), 6)
+       |               > $boilMaxFrac)),
+       |o1 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM f_feat),
+       |o2 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s2),
+       |o3 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s3),
+       |o4 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s4),
+       |o5 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s5),
+       |o6 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s6),
+       |o7 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s7),
+       |o8 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s8)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage, 'pii_scrub' AS stage_name, o1.n AS n_in,
+       |    CAST(0 AS BIGINT) AS n_dropped, o1.n AS n_out, o1.t AS tokens_out,
+       |    CAST(NULL AS BIGINT) AS n_seqs FROM o1
+       |  UNION ALL SELECT 2, 'quality_lm_gate', o1.n, o1.n - o2.n, o2.n, o2.t,
+       |    NULL FROM o1, o2
+       |  UNION ALL SELECT 3, 'exact_dedup', o2.n, o2.n - o3.n, o3.n, o3.t,
+       |    NULL FROM o2, o3
+       |  UNION ALL SELECT 4, 'near_dedup_lsh', o3.n, o3.n - o4.n, o4.n, o4.t,
+       |    NULL FROM o3, o4
+       |  UNION ALL SELECT 5, 'emb_dedup_ivf', o4.n, o4.n - o5.n, o5.n, o5.t,
+       |    NULL FROM o4, o5
+       |  UNION ALL SELECT 6, 'decontaminate', o5.n, o5.n - o6.n, o6.n, o6.t,
+       |    NULL FROM o5, o6
+       |  UNION ALL SELECT 7, 'fuzzy_decontam', o6.n, o6.n - o7.n, o7.n, o7.t,
+       |    NULL FROM o6, o7
+       |  UNION ALL SELECT 8, 'boilerplate_gate', o7.n, o7.n - o8.n, o8.n, o8.t,
+       |    NULL FROM o7, o8
+       |  UNION ALL SELECT 9, 'pack', o8.n, CAST(0 AS BIGINT), o8.n, o8.t,
+       |    (o8.t + ${seqLen - 1}) // $seqLen FROM o8
        |) r ORDER BY stage""".stripMargin
   }
 }

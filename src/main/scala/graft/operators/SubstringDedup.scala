@@ -45,8 +45,11 @@ object SubstringDedup {
     * real text are negligible, short enough to catch template spans. */
   val DefaultK = 8
 
-  /** q86: per-document duplicated-substring coverage census. */
-  def q86SubstringDups(documents: DataFrame, k: Int = DefaultK): DataFrame = {
+  /** Per-document duplicated-substring coverage over (doc_id, text) —
+    * the reusable pass behind q86 and the q91 boilerplate gate. One
+    * row per input doc: (doc_id, n_tokens, n_dup_grams, covered_tokens,
+    * dup_frac), unordered. */
+  def coverage(documents: DataFrame, k: Int = DefaultK): DataFrame = {
     val base = documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n_tokens", size(col("toks")))
@@ -83,8 +86,11 @@ object SubstringDedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         round(coalesce(col("covered_tokens"), lit(0L)) / col("n_tokens"), 6)
           .as("dup_frac"))
-      .orderBy("doc_id")
   }
+
+  /** q86: per-document duplicated-substring coverage census. */
+  def q86SubstringDups(documents: DataFrame, k: Int = DefaultK): DataFrame =
+    coverage(documents, k).orderBy("doc_id")
 
   /** q90: boilerplate miner — the top cross-doc duplicated k-grams with
     * their text recovered. q86 answers "how much of each document is
@@ -143,25 +149,35 @@ object SubstringDedup {
        |GROUP BY t.h, t.df_docs, t.n_occurrences
        |ORDER BY t.df_docs DESC, gram_h""".stripMargin
 
-  def q86Sql(k: Int = DefaultK): String =
-    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
-       |base AS (SELECT doc_id, len(a) AS n_tokens, a FROM tok),
-       |pos AS (SELECT doc_id, a,
+  /** The coverage chain as prefix-parameterized CTEs over any relation
+    * exposing (doc_id, text) — ends in `${p}base(doc_id, n_tokens, a)`
+    * and `${p}agg(doc_id, n_dup_grams, covered_tokens)` (docs with no
+    * duplicated gram have no agg row). Same single-definition
+    * discipline as TextOps.shingleSqlFrom so the composed q91 oracle
+    * cannot drift from q86's. */
+  private[operators] def coverageSqlCtes(docsRel: String, k: Int = DefaultK,
+                                         p: String = ""): String =
+    s"""${p}tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM $docsRel),
+       |${p}base AS (SELECT doc_id, len(a) AS n_tokens, a FROM ${p}tok),
+       |${p}pos AS (SELECT doc_id, a,
        |          unnest(generate_series(1, n_tokens - ${k - 1})) AS i
-       |        FROM base WHERE n_tokens >= $k),
-       |g AS (SELECT doc_id, i,
+       |        FROM ${p}base WHERE n_tokens >= $k),
+       |${p}g AS MATERIALIZED (SELECT doc_id, i,
        |        cast(concat('0x', substr(md5(array_to_string(
        |          a[CAST(i AS INT):CAST(i + ${k - 1} AS INT)], ' ')), 1, 15)) AS bigint) AS h
-       |      FROM pos),
-       |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-       |cov AS (SELECT doc_id, i, i + ${k - 1} AS e,
+       |      FROM ${p}pos),
+       |${p}dup AS (SELECT h FROM ${p}g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |${p}cov AS (SELECT doc_id, i, i + ${k - 1} AS e,
        |          max(i + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY i
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-       |        FROM g JOIN dup USING (h)),
-       |agg AS (SELECT doc_id, count(*) AS n_dup_grams,
+       |        FROM ${p}g JOIN ${p}dup USING (h)),
+       |${p}agg AS (SELECT doc_id, count(*) AS n_dup_grams,
        |          CAST(sum(greatest(0, e - greatest(i - 1, coalesce(pmax, 0)))) AS BIGINT)
        |            AS covered_tokens
-       |        FROM cov GROUP BY doc_id)
+       |        FROM ${p}cov GROUP BY doc_id)""".stripMargin
+
+  def q86Sql(k: Int = DefaultK): String =
+    s"""WITH ${coverageSqlCtes("documents", k)}
        |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
        |  coalesce(ag.n_dup_grams, 0) AS n_dup_grams,
        |  coalesce(ag.covered_tokens, 0) AS covered_tokens,

@@ -43,7 +43,7 @@ object TextOps {
        |${p}pos AS (SELECT doc_id, a,
        |          unnest(generate_series(1, greatest(len(a) - 2, 1))) AS i
        |        FROM ${p}tok),
-       |${p}sh AS (SELECT DISTINCT doc_id,
+       |${p}sh AS MATERIALIZED (SELECT DISTINCT doc_id,
        |         a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT)+1] || ' ' || a[CAST(i AS INT)+2] AS s
        |       FROM ${p}pos)""".stripMargin
 

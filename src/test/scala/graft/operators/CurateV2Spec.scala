@@ -96,6 +96,110 @@ class CurateV2Spec extends AnyFunSuite {
     Seq(s2, s3, s4, s5).foreach(_.unpersist())
   }
 
+  test("q91 v3: rows 1-6 equal v2, chaining holds, stages 7/8 reconcile") {
+    val rep3 = CurateV2.q91CurationV3(docs, emb).collect()
+    assert(rep3.length == 9)
+    assert(rep3.map(_.getString(1)).toSeq == Seq("pii_scrub",
+      "quality_lm_gate", "exact_dedup", "near_dedup_lsh", "emb_dedup_ivf",
+      "decontaminate", "fuzzy_decontam", "boilerplate_gate", "pack"))
+    // the shared labeled frame: v3's first six stages ARE v2's
+    (0 until 6).foreach { i =>
+      assert(rep3(i).toSeq.take(6) == report(i).toSeq.take(6),
+        s"v3 stage ${i + 1} diverged from v2")
+    }
+    rep3.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(4))
+    }
+    // stages 7/8 reconcile with the standalone operators run on the
+    // stage-6 survivor set (recomputed independently, v2-spec style)
+    val flagMicro = math.round(LmScore.DefaultFlagBits * 1e6)
+    val base = LangQuality.withLangQuality(
+        docs.filter(pmod(col("doc_id"), lit(50L)) =!= 7)
+          .select(col("doc_id"), col("source"),
+            PiiScrub.scrub(PiiScrub.augmented).as("text")))
+      .select("doc_id", "source", "text", "quality")
+    val flagged = LmScore.perDocBits(base.select("doc_id", "source", "text"))
+      .filter(col("mb") > col("nbg") * lit(flagMicro)).select("doc_id")
+    val s2 = base.filter(col("quality") >= 0.4)
+      .join(flagged, Seq("doc_id"), "left_anti").select("doc_id", "text")
+    val keepers = TextOps.q21ExactDedup(s2).select(col("keeper").as("doc_id"))
+    val s3 = s2.join(keepers, Seq("doc_id"), "left_semi")
+    val s4 = s3.join(Fuzzy.q27LshDedup(s3).select(col("idb").as("doc_id"))
+      .distinct(), Seq("doc_id"), "left_anti")
+    val p54 = VectorOps.q54BucketedEmbDedup(emb)
+    val sIds = s4.select("doc_id")
+    val losers5 = p54
+      .join(sIds.withColumnRenamed("doc_id", "ida"), Seq("ida"), "left_semi")
+      .join(sIds.withColumnRenamed("doc_id", "idb"), Seq("idb"), "left_semi")
+      .select(col("idb").as("doc_id")).distinct()
+    val s5 = s4.join(losers5, Seq("doc_id"), "left_anti")
+    val benchGrams = Contamination.grams(
+      docs.filter(pmod(col("doc_id"), lit(50L)) === 7), 8).select("h").distinct()
+    val dirty = Contamination.grams(s5, 8)
+      .join(benchGrams, Seq("h"), "left_semi").select("doc_id").distinct()
+    val s6 = s5.join(dirty, Seq("doc_id"), "left_anti").cache()
+    // stage 7 standalone: q27 machinery over s6 ∪ raw bench, cross-side
+    val bench = docs.filter(pmod(col("doc_id"), lit(50L)) === 7)
+      .select("doc_id", "text")
+    val isB = (c: org.apache.spark.sql.Column) => pmod(c, lit(50L)) === 7
+    val losers7 = Fuzzy.q27LshDedup(s6.union(bench), 0.5)
+      .filter(isB(col("ida")) =!= isB(col("idb")))
+      .select(when(isB(col("ida")), col("idb")).otherwise(col("ida"))
+        .as("doc_id")).distinct()
+    val s7 = s6.join(losers7, Seq("doc_id"), "left_anti").cache()
+    // stage 8 standalone: q86 coverage within s7
+    val losers8 = SubstringDedup.coverage(s7)
+      .filter(col("dup_frac") > 0.5).select("doc_id")
+    val s8 = s7.join(losers8, Seq("doc_id"), "left_anti")
+    assert(rep3(6).getLong(4) == s7.count(), "stage 7 n_out mismatch")
+    assert(rep3(7).getLong(4) == s8.count(), "stage 8 n_out mismatch")
+    Seq(s6, s7).foreach(_.unpersist())
+  }
+
+  test("q91 planted fixtures: block-shuffled bench leak drops at stage 7, " +
+       "template-dominated doc at stage 8") {
+    import spark.implicits._
+    // (a) fuzzy leaks: every bench doc gets a 7-token-block-rotated copy
+    // planted at a train residue. Rotation preserves most trigram
+    // shingles (J well above 0.5) but caps the longest verbatim run at
+    // 7 tokens, so stage 6's 8-gram check CANNOT catch it — only the
+    // fuzzy stage can. Ids ≡ 1 mod 50: never bench, never PII-injected.
+    val benchRows = docs.filter(pmod(col("doc_id"), lit(50L)) === 7)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+    def rotate(text: String): String = {
+      val t = text.split(" ")
+      val blocks = t.grouped(7).toSeq
+      (blocks.drop(1) :+ blocks.head).flatten.mkString(" ")
+    }
+    val leaks = benchRows.zipWithIndex.map { case (r, i) =>
+      (1000001L + 50L * i, rotate(r.getString(1)), r.getString(2),
+        r.getString(3), r.getLong(4))
+    }.toSeq
+    // (b) one template-dominated doc: two 9-token spans copied from two
+    // DIFFERENT real train docs + a 6-token tail remixed from the same
+    // donors (real vocabulary — no unseen bigram storm to trip the LM
+    // gate; runs of 3 cannot form an 8-gram). Coverage 18/24 > 0.5;
+    // pairwise Jaccard vs either donor stays under the 0.2 LSH
+    // threshold, so it survives near-dedup and must die at stage 8.
+    val donors = docs.filter(pmod(col("doc_id"), lit(50L)) === 2)
+      .filter(size(split(col("text"), " ")) >= 40)
+      .orderBy("doc_id").limit(2)
+      .select("text").collect().map(_.getString(0).split(" "))
+    assert(donors.length == 2, "need two long donor docs for the fixture")
+    val span1 = donors(0).slice(10, 19).mkString(" ")
+    val span2 = donors(1).slice(10, 19).mkString(" ")
+    val tail = (donors(0).slice(25, 28) ++ donors(1).slice(25, 28)).mkString(" ")
+    val tmplId = 2000001L
+    val tmpl = (tmplId, s"$span1 $span2 $tail", "en", "web", 0L)
+    val planted = docs.unionByName(
+      (leaks :+ tmpl).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rep = CurateV2.q91CurationV3(planted, emb).collect()
+    assert(rep(6).getLong(3) >= 1,
+      s"no fuzzy-leak drop at stage 7: ${rep.mkString("; ")}")
+    assert(rep(7).getLong(3) >= 1,
+      s"no boilerplate drop at stage 8: ${rep.mkString("; ")}")
+  }
+
   test("q84 exact-dedup stage drops planted duplicates") {
     // The shipped corpora contain no byte-exact duplicate texts, so the
     // exact_dedup stage legitimately drops 0 there. Plant clones (new
