@@ -118,10 +118,14 @@ object Pq {
     val trSl = sliceAll(trainSet, "ed", m, subDim)
     // init: subspace slices of the first kCb vectors in (hv, vec_id)
     // order — the same rows seed every subspace's codebook
+    // kEff < kCb when the corpus is smaller than the codebook (empty
+    // input included): codebooks shrink rather than crash — the same
+    // degenerate-corpus posture as Kmeans
     var cents: Array[Array[Array[Double]]] = {
       val init = e.withColumn("hv", hv).orderBy("hv", "vec_id").limit(kCb)
         .collect().map(_.getSeq[Double](1).toArray)
-      Array.tabulate(m, kCb)((s, i) => init(i).slice(s * subDim, (s + 1) * subDim))
+      val kEff = math.min(kCb, init.length)
+      Array.tabulate(m, kEff)((s, i) => init(i).slice(s * subDim, (s + 1) * subDim))
     }
     for (_ <- 1 to iters) {
       val cb = codebookDf(spark, cents)
@@ -137,7 +141,7 @@ object Pq {
         .foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
       cents = next
     }
-    (for (s <- 0 until m; i <- 0 until kCb) yield (s, i, cents(s)(i).toSeq)).toSeq
+    (for (s <- 0 until m; i <- cents(s).indices) yield (s, i, cents(s)(i).toSeq)).toSeq
   }
 
   private def codebookDf(spark: SparkSession,
@@ -154,7 +158,9 @@ object Pq {
                     iters: Int = DefaultIters,
                     trainN: Int = DefaultTrainN): DataFrame = {
     val cb = codebooks(embeddings, m, subDim, kCb, iters, trainN)
-    val arr = Array.tabulate(m, kCb)((s, i) => cb.find(r => r._1 == s && r._2 == i).get._3.toArray)
+    val bySub = cb.groupBy(_._1)
+    val arr = Array.tabulate(m)(s =>
+      bySub.getOrElse(s, Seq.empty).sortBy(_._2).map(_._3.toArray).toArray)
     codebookDf(embeddings.sparkSession, arr)
   }
 

@@ -49,7 +49,11 @@ class EmptyInputSpec extends AnyFunSuite {
       "q80_source_jaccard" -> MixStats.q80SourceJaccard(empty("documents")),
       "q81_quality_calibration" -> LmScore.q81QualityCalibration(empty("documents")),
       "q83_label_drift" -> VectorOps.q83LabelDrift(empty("embeddings")),
-      "q86_substring_dups" -> SubstringDedup.q86SubstringDups(empty("documents")))
+      "q86_substring_dups" -> SubstringDedup.q86SubstringDups(empty("documents")),
+      "q87_pq_recall" -> Pq.q87PqRecall(empty("embeddings")),
+      "q88_fuzzy_decontam" -> Contamination.q88FuzzyDecontam(empty("documents")),
+      "q89_lang_fertility" -> Bpe.q89LangFertility(empty("documents")),
+      "q90_boilerplate" -> SubstringDedup.q90Boilerplate(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }
@@ -87,5 +91,15 @@ class EmptyInputSpec extends AnyFunSuite {
         s"stage ${r.getInt(0)} non-zero on empty corpus")
     }
     assert(v2(6).getLong(6) === 0L, "ceil(0/seqLen) sequences")
+    // q91 likewise: all nine stages, all-zero accounting
+    val v3 = CurateV2.q91CurationV3(
+      empty("documents"), empty("embeddings")).collect()
+    assert(v3.length === 9)
+    v3.foreach { r =>
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L &&
+        r.getLong(4) === 0L && r.getLong(5) === 0L,
+        s"v3 stage ${r.getInt(0)} non-zero on empty corpus")
+    }
+    assert(v3(8).getLong(6) === 0L)
   }
 }
