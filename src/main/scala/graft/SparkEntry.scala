@@ -97,7 +97,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q86_substring_dups:  cross-doc repeated-substring coverage census
   *                         (distributed k-gram re-expression of suffix-array dedup)
   *  - q87_pq_recall:       product-quantization ADC recall@k vs exact L2
-  *                         (trained per-subspace codebooks, 64 dims → 4 codes)
+  *                         (16 trained subspace codebooks, 64 dims → 16 4-bit codes)
   *  - q88_fuzzy_decontam:  near-dup eval→train leakage via cross-split
   *                         MinHash-LSH (q66's verbatim pass, fuzzified)
   *  - q89_lang_fertility:  per-language BPE fertility (tokenizer equity)

@@ -46,7 +46,11 @@ object Tables {
     * TIMESTAMP_NS → TIMESTAMP cast, which also truncates). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // integral `div`, never `/`: the long->double promotion rounds by up
+    // to 128 ns at 1.7e18-magnitude timestamps (> 2^53), which can land
+    // ts_utc one µs below DuckDB's exact truncation (same rule as
+    // TemporalJoins/EventStream)
     load(spark, sfDir, "events")
-      .withColumn("ts_utc", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -101,12 +101,14 @@ object Contamination {
     * (ties broken by lowest eval id — deterministic).
     *
     * Scale shape: both sides reduce to 4 band rows of three longs per
-    * doc before any join; the held-out side is small by construction
-    * (eval suites stay thousands of docs at any corpus size), so its
-    * band table BROADCASTS and the training side streams past it —
-    * the q66 broadcast shape, lifted from exact gram membership to
-    * LSH candidates. Exact verification is candidate-driven (q27's
-    * shape): work is |candidates|·shingles-per-doc, never all-pairs.
+    * doc before any join. The cross-side band join is left to the
+    * planner: with an external benchmark suite as the eval side it
+    * broadcasts (the q66 shape lifted to LSH); with THIS query's q51
+    * decile split the eval side is ~20% of the corpus — proportional,
+    * not fixed-size — and the join degrades to a shuffle on the band
+    * key, still moving three longs per band row. Exact verification is
+    * candidate-driven (q27's shape): work is |candidates|·shingles-
+    * per-doc, never all-pairs, and never within-side.
     *
     * The oracle reuses the ONE q27 LSH chain (`lshPairsSqlCtes`) and
     * filters its symmetric pair set to side-crossing pairs — band
@@ -117,44 +119,17 @@ object Contamination {
   def q88FuzzyDecontam(documents: DataFrame,
                        threshold: Double = 0.2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val decileOf = (c: org.apache.spark.sql.Column) =>
-      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 10
-    val sh = TextOps.shingles(documents)
-    val sig = TextOps.minhashSignatures(sh)
-    val bandCols = (0 until 4).map { i =>
-      struct(lit(i).as("band"), col(s"mh${2 * i}").as("x"),
-        col(s"mh${2 * i + 1}").as("y"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.x").as("x"),
-        col("b.y").as("y"), decileOf(col("doc_id")).as("d"))
-    val evalBands = bands.filter(col("d") <= 1)
-      .select(col("doc_id").as("eval_id"), col("band"), col("x"), col("y"))
-    val trainBands = bands.filter(col("d") >= 2)
-      .select(col("doc_id").as("train_id"), col("band"), col("x"), col("y"))
-    val cand = trainBands
-      .join(broadcast(evalBands), Seq("band", "x", "y"))
-      .select("train_id", "eval_id").distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("a"), col("train_id") === col("a.doc_id"))
-      .join(sh.as("b"), col("eval_id") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy(col("train_id").as("ti"), col("eval_id").as("ei"))
-      .agg(count(lit(1)).as("ninter"))
-    val pairs = inter
-      .join(sizes.as("sa"), col("ti") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("ei") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        col("ninter").cast("double") / (col("sa.n") + col("sb.n") - col("ninter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("ti"), col("ei"), col("jaccard"))
-    val wAll = Window.partitionBy("ti")
-    val wBest = Window.partitionBy("ti").orderBy(desc("jaccard"), asc("ei"))
+    val isEval = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 10 <= 1
+    val pairs = Fuzzy.lshCrossPairs(documents, isEval, threshold)
+    val wAll = Window.partitionBy("train_id")
+    val wBest = Window.partitionBy("train_id").orderBy(desc("jaccard"), asc("eval_id"))
     pairs
       .withColumn("n_eval_matches", count(lit(1)).over(wAll))
       .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-      .select(col("ti").as("train_id"), col("n_eval_matches"),
-        round(col("jaccard"), 6).as("best_jaccard"), col("ei").as("best_eval_id"))
+      .select(col("train_id"), col("n_eval_matches"),
+        round(col("jaccard"), 6).as("best_jaccard"),
+        col("eval_id").as("best_eval_id"))
       .orderBy("train_id")
   }
 

@@ -224,14 +224,14 @@ object CurateV2 {
     val isBench = (c: org.apache.spark.sql.Column) =>
       pmod(c, lit(benchMod.toLong)) === benchRem
     val surv6 = !col("d2") && !col("d3") && !col("d4") && !col("d5") && !col("d6")
-    // Stage 7 — fuzzy decontamination: LSH pairs over survivors ∪ raw
-    // bench slice, filtered to side-crossing pairs; the survivor drops.
+    // Stage 7 — fuzzy decontamination: SIDED LSH over survivors ∪ raw
+    // bench slice (the q88 shape): only cross-side band collisions are
+    // ever exact-verified — within-survivor pairs were q27's stage-4
+    // business and re-verifying them would redo that work for nothing.
     val union = l6.filter(surv6).select("doc_id", "text")
       .union(documents.filter(isBench(col("doc_id"))).select("doc_id", "text"))
-    val losers7 = Fuzzy.q27LshDedup(union, fuzzyThreshold)
-      .filter(isBench(col("ida")) =!= isBench(col("idb")))
-      .select(when(isBench(col("ida")), col("idb")).otherwise(col("ida"))
-        .as("doc_id"))
+    val losers7 = Fuzzy.lshCrossPairs(union, isBench, fuzzyThreshold)
+      .select(col("train_id").as("doc_id"))
       .distinct().withColumn("_lose7", lit(true)).localCheckpoint()
     val l7 = l6.join(losers7, Seq("doc_id"), "left")
       .withColumn("d7", surv6 && coalesce(col("_lose7"), lit(false)))

@@ -69,19 +69,64 @@ object Fuzzy {
     * frame — q27's pair-generation stage, exposed so q74 can measure its
     * recall against the exact q22 ground truth. (ida < idb, distinct;
     * no similarity verify yet.) */
-  def lshCandidates(sh: DataFrame): DataFrame = {
-    val sig = TextOps.minhashSignatures(sh)
+  /** The ONE banding definition (k=8 signature → 4 bands of 2), shared
+    * by within-corpus candidates (q27/q74), cross-split candidates
+    * (q88/q91 stage 7), and — via the identical structure in
+    * `lshPairsSqlCtes` — every oracle. */
+  private[operators] def bands(sig: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map { i =>
       struct(lit(i).as("band"), col(s"mh${2 * i}").as("x"), col(s"mh${2 * i + 1}").as("y"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.x"), col("b.y"))
-    bands.as("p")
-      .join(bands.as("q"),
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.x").as("x"),
+        col("b.y").as("y"))
+  }
+
+  def lshCandidates(sh: DataFrame): DataFrame = {
+    val b = bands(TextOps.minhashSignatures(sh))
+    b.as("p")
+      .join(b.as("q"),
         col("p.band") === col("q.band") && col("p.x") === col("q.x") &&
           col("p.y") === col("q.y") && col("p.doc_id") < col("q.doc_id"))
       .select(col("p.doc_id").as("ida"), col("q.doc_id").as("idb"))
       .distinct()
+  }
+
+  /** Sided LSH near-dup pairs ACROSS a partition of `documents` into an
+    * eval side (`isEval(doc_id)` true) and a train side: band-collision
+    * candidates between the two sides only, exact-verified, threshold
+    * applied. Returns (train_id, eval_id, jaccard).
+    *
+    * Scale shape: the eval band table is left to the planner — it
+    * broadcasts when the eval side is genuinely small (an external
+    * benchmark suite) and degrades to a shuffle join on the band key
+    * when, as with q88's 20% decile split, it is proportional to the
+    * corpus. Exact verification is candidate-driven (q27's shape) and
+    * never touches within-side pairs — the work q27 already did. */
+  private[operators] def lshCrossPairs(documents: DataFrame,
+      isEval: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      threshold: Double): DataFrame = {
+    val sh = shingles(documents)
+    val b = bands(TextOps.minhashSignatures(sh))
+    val evalBands = b.filter(isEval(col("doc_id")))
+      .select(col("doc_id").as("eval_id"), col("band"), col("x"), col("y"))
+    val trainBands = b.filter(!isEval(col("doc_id")))
+      .select(col("doc_id").as("train_id"), col("band"), col("x"), col("y"))
+    val cand = trainBands.join(evalBands, Seq("band", "x", "y"))
+      .select("train_id", "eval_id").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("a"), col("train_id") === col("a.doc_id"))
+      .join(sh.as("b"), col("eval_id") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("train_id").as("ti"), col("eval_id").as("ei"))
+      .agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.as("sa"), col("ti") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("ei") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("ninter").cast("double") / (col("sa.n") + col("sb.n") - col("ninter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ti").as("train_id"), col("ei").as("eval_id"), col("jaccard"))
   }
 
   def q27LshDedup(documents: DataFrame, threshold: Double = 0.2): DataFrame = {

@@ -118,11 +118,13 @@ object Pq {
     val trSl = sliceAll(trainSet, "ed", m, subDim)
     // init: subspace slices of the first kCb vectors in (hv, vec_id)
     // order — the same rows seed every subspace's codebook
-    // kEff < kCb when the corpus is smaller than the codebook (empty
-    // input included): codebooks shrink rather than crash — the same
-    // degenerate-corpus posture as Kmeans
+    // Seeds come from trainSet — the same hv-ranked prefix the oracle's
+    // `ini` CTE reads — so Scala and SQL train identical codebooks even
+    // when trainN < kCb. kEff < kCb when the sample is smaller than the
+    // codebook (empty input included): codebooks shrink rather than
+    // crash — the same degenerate-corpus posture as Kmeans.
     var cents: Array[Array[Array[Double]]] = {
-      val init = e.withColumn("hv", hv).orderBy("hv", "vec_id").limit(kCb)
+      val init = trainSet.withColumn("hv", hv).orderBy("hv", "vec_id").limit(kCb)
         .collect().map(_.getSeq[Double](1).toArray)
       val kEff = math.min(kCb, init.length)
       Array.tabulate(m, kEff)((s, i) => init(i).slice(s * subDim, (s + 1) * subDim))

@@ -45,6 +45,22 @@ object SubstringDedup {
     * real text are negligible, short enough to catch template spans. */
   val DefaultK = 8
 
+  /** The ONE k-gram posting definition: one row per (doc, position)
+    * with the gram text and its portable 60-bit md5 hash (TextOps
+    * convention — the oracle re-derives it exactly). Shared by
+    * coverage (q86/q91 gate) and the q90 miner; consumers project the
+    * columns they need and Catalyst prunes the rest. */
+  private def postings(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= k)
+      .withColumn("i", explode(expr(s"sequence(1, n_tokens - ${k - 1})")))
+      .withColumn("g", expr(s"concat_ws(' ', slice(toks, i, $k))"))
+      .withColumn("h",
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
+      .select("doc_id", "n_tokens", "i", "g", "h")
+
   /** Per-document duplicated-substring coverage over (doc_id, text) —
     * the reusable pass behind q86 and the q91 boilerplate gate. One
     * row per input doc: (doc_id, n_tokens, n_dup_grams, covered_tokens,
@@ -53,14 +69,7 @@ object SubstringDedup {
     val base = documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n_tokens", size(col("toks")))
-    // one posting per k-gram position; hash is the portable 60-bit md5
-    // prefix (TextOps convention) so the oracle re-derives it exactly
-    val pos = base.filter(col("n_tokens") >= k)
-      .withColumn("i", explode(expr(s"sequence(1, n_tokens - ${k - 1})")))
-      .withColumn("h",
-        conv(substring(md5(expr(s"concat_ws(' ', slice(toks, i, $k))")), 1, 15),
-          16, 10).cast("long"))
-      .select("doc_id", "n_tokens", "i", "h")
+    val pos = postings(documents, k).select("doc_id", "n_tokens", "i", "h")
     // cross-doc duplicated grams: seen in >= 2 distinct documents
     val dup = pos.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -108,14 +117,7 @@ object SubstringDedup {
     * copies). */
   def q90Boilerplate(documents: DataFrame, k: Int = DefaultK,
                      topN: Int = 20): DataFrame = {
-    val base = documents
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("n_tokens", size(col("toks")))
-      .filter(col("n_tokens") >= k)
-      .withColumn("i", explode(expr(s"sequence(1, n_tokens - ${k - 1})")))
-      .withColumn("g", expr(s"concat_ws(' ', slice(toks, i, $k))"))
-      .select(col("doc_id"), col("g"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+    val base = postings(documents, k).select("doc_id", "g", "h")
     val top = base
       .groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df_docs"),
