@@ -228,6 +228,19 @@ object CurateV2 {
     // bench slice (the q88 shape): only cross-side band collisions are
     // ever exact-verified — within-survivor pairs were q27's stage-4
     // business and re-verifying them would redo that work for nothing.
+    //
+    // INTENTIONAL asymmetry (r8 advice, adjudicated): the survivor side
+    // is the PII-scrubbed (and harness-augmented) stage-1 text while
+    // the bench side is RAW — the stage-6 convention ("the eval suite
+    // is never curated") carried into the fuzzy pass. Scrub edits
+    // lower the cross-side shingle Jaccard, so a leaked near-copy
+    // whose text is dense with PII-like spans can fall below
+    // `fuzzyThreshold` and survive — a RECALL trade, not a parity bug
+    // (the oracle mirrors b0-vs-raw exactly). It is the right trade:
+    // the alternative (scrubbing the bench side) gates on text the
+    // eval harness will never serve, and a deployment worried about
+    // scrub-masked leakage lowers `fuzzyThreshold` rather than
+    // curating its benchmark.
     val union = l6.filter(surv6).select("doc_id", "text")
       .union(documents.filter(isBench(col("doc_id"))).select("doc_id", "text"))
     val losers7 = Fuzzy.lshCrossPairs(union, isBench, fuzzyThreshold)

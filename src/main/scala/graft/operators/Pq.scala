@@ -34,10 +34,16 @@ import org.apache.spark.sql.functions._
   * are bit-identical in both engines — rounded to 6 dp for every
   * assignment/ranking, ties broken by cid/vec_id; centroid means are
   * rounded to 6 dp (the [[Kmeans]] discipline, ~1e-11/coordinate flip
-  * risk). The one order-sensitive sum is ADC's m-term addition: the
-  * engines may add the m partial distances in different orders, so a
-  * sum landing within ~1e-16·|adc| of a 0.5e-6 rounding boundary could
-  * flip — the same documented exposure class as LmScore's micro-bits.
+  * risk). ADC's m-term addition — the one sum whose operand order the
+  * engines don't share — is folded in exact integer micro-units: each
+  * per-subspace lookup distance becomes `round(pd·1e6)` as a BIGINT at
+  * the (identical) double it has in both engines, and the per-vector
+  * ADC total is an integer sum — commutative, overflow-free (m·k·d²
+  * micro-units ≪ 2⁶³), and bit-equal however the engines order the m
+  * terms. This closes the rounding-boundary flip window the r8 advice
+  * flagged (a float sum within ~1e-16 of a 0.5e-6 boundary could
+  * re-rank top-k across engines); LmScore uses the same micro-unit
+  * discipline for its bit accounting.
   */
 object Pq {
 
@@ -191,16 +197,18 @@ object Pq {
       .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
       .select(col("vec_id"), col("sub"), col("cid").as("code"))
     // per-query ADC lookup table: exact subspace distance to every code
+    // pd in exact integer micro-units (see header: closes the
+    // cross-engine m-term float-sum ordering window)
     val lut = sl.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("sub").as("lsub"), col("sv").as("qsv"))
       .join(broadcast(cb), col("lsub") === col("sub"))
       .select(col("qid"), col("lsub"), col("cid").as("lcid"),
-        d2(col("qsv"), col("ce")).as("pd"))
+        round(d2(col("qsv"), col("ce")) * lit(1e6), 0).cast("long").as("pd"))
     val adc = codes
       .join(broadcast(lut),
         codes("sub") === lut("lsub") && codes("code") === lut("lcid"))
       .filter(col("vec_id") =!= col("qid"))
-      .groupBy("qid", "vec_id").agg(round(sum("pd"), 6).as("adc"))
+      .groupBy("qid", "vec_id").agg(sum("pd").as("adc"))
     val wTop = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
     val ranked = adc.withColumn("rn", row_number().over(wTop))
     val approx = ranked.filter(col("rn") <= kTop)
@@ -277,7 +285,7 @@ object Pq {
            |    ORDER BY round(${d2Sql("sl.sv", "c.ce")}, 6), c.cid) AS rn
            |  FROM p${s}sl sl, p${s}c$iters c) z WHERE rn = 1),
            |p${s}lut AS (SELECT q.vec_id AS qid, c.cid,
-           |    ${d2Sql("q.sv", "c.ce")} AS pd
+           |    CAST(round((${d2Sql("q.sv", "c.ce")}) * 1e6, 0) AS BIGINT) AS pd
            |  FROM p${s}sl q, p${s}c$iters c WHERE q.vec_id < $nQueries),
            |p${s}pd AS (SELECT l.qid, en.vec_id, l.pd
            |  FROM p${s}enc en JOIN p${s}lut l ON l.cid = en.code)""".stripMargin
@@ -286,7 +294,7 @@ object Pq {
     val unionPd = (0 until m).map(s => s"SELECT * FROM p${s}pd").mkString(" UNION ALL ")
     s"""WITH $shared,
        |${subs.mkString(",\n")},
-       |adc AS (SELECT qid, vec_id, round(sum(pd), 6) AS adc
+       |adc AS (SELECT qid, vec_id, sum(pd) AS adc
        |        FROM ($unionPd) u WHERE vec_id <> qid GROUP BY qid, vec_id),
        |rk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
        |         ORDER BY adc, vec_id) AS rn FROM adc),
