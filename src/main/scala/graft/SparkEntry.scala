@@ -105,6 +105,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         (two-phase: hash census → broadcast winner join)
   *  - q91_curation_v3:     v2 pipeline + fuzzy-decontam + boilerplate gates
   *                         (nine stages, one labeled-frame plan)
+  *  - q92_fuzzy_admission: q73 admission + MinHash-LSH near-dup rejection
+  *                         vs persisted corpus band state (exact/fuzzy/new)
   */
 object SparkEntry {
 
@@ -214,6 +216,7 @@ object SparkEntry {
     "q90_boilerplate" -> t("documents")(SubstringDedup.q90Boilerplate(_)),
     "q91_curation_v3" -> ((s, dir) => CurateV2.q91CurationV3(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
+    "q92_fuzzy_admission" -> t("documents")(Provenance.q92FuzzyAdmission(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -310,5 +313,6 @@ object SparkEntry {
     "q89_lang_fertility" -> Bpe.q89Sql(),
     "q90_boilerplate" -> SubstringDedup.q90Sql(),
     "q91_curation_v3" -> CurateV2.q91Sql(),
+    "q92_fuzzy_admission" -> Provenance.q92Sql(),
   )
 }

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Kmeans, Pq, Provenance}
+import graft.operators.{Bpe, Fuzzy, Kmeans, Pq, Provenance}
 
 /** Versioned persistence for LEARNED artifacts — the piece that turns
   * the per-JVM trainers into something a multi-job deployment operates.
@@ -202,4 +202,48 @@ object ArtifactStore {
   def admissionAgainstStore(root: String, corpusDocs: DataFrame,
                             batchDocs: DataFrame): DataFrame =
     Provenance.admissionReport(batchDocs, corpusHashesOrBuild(root, corpusDocs))
+
+  // ---- corpus LSH band / shingle-hash state (fuzzy admission) ----------
+
+  /** Build-or-load the corpus MinHash-LSH band state
+    * (doc_id, band, x, y) — distributed like the hash state: ~26 bytes
+    * × 4 bands per corpus doc, partitioned by band key and probed by
+    * each tick's map-side-derived batch bands. */
+  def corpusBandsOrBuild(root: String, corpusDocs: DataFrame): DataFrame = {
+    val spark = corpusDocs.sparkSession
+    val path = artifactPath(root, "corpus_bands",
+      s"fp${documentsFingerprint(corpusDocs)}")
+    if (!exists(spark, path))
+      Fuzzy.corpusBandState(corpusDocs).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Build-or-load the corpus distinct shingle-hash state (doc_id, h) —
+    * the exact-verification side of fuzzy admission: ~10 bytes per
+    * corpus shingle, read only for band-collision CANDIDATES (the
+    * candidate-driven q27 shape), never scanned whole. */
+  def corpusShinglesOrBuild(root: String, corpusDocs: DataFrame): DataFrame = {
+    val spark = corpusDocs.sparkSession
+    val path = artifactPath(root, "corpus_shingle_hashes",
+      s"fp${documentsFingerprint(corpusDocs)}")
+    if (!exists(spark, path))
+      Fuzzy.corpusShingleHashes(corpusDocs).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** q92 fuzzy admission against the persisted store — the multi-job
+    * form of [[graft.operators.Provenance.q92FuzzyAdmission]]: corpus
+    * text is read at most once EVER (to build the three state
+    * artifacts); every subsequent tick admits against hash + band +
+    * shingle-hash parquet only. */
+  def fuzzyAdmissionAgainstStore(root: String, corpusDocs: DataFrame,
+                                 batchDocs: DataFrame,
+                                 threshold: Double = 0.2): DataFrame = {
+    val fuzzy = Fuzzy.lshPairsAgainstState(
+        corpusBandsOrBuild(root, corpusDocs),
+        corpusShinglesOrBuild(root, corpusDocs), batchDocs, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    Provenance.fuzzyAdmissionReport(batchDocs,
+      corpusHashesOrBuild(root, corpusDocs), fuzzy)
+  }
 }

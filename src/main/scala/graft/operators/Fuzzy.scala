@@ -129,6 +129,57 @@ object Fuzzy {
       .select(col("ti").as("train_id"), col("ei").as("eval_id"), col("jaccard"))
   }
 
+  /** The corpus side of the incremental-admission LSH state, as two
+    * persistable relations (ArtifactStore kinds `corpus_bands` /
+    * `corpus_shingle_hashes`): band rows (doc_id, band, x, y) for
+    * candidate generation, and distinct 60-bit shingle hashes
+    * (doc_id, h — the q22 hash convention) for exact verification.
+    * Together ~8–10 bytes per corpus shingle plus 26 bytes per band
+    * row — a few percent of corpus bytes — and once persisted, an
+    * ingest tick admits against them WITHOUT rescanning corpus text
+    * (the q73 amortization argument, lifted to the fuzzy path). */
+  def corpusBandState(documents: DataFrame): DataFrame =
+    bands(TextOps.minhashSignatures(shingles(documents)))
+
+  def corpusShingleHashes(documents: DataFrame): DataFrame =
+    shingles(documents).select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+
+  /** [[lshCrossPairs]] against PERSISTED corpus state: the batch side
+    * derives bands + shingle hashes map-side from its own (small) text;
+    * the corpus side is the loaded band/shingle-hash artifacts — corpus
+    * text is never rescanned. Exact verification joins 60-bit shingle
+    * HASHES instead of shingle strings (2^-60/pair collision risk, the
+    * q22 posting-index convention — and a collision would only nudge
+    * one intersection count by 1). Returns (train_id, eval_id, jaccard)
+    * with train = corpus, eval = batch, like the live path. */
+  def lshPairsAgainstState(corpusBands: DataFrame, corpusShingles: DataFrame,
+                           batchDocs: DataFrame, threshold: Double): DataFrame = {
+    val shB = shingles(batchDocs)
+    val hB = shB.select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+    val bB = bands(TextOps.minhashSignatures(shB))
+      .select(col("doc_id").as("eval_id"), col("band"), col("x"), col("y"))
+    val cand = corpusBands
+      .select(col("doc_id").as("train_id"), col("band"), col("x"), col("y"))
+      .join(bB, Seq("band", "x", "y"))
+      .select("train_id", "eval_id").distinct()
+    val sizesC = corpusShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizesB = hB.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(corpusShingles.as("a"), col("train_id") === col("a.doc_id"))
+      .join(hB.as("b"), col("eval_id") === col("b.doc_id") && col("a.h") === col("b.h"))
+      .groupBy(col("train_id").as("ti"), col("eval_id").as("ei"))
+      .agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizesC.as("sa"), col("ti") === col("sa.doc_id"))
+      .join(sizesB.as("sb"), col("ei") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("ninter").cast("double") / (col("sa.n") + col("sb.n") - col("ninter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ti").as("train_id"), col("ei").as("eval_id"), col("jaccard"))
+  }
+
   def q27LshDedup(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
     val sh = shingles(documents)
     val cand = lshCandidates(sh)

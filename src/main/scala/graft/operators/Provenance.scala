@@ -114,6 +114,78 @@ object Provenance {
        |FROM b LEFT JOIN c ON b.h = c.h
        |GROUP BY b.source ORDER BY source""".stripMargin
 
+  /** q92: FUZZY incremental admission — q73's exact-hash gate plus the
+    * near-duplicate rejection a real ingest tick needs (the r8 verdict's
+    * top item): a batch doc that paraphrases / lightly edits an
+    * already-ingested corpus doc shares no content hash, so q73 admits
+    * it; here it additionally collides with the corpus's MinHash-LSH
+    * band state and is exact-verified against that candidate only.
+    * Per-doc verdict precedence: `dup_corpus_exact` (content hash in
+    * corpus state — trivially also a jaccard-1 LSH pair, so exact wins
+    * the tie) → `dup_corpus_fuzzy` (verified cross Jaccard ≥ threshold)
+    * → `new`. Output: the per-source admission report, one column per
+    * verdict.
+    *
+    * Scale shape: everything the corpus contributes is persistable
+    * 8–26-byte state (content hashes, band rows, shingle hashes — see
+    * [[Fuzzy.corpusBandState]] / [[graft.io.ArtifactStore]]); the batch
+    * derives its own hashes and bands map-side; candidates are band
+    * equi-join collisions and exact verification is candidate-driven
+    * (the q27/q88 shape) — corpus TEXT is never read at admission time
+    * in the state-backed form
+    * ([[graft.io.ArtifactStore.fuzzyAdmissionAgainstStore]]), and this
+    * query's live form computes the identical relation from the same
+    * table so the DuckDB oracle can re-derive it. The oracle reuses the
+    * ONE q27 LSH chain and filters to side-crossing pairs — the q88
+    * equivalence argument verbatim. */
+  /** The q92 report kernel over any exact-hash state (`ch` column) and
+    * fuzzy-flagged id set (`fid` column) — shared by the live q92 and
+    * the persisted-state form
+    * ([[graft.io.ArtifactStore.fuzzyAdmissionAgainstStore]]). Both
+    * joins are ≤1-match (state distinct on ch, fid distinct), so the
+    * batch row count is preserved and the three verdict columns
+    * partition n_batch. */
+  def fuzzyAdmissionReport(batchDocs: DataFrame, state: DataFrame,
+                           fuzzyIds: DataFrame): DataFrame =
+    batchDocs
+      .select(col("doc_id"), col("source"), contentHash60(col("text")).as("h"))
+      .join(state, col("h") === col("ch"), "left")
+      .join(fuzzyIds.select(col("fid")), col("doc_id") === col("fid"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+           count(col("ch")).as("n_dup_exact"),
+           count(when(col("ch").isNull, col("fid"))).as("n_dup_fuzzy"),
+           count(when(col("ch").isNull && col("fid").isNull, lit(1))).as("n_new"))
+      .orderBy("source")
+
+  def q92FuzzyAdmission(documents: DataFrame,
+                        threshold: Double = 0.2): DataFrame = {
+    val isBatch = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(BatchMod)) === 0
+    val state = corpusHashState(documents.filter(!isBatch(col("doc_id"))))
+    val fuzzy = Fuzzy.lshCrossPairs(documents, isBatch, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    fuzzyAdmissionReport(documents.filter(isBatch(col("doc_id"))), state, fuzzy)
+  }
+
+  def q92Sql(threshold: Double = 0.2): String =
+    s"""WITH ${Fuzzy.lshPairsSqlCtes(
+         "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
+         threshold)},
+       |h AS (SELECT doc_id, source,
+       |        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+       |      FROM documents),
+       |b AS (SELECT doc_id, source, h FROM h WHERE doc_id % $BatchMod = 0),
+       |c AS (SELECT DISTINCT h FROM h WHERE doc_id % $BatchMod <> 0),
+       |fz AS (SELECT DISTINCT CASE WHEN ida % $BatchMod = 0 THEN ida ELSE idb END AS fid
+       |       FROM pairs WHERE (ida % $BatchMod = 0) <> (idb % $BatchMod = 0))
+       |SELECT b.source, count(*) AS n_batch, count(c.h) AS n_dup_exact,
+       |  count(CASE WHEN c.h IS NULL THEN fz.fid END) AS n_dup_fuzzy,
+       |  count(CASE WHEN c.h IS NULL AND fz.fid IS NULL THEN 1 END) AS n_new
+       |FROM b LEFT JOIN c ON b.h = c.h
+       |LEFT JOIN fz ON fz.fid = b.doc_id
+       |GROUP BY b.source ORDER BY source""".stripMargin
+
   /** q75: manifest DIFF — the consumer of q70's manifests: given two
     * corpus snapshots, which id-buckets changed, and how? This is how
     * two 100 TB snapshots are compared WITHOUT moving either corpus:

@@ -123,31 +123,107 @@ object DocStream {
   def admissionStream(docs: DataFrame, corpusHashes: DataFrame): Dataset[Admission] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    admissionStreamWithText(docs, corpusHashes)
+      .map(a => Admission(a.doc_id, a.h, a.verdict))
+  }
+
+  /** [[Admission]] plus the document text — the fuzzy path's input:
+    * text rides along so the per-batch refinement can shingle 'new'
+    * docs without a second source read. */
+  case class AdmissionDoc(doc_id: Long, h: Long, verdict: String, text: String)
+
+  /** [[admissionStream]] with the text column carried through the state
+    * operator — the ONE stateful definition both forms share (the state
+    * key, payload, and verdict logic are identical, so checkpoints are
+    * interchangeable between the two). */
+  def admissionStreamWithText(docs: DataFrame,
+                              corpusHashes: DataFrame): Dataset[AdmissionDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val hashed = docs
       .select(col("doc_id").cast("long"),
-        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
-      .as[(Long, Long)]
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"),
+        col("text"))
+      .as[(Long, Long, String)]
     val init = corpusHashes.select(col("h").cast("long")).distinct().as[Long]
       .groupByKey(identity).mapValues(_ => AdmitState(fromCorpus = true))
     hashed
       .groupByKey(_._2)
-      .flatMapGroupsWithState[AdmitState, Admission](
+      .flatMapGroupsWithState[AdmitState, AdmissionDoc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout(), init) {
         case (h, rows, state: GroupState[AdmitState]) =>
           // deterministic within-batch order: lowest doc_id is "first"
           val sorted = rows.toSeq.sortBy(_._1)
           val verdicts =
             if (state.exists && state.get.fromCorpus)
-              sorted.map(r => Admission(r._1, h, "dup_corpus"))
+              sorted.map(r => AdmissionDoc(r._1, h, "dup_corpus", r._3))
             else if (state.exists)
-              sorted.map(r => Admission(r._1, h, "dup_stream"))
+              sorted.map(r => AdmissionDoc(r._1, h, "dup_stream", r._3))
             else
-              Admission(sorted.head._1, h, "new") ::
-                sorted.tail.map(r => Admission(r._1, h, "dup_stream")).toList
+              AdmissionDoc(sorted.head._1, h, "new", sorted.head._3) ::
+                sorted.tail.map(r => AdmissionDoc(r._1, h, "dup_stream", r._3)).toList
           if (!state.exists) state.update(AdmitState(fromCorpus = false))
           verdicts.iterator
       }
   }
+
+  /** Per-micro-batch fuzzy refinement — the q92 near-dup gate applied
+    * to a micro-batch's exact verdicts: docs the exact pass called
+    * 'new' but whose shingles band-collide with the PERSISTED corpus
+    * LSH state (and exact-verify at Jaccard ≥ threshold —
+    * [[graft.operators.Fuzzy.lshPairsAgainstState]]) downgrade to
+    * 'dup_corpus_fuzzy'. A plain batch transform, run inside
+    * foreachBatch where the full batch API (groupBy, joins) is legal —
+    * chaining a second stateful/aggregating operator after
+    * flatMapGroupsWithState is not, and the corpus side is static
+    * state anyway.
+    *
+    * Deliberately corpus-only: near-dups of earlier STREAM docs are
+    * NOT caught here — that would require unbounded cross-doc text
+    * state in the store, exactly what [[curatedStream]]'s scaladoc
+    * argues streaming state must never hold. A deployment folds
+    * admitted docs into the corpus band/shingle artifacts between
+    * ticks (the q73 state-maintenance loop), which also upgrades
+    * stream-vs-stream near-dups to corpus ones at the next tick. */
+  def refineFuzzy(batch: DataFrame, corpusBands: DataFrame,
+                  corpusShingles: DataFrame, threshold: Double): DataFrame = {
+    val newDocs = batch.filter(col("verdict") === "new").select("doc_id", "text")
+    val fuzzy = graft.operators.Fuzzy
+      .lshPairsAgainstState(corpusBands, corpusShingles, newDocs, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    batch
+      .join(fuzzy, col("doc_id") === col("fid"), "left")
+      .withColumn("verdict",
+        when(col("fid").isNotNull, lit("dup_corpus_fuzzy"))
+          .otherwise(col("verdict")))
+      .select("doc_id", "h", "verdict")
+  }
+
+  /** Bootstrapped FUZZY admission query — the streaming twin of q92:
+    * exact first-seen dedup upstream in the checkpointed state store
+    * ([[admissionStreamWithText]]), per-batch fuzzy refinement +
+    * parquet write inside foreachBatch. Each micro-batch overwrites
+    * its own `batch=<id>` partition directory, so a batch REPLAYED
+    * after a crash rewrites the same files instead of appending
+    * duplicates — idempotent sink, exactly-once output under
+    * at-least-once foreachBatch semantics. Restart-safe end to end:
+    * exact state restores from the checkpoint (never re-seeded), and
+    * the band/shingle state is fingerprint-keyed ArtifactStore parquet
+    * re-loaded identically on restart (DocStreamSpec pins both across
+    * a kill). */
+  def fuzzyAdmissionQuery(docs: DataFrame, corpusHashes: DataFrame,
+                          corpusBands: DataFrame, corpusShingles: DataFrame,
+                          outPath: String, checkpoint: String,
+                          threshold: Double = 0.2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    admissionStreamWithText(docs, corpusHashes)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[AdmissionDoc], batchId: Long) =>
+        refineFuzzy(b.toDF(), corpusBands, corpusShingles, threshold)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
 
   /** JSONL wire schema for a document drop directory. */
   val JsonlDocSchema: StructType = StructType(Seq(

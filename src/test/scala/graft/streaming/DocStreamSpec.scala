@@ -313,6 +313,113 @@ class DocStreamSpec extends AnyFunSuite {
       === report.getLong(2))
   }
 
+  test("fuzzy admission stream: corpus near-dups rejected via persisted band state, across kill + restart; reconciles with batch q92") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val documents = Tables.load(spark, sf, "documents")
+    val corpusDocs = documents.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+    val batchFrame = documents.filter(pmod(col("doc_id"), lit(17)) === 0)
+
+    // ALL corpus state from the persisted ArtifactStore parquet — the
+    // multi-job shape: ticks (and restarts) read artifacts, never text
+    val artRoot = Files.createTempDirectory("graft_fuzzy_art").toString
+    val hashes = graft.io.ArtifactStore.corpusHashesOrBuild(artRoot, corpusDocs)
+    val bands = graft.io.ArtifactStore.corpusBandsOrBuild(artRoot, corpusDocs)
+    val shing = graft.io.ArtifactStore.corpusShinglesOrBuild(artRoot, corpusDocs)
+    assert(graft.io.ArtifactStore.listArtifacts(spark, artRoot).map(_._1).toSet
+      === Set("corpus_hashes", "corpus_bands", "corpus_shingle_hashes"))
+
+    import spark.implicits._
+    val batchDocs = batchFrame
+      .selectExpr("doc_id", "(doc_id + 1) * 1000000000 AS ts", "text")
+      .as[DocStream.Doc].collect().sortBy(_.doc_id).toSeq
+    val (t1, t2) = batchDocs.splitAt(batchDocs.length / 2)
+    assert(t1.nonEmpty && t2.nonEmpty)
+
+    // near-dup probes: a corpus doc with ONE token replaced — shingle
+    // Jaccard ≈ (n-5)/n for an n-shingle doc, far above the 0.2 gate.
+    // One per tick: nd1 exercises the pre-kill path, nd2 proves the
+    // band/shingle artifacts reload identically after the restart.
+    val donors = corpusDocs.orderBy("doc_id").limit(2)
+      .selectExpr("doc_id", "(doc_id + 1) * 1000000000 AS ts", "text")
+      .as[DocStream.Doc].collect()
+    def mutate(t: String): String = {
+      val toks = t.split(" "); toks(0) = "zzqx"; toks.mkString(" ")
+    }
+    val nd1 = DocStream.Doc(700000L, donors(0).ts, mutate(donors(0).text))
+    val nd2 = DocStream.Doc(700001L, donors(1).ts, mutate(donors(1).text))
+    // exact clone of a corpus doc: must verdict dup_corpus_exact-side
+    // (precedence: the fuzzy gate only touches 'new' docs)
+    val corpusClone = donors(0).copy(doc_id = 600000L)
+
+    val dir = Files.createTempDirectory("graft_fuzzy_jsonl")
+    val ckpt = Files.createTempDirectory("graft_fuzzy_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_fuzzy_out").toString
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    def drop(name: String, ds: Seq[DocStream.Doc]): Unit =
+      Files.writeString(dir.resolve(name), ds.map(jline).mkString("\n") + "\n")
+    def startQuery() = {
+      val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+        DocStream.JsonlDocSchema)
+        .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+        .drop(graft.io.JsonLines.CorruptCol)
+      DocStream.fuzzyAdmissionQuery(raw, hashes.select(col("ch").as("h")),
+        bands, shing, outDir, ckpt)
+    }
+
+    // tick 1 → kill
+    drop("tick1.jsonl", t1 :+ nd1)
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // tick 2 lands while the query is DOWN
+    drop("tick2.jsonl", t2 ++ Seq(nd2, corpusClone))
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+    assert(got.length === got.map(_._1).distinct.length,
+      "restart emitted a second verdict for some doc (dup)")
+    assert(got.length === batchDocs.length + 3, "restart lost documents")
+    val byId = got.toMap
+    assert(byId(700000L) === "dup_corpus_fuzzy",
+      "tick-1 near-dup of a corpus doc must be rejected by the band state")
+    assert(byId(700001L) === "dup_corpus_fuzzy",
+      "post-restart near-dup: the persisted band/shingle artifacts must serve identically")
+    assert(byId(600000L) === "dup_corpus",
+      "exact corpus clone takes the exact verdict, not the fuzzy one (precedence)")
+
+    // reconcile the ORIGINAL batch docs (no probes) against the batch
+    // q92 report served from the same artifacts
+    val report = graft.io.ArtifactStore
+      .fuzzyAdmissionAgainstStore(artRoot, corpusDocs, batchFrame)
+      .agg(org.apache.spark.sql.functions.sum("n_batch"),
+        org.apache.spark.sql.functions.sum("n_dup_exact"),
+        org.apache.spark.sql.functions.sum("n_dup_fuzzy"),
+        org.apache.spark.sql.functions.sum("n_new")).collect()(0)
+    val orig = byId.filter(_._1 < 600000L)
+    assert(orig.size.toLong === report.getLong(0))
+    assert(orig.values.count(_ == "dup_corpus").toLong === report.getLong(1))
+    assert(orig.values.count(_ == "dup_corpus_fuzzy").toLong === report.getLong(2))
+    assert(orig.values.count(v => v == "new" || v == "dup_stream").toLong
+      === report.getLong(3),
+      "stream fuzzy verdicts must reconcile with the batch q92 report")
+  }
+
+  test("q92 persisted-state path equals the live oracle-checked path") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import java.nio.file.Files
+    val documents = Tables.load(spark, sf, "documents")
+    val artRoot = Files.createTempDirectory("graft_q92_art").toString
+    val live = graft.operators.Provenance.q92FuzzyAdmission(documents).collect()
+    val stored = graft.io.ArtifactStore.fuzzyAdmissionAgainstStore(artRoot,
+      documents.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+      documents.filter(pmod(col("doc_id"), lit(17)) === 0)).collect()
+    assert(live.map(_.toSeq).toSeq === stored.map(_.toSeq).toSeq,
+      "hash-verified state path must equal the string-verified live path")
+  }
+
   test("watermark-bounded dedup: suppresses within horizon, re-admits after eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
