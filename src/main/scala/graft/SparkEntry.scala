@@ -107,6 +107,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         (nine stages, one labeled-frame plan)
   *  - q92_fuzzy_admission: q73 admission + MinHash-LSH near-dup rejection
   *                         vs persisted corpus band state (exact/fuzzy/new)
+  *  - q93_boilerplate_strip: remove q90's mined spans from every doc
+  *                         (interval-merge hit positions, reassemble text)
+  *  - q95_curation_v4:     q91 with stage 8 trim-not-drop (strip mined
+  *                         spans, recount trimmed tokens, drop only emptied)
   */
 object SparkEntry {
 
@@ -217,6 +221,9 @@ object SparkEntry {
     "q91_curation_v3" -> ((s, dir) => CurateV2.q91CurationV3(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
     "q92_fuzzy_admission" -> t("documents")(Provenance.q92FuzzyAdmission(_)),
+    "q93_boilerplate_strip" -> t("documents")(SubstringDedup.q93BoilerplateStrip(_)),
+    "q95_curation_v4" -> ((s, dir) => CurateV2.q95CurationV4(
+      Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -314,5 +321,7 @@ object SparkEntry {
     "q90_boilerplate" -> SubstringDedup.q90Sql(),
     "q91_curation_v3" -> CurateV2.q91Sql(),
     "q92_fuzzy_admission" -> Provenance.q92Sql(),
+    "q93_boilerplate_strip" -> SubstringDedup.q93Sql(),
+    "q95_curation_v4" -> CurateV2.q95Sql(),
   )
 }

@@ -207,18 +207,14 @@ object CurateV2 {
     * post-dedup corpus so each leaked bench doc drops its (single)
     * surviving near-copy. Markers stay doc_id-keyed checkpoints; the
     * report is ONE aggregation folded to 9 rows. */
-  def q91CurationV3(documents: DataFrame, embeddings: DataFrame,
-                    qmin: Double = 0.4,
-                    flagBits: Double = LmScore.DefaultFlagBits,
-                    jaccard: Double = 0.2,
-                    embThreshold: Double = 0.4,
-                    nCentroids: Int = Kmeans.DefaultK,
-                    gramN: Int = 8,
-                    benchMod: Int = 50, benchRem: Int = 7,
-                    fuzzyThreshold: Double = 0.5,
-                    boilMaxFrac: Double = 0.5,
-                    boilK: Int = SubstringDedup.DefaultK,
-                    seqLen: Int = 2048): DataFrame = {
+  /** Stages 1–7 as ONE labeled frame (d2…d7 markers + n_bpe) — q91's
+    * prefix, shared with the q95 trim variant so the two pipelines
+    * cannot drift through stage 7. */
+  private def labeledV3Stage7(documents: DataFrame, embeddings: DataFrame,
+                              qmin: Double, flagBits: Double, jaccard: Double,
+                              embThreshold: Double, nCentroids: Int,
+                              gramN: Int, benchMod: Int, benchRem: Int,
+                              fuzzyThreshold: Double): DataFrame = {
     val l6 = labeledFrame(documents, embeddings, qmin, flagBits, jaccard,
       embThreshold, nCentroids, gramN, benchMod, benchRem)
     val isBench = (c: org.apache.spark.sql.Column) =>
@@ -246,11 +242,29 @@ object CurateV2 {
     val losers7 = Fuzzy.lshCrossPairs(union, isBench, fuzzyThreshold)
       .select(col("train_id").as("doc_id"))
       .distinct().withColumn("_lose7", lit(true)).localCheckpoint()
-    val l7 = l6.join(losers7, Seq("doc_id"), "left")
+    l6.join(losers7, Seq("doc_id"), "left")
       .withColumn("d7", surv6 && coalesce(col("_lose7"), lit(false)))
       .drop("_lose7")
+  }
+
+  def q91CurationV3(documents: DataFrame, embeddings: DataFrame,
+                    qmin: Double = 0.4,
+                    flagBits: Double = LmScore.DefaultFlagBits,
+                    jaccard: Double = 0.2,
+                    embThreshold: Double = 0.4,
+                    nCentroids: Int = Kmeans.DefaultK,
+                    gramN: Int = 8,
+                    benchMod: Int = 50, benchRem: Int = 7,
+                    fuzzyThreshold: Double = 0.5,
+                    boilMaxFrac: Double = 0.5,
+                    boilK: Int = SubstringDedup.DefaultK,
+                    seqLen: Int = 2048): DataFrame = {
+    val l7 = labeledV3Stage7(documents, embeddings, qmin, flagBits, jaccard,
+      embThreshold, nCentroids, gramN, benchMod, benchRem, fuzzyThreshold)
+    val surv6 = !col("d2") && !col("d3") && !col("d4") && !col("d5") && !col("d6")
     // Stage 8 — boilerplate gate: duplicated-span coverage within the
-    // surviving corpus; template-dominated docs drop.
+    // surviving corpus; template-dominated docs drop. (q95 is the
+    // trim-not-drop variant of this stage.)
     val surv7 = surv6 && !col("d7")
     val losers8 = SubstringDedup.coverage(
         l7.filter(surv7).select("doc_id", "text"), boilK)
@@ -281,6 +295,90 @@ object CurateV2 {
         6, 'decontaminate',    n5, dr6, n6, t6, CAST(NULL AS BIGINT),
         7, 'fuzzy_decontam',   n6, dr7, n7, t7, CAST(NULL AS BIGINT),
         8, 'boilerplate_gate', n7, dr8, n8, t8, CAST(NULL AS BIGINT),
+        9, 'pack',             n8, CAST(0 AS BIGINT), n8, t8,
+           (t8 + ${seqLen - 1}) DIV $seqLen
+      ) AS (stage, stage_name, n_in, n_dropped, n_out, tokens_out, n_seqs)""")
+      .orderBy("stage")
+  }
+
+  /** q95 — curation pipeline v4: q91 with stage 8 TRIM-not-drop (the
+    * r8 verdict's Missing #2, closed): instead of discarding every doc
+    * over `boilMaxFrac` duplicated-span coverage — unique remainder and
+    * all — the stage mines the top-`boilTopN` boilerplate grams WITHIN
+    * the stage-7 survivor corpus (the q90 winner selection) and STRIPS
+    * their spans from each survivor ([[SubstringDedup.strip]]):
+    *
+    *   8. `boilerplate_trim` — n_dropped counts only docs whose every
+    *      token was boilerplate (stripped to empty); tokens_out is the
+    *      recomputed regex-BPE count over the TRIMMED text, so the
+    *      t7 − t8 delta is exactly the token mass the trim reclaimed
+    *      from surviving docs — accounting q91's drop gate cannot
+    *      express (it loses whole docs, good text included)
+    *   9. `pack` — the q67-shaped accounting over trimmed tokens
+    *
+    * Report schema is q91's; the two pipelines share stages 1–7
+    * verbatim ([[labeledV3Stage7]] / the oracle's shared CTE chain), so
+    * their reports agree row-for-row through stage 7 (CurateV2Spec
+    * pins this). Scale: mining + strip inherit q90/q93's linear
+    * posting shape; the recount is one row-local regex pass over
+    * trimmed survivors. */
+  def q95CurationV4(documents: DataFrame, embeddings: DataFrame,
+                    qmin: Double = 0.4,
+                    flagBits: Double = LmScore.DefaultFlagBits,
+                    jaccard: Double = 0.2,
+                    embThreshold: Double = 0.4,
+                    nCentroids: Int = Kmeans.DefaultK,
+                    gramN: Int = 8,
+                    benchMod: Int = 50, benchRem: Int = 7,
+                    fuzzyThreshold: Double = 0.5,
+                    boilTopN: Int = 20,
+                    boilK: Int = SubstringDedup.DefaultK,
+                    seqLen: Int = 2048): DataFrame = {
+    val l7 = labeledV3Stage7(documents, embeddings, qmin, flagBits, jaccard,
+      embThreshold, nCentroids, gramN, benchMod, benchRem, fuzzyThreshold)
+    val surv6 = !col("d2") && !col("d3") && !col("d4") && !col("d5") && !col("d6")
+    val surv7 = surv6 && !col("d7")
+    // Stage 8' — trim: mine winners among survivors, strip their spans,
+    // recount tokens on the trimmed text. Marker carries the per-doc
+    // trimmed token count (not just a drop bit) so the report's token
+    // column can switch bases at stage 8.
+    val survivors = l7.filter(surv7).select("doc_id", "text")
+    val trimMark = SubstringDedup.strip(survivors,
+        SubstringDedup.winnerHashes(survivors, boilK, boilTopN), boilK)
+      .select(col("doc_id"),
+        (col("n_removed") === col("n_tokens")).as("_empty8"),
+        col("text_stripped").as("text"))
+      .withColumn("n_bpe_trim", LangQuality.bpeTokens.cast("long"))
+      .select("doc_id", "_empty8", "n_bpe_trim")
+      .localCheckpoint()
+    val l8 = l7.join(trimMark, Seq("doc_id"), "left")
+      .withColumn("d8", surv7 && coalesce(col("_empty8"), lit(false)))
+    val lab = l8.withColumn("drop_stage",
+      when(col("d2"), 2).when(col("d3"), 3).when(col("d4"), 4)
+        .when(col("d5"), 5).when(col("d6"), 6).when(col("d7"), 7)
+        .when(col("d8"), 8))
+    def survives(k: Int) = col("drop_stage").isNull || col("drop_stage") > k
+    val aggs =
+      Seq(count(lit(1)).as("n1"), coalesce(sum("n_bpe"), lit(0L)).as("t1")) ++
+      (2 to 7).flatMap { k => Seq(
+        count(when(col("drop_stage") === k, 1)).as(s"dr$k"),
+        count(when(survives(k), 1)).as(s"n$k"),
+        coalesce(sum(when(survives(k), col("n_bpe"))), lit(0L)).as(s"t$k"))
+      } ++ Seq(
+        count(when(col("drop_stage") === 8, 1)).as("dr8"),
+        count(when(survives(8), 1)).as("n8"),
+        // stage-8 tokens are the TRIMMED counts
+        coalesce(sum(when(survives(8), col("n_bpe_trim"))), lit(0L)).as("t8"))
+    lab.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"""stack(9,
+        1, 'pii_scrub',        n1, CAST(0 AS BIGINT), n1, t1, CAST(NULL AS BIGINT),
+        2, 'quality_lm_gate',  n1, dr2, n2, t2, CAST(NULL AS BIGINT),
+        3, 'exact_dedup',      n2, dr3, n3, t3, CAST(NULL AS BIGINT),
+        4, 'near_dedup_lsh',   n3, dr4, n4, t4, CAST(NULL AS BIGINT),
+        5, 'emb_dedup_ivf',    n4, dr5, n5, t5, CAST(NULL AS BIGINT),
+        6, 'decontaminate',    n5, dr6, n6, t6, CAST(NULL AS BIGINT),
+        7, 'fuzzy_decontam',   n6, dr7, n7, t7, CAST(NULL AS BIGINT),
+        8, 'boilerplate_trim', n7, dr8, n8, t8, CAST(NULL AS BIGINT),
         9, 'pack',             n8, CAST(0 AS BIGINT), n8, t8,
            (t8 + ${seqLen - 1}) DIV $seqLen
       ) AS (stage, stage_name, n_in, n_dropped, n_out, tokens_out, n_seqs)""")
@@ -386,6 +484,24 @@ object CurateV2 {
        |) r ORDER BY stage""".stripMargin
   }
 
+  /** Oracle stage 7 (fzsrc … s7) — the fuzzy-decontamination CTE chunk
+    * shared verbatim by q91Sql and q95Sql. Expects `b0` and `s6` in
+    * scope (from [[coreSqlCtes]]). */
+  private def stage7SqlCtes(benchMod: Int, benchRem: Int,
+                            fuzzyThreshold: Double): String = {
+    val isB = (c: String) => s"$c % $benchMod = $benchRem"
+    s"""fzsrc AS MATERIALIZED (
+       |  SELECT doc_id, text FROM b0 WHERE doc_id IN (SELECT doc_id FROM s6)
+       |  UNION ALL
+       |  SELECT doc_id, text FROM documents WHERE ${isB("doc_id")}),
+       |${Fuzzy.lshPairsSqlCtes(
+           "fz_tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM fzsrc)",
+           fuzzyThreshold, "fz_")},
+       |s7 AS (SELECT doc_id, n_bpe FROM s6 WHERE doc_id NOT IN (
+       |         SELECT CASE WHEN ${isB("ida")} THEN idb ELSE ida END
+       |         FROM fz_pairs WHERE (${isB("ida")}) <> (${isB("idb")})))""".stripMargin
+  }
+
   def q91Sql(qmin: Double = 0.4,
              flagBits: Double = LmScore.DefaultFlagBits,
              jaccard: Double = 0.2,
@@ -397,20 +513,10 @@ object CurateV2 {
              boilMaxFrac: Double = 0.5,
              boilK: Int = SubstringDedup.DefaultK,
              seqLen: Int = 2048): String = {
-    val isB = (c: String) => s"$c % $benchMod = $benchRem"
     s"""WITH
        |${coreSqlCtes(qmin, flagBits, jaccard, embThreshold, nCentroids,
                       gramN, benchMod, benchRem)},
-       |fzsrc AS MATERIALIZED (
-       |  SELECT doc_id, text FROM b0 WHERE doc_id IN (SELECT doc_id FROM s6)
-       |  UNION ALL
-       |  SELECT doc_id, text FROM documents WHERE ${isB("doc_id")}),
-       |${Fuzzy.lshPairsSqlCtes(
-           "fz_tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM fzsrc)",
-           fuzzyThreshold, "fz_")},
-       |s7 AS (SELECT doc_id, n_bpe FROM s6 WHERE doc_id NOT IN (
-       |         SELECT CASE WHEN ${isB("ida")} THEN idb ELSE ida END
-       |         FROM fz_pairs WHERE (${isB("ida")}) <> (${isB("idb")}))),
+       |${stage7SqlCtes(benchMod, benchRem, fuzzyThreshold)},
        |bpsrc AS MATERIALIZED (
        |  SELECT doc_id, text FROM b0 WHERE doc_id IN (SELECT doc_id FROM s7)),
        |${SubstringDedup.coverageSqlCtes("bpsrc", boilK, "bp_")},
@@ -443,6 +549,63 @@ object CurateV2 {
        |  UNION ALL SELECT 7, 'fuzzy_decontam', o6.n, o6.n - o7.n, o7.n, o7.t,
        |    NULL FROM o6, o7
        |  UNION ALL SELECT 8, 'boilerplate_gate', o7.n, o7.n - o8.n, o8.n, o8.t,
+       |    NULL FROM o7, o8
+       |  UNION ALL SELECT 9, 'pack', o8.n, CAST(0 AS BIGINT), o8.n, o8.t,
+       |    (o8.t + ${seqLen - 1}) // $seqLen FROM o8
+       |) r ORDER BY stage""".stripMargin
+  }
+
+  def q95Sql(qmin: Double = 0.4,
+             flagBits: Double = LmScore.DefaultFlagBits,
+             jaccard: Double = 0.2,
+             embThreshold: Double = 0.4,
+             nCentroids: Int = Kmeans.DefaultK,
+             gramN: Int = 8,
+             benchMod: Int = 50, benchRem: Int = 7,
+             fuzzyThreshold: Double = 0.5,
+             boilTopN: Int = 20,
+             boilK: Int = SubstringDedup.DefaultK,
+             seqLen: Int = 2048): String = {
+    s"""WITH
+       |${coreSqlCtes(qmin, flagBits, jaccard, embThreshold, nCentroids,
+                      gramN, benchMod, benchRem)},
+       |${stage7SqlCtes(benchMod, benchRem, fuzzyThreshold)},
+       |bpsrc AS MATERIALIZED (
+       |  SELECT doc_id, text FROM b0 WHERE doc_id IN (SELECT doc_id FROM s7)),
+       |${SubstringDedup.stripSqlCtes("bpsrc", boilK, boilTopN, "st_")},
+       |trim AS (SELECT b.doc_id,
+       |           CASE WHEN k.doc_id IS NOT NULL THEN array_to_string(k.kt, ' ')
+       |                ELSE array_to_string(b.a, ' ') END AS text2,
+       |           coalesce(len(k.kt) = 0, FALSE) AS emptied
+       |         FROM st_base b LEFT JOIN st_kept k USING (doc_id)),
+       |s8 AS (SELECT doc_id,
+       |         len(regexp_extract_all(text2, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS n_bpe
+       |       FROM trim WHERE NOT emptied),
+       |o1 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM f_feat),
+       |o2 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s2),
+       |o3 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s3),
+       |o4 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s4),
+       |o5 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s5),
+       |o6 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s6),
+       |o7 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s7),
+       |o8 AS (SELECT count(*) AS n, coalesce(sum(n_bpe), 0)::BIGINT AS t FROM s8)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage, 'pii_scrub' AS stage_name, o1.n AS n_in,
+       |    CAST(0 AS BIGINT) AS n_dropped, o1.n AS n_out, o1.t AS tokens_out,
+       |    CAST(NULL AS BIGINT) AS n_seqs FROM o1
+       |  UNION ALL SELECT 2, 'quality_lm_gate', o1.n, o1.n - o2.n, o2.n, o2.t,
+       |    NULL FROM o1, o2
+       |  UNION ALL SELECT 3, 'exact_dedup', o2.n, o2.n - o3.n, o3.n, o3.t,
+       |    NULL FROM o2, o3
+       |  UNION ALL SELECT 4, 'near_dedup_lsh', o3.n, o3.n - o4.n, o4.n, o4.t,
+       |    NULL FROM o3, o4
+       |  UNION ALL SELECT 5, 'emb_dedup_ivf', o4.n, o4.n - o5.n, o5.n, o5.t,
+       |    NULL FROM o4, o5
+       |  UNION ALL SELECT 6, 'decontaminate', o5.n, o5.n - o6.n, o6.n, o6.t,
+       |    NULL FROM o5, o6
+       |  UNION ALL SELECT 7, 'fuzzy_decontam', o6.n, o6.n - o7.n, o7.n, o7.t,
+       |    NULL FROM o6, o7
+       |  UNION ALL SELECT 8, 'boilerplate_trim', o7.n, o7.n - o8.n, o8.n, o8.t,
        |    NULL FROM o7, o8
        |  UNION ALL SELECT 9, 'pack', o8.n, CAST(0 AS BIGINT), o8.n, o8.t,
        |    (o8.t + ${seqLen - 1}) // $seqLen FROM o8

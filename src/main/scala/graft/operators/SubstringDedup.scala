@@ -133,6 +133,106 @@ object SubstringDedup {
       .orderBy(desc("df_docs"), asc("gram_h"))
   }
 
+  /** Top-N cross-doc duplicated gram hashes — the q90 winner selection
+    * reduced to its hash column (same ≥2-doc filter, same
+    * (df_docs DESC, h) deterministic order): the broadcast set both
+    * [[strip]] and the q95 trim gate consume. */
+  private[operators] def winnerHashes(documents: DataFrame, k: Int,
+                                      topN: Int): DataFrame =
+    postings(documents, k).select("doc_id", "h")
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("df_docs"))
+      .filter(col("df_docs") >= 2)
+      .orderBy(desc("df_docs"), asc("h")).limit(topN)
+      .select("h")
+
+  /** The strip transform q90's scaladoc promises: remove every
+    * occurrence of the winner grams from every document — per doc,
+    * collect the hit positions, interval-merge them row-locally
+    * (distinct position union — the set form of q86's running-max
+    * merge), and reassemble the text from the uncovered tokens.
+    * Returns one row per input doc: (doc_id, n_tokens, n_removed,
+    * text_stripped); untouched docs pass through with n_removed = 0.
+    *
+    * This is trim-not-drop: q91 stage 8 discards a whole doc over
+    * 0.5 coverage, throwing away its unique remainder; here the
+    * boilerplate spans leave and the remainder survives (the q95
+    * pipeline gate). Scale shape: the winner set is ≤ topN hashes
+    * (broadcast); hit detection is the linear posting relation
+    * semi-joined against it (map-side, nothing quadratic); the
+    * per-doc merge + reassembly is row-local array work after one
+    * doc_id-keyed aggregation of hit positions — text crosses exactly
+    * one shuffle nowhere (the hits frame is positions only, and the
+    * reassembly join is doc_id-keyed). */
+  def strip(documents: DataFrame, winners: DataFrame,
+            k: Int = DefaultK): DataFrame = {
+    val hits = postings(documents, k)
+      .join(broadcast(winners.select("h")), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_list("i")).as("hits"))
+    documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("covered", expr(
+        s"""array_distinct(flatten(transform(
+           |  coalesce(hits, CAST(array() AS ARRAY<INT>)),
+           |  x -> sequence(x, x + ${k - 1}))))""".stripMargin))
+      .withColumn("kept",
+        expr("filter(toks, (t, p) -> NOT array_contains(covered, p + 1))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        expr("array_join(kept, ' ')").as("text_stripped"))
+  }
+
+  /** q93: boilerplate strip census — [[strip]] with the q90 top-N
+    * winner set, reporting every document that lost tokens (with its
+    * reassembled text, so the transform itself is value-checked by the
+    * oracle, not just the accounting). */
+  def q93BoilerplateStrip(documents: DataFrame, k: Int = DefaultK,
+                          topN: Int = 20): DataFrame =
+    strip(documents, winnerHashes(documents, k, topN), k)
+      .filter(col("n_removed") > 0)
+      .orderBy("doc_id")
+
+  /** The strip chain as prefix-parameterized CTEs over any relation
+    * exposing (doc_id, text) — mining (winner top-N), hit collection,
+    * covered-position union, token reassembly — ending in
+    * `${p}base(doc_id, a, n_tokens)` and `${p}kept(doc_id, n_tokens,
+    * kt)` (docs with ≥1 winner hit only; untouched docs are absent).
+    * Shared verbatim by q93Sql and the q95 trim-gate oracle so the two
+    * cannot drift (the shingleSqlFrom discipline). */
+  private[operators] def stripSqlCtes(docsRel: String, k: Int = DefaultK,
+                                      topN: Int = 20, p: String = ""): String =
+    s"""${p}tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM $docsRel),
+       |${p}base AS (SELECT doc_id, a, len(a) AS n_tokens FROM ${p}tok),
+       |${p}pos AS (SELECT doc_id, a, unnest(generate_series(1, n_tokens - ${k - 1})) AS i
+       |        FROM ${p}base WHERE n_tokens >= $k),
+       |${p}hg AS MATERIALIZED (SELECT doc_id, i,
+       |        cast(concat('0x', substr(md5(array_to_string(
+       |          a[CAST(i AS INT):CAST(i + ${k - 1} AS INT)], ' ')), 1, 15)) AS bigint) AS h
+       |      FROM ${p}pos),
+       |${p}top AS (SELECT h FROM (
+       |        SELECT h, count(DISTINCT doc_id) AS df_docs FROM ${p}hg GROUP BY h
+       |        HAVING count(DISTINCT doc_id) >= 2
+       |        ORDER BY df_docs DESC, h LIMIT $topN) z),
+       |${p}hits AS (SELECT doc_id, list_sort(list(i)) AS hits
+       |         FROM ${p}hg JOIN ${p}top USING (h) GROUP BY doc_id),
+       |${p}cov AS (SELECT b.doc_id, b.a, b.n_tokens,
+       |          list_distinct(flatten(list_transform(h.hits,
+       |            x -> range(x, x + $k)))) AS covered
+       |        FROM ${p}base b JOIN ${p}hits h USING (doc_id)),
+       |${p}kept AS (SELECT doc_id, n_tokens,
+       |          list_transform(list_filter(range(1, n_tokens + 1),
+       |            p -> NOT list_contains(covered, p)),
+       |            p -> a[CAST(p AS INT)]) AS kt
+       |        FROM ${p}cov)""".stripMargin
+
+  def q93Sql(k: Int = DefaultK, topN: Int = 20): String =
+    s"""WITH ${stripSqlCtes("documents", k, topN)}
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_tokens - len(kt) AS BIGINT) AS n_removed,
+       |  array_to_string(kt, ' ') AS text_stripped
+       |FROM kept WHERE n_tokens - len(kt) > 0
+       |ORDER BY doc_id""".stripMargin
+
   def q90Sql(k: Int = DefaultK, topN: Int = 20): String =
     s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents),
        |base AS (SELECT doc_id, a, len(a) AS n_tokens FROM tok WHERE len(a) >= $k),

@@ -156,6 +156,56 @@ class CurateV2Spec extends AnyFunSuite {
     Seq(s6, s7).foreach(_.unpersist())
   }
 
+  test("q95 v4: rows 1-7 equal v3; trim reclaims tokens instead of dropping docs") {
+    val rep3 = CurateV2.q91CurationV3(docs, emb).collect()
+    val rep4 = CurateV2.q95CurationV4(docs, emb).collect()
+    assert(rep4.length == 9)
+    assert(rep4(7).getString(1) == "boilerplate_trim")
+    // the shared stage-1–7 frame: v4's first seven rows ARE v3's
+    (0 until 7).foreach { i =>
+      assert(rep4(i).toSeq.take(6) == rep3(i).toSeq.take(6),
+        s"v4 stage ${i + 1} diverged from v3")
+    }
+    rep4.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(4), "n_in must chain from n_out")
+    }
+    val (n7, t7) = (rep4(6).getLong(4), rep4(6).getLong(5))
+    val (dr8, n8, t8) = (rep4(7).getLong(3), rep4(7).getLong(4), rep4(7).getLong(5))
+    // trim drops only fully-boilerplate docs — every one of those has
+    // coverage 1.0 > 0.5, so v4 can never drop more docs than v3's gate
+    assert(dr8 <= rep3(7).getLong(3), "trim dropped more docs than the drop gate")
+    assert(n8 == n7 - dr8)
+    // trimmed token base: never more than the untrimmed survivors'
+    assert(t8 <= t7)
+    // v4 keeps at least v3's surviving DOC count (its drops are a
+    // subset); token totals are not comparable — v4 also trims
+    // boilerplate out of docs v3 kept whole
+    assert(n8 >= rep3(7).getLong(4), "v4 must keep at least v3's survivors")
+  }
+
+  test("q95 planted fixture: template-dominated docs are trimmed, not dropped; accounting reconciles") {
+    import spark.implicits._
+    // 6 docs sharing a 9-token header + unique tails, plus enough clean
+    // docs to keep quality gates quiet is unnecessary — operate the
+    // stage-8 kernel directly through the strip API at pipeline params
+    val header = "this document is provided as is without any warranty"
+    val tails = (1L to 6L).map(i => s"unique$i tail$i words$i here$i")
+    val docsF = ((1L to 6L).map(i =>
+        (i, s"$header ${tails(i.toInt - 1)}")) :+
+      (7L, "a completely different document with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val stripped = SubstringDedup.strip(docsF,
+      SubstringDedup.winnerHashes(docsF, SubstringDedup.DefaultK, 20))
+    val out = stripped.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // every templated doc keeps its unique remainder; none is emptied
+    (1L to 6L).foreach { i =>
+      assert(out(i)._1 > 0, s"doc $i must lose boilerplate tokens")
+      assert(out(i)._2.endsWith(tails(i.toInt - 1)), s"doc $i remainder lost")
+    }
+    assert(out(7L)._1 == 0L, "unique doc untouched")
+  }
+
   test("q91 planted fixtures: block-shuffled bench leak drops at stage 7, " +
        "template-dominated doc at stage 8") {
     import spark.implicits._

@@ -72,6 +72,71 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(!out.exists(_.getString(1).contains("completely different")))
   }
 
+  test("strip: hand-fixture — winner spans removed, text reassembled, untouched docs intact") {
+    import spark.implicits._
+    val header = "h1 h2 h3 h4 h5 h6 h7 h8" // exactly k tokens
+    val docs = Seq(
+      (1L, s"$header u1 u2 u3"),
+      (2L, s"v1 $header v2"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (5L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val out = SubstringDedup.strip(docs,
+        SubstringDedup.winnerHashes(docs, SubstringDedup.DefaultK, 20))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((11L, 8L, "u1 u2 u3")), "leading span strips")
+    assert(out(2L) === ((10L, 8L, "v1 v2")), "mid-doc span strips, flanks rejoin")
+    assert(out(3L) === ((9L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")), "unique doc untouched")
+    assert(out(4L) === ((8L, 8L, "")), "fully-boilerplate doc strips to empty")
+    assert(out(5L) === ((8L, 8L, "")))
+  }
+
+  test("strip with the full winner set removes exactly q86's covered tokens; re-run coverage shrinks") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+    val docs = Tables.load(spark, sf, "documents")
+    val stripped = SubstringDedup.strip(docs,
+      SubstringDedup.winnerHashes(docs, SubstringDedup.DefaultK, Int.MaxValue))
+    val cov = SubstringDedup.coverage(docs)
+      .select(col("doc_id"), col("covered_tokens"))
+    // with EVERY ≥2-doc gram a winner, the stripped positions are
+    // exactly the q86 dup-span union — per-doc token accounting must
+    // reconcile to the row
+    val mismatches = stripped.join(cov, Seq("doc_id"))
+      .filter(col("n_removed") =!= col("covered_tokens")).count()
+    assert(mismatches === 0L, "strip accounting must equal q86 coverage")
+    val before = cov.agg(sum("covered_tokens")).head().getLong(0)
+    val after = SubstringDedup.coverage(
+        stripped.selectExpr("doc_id", "text_stripped AS text"))
+      .agg(coalesce(sum("covered_tokens"), lit(0L))).head().getLong(0)
+    assert(before > 0L)
+    assert(after < before,
+      s"coverage must shrink after strip (before=$before, after=$after)")
+  }
+
+  test("strip takes template-dominated docs below the q91 boilerplate threshold") {
+    import spark.implicits._
+    val header = "this document is provided as is without any warranty" // 9 tokens
+    // 9 of 13 tokens are boilerplate: dup_frac 0.69 > the 0.5 gate
+    val docs = ((1L to 6L).map(i => (i, s"$header unique$i tail$i words$i here$i")) :+
+      (7L, "a completely different document with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val before = SubstringDedup.coverage(docs)
+    assert(before.filter("dup_frac > 0.5").count() === 6L)
+    val stripped = SubstringDedup.strip(docs,
+      SubstringDedup.winnerHashes(docs, SubstringDedup.DefaultK, Int.MaxValue))
+    val after = SubstringDedup.coverage(
+      stripped.selectExpr("doc_id", "text_stripped AS text"))
+    assert(after.filter("dup_frac > 0.5").count() === 0L,
+      "every template-dominated doc must fall below the gate after trim")
+    // and their unique remainders survive (trim-not-drop: q91 stage 8
+    // would have discarded all six docs)
+    val kept = stripped.filter("doc_id <= 6").collect()
+    kept.foreach(r => assert(r.getString(3).contains("unique"),
+      s"unique remainder lost for doc ${r.getLong(0)}"))
+  }
+
   test("real corpus: bounds hold and exact-dup docs are fully covered") {
     val docs = Tables.load(spark, sf, "documents")
     val out = SubstringDedup.q86SubstringDups(docs).collect()
