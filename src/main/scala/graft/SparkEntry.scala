@@ -109,6 +109,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         vs persisted corpus band state (exact/fuzzy/new)
   *  - q93_boilerplate_strip: remove q90's mined spans from every doc
   *                         (interval-merge hit positions, reassemble text)
+  *  - q94_ivfpq_recall:    IVF-PQ composed index (coarse prune + ADC code
+  *                         scan + exact re-rank) vs unpruned ground truth
   *  - q95_curation_v4:     q91 with stage 8 trim-not-drop (strip mined
   *                         spans, recount trimmed tokens, drop only emptied)
   */
@@ -222,6 +224,7 @@ object SparkEntry {
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
     "q92_fuzzy_admission" -> t("documents")(Provenance.q92FuzzyAdmission(_)),
     "q93_boilerplate_strip" -> t("documents")(SubstringDedup.q93BoilerplateStrip(_)),
+    "q94_ivfpq_recall" -> t("embeddings")(Pq.q94IvfPqRecall(_)),
     "q95_curation_v4" -> ((s, dir) => CurateV2.q95CurationV4(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
   )
@@ -322,6 +325,7 @@ object SparkEntry {
     "q91_curation_v3" -> CurateV2.q91Sql(),
     "q92_fuzzy_admission" -> Provenance.q92Sql(),
     "q93_boilerplate_strip" -> SubstringDedup.q93Sql(),
+    "q94_ivfpq_recall" -> Pq.q94Sql(),
     "q95_curation_v4" -> CurateV2.q95Sql(),
   )
 }

@@ -247,18 +247,24 @@ object Pq {
       .orderBy("qid")
   }
 
-  /** The unrolled per-subspace training + encode + ADC oracle. */
-  def q87Sql(m: Int = DefaultM, subDim: Int = DefaultSubDim,
-             kCb: Int = DefaultKCb, iters: Int = DefaultIters,
-             trainN: Int = DefaultTrainN, nQueries: Int = DefaultNQueries,
-             kTop: Int = DefaultTopK, rerankR: Int = DefaultRerankR): String = {
-    val shared =
-      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-         |tr AS MATERIALIZED (
+  /** The unrolled per-subspace training + encode + per-pair ADC-term
+    * CTEs — ends with p0pd … p{m−1}pd, each (qid, vec_id, pd in integer
+    * micro-units). Requires `e(vec_id, ed)` in scope. With
+    * `includeTr = false` the `tr` sample CTE is omitted — for WITH
+    * clauses that already contain [[Kmeans.sqlCtes]], whose `tr` is the
+    * IDENTICAL hv-ranked sample text (both quantizers train on the same
+    * sample by design, so the q94 composition shares one `tr`). */
+  private def trainEncodeCtes(m: Int, subDim: Int, kCb: Int, iters: Int,
+                              trainN: Int, nQueries: Int,
+                              includeTr: Boolean): String = {
+    val trCte =
+      s"""tr AS MATERIALIZED (
          |  SELECT vec_id, ed,
          |    cast(concat('0x', substr(md5(cast(vec_id AS varchar)), 1, 15)) AS bigint) AS hv
          |  FROM e ORDER BY hv, vec_id LIMIT $trainN),
-         |ini AS (SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cid, ed
+         |""".stripMargin
+    val shared =
+      s"""${if (includeTr) trCte else ""}ini AS (SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cid, ed
          |        FROM tr ORDER BY hv, vec_id LIMIT $kCb)""".stripMargin
     val subs = (0 until m).map { s =>
       val lo = s * subDim + 1
@@ -291,12 +297,20 @@ object Pq {
            |  FROM p${s}enc en JOIN p${s}lut l ON l.cid = en.code)""".stripMargin
       ((init +: steps) :+ encode).mkString(",\n")
     }
-    val unionPd = (0 until m).map(s => s"SELECT * FROM p${s}pd").mkString(" UNION ALL ")
-    s"""WITH $shared,
-       |${subs.mkString(",\n")},
-       |adc AS (SELECT qid, vec_id, sum(pd) AS adc
-       |        FROM ($unionPd) u WHERE vec_id <> qid GROUP BY qid, vec_id),
-       |rk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+    (shared +: subs).mkString(",\n")
+  }
+
+  private def unionPdSql(m: Int): String =
+    (0 until m).map(s => s"SELECT * FROM p${s}pd").mkString(" UNION ALL ")
+
+  /** Shortlist-rerank + exact-truth + recall-report CTE tail shared by
+    * q87Sql and q94Sql (`adc(qid, vec_id, adc)` must be in scope;
+    * `extraCols`/`extraJoin` let q94 splice its per-query candidate
+    * count into the report). */
+  private def recallReportSql(nQueries: Int, kTop: Int, rerankR: Int,
+                              extraCols: String = "",
+                              extraJoin: String = ""): String =
+    s"""rk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
        |         ORDER BY adc, vec_id) AS rn FROM adc),
        |ap AS (SELECT qid, vec_id FROM rk WHERE rn <= $kTop),
        |rr AS (SELECT qid, vec_id FROM (
@@ -309,12 +323,157 @@ object Pq {
        |    ORDER BY round(${d2Sql("q.ed", "v.ed")}, 6), v.vec_id) AS rn
        |  FROM e q, e v WHERE q.vec_id < $nQueries AND v.vec_id <> q.vec_id) z
        |  WHERE rn <= $kTop)
-       |SELECT ex.qid, count(ap.vec_id) AS n_hits_adc,
+       |SELECT ex.qid,$extraCols count(ap.vec_id) AS n_hits_adc,
        |  round(CAST(count(ap.vec_id) AS DOUBLE) / $kTop, 6) AS recall_adc,
        |  count(rr.vec_id) AS n_hits_rr,
        |  round(CAST(count(rr.vec_id) AS DOUBLE) / $kTop, 6) AS recall_rr
        |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
-       |LEFT JOIN rr ON rr.qid = ex.qid AND rr.vec_id = ex.vec_id
-       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
+       |LEFT JOIN rr ON rr.qid = ex.qid AND rr.vec_id = ex.vec_id$extraJoin
+       |GROUP BY ex.qid${if (extraCols.nonEmpty) ", nc.n_cand" else ""} ORDER BY ex.qid"""
+      .stripMargin
+
+  /** The unrolled per-subspace training + encode + ADC oracle. */
+  def q87Sql(m: Int = DefaultM, subDim: Int = DefaultSubDim,
+             kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+             trainN: Int = DefaultTrainN, nQueries: Int = DefaultNQueries,
+             kTop: Int = DefaultTopK, rerankR: Int = DefaultRerankR): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |${trainEncodeCtes(m, subDim, kCb, iters, trainN, nQueries, includeTr = true)},
+       |adc AS (SELECT qid, vec_id, sum(pd) AS adc
+       |        FROM (${unionPdSql(m)}) u WHERE vec_id <> qid GROUP BY qid, vec_id),
+       |${recallReportSql(nQueries, kTop, rerankR)}""".stripMargin
+
+  /** q94: IVF-PQ — the two halves composed into the production
+    * billion-vector index shape (Jégou 2011 §V: coarse quantizer +
+    * product codes): q54's trained k-means centroids PRUNE (a query
+    * ADC-scans only the codes inside its `nprobe` probed clusters),
+    * q87's codebooks COMPRESS (the scan reads 4-bit codes, never
+    * floats). Per query: coarse-assign → probe → ADC over in-cluster
+    * candidates → shortlist `rerankR` → exact re-rank; recall@k vs the
+    * UNPRUNED exact ground truth at both operating points, so the
+    * reported gap prices probe misses AND code distortion together —
+    * the number a deployment actually tunes (nprobe × codebook bits)
+    * against. `n_cand` reports the per-query scan width: candidates
+    * ≈ nprobe·N/nlist versus the N every flat-ADC query (q87) touches.
+    *
+    * Both artifacts serve from their stores: centroids via [[Kmeans]]'s
+    * memo (ArtifactStore `kmeans_centroids`), codebooks via [[Pq]]'s
+    * (`pq_codebooks`) — the spec pins that composing them retrains
+    * NOTHING when both artifacts exist. Coarse assignment reuses the
+    * q30/q54 convention verbatim (cosine, 6 dp, cid tie-break); ADC
+    * reuses q87's integer micro-unit fold. Plan shape: centroids and
+    * codebooks are broadcast literals; assignment is one broadcast
+    * join + per-vector window; the candidate relation is an equi-join
+    * on cid; nothing all-pairs except the ground-truth oracle itself. */
+  def q94IvfPqRecall(embeddings: DataFrame,
+                     nCentroids: Int = Kmeans.DefaultK,
+                     nprobe: Int = 2,
+                     m: Int = DefaultM, subDim: Int = DefaultSubDim,
+                     kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+                     trainN: Int = DefaultTrainN,
+                     nQueries: Int = DefaultNQueries,
+                     kTop: Int = DefaultTopK,
+                     rerankR: Int = DefaultRerankR): DataFrame = {
+    val cb = codebookTable(embeddings, m, subDim, kCb, iters, trainN)
+    val cents = Kmeans.centroidTable(embeddings, nCentroids)
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    // coarse assignment (q30/q54 convention): corpus arn = 1, queries
+    // probe arn <= nprobe
+    val csim = dot(col("ed"), col("ce")) /
+      (sqrt(dot(col("ed"), col("ed"))) * sqrt(dot(col("ce"), col("ce"))))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    val ranked = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), round(csim, 6).as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+    val asg = ranked.filter(col("arn") === 1).select("vec_id", "cid")
+    val probes = ranked.filter(col("arn") <= nprobe && col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("cid").as("qcid"))
+    val cand = broadcast(probes)
+      .join(asg, col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    // PQ encode + per-query LUT (the q87 kernel, micro-unit pd)
+    val sl = sliceAll(e, "ed", m, subDim)
+    val wEnc = Window.partitionBy("vec_id", "sub").orderBy(asc("d2r"), asc("cid"))
+    val codes = sl.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"),
+        round(d2(col("sv"), col("ce")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+    val lut = sl.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("lqid"), col("sub").as("lsub"), col("sv").as("qsv"))
+      .join(broadcast(cb), col("lsub") === col("sub"))
+      .select(col("lqid"), col("lsub"), col("cid").as("lcid"),
+        round(d2(col("qsv"), col("ce")) * lit(1e6), 0).cast("long").as("pd"))
+    // ADC restricted to the probed candidates — the pruned scan
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut),
+        col("sub") === col("lsub") && col("code") === col("lcid") &&
+          col("qid") === col("lqid"))
+      .groupBy("qid", "vec_id").agg(sum("pd").as("adc"))
+    val wTop = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+    val rankedAdc = adc.withColumn("rn", row_number().over(wTop))
+    val approx = rankedAdc.filter(col("rn") <= kTop)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    val short = rankedAdc.filter(col("rn") <= rerankR)
+      .select(col("qid").as("sqid"), col("vec_id").as("svid"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("ed").as("qed"))
+    val wEx = Window.partitionBy("qid").orderBy(asc("d2r"), asc("vec_id"))
+    val rerank = short
+      .join(broadcast(q), col("sqid") === col("qid"))
+      .join(e.select(col("vec_id").as("svid2"), col("ed").as("ved")),
+        col("svid") === col("svid2"))
+      .select(col("qid"), col("svid").as("vec_id"),
+        round(d2(col("qed"), col("ved")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEx)).filter(col("rn") <= kTop)
+      .select(col("qid").as("rqid"), col("vec_id").as("rvid"))
+    // UNPRUNED exact ground truth: recall prices probe misses too
+    val exact = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(d2(col("qed"), col("ed")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEx)).filter(col("rn") <= kTop)
+      .select(col("qid"), col("vec_id"))
+    exact
+      .join(approx, col("qid") === col("aqid") && col("vec_id") === col("avid"),
+        "left")
+      .join(rerank, col("qid") === col("rqid") && col("vec_id") === col("rvid"),
+        "left")
+      .groupBy("qid")
+      .agg(count(col("aqid")).as("n_hits_adc"), count(col("rqid")).as("n_hits_rr"))
+      .join(nCand, Seq("qid"))
+      .select(col("qid"), col("n_cand"), col("n_hits_adc"),
+        round(col("n_hits_adc").cast("double") / kTop, 6).as("recall_adc"),
+        col("n_hits_rr"),
+        round(col("n_hits_rr").cast("double") / kTop, 6).as("recall_rr"))
+      .orderBy("qid")
   }
+
+  def q94Sql(nCentroids: Int = Kmeans.DefaultK, nprobe: Int = 2,
+             m: Int = DefaultM, subDim: Int = DefaultSubDim,
+             kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+             trainN: Int = DefaultTrainN, nQueries: Int = DefaultNQueries,
+             kTop: Int = DefaultTopK, rerankR: Int = DefaultRerankR): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |${Kmeans.sqlCtes(nCentroids)},
+       |${trainEncodeCtes(m, subDim, kCb, iters, trainN, nQueries, includeTr = false)},
+       |ranked AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid) AS arn
+       |  FROM e, c),
+       |asg AS (SELECT vec_id, cid FROM ranked WHERE arn = 1),
+       |probes AS (SELECT vec_id AS qid, cid AS qcid FROM ranked
+       |           WHERE arn <= $nprobe AND vec_id < $nQueries),
+       |cand AS (SELECT p.qid, a.vec_id FROM probes p
+       |         JOIN asg a ON a.cid = p.qcid AND a.vec_id <> p.qid),
+       |nc AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid),
+       |adc AS (SELECT u.qid, u.vec_id, sum(u.pd) AS adc
+       |        FROM (${unionPdSql(m)}) u
+       |        JOIN cand cd ON cd.qid = u.qid AND cd.vec_id = u.vec_id
+       |        GROUP BY 1, 2),
+       |${recallReportSql(nQueries, kTop, rerankR,
+           extraCols = " nc.n_cand,",
+           extraJoin = " JOIN nc ON nc.qid = ex.qid")}""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft.io
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import graft.TestSpark
-import graft.operators.{Bpe, Kmeans, Provenance}
+import graft.operators.{Bpe, Kmeans, Pq, Provenance}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -133,5 +133,34 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(diff.nonEmpty,
       "different corpora learn different merges; the manifest diff must see it")
     assert(diff.forall(r => Set("grown", "shrunk", "mutated")(r.getAs[String]("change"))))
+  }
+
+  test("q94 ivf-pq composes BOTH persisted artifacts cold, retraining nothing") {
+    val root = tmpDir("graft_artifacts_ivfpq")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // persist both halves of the index once (may train here)
+    ArtifactStore.centroidsOrTrain(root, emb)
+    ArtifactStore.pqCodebooksOrTrain(root, emb)
+    // cold path: same bytes, new path → the JVM memos miss, so serving
+    // without training is attributable to the store alone
+    val embCopy = spark.read.parquet(copyTable("embeddings"))
+    val (k0, p0) = (Kmeans.trainRuns.get(), Pq.trainRuns.get())
+    ArtifactStore.centroidsOrTrain(root, embCopy)
+    ArtifactStore.pqCodebooksOrTrain(root, embCopy)
+    assert(Kmeans.trainRuns.get() === k0, "centroids must load, not retrain")
+    assert(Pq.trainRuns.get() === p0, "codebooks must load, not retrain")
+    val out = Pq.q94IvfPqRecall(embCopy).collect()
+    assert(Kmeans.trainRuns.get() === k0 && Pq.trainRuns.get() === p0,
+      "q94 must compose the loaded artifacts, not retrain either half")
+    assert(out.nonEmpty)
+    val n = embCopy.count()
+    out.foreach { r =>
+      // pruning is real: the ADC scan touched a strict subset
+      assert(r.getLong(1) > 0 && r.getLong(1) < n, s"n_cand for qid ${r.getLong(0)}")
+      // exact re-rank of an ADC-superset shortlist can only help:
+      // any exact-top-k member in the shortlist survives the re-rank
+      assert(r.getDouble(5) >= r.getDouble(3),
+        s"recall_rr < recall_adc for qid ${r.getLong(0)}")
+    }
   }
 }
