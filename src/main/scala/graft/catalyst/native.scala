@@ -32,4 +32,11 @@ object native {
     * application, without 21 intermediate strings per row. */
   def bpeTokenCount(merges: Seq[String], text: Column): Column =
     ColumnBridge.column(BpeTokenCountExpr(ColumnBridge.expression(text), merges))
+
+  /** Native single-pass Space-Saving heavy-hitter top-k (see
+    * [[SpaceSavingTopK]]): one ObjectHashAggregate pass, returns
+    * `array<struct<value, cnt, err>>`; err == 0 certifies cnt exact. */
+  def spaceSavingTopK(c: Column, k: Int, capacity: Int): Column =
+    ColumnBridge.column(SpaceSavingTopK(ColumnBridge.expression(c), k, capacity)
+      .toAggregateExpression())
 }

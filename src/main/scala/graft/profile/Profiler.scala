@@ -85,6 +85,18 @@ object Profiler {
     * pattern): number of sketch-path top-k executions this JVM. */
   val sketchTopKRuns = new java.util.concurrent.atomic.AtomicLong
 
+  /** Sub-valve INSIDE the sketch path: `true` (default) = the native
+    * single-pass [[graft.catalyst.SpaceSavingTopK]] aggregate;
+    * `false` = the original two-phase mapPartitions candidates + exact
+    * recount. Both produce identical output (ProfilerSpec pins it);
+    * the native path usually does it in ONE scan. */
+  val TopkNativeKey = "spark.graft.profile.topkNativeEnabled"
+
+  /** Observables for the native-path spec: single-pass executions, and
+    * how many of those failed self-certification and recounted. */
+  val nativeTopKRuns = new java.util.concurrent.atomic.AtomicLong
+  val nativeRecountRuns = new java.util.concurrent.atomic.AtomicLong
+
   /** Exact top-k: full groupBy — one shuffle row per distinct value
     * per partition (map-side partials). The right path while distinct
     * counts are bounded; the scale problem is the shuffle growing with
@@ -94,27 +106,74 @@ object Profiler {
       .orderBy(desc("count"), asc(c)).limit(topK).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
 
-  /** Heavy-hitter top-k for HIGH-cardinality columns: two phases.
+  /** Heavy-hitter top-k for HIGH-cardinality columns — the sketch side
+    * of the valve. Dispatches on [[TopkNativeKey]] between the native
+    * single-pass aggregate ([[topKNative]], default) and the original
+    * two-phase candidates-then-recount path ([[topKTwoPhase]]); both
+    * keep the same contract — reported counts are exact, approximation
+    * risk lives only in candidate selection, and a column with no
+    * repeated values yields k count-1 values whose pure-lexicographic
+    * selection no frequency sketch can (or should) reproduce. */
+  def topKSketch(df: DataFrame, c: String, topK: Int): Seq[(String, Long)] = {
+    sketchTopKRuns.incrementAndGet()
+    if (df.sparkSession.conf.getOption(TopkNativeKey).forall(_.toBoolean))
+      topKNative(df, c, topK)
+    else topKTwoPhase(df, c, topK)
+  }
+
+  /** Heavy-hitter top-k, native form (the shape [[topKTwoPhase]]'s
+    * scaladoc always named): ONE ObjectHashAggregate pass with the
+    * [[graft.catalyst.SpaceSavingTopK]] `TypedImperativeAggregate` —
+    * per-partition Space-Saving summaries (≤ capacity entries each)
+    * merged by the aggregation itself, no mapPartitions, no candidate
+    * union job. The result carries its own exactness certificate
+    * (floor == 0 ⟹ every distinct value was tracked with an exact
+    * count — see the expression's scaladoc); only when the certificate
+    * FAILS does a second, candidate-restricted exact recount run — so
+    * the common case is one scan, and the exactness contract of the
+    * two-phase path is kept either way. Shuffle cost: capacity rows
+    * per partition, independent of column cardinality. */
+  def topKNative(df: DataFrame, c: String, topK: Int): Seq[(String, Long)] = {
+    nativeTopKRuns.incrementAndGet()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cap = math.max(topK * 20, 256)
+    // ask for all `cap` tracked entries: the tail beyond topK is the
+    // recount candidate set if certification fails, and the collect is
+    // ≤ cap rows either way
+    val row = df.filter(col(c).isNotNull)
+      .agg(graft.catalyst.native.spaceSavingTopK(col(c), cap, cap).as("ss"))
+      .select(col("ss.floor"), col("ss.top")).collect()(0)
+    val entries = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (row.getLong(0) == 0L) entries.take(topK)
+    else {
+      nativeRecountRuns.incrementAndGet()
+      val cand = entries.map(_._1).toDF(c)
+      df.filter(col(c).isNotNull)
+        .join(broadcast(cand), Seq(c), "left_semi")
+        .groupBy(c).count()
+        .orderBy(desc("count"), asc(c)).limit(topK).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+  }
+
+  /** Heavy-hitter top-k, two-phase form (kept as the
+    * `TopkNativeKey = false` fallback and the parity yardstick):
     *  1. Per-partition Space-Saving (Metwally et al. 2005) with
     *     capacity max(20·k, 256): each partition emits ≤ capacity
     *     candidate values, and any value whose in-partition count
     *     exceeds partitionRows/capacity is GUARANTEED present (the
     *     Space-Saving bound) — so a genuinely frequent value survives
-    *     into the candidate union. A column with no repeated values has
-    *     no heavy hitters at all; there the exact path's top-k is pure
-    *     lexicographic tie-breaking among count-1 values, which no
-    *     frequency sketch can (or should) reproduce — the sketch path
-    *     still returns k count-1 values with exact counts.
+    *     into the candidate union.
     *  2. One exact recount restricted to the broadcast candidate set
-    *     (semi-join): reported counts are EXACT for every candidate;
-    *     approximation risk lives only in candidate selection.
+    *     (semi-join): reported counts are EXACT for every candidate.
     * Shuffle cost: candidates × partitions rows, independent of column
     * cardinality — vs the exact path's distinct-values × partitions.
     * The candidate pass is the documented mapPartitions exception
-    * (genuine per-partition imperative state, like the RocksDB pattern
-    * a native SpaceSaving aggregate would need). */
-  def topKSketch(df: DataFrame, c: String, topK: Int): Seq[(String, Long)] = {
-    sketchTopKRuns.incrementAndGet()
+    * (genuine per-partition imperative state — the state the native
+    * [[graft.catalyst.SpaceSavingTopK]] aggregate now owns). */
+  def topKTwoPhase(df: DataFrame, c: String, topK: Int): Seq[(String, Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
     val cap = math.max(topK * 20, 256)

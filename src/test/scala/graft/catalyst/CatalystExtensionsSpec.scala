@@ -210,4 +210,43 @@ class CatalystExtensionsSpec extends AnyFunSuite {
     assert(v > 0 && v <= 50)
     ext.conf.unset(ApproxAboveThreshold.ThresholdKey)
   }
+
+  test("SpaceSavingSummary invariant: |true - cnt| <= err under adversarial update + merge") {
+    // Deterministic Zipf-ish stream split over 8 "partitions", tiny
+    // capacity so eviction AND merge-trim both fire; checks the
+    // documented invariant against brute-force counts.
+    val rnd = new scala.util.Random(42)
+    val parts = Seq.fill(8) {
+      Seq.fill(4000) {
+        val r = rnd.nextInt(1000)
+        if (r < 600) s"hot${r % 7}"            // 7 heavy values
+        else s"cold${rnd.nextInt(5000)}"       // long unique-ish tail
+      }
+    }
+    val truth = parts.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val summaries = parts.map { p =>
+      val s = new SpaceSavingSummary(32)
+      p.foreach(s.add(_))
+      s
+    }
+    val merged = summaries.reduce { (a, b) => a.merge(b); a }
+    assert(merged.entries.size <= 32)
+    assert(merged.absentFloor > 0, "this workload must churn")
+    merged.entries.foreach { case (v, ce) =>
+      assert(math.abs(truth(v) - ce(0)) <= ce(1),
+        s"$v: true=${truth(v)} cnt=${ce(0)} err=${ce(1)}")
+    }
+    // every heavy value must survive into the merged summary with its
+    // count dominating the uncertainty
+    (0 until 7).foreach { i =>
+      val ce = merged.entries.getOrElse(s"hot$i",
+        fail(s"heavy value hot$i evicted from the merged summary"))
+      assert(ce(0) > ce(1), s"hot$i count must dominate its error")
+    }
+    // no churn, no error: a summary with capacity >= distincts is exact
+    val exactS = new SpaceSavingSummary(64)
+    Seq("a", "b", "a", "c", "a", "b").foreach(exactS.add(_))
+    assert(exactS.absentFloor === 0)
+    assert(exactS.entries("a")(0) === 3 && exactS.entries("a")(1) === 0)
+  }
 }

@@ -234,4 +234,59 @@ class ProfilerSpec extends AnyFunSuite {
       }
     } finally spark.conf.unset(Profiler.TopkSketchThresholdKey)
   }
+
+  test("native one-pass top-k: parity with the two-phase path, exact and skewed") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val skewed = spark.range(20000)
+      .select(when(col("id") % 5 === 0,
+          concat(lit("hot"), org.apache.spark.sql.functions.expr("(id div 5) % 10")))
+        .otherwise(concat(lit("cold"), col("id"))).as("v"))
+      .repartition(4)
+    assert(Profiler.topKNative(docs, "source", 10) ===
+      Profiler.topKTwoPhase(docs, "source", 10))
+    assert(Profiler.topKNative(docs, "source", 10) ===
+      Profiler.topKExact(docs, "source", 10))
+    assert(Profiler.topKNative(skewed, "v", 10) ===
+      Profiler.topKExact(skewed, "v", 10),
+      "native top-k diverged from exact on skewed high-cardinality data")
+  }
+
+  test("native top-k self-certification: one pass when nothing churned, recount only when it did") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val runs0 = Profiler.nativeTopKRuns.get()
+    val rec0 = Profiler.nativeRecountRuns.get()
+    // low-cardinality column: every value tracked, floor 0 — certified,
+    // NO recount job
+    Profiler.topKNative(docs, "source", 10)
+    assert(Profiler.nativeTopKRuns.get() === runs0 + 1)
+    assert(Profiler.nativeRecountRuns.get() === rec0,
+      "certified result must not schedule a recount")
+    // cardinality far beyond capacity: evictions happen, floor > 0 —
+    // certificate fails, recount runs (and still lands exact: see the
+    // parity test)
+    val churny = spark.range(20000)
+      .select(when(col("id") % 5 === 0,
+          concat(lit("hot"), org.apache.spark.sql.functions.expr("(id div 5) % 10")))
+        .otherwise(concat(lit("cold"), col("id"))).as("v"))
+      .repartition(4)
+    Profiler.topKNative(churny, "v", 10)
+    assert(Profiler.nativeRecountRuns.get() === rec0 + 1,
+      "churned summary must fail certification and recount")
+  }
+
+  test("native top-k plan shape: a single ObjectHashAggregate, no mapPartitions stage") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val agg = docs.filter(col("source").isNotNull)
+      .agg(graft.catalyst.native.spaceSavingTopK(col("source"), 10, 256).as("ss"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the TypedImperativeAggregate's ObjectHashAggregate, got:\n$plan")
+    assert(plan.contains("partial_space_saving_topk"),
+      "expected a map-side partial aggregation (per-partition summaries)")
+    assert(!plan.contains("MapPartitions"),
+      "the native path must not fall back to a mapPartitions stage")
+  }
 }
