@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Fuzzy, Kmeans, Pq, Provenance}
+import graft.operators.{Bpe, Fuzzy, Kmeans, Pq, Provenance, StageStore}
 
 /** Versioned persistence for LEARNED artifacts — the piece that turns
   * the per-JVM trainers into something a multi-job deployment operates.
@@ -229,6 +229,57 @@ object ArtifactStore {
     if (!exists(spark, path))
       Fuzzy.corpusShingleHashes(corpusDocs).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
+  }
+
+  // ---- durable curation-stage store (CurateV2 q84/q91/q95) -------------
+
+  /** Durable [[graft.operators.StageStore]]: each materialized stage
+    * (the stage-1 scrubbed base, every gate's marker set) lands as
+    * `_SUCCESS`-gated parquet under
+    * `root/curate_<pipelineKey>/<stage>`. A stage whose artifact
+    * already exists is READ, not recomputed — and because the returned
+    * frame is a parquet scan, the upstream gates' plans are never even
+    * constructed into the resumed job: crash after stage k, rerun,
+    * and stages 1..k cost one file listing each (CurateV2DurableSpec
+    * pins exactly this with a crash-injecting wrapper).
+    *
+    * A killed half-written stage has no `_SUCCESS` and is recomputed
+    * (the store-wide invariant). Stage state is manifest-diffable with
+    * [[listArtifacts]] like every other artifact kind. */
+  final class DurableStageStore private[ArtifactStore] (
+      spark: SparkSession, root: String, val pipelineKey: String)
+    extends StageStore {
+    /** Observables (the valve-counter pattern): stages computed+written
+      * vs served from existing artifacts, in materialization order. */
+    val computed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val loaded = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def stagePath(name: String): String =
+      artifactPath(root, s"curate_$pipelineKey", name)
+
+    override def materialize(name: String, df: DataFrame): DataFrame = {
+      val path = stagePath(name)
+      if (exists(spark, path)) loaded += name
+      else {
+        df.write.mode("overwrite").parquet(path)
+        computed += name
+      }
+      spark.read.parquet(path)
+    }
+  }
+
+  /** Key + store for one (corpus, embeddings, knobs) pipeline run: the
+    * corpus fingerprints guarantee a changed input never reuses stage
+    * state; `paramsKey` must canonicalize every gate threshold the
+    * caller overrides (CurateV2 defaults → ""). */
+  def curateStageStore(root: String, documents: DataFrame,
+                       embeddings: DataFrame,
+                       paramsKey: String = ""): DurableStageStore = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pk = md.digest(paramsKey.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    new DurableStageStore(documents.sparkSession, root,
+      s"fp${documentsFingerprint(documents)}_e${embeddingsFingerprint(embeddings)}_p$pk")
   }
 
   /** q92 fuzzy admission against the persisted store — the multi-job
