@@ -231,6 +231,101 @@ object ArtifactStore {
     spark.read.parquet(path)
   }
 
+  // ---- multi-tick ingest state + compaction ----------------------------
+
+  /** Append-oriented state a long-lived ingest loop accumulates across
+    * ticks — the q73/q92 corpus hash/band/shingle rows, one small
+    * parquet write per tick, growing FOREVER (the r8 verdict's Missing
+    * #5). Layout under `root/ingest_state/<name>/`:
+    *
+    *   gen=G/   — a compacted base covering ticks 1..G (`_SUCCESS`-gated)
+    *   tick=T/  — one increment per ingest tick (`_SUCCESS`-gated)
+    *
+    * `current()` reads the newest complete generation plus every tick
+    * past it; [[compact]] folds base + ticks into the next generation —
+    * sized via [[Compact.partitionsFor]] from the actual accumulated
+    * bytes — then drops the superseded files, so the tick-file count
+    * (the scan-throughput killer at 100 TB: thousands of KB-scale
+    * files) resets to O(state bytes / target), not O(ticks). Crash
+    * discipline throughout: a generation without `_SUCCESS` is
+    * invisible (reads fall back to the previous base + ticks, which
+    * are deleted only AFTER the new base commits), so a killed
+    * compaction loses nothing and retries cleanly. */
+  final class IngestStateStore(spark: SparkSession, root: String,
+                               name: String) {
+    private val base = s"$root/ingest_state/$name"
+    private def f = fs(spark, base)
+
+    private def listNums(prefix: String, sucOnly: Boolean): Seq[Long] = {
+      val p = new Path(base)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix))
+        .filter(d => !sucOnly || f.exists(new Path(d.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix(prefix).toLong).sorted
+    }
+
+    def maxTick: Long =
+      (listNums("tick=", sucOnly = true) ++ listNums("gen=", sucOnly = true))
+        .maxOption.getOrElse(0L)
+
+    private def currentPaths: Seq[String] = {
+      val gen = listNums("gen=", sucOnly = true).maxOption
+      val ticks = listNums("tick=", sucOnly = true)
+        .filter(t => gen.forall(t > _))
+      gen.map(g => s"$base/gen=$g").toSeq ++ ticks.map(t => s"$base/tick=$t")
+    }
+
+    /** The accumulated state (None before the first tick). */
+    def current(): Option[DataFrame] = {
+      val paths = currentPaths
+      if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    }
+
+    /** Persist one tick's increment; returns the tick number. */
+    def appendTick(increment: DataFrame): Long = {
+      val t = maxTick + 1
+      increment.write.mode("overwrite").parquet(s"$base/tick=$t")
+      t
+    }
+
+    /** Parquet data files currently backing `current()` — the quantity
+      * compaction exists to bound. */
+    def dataFileCount: Long = currentPaths.map { p =>
+      val it = f.listFiles(new Path(p), false)
+      var n = 0L
+      while (it.hasNext) { if (!it.next().getPath.getName.startsWith("_")) n += 1 }
+      n
+    }.sum
+
+    /** Fold base + ticks into generation `maxTick`, sized from the
+      * accumulated bytes; drop superseded dirs only after the new base
+      * commits. Returns the output partition count. */
+    def compact(targetBytes: Long = 128L * 1024 * 1024): Int = {
+      val upTo = maxTick
+      val paths = currentPaths
+      require(paths.nonEmpty, "nothing to compact")
+      // already a single up-to-date generation: re-compacting would
+      // overwrite the very files being read
+      if (paths == Seq(s"$base/gen=$upTo")) return 0
+      val bytes = paths.map(Compact.dataBytes(spark, _)).sum
+      val n = Compact.partitionsFor(bytes, targetBytes)
+      spark.read.parquet(paths: _*).repartition(n)
+        .write.mode("overwrite").parquet(s"$base/gen=$upTo")
+      // the new generation is committed (_SUCCESS exists) — superseded
+      // state can go; a crash between these deletes only leaves ignored
+      // duplicates behind (reads pick the newest complete generation)
+      (listNums("gen=", sucOnly = false).filter(_ < upTo).map(g => s"$base/gen=$g") ++
+       listNums("tick=", sucOnly = false).filter(_ <= upTo).map(t => s"$base/tick=$t"))
+        .foreach(p => f.delete(new Path(p), true))
+      n
+    }
+  }
+
+  def ingestState(spark: SparkSession, root: String,
+                  name: String): IngestStateStore =
+    new IngestStateStore(spark, root, name)
+
   // ---- durable curation-stage store (CurateV2 q84/q91/q95) -------------
 
   /** Durable [[graft.operators.StageStore]]: each materialized stage
