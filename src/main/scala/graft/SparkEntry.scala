@@ -113,6 +113,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         scan + exact re-rank) vs unpruned ground truth
   *  - q95_curation_v4:     q91 with stage 8 trim-not-drop (strip mined
   *                         spans, recount trimmed tokens, drop only emptied)
+  *  - q96_bm25_topk:       BM25 top-k training docs per eval doc (inverted
+  *                         postings, micro-unit scores, df-pruned stopwords)
+  *  - q97_temperature_mix: n^alpha temperature-resampled source mixture
+  *                         (plan + hash-realized sample counts per source)
+  *  - q98_cluster_canon:   quality-aware canonical keeper per q56 near-dup
+  *                         cluster (argmax via one struct-max aggregate)
+  *  - q99_seq_length_stats: per-source length percentiles + truncation loss
+  *                         at a candidate context length
+  *  - q100_distinct_ngrams: per-source distinct-1/distinct-2 lexical
+  *                         diversity census (template / synthetic warning)
   */
 object SparkEntry {
 
@@ -225,6 +235,11 @@ object SparkEntry {
     "q92_fuzzy_admission" -> t("documents")(Provenance.q92FuzzyAdmission(_)),
     "q93_boilerplate_strip" -> t("documents")(SubstringDedup.q93BoilerplateStrip(_)),
     "q94_ivfpq_recall" -> t("embeddings")(Pq.q94IvfPqRecall(_)),
+    "q96_bm25_topk" -> t("documents")(Retrieval.q96Bm25Topk(_)),
+    "q97_temperature_mix" -> t("documents")(Curate.q97TemperatureMix(_)),
+    "q98_cluster_canon" -> t("documents")(TextOps.q98ClusterCanon(_)),
+    "q99_seq_length_stats" -> t("documents")(Packing.q99SeqLengthStats(_)),
+    "q100_distinct_ngrams" -> t("documents")(TextOps.q100DistinctNgrams(_)),
     "q95_curation_v4" -> ((s, dir) => CurateV2.q95CurationV4(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
   )
@@ -327,5 +342,10 @@ object SparkEntry {
     "q93_boilerplate_strip" -> SubstringDedup.q93Sql(),
     "q94_ivfpq_recall" -> Pq.q94Sql(),
     "q95_curation_v4" -> CurateV2.q95Sql(),
+    "q96_bm25_topk" -> Retrieval.q96Sql(),
+    "q97_temperature_mix" -> Curate.q97Sql(),
+    "q98_cluster_canon" -> TextOps.q98Sql(),
+    "q99_seq_length_stats" -> Packing.q99Sql(),
+    "q100_distinct_ngrams" -> TextOps.q100Sql(),
   )
 }

@@ -228,4 +228,68 @@ object Curate {
        |    CAST(total_tokens AS DOUBLE) * $budgetFrac / n_langs / lang_tokens), 6)
        |    * lang_tokens) AS BIGINT) AS alloc_tokens
        |FROM pl, t ORDER BY lang""".stripMargin
+
+  /** q97: TEMPERATURE-resampled source mixture — the multilingual /
+    * multi-domain sampling scheme of the mBERT / XLM-R line (Conneau
+    * et al. 2020, §3.1): sample sources with probability ∝ n^α
+    * (α < 1 flattens the head, upweights the tail) instead of q69's
+    * uniform target. Emits, per source: the exponentiated mixture
+    * weight, the per-doc acceptance rate toward a `budgetFrac`·N doc
+    * budget (capped at 1 — oversubscribed tail sources keep
+    * everything), and the count the deterministic q58-style hash
+    * filter ACTUALLY admits — plan and realized sample in one result,
+    * so drift between the two (hash granularity at small n) is visible
+    * rather than assumed away.
+    *
+    * Determinism: n^α is rounded ONCE to micro-units; the normalizer
+    * is an exact long sum (the LmScore discipline — a ~20-term double
+    * sum would be summation-order-dependent); the acceptance threshold
+    * is an integer micro-rate, so admission is a pure integer
+    * comparison on the 60-bit doc hash both engines compute
+    * identically.
+    *
+    * Scale shape: groupBy(source) (domains are few) → one-row totals
+    * broadcast → per-source rate table broadcast back to the corpus
+    * scan for the admission count. Two scans of a narrow projection,
+    * no wide shuffle. */
+  def q97TemperatureMix(documents: DataFrame, alpha: Double = 0.7,
+                        budgetFrac: Double = 0.5): DataFrame = {
+    val per = documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wm",
+        round(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6).cast("long"))
+    val tot = per.agg(sum("wm").as("denom"), sum("n_docs").as("n_total"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("weight", round(col("wm") / col("denom"), 6))
+      .withColumn("rate", round(least(lit(1.0),
+        lit(budgetFrac) * col("n_total") * col("wm") / col("denom") / col("n_docs")), 6))
+      .withColumn("thr", round(col("rate") * 1e6).cast("long"))
+    val hm = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000L)
+    documents.select(col("source"), hm.as("hm"))
+      .join(broadcast(rates), "source")
+      .groupBy(col("source"), col("n_docs"), col("weight"), col("rate"))
+      .agg(sum(when(col("hm") < col("thr"), 1L).otherwise(0L)).as("n_sampled"))
+      .select("source", "n_docs", "weight", "rate", "n_sampled")
+      .orderBy("source")
+  }
+
+  def q97Sql(alpha: Double = 0.7, budgetFrac: Double = 0.5): String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(round(pow(count(*)::DOUBLE, $alpha) * 1e6) AS BIGINT) AS wm
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(wm) AS BIGINT) AS denom,
+       |        CAST(sum(n_docs) AS BIGINT) AS n_total FROM per),
+       |r AS (SELECT source, n_docs, wm, denom,
+       |        round(wm / denom, 6) AS weight,
+       |        round(least(1.0,
+       |          $budgetFrac * n_total * wm / denom / n_docs), 6) AS rate
+       |      FROM per, t)
+       |SELECT r.source, r.n_docs, r.weight, r.rate,
+       |  CAST(sum(CASE WHEN
+       |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % 1000000 < CAST(round(r.rate * 1e6) AS BIGINT)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |FROM documents d JOIN r ON d.source = r.source
+       |GROUP BY 1, 2, 3, 4 ORDER BY r.source""".stripMargin
 }

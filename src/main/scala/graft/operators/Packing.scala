@@ -88,4 +88,45 @@ object Packing {
        |  CAST((end_tok - 1) // $seqLen > (end_tok - n_tokens) // $seqLen AS INT)
        |    AS spans_boundary
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** q99: per-source sequence-length distribution + truncation loss —
+    * the planning census that precedes any choice of context length:
+    * exact p50/p95 token-length percentiles per source, the share of
+    * docs longer than `seqLen`, and the token mass a truncate-at-L
+    * policy would discard (the quantity q67's packing plan exists to
+    * avoid losing). Whitespace tokens (the q20 unit — this is corpus
+    * census, not model budgeting, so no training pass).
+    *
+    * Scale: one narrow (source, n_tok) scan → groupBy(source); exact
+    * percentile rides the same ApproxAboveThreshold valve as q06/q07
+    * (sketch percentiles above the size threshold, no caller change). */
+  def q99SeqLengthStats(documents: DataFrame, seqLen: Int = 128): DataFrame = {
+    documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_tok, 0.5)"), 6).as("p50_tokens"),
+        round(expr("percentile(n_tok, 0.95)"), 6).as("p95_tokens"),
+        sum(when(col("n_tok") > seqLen, 1L).otherwise(0L)).as("n_truncated"),
+        sum(greatest(col("n_tok") - seqLen, lit(0L))).as("tokens_lost"),
+        round(sum(greatest(col("n_tok") - seqLen, lit(0L))).cast("double")
+          / sum("n_tok"), 6).as("loss_frac"))
+      .orderBy("source")
+  }
+
+  def q99Sql(seqLen: Int = 128): String =
+    s"""WITH d AS (SELECT source,
+       |  CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+       |  round(quantile_cont(n_tok, 0.95), 6) AS p95_tokens,
+       |  CAST(sum(CASE WHEN n_tok > $seqLen THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_truncated,
+       |  CAST(sum(greatest(n_tok - $seqLen, 0)) AS BIGINT) AS tokens_lost,
+       |  round(CAST(sum(greatest(n_tok - $seqLen, 0)) AS DOUBLE)
+       |    / sum(n_tok), 6) AS loss_frac
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
 }

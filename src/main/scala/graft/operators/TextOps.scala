@@ -313,6 +313,112 @@ object TextOps {
        |SELECT id AS doc_id, min(lab) AS cluster
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** q98: canonical-document selection per near-dup cluster — the
+    * KEEPER DECISION a production dedup actually ships: q56 answers
+    * "which docs form a clone family", this answers "which single doc
+    * of each family enters the training set". Policy: highest q29
+    * quality wins, doc_id breaks ties (min-id = the q21/q27 keeper
+    * convention) — quality-aware where q27's pairwise higher-id-drops
+    * rule is quality-blind and can discard the cleanest copy.
+    *
+    * Determinism: the selection key is quality ROUNDED to 6 dp (the
+    * q47 rounded-key discipline) so a cross-engine ulp cannot flip the
+    * argmax; realized as ONE `max(struct(q, -doc_id))` aggregate per
+    * cluster — no global window, and the negated id turns the
+    * lexicographic struct max into (q desc, id asc) exactly.
+    *
+    * Scale shape: q56's component labels (near-dup members only — tiny
+    * vs the corpus) join the row-local quality features on doc_id,
+    * then one partial-aggregable groupBy(cluster). Nothing new
+    * shuffles at corpus scale. */
+  def q98ClusterCanon(documents: DataFrame, threshold: Double = 0.2,
+                      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val clusters = q56DedupClusters(documents, threshold, maxDf)
+    val qual = LangQuality.withLangQuality(documents)
+      .select(col("doc_id"), round(col("quality"), 6).as("q"))
+    clusters.join(qual, "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q"), negate(col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster"), negate(col("m.nid")).as("canon_doc_id"),
+        col("m.q").as("canon_quality"), col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("cluster")
+  }
+
+  def q98Sql(threshold: Double = 0.2, maxDf: Int = DefaultMaxDf): String =
+    s"""WITH RECURSIVE
+       |${pairsSqlCtes(threshold, maxDf)},
+       |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+       |          UNION ALL SELECT idb, ida FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+       |cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+       |${graft.operators.LangQuality.featSqlCtes("documents", "cq_")},
+       |sel AS (SELECT c.cluster, c.doc_id, round(f.quality, 6) AS q
+       |        FROM cl c JOIN cq_feat f USING (doc_id)),
+       |r AS (SELECT cluster, doc_id, q,
+       |        row_number() OVER (PARTITION BY cluster
+       |          ORDER BY q DESC, doc_id) AS rk,
+       |        count(*) OVER (PARTITION BY cluster) AS n
+       |      FROM sel)
+       |SELECT cluster, doc_id AS canon_doc_id, q AS canon_quality,
+       |  n AS n_members, n - 1 AS n_dropped
+       |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin
+
+  /** q100: per-source lexical diversity census — corpus-level
+    * distinct-1 / distinct-2 ratios (the self-BLEU-adjacent diversity
+    * signal of Li et al. 2016, "A Diversity-Promoting Objective"):
+    * distinct unigrams over total tokens and distinct bigrams over
+    * total bigrams, per source. A template-dominated or
+    * model-generated source scores low on distinct-2 long before q86's
+    * span census flags individual docs — this is the source-granular
+    * early warning.
+    *
+    * Scale: two explode → groupBy(source) aggregations with
+    * count_distinct. At 100 TB the exact distinct is the watch item
+    * (per-source distinct bigram counts shuffle vocabulary-sized
+    * partials); the KMV sketch (q46/q57) is the drop-in valve. */
+  def q100DistinctNgrams(documents: DataFrame): DataFrame = {
+    val arr = documents.select(col("source"), split(col("text"), " ").as("a"))
+    val uni = arr.select(col("source"), explode(col("a")).as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("t").as("d_unigrams"))
+    val bg = arr
+      .select(col("source"), explode(expr(
+        """if(size(a) < 2, cast(array() as array<string>),
+          |   transform(sequence(0, size(a) - 2),
+          |             i -> concat(a[i], ' ', a[i + 1])))""".stripMargin)).as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct("t").as("d_bigrams"))
+    uni.join(bg, "source")
+      .select(col("source"), col("n_tokens"), col("d_unigrams"),
+        round(col("d_unigrams") / col("n_tokens"), 6).as("distinct1"),
+        col("n_bigrams"), col("d_bigrams"),
+        round(col("d_bigrams") / col("n_bigrams"), 6).as("distinct2"))
+      .orderBy("source")
+  }
+
+  def q100Sql(): String =
+    s"""WITH arr AS (SELECT source, regexp_split_to_array(text, ' ') AS a
+       |             FROM documents),
+       |u AS (SELECT source, unnest(a) AS t FROM arr),
+       |ua AS (SELECT source, count(*) AS n_tokens,
+       |         count(DISTINCT t) AS d_unigrams FROM u GROUP BY source),
+       |b AS (SELECT source, a[i] || ' ' || a[i + 1] AS t
+       |      FROM arr, unnest(range(1, len(a))) AS r(i)),
+       |ba AS (SELECT source, count(*) AS n_bigrams,
+       |         count(DISTINCT t) AS d_bigrams FROM b GROUP BY source)
+       |SELECT source, n_tokens, d_unigrams,
+       |  round(d_unigrams / n_tokens, 6) AS distinct1,
+       |  n_bigrams, d_bigrams,
+       |  round(d_bigrams / n_bigrams, 6) AS distinct2
+       |FROM ua JOIN ba USING (source) ORDER BY source""".stripMargin
+
   /** MinHash signatures (k=8) over the shingle sets, with a fully
     * engine-portable hash family: h = md5-60bit mod P, slot_i =
     * min((a_i·h + b_i) mod P). One groupBy per doc — the signature is

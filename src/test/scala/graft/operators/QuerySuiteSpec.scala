@@ -584,4 +584,103 @@ class QuerySuiteSpec extends AnyFunSuite {
       TemporalJoins.Brackets.map(_._1).toSet))
     assert(rows.map(_.getLong(1)).sum === li.count(), "every lineitem in exactly one bracket")
   }
+
+  test("q96 bm25: sides are disjoint, ranks contiguous, scores non-increasing") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val rows = Retrieval.q96Bm25Topk(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 === 7, "query side must be the bench slice")
+      assert(r.getLong(2) % 50 !== 7, "retrieved docs must be train-side")
+      assert(r.getDouble(3) > 0.0, "BM25 with the +1 idf is strictly positive")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to rs.length), s"ranks of $q")
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      assert(scores === scores.sorted.reverse, s"scores of $q not non-increasing")
+    }
+  }
+
+  test("q97 temperature mix: weights sum to 1, alpha<1 flattens toward the tail") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val rows = Curate.q97TemperatureMix(docs).collect()
+    val wsum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(4) <= r.getLong(1), "cannot sample more than exists")
+    }
+    // temperature property: acceptance rate is non-increasing in source
+    // size (smaller sources get upweighted)
+    val bySize = rows.sortBy(_.getLong(1))
+    bySize.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) >= b.getDouble(3) - 1e-9,
+        s"rate must not grow with size: ${a.getLong(1)}->${b.getLong(1)}")
+    }
+    // realized sample tracks the planned rate at hash granularity
+    rows.foreach { r =>
+      val planned = r.getDouble(3) * r.getLong(1)
+      assert(math.abs(r.getLong(4) - planned) <= math.max(5.0, planned * 0.5),
+        s"${r.getString(0)}: sampled ${r.getLong(4)} vs planned $planned")
+    }
+  }
+
+  test("q99 length stats: percentiles ordered, truncation accounting consistent") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val rows = Packing.q99SeqLengthStats(docs, seqLen = 64).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === docs.count())
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3), "p50 <= p95")
+      assert(r.getLong(4) <= r.getLong(1), "truncated <= docs")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0)
+      // losing tokens requires truncated docs and vice versa
+      assert((r.getLong(5) > 0) === (r.getLong(4) > 0))
+    }
+  }
+
+  test("q100 diversity: ratios in (0,1], bigram counts consistent with token counts") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val rows = TextOps.q100DistinctNgrams(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "distinct unigrams <= tokens")
+      assert(r.getLong(5) <= r.getLong(4), "distinct bigrams <= bigrams")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
+      // n_bigrams = n_tokens - n_docs (each doc contributes len-1)
+      assert(r.getLong(4) < r.getLong(1))
+      // bigrams are more diverse than unigrams on natural-ish text
+      assert(r.getDouble(6) >= r.getDouble(3),
+        s"${r.getString(0)}: distinct2 should dominate distinct1")
+    }
+  }
+
+  test("q98 cluster canon: members reconcile with q56, keeper has max quality") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val clusters = TextOps.q56DedupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val canon = TextOps.q98ClusterCanon(docs).collect()
+    assert(canon.map(_.getLong(3)).sum === clusters.length,
+      "cluster member counts must partition q56's membership")
+    val qual = LangQuality.withLangQuality(docs)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("quality"), 6).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    canon.foreach { r =>
+      val (cl, keeper, kq) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val mem = members(cl)
+      assert(mem.contains(keeper), s"canon of $cl not a member")
+      assert(r.getLong(3) === mem.length.toLong)
+      assert(r.getLong(4) === mem.length.toLong - 1)
+      assert(mem.forall(m => qual(m) <= kq), s"cluster $cl keeper not max-quality")
+      // tie policy: among max-quality members, the keeper is min id
+      val best = mem.filter(m => qual(m) == kq)
+      assert(keeper === best.min, s"cluster $cl tie not broken by min id")
+    }
+  }
 }
