@@ -12,6 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - SQL function `byte_histogram(bin, bins)` — multimodal feature kernel
   *  - optimizer rule [[ApproxAboveThreshold]] — exact→approx percentile
   *    rewrite above a size threshold
+  *  - optimizer rule [[ApproxDistinctAboveThreshold]] — exact
+  *    count(DISTINCT) → HyperLogLog++ above a size threshold
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -47,5 +49,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // FIXPOINT (up to 100 iterations/query); combined with the stats
     // walk the rule needs, that taxed the whole suite ~17%.
     ext.injectPreCBORule(_ => ApproxAboveThreshold)
+    ext.injectPreCBORule(_ => ApproxDistinctAboveThreshold)
   }
 }

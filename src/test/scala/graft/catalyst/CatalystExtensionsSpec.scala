@@ -211,6 +211,34 @@ class CatalystExtensionsSpec extends AnyFunSuite {
     ext.conf.unset(ApproxAboveThreshold.ThresholdKey)
   }
 
+  test("count(DISTINCT) rewrites to HLL++ above the size threshold, not below; accuracy within rsd") {
+    val li = "parquet.`/root/testdata/sf0.001/lineitem.parquet`"
+    try {
+      ext.conf.set(ApproxDistinctAboveThreshold.ThresholdKey, "1")
+      val big = ext.sql(s"SELECT count(DISTINCT l_orderkey) AS d FROM $li")
+      assert(big.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"),
+        big.queryExecution.optimizedPlan.toString)
+      // grouped form rewrites too (the q100 shape)
+      val grouped = ext.sql(
+        s"SELECT l_returnflag, count(DISTINCT l_orderkey) AS d FROM $li GROUP BY 1")
+      assert(grouped.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+
+      ext.conf.set(ApproxDistinctAboveThreshold.ThresholdKey, "-1")
+      val exact = ext.sql(s"SELECT count(DISTINCT l_orderkey) AS d FROM $li")
+      assert(!exact.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+
+      // the sketch answer lands within ~3x rsd of exact, same LongType
+      ext.conf.set(ApproxDistinctAboveThreshold.ThresholdKey, "1")
+      val (a, e) = (big.head().getLong(0), exact.head().getLong(0))
+      assert(math.abs(a - e).toDouble / e < 0.15, s"approx $a vs exact $e")
+
+      // multi-column distinct is deliberately NOT rewritten
+      val multi = ext.sql(
+        s"SELECT count(DISTINCT l_orderkey, l_linenumber) FROM $li")
+      assert(!multi.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+    } finally ext.conf.unset(ApproxDistinctAboveThreshold.ThresholdKey)
+  }
+
   test("SpaceSavingSummary invariant: |true - cnt| <= err under adversarial update + merge") {
     // Deterministic Zipf-ish stream split over 8 "partitions", tiny
     // capacity so eviction AND merge-trim both fire; checks the
