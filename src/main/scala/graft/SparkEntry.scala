@@ -123,6 +123,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         at a candidate context length
   *  - q100_distinct_ngrams: per-source distinct-1/distinct-2 lexical
   *                         diversity census (template / synthetic warning)
+  *  - q101_learned_filter: trained logistic-regression document filter
+  *                         (in-engine full-batch GD, oracle-rederived)
   */
 object SparkEntry {
 
@@ -242,6 +244,7 @@ object SparkEntry {
     "q100_distinct_ngrams" -> t("documents")(TextOps.q100DistinctNgrams(_)),
     "q95_curation_v4" -> ((s, dir) => CurateV2.q95CurationV4(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
+    "q101_learned_filter" -> t("documents")(QualityModel.q101LearnedFilter(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -347,5 +350,6 @@ object SparkEntry {
     "q98_cluster_canon" -> TextOps.q98Sql(),
     "q99_seq_length_stats" -> Packing.q99Sql(),
     "q100_distinct_ngrams" -> TextOps.q100Sql(),
+    "q101_learned_filter" -> QualityModel.q101Sql(),
   )
 }

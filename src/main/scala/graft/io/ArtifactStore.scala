@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Fuzzy, Kmeans, Pq, Provenance, StageStore}
+import graft.operators.{Bpe, Fuzzy, Kmeans, Pq, Provenance, QualityModel, StageStore}
 
 /** Versioned persistence for LEARNED artifacts — the piece that turns
   * the per-JVM trainers into something a multi-job deployment operates.
@@ -173,6 +173,33 @@ object ArtifactStore {
       import spark.implicits._
       cb.toDF("sub", "cid", "ce").coalesce(1).write.mode("overwrite").parquet(path)
       cb
+    }
+  }
+
+  // ---- logistic-regression filter weights ------------------------------
+
+  def logregKey(fp: String, iters: Int, trainN: Int): String =
+    s"fp${fp}_i${iters}_n$trainN"
+
+  /** Train-or-load the q101 learned-filter weights; loads seed
+    * [[QualityModel]]'s memo so scoring paths serve the artifact. */
+  def logregOrTrain(root: String, documents: DataFrame,
+                    iters: Int = QualityModel.DefaultIters,
+                    trainN: Int = QualityModel.DefaultTrainN): Seq[Double] = {
+    val spark = documents.sparkSession
+    val path = artifactPath(root, "logreg_weights",
+      logregKey(documentsFingerprint(documents), iters, trainN))
+    if (exists(spark, path)) {
+      val w = spark.read.parquet(path).orderBy("j")
+        .collect().map(_.getAs[Double]("w")).toSeq
+      QualityModel.preload(documents, w, iters, trainN)
+      w
+    } else {
+      val w = QualityModel.weights(documents, iters, trainN)
+      import spark.implicits._
+      w.zipWithIndex.map { case (v, j) => (j, v) }.toDF("j", "w")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      w
     }
   }
 

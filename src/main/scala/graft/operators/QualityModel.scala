@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LEARNED document filter — logistic regression over the row-local
+  * quality/lang-evidence features, trained in-engine by full-batch
+  * gradient descent. The CCNet/fastText move (Wenzek et al. 2020,
+  * "CCNet: Extracting High Quality Monolingual Datasets"): instead of
+  * hand-tuned rule thresholds (q29's heuristic ladder), FIT a linear
+  * model against a labeled teacher column and filter on its score. The
+  * teacher here is the corpus's own ground-truth `lang` label
+  * (target = English) — the synthetic stand-in for "wikipedia-like vs
+  * crawl"; as with the q29 marker vocabularies, the machinery (the
+  * distributed trainer, its determinism discipline, artifact
+  * persistence), not the particular label, is the operator.
+  *
+  * Trainer (full-batch GD, `Iters` fixed steps, lr = 1):
+  *  - features x0..x6 per doc: bias, capped length, type–token ratio,
+  *    and the four capped marker-hit rates — every one a bounded
+  *    rational of integer counts, so feature values are bit-identical
+  *    across engines;
+  *  - training reads the bounded hash-ranked sample (`trainN`, the
+  *    Kmeans/Bpe convention, cap mirrored in the oracle): logistic
+  *    sufficient statistics saturate on a fixed-size prefix of any
+  *    real corpus, so at 100 TB the trainer never scans the corpus;
+  *  - one aggregate job per step; only the 7-double gradient row ever
+  *    reaches the driver (the q08/Kmeans documented scalar-barrier
+  *    shape), folded into the next step's literal weights.
+  *
+  * Cross-engine determinism (the Kmeans discipline): the dot product
+  * is a fixed left-assoc fold (identical IEEE evaluation both
+  * engines); the only order-sensitive arithmetic — the gradient
+  * average — is ROUNDED TO 6 DP; the weight update `w - g` is then an
+  * exact double op on identical operands, so no driver-side rounding
+  * is needed or applied. Residual exposure: libm `exp` may differ by
+  * an ulp between JVM and DuckDB, which perturbs the pre-rounding
+  * gradient ~1e-16 — the same accepted boundary class as Kmeans means
+  * and LmScore log2. Scores are rounded to 6 dp ONCE and that value
+  * feeds both the 0.5 decision and the per-class mean.
+  *
+  * No reference analogue (the reference ships no trained model);
+  * beyond-reference per the LLM-pipeline charter. Weights persist via
+  * [[graft.io.ArtifactStore.logregOrTrain]] fingerprint-keyed like
+  * every other learned artifact.
+  */
+object QualityModel {
+
+  val DefaultIters = 6
+  val DefaultTrainN = 2048
+  val NumW = 7 // bias + 6 features
+
+  /** Portable 60-bit hash of doc_id (q42/q51 sampling convention). */
+  private def hv = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+    .cast("long")
+
+  /** One trained weight vector per corpus per JVM (memo + observable
+    * counter — the Kmeans pattern the ArtifactStore load path seeds). */
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+  val trainRuns = new java.util.concurrent.atomic.AtomicLong
+
+  private def memoKey(documents: DataFrame, iters: Int, trainN: Int): Option[String] = {
+    val files = documents.inputFiles
+    if (files.isEmpty) None else Some(files.sorted.mkString(",") + s"#$iters#$trainN")
+  }
+
+  def preload(documents: DataFrame, w: Seq[Double],
+              iters: Int = DefaultIters, trainN: Int = DefaultTrainN): Unit =
+    memoKey(documents, iters, trainN).foreach(memo.put(_, w))
+
+  def weights(documents: DataFrame, iters: Int = DefaultIters,
+              trainN: Int = DefaultTrainN): Seq[Double] =
+    memoKey(documents, iters, trainN) match {
+      case None      => train(documents, iters, trainN)
+      case Some(key) => memo.getOrElseUpdate(key, train(documents, iters, trainN))
+    }
+
+  /** Feature frame: (doc_id, lang, y, x0..x6) — one row-local pass,
+    * every xj ∈ [0,1]. Mirrors [[featureSqlCtes]] term for term. */
+  private def featureFrame(documents: DataFrame): DataFrame = {
+    val nTok = col("n_tokens").cast("double")
+    def rate(h: String) = least(col(h).cast("double") / nTok * 5.0, lit(1.0))
+    LangQuality.withLangQuality(documents)
+      .select(col("doc_id"), col("lang"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        least(nTok / 100.0, lit(1.0)).as("x1"),
+        (col("n_types") / nTok).as("x2"),
+        rate("hits_en").as("x3"), rate("hits_es").as("x4"),
+        rate("hits_de").as("x5"), rate("hits_fr").as("x6"))
+  }
+
+  /** Fixed left-assoc fold w0*x0 + w1*x1 + … (bit-identical to the
+    * oracle's left-assoc `+` chain). */
+  private def zOf(w: Seq[Double]): Column =
+    w.zipWithIndex.map { case (wj, j) => lit(wj) * col(s"x$j") }.reduceLeft(_ + _)
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(negate(z)))
+
+  def train(documents: DataFrame, iters: Int, trainN: Int): Seq[Double] = {
+    trainRuns.incrementAndGet()
+    val trainSet = featureFrame(documents)
+      .withColumn("hv", hv).orderBy("hv", "doc_id").limit(trainN)
+      .select("y", (0 until NumW).map(j => s"x$j"): _*)
+      .localCheckpoint()
+    var w = Array.fill(NumW)(0.0)
+    // empty corpus: nothing to fit — the zero model scores everything
+    // 0.5 (EmptyInputSpec coverage class; avg over 0 rows is null)
+    val empty = trainSet.head(1).isEmpty
+    for (_ <- 1 to iters if !empty) {
+      val p = sigmoid(zOf(w.toSeq))
+      val g = trainSet.select((0 until NumW).map(j =>
+        round(avg((p - col("y")) * col(s"x$j")), 6).as(s"g$j")): _*).collect()(0)
+      w = w.indices.map(j => w(j) - g.getDouble(j)).toArray
+    }
+    w.toSeq
+  }
+
+  /** q101: per-class readout of the trained filter — for each
+    * ground-truth lang: docs, docs the model admits (score ≥ 0.5), and
+    * the mean score. The en row reads as recall, every other row as a
+    * false-admit rate — the acceptance table a deployment checks
+    * before wiring the filter into a curation gate.
+    *
+    * Scale shape: training cost is fixed (bounded sample, 7-double
+    * collects); scoring is one row-local projection over the corpus —
+    * no shuffle beyond the 5-group final aggregate. */
+  def q101LearnedFilter(documents: DataFrame, iters: Int = DefaultIters,
+                        trainN: Int = DefaultTrainN): DataFrame = {
+    val w = weights(documents, iters, trainN)
+    featureFrame(documents)
+      .select(col("lang"), round(sigmoid(zOf(w)), 6).as("p"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("p") >= 0.5, lit(1))).as("n_admitted"),
+        round(avg("p"), 6).as("mean_score"))
+      .orderBy("lang")
+  }
+
+  /** Oracle feature CTEs over `documents`: ends in
+    * `feat(doc_id, lang, hv, y, x0..x6)`. */
+  private def featureSqlCtes: String = {
+    val hits = LangQuality.Markers.map { case (l, ws) =>
+      s"${LangQuality.hitsSql(ws)} AS hits_$l"
+    }.mkString(", ")
+    val rates = Seq("en", "es", "de", "fr").zipWithIndex.map { case (l, i) =>
+      s"least(hits_$l / CAST(n_tokens AS double) * 5.0, 1.0) AS x${i + 3}"
+    }.mkString(",\n|    ")
+    s"""qx AS (SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS a
+       |       FROM documents),
+       |qt AS (SELECT doc_id, lang, len(a) AS n_tokens,
+       |         len(list_distinct(a)) AS n_types, $hits,
+       |         CAST(concat('0x', substr(md5(CAST(doc_id AS varchar)), 1, 15)) AS bigint) AS hv
+       |       FROM qx),
+       |feat AS (SELECT doc_id, lang, hv,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    1.0 AS x0,
+       |    least(CAST(n_tokens AS double) / 100.0, 1.0) AS x1,
+       |    n_types / CAST(n_tokens AS double) AS x2,
+       |    $rates
+       |  FROM qt)""".stripMargin
+  }
+
+  /** The unrolled training CTEs (w0 → g_i/w_i), the Kmeans sqlCtes
+    * shape: requires `feat` in scope, ends by defining `w(w0..w6)`. */
+  private def trainSqlCtes(iters: Int, trainN: Int): String = {
+    val js = 0 until NumW
+    def zSql(alias: String) = js.map(j => s"$alias.w$j * x$j").mkString(" + ")
+    val init =
+      s"""tr AS MATERIALIZED (SELECT * FROM feat ORDER BY hv, doc_id LIMIT $trainN),
+         |w0 AS (SELECT ${js.map(j => s"0.0 AS w$j").mkString(", ")})""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""g$i AS (SELECT ${js.map(j => s"round(avg((p - y) * x$j), 6) AS g$j").mkString(", ")}
+         |  FROM (SELECT y, ${js.map(j => s"x$j").mkString(", ")},
+         |          1.0 / (1.0 + exp(-(${zSql("w")}))) AS p
+         |        FROM tr, w${i - 1} w) z$i),
+         |w$i AS (SELECT ${js.map(j => s"w.w$j - g.g$j AS w$j").mkString(", ")}
+         |        FROM w${i - 1} w, g$i g)""".stripMargin
+    }
+    ((init +: steps) :+ s"w AS (SELECT * FROM w$iters)").mkString(",\n")
+  }
+
+  def q101Sql(iters: Int = DefaultIters, trainN: Int = DefaultTrainN): String = {
+    val z = (0 until NumW).map(j => s"w.w$j * x$j").mkString(" + ")
+    s"""WITH $featureSqlCtes,
+       |${trainSqlCtes(iters, trainN)},
+       |s AS (SELECT lang, round(1.0 / (1.0 + exp(-($z))), 6) AS p
+       |      FROM feat, w)
+       |SELECT lang, count(*) AS n_docs,
+       |  count(CASE WHEN p >= 0.5 THEN 1 END) AS n_admitted,
+       |  round(avg(p), 6) AS mean_score
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+  }
+}
