@@ -125,6 +125,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         diversity census (template / synthetic warning)
   *  - q101_learned_filter: trained logistic-regression document filter
   *                         (in-engine full-batch GD, oracle-rederived)
+  *  - q102_shard_manifest: content-addressed training-shard manifest
+  *                         (per-shard totals + XOR signature + load factor;
+  *                         physical writer in io.ShardSink)
   */
 object SparkEntry {
 
@@ -245,6 +248,7 @@ object SparkEntry {
     "q95_curation_v4" -> ((s, dir) => CurateV2.q95CurationV4(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
     "q101_learned_filter" -> t("documents")(QualityModel.q101LearnedFilter(_)),
+    "q102_shard_manifest" -> t("documents")(Sharding.q102ShardManifest(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -351,5 +355,6 @@ object SparkEntry {
     "q99_seq_length_stats" -> Packing.q99Sql(),
     "q100_distinct_ngrams" -> TextOps.q100Sql(),
     "q101_learned_filter" -> QualityModel.q101Sql(),
+    "q102_shard_manifest" -> Sharding.q102Sql(),
   )
 }
