@@ -128,6 +128,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q102_shard_manifest: content-addressed training-shard manifest
   *                         (per-shard totals + XOR signature + load factor;
   *                         physical writer in io.ShardSink)
+  *  - q103_admission_gate: the complete ingest tick — exact dedup +
+  *                         fuzzy dedup + learned quality gate in one
+  *                         per-source verdict report (q92 ∘ q101)
   */
 object SparkEntry {
 
@@ -249,6 +252,7 @@ object SparkEntry {
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
     "q101_learned_filter" -> t("documents")(QualityModel.q101LearnedFilter(_)),
     "q102_shard_manifest" -> t("documents")(Sharding.q102ShardManifest(_)),
+    "q103_admission_gate" -> t("documents")(Provenance.q103AdmissionGate(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -356,5 +360,6 @@ object SparkEntry {
     "q100_distinct_ngrams" -> TextOps.q100Sql(),
     "q101_learned_filter" -> QualityModel.q101Sql(),
     "q102_shard_manifest" -> Sharding.q102Sql(),
+    "q103_admission_gate" -> Provenance.q103Sql(),
   )
 }

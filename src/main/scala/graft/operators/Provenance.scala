@@ -186,6 +186,98 @@ object Provenance {
        |LEFT JOIN fz ON fz.fid = b.doc_id
        |GROUP BY b.source ORDER BY source""".stripMargin
 
+  /** q103: the COMPLETE ingest gate — q92's exact + fuzzy dedup
+    * verdicts plus the q101 learned quality gate, composed into the one
+    * per-tick report a production admission loop actually logs. A
+    * batch doc is judged in precedence order: `dup_corpus_exact`
+    * (content hash already ingested) → `dup_corpus_fuzzy` (verified
+    * near-dup of a corpus doc) → `low_quality` → `new` (admitted).
+    *
+    * The filter is trained on the CORPUS side only — the model a
+    * deployment has is one fitted to what it already ingested, never
+    * to the batch it is judging — on the bounded hash-ranked sample.
+    * The quality verdict is BUDGET-BASED, not an absolute threshold:
+    * the bottom `lowFrac` of the tick's NOVEL docs by learned score
+    * (cume_dist ≤ lowFrac over (p, doc_id)) drop. An absolute cut
+    * silently degenerates to drop-everything/keep-everything when the
+    * score distribution shifts (or, as on the driver corpus, when the
+    * teacher is uninformative and scores cluster at the base rate); a
+    * rank budget is the operating point a deployment actually holds
+    * fixed. The rank window is GLOBAL but scoped to one tick's novel
+    * docs — tick-sized by definition, never corpus-sized (documented
+    * exception to the no-global-window rule).
+    *
+    * Scale shape: the dedup legs are q92's (persistable 8–26-byte
+    * state, map-side batch hashing/banding, candidate-driven verify);
+    * the quality leg adds one FIXED-cost training pass (bounded
+    * sample, 7-double collects) and a row-local scoring projection
+    * over the batch. The four verdict counts partition n_batch (all
+    * joins ≤1-match). Oracle: q92's chain plus the unrolled logreg
+    * CTEs trained on the corpus-side slice, scores joined on doc_id,
+    * the same cume_dist over the novel slice. */
+  def q103AdmissionGate(documents: DataFrame, threshold: Double = 0.2,
+                        lowFrac: Double = 0.25): DataFrame = {
+    val isBatch = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(BatchMod)) === 0
+    val corpus = documents.filter(!isBatch(col("doc_id")))
+    val batch = documents.filter(isBatch(col("doc_id")))
+    val fuzzy = Fuzzy.lshCrossPairs(documents, isBatch, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    val w = QualityModel.weights(corpus, scope = s"admission$BatchMod")
+    val j = batch
+      .select(col("doc_id"), col("source"), contentHash60(col("text")).as("h"))
+      .join(corpusHashState(corpus), col("h") === col("ch"), "left")
+      .join(fuzzy, col("doc_id") === col("fid"), "left")
+      .join(QualityModel.scores(batch, w), "doc_id")
+    val lq = j.filter(col("ch").isNull && col("fid").isNull)
+      .withColumn("lq", cume_dist().over(
+        org.apache.spark.sql.expressions.Window.orderBy("p", "doc_id"))
+        <= lowFrac)
+      .select(col("doc_id").as("lqid"), col("lq"))
+    j.join(lq, col("doc_id") === col("lqid"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        count(col("ch")).as("n_dup_exact"),
+        count(when(col("ch").isNull, col("fid"))).as("n_dup_fuzzy"),
+        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+        count(when(col("lq") === false, lit(1))).as("n_new"))
+      .orderBy("source")
+  }
+
+  def q103Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String =
+    s"""WITH ${Fuzzy.lshPairsSqlCtes(
+         "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
+         threshold)},
+       |h AS (SELECT doc_id, source,
+       |        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+       |      FROM documents),
+       |b AS (SELECT doc_id, source, h FROM h WHERE doc_id % $BatchMod = 0),
+       |c AS (SELECT DISTINCT h FROM h WHERE doc_id % $BatchMod <> 0),
+       |fz AS (SELECT DISTINCT CASE WHEN ida % $BatchMod = 0 THEN ida ELSE idb END AS fid
+       |       FROM pairs WHERE (ida % $BatchMod = 0) <> (idb % $BatchMod = 0)),
+       |${QualityModel.featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $BatchMod <> 0)", "ctr_")},
+       |${QualityModel.trainSqlCtes(iters, trainN, "ctr_")},
+       |${QualityModel.featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $BatchMod = 0)", "bf_")},
+       |s AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+       |      FROM bf_feat, ctr_w w),
+       |j AS (SELECT b.doc_id, b.source, c.h AS ch, fz.fid, s.p
+       |      FROM b LEFT JOIN c ON b.h = c.h
+       |      LEFT JOIN fz ON fz.fid = b.doc_id
+       |      JOIN s ON s.doc_id = b.doc_id),
+       |lq AS (SELECT doc_id,
+       |         cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
+       |       FROM j WHERE ch IS NULL AND fid IS NULL)
+       |SELECT j.source, count(*) AS n_batch, count(j.ch) AS n_dup_exact,
+       |  count(CASE WHEN j.ch IS NULL THEN j.fid END) AS n_dup_fuzzy,
+       |  count(CASE WHEN lq.lq THEN 1 END) AS n_low_quality,
+       |  count(CASE WHEN lq.lq = false THEN 1 END) AS n_new
+       |FROM j LEFT JOIN lq ON lq.doc_id = j.doc_id
+       |GROUP BY j.source ORDER BY source""".stripMargin
+
   /** q75: manifest DIFF — the consumer of q70's manifests: given two
     * corpus snapshots, which id-buckets changed, and how? This is how
     * two 100 TB snapshots are compared WITHOUT moving either corpus:

@@ -43,6 +43,17 @@ import org.apache.spark.sql.functions._
   * beyond-reference per the LLM-pipeline charter. Weights persist via
   * [[graft.io.ArtifactStore.logregOrTrain]] fingerprint-keyed like
   * every other learned artifact.
+  *
+  * HONESTY NOTE on the driver corpus: its `lang` label is assigned
+  * independently of the (English-ish for every label) text, so the
+  * teacher carries almost no mutual information with the features and
+  * scores cluster at the base rate — exactly what a well-behaved
+  * probabilistic model SHOULD do on an uninformative task.
+  * QualityModelSpec therefore pins what is true on any corpus:
+  * training log-loss strictly decreases along the GD trajectory
+  * ([[trainLoss]]), determinism, and artifact identity — not accuracy.
+  * Consumers gate on the score RANK (a budget operating point, q103),
+  * which stays meaningful whatever the label's signal level.
   */
 object QualityModel {
 
@@ -59,18 +70,24 @@ object QualityModel {
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
   val trainRuns = new java.util.concurrent.atomic.AtomicLong
 
-  private def memoKey(documents: DataFrame, iters: Int, trainN: Int): Option[String] = {
+  /** `scope` discriminates trainers over different SLICES of the same
+    * files (q101 trains on the whole table, q103 on the corpus side of
+    * the admission split) — inputFiles alone would alias them. */
+  private def memoKey(documents: DataFrame, iters: Int, trainN: Int,
+                      scope: String): Option[String] = {
     val files = documents.inputFiles
-    if (files.isEmpty) None else Some(files.sorted.mkString(",") + s"#$iters#$trainN")
+    if (files.isEmpty) None
+    else Some(files.sorted.mkString(",") + s"#$iters#$trainN#$scope")
   }
 
   def preload(documents: DataFrame, w: Seq[Double],
-              iters: Int = DefaultIters, trainN: Int = DefaultTrainN): Unit =
-    memoKey(documents, iters, trainN).foreach(memo.put(_, w))
+              iters: Int = DefaultIters, trainN: Int = DefaultTrainN,
+              scope: String = ""): Unit =
+    memoKey(documents, iters, trainN, scope).foreach(memo.put(_, w))
 
   def weights(documents: DataFrame, iters: Int = DefaultIters,
-              trainN: Int = DefaultTrainN): Seq[Double] =
-    memoKey(documents, iters, trainN) match {
+              trainN: Int = DefaultTrainN, scope: String = ""): Seq[Double] =
+    memoKey(documents, iters, trainN, scope) match {
       case None      => train(documents, iters, trainN)
       case Some(key) => memo.getOrElseUpdate(key, train(documents, iters, trainN))
     }
@@ -116,6 +133,27 @@ object QualityModel {
     w.toSeq
   }
 
+  /** Mean log-loss of weights `w` over the bounded training sample —
+    * the quantity full-batch GD descends; QualityModelSpec pins the
+    * strict decrease along the training trajectory (the
+    * label-independent correctness property of the trainer). */
+  def trainLoss(documents: DataFrame, w: Seq[Double],
+                trainN: Int = DefaultTrainN): Double = {
+    val p = sigmoid(zOf(w))
+    featureFrame(documents)
+      .withColumn("hv", hv).orderBy("hv", "doc_id").limit(trainN)
+      .select(avg(negate(col("y") * log(p) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - p))).as("loss"))
+      .collect()(0).getDouble(0)
+  }
+
+  /** (doc_id, p) — every doc scored under trained weights `w` (6-dp
+    * rounded once; both the 0.5 decision and any mean read this value).
+    * Row-local: no shuffle. The application surface q103's admission
+    * gate composes. */
+  def scores(documents: DataFrame, w: Seq[Double]): DataFrame =
+    featureFrame(documents).select(col("doc_id"), round(sigmoid(zOf(w)), 6).as("p"))
+
   /** q101: per-class readout of the trained filter — for each
     * ground-truth lang: docs, docs the model admits (score ≥ 0.5), and
     * the mean score. The en row reads as recall, every other row as a
@@ -137,58 +175,68 @@ object QualityModel {
       .orderBy("lang")
   }
 
-  /** Oracle feature CTEs over `documents`: ends in
-    * `feat(doc_id, lang, hv, y, x0..x6)`. */
-  private def featureSqlCtes: String = {
+  /** Oracle feature CTEs over the given docs relation: ends in
+    * `${p}feat(doc_id, lang, hv, y, x0..x6)`. Prefix-parameterized
+    * (the LangQuality.featSqlCtes convention) so a composed oracle can
+    * derive features for two corpus SLICES in one WITH clause (q103). */
+  private[operators] def featureSqlCtes(docs: String = "documents",
+                                        p: String = ""): String = {
     val hits = LangQuality.Markers.map { case (l, ws) =>
       s"${LangQuality.hitsSql(ws)} AS hits_$l"
     }.mkString(", ")
     val rates = Seq("en", "es", "de", "fr").zipWithIndex.map { case (l, i) =>
       s"least(hits_$l / CAST(n_tokens AS double) * 5.0, 1.0) AS x${i + 3}"
     }.mkString(",\n|    ")
-    s"""qx AS (SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS a
-       |       FROM documents),
-       |qt AS (SELECT doc_id, lang, len(a) AS n_tokens,
+    s"""${p}qx AS (SELECT doc_id, lang, regexp_split_to_array(text, ' ') AS a
+       |       FROM $docs),
+       |${p}qt AS (SELECT doc_id, lang, len(a) AS n_tokens,
        |         len(list_distinct(a)) AS n_types, $hits,
        |         CAST(concat('0x', substr(md5(CAST(doc_id AS varchar)), 1, 15)) AS bigint) AS hv
-       |       FROM qx),
-       |feat AS (SELECT doc_id, lang, hv,
+       |       FROM ${p}qx),
+       |${p}feat AS (SELECT doc_id, lang, hv,
        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
        |    1.0 AS x0,
        |    least(CAST(n_tokens AS double) / 100.0, 1.0) AS x1,
        |    n_types / CAST(n_tokens AS double) AS x2,
        |    $rates
-       |  FROM qt)""".stripMargin
+       |  FROM ${p}qt)""".stripMargin
   }
 
   /** The unrolled training CTEs (w0 → g_i/w_i), the Kmeans sqlCtes
-    * shape: requires `feat` in scope, ends by defining `w(w0..w6)`. */
-  private def trainSqlCtes(iters: Int, trainN: Int): String = {
+    * shape: reads the `${p}feat` relation, ends by defining
+    * `${p}w(w0..w6)`. */
+  private[operators] def trainSqlCtes(iters: Int, trainN: Int,
+                                      p: String = ""): String = {
     val js = 0 until NumW
     def zSql(alias: String) = js.map(j => s"$alias.w$j * x$j").mkString(" + ")
     val init =
-      s"""tr AS MATERIALIZED (SELECT * FROM feat ORDER BY hv, doc_id LIMIT $trainN),
-         |w0 AS (SELECT ${js.map(j => s"0.0 AS w$j").mkString(", ")})""".stripMargin
+      s"""${p}tr AS MATERIALIZED (SELECT * FROM ${p}feat ORDER BY hv, doc_id LIMIT $trainN),
+         |${p}w0 AS (SELECT ${js.map(j => s"0.0 AS w$j").mkString(", ")})""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""g$i AS (SELECT ${js.map(j => s"round(avg((p - y) * x$j), 6) AS g$j").mkString(", ")}
+      s"""${p}g$i AS (SELECT ${js.map(j => s"round(avg((p - y) * x$j), 6) AS g$j").mkString(", ")}
          |  FROM (SELECT y, ${js.map(j => s"x$j").mkString(", ")},
          |          1.0 / (1.0 + exp(-(${zSql("w")}))) AS p
-         |        FROM tr, w${i - 1} w) z$i),
-         |w$i AS (SELECT ${js.map(j => s"w.w$j - g.g$j AS w$j").mkString(", ")}
-         |        FROM w${i - 1} w, g$i g)""".stripMargin
+         |        FROM ${p}tr, ${p}w${i - 1} w) ${p}z$i),
+         |${p}w$i AS (SELECT ${js.map(j => s"w.w$j - g.g$j AS w$j").mkString(", ")}
+         |        FROM ${p}w${i - 1} w, ${p}g$i g)""".stripMargin
     }
-    ((init +: steps) :+ s"w AS (SELECT * FROM w$iters)").mkString(",\n")
+    ((init +: steps) :+ s"${p}w AS (SELECT * FROM ${p}w$iters)").mkString(",\n")
   }
 
-  def q101Sql(iters: Int = DefaultIters, trainN: Int = DefaultTrainN): String = {
-    val z = (0 until NumW).map(j => s"w.w$j * x$j").mkString(" + ")
-    s"""WITH $featureSqlCtes,
+  /** The scoring expression both q101Sql and q103Sql apply: requires a
+    * scope exposing x0..x6 and a 1-row `w` alias. */
+  private[operators] def scoreSql(wAlias: String = "w"): String = {
+    val z = (0 until NumW).map(j => s"$wAlias.w$j * x$j").mkString(" + ")
+    s"round(1.0 / (1.0 + exp(-($z))), 6)"
+  }
+
+  def q101Sql(iters: Int = DefaultIters, trainN: Int = DefaultTrainN): String =
+    s"""WITH ${featureSqlCtes()},
        |${trainSqlCtes(iters, trainN)},
-       |s AS (SELECT lang, round(1.0 / (1.0 + exp(-($z))), 6) AS p
+       |s AS (SELECT lang, ${scoreSql()} AS p
        |      FROM feat, w)
        |SELECT lang, count(*) AS n_docs,
        |  count(CASE WHEN p >= 0.5 THEN 1 END) AS n_admitted,
        |  round(avg(p), 6) AS mean_score
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
-  }
 }

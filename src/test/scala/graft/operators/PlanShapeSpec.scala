@@ -182,4 +182,28 @@ class PlanShapeSpec extends AnyFunSuite {
     specs.foreach(s => assert(!s.contains("ASC") && !s.contains("DESC"),
       s"an unpartitioned (single-task) window appeared: spec starts '$s'\n" + p))
   }
+
+  test("q101 scoring is join-free pure codegen (weights fold in as literals)") {
+    val df = QualityModel.q101LearnedFilter(Tables.load(spark, sf, "documents"))
+    df.collect()
+    val p = plan(df)
+    // the trained weights are literals in the projection — the scoring
+    // pass must be scan -> project -> aggregate with NO join and no UDF
+    assert(!p.contains("Join"), "scoring plan grew a join:\n" + p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("codegen id"), "no whole-stage codegen span:\n" + p)
+  }
+
+  test("q102 shard manifest: total folds in as broadcast-of-one-row; text never shuffles") {
+    val df = Sharding.q102ShardManifest(Tables.load(spark, sf, "documents"))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row total must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the shuffle moves (shard, hash, counts) — the text column must be
+    // projected away before any exchange
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), "text rides a shuffle:\n" + p)
+  }
 }

@@ -46,6 +46,45 @@ class QualityModelSpec extends AnyFunSuite {
     assert(w1 === w2)
   }
 
+  test("q103 admission gate reconciles with q92 and partitions the batch") {
+    val docs = Tables.load(spark, sf, "documents")
+    val g = Provenance.q103AdmissionGate(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val q92 = Provenance.q92FuzzyAdmission(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(g.keySet === q92.keySet)
+    g.foreach { case (src, r) =>
+      val (nb, ne, nf, nlq, nn) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // verdicts partition the batch
+      assert(ne + nf + nlq + nn === nb, src)
+      // dedup legs identical to q92; q92's n_new splits into
+      // low_quality + new under the learned gate
+      val q = q92(src)
+      assert(ne === q.getLong(2) && nf === q.getLong(3), src)
+      assert(nlq + nn === q.getLong(4), src)
+    }
+    // budget gating is non-degenerate by construction: the bottom
+    // quartile of novel docs drops, the rest admit
+    val (nlq, nn) = (g.values.map(_.getLong(4)).sum, g.values.map(_.getLong(5)).sum)
+    assert(nlq > 0, "no doc was gated low_quality")
+    assert(nn > 0, "every doc was gated low_quality")
+    // ~25% of the novel docs drop (floor boundary via cume_dist)
+    assert(nlq <= (nlq + nn) / 2, s"budget gate dropped too much: $nlq of ${nlq + nn}")
+  }
+
+  test("gradient descent strictly decreases training log-loss") {
+    val docs = Tables.load(spark, sf, "documents")
+    val w0 = Seq.fill(QualityModel.NumW)(0.0)
+    val w2 = QualityModel.train(docs, iters = 2, trainN = 2048)
+    val w6 = QualityModel.train(docs, iters = 6, trainN = 2048)
+    val (l0, l2, l6) = (QualityModel.trainLoss(docs, w0),
+      QualityModel.trainLoss(docs, w2), QualityModel.trainLoss(docs, w6))
+    assert(math.abs(l0 - math.log(2.0)) < 1e-12) // zero model = coin flip
+    assert(l2 < l0, s"2-step loss $l2 !< init $l0")
+    assert(l6 < l2, s"6-step loss $l6 !< 2-step $l2")
+  }
+
   test("empty corpus: zero model, empty report, no crash") {
     val docs = Tables.load(spark, sf, "documents").filter("1 = 0")
     assert(QualityModel.train(docs, iters = 2, trainN = 10) === Seq.fill(7)(0.0))
