@@ -103,7 +103,18 @@ object TextOps {
     * byte-identical with the cap armed; at 100 TB a deployment tunes it
     * down (and MinHash-LSH, q27, is the sublinear path anyway). The
     * oracle SQL applies the identical filter, so parity holds at any
-    * scale even when the cap bites. */
+    * scale even when the cap bites.
+    *
+    * MEASURED cap bite (round-9 gen-sf1 rehearsal, NOTES_r9): a planted
+    * near-dup FAMILY of ~146 docs shares its trigrams across all 146,
+    * so the family's shingles cross df=64 and the capped pair graph
+    * (q22/q56/q98) legitimately empties — in BOTH engines, so parity
+    * holds — while cap-free MinHash-LSH (q27: band collisions + exact
+    * verify) still surfaces the family. That asymmetry is the design:
+    * the df cap protects the EXACT index from the f²/2 blowup precisely
+    * when copy-families get large, and banding — whose candidate count
+    * is per-band-bucket, not per-shingle — is the path that must find
+    * what the cap drops. */
   val DefaultMaxDf = 64
 
   /** Drop accounting for the DF cap: (n_dropped_shingles,
