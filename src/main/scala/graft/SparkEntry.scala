@@ -131,6 +131,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q103_admission_gate: the complete ingest tick — exact dedup +
   *                         fuzzy dedup + learned quality gate in one
   *                         per-source verdict report (q92 ∘ q101)
+  *  - q104_score_drift:    frozen-model per-decile score drift across an
+  *                         ingest tick (model monitoring: retrain signal)
   */
 object SparkEntry {
 
@@ -253,6 +255,7 @@ object SparkEntry {
     "q101_learned_filter" -> t("documents")(QualityModel.q101LearnedFilter(_)),
     "q102_shard_manifest" -> t("documents")(Sharding.q102ShardManifest(_)),
     "q103_admission_gate" -> t("documents")(Provenance.q103AdmissionGate(_)),
+    "q104_score_drift" -> t("documents")(QualityModel.q104ScoreDrift(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -361,5 +364,6 @@ object SparkEntry {
     "q101_learned_filter" -> QualityModel.q101Sql(),
     "q102_shard_manifest" -> Sharding.q102Sql(),
     "q103_admission_gate" -> Provenance.q103Sql(),
+    "q104_score_drift" -> QualityModel.q104Sql(),
   )
 }

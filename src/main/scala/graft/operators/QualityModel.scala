@@ -230,6 +230,72 @@ object QualityModel {
     s"round(1.0 / (1.0 + exp(-($z))), 6)"
   }
 
+  /** q104: FROZEN-MODEL score drift across an ingest tick — the model
+    * monitoring read a deployment does before trusting yesterday's
+    * filter on today's data. The filter is trained (or artifact-loaded)
+    * on the base corpus (doc_id % BatchMod ≠ 0 — the q73/q92/q103
+    * snapshot convention) and FROZEN; both the base corpus and the
+    * post-tick corpus (the full table) are scored under those same
+    * weights, and the report is the per-decile score histogram of each
+    * plus the fraction shift. A drifting delta column is the signal to
+    * retrain the filter (or to suspect the new source mix) — scores
+    * moved, and the model didn't.
+    *
+    * Scale shape: two row-local scoring projections into 10-bucket
+    * aggregates + broadcast-of-one-total-row for fractions; training
+    * amortized via the same memo/artifact q103 serves. Bucket edges are
+    * `least(floor(p·10), 9)` on the ONCE-6-dp-rounded score — both
+    * engines floor the identical IEEE product, so no float boundary
+    * exists to disagree. */
+  def q104ScoreDrift(documents: DataFrame, iters: Int = DefaultIters,
+                     trainN: Int = DefaultTrainN): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(Provenance.BatchMod)) === 0
+    val corpus = documents.filter(!isBatch)
+    val w = weights(corpus, iters, trainN,
+      scope = s"admission${Provenance.BatchMod}")
+    def hist(df: DataFrame, n: String) = scores(df, w)
+      .select(least(floor(col("p") * 10), lit(9)).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(n))
+    val base = hist(corpus, "n_base")
+    val tick = hist(documents, "n_tick")
+    val tot = base.agg(sum("n_base").as("ta"))
+      .crossJoin(tick.agg(sum("n_tick").as("tb")))
+    base.join(tick, Seq("bucket"), "full")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_tick"), lit(0L)).as("n_tick"),
+        round(coalesce(col("n_base"), lit(0L)) / col("ta"), 6).as("frac_base"),
+        round(coalesce(col("n_tick"), lit(0L)) / col("tb"), 6).as("frac_tick"),
+        round(coalesce(col("n_tick"), lit(0L)) / col("tb") -
+          coalesce(col("n_base"), lit(0L)) / col("ta"), 6).as("delta"))
+      .orderBy("bucket")
+  }
+
+  def q104Sql(iters: Int = DefaultIters, trainN: Int = DefaultTrainN): String = {
+    val bm = Provenance.BatchMod
+    s"""WITH ${featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm <> 0)", "ctr_")},
+       |${trainSqlCtes(iters, trainN, "ctr_")},
+       |${featureSqlCtes("documents", "all_")},
+       |ha AS (SELECT CAST(least(floor(${scoreSql("w")} * 10), 9) AS int) AS bucket,
+       |         count(*) AS n_base
+       |       FROM ctr_feat, ctr_w w GROUP BY 1),
+       |hb AS (SELECT CAST(least(floor(${scoreSql("w")} * 10), 9) AS int) AS bucket,
+       |         count(*) AS n_tick
+       |       FROM all_feat, ctr_w w GROUP BY 1),
+       |t AS (SELECT (SELECT sum(n_base) FROM ha) AS ta,
+       |             (SELECT sum(n_tick) FROM hb) AS tb)
+       |SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+       |  coalesce(n_base, 0) AS n_base, coalesce(n_tick, 0) AS n_tick,
+       |  round(coalesce(n_base, 0) / CAST(ta AS double), 6) AS frac_base,
+       |  round(coalesce(n_tick, 0) / CAST(tb AS double), 6) AS frac_tick,
+       |  round(coalesce(n_tick, 0) / CAST(tb AS double)
+       |        - coalesce(n_base, 0) / CAST(ta AS double), 6) AS delta
+       |FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket, t
+       |ORDER BY bucket""".stripMargin
+  }
+
   def q101Sql(iters: Int = DefaultIters, trainN: Int = DefaultTrainN): String =
     s"""WITH ${featureSqlCtes()},
        |${trainSqlCtes(iters, trainN)},

@@ -53,7 +53,18 @@ class EmptyInputSpec extends AnyFunSuite {
       "q87_pq_recall" -> Pq.q87PqRecall(empty("embeddings")),
       "q88_fuzzy_decontam" -> Contamination.q88FuzzyDecontam(empty("documents")),
       "q89_lang_fertility" -> Bpe.q89LangFertility(empty("documents")),
-      "q90_boilerplate" -> SubstringDedup.q90Boilerplate(empty("documents")))
+      "q90_boilerplate" -> SubstringDedup.q90Boilerplate(empty("documents")),
+      "q92_fuzzy_admission" -> Provenance.q92FuzzyAdmission(empty("documents")),
+      "q93_boilerplate_strip" -> SubstringDedup.q93BoilerplateStrip(empty("documents")),
+      "q94_ivfpq_recall" -> Pq.q94IvfPqRecall(empty("embeddings")),
+      "q96_bm25_topk" -> Retrieval.q96Bm25Topk(empty("documents")),
+      "q97_temperature_mix" -> Curate.q97TemperatureMix(empty("documents")),
+      "q98_cluster_canon" -> TextOps.q98ClusterCanon(empty("documents")),
+      "q99_seq_length_stats" -> Packing.q99SeqLengthStats(empty("documents")),
+      "q100_distinct_ngrams" -> TextOps.q100DistinctNgrams(empty("documents")),
+      "q101_learned_filter" -> QualityModel.q101LearnedFilter(empty("documents")),
+      "q102_shard_manifest" -> Sharding.q102ShardManifest(empty("documents")),
+      "q103_admission_gate" -> Provenance.q103AdmissionGate(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }

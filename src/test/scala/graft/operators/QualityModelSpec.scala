@@ -73,6 +73,18 @@ class QualityModelSpec extends AnyFunSuite {
     assert(nlq <= (nlq + nn) / 2, s"budget gate dropped too much: $nlq of ${nlq + nn}")
   }
 
+  test("q104 score drift: fractions sum to 1 on each side, deltas sum to 0") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = QualityModel.q104ScoreDrift(docs).collect()
+    assert(rows.nonEmpty)
+    val (nb, nt) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(nt === docs.count(), "tick side must cover the full table")
+    assert(nb === docs.filter("doc_id % 17 != 0").count())
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4)
+  }
+
   test("gradient descent strictly decreases training log-loss") {
     val docs = Tables.load(spark, sf, "documents")
     val w0 = Seq.fill(QualityModel.NumW)(0.0)
