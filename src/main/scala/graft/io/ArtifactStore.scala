@@ -203,6 +203,35 @@ object ArtifactStore {
     }
   }
 
+  // ---- BM25 inverted index ---------------------------------------------
+
+  /** Build-or-load the q96 inverted-index relations (tf / dl /
+    * df+stats) — retrieval's corpus state, the q73-hash-state argument
+    * applied to an index: the corpus text is tokenized ONCE per
+    * snapshot and every query tick probes parquet. Distributed like the
+    * hash state (tf is O(corpus tokens)); the three frames land under
+    * one artifact key as sibling `_SUCCESS`-gated dirs, and a key is
+    * served only when all three committed (a kill between sub-writes
+    * leaves an invisible, rebuilt artifact). */
+  def bm25IndexOrBuild(root: String,
+                       corpusDocs: DataFrame): graft.operators.Retrieval.Bm25Index = {
+    val spark = corpusDocs.sparkSession
+    val base = artifactPath(root, "bm25_index",
+      s"fp${documentsFingerprint(corpusDocs)}")
+    if (!exists(spark, base)) {
+      val idx = graft.operators.Retrieval.index(corpusDocs)
+      idx.tf.write.mode("overwrite").parquet(s"$base/tf")
+      idx.dl.write.mode("overwrite").parquet(s"$base/dl")
+      idx.df.write.mode("overwrite").parquet(s"$base/df")
+      // key-level marker LAST: the artifact (and its listing entry)
+      // exists only once all three sub-relations committed
+      fs(spark, base).create(new Path(base, "_SUCCESS"), true).close()
+    }
+    graft.operators.Retrieval.Bm25Index(
+      spark.read.parquet(s"$base/tf"), spark.read.parquet(s"$base/dl"),
+      spark.read.parquet(s"$base/df"))
+  }
+
   // ---- q73 corpus hash state -------------------------------------------
 
   /** Build-or-load the corpus content-hash state (`ch` long per distinct

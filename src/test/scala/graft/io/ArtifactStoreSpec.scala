@@ -135,6 +135,27 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(diff.forall(r => Set("grown", "shrunk", "mutated")(r.getAs[String]("change"))))
   }
 
+  test("bm25 index: built once, probed from parquet; stored ranking ≡ live q96") {
+    import graft.operators.Retrieval
+    val root = tmpDir("graft_artifacts_bm25")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val isBench = pmod(col("doc_id"), lit(50L)) === 7
+    val corpus = docs.filter(!isBench)
+    val queries = docs.filter(isBench)
+    val live = Retrieval.q96Bm25Topk(docs).collect()
+    val b0 = Retrieval.indexBuilds.get()
+    val idx = ArtifactStore.bm25IndexOrBuild(root, corpus) // may build
+    val built = Retrieval.indexBuilds.get()
+    assert(built === b0 + 1)
+    assert(ArtifactStore.listArtifacts(spark, root).exists(_._1 == "bm25_index"))
+    // second call serves parquet without re-tokenizing the corpus
+    val idx2 = ArtifactStore.bm25IndexOrBuild(root, corpus)
+    assert(Retrieval.indexBuilds.get() === built, "load must not rebuild")
+    val stored = Retrieval.topkFromIndex(idx2, queries).collect()
+    assert(stored.toSeq === live.toSeq,
+      "artifact-served ranking must be bit-identical to the live query")
+  }
+
   test("q94 ivf-pq composes BOTH persisted artifacts cold, retraining nothing") {
     val root = tmpDir("graft_artifacts_ivfpq")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
