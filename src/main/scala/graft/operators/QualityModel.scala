@@ -92,20 +92,31 @@ object QualityModel {
       case Some(key) => memo.getOrElseUpdate(key, train(documents, iters, trainN))
     }
 
-  /** Feature frame: (doc_id, lang, y, x0..x6) — one row-local pass,
-    * every xj ∈ [0,1]. Mirrors [[featureSqlCtes]] term for term. */
-  private def featureFrame(documents: DataFrame): DataFrame = {
+  /** The x0..x6 feature columns (over a [[LangQuality.withLangQuality]]
+    * scope) — every xj ∈ [0,1], mirrors [[featureSqlCtes]] term for
+    * term. ONE definition shared by the labeled trainer frame and the
+    * label-free scoring frame. */
+  private def xCols: Seq[Column] = {
     val nTok = col("n_tokens").cast("double")
     def rate(h: String) = least(col(h).cast("double") / nTok * 5.0, lit(1.0))
-    LangQuality.withLangQuality(documents)
-      .select(col("doc_id"), col("lang"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
-        lit(1.0).as("x0"),
-        least(nTok / 100.0, lit(1.0)).as("x1"),
-        (col("n_types") / nTok).as("x2"),
-        rate("hits_en").as("x3"), rate("hits_es").as("x4"),
-        rate("hits_de").as("x5"), rate("hits_fr").as("x6"))
+    Seq(lit(1.0).as("x0"),
+      least(nTok / 100.0, lit(1.0)).as("x1"),
+      (col("n_types") / nTok).as("x2"),
+      rate("hits_en").as("x3"), rate("hits_es").as("x4"),
+      rate("hits_de").as("x5"), rate("hits_fr").as("x6"))
   }
+
+  /** Label-free features: (doc_id, x0..x6) from (doc_id, text) alone —
+    * the SCORING input; streaming docs carry no `lang` column. */
+  private def featuresOnly(df: DataFrame): DataFrame =
+    LangQuality.withLangQuality(df).select(col("doc_id") +: xCols: _*)
+
+  /** Labeled feature frame: (doc_id, lang, y, x0..x6) — one row-local
+    * pass; the TRAINING input (y from the corpus's `lang` teacher). */
+  private def featureFrame(documents: DataFrame): DataFrame =
+    LangQuality.withLangQuality(documents)
+      .select(Seq(col("doc_id"), col("lang"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y")) ++ xCols: _*)
 
   /** Fixed left-assoc fold w0*x0 + w1*x1 + … (bit-identical to the
     * oracle's left-assoc `+` chain). */
@@ -149,10 +160,11 @@ object QualityModel {
 
   /** (doc_id, p) — every doc scored under trained weights `w` (6-dp
     * rounded once; both the 0.5 decision and any mean read this value).
-    * Row-local: no shuffle. The application surface q103's admission
-    * gate composes. */
+    * Row-local, label-free (works on streaming frames with only
+    * doc_id + text): no shuffle. The application surface q103's
+    * admission gate and the streaming gated admission compose. */
   def scores(documents: DataFrame, w: Seq[Double]): DataFrame =
-    featureFrame(documents).select(col("doc_id"), round(sigmoid(zOf(w)), 6).as("p"))
+    featuresOnly(documents).select(col("doc_id"), round(sigmoid(zOf(w)), 6).as("p"))
 
   /** q101: per-class readout of the trained filter — for each
     * ground-truth lang: docs, docs the model admits (score ≥ 0.5), and

@@ -196,6 +196,29 @@ object DocStream {
       .withColumn("verdict",
         when(col("fid").isNotNull, lit("dup_corpus_fuzzy"))
           .otherwise(col("verdict")))
+      .select("doc_id", "h", "verdict", "text")
+  }
+
+  /** Per-micro-batch learned quality gate — q103's BUDGET verdict in
+    * the stream: among this batch's post-fuzzy 'new' docs, the bottom
+    * `lowFrac` by FROZEN-model score drop to 'low_quality'. The
+    * weights are literals (trained once — or ArtifactStore-loaded —
+    * when the query is built), so a restarted query trivially scores
+    * identically; the cume_dist window is global but scoped to ONE
+    * micro-batch's novel docs (tick-sized — the q103 documented
+    * exception), and the budget is per tick BY CONSTRUCTION, which is
+    * the q103 semantics exactly. */
+  def refineQuality(batch: DataFrame, weights: Seq[Double],
+                    lowFrac: Double): DataFrame = {
+    val scored = graft.operators.QualityModel.scores(
+      batch.filter(col("verdict") === "new").select("doc_id", "text"), weights)
+    val lq = scored
+      .withColumn("cd", cume_dist().over(
+        org.apache.spark.sql.expressions.Window.orderBy("p", "doc_id")))
+      .filter(col("cd") <= lowFrac).select(col("doc_id").as("lqid"))
+    batch.join(lq, col("doc_id") === col("lqid"), "left")
+      .withColumn("verdict",
+        when(col("lqid").isNotNull, lit("low_quality")).otherwise(col("verdict")))
       .select("doc_id", "h", "verdict")
   }
 
@@ -221,6 +244,32 @@ object DocStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[AdmissionDoc], batchId: Long) =>
         refineFuzzy(b.toDF(), corpusBands, corpusShingles, threshold)
+          .drop("text")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+
+  /** GATED admission query — the streaming twin of q103 (the complete
+    * ingest tick): exact first-seen dedup in the checkpointed state
+    * store, then per-batch fuzzy refinement against the persisted
+    * corpus LSH state, then the learned budget gate under frozen
+    * weights — verdict precedence dup_corpus → dup_stream →
+    * dup_corpus_fuzzy → low_quality → new, written idempotently per
+    * micro-batch like [[fuzzyAdmissionQuery]]. DocStreamSpec pins
+    * reconciliation with the batch q103 report on the same split. */
+  def gatedAdmissionQuery(docs: DataFrame, corpusHashes: DataFrame,
+                          corpusBands: DataFrame, corpusShingles: DataFrame,
+                          weights: Seq[Double],
+                          outPath: String, checkpoint: String,
+                          threshold: Double = 0.2, lowFrac: Double = 0.25)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    admissionStreamWithText(docs, corpusHashes)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[AdmissionDoc], batchId: Long) =>
+        refineQuality(
+          refineFuzzy(b.toDF(), corpusBands, corpusShingles, threshold),
+          weights, lowFrac)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
       .start()

@@ -441,4 +441,63 @@ class DocStreamSpec extends AnyFunSuite {
         "within-horizon dup must be dropped; post-eviction dup must re-emit")
     } finally q.stop()
   }
+
+  test("gated admission stream (q103 twin): one tick reconciles with the batch report") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val documents = Tables.load(spark, sf, "documents")
+    val corpusDocs = documents.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+    val batchFrame = documents.filter(pmod(col("doc_id"), lit(17)) === 0)
+
+    val artRoot = Files.createTempDirectory("graft_gated_art").toString
+    val hashes = graft.io.ArtifactStore.corpusHashesOrBuild(artRoot, corpusDocs)
+    val bands = graft.io.ArtifactStore.corpusBandsOrBuild(artRoot, corpusDocs)
+    val shing = graft.io.ArtifactStore.corpusShinglesOrBuild(artRoot, corpusDocs)
+    // the SAME frozen weights q103 uses (corpus-side teacher, memo-shared)
+    val w = graft.operators.QualityModel.weights(corpusDocs, scope = "admission17")
+
+    import spark.implicits._
+    val batchDocs = batchFrame
+      .selectExpr("doc_id", "(doc_id + 1) * 1000000000 AS ts", "text")
+      .as[DocStream.Doc].collect().sortBy(_.doc_id).toSeq
+
+    val dir = Files.createTempDirectory("graft_gated_jsonl")
+    val ckpt = Files.createTempDirectory("graft_gated_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_gated_out").toString
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    // ONE tick carrying exactly the q103 batch slice: the per-tick
+    // budget window then ranges over the identical novel set
+    Files.writeString(dir.resolve("tick1.jsonl"),
+      batchDocs.map(jline).mkString("\n") + "\n")
+    val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+      DocStream.JsonlDocSchema)
+      .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+      .drop(graft.io.JsonLines.CorruptCol)
+    val q = DocStream.gatedAdmissionQuery(raw,
+      hashes.select(col("ch").as("h")), bands, shing, w, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(got.size === batchDocs.length)
+    // batch-internal exact dups would verdict dup_stream here but count
+    // as novel in batch q103 (its state join sees only the corpus) —
+    // this corpus slice has none, so the reconciliation is exact
+    assert(!got.values.exists(_ == "dup_stream"),
+      "unexpected batch-internal exact dup in the fixture slice")
+    val rep = graft.operators.Provenance.q103AdmissionGate(documents)
+      .agg(org.apache.spark.sql.functions.sum("n_batch"),
+        org.apache.spark.sql.functions.sum("n_dup_exact"),
+        org.apache.spark.sql.functions.sum("n_dup_fuzzy"),
+        org.apache.spark.sql.functions.sum("n_low_quality"),
+        org.apache.spark.sql.functions.sum("n_new")).collect()(0)
+    assert(got.size.toLong === rep.getLong(0))
+    assert(got.values.count(_ == "dup_corpus").toLong === rep.getLong(1))
+    assert(got.values.count(_ == "dup_corpus_fuzzy").toLong === rep.getLong(2))
+    assert(got.values.count(_ == "low_quality").toLong === rep.getLong(3),
+      "the per-tick budget gate must drop the same docs as batch q103")
+    assert(got.values.count(_ == "new").toLong === rep.getLong(4))
+  }
 }
