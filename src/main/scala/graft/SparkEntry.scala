@@ -133,6 +133,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         per-source verdict report (q92 ∘ q101)
   *  - q104_score_drift:    frozen-model per-decile score drift across an
   *                         ingest tick (model monitoring: retrain signal)
+  *  - q105_drop_attribution: per-(source, stage) drop attribution over the
+  *                         v3 curation frame (which source loses docs where)
   */
 object SparkEntry {
 
@@ -256,6 +258,8 @@ object SparkEntry {
     "q102_shard_manifest" -> t("documents")(Sharding.q102ShardManifest(_)),
     "q103_admission_gate" -> t("documents")(Provenance.q103AdmissionGate(_)),
     "q104_score_drift" -> t("documents")(QualityModel.q104ScoreDrift(_)),
+    "q105_drop_attribution" -> ((s, dir) => CurateV2.q105DropAttribution(
+      Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -365,5 +369,6 @@ object SparkEntry {
     "q102_shard_manifest" -> Sharding.q102Sql(),
     "q103_admission_gate" -> Provenance.q103Sql(),
     "q104_score_drift" -> QualityModel.q104Sql(),
+    "q105_drop_attribution" -> CurateV2.q105Sql(),
   )
 }

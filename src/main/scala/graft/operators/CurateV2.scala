@@ -277,6 +277,112 @@ object CurateV2 {
       .drop("_lose7")
   }
 
+  /** Stages 1–8 fully labeled: the v3 frame plus the per-doc
+    * `drop_stage` column (2–8, null = survived all gates) — the shared
+    * core of q91's folded report and q105's per-source attribution. */
+  private[operators] def labeledV3(documents: DataFrame, embeddings: DataFrame,
+                       qmin: Double, flagBits: Double, jaccard: Double,
+                       embThreshold: Double, nCentroids: Int, gramN: Int,
+                       benchMod: Int, benchRem: Int, fuzzyThreshold: Double,
+                       boilMaxFrac: Double, boilK: Int,
+                       store: StageStore): DataFrame = {
+    val l7 = labeledV3Stage7(documents, embeddings, qmin, flagBits, jaccard,
+      embThreshold, nCentroids, gramN, benchMod, benchRem, fuzzyThreshold,
+      store)
+    val surv6 = !col("d2") && !col("d3") && !col("d4") && !col("d5") && !col("d6")
+    // Stage 8 — boilerplate gate: duplicated-span coverage within the
+    // surviving corpus; template-dominated docs drop. (q95 is the
+    // trim-not-drop variant of this stage.)
+    val surv7 = surv6 && !col("d7")
+    val losers8 = SubstringDedup.coverage(
+        l7.filter(surv7).select("doc_id", "text"), boilK)
+      .filter(col("dup_frac") > boilMaxFrac).select("doc_id")
+      .withColumn("_lose8", lit(true)).pipe(store.materialize("lose8", _))
+    l7.join(losers8, Seq("doc_id"), "left")
+      .withColumn("d8", surv7 && coalesce(col("_lose8"), lit(false)))
+      .drop("_lose8")
+      .withColumn("drop_stage",
+        when(col("d2"), 2).when(col("d3"), 3).when(col("d4"), 4)
+          .when(col("d5"), 5).when(col("d6"), 6).when(col("d7"), 7)
+          .when(col("d8"), 8))
+  }
+
+  /** q105: per-source DROP ATTRIBUTION — the question an operator asks
+    * the moment q91's report shows a fat n_dropped: WHICH source is
+    * losing docs, at WHICH gate? One row per (source, drop_stage) with
+    * drop_stage 0 = survived every gate; row sums reconcile with q91's
+    * stage column totals and with q69's per-source corpus census
+    * (CurateV2Spec pins both). A source that funnels into one stage is
+    * the actionable read: stage 2 → its quality is off, stages 3–5 →
+    * it's a mirror of another source, stage 6/7 → it leaks the bench,
+    * stage 8 → it's template-dominated (strip it, q95, instead of
+    * gating it).
+    *
+    * Scale shape: q91's labeled frame (already the one-plan composed
+    * shape) plus ONE id-keyed join to recover `source` and a ≤
+    * sources×9-row aggregate. Nothing new shuffles. */
+  def q105DropAttribution(documents: DataFrame, embeddings: DataFrame,
+                          qmin: Double = 0.4,
+                          flagBits: Double = LmScore.DefaultFlagBits,
+                          jaccard: Double = 0.2,
+                          embThreshold: Double = 0.4,
+                          nCentroids: Int = Kmeans.DefaultK,
+                          gramN: Int = 8,
+                          benchMod: Int = 50, benchRem: Int = 7,
+                          fuzzyThreshold: Double = 0.5,
+                          boilMaxFrac: Double = 0.5,
+                          boilK: Int = SubstringDedup.DefaultK,
+                          store: StageStore = LocalStageStore): DataFrame =
+    labeledV3(documents, embeddings, qmin, flagBits, jaccard, embThreshold,
+      nCentroids, gramN, benchMod, benchRem, fuzzyThreshold, boilMaxFrac,
+      boilK, store)
+      .select(col("doc_id"), coalesce(col("drop_stage"), lit(0)).as("drop_stage"))
+      .join(documents.select("doc_id", "source"), "doc_id")
+      .groupBy("source", "drop_stage")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "drop_stage")
+
+  def q105Sql(qmin: Double = 0.4,
+              flagBits: Double = LmScore.DefaultFlagBits,
+              jaccard: Double = 0.2,
+              embThreshold: Double = 0.4,
+              nCentroids: Int = Kmeans.DefaultK,
+              gramN: Int = 8,
+              benchMod: Int = 50, benchRem: Int = 7,
+              fuzzyThreshold: Double = 0.5,
+              boilMaxFrac: Double = 0.5,
+              boilK: Int = SubstringDedup.DefaultK): String =
+    s"""WITH
+       |${coreSqlCtes(qmin, flagBits, jaccard, embThreshold, nCentroids,
+                      gramN, benchMod, benchRem)},
+       |${stage7SqlCtes(benchMod, benchRem, fuzzyThreshold)},
+       |bpsrc AS MATERIALIZED (
+       |  SELECT doc_id, text FROM b0 WHERE doc_id IN (SELECT doc_id FROM s7)),
+       |${SubstringDedup.coverageSqlCtes("bpsrc", boilK, "bp_")},
+       |s8 AS (SELECT doc_id, n_bpe FROM s7 WHERE doc_id NOT IN (
+       |         SELECT b.doc_id FROM bp_base b JOIN bp_agg ag USING (doc_id)
+       |         WHERE round(ag.covered_tokens / CAST(b.n_tokens AS DOUBLE), 6)
+       |               > $boilMaxFrac)),
+       |att AS (
+       |  SELECT doc_id, 2 AS drop_stage FROM f_feat
+       |    WHERE doc_id NOT IN (SELECT doc_id FROM s2)
+       |  UNION ALL SELECT doc_id, 3 FROM s2
+       |    WHERE doc_id NOT IN (SELECT doc_id FROM s3)
+       |  UNION ALL SELECT doc_id, 4 FROM s3
+       |    WHERE doc_id NOT IN (SELECT doc_id FROM s4)
+       |  UNION ALL SELECT doc_id, 5 FROM s4
+       |    WHERE doc_id NOT IN (SELECT doc_id FROM s5)
+       |  UNION ALL SELECT doc_id, 6 FROM s5
+       |    WHERE doc_id NOT IN (SELECT doc_id FROM s6)
+       |  UNION ALL SELECT doc_id, 7 FROM s6
+       |    WHERE doc_id NOT IN (SELECT doc_id FROM s7)
+       |  UNION ALL SELECT doc_id, 8 FROM s7
+       |    WHERE doc_id NOT IN (SELECT doc_id FROM s8)
+       |  UNION ALL SELECT doc_id, 0 FROM s8)
+       |SELECT t.source, a.drop_stage, count(*) AS n_docs
+       |FROM att a JOIN tr0 t USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def q91CurationV3(documents: DataFrame, embeddings: DataFrame,
                     qmin: Double = 0.4,
                     flagBits: Double = LmScore.DefaultFlagBits,
@@ -290,25 +396,9 @@ object CurateV2 {
                     boilK: Int = SubstringDedup.DefaultK,
                     seqLen: Int = 2048,
                     store: StageStore = LocalStageStore): DataFrame = {
-    val l7 = labeledV3Stage7(documents, embeddings, qmin, flagBits, jaccard,
+    val lab = labeledV3(documents, embeddings, qmin, flagBits, jaccard,
       embThreshold, nCentroids, gramN, benchMod, benchRem, fuzzyThreshold,
-      store)
-    val surv6 = !col("d2") && !col("d3") && !col("d4") && !col("d5") && !col("d6")
-    // Stage 8 — boilerplate gate: duplicated-span coverage within the
-    // surviving corpus; template-dominated docs drop. (q95 is the
-    // trim-not-drop variant of this stage.)
-    val surv7 = surv6 && !col("d7")
-    val losers8 = SubstringDedup.coverage(
-        l7.filter(surv7).select("doc_id", "text"), boilK)
-      .filter(col("dup_frac") > boilMaxFrac).select("doc_id")
-      .withColumn("_lose8", lit(true)).pipe(store.materialize("lose8", _))
-    val l8 = l7.join(losers8, Seq("doc_id"), "left")
-      .withColumn("d8", surv7 && coalesce(col("_lose8"), lit(false)))
-      .drop("_lose8")
-    val lab = l8.withColumn("drop_stage",
-      when(col("d2"), 2).when(col("d3"), 3).when(col("d4"), 4)
-        .when(col("d5"), 5).when(col("d6"), 6).when(col("d7"), 7)
-        .when(col("d8"), 8))
+      boilMaxFrac, boilK, store)
     def survives(k: Int) = col("drop_stage").isNull || col("drop_stage") > k
     val aggs =
       Seq(count(lit(1)).as("n1"), coalesce(sum("n_bpe"), lit(0L)).as("t1")) ++

@@ -274,4 +274,22 @@ class CurateV2Spec extends AnyFunSuite {
     assert(exactDropped >= 1,
       s"planted exact duplicates not dropped (got $exactDropped)")
   }
+
+  test("q105 attribution reconciles with q91's stage totals and the corpus census") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val emb = graft.io.Tables.load(spark, sf, "embeddings")
+    val att = CurateV2.q105DropAttribution(docs, emb).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val rep = CurateV2.q91CurationV3(docs, emb).collect()
+    // per-stage attribution sums == q91's n_dropped column, stage by stage
+    (2 to 8).foreach { k =>
+      val a = att.collect { case ((_, s), n) if s == k => n }.sum
+      assert(a === rep(k - 1).getLong(3), s"stage $k attribution != q91 n_dropped")
+    }
+    // survivors (drop_stage 0) == q91's final n_out
+    assert(att.collect { case ((_, 0), n) => n }.sum === rep(8).getLong(4))
+    // every train-side doc is attributed exactly once
+    val trainN = docs.filter("doc_id % 50 != 7").count()
+    assert(att.values.sum === trainN)
+  }
 }
