@@ -1,5 +1,6 @@
 package graft.catalyst
 
+import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -32,6 +33,20 @@ import org.apache.spark.sql.internal.SQLConf
   * so it is the LAST predicate checked, and the rule runs ONCE per
   * query in the pre-CBO batch, never in the operator-optimization
   * fixpoint.
+  *
+  * THE `exact_` ALIAS CONTRACT (round-9 review finding): a distinct
+  * count is only safely approximable when it is a REPORT value. When
+  * it feeds SELECTION semantics — SubstringDedup's `>= 2` duplicated-
+  * gram filter and top-N winner ordering (which documents get spans
+  * stripped), LmScore's vocabulary size (the smoothing denominator in
+  * every surprisal) — a sketch silently changes a data transform, not
+  * a number in a report. Those sites alias the aggregate with an
+  * `exact_` prefix and this rule NEVER rewrites such an alias, at any
+  * size. Greppable, zero-cost, survives analysis (the Alias sits in
+  * `aggregateExpressions`). Report-only distinct counts (q100's
+  * diversity census, q10/q12 profile columns, q66's overlap counts)
+  * stay valve-eligible — graceful degradation is their documented
+  * at-scale behavior.
   */
 object ApproxDistinctAboveThreshold extends Rule[LogicalPlan] {
 
@@ -48,8 +63,14 @@ object ApproxDistinctAboveThreshold extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def hasExactDistinctCount(agg: Aggregate): Boolean =
-    agg.aggregateExpressions.exists(_.exists {
+  /** The exact_ contract: an Alias so named pins its whole expression. */
+  private def protectedAlias(ne: NamedExpression): Boolean = ne match {
+    case a: Alias => a.name.startsWith("exact_")
+    case _ => false
+  }
+
+  private def hasRewritableDistinctCount(agg: Aggregate): Boolean =
+    agg.aggregateExpressions.exists(ne => !protectedAlias(ne) && ne.exists {
       case ae: AggregateExpression => rewritable(ae)
       case _ => false
     })
@@ -59,16 +80,19 @@ object ApproxDistinctAboveThreshold extends Rule[LogicalPlan] {
     if (t < 0) return plan
     plan.transform {
       case agg: Aggregate
-          if hasExactDistinctCount(agg) && agg.child.stats.sizeInBytes > t =>
-        agg.transformExpressions {
-          case ae: AggregateExpression if rewritable(ae) =>
-            val child = ae.aggregateFunction.children.head
-            // HLL++ is LongType like Count — no cast dance needed; the
-            // distinct flag drops because the sketch dedups internally
-            ae.copy(
-              aggregateFunction = HyperLogLogPlusPlus(child, rsd, 0, 0),
-              isDistinct = false)
-        }
+          if hasRewritableDistinctCount(agg) && agg.child.stats.sizeInBytes > t =>
+        agg.copy(aggregateExpressions = agg.aggregateExpressions.map { ne =>
+          if (protectedAlias(ne)) ne
+          else ne.transform {
+            case ae: AggregateExpression if rewritable(ae) =>
+              val child = ae.aggregateFunction.children.head
+              // HLL++ is LongType like Count — no cast dance needed; the
+              // distinct flag drops because the sketch dedups internally
+              ae.copy(
+                aggregateFunction = HyperLogLogPlusPlus(child, rsd, 0, 0),
+                isDistinct = false)
+          }.asInstanceOf[NamedExpression]
+        })
     }
   }
 }

@@ -178,24 +178,36 @@ object ArtifactStore {
 
   // ---- logistic-regression filter weights ------------------------------
 
-  def logregKey(fp: String, iters: Int, trainN: Int): String =
-    s"fp${fp}_i${iters}_n$trainN"
+  def logregKey(fp: String, iters: Int, trainN: Int,
+                scope: String = ""): String =
+    s"fp${fp}_i${iters}_n$trainN" +
+      (if (scope.isEmpty) "" else s"_s$scope")
 
   /** Train-or-load the q101 learned-filter weights; loads seed
-    * [[QualityModel]]'s memo so scoring paths serve the artifact. */
+    * [[QualityModel]]'s memo so scoring paths serve the artifact.
+    *
+    * `scope` (review finding, r9): the content fingerprint covers the
+    * TEXT of `documents`, but [[QualityModel]]'s in-JVM memo keys on
+    * inputFiles — which a filtered SLICE shares with its full table. A
+    * caller training on a slice (q103/q104's corpus-side model) MUST
+    * name the slice here (e.g. "admission17"), or the slice-trained
+    * weights would alias the whole-table model in the memo and poison
+    * later q101 calls. Scoped weights persist under a scoped key, so
+    * both models coexist in the store. */
   def logregOrTrain(root: String, documents: DataFrame,
                     iters: Int = QualityModel.DefaultIters,
-                    trainN: Int = QualityModel.DefaultTrainN): Seq[Double] = {
+                    trainN: Int = QualityModel.DefaultTrainN,
+                    scope: String = ""): Seq[Double] = {
     val spark = documents.sparkSession
     val path = artifactPath(root, "logreg_weights",
-      logregKey(documentsFingerprint(documents), iters, trainN))
+      logregKey(documentsFingerprint(documents), iters, trainN, scope))
     if (exists(spark, path)) {
       val w = spark.read.parquet(path).orderBy("j")
         .collect().map(_.getAs[Double]("w")).toSeq
-      QualityModel.preload(documents, w, iters, trainN)
+      QualityModel.preload(documents, w, iters, trainN, scope)
       w
     } else {
-      val w = QualityModel.weights(documents, iters, trainN)
+      val w = QualityModel.weights(documents, iters, trainN, scope)
       import spark.implicits._
       w.zipWithIndex.map { case (v, j) => (j, v) }.toDF("j", "w")
         .coalesce(1).write.mode("overwrite").parquet(path)
@@ -219,10 +231,21 @@ object ArtifactStore {
     val base = artifactPath(root, "bm25_index",
       s"fp${documentsFingerprint(corpusDocs)}")
     if (!exists(spark, base)) {
+      // tokenize ONCE (r9 review): only the tf plan executes against
+      // the corpus text; dl and df re-derive from the tf PARQUET
+      // (dl = Σ tf per doc — every bigram occurrence is a tf count —
+      // and df = term row count), so the explode-bigrams scan runs
+      // one time, not once per sub-relation
       val idx = graft.operators.Retrieval.index(corpusDocs)
       idx.tf.write.mode("overwrite").parquet(s"$base/tf")
-      idx.dl.write.mode("overwrite").parquet(s"$base/dl")
-      idx.df.write.mode("overwrite").parquet(s"$base/df")
+      val tfBack = spark.read.parquet(s"$base/tf")
+      tfBack.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .write.mode("overwrite").parquet(s"$base/dl")
+      val dlBack = spark.read.parquet(s"$base/dl")
+      val stats = dlBack.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      tfBack.groupBy("t").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .write.mode("overwrite").parquet(s"$base/df")
       // key-level marker LAST: the artifact (and its listing entry)
       // exists only once all three sub-relations committed
       fs(spark, base).create(new Path(base, "_SUCCESS"), true).close()

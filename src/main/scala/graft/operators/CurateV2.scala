@@ -336,8 +336,9 @@ object CurateV2 {
     labeledV3(documents, embeddings, qmin, flagBits, jaccard, embThreshold,
       nCentroids, gramN, benchMod, benchRem, fuzzyThreshold, boilMaxFrac,
       boilK, store)
-      .select(col("doc_id"), coalesce(col("drop_stage"), lit(0)).as("drop_stage"))
-      .join(documents.select("doc_id", "source"), "doc_id")
+      // `source` rides the labeled frame from the stage-1 base
+      // projection — no join back to the documents table needed
+      .select(col("source"), coalesce(col("drop_stage"), lit(0)).as("drop_stage"))
       .groupBy("source", "drop_stage")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "drop_stage")

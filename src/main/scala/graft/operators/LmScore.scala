@@ -64,7 +64,10 @@ object LmScore {
         h60(col("b.w2")).as("w2h"))
     val c12 = bg.groupBy(col("w1h"), col("bgh")).agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1h").agg(sum("c12").as("c1"))
-    val v = bg.agg(count_distinct(col("w2h")).as("v"))
+    // exact_ prefix: the vocabulary size is a SEMANTIC distinct count
+    // (Laplace smoothing denominator — a sketched V perturbs every
+    // surprisal); valve-protected by the exact_ alias contract
+    val v = bg.agg(count_distinct(col("w2h")).as("exact_v"))
     // Known cross-engine boundary: log2 here is Spark's
     // Math.log(x)/Math.log(2) vs DuckDB's std::log2 — they can differ in
     // the last ulp, so a surprisal landing within ~1e-9 of a .5 micro-bit
@@ -79,7 +82,7 @@ object LmScore {
     val model = c12.join(c1, "w1h").crossJoin(broadcast(v))
       .select(col("bgh"),
         round(-log2((col("c12") + lit(1)).cast("double")
-          / (col("c1") + col("v")).cast("double")) * lit(1e6))
+          / (col("c1") + col("exact_v")).cast("double")) * lit(1e6))
           .cast("long").as("microbits"))
     bg.select("doc_id", "source", "bgh")
       .join(model, "bgh")

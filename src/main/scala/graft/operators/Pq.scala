@@ -442,8 +442,13 @@ object Pq {
         "left")
       .groupBy("qid")
       .agg(count(col("aqid")).as("n_hits_adc"), count(col("rqid")).as("n_hits_rr"))
-      .join(nCand, Seq("qid"))
-      .select(col("qid"), col("n_cand"), col("n_hits_adc"),
+      // LEFT join (r9 review): a query whose probed clusters hold no
+      // other vectors has no cand rows — it must report n_cand = 0 and
+      // recall 0, not vanish from the report (the probe-miss case is
+      // exactly what the metric prices)
+      .join(nCand, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_hits_adc"),
         round(col("n_hits_adc").cast("double") / kTop, 6).as("recall_adc"),
         col("n_hits_rr"),
         round(col("n_hits_rr").cast("double") / kTop, 6).as("recall_rr"))
@@ -474,6 +479,6 @@ object Pq {
        |        JOIN cand cd ON cd.qid = u.qid AND cd.vec_id = u.vec_id
        |        GROUP BY 1, 2),
        |${recallReportSql(nQueries, kTop, rerankR,
-           extraCols = " nc.n_cand,",
-           extraJoin = " JOIN nc ON nc.qid = ex.qid")}""".stripMargin
+           extraCols = " coalesce(nc.n_cand, 0) AS n_cand,",
+           extraJoin = " LEFT JOIN nc ON nc.qid = ex.qid")}""".stripMargin
 }

@@ -224,11 +224,16 @@ object Provenance {
     val fuzzy = Fuzzy.lshCrossPairs(documents, isBatch, threshold)
       .select(col("eval_id").as("fid")).distinct()
     val w = QualityModel.weights(corpus, scope = s"admission$BatchMod")
+    // localCheckpoint (the CurateV2 marker discipline): j is read twice
+    // below — by the budget window AND the final report join — and
+    // Catalyst plans are trees, so the un-severed frame would re-expand
+    // and RE-EXECUTE the whole LSH cross-pair chain once per reference
     val j = batch
       .select(col("doc_id"), col("source"), contentHash60(col("text")).as("h"))
       .join(corpusHashState(corpus), col("h") === col("ch"), "left")
       .join(fuzzy, col("doc_id") === col("fid"), "left")
       .join(QualityModel.scores(batch, w), "doc_id")
+      .localCheckpoint()
     val lq = j.filter(col("ch").isNull && col("fid").isNull)
       .withColumn("lq", cume_dist().over(
         org.apache.spark.sql.expressions.Window.orderBy("p", "doc_id"))

@@ -96,13 +96,18 @@ object Retrieval {
                     maxQueries: Int = DefaultMaxQueries): DataFrame = {
     val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val dfTab = idx.df.filter(col("df") <= col("n_docs") * maxDfFrac)
     // bounded hash-ranked query sample (TakeOrdered heap at scale);
     // a no-op whenever the eval slice is within the cap
     val qterms = queries
       .withColumn("hv", hv).orderBy("hv", "doc_id").limit(maxQueries)
       .select(col("doc_id").as("query_id"), split(col("text"), " ").as("a"))
       .select(col("query_id"), explode(array_distinct(bigrams)).as("t"))
+    // df stats restricted to the bounded query-term set BEFORE the
+    // broadcast (r9 review): the pruned df table is still
+    // vocabulary-sized — corpus-proportional — while only terms the
+    // ≤ maxQueries query docs actually contain are ever scored
+    val dfTab = idx.df.filter(col("df") <= col("n_docs") * maxDfFrac)
+      .join(broadcast(qterms.select("t").distinct()), Seq("t"), "leftsemi")
     // contribution per (query, doc, term), micro-units, rounded ONCE
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

@@ -71,9 +71,12 @@ object SubstringDedup {
       .withColumn("n_tokens", size(col("toks")))
     val pos = postings(documents, k).select("doc_id", "n_tokens", "i", "h")
     // cross-doc duplicated grams: seen in >= 2 distinct documents
+    // exact_ prefix: SEMANTIC distinct count (feeds the >= 2 selection)
+    // — the ApproxDistinctAboveThreshold valve honors the prefix and
+    // never sketches it (a sketched df would strip different spans)
     val dup = pos.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2)
+      .agg(countDistinct(col("doc_id")).as("exact_df"))
+      .filter(col("exact_df") >= 2)
       .select("h")
     // exact covered tokens per doc: merge overlapping [i, i+k-1] spans
     // via running max of span end over the preceding positions
@@ -118,18 +121,20 @@ object SubstringDedup {
   def q90Boilerplate(documents: DataFrame, k: Int = DefaultK,
                      topN: Int = 20): DataFrame = {
     val base = postings(documents, k).select("doc_id", "g", "h")
+    // exact_ prefix: the winner SELECTION (>= 2 filter + top-N order)
+    // must never run on a sketch — valve-protected by contract
     val top = base
       .groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("df_docs"),
+      .agg(countDistinct(col("doc_id")).as("exact_df_docs"),
         count(lit(1)).as("n_occurrences"))
-      .filter(col("df_docs") >= 2)
-      .orderBy(desc("df_docs"), asc("h")).limit(topN)
+      .filter(col("exact_df_docs") >= 2)
+      .orderBy(desc("exact_df_docs"), asc("h")).limit(topN)
     base
       .join(broadcast(top), "h")
-      .groupBy("h", "df_docs", "n_occurrences")
+      .groupBy("h", "exact_df_docs", "n_occurrences")
       .agg(min(col("g")).as("gram"))
-      .select(col("h").as("gram_h"), col("gram"), col("df_docs"),
-        col("n_occurrences"))
+      .select(col("h").as("gram_h"), col("gram"),
+        col("exact_df_docs").as("df_docs"), col("n_occurrences"))
       .orderBy(desc("df_docs"), asc("gram_h"))
   }
 
@@ -140,9 +145,9 @@ object SubstringDedup {
   private[operators] def winnerHashes(documents: DataFrame, k: Int,
                                       topN: Int): DataFrame =
     postings(documents, k).select("doc_id", "h")
-      .groupBy("h").agg(countDistinct(col("doc_id")).as("df_docs"))
-      .filter(col("df_docs") >= 2)
-      .orderBy(desc("df_docs"), asc("h")).limit(topN)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("exact_df_docs"))
+      .filter(col("exact_df_docs") >= 2)
+      .orderBy(desc("exact_df_docs"), asc("h")).limit(topN)
       .select("h")
 
   /** The strip transform q90's scaladoc promises: remove every

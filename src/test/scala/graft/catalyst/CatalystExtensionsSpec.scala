@@ -236,6 +236,19 @@ class CatalystExtensionsSpec extends AnyFunSuite {
       val multi = ext.sql(
         s"SELECT count(DISTINCT l_orderkey, l_linenumber) FROM $li")
       assert(!multi.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+
+      // the exact_ alias contract: a SEMANTIC distinct count (one that
+      // feeds selection, like SubstringDedup's df or LmScore's V) is
+      // never sketched, at any size — while a sibling unprotected
+      // count in the SAME aggregate still rewrites
+      val mixed = ext.sql(
+        s"""SELECT count(DISTINCT l_orderkey) AS exact_df,
+           |       count(DISTINCT l_partkey) AS d
+           |FROM $li""".stripMargin)
+      val mp = mixed.queryExecution.optimizedPlan.toString
+      assert(mp.contains("approx_count_distinct"), mp)
+      assert("approx_count_distinct".r.findAllIn(mp).size === 1,
+        "exact_-aliased distinct count must not be sketched:\n" + mp)
     } finally ext.conf.unset(ApproxDistinctAboveThreshold.ThresholdKey)
   }
 
