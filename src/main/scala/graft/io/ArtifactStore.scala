@@ -445,7 +445,11 @@ object ArtifactStore {
   /** Key + store for one (corpus, embeddings, knobs) pipeline run: the
     * corpus fingerprints guarantee a changed input never reuses stage
     * state; `paramsKey` must canonicalize every gate threshold the
-    * caller overrides (CurateV2 defaults → ""). */
+    * caller overrides. Prefer the CurateV2 `q84Durable`/`q91Durable`/
+    * `q95Durable` entry points, which derive the paramsKey from their
+    * own knob arguments (r9 verdict item 7) — hand-built keys remain
+    * possible for non-CurateV2 pipelines but carry the stale-serve
+    * hazard this indirection exists to remove. */
   def curateStageStore(root: String, documents: DataFrame,
                        embeddings: DataFrame,
                        paramsKey: String = ""): DurableStageStore = {

@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,23 +23,47 @@ import graft.operators.Sharding
   * Readers prune by the `shard=` partition directory — a training job
   * reading shard 7 lists exactly one directory.
   *
-  * The write is `_SUCCESS`-gated by Spark's commit protocol like every
-  * ArtifactStore artifact: a killed export leaves no readable shard
-  * tree. */
+  * Crash discipline (r9 advice — the earlier in-place overwrite could
+  * destroy the previous good export mid-write): the export writes to a
+  * sibling `<path>._tmp` directory and only REPLACES `path` after the
+  * temp tree fully committed (`_SUCCESS` present), so a kill during
+  * the write leaves the previous export untouched. The remaining
+  * non-atomic window is the metadata-only delete→rename pair; [[read]]
+  * therefore gates on the root `_SUCCESS` marker (the ArtifactStore
+  * convention) and refuses a tree no complete export produced, rather
+  * than silently serving partial partitions to plain parquet readers. */
 object ShardSink {
 
   def write(documents: DataFrame, path: String,
             nShards: Int = Sharding.DefaultShards,
-            filesPerShard: Int = 1): Unit =
+            filesPerShard: Int = 1): Unit = {
+    val spark = documents.sparkSession
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "._tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     documents
       .withColumn("shard", Sharding.shardOf(nShards))
       .repartition(nShards * filesPerShard, col("shard"),
         pmod(graft.operators.Provenance.contentHash60(col("text")),
           lit(filesPerShard.toLong)))
-      .write.partitionBy("shard").mode("overwrite").parquet(path)
+      .write.partitionBy("shard").mode("overwrite").parquet(tmp.toString)
+    // temp tree is complete (its _SUCCESS exists) — swap into place;
+    // a kill before this point never touched the previous export
+    val dst = new Path(path)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
 
   /** Read back the shard tree (shard recovered from the directory
-    * name; schema otherwise identical to the written frame). */
-  def read(spark: SparkSession, path: String): DataFrame =
+    * name; schema otherwise identical to the written frame). Gated on
+    * the root `_SUCCESS` marker: a tree interrupted between delete and
+    * rename — or any half-written directory — is refused, not read. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(path, "_SUCCESS")),
+      s"no complete shard export at $path (missing _SUCCESS)")
     spark.read.parquet(path)
+  }
 }

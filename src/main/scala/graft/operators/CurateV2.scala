@@ -510,6 +510,86 @@ object CurateV2 {
       .orderBy("stage")
   }
 
+  // ---- durable entry points (auto-canonicalized store key) -------------
+
+  /** Canonical stage-store params key (r9 verdict item 7): EVERY knob
+    * any materialized stage reads, in fixed order — built by the
+    * durable entry points from their OWN arguments, so a caller cannot
+    * construct a store under one threshold set and run the pipeline
+    * under another (the stale-serve hazard the old caller-supplied
+    * `paramsKey` contract documented but did not enforce). `seqLen` is
+    * excluded: it shapes only the final report row, never a stage
+    * artifact. Doubles print via Scala's shortest-round-trip
+    * `toString`, so distinct values cannot collide textually. */
+  private[graft] def durableParamsKey(
+      qmin: Double, flagBits: Double, jaccard: Double, embThreshold: Double,
+      nCentroids: Int, gramN: Int, benchMod: Int, benchRem: Int,
+      fuzzyThreshold: Double = 0.5, boilMaxFrac: Double = 0.5,
+      boilK: Int = SubstringDedup.DefaultK, boilTopN: Int = 20): String =
+    s"q$qmin|f$flagBits|j$jaccard|e$embThreshold|k$nCentroids|g$gramN" +
+      s"|bm$benchMod|br$benchRem|z$fuzzyThreshold|x$boilMaxFrac" +
+      s"|bk$boilK|bt$boilTopN"
+
+  /** [[q84CurationPipeline]] over a [[graft.io.ArtifactStore]] durable
+    * store whose key THIS call derives from its own knob arguments —
+    * the enforcement form of the caller contract: same corpus + any
+    * changed gate threshold → a fresh pipelineKey, so no stage artifact
+    * computed under the old thresholds can ever be served
+    * (CurateV2DurableSpec pins qmin-change → fresh keys). The v3/v4
+    * knobs this pipeline does not read enter the key at their defaults,
+    * so a default-knob q84/q91/q95 sequence SHARES stages 1–6; a
+    * changed v3 knob recomputes them — safety over maximal sharing. */
+  def q84Durable(root: String, documents: DataFrame, embeddings: DataFrame,
+                 qmin: Double = 0.4,
+                 flagBits: Double = LmScore.DefaultFlagBits,
+                 jaccard: Double = 0.2, embThreshold: Double = 0.4,
+                 nCentroids: Int = Kmeans.DefaultK, gramN: Int = 8,
+                 benchMod: Int = 50, benchRem: Int = 7,
+                 seqLen: Int = 2048): DataFrame =
+    q84CurationPipeline(documents, embeddings, qmin, flagBits, jaccard,
+      embThreshold, nCentroids, gramN, benchMod, benchRem, seqLen,
+      store = graft.io.ArtifactStore.curateStageStore(root, documents,
+        embeddings, durableParamsKey(qmin, flagBits, jaccard, embThreshold,
+          nCentroids, gramN, benchMod, benchRem)))
+
+  /** [[q91CurationV3]] with the self-derived durable store key — see
+    * [[q84Durable]]. */
+  def q91Durable(root: String, documents: DataFrame, embeddings: DataFrame,
+                 qmin: Double = 0.4,
+                 flagBits: Double = LmScore.DefaultFlagBits,
+                 jaccard: Double = 0.2, embThreshold: Double = 0.4,
+                 nCentroids: Int = Kmeans.DefaultK, gramN: Int = 8,
+                 benchMod: Int = 50, benchRem: Int = 7,
+                 fuzzyThreshold: Double = 0.5, boilMaxFrac: Double = 0.5,
+                 boilK: Int = SubstringDedup.DefaultK,
+                 seqLen: Int = 2048): DataFrame =
+    q91CurationV3(documents, embeddings, qmin, flagBits, jaccard,
+      embThreshold, nCentroids, gramN, benchMod, benchRem, fuzzyThreshold,
+      boilMaxFrac, boilK, seqLen,
+      store = graft.io.ArtifactStore.curateStageStore(root, documents,
+        embeddings, durableParamsKey(qmin, flagBits, jaccard, embThreshold,
+          nCentroids, gramN, benchMod, benchRem, fuzzyThreshold,
+          boilMaxFrac, boilK)))
+
+  /** [[q95CurationV4]] with the self-derived durable store key — see
+    * [[q84Durable]]. */
+  def q95Durable(root: String, documents: DataFrame, embeddings: DataFrame,
+                 qmin: Double = 0.4,
+                 flagBits: Double = LmScore.DefaultFlagBits,
+                 jaccard: Double = 0.2, embThreshold: Double = 0.4,
+                 nCentroids: Int = Kmeans.DefaultK, gramN: Int = 8,
+                 benchMod: Int = 50, benchRem: Int = 7,
+                 fuzzyThreshold: Double = 0.5, boilTopN: Int = 20,
+                 boilK: Int = SubstringDedup.DefaultK,
+                 seqLen: Int = 2048): DataFrame =
+    q95CurationV4(documents, embeddings, qmin, flagBits, jaccard,
+      embThreshold, nCentroids, gramN, benchMod, benchRem, fuzzyThreshold,
+      boilTopN, boilK, seqLen,
+      store = graft.io.ArtifactStore.curateStageStore(root, documents,
+        embeddings, durableParamsKey(qmin, flagBits, jaccard, embThreshold,
+          nCentroids, gramN, benchMod, benchRem, fuzzyThreshold,
+          boilTopN = boilTopN, boilK = boilK)))
+
   /** Self-contained oracle: the same seven stages re-derived from the
     * prefix-parameterized CTE generators each component oracle already
     * uses (LangQuality.featSqlCtes, LmScore's chain, Fuzzy's LSH chain,

@@ -70,14 +70,25 @@ object QualityModel {
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
   val trainRuns = new java.util.concurrent.atomic.AtomicLong
 
-  /** `scope` discriminates trainers over different SLICES of the same
-    * files (q101 trains on the whole table, q103 on the corpus side of
-    * the admission split) — inputFiles alone would alias them. */
+  /** Memo key = inputFiles + the analyzed plan's SEMANTIC hash +
+    * params (+ optional scope). The semantic hash (Catalyst's
+    * canonicalized-plan hash, the `Dataset.semanticHash` machinery) is
+    * the slice discriminator the caller CANNOT forget (r9 advice): two
+    * different filters of the same table share inputFiles but differ in
+    * canonicalized plan, so a slice-trained model can never alias — let
+    * alone poison — the whole-table model even when the caller passes
+    * no scope. `scope` remains for artifact NAMING (a plan hash is not
+    * a stable cross-JVM identifier, so [[graft.io.ArtifactStore]] keys
+    * stay scope-based); a collision in the memo is at worst a retrain,
+    * never a wrong serve, because the plan hash binds the key to the
+    * exact slice. */
   private def memoKey(documents: DataFrame, iters: Int, trainN: Int,
                       scope: String): Option[String] = {
     val files = documents.inputFiles
     if (files.isEmpty) None
-    else Some(files.sorted.mkString(",") + s"#$iters#$trainN#$scope")
+    else Some(files.sorted.mkString(",") +
+      s"#${documents.queryExecution.analyzed.canonicalized.hashCode()}" +
+      s"#$iters#$trainN#$scope")
   }
 
   def preload(documents: DataFrame, w: Seq[Double],
@@ -151,11 +162,14 @@ object QualityModel {
   def trainLoss(documents: DataFrame, w: Seq[Double],
                 trainN: Int = DefaultTrainN): Double = {
     val p = sigmoid(zOf(w))
-    featureFrame(documents)
+    val r = featureFrame(documents)
       .withColumn("hv", hv).orderBy("hv", "doc_id").limit(trainN)
       .select(avg(negate(col("y") * log(p) +
         (lit(1.0) - col("y")) * log(lit(1.0) - p))).as("loss"))
-      .collect()(0).getDouble(0)
+      .collect()(0)
+    // empty corpus: avg over 0 rows is null (mirrors train's guard;
+    // NaN, not a throw — the loss of an unfittable model is undefined)
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
 
   /** (doc_id, p) — every doc scored under trained weights `w` (6-dp
@@ -265,9 +279,14 @@ object QualityModel {
     val corpus = documents.filter(!isBatch)
     val w = weights(corpus, iters, trainN,
       scope = s"admission${Provenance.BatchMod}")
+    // localCheckpoint (the q103/CurateV2 marker discipline, r9 advice):
+    // each 10-row histogram is read twice — by its total aggregate and
+    // the full-outer join — and an un-severed frame would re-execute
+    // the feature+scoring projection over the corpus once per reference
     def hist(df: DataFrame, n: String) = scores(df, w)
       .select(least(floor(col("p") * 10), lit(9)).cast("int").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as(n))
+      .localCheckpoint()
     val base = hist(corpus, "n_base")
     val tick = hist(documents, "n_tick")
     val tot = base.agg(sum("n_base").as("ta"))

@@ -206,8 +206,18 @@ object DocStream {
     * when the query is built), so a restarted query trivially scores
     * identically; the cume_dist window is global but scoped to ONE
     * micro-batch's novel docs (tick-sized — the q103 documented
-    * exception), and the budget is per tick BY CONSTRUCTION, which is
-    * the q103 semantics exactly. */
+    * exception), and the budget is per tick BY CONSTRUCTION.
+    *
+    * BATCH-INTERNAL-DUP CAVEAT (r9 advice): the window here ranges
+    * over post-fuzzy 'new' docs, which EXCLUDES batch-internal exact
+    * duplicates — the stream verdicts those 'dup_stream' upstream,
+    * a category batch q103 does not have: q103 counts such docs as
+    * novel and includes them in its cume_dist denominator. On a tick
+    * containing internal exact duplicates the two low_quality sets
+    * therefore diverge (the stream's denominator is smaller); on
+    * dup-free ticks they agree exactly. DocStreamSpec reconciles on
+    * the latter; a deployment that needs bit-equal budgets on dup
+    * ticks runs the batch q103 report instead. */
   def refineQuality(batch: DataFrame, weights: Seq[Double],
                     lowFrac: Double): DataFrame = {
     val scored = graft.operators.QualityModel.scores(
@@ -256,7 +266,11 @@ object DocStream {
     * weights — verdict precedence dup_corpus → dup_stream →
     * dup_corpus_fuzzy → low_quality → new, written idempotently per
     * micro-batch like [[fuzzyAdmissionQuery]]. DocStreamSpec pins
-    * reconciliation with the batch q103 report on the same split. */
+    * reconciliation with the batch q103 report on the same split —
+    * exact on ticks without batch-internal exact duplicates; see
+    * [[refineQuality]] for the documented divergence when a tick
+    * carries internal dups (the stream's budget denominator excludes
+    * its dup_stream docs, a category q103 lacks). */
   def gatedAdmissionQuery(docs: DataFrame, corpusHashes: DataFrame,
                           corpusBands: DataFrame, corpusShingles: DataFrame,
                           weights: Seq[Double],

@@ -84,6 +84,33 @@ class CurateV2DurableSpec extends AnyFunSuite {
     assert(a.pipelineKey !== c.pipelineKey)
   }
 
+  test("durable entry points derive the params key from their OWN knobs: changed qmin → fresh stage keys, no stale serve") {
+    val root = Files.createTempDirectory("graft_curate_autokey").toString
+    // Run 1 at default knobs through the auto-keyed entry point.
+    val expectedDefault = rows(CurateV2.q84CurationPipeline(docs(), embs()))
+    assert(rows(CurateV2.q84Durable(root, docs(), embs())) === expectedDefault)
+    // Run 2 at qmin = 0.6 through the SAME root: the entry point builds
+    // a different pipelineKey from its own argument, so no stage
+    // artifact of run 1 can be served — the report must equal a clean
+    // qmin = 0.6 run, not a half-stale hybrid.
+    val expectedStrict =
+      rows(CurateV2.q84CurationPipeline(docs(), embs(), qmin = 0.6))
+    assert(rows(CurateV2.q84Durable(root, docs(), embs(), qmin = 0.6))
+      === expectedStrict)
+    assert(expectedStrict !== expectedDefault,
+      "qmin change must actually move the report for this pin to bite")
+    // Two distinct pipelineKey directories exist under the root.
+    val keys = ArtifactStore.listArtifacts(spark, root).map(_._1).distinct
+    assert(keys.size === 2,
+      s"expected one stage tree per knob set, got $keys")
+    // And the v3/v4 durable forms key on their extra knobs too.
+    val k1 = CurateV2.durableParamsKey(0.4, LmScore.DefaultFlagBits, 0.2,
+      0.4, Kmeans.DefaultK, 8, 50, 7)
+    val k2 = CurateV2.durableParamsKey(0.4, LmScore.DefaultFlagBits, 0.2,
+      0.4, Kmeans.DefaultK, 8, 50, 7, fuzzyThreshold = 0.3)
+    assert(k1 !== k2)
+  }
+
   test("durable q95 stage state is manifest-listable like any artifact") {
     val root = Files.createTempDirectory("graft_curate_list").toString
     val store = ArtifactStore.curateStageStore(root, docs(), embs())
