@@ -135,6 +135,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         ingest tick (model monitoring: retrain signal)
   *  - q105_drop_attribution: per-(source, stage) drop attribution over the
   *                         v3 curation frame (which source loses docs where)
+  *  - q106_multi_tick_ingest: two q103-shaped ingest ticks with state
+  *                         fold-back — tick 2 judges against base corpus
+  *                         ∪ tick-1-admitted (deployment form: io.IngestLoop)
   */
 object SparkEntry {
 
@@ -260,6 +263,7 @@ object SparkEntry {
     "q104_score_drift" -> t("documents")(QualityModel.q104ScoreDrift(_)),
     "q105_drop_attribution" -> ((s, dir) => CurateV2.q105DropAttribution(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
+    "q106_multi_tick_ingest" -> t("documents")(Provenance.q106MultiTickIngest(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -370,5 +374,6 @@ object SparkEntry {
     "q103_admission_gate" -> Provenance.q103Sql(),
     "q104_score_drift" -> QualityModel.q104Sql(),
     "q105_drop_attribution" -> CurateV2.q105Sql(),
+    "q106_multi_tick_ingest" -> Provenance.q106Sql(),
   )
 }

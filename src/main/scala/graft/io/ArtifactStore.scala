@@ -368,6 +368,42 @@ object ArtifactStore {
       t
     }
 
+    /** IDEMPOTENT per-tick write: the producer names the tick, so a
+      * REPLAYED producer (Structured Streaming's foreachBatch after a
+      * crash re-runs the uncommitted batch) overwrites the same tick
+      * directory with identical content instead of appending a
+      * duplicate increment — duplicate band/shingle rows would inflate
+      * the fuzzy verifier's intersection counts, silently corrupting
+      * Jaccard. The streaming fold
+      * ([[graft.streaming.DocStream]].foldingGatedAdmissionQuery) keys
+      * ticks by micro-batch id through this. */
+    def appendTickAt(t: Long, increment: DataFrame): Unit = {
+      require(t >= 1, s"tick numbers start at 1, got $t")
+      increment.write.mode("overwrite").parquet(s"$base/tick=$t")
+    }
+
+    /** The state AS OF tick `maxT` inclusive — what a replayed
+      * micro-batch must read: its own (possibly already written) fold
+      * tick is excluded, so replay verdicts are bit-identical to the
+      * first run. Requires the pre-`maxT` increments to still exist:
+      * compaction past `maxT` (legal only at quiesce points — all
+      * producers committed) makes older snapshots unreadable, and this
+      * throws rather than serving a partial state. */
+    def currentUpTo(maxT: Long): Option[DataFrame] = {
+      val gens = listNums("gen=", sucOnly = true)
+      val gen = gens.filter(_ <= maxT).maxOption
+      val ticks = listNums("tick=", sucOnly = true)
+        .filter(t => t <= maxT && gen.forall(t > _))
+      val paths = gen.map(g => s"$base/gen=$g").toSeq ++
+        ticks.map(t => s"$base/tick=$t")
+      if (paths.isEmpty) {
+        require(gens.forall(_ <= maxT),
+          s"state at $base was compacted past tick $maxT — " +
+            "the pre-compaction increments are gone")
+        None
+      } else Some(spark.read.parquet(paths: _*))
+    }
+
     /** Parquet data files currently backing `current()` — the quantity
       * compaction exists to bound. */
     def dataFileCount: Long = currentPaths.map { p =>

@@ -1,0 +1,102 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Fuzzy, Provenance, QualityModel}
+
+/** The DEPLOYMENT form of the multi-tick ingest loop (q106,
+  * `Provenance.q106MultiTickIngest`) — the r9 verdict's top item: the
+  * state-maintenance closure that makes tick N+1 reject near-dups of
+  * what tick N admitted. Three [[ArtifactStore.IngestStateStore]]s
+  * accumulate the corpus dedup state across ticks:
+  *
+  *   - `hashes`:   distinct 60-bit content hashes (`ch`) — exact gate
+  *   - `bands`:    MinHash-LSH band rows (doc_id, band, x, y) — fuzzy
+  *                 candidate generation
+  *   - `shingles`: distinct 60-bit shingle hashes (doc_id, h) — fuzzy
+  *                 exact verification
+  *
+  * [[bootstrap]] seeds all three from the existing corpus (tick 1 —
+  * the ONLY time corpus text is read); each [[runTick]] judges its
+  * batch against `current()` state (the q103 verdict precedence:
+  * exact → fuzzy → low_quality → new) and appends the ADMITTED docs'
+  * increments as the next tick — exact/fuzzy dups were never ingested
+  * and low-quality docs were rejected, so neither enters the state,
+  * and a near-dup of a tick-1 reject stays `new` at tick 2
+  * (IngestLoopSpec pins both directions against the live q106).
+  * [[compactIfNeeded]] folds the accumulated tick files into a
+  * generation when their count crosses the trigger — the 100 TB
+  * scan-throughput concern `IngestStateStore.compact` documents —
+  * without changing any subsequent verdict (spec-pinned).
+  *
+  * Scale shape per tick: the batch derives hashes/bands/shingles
+  * map-side from its own (tick-sized) text; the state side is probed
+  * parquet — 8–26-byte rows, partitioned once, NEVER corpus text. The
+  * one window is the tick-scoped budget rank (the q103 documented
+  * exception). Fold-back writes are one small parquet append per
+  * store. Difference vs the live q106 (documented, negligible): fuzzy
+  * verification joins 60-bit shingle HASHES (the persisted state) not
+  * shingle strings — identical up to 2^-60/pair md5 collisions
+  * ([[Fuzzy.lshPairsAgainstState]]); the spec pins equality on real
+  * data.
+  */
+object IngestLoop {
+
+  /** The three state stores of one named ingest loop. */
+  final case class Stores(hashes: ArtifactStore.IngestStateStore,
+                          bands: ArtifactStore.IngestStateStore,
+                          shingles: ArtifactStore.IngestStateStore)
+
+  def stores(spark: SparkSession, root: String, name: String): Stores =
+    Stores(
+      ArtifactStore.ingestState(spark, root, s"$name/hashes"),
+      ArtifactStore.ingestState(spark, root, s"$name/bands"),
+      ArtifactStore.ingestState(spark, root, s"$name/shingles"))
+
+  /** Seed the loop's state from the existing corpus — tick 1 in each
+    * store; the only corpus-text scan the loop ever performs. */
+  def bootstrap(st: Stores, corpusDocs: DataFrame): Unit = {
+    st.hashes.appendTick(Provenance.corpusHashState(corpusDocs))
+    st.bands.appendTick(Fuzzy.corpusBandState(corpusDocs))
+    st.shingles.appendTick(Fuzzy.corpusShingleHashes(corpusDocs))
+  }
+
+  /** Judge one batch against the accumulated state, fold the admitted
+    * docs' increments back, and return the per-source q103 report
+    * (n_batch / n_dup_exact / n_dup_fuzzy / n_low_quality / n_new).
+    * `w` is the frozen quality model — a deployment retrains between
+    * ticks (the q104 monitoring read), never within one. */
+  def runTick(st: Stores, batchDocs: DataFrame, w: Seq[Double],
+              threshold: Double = 0.2, lowFrac: Double = 0.25): DataFrame = {
+    val state = st.hashes.current().getOrElse(
+      sys.error("ingest loop not bootstrapped: hash state is empty"))
+    val fuzzy = Fuzzy.lshPairsAgainstState(
+        st.bands.current().get, st.shingles.current().get,
+        batchDocs, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    // the q103/q106 kernel; the returned frame is checkpointed, so the
+    // three fold-back writes and the report never re-run the chain
+    val v = Provenance.gatedTickFrame(batchDocs, state, fuzzy, w, lowFrac)
+    val admIds = v.filter(col("lq") === false).select("doc_id")
+    val admDocs = batchDocs.join(admIds, Seq("doc_id"), "left_semi")
+    st.hashes.appendTick(v.filter(col("lq") === false)
+      .select(col("h").as("ch")).distinct())
+    st.bands.appendTick(Fuzzy.corpusBandState(admDocs))
+    st.shingles.appendTick(Fuzzy.corpusShingleHashes(admDocs))
+    Provenance.gatedTickReport(v)
+  }
+
+  /** File-count-triggered compaction (the production trigger the r9
+    * verdict names): when any store's backing data-file count crosses
+    * `maxDataFiles`, fold ALL three into their current generation.
+    * Returns whether compaction ran. Verdicts are unaffected — state
+    * content is identical before and after (spec-pinned); run at
+    * quiesce points only (see `IngestStateStore.currentUpTo`). */
+  def compactIfNeeded(st: Stores, maxDataFiles: Long = 64): Boolean = {
+    val all = Seq(st.hashes, st.bands, st.shingles)
+    val need = all.exists(_.dataFileCount > maxDataFiles)
+    if (need) all.foreach(_.compact())
+    need
+  }
+}

@@ -180,7 +180,11 @@ object Fuzzy {
       .select(col("ti").as("train_id"), col("ei").as("eval_id"), col("jaccard"))
   }
 
-  def q27LshDedup(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
+  /** The verified near-dup pair relation (ida < idb, jaccard ≥
+    * threshold), UNORDERED — q27's result without the output sort, for
+    * composition (q106 reads it twice through a checkpoint; a sort
+    * there would be paid and discarded). */
+  def lshVerifiedPairs(documents: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(documents)
     val cand = lshCandidates(sh)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -201,8 +205,10 @@ object Fuzzy {
         col("ninter").cast("double") / (col("sa.n") + col("sb.n") - col("ninter")))
       .filter(col("jaccard") >= threshold)
       .select(col("ia").as("ida"), col("ib").as("idb"), col("jaccard"))
-      .orderBy("ida", "idb")
   }
+
+  def q27LshDedup(documents: DataFrame, threshold: Double = 0.2): DataFrame =
+    lshVerifiedPairs(documents, threshold).orderBy("ida", "idb")
 
   /** The full q27 LSH chain as CTEs — shingles (from the caller's
     * `${p}tok(doc_id, a)` CTE), signatures, bands, candidates, exact

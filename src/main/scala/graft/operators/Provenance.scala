@@ -283,6 +283,174 @@ object Provenance {
        |FROM j LEFT JOIN lq ON lq.doc_id = j.doc_id
        |GROUP BY j.source ORDER BY source""".stripMargin
 
+  /** q106: the MULTI-TICK ingest loop — the state-maintenance closure
+    * of q103 (r9 verdict item 1): TWO q103-shaped ticks where the
+    * dedup state tick 2 judges against INCLUDES what tick 1 admitted.
+    * Split by doc_id % [[BatchMod]]: classes 1–9 are the base corpus,
+    * 10–16 tick 1, 0 tick 2 (GenData plants dup sources 1–11 ids back,
+    * so class-0 near-dups of class-10–16 sources exist — the decisive
+    * fold-back cases). Per tick, the q103 verdict precedence:
+    * `dup_corpus_exact` (hash in accumulated state) →
+    * `dup_corpus_fuzzy` (verified near-dup of a STATE doc — base corpus
+    * for tick 1; base ∪ tick-1-admitted for tick 2) → `low_quality`
+    * (bottom `lowFrac` of the tick's novel docs under the FROZEN
+    * base-corpus model — a deployment retrains between ticks, not
+    * within them) → `new`. Only `new` docs fold back: exact/fuzzy dups
+    * were never ingested and low-quality docs were rejected, so tick 2
+    * must re-reject a near-dup of a tick-1 reject — spec-pinned in
+    * IngestLoopSpec. Within-tick near-dups are NOT flagged (the
+    * q92/q103 convention: the state is what you judge against; a tick
+    * is atomic).
+    *
+    * Scale shape: ONE LSH chain over the table (checkpointed, read by
+    * both ticks' fuzzy flags — the q103 marker discipline), ONE bounded
+    * training pass, two row-local scoring projections, and per tick the
+    * q92 join shape (≤1-match joins; verdict columns partition
+    * n_batch). The live form here computes state functionally so the
+    * DuckDB oracle can re-derive both ticks from one WITH clause; the
+    * DEPLOYMENT form is [[graft.io.IngestLoop]], where the state lives
+    * in [[graft.io.ArtifactStore.IngestStateStore]] parquet
+    * (appendTick per tick, generational compaction) and corpus text is
+    * never rescanned — IngestLoopSpec pins the two forms equal. */
+  def q106MultiTickIngest(documents: DataFrame, threshold: Double = 0.2,
+                          lowFrac: Double = 0.25): DataFrame = {
+    val m = (c: org.apache.spark.sql.Column) => pmod(c, lit(BatchMod))
+    val corpus = documents.filter(m(col("doc_id")).between(1, 9))
+    val t1 = documents.filter(m(col("doc_id")) >= 10)
+    val t2 = documents.filter(m(col("doc_id")) === 0)
+    // ONE verified pair relation over the whole table, severed: both
+    // ticks' fuzzy flags read it (un-severed, the LSH chain would
+    // re-execute per reference — the q103 localCheckpoint lesson)
+    val pr = Fuzzy.lshVerifiedPairs(documents, threshold)
+      .select("ida", "idb").localCheckpoint()
+    val adj = pr.union(pr.select(col("idb"), col("ida"))).toDF("a", "b")
+    val w = QualityModel.weights(corpus, scope = s"multitick$BatchMod")
+    // tick 1 against the base-corpus state
+    val fz1 = adj.filter(m(col("b")) >= 10 && m(col("a")).between(1, 9))
+      .select(col("b").as("fid")).distinct()
+    val v1 = gatedTickFrame(t1, corpusHashState(corpus), fz1, w, lowFrac)
+    // fold-back: ONLY tick 1's admitted docs join the state tick 2 sees
+    val adm1 = v1.filter(col("lq") === false).select(col("doc_id"), col("h"))
+    val c1 = corpusHashState(corpus)
+      .union(adm1.select(col("h").as("ch"))).distinct()
+    val fz2 = adj.filter(m(col("b")) === 0)
+      .join(adm1.select(col("doc_id").as("aid")), col("a") === col("aid"), "left")
+      .filter(m(col("a")).between(1, 9) || col("aid").isNotNull)
+      .select(col("b").as("fid")).distinct()
+    val v2 = gatedTickFrame(t2, c1, fz2, w, lowFrac)
+    gatedTickReport(v1).withColumn("tick", lit(1))
+      .union(gatedTickReport(v2).withColumn("tick", lit(2)))
+      .select(col("tick"), col("source"), col("n_batch"), col("n_dup_exact"),
+        col("n_dup_fuzzy"), col("n_low_quality"), col("n_new"))
+      .orderBy("tick", "source")
+  }
+
+  /** One gated tick's labeled frame — the q103/q106 j∘lq kernel against
+    * an ARBITRARY exact-hash state (`ch` column) and fuzzy-flagged id
+    * set (`fid` column) under frozen weights `w`: per batch doc,
+    * (doc_id, source, h, ch, fid, p, lq) with `lq` true = bottom
+    * `lowFrac` of the tick's novel docs by score, false = admitted,
+    * null = dup. Checkpointed twice (the q103 marker discipline): `j`
+    * is read by the budget window and the final join; the returned
+    * frame by the report AND any fold-back consumer
+    * ([[graft.io.IngestLoop.runTick]]). Both joins are ≤1-match, so
+    * the verdict classes partition the batch. */
+  private[graft] def gatedTickFrame(batch: DataFrame, state: DataFrame,
+                                    fuzzyIds: DataFrame, w: Seq[Double],
+                                    lowFrac: Double): DataFrame = {
+    val j = batch
+      .select(col("doc_id"), col("source"), contentHash60(col("text")).as("h"))
+      .join(state, col("h") === col("ch"), "left")
+      .join(fuzzyIds.select("fid"), col("doc_id") === col("fid"), "left")
+      .join(QualityModel.scores(batch, w), "doc_id")
+      .localCheckpoint()
+    val lq = j.filter(col("ch").isNull && col("fid").isNull)
+      .withColumn("lq", cume_dist().over(
+        org.apache.spark.sql.expressions.Window.orderBy("p", "doc_id"))
+        <= lowFrac)
+      .select(col("doc_id").as("lqid"), col("lq"))
+    j.join(lq, col("doc_id") === col("lqid"), "left").localCheckpoint()
+  }
+
+  /** The per-source report of a [[gatedTickFrame]] (q103's columns). */
+  private[graft] def gatedTickReport(v: DataFrame): DataFrame =
+    v.groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        count(col("ch")).as("n_dup_exact"),
+        count(when(col("ch").isNull, col("fid"))).as("n_dup_fuzzy"),
+        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+        count(when(col("lq") === false, lit(1))).as("n_new"))
+      .orderBy("source")
+
+  def q106Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    val bm = BatchMod
+    def reportSql(tick: Int, v: String) =
+      s"""SELECT $tick AS tick, source, count(*) AS n_batch,
+         |  count(ch) AS n_dup_exact,
+         |  count(CASE WHEN ch IS NULL THEN fid END) AS n_dup_fuzzy,
+         |  count(CASE WHEN lq THEN 1 END) AS n_low_quality,
+         |  count(CASE WHEN lq = false THEN 1 END) AS n_new
+         |FROM $v GROUP BY source""".stripMargin
+    s"""WITH ${Fuzzy.lshPairsSqlCtes(
+         "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
+         threshold)},
+       |adj AS MATERIALIZED (SELECT ida AS a, idb AS b FROM pairs
+       |       UNION ALL SELECT idb AS a, ida AS b FROM pairs),
+       |h AS MATERIALIZED (SELECT doc_id, source,
+       |        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+       |      FROM documents),
+       |c0 AS MATERIALIZED (SELECT DISTINCT h FROM h
+       |      WHERE doc_id % $bm BETWEEN 1 AND 9),
+       |${QualityModel.featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm BETWEEN 1 AND 9)", "ctr_")},
+       |${QualityModel.trainSqlCtes(iters, trainN, "ctr_")},
+       |t1 AS (SELECT doc_id, source, h FROM h WHERE doc_id % $bm >= 10),
+       |${QualityModel.featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm >= 10)", "b1_")},
+       |s1 AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+       |       FROM b1_feat, ctr_w w),
+       |fz1 AS (SELECT DISTINCT b AS fid FROM adj
+       |        WHERE b % $bm >= 10 AND a % $bm BETWEEN 1 AND 9),
+       |j1 AS MATERIALIZED (SELECT t1.doc_id, t1.source, t1.h AS hh,
+       |        c0.h AS ch, fz1.fid, s1.p
+       |      FROM t1 LEFT JOIN c0 ON t1.h = c0.h
+       |      LEFT JOIN fz1 ON fz1.fid = t1.doc_id
+       |      JOIN s1 ON s1.doc_id = t1.doc_id),
+       |lq1 AS (SELECT doc_id,
+       |          cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
+       |        FROM j1 WHERE ch IS NULL AND fid IS NULL),
+       |v1 AS MATERIALIZED (SELECT j1.*, lq1.lq FROM j1
+       |      LEFT JOIN lq1 ON lq1.doc_id = j1.doc_id),
+       |adm1 AS MATERIALIZED (SELECT doc_id, hh FROM v1 WHERE lq = false),
+       |c1 AS MATERIALIZED (SELECT DISTINCT h FROM
+       |        (SELECT h FROM c0 UNION ALL SELECT hh AS h FROM adm1)),
+       |t2 AS (SELECT doc_id, source, h FROM h WHERE doc_id % $bm = 0),
+       |${QualityModel.featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm = 0)", "b2_")},
+       |s2 AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+       |       FROM b2_feat, ctr_w w),
+       |fz2 AS (SELECT DISTINCT adj.b AS fid FROM adj
+       |        LEFT JOIN adm1 ON adj.a = adm1.doc_id
+       |        WHERE adj.b % $bm = 0
+       |          AND (adj.a % $bm BETWEEN 1 AND 9 OR adm1.doc_id IS NOT NULL)),
+       |j2 AS MATERIALIZED (SELECT t2.doc_id, t2.source, c1.h AS ch,
+       |        fz2.fid, s2.p
+       |      FROM t2 LEFT JOIN c1 ON t2.h = c1.h
+       |      LEFT JOIN fz2 ON fz2.fid = t2.doc_id
+       |      JOIN s2 ON s2.doc_id = t2.doc_id),
+       |lq2 AS (SELECT doc_id,
+       |          cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
+       |        FROM j2 WHERE ch IS NULL AND fid IS NULL),
+       |v2 AS (SELECT j2.*, lq2.lq FROM j2
+       |      LEFT JOIN lq2 ON lq2.doc_id = j2.doc_id),
+       |r1 AS (${reportSql(1, "v1")}),
+       |r2 AS (${reportSql(2, "v2")})
+       |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |ORDER BY tick, source""".stripMargin
+  }
+
   /** q75: manifest DIFF — the consumer of q70's manifests: given two
     * corpus snapshots, which id-buckets changed, and how? This is how
     * two 100 TB snapshots are compared WITHOUT moving either corpus:

@@ -1,0 +1,90 @@
+package graft.io
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.operators.{Provenance, QualityModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ingest state-maintenance loop (r9 verdict item 1): the
+  * store-backed [[IngestLoop]] must replay the oracle-checked live
+  * q106 tick for tick — including the fold-back that makes tick 2
+  * reject near-dups of what tick 1 admitted — and compaction must be
+  * invisible to verdicts. sf0.01 (not the usual sf0.001): the decisive
+  * fold-back case — a tick-2 doc whose ONLY near-dup partners are
+  * tick-1 docs — exists there (doc 323 ↔ its tick-1 source), while
+  * sf0.001's tick 2 is too small to carry one. */
+class IngestLoopSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def docs = Tables.load(spark, sf, "documents")
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(i =>
+      if (r.isNullAt(i)) null else r.get(i)))
+
+  test("store-backed loop ≡ live q106; fold-back decisive; compaction invisible; rejects never enter state") {
+    val root = Files.createTempDirectory("graft_ingest_loop").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    val t1 = docs.filter(m >= 10)
+    val t2 = docs.filter(m === 0)
+    val w = QualityModel.weights(corpus,
+      scope = s"multitick${Provenance.BatchMod}")
+
+    // the oracle-checked yardstick, per tick
+    val live = Provenance.q106MultiTickIngest(docs).collect().toSeq
+    def liveTick(t: Int) = live.filter(_.getInt(0) == t)
+      .map(r => (1 until r.length).map(i => r.get(i)))
+    assert(liveTick(1).nonEmpty && liveTick(2).nonEmpty)
+
+    val st = IngestLoop.stores(spark, root, "loop1")
+    IngestLoop.bootstrap(st, corpus)
+    val hashesBefore = st.hashes.current().get
+      .collect().map(_.getLong(0)).toSet
+
+    // tick 1: report equals the live tick-1 rows
+    val rep1 = rows(IngestLoop.runTick(st, t1, w))
+    assert(rep1 === liveTick(1),
+      "store-backed tick 1 must equal the oracle-checked live q106 tick 1")
+
+    // ONLY admitted docs entered the state: the added hashes are a
+    // subset of tick 1's hashes, and their count matches tick 1's
+    // n_new total (no duplicate-admitted texts in this slice)
+    val added = st.hashes.current().get.collect().map(_.getLong(0)).toSet
+      .diff(hashesBefore)
+    val n1new = liveTick(1).map(_(5).asInstanceOf[Long]).sum
+    assert(added.size.toLong === n1new,
+      "hash-state growth must equal tick 1's admitted count")
+    val t1Hashes = t1.select(Provenance.contentHash60(col("text")).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    assert(added.subsetOf(t1Hashes),
+      "every added hash must come from a tick-1 document")
+
+    // a second, fold-FREE loop: tick 2 against bootstrap-only state
+    val stNoFold = IngestLoop.stores(spark, root, "loop_nofold")
+    IngestLoop.bootstrap(stNoFold, corpus)
+    val rep2NoFold = rows(IngestLoop.runTick(stNoFold, t2, w))
+
+    // compaction between ticks (forced via a zero trigger) must not
+    // change any subsequent verdict
+    assert(IngestLoop.compactIfNeeded(st, maxDataFiles = 0),
+      "zero trigger must force compaction")
+    assert(st.hashes.dataFileCount > 0)
+
+    // tick 2: report equals the live tick-2 rows — judged against the
+    // COMPACTED, folded state
+    val rep2 = rows(IngestLoop.runTick(st, t2, w))
+    assert(rep2 === liveTick(2),
+      "store-backed tick 2 (post-compaction) must equal live q106 tick 2")
+
+    // the decisive pin: folding tick 1's admissions caught a tick-2
+    // near-dup the bootstrap-only state could not
+    def fuzzySum(r: Seq[Seq[Any]]) = r.map(_(3).asInstanceOf[Long]).sum
+    assert(fuzzySum(rep2) > fuzzySum(rep2NoFold),
+      "tick 2 must reject a near-dup of a doc tick 1 admitted — " +
+        "the fold-back has to be decisive, not decorative")
+  }
+}

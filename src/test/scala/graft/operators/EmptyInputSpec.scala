@@ -64,7 +64,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "q100_distinct_ngrams" -> TextOps.q100DistinctNgrams(empty("documents")),
       "q101_learned_filter" -> QualityModel.q101LearnedFilter(empty("documents")),
       "q102_shard_manifest" -> Sharding.q102ShardManifest(empty("documents")),
-      "q103_admission_gate" -> Provenance.q103AdmissionGate(empty("documents")))
+      "q103_admission_gate" -> Provenance.q103AdmissionGate(empty("documents")),
+      "q106_multi_tick_ingest" -> Provenance.q106MultiTickIngest(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }

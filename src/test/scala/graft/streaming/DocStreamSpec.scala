@@ -442,6 +442,84 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("folding gated admission: state folds between micro-batches — a near-dup of a tick-1 ADMISSION is caught at tick 2, across kill + restart + compaction") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val documents = Tables.load(spark, sf, "documents")
+
+    val artRoot = Files.createTempDirectory("graft_fold_art").toString
+    val hashes = graft.io.ArtifactStore.corpusHashesOrBuild(artRoot, documents)
+    val w = graft.operators.QualityModel.weights(documents, scope = "foldspec")
+
+    // synthetic novel docs (tokens outside the corpus vocabulary):
+    // X is admitted at tick 1; X' (one token mutated — shingle Jaccard
+    // far above 0.2) arrives at tick 2. Without the fold, X' would be
+    // 'new' (it matches nothing in the CORPUS state — exactly the
+    // refineFuzzy scaladoc's documented stream-vs-stream miss); with
+    // it, tick 2 judges against corpus ∪ tick-1-admitted and rejects.
+    val xToks = (1 to 30).map(i => s"qq$i")
+    val xText = xToks.mkString(" ")
+    val xPrime = xToks.updated(14, "zzqx").mkString(" ")
+    val yText = (1 to 30).map(i => s"rr$i").mkString(" ")
+    val x = DocStream.Doc(800000L, HourNs, xText)
+    val xp = DocStream.Doc(800001L, 2 * HourNs, xPrime)
+    val xResent = DocStream.Doc(800002L, 2 * HourNs, xText)
+    val y = DocStream.Doc(800003L, 2 * HourNs, yText)
+
+    val st = graft.io.IngestLoop.stores(spark, artRoot, "foldloop")
+    graft.io.IngestLoop.bootstrap(st, documents)
+
+    val dir = Files.createTempDirectory("graft_fold_jsonl")
+    val ckpt = Files.createTempDirectory("graft_fold_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_fold_out").toString
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    def drop(name: String, ds: Seq[DocStream.Doc]): Unit =
+      Files.writeString(dir.resolve(name), ds.map(jline).mkString("\n") + "\n")
+    def startQuery() = {
+      val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+        DocStream.JsonlDocSchema)
+        .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+        .drop(graft.io.JsonLines.CorruptCol)
+      // lowFrac = 0: the budget gate admits every novel doc, so this
+      // test isolates the FOLD (the budget leg is the gated test above)
+      DocStream.foldingGatedAdmissionQuery(raw,
+        hashes.select(col("ch").as("h")), st, w, outDir, ckpt,
+        lowFrac = 0.0)
+    }
+
+    // tick 1: X admitted → folded into the stores; then KILL
+    drop("tick1.jsonl", Seq(x))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(st.bands.maxTick === 2L,
+      "batch 0 must fold its admissions at tick 2 (bootstrap = 1)")
+
+    // compaction at the quiesce point — the restart must land on the
+    // compacted generation and still reject X'
+    assert(graft.io.IngestLoop.compactIfNeeded(st, maxDataFiles = 0))
+
+    // tick 2 lands while the query is DOWN; a fresh query resumes
+    drop("tick2.jsonl", Seq(xp, xResent, y))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+    assert(got.length === got.map(_._1).distinct.length, "duplicate verdicts")
+    val byId = got.toMap
+    assert(byId(800000L) === "new", "X is novel at tick 1")
+    assert(byId(800001L) === "dup_corpus_fuzzy",
+      "X' must be rejected at tick 2 by the FOLDED band state — " +
+        "the stream-vs-stream near-dup miss upgraded to caught-at-next-tick")
+    assert(byId(800002L) === "dup_stream",
+      "exact re-send: the checkpointed exact state must survive restart")
+    assert(byId(800003L) === "new", "unrelated novel doc stays admitted")
+    // fold idempotency bookkeeping: batch 1 folded at tick 3 on the
+    // compacted generation (gen=2), nothing double-folded
+    assert(st.bands.maxTick === 3L)
+  }
+
   test("gated admission stream (q103 twin): one tick reconciles with the batch report") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.{col, lit, pmod}
