@@ -255,6 +255,58 @@ object ArtifactStore {
       spark.read.parquet(s"$base/df"))
   }
 
+  // ---- incremental BM25 index (tick-maintained postings) ---------------
+
+  /** INCREMENTAL BM25 index maintenance (r9 verdict item 2):
+    * [[bm25IndexOrBuild]] keys the whole index on the full-corpus
+    * fingerprint, so ONE admitted document forces a complete
+    * re-tokenize of the corpus — wrong for a deployment that both
+    * ingests and serves retrieval. Here the tf relation (the only
+    * text-derived state) lives in an [[IngestStateStore]]: bootstrap
+    * tokenizes the corpus once, every ingest tick appends ONLY its
+    * admitted docs' postings
+    * ([[graft.operators.Retrieval.tfOf]]), and dl / df / stats
+    * re-derive from the accumulated tf at query time — valid because
+    * all three are per-key SUMS/COUNTS over tf rows, and a doc's rows
+    * land exactly once whichever tick carried it (df needs no
+    * decrement machinery: admitted docs are novel, nothing is ever
+    * re-added). Generational compaction bounds the tick-file count
+    * exactly as for the dedup state; crash discipline is the store's
+    * (`_SUCCESS`-gated ticks, invisible half-writes).
+    *
+    * Bm25IncrementalSpec pins: stored ranking ≡ full-rebuild ranking
+    * after N ticks + a compaction, with the tokenize counter showing
+    * one pass per batch and ZERO re-tokenizes of old ticks.
+    *
+    * Scale shape: a tick's cost is tokenizing the tick (tf rows
+    * shuffle on (doc_id, t) within the tick only) + one small parquet
+    * append; the accumulated tf is probed like any posting table. The
+    * df/stats re-derivation is one pass over tf PARQUET — O(postings),
+    * no text; a serving deployment caches it per generation. */
+  final class Bm25IncrementalIndex(spark: SparkSession, root: String,
+                                   name: String) {
+    val tfStore: IngestStateStore =
+      ingestState(spark, root, s"$name/bm25_tf")
+
+    /** Tokenize + append one batch's postings; tick 1 is the
+      * bootstrap corpus, later ticks are admitted ingest batches. */
+    def appendDocs(docs: DataFrame): Long =
+      tfStore.appendTick(graft.operators.Retrieval.tfOf(docs))
+
+    /** The index over everything appended so far — tf from parquet,
+      * dl/df/stats derived, text untouched. */
+    def index(): graft.operators.Retrieval.Bm25Index =
+      graft.operators.Retrieval.indexFromTf(tfStore.current().getOrElse(
+        sys.error("incremental BM25 index is empty: append a corpus first")))
+
+    def compact(targetBytes: Long = 128L * 1024 * 1024): Int =
+      tfStore.compact(targetBytes)
+  }
+
+  def bm25Incremental(spark: SparkSession, root: String,
+                      name: String): Bm25IncrementalIndex =
+    new Bm25IncrementalIndex(spark, root, name)
+
   // ---- q73 corpus hash state -------------------------------------------
 
   /** Build-or-load the corpus content-hash state (`ch` long per distinct

@@ -67,12 +67,45 @@ object Retrieval {
     * ArtifactStore load path must leave it unchanged. */
   val indexBuilds = new java.util.concurrent.atomic.AtomicLong
 
+  /** Observable tokenize counter: every corpus-text tokenization pass
+    * increments it once — the incremental index's receipt that old
+    * ticks are never re-tokenized (Bm25IncrementalSpec pins it). */
+  val tokenizeRuns = new java.util.concurrent.atomic.AtomicLong
+
   // size < 2 guard: sequence(0, -1) counts DOWN in Spark, which would
   // fabricate null bigrams where DuckDB's range(1, 1) is empty
   private def bigrams = expr(
     """if(size(a) < 2, cast(array() as array<string>),
       |   transform(sequence(0, size(a) - 2),
       |             i -> concat(a[i], ' ', a[i + 1])))""".stripMargin)
+
+  /** One batch of docs tokenized to its per-(doc, term) tf relation —
+    * the unit the INCREMENTAL index appends
+    * ([[graft.io.ArtifactStore.Bm25IncrementalIndex]]): the only thing
+    * that ever reads text. Expects docs the admission layer already
+    * verdicted `new` (a re-appended doc_id would double its postings —
+    * the loop's exact gate exists to prevent exactly that). */
+  def tfOf(docs: DataFrame): DataFrame = {
+    tokenizeRuns.incrementAndGet()
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), explode(bigrams).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+  }
+
+  /** Index relations re-derived from a stored tf relation WITHOUT
+    * touching text: dl = Σ tf per doc (every bigram occurrence is a tf
+    * count), df = per-term row count, stats = O(1) aggregate — the same
+    * derivations [[graft.io.ArtifactStore.bm25IndexOrBuild]] applies to
+    * its tf parquet, so a tf accumulated across ingest ticks yields the
+    * exact full-rebuild index (Bm25IncrementalSpec pins the ranking). */
+  def indexFromTf(tf: DataFrame): Bm25Index = {
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+    Bm25Index(tf, dl, df)
+  }
 
   /** Build the index relations from a corpus frame. */
   def index(corpus: DataFrame): Bm25Index = {
