@@ -138,6 +138,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q106_multi_tick_ingest: two q103-shaped ingest ticks with state
   *                         fold-back — tick 2 judges against base corpus
   *                         ∪ tick-1-admitted (deployment form: io.IngestLoop)
+  *  - q107_ivfpq_residual: q94 in the Jégou §V IVFADC form — PQ codes
+  *                         quantize r = x − centroid(x); per-probed-cluster
+  *                         ADC LUTs; recall comparable to q94 at same budget
   */
 object SparkEntry {
 
@@ -264,6 +267,7 @@ object SparkEntry {
     "q105_drop_attribution" -> ((s, dir) => CurateV2.q105DropAttribution(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
     "q106_multi_tick_ingest" -> t("documents")(Provenance.q106MultiTickIngest(_)),
+    "q107_ivfpq_residual" -> t("embeddings")(Pq.q107IvfPqResidual(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -375,5 +379,6 @@ object SparkEntry {
     "q104_score_drift" -> QualityModel.q104Sql(),
     "q105_drop_attribution" -> CurateV2.q105Sql(),
     "q106_multi_tick_ingest" -> Provenance.q106Sql(),
+    "q107_ivfpq_residual" -> Pq.q107Sql(),
   )
 }

@@ -176,6 +176,41 @@ object ArtifactStore {
     }
   }
 
+  def pqResKey(fp: String, nCentroids: Int, m: Int, subDim: Int, kCb: Int,
+               iters: Int, trainN: Int): String =
+    s"fp${fp}_c${nCentroids}_m${m}x${subDim}_k${kCb}_i${iters}_n$trainN"
+
+  /** Train-or-load RESIDUAL PQ codebooks (q107, Jégou §V) — keyed
+    * apart from the raw codebooks by the coarse-quantizer size, since
+    * residuals are defined relative to those centroids. Loads seed the
+    * tagged [[Pq]] memo so q107 serves the artifact. */
+  def pqResidualCodebooksOrTrain(root: String, embeddings: DataFrame,
+                                 nCentroids: Int = Kmeans.DefaultK,
+                                 m: Int = Pq.DefaultM,
+                                 subDim: Int = Pq.DefaultSubDim,
+                                 kCb: Int = Pq.DefaultKCb,
+                                 iters: Int = Pq.DefaultIters,
+                                 trainN: Int = Pq.DefaultTrainN): Seq[(Int, Int, Seq[Double])] = {
+    val spark = embeddings.sparkSession
+    val path = artifactPath(root, "pq_res_codebooks",
+      pqResKey(embeddingsFingerprint(embeddings), nCentroids, m, subDim,
+        kCb, iters, trainN))
+    if (exists(spark, path)) {
+      val cb = spark.read.parquet(path).orderBy("sub", "cid")
+        .collect().map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid"),
+          r.getAs[Seq[Double]]("ce"))).toSeq
+      Pq.preloadResidual(embeddings, cb, nCentroids, m, subDim, kCb,
+        iters, trainN)
+      cb
+    } else {
+      val cb = Pq.residualCodebooks(embeddings, nCentroids, m, subDim,
+        kCb, iters, trainN)
+      import spark.implicits._
+      cb.toDF("sub", "cid", "ce").coalesce(1).write.mode("overwrite").parquet(path)
+      cb
+    }
+  }
+
   // ---- logistic-regression filter weights ------------------------------
 
   def logregKey(fp: String, iters: Int, trainN: Int,

@@ -79,10 +79,11 @@ object Pq {
   val trainRuns = new java.util.concurrent.atomic.AtomicLong
 
   private def memoKey(embeddings: DataFrame, m: Int, subDim: Int, kCb: Int,
-                      iters: Int, trainN: Int): Option[String] = {
+                      iters: Int, trainN: Int,
+                      tag: String = "pq"): Option[String] = {
     val files = embeddings.inputFiles
     if (files.isEmpty) None
-    else Some(files.sorted.mkString(",") + s"#pq#$m#$subDim#$kCb#$iters#$trainN")
+    else Some(files.sorted.mkString(",") + s"#$tag#$m#$subDim#$kCb#$iters#$trainN")
   }
 
   /** Seed the memo with a persisted codebook (ArtifactStore load path). */
@@ -114,11 +115,19 @@ object Pq {
   }
 
   def train(embeddings: DataFrame, m: Int, subDim: Int, kCb: Int,
-            iters: Int, trainN: Int): Seq[(Int, Int, Seq[Double])] = {
+            iters: Int, trainN: Int): Seq[(Int, Int, Seq[Double])] =
+    trainOn(embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed")),
+      m, subDim, kCb, iters, trainN)
+
+  /** The Lloyd's trainer over an ARBITRARY (vec_id, ed) frame — the
+    * body [[train]] always had, exposed so the residual path (q107)
+    * can fit codebooks to r = x − centroid(x) with the identical
+    * sampling, init, and rounding discipline. */
+  private def trainOn(e: DataFrame, m: Int, subDim: Int, kCb: Int,
+                      iters: Int, trainN: Int): Seq[(Int, Int, Seq[Double])] = {
     trainRuns.incrementAndGet()
-    val spark = embeddings.sparkSession
-    val e = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    val spark = e.sparkSession
     val trainSet = e.withColumn("hv", hv).orderBy("hv", "vec_id")
       .limit(trainN).select("vec_id", "ed").localCheckpoint()
     val trSl = sliceAll(trainSet, "ed", m, subDim)
@@ -453,6 +462,274 @@ object Pq {
         col("n_hits_rr"),
         round(col("n_hits_rr").cast("double") / kTop, 6).as("recall_rr"))
       .orderBy("qid")
+  }
+
+  // ---- residual IVF-PQ (q107) ------------------------------------------
+
+  /** The residual relation r = x − centroid(x) (Jégou 2011 §V, IVFADC):
+    * one row-local array subtraction per vector after coarse
+    * assignment. Exact double arithmetic — the same determinism class
+    * as the slice/d2 chain, so the oracle reproduces it bit-for-bit. */
+  private def residualFrame(embeddings: DataFrame,
+                            nCentroids: Int): DataFrame = {
+    val cents = Kmeans.centroidTable(embeddings, nCentroids)
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    val csim = dot(col("ed"), col("ce")) /
+      (sqrt(dot(col("ed"), col("ed"))) * sqrt(dot(col("ce"), col("ce"))))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    val asg = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), round(csim, 6).as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1).select("vec_id", "cid")
+    asg.join(e, "vec_id").join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(ed, ce, (x, y) -> x - y)").as("ed"))
+  }
+
+  /** Train-or-memo codebooks over RESIDUALS — same sampling/init/
+    * rounding as [[codebooks]], keyed apart by the `pqres<k>` tag (a
+    * residual codebook must never alias the raw one: both derive from
+    * the same inputFiles). At the same 4-bit budget these codebooks
+    * spend their codes on the residual's variance — the part the
+    * coarse quantizer did NOT explain — which is where the recall
+    * recovery comes from (PqSpec pins ≥ at identical budget). */
+  def residualCodebooks(embeddings: DataFrame,
+                        nCentroids: Int = Kmeans.DefaultK,
+                        m: Int = DefaultM, subDim: Int = DefaultSubDim,
+                        kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+                        trainN: Int = DefaultTrainN): Seq[(Int, Int, Seq[Double])] = {
+    def trainRes() = trainOn(
+      residualFrame(embeddings, nCentroids).select("vec_id", "ed"),
+      m, subDim, kCb, iters, trainN)
+    memoKey(embeddings, m, subDim, kCb, iters, trainN,
+        tag = s"pqres$nCentroids") match {
+      case None      => trainRes()
+      case Some(key) => memo.getOrElseUpdate(key, trainRes())
+    }
+  }
+
+  /** Seed the residual-codebook memo (ArtifactStore load path). */
+  def preloadResidual(embeddings: DataFrame, cb: Seq[(Int, Int, Seq[Double])],
+                      nCentroids: Int = Kmeans.DefaultK,
+                      m: Int = DefaultM, subDim: Int = DefaultSubDim,
+                      kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+                      trainN: Int = DefaultTrainN): Unit =
+    memoKey(embeddings, m, subDim, kCb, iters, trainN,
+      tag = s"pqres$nCentroids").foreach(memo.put(_, cb))
+
+  /** Residual codebooks as a broadcast-able (sub, cid, ce) frame. */
+  def residualCodebookTable(embeddings: DataFrame,
+                            nCentroids: Int = Kmeans.DefaultK,
+                            m: Int = DefaultM, subDim: Int = DefaultSubDim,
+                            kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+                            trainN: Int = DefaultTrainN): DataFrame = {
+    val cb = residualCodebooks(embeddings, nCentroids, m, subDim, kCb,
+      iters, trainN)
+    val bySub = cb.groupBy(_._1)
+    val arr = Array.tabulate(m)(s =>
+      bySub.getOrElse(s, Seq.empty).sortBy(_._2).map(_._3.toArray).toArray)
+    codebookDf(embeddings.sparkSession, arr)
+  }
+
+  /** q107: RESIDUAL IVF-PQ — q94 upgraded to the §V IVFADC form: codes
+    * quantize the residual r = x − centroid(x) instead of x itself,
+    * and the query-side ADC lookup table is built per PROBED CLUSTER
+    * from q − centroid(c). Rationale: within a cluster, x's position
+    * is centroid + r, so quantizing r spends the (same) 16×4-bit code
+    * budget entirely on the within-cluster variance — the only part
+    * the scan still has to discriminate — while q94's raw codes spend
+    * most of it re-describing which cluster the vector sits in
+    * (information the IVF prune already used). Same artifacts
+    * discipline (centroids via [[Kmeans]]'s memo, residual codebooks
+    * via the tagged memo / ArtifactStore `pq_res_codebooks`), same
+    * probe/candidate relations, same integer micro-unit ADC fold, same
+    * report schema as q94 — so the two operating points differ in
+    * EXACTLY one design axis and their recall columns are directly
+    * comparable (PqSpec pins residual ≥ raw at identical
+    * nprobe/budget).
+    *
+    * Scale shape: identical to q94 plus one row-local zip_with per
+    * corpus vector and an LUT of nprobe× more rows per query (still
+    * Q·nprobe·m·k tiny rows, broadcast). The candidate relation —
+    * the term that grows with N — is unchanged. */
+  def q107IvfPqResidual(embeddings: DataFrame,
+                        nCentroids: Int = Kmeans.DefaultK,
+                        nprobe: Int = 2,
+                        m: Int = DefaultM, subDim: Int = DefaultSubDim,
+                        kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+                        trainN: Int = DefaultTrainN,
+                        nQueries: Int = DefaultNQueries,
+                        kTop: Int = DefaultTopK,
+                        rerankR: Int = DefaultRerankR): DataFrame = {
+    val rcb = residualCodebookTable(embeddings, nCentroids, m, subDim, kCb,
+      iters, trainN)
+    val cents = Kmeans.centroidTable(embeddings, nCentroids)
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    // coarse assignment (q30/q54/q94 convention)
+    val csim = dot(col("ed"), col("ce")) /
+      (sqrt(dot(col("ed"), col("ed"))) * sqrt(dot(col("ce"), col("ce"))))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    val ranked = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), round(csim, 6).as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+    val asg = ranked.filter(col("arn") === 1).select("vec_id", "cid")
+    val probes = ranked.filter(col("arn") <= nprobe && col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("cid").as("qcid"))
+    val cand = broadcast(probes)
+      .join(asg, col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .select("qid", "qcid", "vec_id")
+    val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    // residual encode: codes of r = x − centroid(x)
+    val rese = asg.join(e, "vec_id").join(broadcast(cents), "cid")
+      .select(col("vec_id"),
+        expr("zip_with(ed, ce, (x, y) -> x - y)").as("ed"))
+    val sl = sliceAll(rese, "ed", m, subDim)
+    val wEnc = Window.partitionBy("vec_id", "sub").orderBy(asc("d2r"), asc("cid"))
+    val codes = sl.join(broadcast(rcb), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"),
+        round(d2(col("sv"), col("ce")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+    // query-side residual per PROBED cluster → per-(query, cluster) LUT
+    val qres = probes
+      .join(e.select(col("vec_id").as("qid2"), col("ed")), col("qid") === col("qid2"))
+      .join(broadcast(cents.select(col("cid").as("qcid2"), col("ce"))),
+        col("qcid") === col("qcid2"))
+      .select(col("qid"), col("qcid"),
+        expr("zip_with(ed, ce, (x, y) -> x - y)").as("ed"))
+    val qsl = sliceAll(qres, "ed", m, subDim)
+    val lut = qsl.join(broadcast(rcb), "sub")
+      .select(col("qid").as("lqid"), col("qcid").as("lqcid"),
+        col("sub").as("lsub"), col("cid").as("lcid"),
+        round(d2(col("sv"), col("ce")) * lit(1e6), 0).cast("long").as("pd"))
+    // ADC: candidate codes looked up in their OWN cluster's LUT
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut),
+        col("qid") === col("lqid") && col("qcid") === col("lqcid") &&
+          col("sub") === col("lsub") && col("code") === col("lcid"))
+      .groupBy("qid", "vec_id").agg(sum("pd").as("adc"))
+    val wTop = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+    val rankedAdc = adc.withColumn("rn", row_number().over(wTop))
+    val approx = rankedAdc.filter(col("rn") <= kTop)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    val short = rankedAdc.filter(col("rn") <= rerankR)
+      .select(col("qid").as("sqid"), col("vec_id").as("svid"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("ed").as("qed"))
+    val wEx = Window.partitionBy("qid").orderBy(asc("d2r"), asc("vec_id"))
+    val rerank = short
+      .join(broadcast(q), col("sqid") === col("qid"))
+      .join(e.select(col("vec_id").as("svid2"), col("ed").as("ved")),
+        col("svid") === col("svid2"))
+      .select(col("qid"), col("svid").as("vec_id"),
+        round(d2(col("qed"), col("ved")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEx)).filter(col("rn") <= kTop)
+      .select(col("qid").as("rqid"), col("vec_id").as("rvid"))
+    val exact = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(d2(col("qed"), col("ed")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEx)).filter(col("rn") <= kTop)
+      .select(col("qid"), col("vec_id"))
+    exact
+      .join(approx, col("qid") === col("aqid") && col("vec_id") === col("avid"),
+        "left")
+      .join(rerank, col("qid") === col("rqid") && col("vec_id") === col("rvid"),
+        "left")
+      .groupBy("qid")
+      .agg(count(col("aqid")).as("n_hits_adc"), count(col("rqid")).as("n_hits_rr"))
+      .join(nCand, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_hits_adc"),
+        round(col("n_hits_adc").cast("double") / kTop, 6).as("recall_adc"),
+        col("n_hits_rr"),
+        round(col("n_hits_rr").cast("double") / kTop, 6).as("recall_rr"))
+      .orderBy("qid")
+  }
+
+  /** Residual train + encode + per-(query, cluster) LUT CTEs, `r`
+    * prefixed; requires `rese(vec_id, ed)` and `qres(qid, qcid, ed)`
+    * in scope; ends with r0pd … r{m−1}pd of (qid, qcid, vec_id, pd). */
+  private def residualTrainEncodeCtes(m: Int, subDim: Int, kCb: Int,
+                                      iters: Int, trainN: Int): String = {
+    val shared =
+      s"""rtr AS MATERIALIZED (
+         |  SELECT vec_id, ed,
+         |    cast(concat('0x', substr(md5(cast(vec_id AS varchar)), 1, 15)) AS bigint) AS hv
+         |  FROM rese ORDER BY hv, vec_id LIMIT $trainN),
+         |rini AS (SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cid, ed
+         |        FROM rtr ORDER BY hv, vec_id LIMIT $kCb)""".stripMargin
+    val subs = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      val init =
+        s"""r${s}tr AS (SELECT vec_id, ed[$lo:$hi] AS sv FROM rtr),
+           |r${s}c0 AS (SELECT cid, ed[$lo:$hi] AS ce FROM rini)""".stripMargin
+      val steps = (1 to iters).map { i =>
+        s"""r${s}a$i AS (SELECT cid, sv FROM (
+           |  SELECT t.sv, c.cid, row_number() OVER (PARTITION BY t.vec_id
+           |    ORDER BY round(${d2Sql("t.sv", "c.ce")}, 6), c.cid) AS rn
+           |  FROM r${s}tr t, r${s}c${i - 1} c) z WHERE rn = 1),
+           |r${s}m$i AS (SELECT cid, d, round(avg(sv[d]), 6) AS v
+           |        FROM r${s}a$i, UNNEST(range(1, ${subDim + 1})) AS dd(d) GROUP BY cid, d),
+           |r${s}c$i AS (SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+           |        FROM r${s}c${i - 1} p LEFT JOIN
+           |          (SELECT cid, list(v ORDER BY d) AS ce FROM r${s}m$i GROUP BY cid) n
+           |          USING (cid))""".stripMargin
+      }
+      val encode =
+        s"""r${s}sl AS (SELECT vec_id, ed[$lo:$hi] AS sv FROM rese),
+           |r${s}enc AS (SELECT vec_id, cid AS code FROM (
+           |  SELECT sl.vec_id, c.cid, row_number() OVER (PARTITION BY sl.vec_id
+           |    ORDER BY round(${d2Sql("sl.sv", "c.ce")}, 6), c.cid) AS rn
+           |  FROM r${s}sl sl, r${s}c$iters c) z WHERE rn = 1),
+           |r${s}qsl AS (SELECT qid, qcid, ed[$lo:$hi] AS sv FROM qres),
+           |r${s}lut AS (SELECT q.qid, q.qcid, c.cid,
+           |    CAST(round((${d2Sql("q.sv", "c.ce")}) * 1e6, 0) AS BIGINT) AS pd
+           |  FROM r${s}qsl q, r${s}c$iters c),
+           |r${s}pd AS (SELECT l.qid, l.qcid, en.vec_id, l.pd
+           |  FROM r${s}enc en JOIN r${s}lut l ON l.cid = en.code)""".stripMargin
+      ((init +: steps) :+ encode).mkString(",\n")
+    }
+    (shared +: subs).mkString(",\n")
+  }
+
+  def q107Sql(nCentroids: Int = Kmeans.DefaultK, nprobe: Int = 2,
+              m: Int = DefaultM, subDim: Int = DefaultSubDim,
+              kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+              trainN: Int = DefaultTrainN, nQueries: Int = DefaultNQueries,
+              kTop: Int = DefaultTopK, rerankR: Int = DefaultRerankR): String = {
+    val resT = "list_transform(range(1, len(ed) + 1), " +
+      "ii -> ed[CAST(ii AS INT)] - ce[CAST(ii AS INT)])"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |${Kmeans.sqlCtes(nCentroids)},
+       |ranked AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid) AS arn
+       |  FROM e, c),
+       |asg AS (SELECT vec_id, cid FROM ranked WHERE arn = 1),
+       |probes AS (SELECT vec_id AS qid, cid AS qcid FROM ranked
+       |           WHERE arn <= $nprobe AND vec_id < $nQueries),
+       |rese AS MATERIALIZED (SELECT vec_id, $resT AS ed FROM
+       |  (SELECT a.vec_id, e.ed AS ed, c.ce AS ce
+       |   FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN c ON c.cid = a.cid) z),
+       |qres AS MATERIALIZED (SELECT qid, qcid, $resT AS ed FROM
+       |  (SELECT p.qid, p.qcid, e.ed AS ed, c.ce AS ce
+       |   FROM probes p JOIN e ON e.vec_id = p.qid JOIN c ON c.cid = p.qcid) z),
+       |${residualTrainEncodeCtes(m, subDim, kCb, iters, trainN)},
+       |cand AS (SELECT p.qid, p.qcid, a.vec_id FROM probes p
+       |         JOIN asg a ON a.cid = p.qcid AND a.vec_id <> p.qid),
+       |nc AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid),
+       |adc AS (SELECT u.qid, u.vec_id, sum(u.pd) AS adc
+       |        FROM (${(0 until m).map(s => s"SELECT * FROM r${s}pd").mkString(" UNION ALL ")}) u
+       |        JOIN cand cd ON cd.qid = u.qid AND cd.qcid = u.qcid
+       |          AND cd.vec_id = u.vec_id
+       |        GROUP BY 1, 2),
+       |${recallReportSql(nQueries, kTop, rerankR,
+           extraCols = " coalesce(nc.n_cand, 0) AS n_cand,",
+           extraJoin = " LEFT JOIN nc ON nc.qid = ex.qid")}""".stripMargin
   }
 
   def q94Sql(nCentroids: Int = Kmeans.DefaultK, nprobe: Int = 2,

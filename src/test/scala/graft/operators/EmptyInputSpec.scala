@@ -65,7 +65,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "q101_learned_filter" -> QualityModel.q101LearnedFilter(empty("documents")),
       "q102_shard_manifest" -> Sharding.q102ShardManifest(empty("documents")),
       "q103_admission_gate" -> Provenance.q103AdmissionGate(empty("documents")),
-      "q106_multi_tick_ingest" -> Provenance.q106MultiTickIngest(empty("documents")))
+      "q106_multi_tick_ingest" -> Provenance.q106MultiTickIngest(empty("documents")),
+      "q107_ivfpq_residual" -> Pq.q107IvfPqResidual(empty("embeddings")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }

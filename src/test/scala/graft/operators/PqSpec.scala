@@ -43,6 +43,63 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("q107 residual coding beats raw coding at identical budget on a clustered corpus") {
+    import spark.implicits._
+    // a corpus with genuine cluster structure — 8 tight clusters of 32
+    // — where the §V argument bites: raw codes mostly re-encode WHICH
+    // cluster a vector sits in (information the IVF prune already
+    // spent), so within-cluster neighbors collapse onto the same
+    // codes; residual codes spend the identical 4-bit budget on the
+    // within-cluster offsets, the only thing the pruned scan still has
+    // to rank. (The driver's iid-Gaussian embeddings have NO cluster
+    // structure — residuals ≈ the vectors themselves there, so this
+    // property is measurable only on a clustered corpus; fixed seed →
+    // deterministic outcome.)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8, 64)(rnd.nextGaussian())
+    val data = (0 until 256).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = data.toDF("vec_id", "embedding")
+    val raw = Pq.q94IvfPqRecall(emb).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(5))).toMap
+    val res = Pq.q107IvfPqResidual(emb).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(5))).toMap
+    assert(raw.keySet === res.keySet)
+    val meanRawAdc = raw.values.map(_._1).sum / raw.size
+    val meanResAdc = res.values.map(_._1).sum / res.size
+    val meanRawRr = raw.values.map(_._2).sum / raw.size
+    val meanResRr = res.values.map(_._2).sum / res.size
+    assert(meanResAdc > meanRawAdc,
+      s"residual ADC recall ($meanResAdc) must beat raw ($meanRawAdc) " +
+        "on a clustered corpus at the same nprobe/code budget")
+    assert(meanResRr >= meanRawRr,
+      s"residual re-rank recall ($meanResRr) must not lose to raw ($meanRawRr)")
+  }
+
+  test("artifact store: residual codebooks load (not retrain) on a copied corpus; q107 bit-identical") {
+    def tmpDir(p: String) = Files.createTempDirectory(p).toString
+    val root = tmpDir("graft_artifacts_pqres")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dst = tmpDir("graft_copy_emb_pqres")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      Paths.get(s"$dst/embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val embCopy = spark.read.parquet(s"$dst/embeddings.parquet")
+    val c1 = ArtifactStore.pqResidualCodebooksOrTrain(root, emb)
+    val t1 = Pq.trainRuns.get()
+    val c2 = ArtifactStore.pqResidualCodebooksOrTrain(root, embCopy)
+    assert(Pq.trainRuns.get() === t1, "copied corpus must load, not retrain")
+    assert(c2 === c1)
+    val a = Pq.q107IvfPqResidual(emb).collect().toSeq
+    val b = Pq.q107IvfPqResidual(embCopy).collect().toSeq
+    assert(Pq.trainRuns.get() === t1,
+      "q107 on the copy must ride the loaded artifact, training nothing")
+    assert(a === b)
+    // and the residual artifact is keyed apart from the raw one
+    assert(ArtifactStore.listArtifacts(spark, root).map(_._1).contains("pq_res_codebooks"))
+  }
+
   test("artifact store: copied corpus loads the codebook, q87 bit-identical") {
     def tmpDir(p: String) = Files.createTempDirectory(p).toString
     val root = tmpDir("graft_artifacts_pq")
