@@ -141,6 +141,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q107_ivfpq_residual: q94 in the Jégou §V IVFADC form — PQ codes
   *                         quantize r = x − centroid(x); per-probed-cluster
   *                         ADC LUTs; recall comparable to q94 at same budget
+  *  - q108_packed_shards:  packed-sequence shard manifest — q67's exact
+  *                         packing composed with q102's content-addressed
+  *                         placement at the sequence level (io.ShardSink
+  *                         .writePacked is the physical tree)
   */
 object SparkEntry {
 
@@ -268,6 +272,7 @@ object SparkEntry {
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
     "q106_multi_tick_ingest" -> t("documents")(Provenance.q106MultiTickIngest(_)),
     "q107_ivfpq_residual" -> t("embeddings")(Pq.q107IvfPqResidual(_)),
+    "q108_packed_shards" -> t("documents")(Packing.q108PackedShards(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -380,5 +385,6 @@ object SparkEntry {
     "q105_drop_attribution" -> CurateV2.q105Sql(),
     "q106_multi_tick_ingest" -> Provenance.q106Sql(),
     "q107_ivfpq_residual" -> Pq.q107Sql(),
+    "q108_packed_shards" -> Packing.q108Sql(),
   )
 }

@@ -34,25 +34,62 @@ import graft.operators.Sharding
   * than silently serving partial partitions to plain parquet readers. */
 object ShardSink {
 
-  def write(documents: DataFrame, path: String,
-            nShards: Int = Sharding.DefaultShards,
-            filesPerShard: Int = 1): Unit = {
-    val spark = documents.sparkSession
+  /** Write `df` partitioned by its `shard` column with the
+    * temp-tree-then-swap crash discipline (see object scaladoc). */
+  private def writeSharded(df: DataFrame, path: String,
+                           fileKey: org.apache.spark.sql.Column,
+                           partitions: Int): Unit = {
+    val spark = df.sparkSession
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "._tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    documents
-      .withColumn("shard", Sharding.shardOf(nShards))
-      .repartition(nShards * filesPerShard, col("shard"),
-        pmod(graft.operators.Provenance.contentHash60(col("text")),
-          lit(filesPerShard.toLong)))
+    df.repartition(partitions, col("shard"), fileKey)
       .write.partitionBy("shard").mode("overwrite").parquet(tmp.toString)
     // temp tree is complete (its _SUCCESS exists) — swap into place;
     // a kill before this point never touched the previous export
     val dst = new Path(path)
     if (fs.exists(dst)) fs.delete(dst, true)
     fs.rename(tmp, dst)
+  }
+
+  def write(documents: DataFrame, path: String,
+            nShards: Int = Sharding.DefaultShards,
+            filesPerShard: Int = 1): Unit =
+    writeSharded(
+      documents.withColumn("shard", Sharding.shardOf(nShards)),
+      path,
+      pmod(graft.operators.Provenance.contentHash60(col("text")),
+        lit(filesPerShard.toLong)),
+      nShards * filesPerShard)
+
+  /** PACKED export (q108, r9 verdict item 4): the physical tree a
+    * training job streams is SEQUENCE slices, not documents — per row
+    * (doc_id, seq_id, toks, ssig), placed by the same per-sequence
+    * content-addressed shard expression as the q108 manifest
+    * (`Packing.packedSeqShards` — shared, so files and manifest cannot
+    * disagree; ShardSinkSpec reconciles row for row). A reader of
+    * shard S gets every sequence assigned there WHOLE — all of a
+    * sequence's slices share its seq_id-derived shard — and can verify
+    * the shard after transport from its own ssig column without
+    * re-reading the source corpus. Same temp-tree crash discipline and
+    * `_SUCCESS`-gated [[read]] as the doc-level [[write]]. */
+  def writePacked(documents: DataFrame, path: String,
+                  seqLen: Int = 2048,
+                  nShards: Int = Sharding.DefaultShards,
+                  filesPerShard: Int = 1,
+                  learned: Boolean = true): Unit = {
+    val seqs = graft.operators.Packing
+      .packedSeqShards(documents, seqLen, nShards, learned)
+      .select("seq_id", "shard", "ssig")
+    val slices = graft.operators.Packing
+      .packedSeqSlices(documents, seqLen, learned)
+    writeSharded(
+      slices.join(seqs, "seq_id")
+        .select("doc_id", "seq_id", "toks", "ssig", "shard"),
+      path,
+      pmod(col("seq_id"), lit(filesPerShard.toLong)),
+      nShards * filesPerShard)
   }
 
   /** Read back the shard tree (shard recovered from the directory

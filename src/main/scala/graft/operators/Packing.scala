@@ -38,8 +38,12 @@ object Packing {
     * Counts are LEARNED-BPE tokens ([[Bpe]]) — packing plans budget the
     * same units the model trains on; `learned = false` falls back to
     * whitespace words. */
-  def q67SequencePack(documents: DataFrame, seqLen: Int = 2048,
-                      learned: Boolean = true): DataFrame = {
+  /** The exact global token-offset frame (doc_id, n_tokens, start_tok,
+    * end_tok) — q67's distributed prefix sum, factored out so the
+    * packed-shard export (q108) can explode the SAME offsets into
+    * per-sequence slices. */
+  private[graft] def packedOffsets(documents: DataFrame,
+                                   learned: Boolean = true): DataFrame = {
     val tok =
       if (learned) Bpe.tokenCount(Bpe.merges(documents), col("text"))
       else size(split(col("text"), " "))
@@ -67,13 +71,118 @@ object Packing {
     d.withColumn("_b", b)
       .withColumn("end_tok", sum("n_tokens").over(wIn) + offsetCol)
       .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .select("doc_id", "n_tokens", "start_tok", "end_tok")
+  }
+
+  def q67SequencePack(documents: DataFrame, seqLen: Int = 2048,
+                      learned: Boolean = true): DataFrame =
+    packedOffsets(documents, learned)
       .select(col("doc_id"), col("n_tokens"),
         expr(s"start_tok DIV $seqLen").as("seq_id"),
         pmod(col("start_tok"), lit(seqLen.toLong)).as("tok_offset"),
         (expr(s"(end_tok - 1) DIV $seqLen") > expr(s"start_tok DIV $seqLen"))
           .cast("int").as("spans_boundary"))
       .orderBy("doc_id")
+
+  /** Per-(sequence, doc) slices: each doc exploded into every `seqLen`
+    * sequence its token range overlaps, with the token count it
+    * contributes there — the row a packed shard physically stores
+    * ([[graft.io.ShardSink]].writePacked). Row-local explode over the
+    * exact offsets; Σ toks per doc ≡ n_tokens by construction. */
+  private[graft] def packedSeqSlices(documents: DataFrame, seqLen: Int,
+                                     learned: Boolean = true): DataFrame =
+    packedOffsets(documents, learned)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        explode(expr(
+          s"sequence(start_tok DIV $seqLen, (end_tok - 1) DIV $seqLen)"))
+          .as("seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        (least(col("end_tok"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("start_tok"), col("seq_id") * lit(seqLen.toLong)))
+          .as("toks"))
+
+  /** Per-sequence shard placement: sequence signature = XOR of member
+    * docs' q70-convention content hashes (order-independent, mergeable
+    * — a shard can be re-verified after transport from its own rows),
+    * shard = signature mod nShards (content-addressed like q102: the
+    * same packed corpus lands in the same shards wherever it is
+    * re-exported). Shared verbatim by the q108 manifest and the
+    * physical writer, so the two cannot disagree. */
+  private[graft] def packedSeqShards(documents: DataFrame, seqLen: Int,
+                                     nShards: Int,
+                                     learned: Boolean = true): DataFrame = {
+    val h = documents.select(col("doc_id"),
+      Provenance.contentHash60(concat_ws("|", col("doc_id"), col("text"))).as("h"))
+    packedSeqSlices(documents, seqLen, learned)
+      .join(h, "doc_id")
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_doc_slices"), sum("toks").as("n_toks"),
+        expr("bit_xor(h)").as("ssig"))
+      .withColumn("shard", pmod(col("ssig"), lit(nShards.toLong)))
   }
+
+  /** q108: PACKED-SEQUENCE shard manifest — the composed last-mile the
+    * r9 verdict named (item 4): q102 lays out DOCS per shard, but a
+    * training job streams fixed-length SEQUENCES; this composes q67's
+    * exact packing with q102's content-addressed placement, at the
+    * sequence level. Per shard: sequence count, doc-slice count (a doc
+    * split across sequences contributes one slice per sequence), token
+    * total, XOR content signature, and the fill rate vs the seqLen
+    * ideal — which certifies the zero-padding property (every sequence
+    * is exactly full except the single global tail, so every shard
+    * reads ≈ 1.0; a padding-based packer would not). Totals reconcile
+    * with q67's global packing and q102's doc census, and the physical
+    * tree ([[graft.io.ShardSink]].writePacked) reconciles row for row
+    * — both spec-pinned (ShardSinkSpec).
+    *
+    * Scale shape: the q67 prefix sum (bucketed, no global window), one
+    * row-local explode (≤ 1 + n_tokens/seqLen rows per doc), one
+    * seq-keyed aggregate, one nShards-row aggregate. Text never
+    * shuffles — the hash join is id-keyed. */
+  def q108PackedShards(documents: DataFrame, seqLen: Int = 2048,
+                       nShards: Int = Sharding.DefaultShards,
+                       learned: Boolean = true): DataFrame =
+    packedSeqShards(documents, seqLen, nShards, learned)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum("n_doc_slices").as("n_doc_slices"),
+        sum("n_toks").as("n_tokens"),
+        expr("bit_xor(ssig)").as("content_sig"))
+      .withColumn("fill_rate",
+        round(col("n_tokens").cast("double") /
+          (col("n_seqs") * lit(seqLen.toLong)), 6))
+      .orderBy("shard")
+
+  def q108Sql(seqLen: Int = 2048,
+              nShards: Int = Sharding.DefaultShards): String =
+    s"""WITH ${Bpe.tokenSqlCtes()},
+       |d AS (SELECT doc_id, n_tokens FROM bpe_tok),
+       |c AS (SELECT doc_id, n_tokens,
+       |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |          AS end_tok
+       |      FROM d),
+       |sl AS (SELECT doc_id,
+       |         s.seq_id,
+       |         least(end_tok, (s.seq_id + 1) * $seqLen)
+       |           - greatest(end_tok - n_tokens, s.seq_id * $seqLen) AS toks
+       |       FROM c, UNNEST(range((end_tok - n_tokens) // $seqLen,
+       |                            (end_tok - 1) // $seqLen + 1)) AS s(seq_id)
+       |       WHERE n_tokens > 0),
+       |hh AS (SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(concat_ws('|', doc_id, text)), 1, 15))
+       |           AS BIGINT) AS h
+       |       FROM documents),
+       |sq AS (SELECT sl.seq_id, count(*) AS n_doc_slices,
+       |         CAST(sum(sl.toks) AS BIGINT) AS n_toks, bit_xor(hh.h) AS ssig
+       |       FROM sl JOIN hh ON hh.doc_id = sl.doc_id GROUP BY sl.seq_id)
+       |SELECT ssig % $nShards AS shard, count(*) AS n_seqs,
+       |  CAST(sum(n_doc_slices) AS BIGINT) AS n_doc_slices,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  bit_xor(ssig) AS content_sig,
+       |  round(CAST(sum(n_toks) AS DOUBLE) / (count(*) * $seqLen), 6) AS fill_rate
+       |FROM sq GROUP BY 1 ORDER BY shard""".stripMargin
 
   def q67Sql(seqLen: Int = 2048): String =
     s"""WITH ${Bpe.tokenSqlCtes()},
