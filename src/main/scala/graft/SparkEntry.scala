@@ -145,6 +145,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         packing composed with q102's content-addressed
   *                         placement at the sequence level (io.ShardSink
   *                         .writePacked is the physical tree)
+  *  - q109_retrain_canary: the q104 consumer — frozen vs post-tick-retrained
+  *                         model, per-decile admission flips at the q103
+  *                         operating point over a bounded canary sample
   */
 object SparkEntry {
 
@@ -273,6 +276,7 @@ object SparkEntry {
     "q106_multi_tick_ingest" -> t("documents")(Provenance.q106MultiTickIngest(_)),
     "q107_ivfpq_residual" -> t("embeddings")(Pq.q107IvfPqResidual(_)),
     "q108_packed_shards" -> t("documents")(Packing.q108PackedShards(_)),
+    "q109_retrain_canary" -> t("documents")(QualityModel.q109RetrainCanary(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -386,5 +390,6 @@ object SparkEntry {
     "q106_multi_tick_ingest" -> Provenance.q106Sql(),
     "q107_ivfpq_residual" -> Pq.q107Sql(),
     "q108_packed_shards" -> Packing.q108Sql(),
+    "q109_retrain_canary" -> QualityModel.q109Sql(),
   )
 }

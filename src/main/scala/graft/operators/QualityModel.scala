@@ -327,6 +327,85 @@ object QualityModel {
        |ORDER BY bucket""".stripMargin
   }
 
+  /** q109: the RETRAIN CANARY — the consumer of q104's drift signal
+    * (r9 verdict item 5: "model monitoring without the response loop").
+    * When q104's deltas move, the deployment's question is not "did
+    * scores shift?" but "would retraining CHANGE MY DECISIONS?" — so
+    * this retrains on the post-tick corpus (the full table — q101's
+    * model, memo/artifact-shared) alongside the frozen base-corpus
+    * model (q103/q104's, scope-shared) and reports, per base-score
+    * decile, the ADMISSION FLIPS at the q103 operating point: docs the
+    * fresh model would newly drop into the bottom-`lowFrac` budget
+    * (`n_flip_in`) or newly rescue from it (`n_flip_out`). Near-zero
+    * flip columns ⇒ the drift is benign and the frozen model stands;
+    * flips concentrated in mid deciles ⇒ retrain (the boundary moved
+    * where decisions actually change). The scalar companions — weight
+    * L2 delta and bottom-quartile rank overlap — derive from the same
+    * run and are spec-pinned (QualityModelSpec) rather than widening
+    * the report.
+    *
+    * Both budget ranks are computed over a BOUNDED hash-ranked
+    * evaluation sample (`evalN`, the trainN convention) — a canary
+    * needs a stable yardstick population, not a corpus scan, so unlike
+    * q103's tick-scoped window this one is sample-sized by
+    * construction at any corpus scale. Oracle: TWO unrolled training
+    * chains (`ctr_`/`all_` prefixes — the q103 WITH clause already
+    * demonstrated two feature/training prefixes compose), one scoring
+    * CTE under both weight rows, two cume_dist windows over the
+    * sample. */
+  def q109RetrainCanary(documents: DataFrame, iters: Int = DefaultIters,
+                        trainN: Int = DefaultTrainN,
+                        lowFrac: Double = 0.25,
+                        evalN: Int = DefaultTrainN): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(Provenance.BatchMod)) === 0
+    val wBase = weights(documents.filter(!isBatch), iters, trainN,
+      scope = s"admission${Provenance.BatchMod}")
+    val wFresh = weights(documents, iters, trainN)
+    // one row-local projection scores the sample under BOTH models;
+    // checkpointed — two rank windows and the report read it
+    val s = featuresOnly(documents)
+      .withColumn("hv", hv).orderBy("hv", "doc_id").limit(evalN)
+      .select(col("doc_id"),
+        round(sigmoid(zOf(wBase)), 6).as("pb"),
+        round(sigmoid(zOf(wFresh)), 6).as("pf"))
+      .localCheckpoint()
+    import org.apache.spark.sql.expressions.Window
+    s.withColumn("lb", cume_dist().over(Window.orderBy("pb", "doc_id")) <= lowFrac)
+      .withColumn("lf", cume_dist().over(Window.orderBy("pf", "doc_id")) <= lowFrac)
+      .groupBy(least(floor(col("pb") * 10), lit(9)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("lb"), lit(1))).as("n_low_base"),
+        count(when(col("lf"), lit(1))).as("n_low_fresh"),
+        count(when(!col("lb") && col("lf"), lit(1))).as("n_flip_in"),
+        count(when(col("lb") && !col("lf"), lit(1))).as("n_flip_out"))
+      .orderBy("bucket")
+  }
+
+  def q109Sql(iters: Int = DefaultIters, trainN: Int = DefaultTrainN,
+              lowFrac: Double = 0.25, evalN: Int = DefaultTrainN): String = {
+    val bm = Provenance.BatchMod
+    s"""WITH ${featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm <> 0)", "ctr_")},
+       |${trainSqlCtes(iters, trainN, "ctr_")},
+       |${featureSqlCtes("documents", "all_")},
+       |${trainSqlCtes(iters, trainN, "all_")},
+       |smp AS MATERIALIZED (
+       |  SELECT doc_id, ${scoreSql("wb")} AS pb, ${scoreSql("wf")} AS pf
+       |  FROM (SELECT * FROM all_feat ORDER BY hv, doc_id LIMIT $evalN) f,
+       |       ctr_w wb, all_w wf),
+       |fl AS (SELECT pb,
+       |         cume_dist() OVER (ORDER BY pb, doc_id) <= $lowFrac AS lb,
+       |         cume_dist() OVER (ORDER BY pf, doc_id) <= $lowFrac AS lf
+       |       FROM smp)
+       |SELECT CAST(least(floor(pb * 10), 9) AS int) AS bucket,
+       |  count(*) AS n_docs,
+       |  count(CASE WHEN lb THEN 1 END) AS n_low_base,
+       |  count(CASE WHEN lf THEN 1 END) AS n_low_fresh,
+       |  count(CASE WHEN NOT lb AND lf THEN 1 END) AS n_flip_in,
+       |  count(CASE WHEN lb AND NOT lf THEN 1 END) AS n_flip_out
+       |FROM fl GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   def q101Sql(iters: Int = DefaultIters, trainN: Int = DefaultTrainN): String =
     s"""WITH ${featureSqlCtes()},
        |${trainSqlCtes(iters, trainN)},

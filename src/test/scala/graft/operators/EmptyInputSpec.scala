@@ -66,7 +66,9 @@ class EmptyInputSpec extends AnyFunSuite {
       "q102_shard_manifest" -> Sharding.q102ShardManifest(empty("documents")),
       "q103_admission_gate" -> Provenance.q103AdmissionGate(empty("documents")),
       "q106_multi_tick_ingest" -> Provenance.q106MultiTickIngest(empty("documents")),
-      "q107_ivfpq_residual" -> Pq.q107IvfPqResidual(empty("embeddings")))
+      "q107_ivfpq_residual" -> Pq.q107IvfPqResidual(empty("embeddings")),
+      "q108_packed_shards" -> Packing.q108PackedShards(empty("documents")),
+      "q109_retrain_canary" -> QualityModel.q109RetrainCanary(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }

@@ -85,6 +85,43 @@ class QualityModelSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4)
   }
 
+  test("q109 retrain canary: budgets exact, flip columns consistent, weight delta and rank overlap well-defined") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val rep = QualityModel.q109RetrainCanary(docs).collect()
+    assert(rep.nonEmpty)
+    val n = rep.map(_.getLong(1)).sum
+    val lowB = rep.map(_.getLong(2)).sum
+    val lowF = rep.map(_.getLong(3)).sum
+    val flipIn = rep.map(_.getLong(4)).sum
+    val flipOut = rep.map(_.getLong(5)).sum
+    assert(n === math.min(docs.count(), QualityModel.DefaultTrainN),
+      "canary sample is the bounded hash-ranked population")
+    // cume_dist ≤ 0.25 admits exactly floor semantics on distinct keys:
+    // both budgets hold the same operating point
+    assert(lowB === lowF, "same lowFrac budget under both models")
+    assert(lowB > 0 && lowB <= n / 4 + 1)
+    // set identity: |B\F| = flip_out, |F\B| = flip_in, so the two
+    // overlap computations must agree
+    assert(lowB - flipOut === lowF - flipIn,
+      "bottom-set intersection must be consistent from either side")
+    val overlap = (lowB - flipOut).toDouble / lowB
+    assert(overlap >= 0.0 && overlap <= 1.0)
+    // the scalar companions: the two models genuinely differ (the tick
+    // moved the corpus, so the fresh weights moved)
+    val wBase = QualityModel.weights(
+      docs.filter(pmod(col("doc_id"), lit(Provenance.BatchMod)) =!= 0),
+      scope = s"admission${Provenance.BatchMod}")
+    val wFresh = QualityModel.weights(docs)
+    val delta = math.sqrt(wBase.zip(wFresh).map { case (a, b) =>
+      (a - b) * (a - b) }.sum)
+    assert(delta > 0.0, "post-tick retrain must move the weights")
+    // and the flips the report counts are exactly the decisions that
+    // delta changes at the operating point — non-vacuous on this corpus
+    assert(flipIn + flipOut > 0,
+      "the canary must detect decision flips on the drifted corpus")
+  }
+
   test("gradient descent strictly decreases training log-loss") {
     val docs = Tables.load(spark, sf, "documents")
     val w0 = Seq.fill(QualityModel.NumW)(0.0)
