@@ -148,6 +148,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q109_retrain_canary: the q104 consumer — frozen vs post-tick-retrained
   *                         model, per-decile admission flips at the q103
   *                         operating point over a bounded canary sample
+  *  - q110_image_dedup:    perceptual image near-dup census — dHash over
+  *                         REAL-decoded planted images, Hamming-band
+  *                         candidates, popcount verify (q71 oracle convention)
   */
 object SparkEntry {
 
@@ -277,6 +280,7 @@ object SparkEntry {
     "q107_ivfpq_residual" -> t("embeddings")(Pq.q107IvfPqResidual(_)),
     "q108_packed_shards" -> t("documents")(Packing.q108PackedShards(_)),
     "q109_retrain_canary" -> t("documents")(QualityModel.q109RetrainCanary(_)),
+    "q110_image_dedup" -> t("documents")(graft.multimodal.Multimodal.q110ImageDedup(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -391,5 +395,6 @@ object SparkEntry {
     "q107_ivfpq_residual" -> Pq.q107Sql(),
     "q108_packed_shards" -> Packing.q108Sql(),
     "q109_retrain_canary" -> QualityModel.q109Sql(),
+    "q110_image_dedup" -> graft.multimodal.Multimodal.q110Sql(),
   )
 }

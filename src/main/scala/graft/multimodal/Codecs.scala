@@ -132,6 +132,74 @@ object Codecs {
     encodePng(img)
   }
 
+  /** Deterministic TEXTURED RGB image for the perceptual-dedup census
+    * (q110): channel value at raster channel index i is
+    * `(seed·131 + i² [+ delta when i ≡ 0 (mod stride), stride > 0]) mod 256`.
+    * The i² term decorrelates adjacent pixels — under [[synthPng]]'s
+    * linear ramp every same-dimension pair of images is spuriously
+    * "near" in dHash space (its bits only fire at mod-256 wraps), which
+    * would drown the census; quadratic texture makes unrelated dHashes
+    * ~Bernoulli(½) per bit while staying exactly re-derivable in
+    * integer SQL (all terms small and non-negative — no overflow, no
+    * engine-specific mod). `stride > 0` plants a sparse perturbation:
+    * the near-identical copy whose dHash differs in only a few bits. */
+  def synthTexturedPng(seed: Long, w: Int, h: Int, stride: Int = 0,
+                       delta: Int = 0): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    def v(i: Long): Int = {
+      val bump = if (stride > 0 && i % stride == 0) delta.toLong else 0L
+      java.lang.Math.floorMod(seed * 131L + i * i + bump, 256L).toInt
+    }
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = 3L * p
+        img.setRGB(x, y, (v(i) << 16) | (v(i + 1) << 8) | v(i + 2))
+        x += 1; p += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** 56-bit difference hash (dHash) of a decoded image: an 8×8
+    * nearest-neighbor luminance grid (lum = R+G+B — channel-order
+    * independent like [[pixelSum]]), bit gy·7+gx set when
+    * lum(gx,gy) > lum(gx+1,gy). 7 comparisons × 8 rows keeps the
+    * signature in 56 bits — always positive, so band extraction and
+    * the SQL oracle's 2^b sum need no signed-shift edge cases. The
+    * sampling grid is the [[scaleNN]] convention (sx = gx·w / 8), so
+    * the oracle re-derives the hash from the generator formula without
+    * decoding anything. None for payloads no codec claims. */
+  def dHash56(p: Array[Byte]): Option[Long] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(p))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val lum = Array.tabulate(8, 8) { (gy, gx) =>
+        val sx = ((gx.toLong * w) / 8).toInt
+        val sy = ((gy.toLong * h) / 8).toInt
+        val rgb = img.getRGB(sx, sy)
+        ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      var sig = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 7) {
+          if (lum(gy)(gx) > lum(gy)(gx + 1)) sig |= 1L << (gy * 7 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(sig)
+    }
+  }
+
   /** Deterministic 16-bit mono PCM WAV (hand-built RIFF header, parsed
     * back by `javax.sound.sampled`). */
   def synthWav(seed: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {

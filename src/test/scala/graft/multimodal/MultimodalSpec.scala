@@ -171,6 +171,48 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("q110: every planted near-identical image is caught through the real decode path; dHash is shift-invariant by design") {
+    val census = Multimodal.q110ImageDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(census.nonEmpty)
+    // the planted pairs: (id−3, id) for every id ≡ 3 (mod 7) with a base
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val planted = ids.filter(id => id >= 3 && id % 7 == 3 && ids(id - 3))
+      .map(id => (id - 3, id))
+    assert(planted.nonEmpty)
+    val found = census.map(p => (p._1, p._2)).toSet
+    planted.foreach(p => assert(found(p),
+      s"planted near-identical pair $p must be in the census"))
+    // planted pairs sit far inside the verify threshold (sparse
+    // perturbation flips only the few sampled-and-bumped gradients)
+    val plantedH = census.filter(p => planted((p._1, p._2))).map(_._3)
+    assert(plantedH.max <= 4)
+    // non-planted census members are the formula corpus's
+    // brightness-congruent images (same dims, 131·Δseed ≡ small
+    // mod 256): a CONSTANT luminance shift preserves every gradient
+    // sign except at wraps — dHash's deliberate shift invariance, the
+    // property that makes it a perceptual hash rather than a byte
+    // hash. Verify the claim: each such pair has identical dims.
+    // dims of the RENDERED image (a planted doc borrows its base's)
+    val renderSeed = (id: Long) => if (id >= 3 && id % 7 == 3) id - 3 else id
+    val dims = (id: Long) => {
+      val s = renderSeed(id); (8 + s % 24, 8 + (s / 3) % 16)
+    }
+    val nonPlanted = census.filter(p => !planted((p._1, p._2)))
+    val coincidences = nonPlanted.filter(p => dims(p._1) != dims(p._2))
+    // different-dims members can only be near-threshold gradient
+    // coincidences — they must be rare and never planted-tight
+    assert(coincidences.length <= math.max(1, census.length / 10),
+      s"different-dims coincidences must stay rare: $coincidences")
+    coincidences.foreach(p => assert(p._3 > plantedH.max,
+      s"coincidence $p must rank above every planted pair's distance"))
+    // and unrelated images do NOT flood the census: candidates are
+    // band-gated, so the census is a tiny fraction of all pairs
+    val n = ids.size.toLong
+    assert(census.length < n * (n - 1) / 20,
+      "census must stay sparse — banding is the gate, not all-pairs")
+  }
+
   test("metadata summary partitions rows by kind") {
     val rows = Multimodal.metaSummary(decoded).collect()
     assert(rows.map(_.getLong(1)).sum === docs.count())
