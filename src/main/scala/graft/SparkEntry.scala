@@ -151,6 +151,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q110_image_dedup:    perceptual image near-dup census — dHash over
   *                         REAL-decoded planted images, Hamming-band
   *                         candidates, popcount verify (q71 oracle convention)
+  *  - q111_drift_series:   per-tick score-drift table over the ingested
+  *                         snapshots (base ∪ admissions per q106 tick),
+  *                         frozen model — the chart feeding the q109 canary
   */
 object SparkEntry {
 
@@ -281,6 +284,7 @@ object SparkEntry {
     "q108_packed_shards" -> t("documents")(Packing.q108PackedShards(_)),
     "q109_retrain_canary" -> t("documents")(QualityModel.q109RetrainCanary(_)),
     "q110_image_dedup" -> t("documents")(graft.multimodal.Multimodal.q110ImageDedup(_)),
+    "q111_drift_series" -> t("documents")(Provenance.q111DriftSeries(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -396,5 +400,6 @@ object SparkEntry {
     "q108_packed_shards" -> Packing.q108Sql(),
     "q109_retrain_canary" -> QualityModel.q109Sql(),
     "q110_image_dedup" -> graft.multimodal.Multimodal.q110Sql(),
+    "q111_drift_series" -> Provenance.q111Sql(),
   )
 }

@@ -312,8 +312,13 @@ object Provenance {
     * in [[graft.io.ArtifactStore.IngestStateStore]] parquet
     * (appendTick per tick, generational compaction) and corpus text is
     * never rescanned — IngestLoopSpec pins the two forms equal. */
-  def q106MultiTickIngest(documents: DataFrame, threshold: Double = 0.2,
-                          lowFrac: Double = 0.25): DataFrame = {
+  /** The two gated tick frames + frozen weights of the q106 split —
+    * shared by the q106 report and the q111 drift series (both
+    * checkpointed; each consumer aggregates without re-running the
+    * LSH/training chain). */
+  private[graft] def multiTickFrames(documents: DataFrame,
+                                     threshold: Double, lowFrac: Double)
+      : (DataFrame, DataFrame, Seq[Double]) = {
     val m = (c: org.apache.spark.sql.Column) => pmod(c, lit(BatchMod))
     val corpus = documents.filter(m(col("doc_id")).between(1, 9))
     val t1 = documents.filter(m(col("doc_id")) >= 10)
@@ -338,11 +343,62 @@ object Provenance {
       .filter(m(col("a")).between(1, 9) || col("aid").isNotNull)
       .select(col("b").as("fid")).distinct()
     val v2 = gatedTickFrame(t2, c1, fz2, w, lowFrac)
+    (v1, v2, w)
+  }
+
+  def q106MultiTickIngest(documents: DataFrame, threshold: Double = 0.2,
+                          lowFrac: Double = 0.25): DataFrame = {
+    val (v1, v2, _) = multiTickFrames(documents, threshold, lowFrac)
     gatedTickReport(v1).withColumn("tick", lit(1))
       .union(gatedTickReport(v2).withColumn("tick", lit(2)))
       .select(col("tick"), col("source"), col("n_batch"), col("n_dup_exact"),
         col("n_dup_fuzzy"), col("n_low_quality"), col("n_new"))
       .orderBy("tick", "source")
+  }
+
+  /** q111: the PER-TICK drift series (r9 verdict item 8 — the q104
+    * two-snapshot read extended over the ingest loop's generations):
+    * under the FROZEN base-corpus model, the score histogram of the
+    * INGESTED corpus after each tick — tick 0 = base corpus, tick 1 =
+    * base ∪ tick-1 admissions, tick 2 = ∪ tick-2 admissions (only
+    * `new`-verdict docs enter a snapshot: dups and low-quality rejects
+    * were never ingested, exactly the q106/IngestLoop state). Per
+    * (tick, bucket): count, fraction of that snapshot, and the delta
+    * vs the tick-0 fraction — the monitoring table a deployment
+    * charts, whose drifting rows feed the q109 retrain canary.
+    *
+    * Scale shape: the q106 chain once (checkpointed frames), ONE
+    * row-local scoring projection over the table, membership as a
+    * 3-arm union of id/first-tick pairs, one explode to ≤ 3 rows per
+    * doc, a (tick, bucket) aggregate — no window, no new shuffle
+    * beyond the ≤ 30-group aggregate. Oracle: the q106 WITH chain plus
+    * one more feature prefix and the histogram CTEs. */
+  def q111DriftSeries(documents: DataFrame, threshold: Double = 0.2,
+                      lowFrac: Double = 0.25): DataFrame = {
+    val (v1, v2, w) = multiTickFrames(documents, threshold, lowFrac)
+    val firstTick = documents
+      .filter(pmod(col("doc_id"), lit(BatchMod)).between(1, 9))
+      .select(col("doc_id"), lit(0).as("ft"))
+      .union(v1.filter(col("lq") === false).select(col("doc_id"), lit(1).as("ft")))
+      .union(v2.filter(col("lq") === false).select(col("doc_id"), lit(2).as("ft")))
+    val hist = firstTick
+      .join(QualityModel.scores(documents, w), "doc_id")
+      .select(explode(expr("sequence(ft, 2)")).as("tick"),
+        least(floor(col("p") * 10), lit(9)).cast("int").as("bucket"))
+      .groupBy("tick", "bucket").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // read by totals, the tick-0 baseline, and the report
+    val tots = hist.groupBy("tick").agg(sum("n_docs").as("tot"))
+    val base = hist.filter(col("tick") === 0)
+      .select(col("bucket").as("b0"), col("n_docs").as("n0"))
+    val tot0 = tots.filter(col("tick") === 0).select(col("tot").as("tot0"))
+    hist.join(tots, "tick")
+      .join(base, col("bucket") === col("b0"), "left")
+      .crossJoin(broadcast(tot0))
+      .select(col("tick"), col("bucket"), col("n_docs"),
+        round(col("n_docs") / col("tot"), 6).as("frac"),
+        round(col("n_docs") / col("tot") -
+          coalesce(col("n0"), lit(0L)) / col("tot0"), 6).as("delta"))
+      .orderBy("tick", "bucket")
   }
 
   /** One gated tick's labeled frame — the q103/q106 j∘lq kernel against
@@ -382,18 +438,12 @@ object Provenance {
         count(when(col("lq") === false, lit(1))).as("n_new"))
       .orderBy("source")
 
-  def q106Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
-              iters: Int = QualityModel.DefaultIters,
-              trainN: Int = QualityModel.DefaultTrainN): String = {
+  /** The q106 oracle chain through `v1`/`v2` (both MATERIALIZED) —
+    * shared by q106Sql and q111Sql. */
+  private def multiTickSqlCtes(threshold: Double, lowFrac: Double,
+                               iters: Int, trainN: Int): String = {
     val bm = BatchMod
-    def reportSql(tick: Int, v: String) =
-      s"""SELECT $tick AS tick, source, count(*) AS n_batch,
-         |  count(ch) AS n_dup_exact,
-         |  count(CASE WHEN ch IS NULL THEN fid END) AS n_dup_fuzzy,
-         |  count(CASE WHEN lq THEN 1 END) AS n_low_quality,
-         |  count(CASE WHEN lq = false THEN 1 END) AS n_new
-         |FROM $v GROUP BY source""".stripMargin
-    s"""WITH ${Fuzzy.lshPairsSqlCtes(
+    s"""${Fuzzy.lshPairsSqlCtes(
          "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
          threshold)},
        |adj AS MATERIALIZED (SELECT ida AS a, idb AS b FROM pairs
@@ -443,12 +493,57 @@ object Provenance {
        |lq2 AS (SELECT doc_id,
        |          cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
        |        FROM j2 WHERE ch IS NULL AND fid IS NULL),
-       |v2 AS (SELECT j2.*, lq2.lq FROM j2
-       |      LEFT JOIN lq2 ON lq2.doc_id = j2.doc_id),
+       |v2 AS MATERIALIZED (SELECT j2.*, lq2.lq FROM j2
+       |      LEFT JOIN lq2 ON lq2.doc_id = j2.doc_id)""".stripMargin
+  }
+
+  def q106Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    def reportSql(tick: Int, v: String) =
+      s"""SELECT $tick AS tick, source, count(*) AS n_batch,
+         |  count(ch) AS n_dup_exact,
+         |  count(CASE WHEN ch IS NULL THEN fid END) AS n_dup_fuzzy,
+         |  count(CASE WHEN lq THEN 1 END) AS n_low_quality,
+         |  count(CASE WHEN lq = false THEN 1 END) AS n_new
+         |FROM $v GROUP BY source""".stripMargin
+    s"""WITH ${multiTickSqlCtes(threshold, lowFrac, iters, trainN)},
        |r1 AS (${reportSql(1, "v1")}),
        |r2 AS (${reportSql(2, "v2")})
        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
        |ORDER BY tick, source""".stripMargin
+  }
+
+  def q111Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    val bm = BatchMod
+    s"""WITH ${multiTickSqlCtes(threshold, lowFrac, iters, trainN)},
+       |${QualityModel.featureSqlCtes("documents", "av_")},
+       |sall AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+       |         FROM av_feat, ctr_w w),
+       |ftk AS (SELECT doc_id, 0 AS ft FROM documents
+       |          WHERE doc_id % $bm BETWEEN 1 AND 9
+       |        UNION ALL SELECT doc_id, 1 AS ft FROM v1 WHERE lq = false
+       |        UNION ALL SELECT doc_id, 2 AS ft FROM v2 WHERE lq = false),
+       |hist AS MATERIALIZED (
+       |  SELECT CAST(tt.tick AS INT) AS tick,
+       |    CAST(least(floor(s.p * 10), 9) AS int) AS bucket,
+       |    count(*) AS n_docs
+       |  FROM ftk f JOIN sall s ON s.doc_id = f.doc_id,
+       |       unnest(range(f.ft, 3)) tt(tick)
+       |  GROUP BY 1, 2),
+       |tots AS (SELECT tick, CAST(sum(n_docs) AS BIGINT) AS tot
+       |         FROM hist GROUP BY tick),
+       |b0 AS (SELECT bucket, n_docs AS n0 FROM hist WHERE tick = 0),
+       |t0 AS (SELECT tot AS tot0 FROM tots WHERE tick = 0)
+       |SELECT h.tick, h.bucket, h.n_docs,
+       |  round(h.n_docs / CAST(t.tot AS double), 6) AS frac,
+       |  round(h.n_docs / CAST(t.tot AS double)
+       |        - coalesce(b0.n0, 0) / CAST(t0.tot0 AS double), 6) AS delta
+       |FROM hist h JOIN tots t ON t.tick = h.tick
+       |LEFT JOIN b0 ON b0.bucket = h.bucket, t0
+       |ORDER BY h.tick, h.bucket""".stripMargin
   }
 
   /** q75: manifest DIFF — the consumer of q70's manifests: given two

@@ -86,5 +86,21 @@ class IngestLoopSpec extends AnyFunSuite {
     assert(fuzzySum(rep2) > fuzzySum(rep2NoFold),
       "tick 2 must reject a near-dup of a doc tick 1 admitted — " +
         "the fold-back has to be decisive, not decorative")
+
+    // q111 drift series reconciles: each tick's snapshot grows by
+    // exactly that tick's admitted count, under the same frozen model
+    val series = Provenance.q111DriftSeries(docs).collect()
+    def tot(t: Int) = series.filter(_.getInt(0) == t).map(_.getLong(2)).sum
+    val n2new = liveTick(2).map(_(5).asInstanceOf[Long]).sum
+    assert(tot(0) === corpus.count())
+    assert(tot(1) - tot(0) === n1new,
+      "tick-1 snapshot growth must equal tick-1 admissions")
+    assert(tot(2) - tot(1) === n2new,
+      "tick-2 snapshot growth must equal tick-2 admissions")
+    // fractions are proper distributions per tick
+    (0 to 2).foreach { t =>
+      val fr = series.filter(_.getInt(0) == t).map(_.getDouble(3)).sum
+      assert(math.abs(fr - 1.0) < 1e-4, s"tick $t fractions must sum to 1")
+    }
   }
 }

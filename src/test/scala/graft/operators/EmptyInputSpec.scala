@@ -68,7 +68,9 @@ class EmptyInputSpec extends AnyFunSuite {
       "q106_multi_tick_ingest" -> Provenance.q106MultiTickIngest(empty("documents")),
       "q107_ivfpq_residual" -> Pq.q107IvfPqResidual(empty("embeddings")),
       "q108_packed_shards" -> Packing.q108PackedShards(empty("documents")),
-      "q109_retrain_canary" -> QualityModel.q109RetrainCanary(empty("documents")))
+      "q109_retrain_canary" -> QualityModel.q109RetrainCanary(empty("documents")),
+      "q110_image_dedup" -> graft.multimodal.Multimodal.q110ImageDedup(empty("documents")),
+      "q111_drift_series" -> Provenance.q111DriftSeries(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }
