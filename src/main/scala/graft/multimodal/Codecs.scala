@@ -134,21 +134,28 @@ object Codecs {
 
   /** Deterministic TEXTURED RGB image for the perceptual-dedup census
     * (q110): channel value at raster channel index i is
-    * `(seed·131 + i² [+ delta when i ≡ 0 (mod stride), stride > 0]) mod 256`.
-    * The i² term decorrelates adjacent pixels — under [[synthPng]]'s
-    * linear ramp every same-dimension pair of images is spuriously
-    * "near" in dHash space (its bits only fire at mod-256 wraps), which
-    * would drown the census; quadratic texture makes unrelated dHashes
-    * ~Bernoulli(½) per bit while staying exactly re-derivable in
-    * integer SQL (all terms small and non-negative — no overflow, no
-    * engine-specific mod). `stride > 0` plants a sparse perturbation:
-    * the near-identical copy whose dHash differs in only a few bits. */
+    * `(seed·131 + (seed mod 97)·i + i² [+ delta when i ≡ 0 (mod stride),
+    * stride > 0]) mod 256`. The i² term decorrelates adjacent pixels —
+    * under [[synthPng]]'s linear ramp every same-dimension pair of
+    * images is spuriously "near" in dHash space (its bits only fire at
+    * mod-256 wraps), which would drown the census. The (seed mod 97)·i
+    * term breaks the SEED period: without it, any formula
+    * f(seed mod 256, i) renders bit-identical images for seeds 256
+    * apart, and at 50 k docs those identical families made the pair
+    * census quadratic (2.65 M rows at gen-sf1 — the round-10 rehearsal
+    * find); with the coprime second modulus, identical textures need
+    * seed collisions mod 256·97, which a 50 k corpus doesn't contain.
+    * All terms stay small and non-negative — no overflow, no
+    * engine-specific mod — so the SQL oracle re-derives values exactly.
+    * `stride > 0` plants a sparse perturbation: the near-identical copy
+    * whose dHash differs in only a few bits. */
   def synthTexturedPng(seed: Long, w: Int, h: Int, stride: Int = 0,
                        delta: Int = 0): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     def v(i: Long): Int = {
       val bump = if (stride > 0 && i % stride == 0) delta.toLong else 0L
-      java.lang.Math.floorMod(seed * 131L + i * i + bump, 256L).toInt
+      java.lang.Math.floorMod(seed * 131L + (seed % 97L) * i + i * i + bump,
+        256L).toInt
     }
     var p = 0
     var y = 0

@@ -241,9 +241,16 @@ object Multimodal {
     * Scale shape: signatures are 8 bytes/image computed map-side at the
     * codec seam (payloads never shuffle); the pair relation is the
     * banded equi-join — O(n) signature rows, collisions only — and
-    * verification is one integer popcount per candidate. The same
-    * plan at 100 TB: band-partitioned join over an 8-byte column. */
-  def q110ImageDedup(docs: DataFrame, maxDist: Int = 10): DataFrame = {
+    * verification is one integer popcount per candidate. Band buckets
+    * larger than `maxBand` are SKIPPED (the q22 DefaultMaxDf
+    * convention, cap mirrored in the oracle): a real corpus carries
+    * massive identical-image families — logo tiles, blank frames —
+    * whose pair census is O(f²) per family; past the cap that family
+    * is connected-component / canonical-keeper business (q56/q98's
+    * shape), not a pair list. The same plan at 100 TB:
+    * band-partitioned join over an 8-byte column, hot buckets gated. */
+  def q110ImageDedup(docs: DataFrame, maxDist: Int = 10,
+                     maxBand: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     val ids = docs.select("doc_id")
     val sigSchema = StructType(Seq(StructField("doc_id", LongType),
@@ -264,7 +271,13 @@ object Multimodal {
           |  k -> struct(k AS band, shiftright(sig, k * 14) & 16383 AS x))"""
           .stripMargin)).as("z"))
       .select(col("doc_id"), col("z.band").as("band"), col("z.x").as("x"))
-    val cand = bands.as("p").join(bands.as("q"),
+    // hot-bucket gate: buckets above maxBand are family business, not
+    // pair business (see scaladoc); singleton buckets generate nothing
+    val keep = bands.groupBy("band", "x").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBand)
+      .select("band", "x")
+    val gated = bands.join(keep, Seq("band", "x"), "left_semi")
+    val cand = gated.as("p").join(gated.as("q"),
         col("p.band") === col("q.band") && col("p.x") === col("q.x") &&
           col("p.doc_id") < col("q.doc_id"))
       .select(col("p.doc_id").as("ida"), col("q.doc_id").as("idb")).distinct()
@@ -277,11 +290,12 @@ object Multimodal {
       .orderBy("ida", "idb")
   }
 
-  def q110Sql(maxDist: Int = 10): String = {
+  def q110Sql(maxDist: Int = 10, maxBand: Int = 64): String = {
     // channel value at raster channel index i, with the planted bump
     def chan(c: Int): String = {
       val i = s"(3 * (sy * w + sx) + $c)"
-      s"((seed * 131 + $i * $i + CASE WHEN pert AND $i % $DedupStride = 0" +
+      s"((seed * 131 + (seed % 97) * $i + $i * $i" +
+        s" + CASE WHEN pert AND $i % $DedupStride = 0" +
         s" THEN $DedupDelta ELSE 0 END) % 256)"
     }
     s"""WITH spec AS (
@@ -310,8 +324,12 @@ object Multimodal {
        |  FROM cmp GROUP BY doc_id),
        |bands AS (SELECT doc_id, k.k AS band, (sig >> (14 * k.k)) & 16383 AS x
        |  FROM sig, unnest(range(0, 4)) k(k)),
+       |keep AS (SELECT band, x FROM bands GROUP BY band, x
+       |         HAVING count(*) > 1 AND count(*) <= $maxBand),
+       |gated AS (SELECT b.* FROM bands b JOIN keep k
+       |          ON k.band = b.band AND k.x = b.x),
        |cand AS (SELECT DISTINCT p.doc_id AS ida, q.doc_id AS idb
-       |  FROM bands p JOIN bands q
+       |  FROM gated p JOIN gated q
        |    ON p.band = q.band AND p.x = q.x AND p.doc_id < q.doc_id)
        |SELECT c.ida, c.idb,
        |  CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
