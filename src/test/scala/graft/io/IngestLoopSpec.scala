@@ -103,4 +103,44 @@ class IngestLoopSpec extends AnyFunSuite {
       assert(math.abs(fr - 1.0) < 1e-4, s"tick $t fractions must sum to 1")
     }
   }
+
+  test("ingest tick that also serves retrieval: admitted docs feed the incremental BM25 index, ranking ≡ full rebuild") {
+    import graft.operators.Retrieval
+    val root = Files.createTempDirectory("graft_ingest_retr").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    val t1 = docs.filter(m >= 10)
+    val t2 = docs.filter(m === 0)
+    val w = QualityModel.weights(corpus,
+      scope = s"multitick${Provenance.BatchMod}")
+
+    val st = IngestLoop.stores(spark, root, "retrloop")
+    IngestLoop.bootstrap(st, corpus)
+    val idx = ArtifactStore.bm25Incremental(spark, root, "retrloop")
+    idx.appendDocs(corpus)
+
+    val tok0 = Retrieval.tokenizeRuns.get()
+    val rep1 = IngestLoop.runTickWithRetrieval(st, idx, t1, w).collect()
+    val rep2 = IngestLoop.runTickWithRetrieval(st, idx, t2, w).collect()
+    assert(Retrieval.tokenizeRuns.get() - tok0 === 2L,
+      "each tick tokenizes exactly its admitted slice, nothing else")
+
+    // the index's doc population ≡ base ∪ the two ticks' admissions —
+    // dedup state and retrieval postings agree by construction
+    val admitted = rep1.map(_.getLong(5)).sum + rep2.map(_.getLong(5)).sum
+    val indexed = idx.tfStore.current().get.select("doc_id").distinct().count()
+    assert(indexed === corpus.count() + admitted,
+      "index population must equal base + admitted (never dups/rejects)")
+
+    // served ranking ≡ a from-scratch rebuild over exactly those docs
+    val queries = docs.filter(pmod(col("doc_id"), lit(50L)) === 7)
+    val admittedIds = idx.tfStore.current().get.select("doc_id").distinct()
+    val rebuildCorpus = docs.join(admittedIds, Seq("doc_id"), "left_semi")
+    val served = Retrieval.topkFromIndex(idx.index(), queries).collect().map(_.toSeq)
+    val rebuilt = Retrieval.topkFromIndex(Retrieval.index(rebuildCorpus), queries)
+      .collect().map(_.toSeq)
+    assert(served.nonEmpty)
+    assert(served.toSeq === rebuilt.toSeq,
+      "tick-maintained postings must rank exactly like a rebuild over the ingested corpus")
+  }
 }
