@@ -154,6 +154,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q111_drift_series:   per-tick score-drift table over the ingested
   *                         snapshots (base ∪ admissions per q106 tick),
   *                         frozen model — the chart feeding the q109 canary
+  *  - q112_manifest_series: q70 corpus manifests maintained per ingest
+  *                         tick (XOR-mergeable partials; deployment form
+  *                         merges IngestStateStore increments, no rescan)
   */
 object SparkEntry {
 
@@ -285,6 +288,7 @@ object SparkEntry {
     "q109_retrain_canary" -> t("documents")(QualityModel.q109RetrainCanary(_)),
     "q110_image_dedup" -> t("documents")(graft.multimodal.Multimodal.q110ImageDedup(_)),
     "q111_drift_series" -> t("documents")(Provenance.q111DriftSeries(_)),
+    "q112_manifest_series" -> t("documents")(Provenance.q112ManifestSeries(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -401,5 +405,6 @@ object SparkEntry {
     "q109_retrain_canary" -> QualityModel.q109Sql(),
     "q110_image_dedup" -> graft.multimodal.Multimodal.q110Sql(),
     "q111_drift_series" -> Provenance.q111Sql(),
+    "q112_manifest_series" -> Provenance.q112Sql(),
   )
 }

@@ -401,6 +401,89 @@ object Provenance {
       .orderBy("tick", "bucket")
   }
 
+  /** Merge bucket-level manifest rows (any number of partial q70
+    * manifests unioned) into one manifest — the mergeability the q70
+    * scaladoc promises, as an operator: XOR is associative and
+    * commutative, counts/bytes sum, id bounds min/max, so partial
+    * manifests from independent file groups (or ingest ticks) combine
+    * WITHOUT touching any document. This is what makes per-tick
+    * manifest maintenance O(buckets) instead of O(corpus): each tick
+    * appends the manifest of its admitted docs to an
+    * [[graft.io.ArtifactStore.IngestStateStore]] and the current
+    * corpus manifest is one `buckets`-group aggregate over those tiny
+    * rows (IngestLoopSpec pins merge(incrementals) ≡ a full
+    * [[q70Manifest]] of the materialized snapshot). */
+  def mergeManifests(parts: DataFrame): DataFrame =
+    parts.groupBy("bucket")
+      .agg(sum("n_docs").as("n_docs"),
+        expr("bit_xor(content_sig)").as("content_sig"),
+        min("min_id").as("min_id"), max("max_id").as("max_id"),
+        sum("sum_chars").as("sum_chars"))
+      .orderBy("bucket")
+
+  /** q112: the MANIFEST SERIES over the ingest loop's snapshots — q70
+    * corpus versioning maintained per tick: for each tick the manifest
+    * of the INGESTED corpus (base ∪ admissions through that tick, the
+    * q106/IngestLoop state — dups and rejects never enter a
+    * signature). One row per (tick, bucket) with the q70 columns, so a
+    * deployment's manifest log is diffable tick-to-tick with the q75
+    * machinery and any transported snapshot verifies against the row
+    * for its tick. The live form derives membership functionally (the
+    * q106 chain) so the oracle re-derives it; the deployment form
+    * appends per-tick partial manifests and merges
+    * ([[mergeManifests]]) — spec-pinned equal.
+    *
+    * Scale shape: the q106 chain (checkpointed, shared), one id-keyed
+    * join to recover (text, n_chars), a ≤ 3-rows-per-doc explode, and
+    * a (tick, bucket) aggregate — the manifest itself stays
+    * O(ticks × buckets). */
+  def q112ManifestSeries(documents: DataFrame, threshold: Double = 0.2,
+                         lowFrac: Double = 0.25,
+                         buckets: Int = 64): DataFrame = {
+    val (v1, v2, _) = multiTickFrames(documents, threshold, lowFrac)
+    val firstTick = documents
+      .filter(pmod(col("doc_id"), lit(BatchMod)).between(1, 9))
+      .select(col("doc_id"), lit(0).as("ft"))
+      .union(v1.filter(col("lq") === false).select(col("doc_id"), lit(1).as("ft")))
+      .union(v2.filter(col("lq") === false).select(col("doc_id"), lit(2).as("ft")))
+    firstTick
+      .join(documents.select(col("doc_id"), col("text"), col("n_chars")), "doc_id")
+      .select(explode(expr("sequence(ft, 2)")).as("tick"),
+        pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+        col("doc_id"),
+        contentHash60(concat_ws("|", col("doc_id"), col("text"))).as("h"),
+        col("n_chars"))
+      .groupBy("tick", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("content_sig"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("tick", "bucket")
+  }
+
+  def q112Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              buckets: Int = 64,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    val bm = BatchMod
+    s"""WITH ${multiTickSqlCtes(threshold, lowFrac, iters, trainN)},
+       |ftk AS (SELECT doc_id, 0 AS ft FROM documents
+       |          WHERE doc_id % $bm BETWEEN 1 AND 9
+       |        UNION ALL SELECT doc_id, 1 AS ft FROM v1 WHERE lq = false
+       |        UNION ALL SELECT doc_id, 2 AS ft FROM v2 WHERE lq = false),
+       |hx AS (SELECT CAST(tt.tick AS INT) AS tick,
+       |         f.doc_id % $buckets AS bucket, f.doc_id,
+       |         CAST(concat('0x', substr(md5(concat_ws('|', f.doc_id, d.text)), 1, 15))
+       |           AS BIGINT) AS hh,
+       |         d.n_chars
+       |       FROM ftk f JOIN documents d ON d.doc_id = f.doc_id,
+       |            unnest(range(f.ft, 3)) tt(tick))
+       |SELECT tick, bucket, count(*) AS n_docs, bit_xor(hh) AS content_sig,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM hx GROUP BY tick, bucket ORDER BY tick, bucket""".stripMargin
+  }
+
   /** One gated tick's labeled frame — the q103/q106 j∘lq kernel against
     * an ARBITRARY exact-hash state (`ch` column) and fuzzy-flagged id
     * set (`fid` column) under frozen weights `w`: per batch doc,

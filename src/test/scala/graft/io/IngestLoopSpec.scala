@@ -104,6 +104,44 @@ class IngestLoopSpec extends AnyFunSuite {
     }
   }
 
+  test("per-tick manifest maintenance: merged increments ≡ full manifest of the ingested snapshot ≡ q112's tick rows") {
+    val root = Files.createTempDirectory("graft_manifest_loop").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+
+    // derive the admitted sets from the oracle-checked live chain
+    val series = Provenance.q112ManifestSeries(docs).collect()
+    val (v1, v2, _) = Provenance.multiTickFrames(docs, 0.2, 0.25)
+    val adm1 = docs.join(v1.filter(col("lq") === false).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val adm2 = docs.join(v2.filter(col("lq") === false).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // deployment form: one partial manifest appended per tick, merged
+    // on read — O(buckets) rows per tick, never a corpus rescan
+    val st = ArtifactStore.ingestState(spark, root, "manifests")
+    st.appendTick(Provenance.q70Manifest(corpus))
+    st.appendTick(Provenance.q70Manifest(adm1))
+    st.appendTick(Provenance.q70Manifest(adm2))
+    val merged = Provenance.mergeManifests(st.current().get)
+      .collect().map(_.toSeq)
+
+    // ≡ a full manifest of the materialized final snapshot
+    val snapshot = corpus.union(adm1).union(adm2)
+    assert(merged.toSeq ===
+      Provenance.q70Manifest(snapshot).collect().map(_.toSeq).toSeq,
+      "merged per-tick manifests must equal the full-recompute manifest")
+    // ≡ the oracle-checked q112 tick-2 rows (modulo the tick column)
+    val tick2 = series.filter(_.getInt(0) == 2)
+      .map(r => (1 until r.length).map(i => r.get(i)))
+    assert(merged.toSeq === tick2.toSeq,
+      "the deployment merge must equal the live q112 final-tick manifest")
+    // and merging survives compaction of the manifest store
+    st.compact()
+    assert(Provenance.mergeManifests(st.current().get)
+      .collect().map(_.toSeq).toSeq === merged.toSeq)
+  }
+
   test("ingest tick that also serves retrieval: admitted docs feed the incremental BM25 index, ranking ≡ full rebuild") {
     import graft.operators.Retrieval
     val root = Files.createTempDirectory("graft_ingest_retr").toString
