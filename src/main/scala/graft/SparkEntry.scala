@@ -157,6 +157,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q112_manifest_series: q70 corpus manifests maintained per ingest
   *                         tick (XOR-mergeable partials; deployment form
   *                         merges IngestStateStore increments, no rescan)
+  *  - q113_adaptive_ingest: the closed retrain loop — retrain on the
+  *                         post-tick-1 corpus, q109 canary counts flips,
+  *                         tick 2 gated by the CHOSEN model (oracle
+  *                         re-derives the choice itself)
   */
 object SparkEntry {
 
@@ -289,6 +293,7 @@ object SparkEntry {
     "q110_image_dedup" -> t("documents")(graft.multimodal.Multimodal.q110ImageDedup(_)),
     "q111_drift_series" -> t("documents")(Provenance.q111DriftSeries(_)),
     "q112_manifest_series" -> t("documents")(Provenance.q112ManifestSeries(_)),
+    "q113_adaptive_ingest" -> t("documents")(Provenance.q113AdaptiveIngest(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -406,5 +411,6 @@ object SparkEntry {
     "q110_image_dedup" -> graft.multimodal.Multimodal.q110Sql(),
     "q111_drift_series" -> Provenance.q111Sql(),
     "q112_manifest_series" -> Provenance.q112Sql(),
+    "q113_adaptive_ingest" -> Provenance.q113Sql(),
   )
 }

@@ -316,9 +316,16 @@ object Provenance {
     * shared by the q106 report and the q111 drift series (both
     * checkpointed; each consumer aggregates without re-running the
     * LSH/training chain). */
-  private[graft] def multiTickFrames(documents: DataFrame,
-                                     threshold: Double, lowFrac: Double)
-      : (DataFrame, DataFrame, Seq[Double]) = {
+  /** Everything of the q106 split EXCEPT tick 2's labeled frame — so
+    * q113 can gate tick 2 under a canary-CHOSEN model while sharing
+    * tick 1 and the fold-back state verbatim. */
+  private[graft] final case class MultiTickParts(
+      v1: DataFrame, t2: DataFrame, c1: DataFrame, fz2: DataFrame,
+      w: Seq[Double])
+
+  private[graft] def multiTickParts(documents: DataFrame,
+                                    threshold: Double,
+                                    lowFrac: Double): MultiTickParts = {
     val m = (c: org.apache.spark.sql.Column) => pmod(c, lit(BatchMod))
     val corpus = documents.filter(m(col("doc_id")).between(1, 9))
     val t1 = documents.filter(m(col("doc_id")) >= 10)
@@ -342,8 +349,14 @@ object Provenance {
       .join(adm1.select(col("doc_id").as("aid")), col("a") === col("aid"), "left")
       .filter(m(col("a")).between(1, 9) || col("aid").isNotNull)
       .select(col("b").as("fid")).distinct()
-    val v2 = gatedTickFrame(t2, c1, fz2, w, lowFrac)
-    (v1, v2, w)
+    MultiTickParts(v1, t2, c1, fz2, w)
+  }
+
+  private[graft] def multiTickFrames(documents: DataFrame,
+                                     threshold: Double, lowFrac: Double)
+      : (DataFrame, DataFrame, Seq[Double]) = {
+    val p = multiTickParts(documents, threshold, lowFrac)
+    (p.v1, gatedTickFrame(p.t2, p.c1, p.fz2, p.w, lowFrac), p.w)
   }
 
   def q106MultiTickIngest(documents: DataFrame, threshold: Double = 0.2,
@@ -521,10 +534,13 @@ object Provenance {
         count(when(col("lq") === false, lit(1))).as("n_new"))
       .orderBy("source")
 
-  /** The q106 oracle chain through `v1`/`v2` (both MATERIALIZED) —
-    * shared by q106Sql and q111Sql. */
-  private def multiTickSqlCtes(threshold: Double, lowFrac: Double,
-                               iters: Int, trainN: Int): String = {
+  /** The q106 oracle chain through tick 1, the fold-back state, and
+    * tick 2's features/candidates (`...v1, adm1, c1, t2, b2_feat,
+    * fz2`) — WITHOUT tick 2's scoring/verdict, so q113 can splice a
+    * canary-chosen weight row in. [[multiTickSqlCtes]] appends the
+    * standard base-model tick 2. */
+  private def multiTickCoreSqlCtes(threshold: Double, lowFrac: Double,
+                                   iters: Int, trainN: Int): String = {
     val bm = BatchMod
     s"""${Fuzzy.lshPairsSqlCtes(
          "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
@@ -562,12 +578,18 @@ object Provenance {
        |t2 AS (SELECT doc_id, source, h FROM h WHERE doc_id % $bm = 0),
        |${QualityModel.featureSqlCtes(
          s"(SELECT * FROM documents WHERE doc_id % $bm = 0)", "b2_")},
-       |s2 AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
-       |       FROM b2_feat, ctr_w w),
        |fz2 AS (SELECT DISTINCT adj.b AS fid FROM adj
        |        LEFT JOIN adm1 ON adj.a = adm1.doc_id
        |        WHERE adj.b % $bm = 0
-       |          AND (adj.a % $bm BETWEEN 1 AND 9 OR adm1.doc_id IS NOT NULL)),
+       |          AND (adj.a % $bm BETWEEN 1 AND 9 OR adm1.doc_id IS NOT NULL))"""
+      .stripMargin
+  }
+
+  /** Tick 2's scoring/verdict CTEs under an arbitrary one-row weight
+    * alias `wRel` — `s2 … v2` (v2 MATERIALIZED). */
+  private def tick2SqlCtes(lowFrac: Double, wRel: String): String =
+    s"""s2 AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+       |       FROM b2_feat, $wRel w),
        |j2 AS MATERIALIZED (SELECT t2.doc_id, t2.source, c1.h AS ch,
        |        fz2.fid, s2.p
        |      FROM t2 LEFT JOIN c1 ON t2.h = c1.h
@@ -578,7 +600,13 @@ object Provenance {
        |        FROM j2 WHERE ch IS NULL AND fid IS NULL),
        |v2 AS MATERIALIZED (SELECT j2.*, lq2.lq FROM j2
        |      LEFT JOIN lq2 ON lq2.doc_id = j2.doc_id)""".stripMargin
-  }
+
+  /** The q106 oracle chain through `v1`/`v2` (both MATERIALIZED) —
+    * shared by q106Sql, q111Sql and q112Sql. */
+  private def multiTickSqlCtes(threshold: Double, lowFrac: Double,
+                               iters: Int, trainN: Int): String =
+    s"""${multiTickCoreSqlCtes(threshold, lowFrac, iters, trainN)},
+       |${tick2SqlCtes(lowFrac, "ctr_w")}""".stripMargin
 
   def q106Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
               iters: Int = QualityModel.DefaultIters,
@@ -627,6 +655,99 @@ object Provenance {
        |FROM hist h JOIN tots t ON t.tick = h.tick
        |LEFT JOIN b0 ON b0.bucket = h.bucket, t0
        |ORDER BY h.tick, h.bucket""".stripMargin
+  }
+
+  /** q113: the ADAPTIVE ingest tick — the q109 canary actually CLOSING
+    * the retrain loop: after tick 1's admissions, retrain on the
+    * post-tick ingested corpus (base ∪ tick-1 admissions — never on
+    * rejects) and count admission flips vs the frozen model over the
+    * bounded canary sample ([[QualityModel.flipCount]]); if flips
+    * exceed `maxFlips`, tick 2 is gated by the RETRAINED model,
+    * otherwise the frozen one stands — drift response as a measured
+    * decision, not an operator's hunch. Output is the q106 report plus
+    * a `model` column recording which weights gated each tick
+    * ('base' for tick 1 by construction; data-dependent for tick 2).
+    *
+    * Oracle: the q106 core chain + a third unrolled training chain
+    * over the snapshot relation + the q109 canary CTEs + a per-weight
+    * CASE row (`wsel`) — the model CHOICE itself is re-derived by
+    * DuckDB, so a hash match certifies the whole closed loop:
+    * state fold-back ∘ retrain ∘ canary ∘ conditional gating.
+    *
+    * Scale shape: q106's shape + one more fixed-cost training pass +
+    * the sample-sized canary windows + ONE scalar barrier (the flip
+    * count — a single long to the driver, which selects the literal
+    * weight vector the tick-2 projection folds in). */
+  def q113AdaptiveIngest(documents: DataFrame, threshold: Double = 0.2,
+                         lowFrac: Double = 0.25, maxFlips: Int = 4,
+                         evalN: Int = QualityModel.DefaultTrainN): DataFrame = {
+    val p = multiTickParts(documents, threshold, lowFrac)
+    val corpus = documents.filter(
+      pmod(col("doc_id"), lit(BatchMod)).between(1, 9))
+    val adm1Docs = documents.join(
+      p.v1.filter(col("lq") === false).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val wFresh = QualityModel.weights(corpus.union(adm1Docs),
+      scope = s"adaptive$BatchMod")
+    val flips = QualityModel.flipCount(documents, p.w, wFresh, lowFrac, evalN)
+    val retrain = flips > maxFlips
+    val v2 = gatedTickFrame(p.t2, p.c1, p.fz2,
+      if (retrain) wFresh else p.w, lowFrac)
+    gatedTickReport(p.v1)
+      .withColumn("tick", lit(1)).withColumn("model", lit("base"))
+      .union(gatedTickReport(v2)
+        .withColumn("tick", lit(2))
+        .withColumn("model", lit(if (retrain) "fresh" else "base")))
+      .select(col("tick"), col("source"), col("model"), col("n_batch"),
+        col("n_dup_exact"), col("n_dup_fuzzy"), col("n_low_quality"),
+        col("n_new"))
+      .orderBy("tick", "source")
+  }
+
+  def q113Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              maxFlips: Int = 4,
+              evalN: Int = QualityModel.DefaultTrainN,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    val bm = BatchMod
+    val ws = (0 until QualityModel.NumW)
+      .map(j => s"CASE WHEN n.flips > $maxFlips THEN f.w$j ELSE b.w$j END AS w$j")
+      .mkString(", ")
+    s"""WITH ${multiTickCoreSqlCtes(threshold, lowFrac, iters, trainN)},
+       |csnap AS (SELECT doc_id FROM documents WHERE doc_id % $bm BETWEEN 1 AND 9
+       |          UNION ALL SELECT doc_id FROM adm1),
+       |${QualityModel.featureSqlCtes(
+         "(SELECT d.* FROM documents d JOIN csnap cs ON cs.doc_id = d.doc_id)",
+         "fr_")},
+       |${QualityModel.trainSqlCtes(iters, trainN, "fr_")},
+       |${QualityModel.featureSqlCtes("documents", "cv_")},
+       |csmp AS MATERIALIZED (
+       |  SELECT doc_id, ${QualityModel.scoreSql("wb")} AS pb,
+       |         ${QualityModel.scoreSql("wf")} AS pf
+       |  FROM (SELECT * FROM cv_feat ORDER BY hv, doc_id LIMIT $evalN) f,
+       |       ctr_w wb, fr_w wf),
+       |cfl AS (SELECT cume_dist() OVER (ORDER BY pb, doc_id) <= $lowFrac AS lb,
+       |          cume_dist() OVER (ORDER BY pf, doc_id) <= $lowFrac AS lf
+       |        FROM csmp),
+       |nflip AS (SELECT count(CASE WHEN lb <> lf THEN 1 END) AS flips FROM cfl),
+       |wsel AS (SELECT $ws FROM ctr_w b, fr_w f, nflip n),
+       |${tick2SqlCtes(lowFrac, "wsel")},
+       |r1 AS (SELECT 1 AS tick, source, 'base' AS model, count(*) AS n_batch,
+       |         count(ch) AS n_dup_exact,
+       |         count(CASE WHEN ch IS NULL THEN fid END) AS n_dup_fuzzy,
+       |         count(CASE WHEN lq THEN 1 END) AS n_low_quality,
+       |         count(CASE WHEN lq = false THEN 1 END) AS n_new
+       |       FROM v1 GROUP BY source),
+       |r2 AS (SELECT 2 AS tick, source,
+       |         (SELECT CASE WHEN flips > $maxFlips THEN 'fresh' ELSE 'base' END
+       |          FROM nflip) AS model,
+       |         count(*) AS n_batch, count(ch) AS n_dup_exact,
+       |         count(CASE WHEN ch IS NULL THEN fid END) AS n_dup_fuzzy,
+       |         count(CASE WHEN lq THEN 1 END) AS n_low_quality,
+       |         count(CASE WHEN lq = false THEN 1 END) AS n_new
+       |       FROM v2 GROUP BY source)
+       |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |ORDER BY tick, source""".stripMargin
   }
 
   /** q75: manifest DIFF — the consumer of q70's manifests: given two

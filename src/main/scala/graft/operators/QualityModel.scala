@@ -381,6 +381,26 @@ object QualityModel {
       .orderBy("bucket")
   }
 
+  /** Admission flips between two models at the `lowFrac` operating
+    * point over the bounded canary sample — q109's scalar, as the
+    * DECISION input of the adaptive ingest tick (q113): docs whose
+    * bottom-budget membership differs between `wa` and `wb`. One
+    * documented scalar barrier (a single long). */
+  def flipCount(documents: DataFrame, wa: Seq[Double], wb: Seq[Double],
+                lowFrac: Double = 0.25,
+                evalN: Int = DefaultTrainN): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val s = featuresOnly(documents)
+      .withColumn("hv", hv).orderBy("hv", "doc_id").limit(evalN)
+      .select(col("doc_id"),
+        round(sigmoid(zOf(wa)), 6).as("pb"),
+        round(sigmoid(zOf(wb)), 6).as("pf"))
+      .localCheckpoint()
+    s.withColumn("lb", cume_dist().over(Window.orderBy("pb", "doc_id")) <= lowFrac)
+      .withColumn("lf", cume_dist().over(Window.orderBy("pf", "doc_id")) <= lowFrac)
+      .filter(col("lb") =!= col("lf")).count()
+  }
+
   def q109Sql(iters: Int = DefaultIters, trainN: Int = DefaultTrainN,
               lowFrac: Double = 0.25, evalN: Int = DefaultTrainN): String = {
     val bm = Provenance.BatchMod

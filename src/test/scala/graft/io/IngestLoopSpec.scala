@@ -104,6 +104,39 @@ class IngestLoopSpec extends AnyFunSuite {
     }
   }
 
+  test("q113 adaptive ingest: both canary branches reachable, and the no-retrain branch degenerates to q106 exactly") {
+    // default maxFlips: the drifted corpus trips the canary → tick 2
+    // is gated by the retrained model and the report SAYS so
+    val adaptive = Provenance.q113AdaptiveIngest(docs).collect()
+    val m1 = adaptive.filter(_.getInt(0) == 1).map(_.getString(2)).distinct
+    val m2 = adaptive.filter(_.getInt(0) == 2).map(_.getString(2)).distinct
+    assert(m1.toSeq === Seq("base"), "tick 1 is always gated by the frozen model")
+    assert(m2.toSeq === Seq("fresh"),
+      "on the drifted corpus the canary must trip and retrain for tick 2")
+
+    // an unreachable threshold: the frozen model stands, and the whole
+    // report must equal q106 (same split, same models) + model labels
+    val held = Provenance.q113AdaptiveIngest(docs, maxFlips = 1000000).collect()
+    assert(held.filter(_.getInt(0) == 2).map(_.getString(2)).distinct.toSeq
+      === Seq("base"))
+    val q106rows = Provenance.q106MultiTickIngest(docs).collect()
+      .map(_.toSeq).toSeq
+    val heldNoModel = held.map(r =>
+      Seq(r.getInt(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(heldNoModel === q106rows.map(_.toSeq),
+      "with the canary held, the adaptive tick must be exactly q106")
+
+    // and the two branches genuinely differ in tick-2 verdicts (the
+    // retrain moved the budget boundary — the loop has teeth)
+    val t2a = adaptive.filter(_.getInt(0) == 2)
+      .map(r => r.getString(1) -> (r.getLong(6), r.getLong(7))).toMap
+    val t2h = held.filter(_.getInt(0) == 2)
+      .map(r => r.getString(1) -> (r.getLong(6), r.getLong(7))).toMap
+    assert(t2a !== t2h,
+      "retrained gating must change at least one tick-2 verdict")
+  }
+
   test("per-tick manifest maintenance: merged increments ≡ full manifest of the ingested snapshot ≡ q112's tick rows") {
     val root = Files.createTempDirectory("graft_manifest_loop").toString
     val m = pmod(col("doc_id"), lit(Provenance.BatchMod))

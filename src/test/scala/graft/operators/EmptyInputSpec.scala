@@ -71,7 +71,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "q109_retrain_canary" -> QualityModel.q109RetrainCanary(empty("documents")),
       "q110_image_dedup" -> graft.multimodal.Multimodal.q110ImageDedup(empty("documents")),
       "q111_drift_series" -> Provenance.q111DriftSeries(empty("documents")),
-      "q112_manifest_series" -> Provenance.q112ManifestSeries(empty("documents")))
+      "q112_manifest_series" -> Provenance.q112ManifestSeries(empty("documents")),
+      "q113_adaptive_ingest" -> Provenance.q113AdaptiveIngest(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }
