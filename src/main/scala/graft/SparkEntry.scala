@@ -161,6 +161,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         post-tick-1 corpus, q109 canary counts flips,
   *                         tick 2 gated by the CHOSEN model (oracle
   *                         re-derives the choice itself)
+  *  - q114_image_admission: the q73/q92 ingest-tick shape on perceptual
+  *                         image signatures — batch vs persisted corpus
+  *                         sig state, banded candidates, popcount verify
   */
 object SparkEntry {
 
@@ -294,6 +297,7 @@ object SparkEntry {
     "q111_drift_series" -> t("documents")(Provenance.q111DriftSeries(_)),
     "q112_manifest_series" -> t("documents")(Provenance.q112ManifestSeries(_)),
     "q113_adaptive_ingest" -> t("documents")(Provenance.q113AdaptiveIngest(_)),
+    "q114_image_admission" -> t("documents")(graft.multimodal.Multimodal.q114ImageAdmission(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -412,5 +416,6 @@ object SparkEntry {
     "q111_drift_series" -> Provenance.q111Sql(),
     "q112_manifest_series" -> Provenance.q112Sql(),
     "q113_adaptive_ingest" -> Provenance.q113Sql(),
+    "q114_image_admission" -> graft.multimodal.Multimodal.q114Sql(),
   )
 }

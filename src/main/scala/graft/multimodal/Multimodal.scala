@@ -249,14 +249,16 @@ object Multimodal {
     * is connected-component / canonical-keeper business (q56/q98's
     * shape), not a pair list. The same plan at 100 TB:
     * band-partitioned join over an 8-byte column, hot buckets gated. */
-  def q110ImageDedup(docs: DataFrame, maxDist: Int = 10,
-                     maxBand: Int = 64): DataFrame = {
+  /** (doc_id, sig) — every doc's image rendered (with planting),
+    * decoded through the real codec seam, dHashed. THE map-side
+    * signature relation of the image-dedup surface: 8 bytes per image,
+    * payloads never leave the partition. */
+  private[graft] def imageSigs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val ids = docs.select("doc_id")
     val sigSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("sig", LongType)))
-    val sigs = spark.createDataFrame(
-      ids.rdd.mapPartitions { rows =>
+    spark.createDataFrame(
+      docs.select("doc_id").rdd.mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
           val (seed, pert) = q110Spec(id)
@@ -266,11 +268,20 @@ object Multimodal {
           Row(id, Codecs.dHash56(png).getOrElse(-1L))
         }
       }, sigSchema)
-    val bands = sigs.select(col("doc_id"), explode(expr(
+  }
+
+  /** The 4×14-bit Hamming band rows of a signature relation. */
+  private[graft] def sigBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(expr(
         """transform(sequence(0, 3),
           |  k -> struct(k AS band, shiftright(sig, k * 14) & 16383 AS x))"""
           .stripMargin)).as("z"))
       .select(col("doc_id"), col("z.band").as("band"), col("z.x").as("x"))
+
+  def q110ImageDedup(docs: DataFrame, maxDist: Int = 10,
+                     maxBand: Int = 64): DataFrame = {
+    val sigs = imageSigs(docs)
+    val bands = sigBands(sigs)
     // hot-bucket gate: buckets above maxBand are family business, not
     // pair business (see scaladoc); singleton buckets generate nothing
     val keep = bands.groupBy("band", "x").agg(count(lit(1)).as("bn"))
@@ -290,7 +301,10 @@ object Multimodal {
       .orderBy("ida", "idb")
   }
 
-  def q110Sql(maxDist: Int = 10, maxBand: Int = 64): String = {
+  /** The arithmetic dHash re-derivation CTEs (spec → dims → grid →
+    * lum → cmp → `sig(doc_id, sig)` → `bands`) — shared by q110Sql
+    * and q114Sql; never decodes anything. */
+  private def sigSqlCtes: String = {
     // channel value at raster channel index i, with the planted bump
     def chan(c: Int): String = {
       val i = s"(3 * (sy * w + sx) + $c)"
@@ -298,7 +312,7 @@ object Multimodal {
         s" + CASE WHEN pert AND $i % $DedupStride = 0" +
         s" THEN $DedupDelta ELSE 0 END) % 256)"
     }
-    s"""WITH spec AS (
+    s"""spec AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id >= 3 AND doc_id % 7 = 3 THEN doc_id - 3
        |         ELSE doc_id END AS seed,
@@ -323,7 +337,11 @@ object Multimodal {
        |    CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sig
        |  FROM cmp GROUP BY doc_id),
        |bands AS (SELECT doc_id, k.k AS band, (sig >> (14 * k.k)) & 16383 AS x
-       |  FROM sig, unnest(range(0, 4)) k(k)),
+       |  FROM sig, unnest(range(0, 4)) k(k))""".stripMargin
+  }
+
+  def q110Sql(maxDist: Int = 10, maxBand: Int = 64): String =
+    s"""WITH $sigSqlCtes,
        |keep AS (SELECT band, x FROM bands GROUP BY band, x
        |         HAVING count(*) > 1 AND count(*) <= $maxBand),
        |gated AS (SELECT b.* FROM bands b JOIN keep k
@@ -338,6 +356,90 @@ object Multimodal {
        |JOIN sig sb ON sb.doc_id = c.idb
        |WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxDist
        |ORDER BY ida, idb""".stripMargin
+
+  /** q114: IMAGE ADMISSION — the q73/q92 ingest-tick shape on
+    * perceptual signatures, completing the multimodal dedup leg into
+    * the admission loop: an incoming image batch (doc_id % 17 = 0, the
+    * [[graft.operators.Provenance.BatchMod]] convention) is judged
+    * against the already-ingested corpus's PERSISTED signature state —
+    * `dup_image` when a cross-side band collision exact-verifies at
+    * Hamming ≤ `maxDist` (hamming 0 covers byte-identical renders, so
+    * no separate exact tier is needed at the signature level), `new`
+    * otherwise; per-source report.
+    *
+    * Scale shape: the corpus contributes 8-byte signatures — the state
+    * an [[graft.io.ArtifactStore.IngestStateStore]] accumulates per
+    * tick exactly like text hashes (MultimodalSpec pins the
+    * state-backed form ≡ this live one); the batch derives its
+    * signatures map-side at the codec seam; candidates are cross-side
+    * band collisions only (corpus-side hot buckets gated at `maxBand`,
+    * the q110 cap); verification is one popcount per candidate. The
+    * live form computes both sides from the one table so the DuckDB
+    * oracle re-derives every signature arithmetically. */
+  def q114ImageAdmission(docs: DataFrame, maxDist: Int = 10,
+                         maxBand: Int = 64): DataFrame = {
+    val m = pmod(col("doc_id"), lit(graft.operators.Provenance.BatchMod))
+    val sigs = imageSigs(docs).localCheckpoint() // bands + both verify sides
+    val corpusSigs = sigs.join(
+      docs.filter(m =!= 0).select("doc_id"), Seq("doc_id"), "left_semi")
+    val batchSigs = sigs.join(
+      docs.filter(m === 0).select("doc_id"), Seq("doc_id"), "left_semi")
+    val flagged = flaggedAgainstState(corpusSigs, batchSigs, maxDist, maxBand)
+    docs.filter(m === 0).select(col("doc_id"), col("source"))
+      .join(flagged, col("doc_id") === col("fid"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        count(col("fid")).as("n_dup_image"),
+        (count(lit(1)) - count(col("fid"))).as("n_new"))
+      .orderBy("source")
+  }
+
+  /** Batch docs flagged as perceptual dups of the STATE side:
+    * (doc_id, fid) with fid = doc_id for flagged rows — cross-side
+    * band collisions (state hot buckets gated) popcount-verified.
+    * Shared by the live q114 and the state-backed admission
+    * (MultimodalSpec). */
+  private[graft] def flaggedAgainstState(stateSigs: DataFrame,
+                                         batchSigs: DataFrame,
+                                         maxDist: Int,
+                                         maxBand: Int): DataFrame = {
+    val sb = sigBands(stateSigs)
+    val keep = sb.groupBy("band", "x").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBand).select("band", "x")
+    val gated = sb.join(keep, Seq("band", "x"), "left_semi")
+      .select(col("doc_id").as("sid"), col("band"), col("x"))
+    val cand = sigBands(batchSigs).join(gated, Seq("band", "x"))
+      .select(col("doc_id"), col("sid")).distinct()
+    cand
+      .join(batchSigs.select(col("doc_id"), col("sig").as("bsig")), "doc_id")
+      .join(stateSigs.select(col("doc_id").as("sid2"), col("sig").as("ssig")),
+        col("sid") === col("sid2"))
+      .filter(expr(s"bit_count(bsig ^ ssig) <= $maxDist"))
+      .select(col("doc_id").as("fid")).distinct()
+  }
+
+  def q114Sql(maxDist: Int = 10, maxBand: Int = 64): String = {
+    val bm = graft.operators.Provenance.BatchMod
+    s"""WITH $sigSqlCtes,
+       |cb AS (SELECT b.* FROM bands b
+       |       WHERE b.doc_id % $bm <> 0),
+       |keep AS (SELECT band, x FROM cb GROUP BY band, x
+       |         HAVING count(*) <= $maxBand),
+       |cbg AS (SELECT cb.doc_id AS sid, cb.band, cb.x FROM cb
+       |        JOIN keep k ON k.band = cb.band AND k.x = cb.x),
+       |bb AS (SELECT * FROM bands WHERE doc_id % $bm = 0),
+       |cand AS (SELECT DISTINCT bb.doc_id, cbg.sid
+       |         FROM bb JOIN cbg ON cbg.band = bb.band AND cbg.x = bb.x),
+       |fz AS (SELECT DISTINCT c.doc_id AS fid
+       |       FROM cand c
+       |       JOIN sig sa ON sa.doc_id = c.doc_id
+       |       JOIN sig sb ON sb.doc_id = c.sid
+       |       WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxDist)
+       |SELECT d.source, count(*) AS n_batch, count(fz.fid) AS n_dup_image,
+       |  count(*) - count(fz.fid) AS n_new
+       |FROM documents d LEFT JOIN fz ON fz.fid = d.doc_id
+       |WHERE d.doc_id % $bm = 0
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
   /** Oracle twin of [[q71ImageDecode]]: dims from the same formula,

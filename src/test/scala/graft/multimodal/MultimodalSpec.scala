@@ -213,6 +213,42 @@ class MultimodalSpec extends AnyFunSuite {
       "census must stay sparse — banding is the gate, not all-pairs")
   }
 
+  test("q114 image admission: persisted signature state ≡ live; folding admitted sigs rejects a replayed batch") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, count, lit, pmod}
+    val root = Files.createTempDirectory("graft_imgsig_state").toString
+    val m = pmod(col("doc_id"), lit(17L))
+    val live = Multimodal.q114ImageAdmission(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // deployment form: corpus signatures persisted once (8 bytes/image),
+    // the batch judged against the STORE — bit-equal to the live report
+    val st = graft.io.ArtifactStore.ingestState(spark, root, "imgsigs")
+    st.appendTick(Multimodal.imageSigs(docs.filter(m =!= 0)))
+    val batchSigs = Multimodal.imageSigs(docs.filter(m === 0)).localCheckpoint()
+    val flagged = Multimodal.flaggedAgainstState(
+      st.current().get, batchSigs, maxDist = 10, maxBand = 64)
+    val stored = docs.filter(m === 0).select(col("doc_id"), col("source"))
+      .join(flagged, col("doc_id") === col("fid"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"), count(col("fid")).as("n_dup_image"),
+        (count(lit(1)) - count(col("fid"))).as("n_new"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stored.toSeq === live.toSeq,
+      "state-backed image admission must equal the oracle-checked live form")
+
+    // fold: admitted (new) sigs append as the next tick — a REPLAYED
+    // batch is then rejected in full (hamming 0 vs its own folded sig)
+    val admitted = batchSigs.join(flagged,
+      col("doc_id") === col("fid"), "left_anti")
+    st.appendTick(admitted)
+    val flagged2 = Multimodal.flaggedAgainstState(
+      st.current().get, batchSigs, maxDist = 10, maxBand = 64)
+    assert(flagged2.count() === batchSigs.count(),
+      "after folding, every replayed batch image must be a perceptual dup")
+  }
+
   test("metadata summary partitions rows by kind") {
     val rows = Multimodal.metaSummary(decoded).collect()
     assert(rows.map(_.getLong(1)).sum === docs.count())

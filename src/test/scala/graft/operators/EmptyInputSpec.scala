@@ -72,7 +72,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "q110_image_dedup" -> graft.multimodal.Multimodal.q110ImageDedup(empty("documents")),
       "q111_drift_series" -> Provenance.q111DriftSeries(empty("documents")),
       "q112_manifest_series" -> Provenance.q112ManifestSeries(empty("documents")),
-      "q113_adaptive_ingest" -> Provenance.q113AdaptiveIngest(empty("documents")))
+      "q113_adaptive_ingest" -> Provenance.q113AdaptiveIngest(empty("documents")),
+      "q114_image_admission" -> graft.multimodal.Multimodal.q114ImageAdmission(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }
