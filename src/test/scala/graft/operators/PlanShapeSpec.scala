@@ -206,4 +206,42 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchanges.contains("text"), "text rides a shuffle:\n" + p)
   }
+
+  test("q108 packed shards: prefix-sum window is bucket-partitioned; text never shuffles") {
+    val df = Packing.q108PackedShards(Tables.load(spark, sf, "documents"))
+    df.collect()
+    val p = plan(df)
+    // the q67 prefix sum rides the bucketed window — every windowspec
+    // must carry a PARTITION BY (the _b bucket); an unpartitioned
+    // window is the global-funnel scale killer
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(windows.nonEmpty, "expected the prefix-sum window:\n" + p)
+    assert(!windows.contains("windowspecdefinition(doc_id"),
+      "window lost its bucket partitioning:\n" + windows)
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"), "text rides a shuffle:\n" + p)
+  }
+
+  test("q110 image census: every join is keyed (band,x)/doc_id; signatures are 8-byte rows, no cartesian") {
+    val df = graft.multimodal.Multimodal.q110ImageDedup(
+      Tables.load(spark, sf, "documents"))
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "image census grew an unkeyed join:\n" + p)
+  }
+
+  test("q113 adaptive tick-2 scoring: the CHOSEN weights fold in as literals, no extra join") {
+    val df = Provenance.q113AdaptiveIngest(Tables.load(spark, sf, "documents"))
+    df.collect()
+    val p = plan(df)
+    // after the scalar flip decision, the final report is aggregation
+    // over the checkpointed tick frames — the weight choice must leave
+    // no join or UDF behind in the report plan
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
