@@ -164,6 +164,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q114_image_admission: the q73/q92 ingest-tick shape on perceptual
   *                         image signatures — batch vs persisted corpus
   *                         sig state, banded candidates, popcount verify
+  *  - q115_fertility_drift: tokenizer monitoring per ingest tick — BPE
+  *                         fertility of each tick's admissions under the
+  *                         frozen merges, delta vs the base corpus
   */
 object SparkEntry {
 
@@ -298,6 +301,7 @@ object SparkEntry {
     "q112_manifest_series" -> t("documents")(Provenance.q112ManifestSeries(_)),
     "q113_adaptive_ingest" -> t("documents")(Provenance.q113AdaptiveIngest(_)),
     "q114_image_admission" -> t("documents")(graft.multimodal.Multimodal.q114ImageAdmission(_)),
+    "q115_fertility_drift" -> t("documents")(Bpe.q115FertilityDrift(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -417,5 +421,6 @@ object SparkEntry {
     "q112_manifest_series" -> Provenance.q112Sql(),
     "q113_adaptive_ingest" -> Provenance.q113Sql(),
     "q114_image_admission" -> graft.multimodal.Multimodal.q114Sql(),
+    "q115_fertility_drift" -> Bpe.q115Sql(),
   )
 }

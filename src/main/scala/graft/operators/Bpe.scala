@@ -192,6 +192,83 @@ object Bpe {
        |JOIN ws USING (doc_id)
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** q115: TOKENIZER FERTILITY DRIFT per ingest tick — the tokenizer's
+    * q104: under the FROZEN corpus BPE merges (the q35/q67 artifact), is
+    * what each tick ADMITS harder to tokenize than the base corpus?
+    * Per tick slice (0 = base corpus, 1/2 = that tick's admissions —
+    * the q106 admitted sets: dups and rejects never count), doc/token
+    * totals, fertility (BPE per whitespace token), and the delta vs the
+    * base slice. A rising delta says the merge table no longer fits the
+    * incoming mix — the retrain-the-TOKENIZER signal, parallel to
+    * q104/q109's for the quality model, and priced in exactly the units
+    * q69's budgets spend.
+    *
+    * Scale shape: the shared q106 chain (checkpointed), one row-local
+    * ws+BPE count pass over base ∪ admissions (merges fold in as an
+    * expression chain — no UDF, no join), a 3-group aggregate, and a
+    * broadcast-of-one-row baseline for the delta. */
+  def q115FertilityDrift(documents: DataFrame, threshold: Double = 0.2,
+                         lowFrac: Double = 0.25,
+                         nMerges: Int = DefaultMerges,
+                         trainDocs: Long = DefaultTrainDocs): DataFrame = {
+    val (v1, v2, _) = Provenance.multiTickFrames(documents, threshold, lowFrac)
+    val ms = merges(documents, nMerges, trainDocs)
+    val slices = documents
+      .filter(pmod(col("doc_id"), lit(Provenance.BatchMod)).between(1, 9))
+      .select(col("doc_id"), lit(0).as("tick"))
+      .union(v1.filter(col("lq") === false).select(col("doc_id"), lit(1).as("tick")))
+      .union(v2.filter(col("lq") === false).select(col("doc_id"), lit(2).as("tick")))
+    val ag = slices
+      .join(documents.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("tick"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        tokenCount(ms, col("text")).cast("long").as("bpe"))
+      .groupBy("tick")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("n_ws_tokens"), sum("bpe").as("n_bpe_tokens"))
+      .localCheckpoint() // read by the baseline row and the report
+    val f0 = ag.filter(col("tick") === 0)
+      .select((col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
+        .as("fert0"))
+    ag.crossJoin(broadcast(f0))
+      .select(col("tick"), col("n_docs"), col("n_ws_tokens"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6)
+          .as("fertility"),
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens")
+          - col("fert0"), 6).as("delta"))
+      .orderBy("tick")
+  }
+
+  def q115Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              nMerges: Int = DefaultMerges,
+              trainDocs: Long = DefaultTrainDocs,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    val bm = Provenance.BatchMod
+    s"""WITH ${Provenance.multiTickSqlCtes(threshold, lowFrac, iters, trainN)},
+       |${tokenSqlCtes(nMerges, trainDocs)},
+       |ftk AS (SELECT doc_id, 0 AS tick FROM documents
+       |          WHERE doc_id % $bm BETWEEN 1 AND 9
+       |        UNION ALL SELECT doc_id, 1 AS tick FROM v1 WHERE lq = false
+       |        UNION ALL SELECT doc_id, 2 AS tick FROM v2 WHERE lq = false),
+       |fx AS (SELECT f.tick,
+       |         len(regexp_split_to_array(d.text, ' ')) AS ws,
+       |         bt.n_tokens AS bpe
+       |       FROM ftk f JOIN documents d ON d.doc_id = f.doc_id
+       |       JOIN bpe_tok bt ON bt.doc_id = f.doc_id),
+       |ag AS MATERIALIZED (SELECT tick, count(*) AS n_docs,
+       |         CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+       |         CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens
+       |       FROM fx GROUP BY tick),
+       |f0 AS (SELECT CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens AS fert0
+       |       FROM ag WHERE tick = 0)
+       |SELECT tick, n_docs, n_ws_tokens, n_bpe_tokens,
+       |  round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 6) AS fertility,
+       |  round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens - fert0, 6) AS delta
+       |FROM ag, f0 ORDER BY tick""".stripMargin
+  }
+
   // ---- oracle SQL generation ------------------------------------------
 
   /** The unrolled training CTEs: s0 (encoded train set), then per

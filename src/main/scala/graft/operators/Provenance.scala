@@ -558,15 +558,15 @@ object Provenance {
        |t1 AS (SELECT doc_id, source, h FROM h WHERE doc_id % $bm >= 10),
        |${QualityModel.featureSqlCtes(
          s"(SELECT * FROM documents WHERE doc_id % $bm >= 10)", "b1_")},
-       |s1 AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+       |sc1 AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
        |       FROM b1_feat, ctr_w w),
        |fz1 AS (SELECT DISTINCT b AS fid FROM adj
        |        WHERE b % $bm >= 10 AND a % $bm BETWEEN 1 AND 9),
        |j1 AS MATERIALIZED (SELECT t1.doc_id, t1.source, t1.h AS hh,
-       |        c0.h AS ch, fz1.fid, s1.p
+       |        c0.h AS ch, fz1.fid, sc1.p
        |      FROM t1 LEFT JOIN c0 ON t1.h = c0.h
        |      LEFT JOIN fz1 ON fz1.fid = t1.doc_id
-       |      JOIN s1 ON s1.doc_id = t1.doc_id),
+       |      JOIN sc1 ON sc1.doc_id = t1.doc_id),
        |lq1 AS (SELECT doc_id,
        |          cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
        |        FROM j1 WHERE ch IS NULL AND fid IS NULL),
@@ -588,13 +588,13 @@ object Provenance {
   /** Tick 2's scoring/verdict CTEs under an arbitrary one-row weight
     * alias `wRel` — `s2 … v2` (v2 MATERIALIZED). */
   private def tick2SqlCtes(lowFrac: Double, wRel: String): String =
-    s"""s2 AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+    s"""sc2 AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
        |       FROM b2_feat, $wRel w),
        |j2 AS MATERIALIZED (SELECT t2.doc_id, t2.source, c1.h AS ch,
-       |        fz2.fid, s2.p
+       |        fz2.fid, sc2.p
        |      FROM t2 LEFT JOIN c1 ON t2.h = c1.h
        |      LEFT JOIN fz2 ON fz2.fid = t2.doc_id
-       |      JOIN s2 ON s2.doc_id = t2.doc_id),
+       |      JOIN sc2 ON sc2.doc_id = t2.doc_id),
        |lq2 AS (SELECT doc_id,
        |          cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
        |        FROM j2 WHERE ch IS NULL AND fid IS NULL),
@@ -603,8 +603,8 @@ object Provenance {
 
   /** The q106 oracle chain through `v1`/`v2` (both MATERIALIZED) —
     * shared by q106Sql, q111Sql and q112Sql. */
-  private def multiTickSqlCtes(threshold: Double, lowFrac: Double,
-                               iters: Int, trainN: Int): String =
+  private[operators] def multiTickSqlCtes(threshold: Double, lowFrac: Double,
+                                          iters: Int, trainN: Int): String =
     s"""${multiTickCoreSqlCtes(threshold, lowFrac, iters, trainN)},
        |${tick2SqlCtes(lowFrac, "ctr_w")}""".stripMargin
 
