@@ -167,6 +167,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q115_fertility_drift: tokenizer monitoring per ingest tick — BPE
   *                         fertility of each tick's admissions under the
   *                         frozen merges, delta vs the base corpus
+  *  - q116_audio_dedup:    perceptual audio near-dup census — envelope
+  *                         signature over REAL javax.sound-decoded PCM,
+  *                         Hamming bands + popcount (q110 on audio)
   */
 object SparkEntry {
 
@@ -302,6 +305,7 @@ object SparkEntry {
     "q113_adaptive_ingest" -> t("documents")(Provenance.q113AdaptiveIngest(_)),
     "q114_image_admission" -> t("documents")(graft.multimodal.Multimodal.q114ImageAdmission(_)),
     "q115_fertility_drift" -> t("documents")(Bpe.q115FertilityDrift(_)),
+    "q116_audio_dedup" -> t("documents")(graft.multimodal.Multimodal.q116AudioDedup(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,5 +426,6 @@ object SparkEntry {
     "q113_adaptive_ingest" -> Provenance.q113Sql(),
     "q114_image_admission" -> graft.multimodal.Multimodal.q114Sql(),
     "q115_fertility_drift" -> Bpe.q115Sql(),
+    "q116_audio_dedup" -> graft.multimodal.Multimodal.q116Sql(),
   )
 }

@@ -228,6 +228,88 @@ object Codecs {
     buf.array()
   }
 
+  /** Deterministic TEXTURED 16-bit mono PCM WAV (the audio analogue of
+    * [[synthTexturedPng]], for the q116 perceptual-dedup census):
+    * sample i = `((seed·31 + (1 + seed mod 89)·i²) mod 65536) − 32768`.
+    * The PER-DOC quadratic coefficient is the decisive design point: a
+    * shared i² term (first attempt) made every clip's |amplitude|
+    * envelope ride the same wrap structure — 8 k spurious near-pairs
+    * at 500 docs — while a seed-scaled coefficient gives each doc its
+    * own wrap frequency, so unrelated envelope bits decorrelate and
+    * only seeds congruent mod lcm(89, 150) share structure (O(1)
+    * partners per doc at any scale); `stride > 0` plants a sparse +`delta`
+    * perturbation — the near-identical re-encode. All arithmetic is
+    * small non-negative integers, exactly re-derivable in SQL. */
+  def synthTexturedWav(seed: Long, sampleRate: Int, nSamples: Int,
+                       stride: Int = 0, delta: Int = 0): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0L
+    while (i < nSamples) {
+      val bump = if (stride > 0 && i % stride == 0) delta.toLong else 0L
+      buf.putShort((java.lang.Math.floorMod(
+        seed * 31L + (1L + seed % 89L) * i * i + bump, 65536L) - 32768L).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** 56-bit ENVELOPE signature of a decoded audio clip — the audio
+    * dHash: the REAL `javax.sound` decode yields the PCM samples, the
+    * clip splits into 57 contiguous windows (sample i belongs to window
+    * `(57·i) / n`, integer division — the one convention both engines
+    * share), and bit k compares the mean |amplitude| of window k
+    * against window k+1 — via the exact integer cross-product
+    * `sum_k·cnt_{k+1} > sum_{k+1}·cnt_k`, so no division ever happens
+    * and the SQL oracle re-derives every bit from the generator
+    * formula. Robust to constant gain the way dHash is to brightness.
+    * None when no codec claims the payload. */
+  def audioEnvelopeSig56(p: Array[Byte]): Option[Long] = {
+    val samples =
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(p))
+        try {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            i += 1
+          }
+          out
+        } finally in.close()
+      } catch { case _: Exception => null }
+    if (samples == null || samples.length == 0) None
+    else {
+      val n = samples.length
+      val sum = new Array[Long](57)
+      val cnt = new Array[Long](57)
+      var i = 0
+      while (i < n) {
+        val k = ((57L * i) / n).toInt
+        sum(k) += math.abs(samples(i))
+        cnt(k) += 1
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 56) {
+        if (sum(b) * cnt(b + 1) > sum(b + 1) * cnt(b)) sig |= 1L << b
+        b += 1
+      }
+      Some(sig)
+    }
+  }
+
   /** Deterministic animated GIF (the multi-frame/video fixture):
     * `frames` solid-tone frames via ImageIO's GIF sequence writer. */
   def synthGif(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {

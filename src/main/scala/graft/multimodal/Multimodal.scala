@@ -442,6 +442,110 @@ object Multimodal {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  // ---- q116: perceptual audio dedup (envelope sig + Hamming bands) -----
+
+  /** Planted near-identical clips: every doc with id ≡ 2 (mod 5)
+    * renders its base doc's (id − 2) clip — same seed, same length —
+    * with a sparse +1000 perturbation every 101st sample. */
+  private val AudioStride = 101
+  private val AudioDelta = 1000
+  private def q116Spec(docId: Long): (Long, Boolean) =
+    if (docId >= 2 && docId % 5 == 2) (docId - 2, true) else (docId, false)
+  private def q116Len(seed: Long): Int = (200 + seed % 150).toInt
+
+  /** (doc_id, sig) — every doc's clip synthesized, decoded through the
+    * real `javax.sound` seam, envelope-hashed. */
+  private[graft] def audioSigs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val sigSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("sig", LongType)))
+    spark.createDataFrame(
+      docs.select("doc_id").rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (seed, pert) = q116Spec(id)
+          val wav = Codecs.synthTexturedWav(seed, 8000, q116Len(seed),
+            if (pert) AudioStride else 0, AudioDelta)
+          Row(id, Codecs.audioEnvelopeSig56(wav).getOrElse(-1L))
+        }
+      }, sigSchema)
+  }
+
+  /** q116: PERCEPTUAL audio dedup — the audio leg of the multimodal
+    * dedup surface, completing image (q110) + audio: per doc a
+    * deterministic PCM clip (planting per [[q116Spec]]) decoded through
+    * the REAL `javax.sound` codec seam into a 56-bit envelope signature
+    * ([[Codecs.audioEnvelopeSig56]]), then exactly the q110 census
+    * machinery — four 14-bit Hamming bands gate candidates (hot buckets
+    * capped), popcount verifies at ≤ `maxDist`. The DuckDB oracle
+    * re-derives every signature arithmetically from the sample formula
+    * (windowed |amplitude| sums compared by integer cross-products) —
+    * the q71/q110 convention on a second modality, certifying the
+    * whole decode→window→compare path. Scale shape identical to q110:
+    * 8-byte signatures map-side, banded equi-join, popcount verify. */
+  def q116AudioDedup(docs: DataFrame, maxDist: Int = 10,
+                     maxBand: Int = 64): DataFrame = {
+    val sigs = audioSigs(docs)
+    val bands = sigBands(sigs)
+    val keep = bands.groupBy("band", "x").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBand)
+      .select("band", "x")
+    val gated = bands.join(keep, Seq("band", "x"), "left_semi")
+    val cand = gated.as("p").join(gated.as("q"),
+        col("p.band") === col("q.band") && col("p.x") === col("q.x") &&
+          col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("ida"), col("q.doc_id").as("idb")).distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("ida"), col("sig").as("sa")), "ida")
+      .join(sigs.select(col("doc_id").as("idb"), col("sig").as("sb")), "idb")
+      .select(col("ida"), col("idb"),
+        expr("cast(bit_count(sa ^ sb) AS int)").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy("ida", "idb")
+  }
+
+  def q116Sql(maxDist: Int = 10, maxBand: Int = 64): String =
+    s"""WITH spec AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id >= 2 AND doc_id % 5 = 2 THEN doc_id - 2
+       |         ELSE doc_id END AS seed,
+       |    (doc_id >= 2 AND doc_id % 5 = 2) AS pert
+       |  FROM documents),
+       |sp AS (SELECT doc_id, seed, pert,
+       |    CAST(200 + seed % 150 AS BIGINT) AS n
+       |  FROM spec),
+       |smp AS (SELECT doc_id, (57 * ii.i) // n AS k,
+       |    abs(((seed * 31 + (1 + seed % 89) * ii.i * ii.i
+       |          + CASE WHEN pert AND ii.i % $AudioStride = 0
+       |                 THEN $AudioDelta ELSE 0 END) % 65536) - 32768) AS a
+       |  FROM sp, unnest(range(0, n)) ii(i)),
+       |win AS (SELECT doc_id, k, CAST(sum(a) AS BIGINT) AS s,
+       |          count(*) AS c
+       |        FROM smp GROUP BY doc_id, k),
+       |cmp AS (SELECT a.doc_id, a.k AS b,
+       |    CASE WHEN a.s * bb.c > bb.s * a.c THEN 1 ELSE 0 END AS bit
+       |  FROM win a JOIN win bb ON bb.doc_id = a.doc_id AND bb.k = a.k + 1
+       |  WHERE a.k < 56),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |    CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sig
+       |  FROM cmp GROUP BY doc_id),
+       |bands AS (SELECT doc_id, kk.k AS band, (sig >> (14 * kk.k)) & 16383 AS x
+       |  FROM sig, unnest(range(0, 4)) kk(k)),
+       |keep AS (SELECT band, x FROM bands GROUP BY band, x
+       |         HAVING count(*) > 1 AND count(*) <= $maxBand),
+       |gated AS (SELECT b.* FROM bands b JOIN keep k
+       |          ON k.band = b.band AND k.x = b.x),
+       |cand AS (SELECT DISTINCT p.doc_id AS ida, q.doc_id AS idb
+       |  FROM gated p JOIN gated q
+       |    ON p.band = q.band AND p.x = q.x AND p.doc_id < q.doc_id)
+       |SELECT c.ida, c.idb,
+       |  CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.ida
+       |JOIN sig sb ON sb.doc_id = c.idb
+       |WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxDist
+       |ORDER BY ida, idb""".stripMargin
+
   /** Oracle twin of [[q71ImageDecode]]: dims from the same formula,
     * pixel sum re-derived arithmetically (never decoding anything) —
     * agreement certifies the Spark side's real codec round trip. */

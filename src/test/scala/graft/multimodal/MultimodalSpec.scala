@@ -213,6 +213,25 @@ class MultimodalSpec extends AnyFunSuite {
       "census must stay sparse — banding is the gate, not all-pairs")
   }
 
+  test("q116 audio census: every planted near-identical clip caught through the real javax.sound decode path; census sparse") {
+    val census = Multimodal.q116AudioDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(census.nonEmpty)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val planted = ids.filter(id => id >= 2 && id % 5 == 2 && ids(id - 2))
+      .map(id => (id - 2, id))
+    assert(planted.nonEmpty)
+    val found = census.map(p => (p._1, p._2)).toSet
+    planted.foreach(p => assert(found(p),
+      s"planted near-identical clip pair $p must be in the census"))
+    val plantedH = census.filter(p => planted((p._1, p._2))).map(_._3)
+    assert(plantedH.max <= 4,
+      "sparse perturbation must flip only a few envelope bits")
+    val n = ids.size.toLong
+    assert(census.length < n * (n - 1) / 20,
+      "census must stay sparse — banding gates, envelopes decorrelate")
+  }
+
   test("q114 image admission: persisted signature state ≡ live; folding admitted sigs rejects a replayed batch") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.{col, count, lit, pmod}

@@ -73,7 +73,9 @@ class EmptyInputSpec extends AnyFunSuite {
       "q111_drift_series" -> Provenance.q111DriftSeries(empty("documents")),
       "q112_manifest_series" -> Provenance.q112ManifestSeries(empty("documents")),
       "q113_adaptive_ingest" -> Provenance.q113AdaptiveIngest(empty("documents")),
-      "q114_image_admission" -> graft.multimodal.Multimodal.q114ImageAdmission(empty("documents")))
+      "q114_image_admission" -> graft.multimodal.Multimodal.q114ImageAdmission(empty("documents")),
+      "q115_fertility_drift" -> Bpe.q115FertilityDrift(empty("documents")),
+      "q116_audio_dedup" -> graft.multimodal.Multimodal.q116AudioDedup(empty("documents")))
     zeroRow.foreach { case (name, df) =>
       assert(df.count() === 0L, s"$name on empty input")
     }
