@@ -230,14 +230,16 @@ object Codecs {
 
   /** Deterministic TEXTURED 16-bit mono PCM WAV (the audio analogue of
     * [[synthTexturedPng]], for the q116 perceptual-dedup census):
-    * sample i = `((seed·31 + (1 + seed mod 89)·i²) mod 65536) − 32768`.
+    * sample i = `((seed·31 + (1 + seed mod 1009)·i²) mod 65536) − 32768`.
     * The PER-DOC quadratic coefficient is the decisive design point: a
     * shared i² term (first attempt) made every clip's |amplitude|
     * envelope ride the same wrap structure — 8 k spurious near-pairs
     * at 500 docs — while a seed-scaled coefficient gives each doc its
-    * own wrap frequency, so unrelated envelope bits decorrelate and
-    * only seeds congruent mod lcm(89, 150) share structure (O(1)
-    * partners per doc at any scale); `stride > 0` plants a sparse +`delta`
+    * own wrap frequency, so unrelated envelope bits decorrelate; the
+    * coefficient modulus 1009 (prime, > any tested corpus / 50) keeps
+    * in-range coefficient collisions — which at mod 89 produced a
+    * 246 k-pair census at 50 k docs — to a handful; `stride > 0`
+    * plants a sparse +`delta`
     * perturbation — the near-identical re-encode. All arithmetic is
     * small non-negative integers, exactly re-derivable in SQL. */
   def synthTexturedWav(seed: Long, sampleRate: Int, nSamples: Int,
@@ -256,7 +258,7 @@ object Codecs {
     while (i < nSamples) {
       val bump = if (stride > 0 && i % stride == 0) delta.toLong else 0L
       buf.putShort((java.lang.Math.floorMod(
-        seed * 31L + (1L + seed % 89L) * i * i + bump, 65536L) - 32768L).toShort)
+        seed * 31L + (1L + seed % 1009L) * i * i + bump, 65536L) - 32768L).toShort)
       i += 1
     }
     buf.array()

@@ -515,7 +515,7 @@ object Multimodal {
        |    CAST(200 + seed % 150 AS BIGINT) AS n
        |  FROM spec),
        |smp AS (SELECT doc_id, (57 * ii.i) // n AS k,
-       |    abs(((seed * 31 + (1 + seed % 89) * ii.i * ii.i
+       |    abs(((seed * 31 + (1 + seed % 1009) * ii.i * ii.i
        |          + CASE WHEN pert AND ii.i % $AudioStride = 0
        |                 THEN $AudioDelta ELSE 0 END) % 65536) - 32768) AS a
        |  FROM sp, unnest(range(0, n)) ii(i)),
