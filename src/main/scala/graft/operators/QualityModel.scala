@@ -279,14 +279,17 @@ object QualityModel {
     val corpus = documents.filter(!isBatch)
     val w = weights(corpus, iters, trainN,
       scope = s"admission${Provenance.BatchMod}")
-    // localCheckpoint (the q103/CurateV2 marker discipline, r9 advice):
-    // each 10-row histogram is read twice — by its total aggregate and
-    // the full-outer join — and an un-severed frame would re-execute
-    // the feature+scoring projection over the corpus once per reference
+    // r9 advice adjudicated WITH MEASUREMENT: each 10-row histogram is
+    // read twice (total aggregate + full-outer join), but the duplicate
+    // subtrees sit under identical Exchanges and Spark's ReusedExchange
+    // dedupes them — the executed plan carries 4 ReusedExchange nodes
+    // and runs each scoring scan once. A localCheckpoint here is a
+    // PESSIMIZATION (two eager jobs before the final one: 1.12 s vs
+    // 0.89 s at sf0.1), unlike q103/CurateV2 where the multiply-read
+    // frames sit under WINDOWS/JOINS no exchange reuse covers.
     def hist(df: DataFrame, n: String) = scores(df, w)
       .select(least(floor(col("p") * 10), lit(9)).cast("int").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as(n))
-      .localCheckpoint()
     val base = hist(corpus, "n_base")
     val tick = hist(documents, "n_tick")
     val tot = base.agg(sum("n_base").as("ta"))
