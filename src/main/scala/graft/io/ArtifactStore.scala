@@ -342,6 +342,48 @@ object ArtifactStore {
                       name: String): Bm25IncrementalIndex =
     new Bm25IncrementalIndex(spark, root, name)
 
+  // ---- incremental IVF-PQ index (tick-maintained ANN codes) ------------
+
+  /** INCREMENTAL ANN index maintenance — the vector twin of
+    * [[Bm25IncrementalIndex]] (the r9 verdict's "incremental index
+    * maintenance" loop, closed for both retrieval modalities): the
+    * (vec_id, cid, sub, code) rows live in an [[IngestStateStore]];
+    * each ingest tick encodes ONLY its admitted vectors under the
+    * FROZEN coarse-quantizer + residual-codebook artifacts
+    * ([[graft.operators.Pq.residualCodes]] — nothing retrains, the
+    * production IVFADC serving posture) and appends them; a query
+    * probes the accumulated codes exactly as q107 scans its own.
+    * Generational compaction bounds the tick-file count; crash
+    * discipline is the store's. PqSpec pins tick-appended codes
+    * BIT-EQUAL to a full re-encode of the union corpus (from which
+    * search equality follows — the scan is a pure function of the
+    * code rows), across a compaction, with zero training runs. */
+  final class IvfPqIncrementalIndex(spark: SparkSession, root: String,
+                                    name: String) {
+    val codeStore: IngestStateStore =
+      ingestState(spark, root, s"$name/ivfpq_codes")
+
+    /** Encode + append one batch of admitted vectors under the frozen
+      * artifact tables; tick 1 is the bootstrap corpus. */
+    def appendVectors(vectors: DataFrame, cents: DataFrame, rcb: DataFrame,
+                      m: Int = Pq.DefaultM,
+                      subDim: Int = Pq.DefaultSubDim): Long =
+      codeStore.appendTick(
+        graft.operators.Pq.residualCodes(vectors, cents, rcb, m, subDim))
+
+    /** Every code row appended so far — the relation an IVF-PQ scan
+      * probes (cluster-pruned by `cid`, ADC over `(sub, code)`). */
+    def codes(): DataFrame = codeStore.current().getOrElse(
+      sys.error("incremental IVF-PQ index is empty: append a corpus first"))
+
+    def compact(targetBytes: Long = 128L * 1024 * 1024): Int =
+      codeStore.compact(targetBytes)
+  }
+
+  def ivfPqIncremental(spark: SparkSession, root: String,
+                       name: String): IvfPqIncrementalIndex =
+    new IvfPqIncrementalIndex(spark, root, name)
+
   // ---- q73 corpus hash state -------------------------------------------
 
   /** Build-or-load the corpus content-hash state (`ch` long per distinct

@@ -695,6 +695,41 @@ object Pq {
     (shared +: subs).mkString(",\n")
   }
 
+  /** Coarse assignment + residual PQ codes of a vector frame under
+    * FROZEN artifact tables — (vec_id, cid, sub, code), the rows an
+    * incremental ANN index appends per ingest tick
+    * ([[graft.io.ArtifactStore.IvfPqIncrementalIndex]]): the coarse
+    * quantizer and residual codebooks are passed in as the loaded
+    * `kmeans_centroids` / `pq_res_codebooks` artifacts and NOTHING
+    * retrains — exactly how a serving deployment encodes arrivals.
+    * Same assignment/rounding/tie-break discipline as q107's inline
+    * encode (PqSpec pins tick-appended codes bit-equal to a full
+    * re-encode of the union corpus). */
+  def residualCodes(vectors: DataFrame, cents: DataFrame, rcb: DataFrame,
+                    m: Int = DefaultM,
+                    subDim: Int = DefaultSubDim): DataFrame = {
+    val e = vectors
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    val csim = dot(col("ed"), col("ce")) /
+      (sqrt(dot(col("ed"), col("ed"))) * sqrt(dot(col("ce"), col("ce"))))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    val asg = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), round(csim, 6).as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1).select("vec_id", "cid")
+    val rese = asg.join(e, "vec_id").join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid").as("acid"),
+        expr("zip_with(ed, ce, (x, y) -> x - y)").as("ed"))
+    val sl = sliceAll(rese, "ed", m, subDim)
+    val wEnc = Window.partitionBy("vec_id", "sub").orderBy(asc("d2r"), asc("cid"))
+    sl.join(broadcast(rcb), "sub")
+      .select(col("vec_id"), col("acid"), col("sub"), col("cid"),
+        round(d2(col("sv"), col("ce")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("acid").as("cid"), col("sub"),
+        col("cid").as("code"))
+  }
+
   def q107Sql(nCentroids: Int = Kmeans.DefaultK, nprobe: Int = 2,
               m: Int = DefaultM, subDim: Int = DefaultSubDim,
               kCb: Int = DefaultKCb, iters: Int = DefaultIters,

@@ -100,6 +100,36 @@ class PqSpec extends AnyFunSuite {
     assert(ArtifactStore.listArtifacts(spark, root).map(_._1).contains("pq_res_codebooks"))
   }
 
+  test("incremental IVF-PQ: tick-appended codes ≡ full re-encode under frozen artifacts; compaction invisible; zero retrains") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = Files.createTempDirectory("graft_ivfpq_inc").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // frozen artifacts, loaded once (the serving posture)
+    val cents = Kmeans.centroidTable(emb)
+    val rcb = Pq.residualCodebookTable(emb)
+    val t0 = Pq.trainRuns.get()
+    val k0 = Kmeans.trainRuns.get()
+
+    val m = pmod(col("vec_id"), lit(17L))
+    val base = emb.filter(m =!= 0)
+    val tick = emb.filter(m === 0)
+    val idx = ArtifactStore.ivfPqIncremental(spark, root, "serveV")
+    idx.appendVectors(base, cents, rcb)
+    assert(idx.compact() > 0, "bootstrap tick must compact into a generation")
+    idx.appendVectors(tick, cents, rcb)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id", "sub").collect().map(_.toSeq).toSeq
+    val accumulated = rows(idx.codes())
+    val full = rows(Pq.residualCodes(emb, cents, rcb))
+    assert(accumulated.nonEmpty)
+    assert(accumulated === full,
+      "per-tick encoded codes must be bit-equal to a full re-encode — " +
+        "the scan over them is then trivially identical")
+    assert(Pq.trainRuns.get() === t0 && Kmeans.trainRuns.get() === k0,
+      "appending vectors must never retrain any artifact")
+  }
+
   test("artifact store: copied corpus loads the codebook, q87 bit-identical") {
     def tmpDir(p: String) = Files.createTempDirectory(p).toString
     val root = tmpDir("graft_artifacts_pq")
