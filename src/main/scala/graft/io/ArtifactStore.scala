@@ -328,6 +328,12 @@ object ArtifactStore {
     def appendDocs(docs: DataFrame): Long =
       tfStore.appendTick(graft.operators.Retrieval.tfOf(docs))
 
+    /** Tick-keyed idempotent append — the form [[IngestLoop]]'s
+      * composed tick uses so a crashed/replayed tick overwrites its
+      * own postings instead of appending a duplicate copy. */
+    def appendDocsAt(t: Long, docs: DataFrame): Unit =
+      tfStore.appendTickAt(t, graft.operators.Retrieval.tfOf(docs))
+
     /** The index over everything appended so far — tf from parquet,
       * dl/df/stats derived, text untouched. */
     def index(): graft.operators.Retrieval.Bm25Index =

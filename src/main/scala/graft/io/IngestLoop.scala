@@ -55,35 +55,70 @@ object IngestLoop {
       ArtifactStore.ingestState(spark, root, s"$name/shingles"))
 
   /** Seed the loop's state from the existing corpus — tick 1 in each
-    * store; the only corpus-text scan the loop ever performs. */
+    * store, written IDEMPOTENTLY (`appendTickAt(1)`): a bootstrap that
+    * crashed between the per-store writes is simply re-run and
+    * overwrites the same tick-1 directories — the auto-increment
+    * `appendTick` here would instead append a SECOND copy of the
+    * corpus state, whose duplicate rows break the ≤1-match state join
+    * and inflate fuzzy intersection counts (the review-found hazard).
+    * The only corpus-text scan the loop ever performs. */
   def bootstrap(st: Stores, corpusDocs: DataFrame): Unit = {
-    st.hashes.appendTick(Provenance.corpusHashState(corpusDocs))
-    st.bands.appendTick(Fuzzy.corpusBandState(corpusDocs))
-    st.shingles.appendTick(Fuzzy.corpusShingleHashes(corpusDocs))
+    st.hashes.appendTickAt(1, Provenance.corpusHashState(corpusDocs))
+    st.bands.appendTickAt(1, Fuzzy.corpusBandState(corpusDocs))
+    st.shingles.appendTickAt(1, Fuzzy.corpusShingleHashes(corpusDocs))
+  }
+
+  /** The tick this run should PRODUCE, with crash recovery: normally
+    * every store agrees on maxTick T and the next tick is T+1; after a
+    * crash between the per-store writes the stores disagree, and the
+    * incomplete tick (the max) must be REDONE — judged against
+    * `currentUpTo(t−1)` and rewritten idempotently, so a partial fold
+    * can neither self-dup the replayed batch nor leave a store behind
+    * (IngestLoopSpec pins the replay). */
+  private def nextTick(st: Stores): Long = {
+    val done = Seq(st.hashes, st.bands, st.shingles).map(_.maxTick)
+    require(done.max >= 1, "ingest loop not bootstrapped")
+    if (done.distinct.size == 1) done.head + 1 else done.max
   }
 
   /** Judge one batch against the accumulated state, fold the admitted
     * docs' increments back, and return the per-source q103 report
     * (n_batch / n_dup_exact / n_dup_fuzzy / n_low_quality / n_new).
     * `w` is the frozen quality model — a deployment retrains between
-    * ticks (the q104 monitoring read), never within one. */
+    * ticks (the q104 monitoring read), never within one.
+    *
+    * Crash discipline (review finding, closed): the tick number is
+    * fixed up front ([[nextTick]]), the state is read AS OF the
+    * previous tick (`currentUpTo` — a half-written fold from a crashed
+    * run of THIS tick is invisible), and all fold-back writes are
+    * tick-keyed overwrites — so re-running a crashed tick reproduces
+    * identical verdicts and completes the missing store writes instead
+    * of judging admitted docs against their own half-folded hashes. */
   def runTick(st: Stores, batchDocs: DataFrame, w: Seq[Double],
-              threshold: Double = 0.2, lowFrac: Double = 0.25): DataFrame = {
-    val state = st.hashes.current().getOrElse(
+              threshold: Double = 0.2, lowFrac: Double = 0.25): DataFrame =
+    runTickImpl(st, None, batchDocs, w, threshold, lowFrac)
+
+  private def runTickImpl(st: Stores,
+                          idx: Option[ArtifactStore.Bm25IncrementalIndex],
+                          batchDocs: DataFrame, w: Seq[Double],
+                          threshold: Double, lowFrac: Double): DataFrame = {
+    val t = nextTick(st)
+    val state = st.hashes.currentUpTo(t - 1).getOrElse(
       sys.error("ingest loop not bootstrapped: hash state is empty"))
     val fuzzy = Fuzzy.lshPairsAgainstState(
-        st.bands.current().get, st.shingles.current().get,
+        st.bands.currentUpTo(t - 1).get, st.shingles.currentUpTo(t - 1).get,
         batchDocs, threshold)
       .select(col("eval_id").as("fid")).distinct()
     // the q103/q106 kernel; the returned frame is checkpointed, so the
-    // three fold-back writes and the report never re-run the chain
+    // fold-back writes and the report never re-run the chain
     val v = Provenance.gatedTickFrame(batchDocs, state, fuzzy, w, lowFrac)
     val admIds = v.filter(col("lq") === false).select("doc_id")
     val admDocs = batchDocs.join(admIds, Seq("doc_id"), "left_semi")
-    st.hashes.appendTick(v.filter(col("lq") === false)
+    st.hashes.appendTickAt(t, v.filter(col("lq") === false)
       .select(col("h").as("ch")).distinct())
-    st.bands.appendTick(Fuzzy.corpusBandState(admDocs))
-    st.shingles.appendTick(Fuzzy.corpusShingleHashes(admDocs))
+    st.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
+    st.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
+    idx.foreach(_.appendDocsAt(t, admDocs))
     Provenance.gatedTickReport(v)
   }
 
@@ -110,26 +145,14 @@ object IngestLoop {
     * ingested, and only admitted (novel) text is ever tokenized
     * (IngestLoopSpec pins the served ranking ≡ a full rebuild over
     * base ∪ all admissions, and reconciles the index's doc count with
-    * the admission reports). */
+    * the admission reports). One shared kernel with [[runTick]]
+    * (review finding: the two bodies had drifted into copies) — the
+    * postings append is tick-keyed like every other fold, so a crashed
+    * tick replays idempotently across all FOUR stores. */
   def runTickWithRetrieval(st: Stores,
                            idx: ArtifactStore.Bm25IncrementalIndex,
                            batchDocs: DataFrame, w: Seq[Double],
                            threshold: Double = 0.2,
-                           lowFrac: Double = 0.25): DataFrame = {
-    val state = st.hashes.current().getOrElse(
-      sys.error("ingest loop not bootstrapped: hash state is empty"))
-    val fuzzy = Fuzzy.lshPairsAgainstState(
-        st.bands.current().get, st.shingles.current().get,
-        batchDocs, threshold)
-      .select(col("eval_id").as("fid")).distinct()
-    val v = Provenance.gatedTickFrame(batchDocs, state, fuzzy, w, lowFrac)
-    val admIds = v.filter(col("lq") === false).select("doc_id")
-    val admDocs = batchDocs.join(admIds, Seq("doc_id"), "left_semi")
-    st.hashes.appendTick(v.filter(col("lq") === false)
-      .select(col("h").as("ch")).distinct())
-    st.bands.appendTick(Fuzzy.corpusBandState(admDocs))
-    st.shingles.appendTick(Fuzzy.corpusShingleHashes(admDocs))
-    idx.appendDocs(admDocs)
-    Provenance.gatedTickReport(v)
-  }
+                           lowFrac: Double = 0.25): DataFrame =
+    runTickImpl(st, Some(idx), batchDocs, w, threshold, lowFrac)
 }

@@ -40,17 +40,22 @@ object ShardSink {
                            fileKey: org.apache.spark.sql.Column,
                            partitions: Int): Unit = {
     val spark = df.sparkSession
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + "._tmp")
+    // Path normalization + suffix (review finding): a raw
+    // `path + "._tmp"` with a trailing-slash path would nest the temp
+    // tree INSIDE the destination, and the pre-rename delete would
+    // then destroy both exports. `Path.suffix` appends to the
+    // normalized leaf name, so tmp is always a SIBLING of dst.
+    val dst = new Path(path)
+    val tmp = dst.suffix("._tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.repartition(partitions, col("shard"), fileKey)
       .write.partitionBy("shard").mode("overwrite").parquet(tmp.toString)
     // temp tree is complete (its _SUCCESS exists) — swap into place;
     // a kill before this point never touched the previous export
-    val dst = new Path(path)
     if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    require(fs.rename(tmp, dst),
+      s"shard export rename failed: $tmp -> $dst")
   }
 
   def write(documents: DataFrame, path: String,

@@ -280,7 +280,10 @@ object Multimodal {
 
   def q110ImageDedup(docs: DataFrame, maxDist: Int = 10,
                      maxBand: Int = 64): DataFrame = {
-    val sigs = imageSigs(docs)
+    // severed (review finding): the RDD-backed signature frame is read
+    // by the band explode AND both verify sides — un-checkpointed, each
+    // plan reference would re-synthesize and re-decode every image
+    val sigs = imageSigs(docs).localCheckpoint()
     val bands = sigBands(sigs)
     // hot-bucket gate: buckets above maxBand are family business, not
     // pair business (see scaladoc); singleton buckets generate nothing
@@ -485,7 +488,8 @@ object Multimodal {
     * 8-byte signatures map-side, banded equi-join, popcount verify. */
   def q116AudioDedup(docs: DataFrame, maxDist: Int = 10,
                      maxBand: Int = 64): DataFrame = {
-    val sigs = audioSigs(docs)
+    // severed: same multi-reference argument as q110 (review finding)
+    val sigs = audioSigs(docs).localCheckpoint()
     val bands = sigBands(sigs)
     val keep = bands.groupBy("band", "x").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > 1 && col("bn") <= maxBand)

@@ -213,12 +213,8 @@ object Bpe {
                          trainDocs: Long = DefaultTrainDocs): DataFrame = {
     val (v1, v2, _) = Provenance.multiTickFrames(documents, threshold, lowFrac)
     val ms = merges(documents, nMerges, trainDocs)
-    val slices = documents
-      .filter(pmod(col("doc_id"), lit(Provenance.BatchMod)).between(1, 9))
-      .select(col("doc_id"), lit(0).as("tick"))
-      .union(v1.filter(col("lq") === false).select(col("doc_id"), lit(1).as("tick")))
-      .union(v2.filter(col("lq") === false).select(col("doc_id"), lit(2).as("tick")))
-    val ag = slices
+    val ag = Provenance.ingestedMembership(documents, v1, v2)
+      .withColumnRenamed("ft", "tick")
       .join(documents.select(col("doc_id"), col("text")), "doc_id")
       .select(col("tick"),
         size(split(col("text"), " ")).cast("long").as("ws"),

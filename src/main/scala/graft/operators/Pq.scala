@@ -466,6 +466,29 @@ object Pq {
 
   // ---- residual IVF-PQ (q107) ------------------------------------------
 
+  /** (vec_id, cid, csim, arn) cosine coarse-assignment ranking — THE
+    * one assignment definition (the q30/q54 convention: 6-dp rounded
+    * cosine, (desc, cid) tie-break), shared by [[residualFrame]],
+    * [[q107IvfPqResidual]] and [[residualCodes]] (review finding: it
+    * had been written out three times, putting the bit-equality pin
+    * between them one divergent edit from breaking). */
+  private def assignRanked(e: DataFrame, cents: DataFrame): DataFrame = {
+    val csim = dot(col("ed"), col("ce")) /
+      (sqrt(dot(col("ed"), col("ed"))) * sqrt(dot(col("ce"), col("ce"))))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), round(csim, 6).as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+  }
+
+  /** (vec_id, cid, ed) residual relation r = x − centroid(x) for an
+    * assignment — the exact double zip_with subtraction. */
+  private def residualRel(asg: DataFrame, e: DataFrame,
+                          cents: DataFrame): DataFrame =
+    asg.join(e, "vec_id").join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(ed, ce, (x, y) -> x - y)").as("ed"))
+
   /** The residual relation r = x − centroid(x) (Jégou 2011 §V, IVFADC):
     * one row-local array subtraction per vector after coarse
     * assignment. Exact double arithmetic — the same determinism class
@@ -475,16 +498,9 @@ object Pq {
     val cents = Kmeans.centroidTable(embeddings, nCentroids)
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
-    val csim = dot(col("ed"), col("ce")) /
-      (sqrt(dot(col("ed"), col("ed"))) * sqrt(dot(col("ce"), col("ce"))))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
-    val asg = e.join(broadcast(cents))
-      .select(col("vec_id"), col("cid"), round(csim, 6).as("csim"))
-      .withColumn("arn", row_number().over(wAssign))
+    val asg = assignRanked(e, cents)
       .filter(col("arn") === 1).select("vec_id", "cid")
-    asg.join(e, "vec_id").join(broadcast(cents), "cid")
-      .select(col("vec_id"), col("cid"),
-        expr("zip_with(ed, ce, (x, y) -> x - y)").as("ed"))
+    residualRel(asg, e, cents)
   }
 
   /** Train-or-memo codebooks over RESIDUALS — same sampling/init/
@@ -567,13 +583,8 @@ object Pq {
     val cents = Kmeans.centroidTable(embeddings, nCentroids)
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
-    // coarse assignment (q30/q54/q94 convention)
-    val csim = dot(col("ed"), col("ce")) /
-      (sqrt(dot(col("ed"), col("ed"))) * sqrt(dot(col("ce"), col("ce"))))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
-    val ranked = e.join(broadcast(cents))
-      .select(col("vec_id"), col("cid"), round(csim, 6).as("csim"))
-      .withColumn("arn", row_number().over(wAssign))
+    // coarse assignment (q30/q54/q94 convention, the shared kernel)
+    val ranked = assignRanked(e, cents)
     val asg = ranked.filter(col("arn") === 1).select("vec_id", "cid")
     val probes = ranked.filter(col("arn") <= nprobe && col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("cid").as("qcid"))
@@ -582,9 +593,7 @@ object Pq {
       .select("qid", "qcid", "vec_id")
     val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
     // residual encode: codes of r = x − centroid(x)
-    val rese = asg.join(e, "vec_id").join(broadcast(cents), "cid")
-      .select(col("vec_id"),
-        expr("zip_with(ed, ce, (x, y) -> x - y)").as("ed"))
+    val rese = residualRel(asg, e, cents).select("vec_id", "ed")
     val sl = sliceAll(rese, "ed", m, subDim)
     val wEnc = Window.partitionBy("vec_id", "sub").orderBy(asc("d2r"), asc("cid"))
     val codes = sl.join(broadcast(rcb), "sub")
@@ -710,16 +719,10 @@ object Pq {
                     subDim: Int = DefaultSubDim): DataFrame = {
     val e = vectors
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
-    val csim = dot(col("ed"), col("ce")) /
-      (sqrt(dot(col("ed"), col("ed"))) * sqrt(dot(col("ce"), col("ce"))))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
-    val asg = e.join(broadcast(cents))
-      .select(col("vec_id"), col("cid"), round(csim, 6).as("csim"))
-      .withColumn("arn", row_number().over(wAssign))
+    val asg = assignRanked(e, cents)
       .filter(col("arn") === 1).select("vec_id", "cid")
-    val rese = asg.join(e, "vec_id").join(broadcast(cents), "cid")
-      .select(col("vec_id"), col("cid").as("acid"),
-        expr("zip_with(ed, ce, (x, y) -> x - y)").as("ed"))
+    val rese = residualRel(asg, e, cents)
+      .withColumnRenamed("cid", "acid")
     val sl = sliceAll(rese, "ed", m, subDim)
     val wEnc = Window.partitionBy("vec_id", "sub").orderBy(asc("d2r"), asc("cid"))
     sl.join(broadcast(rcb), "sub")

@@ -369,6 +369,20 @@ object Provenance {
       .orderBy("tick", "source")
   }
 
+  /** (doc_id, ft) membership of the INGESTED corpus per q106 tick —
+    * ft = 0 base corpus, 1/2 = that tick's ADMITTED docs (lq = false;
+    * dups and rejects never enter). THE one definition of ingested
+    * membership, shared by q111/q112/q115 (review finding: it had
+    * been copy-pasted into each). */
+  private[operators] def ingestedMembership(documents: DataFrame,
+                                            v1: DataFrame,
+                                            v2: DataFrame): DataFrame =
+    documents
+      .filter(pmod(col("doc_id"), lit(BatchMod)).between(1, 9))
+      .select(col("doc_id"), lit(0).as("ft"))
+      .union(v1.filter(col("lq") === false).select(col("doc_id"), lit(1).as("ft")))
+      .union(v2.filter(col("lq") === false).select(col("doc_id"), lit(2).as("ft")))
+
   /** q111: the PER-TICK drift series (r9 verdict item 8 — the q104
     * two-snapshot read extended over the ingest loop's generations):
     * under the FROZEN base-corpus model, the score histogram of the
@@ -389,12 +403,7 @@ object Provenance {
   def q111DriftSeries(documents: DataFrame, threshold: Double = 0.2,
                       lowFrac: Double = 0.25): DataFrame = {
     val (v1, v2, w) = multiTickFrames(documents, threshold, lowFrac)
-    val firstTick = documents
-      .filter(pmod(col("doc_id"), lit(BatchMod)).between(1, 9))
-      .select(col("doc_id"), lit(0).as("ft"))
-      .union(v1.filter(col("lq") === false).select(col("doc_id"), lit(1).as("ft")))
-      .union(v2.filter(col("lq") === false).select(col("doc_id"), lit(2).as("ft")))
-    val hist = firstTick
+    val hist = ingestedMembership(documents, v1, v2)
       .join(QualityModel.scores(documents, w), "doc_id")
       .select(explode(expr("sequence(ft, 2)")).as("tick"),
         least(floor(col("p") * 10), lit(9)).cast("int").as("bucket"))
@@ -454,12 +463,7 @@ object Provenance {
                          lowFrac: Double = 0.25,
                          buckets: Int = 64): DataFrame = {
     val (v1, v2, _) = multiTickFrames(documents, threshold, lowFrac)
-    val firstTick = documents
-      .filter(pmod(col("doc_id"), lit(BatchMod)).between(1, 9))
-      .select(col("doc_id"), lit(0).as("ft"))
-      .union(v1.filter(col("lq") === false).select(col("doc_id"), lit(1).as("ft")))
-      .union(v2.filter(col("lq") === false).select(col("doc_id"), lit(2).as("ft")))
-    firstTick
+    ingestedMembership(documents, v1, v2)
       .join(documents.select(col("doc_id"), col("text"), col("n_chars")), "doc_id")
       .select(explode(expr("sequence(ft, 2)")).as("tick"),
         pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),

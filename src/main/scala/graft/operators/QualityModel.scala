@@ -70,18 +70,29 @@ object QualityModel {
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
   val trainRuns = new java.util.concurrent.atomic.AtomicLong
 
-  /** Memo key = inputFiles + the analyzed plan's SEMANTIC hash +
-    * params (+ optional scope). The semantic hash (Catalyst's
-    * canonicalized-plan hash, the `Dataset.semanticHash` machinery) is
-    * the slice discriminator the caller CANNOT forget (r9 advice): two
-    * different filters of the same table share inputFiles but differ in
-    * canonicalized plan, so a slice-trained model can never alias — let
-    * alone poison — the whole-table model even when the caller passes
-    * no scope. `scope` remains for artifact NAMING (a plan hash is not
-    * a stable cross-JVM identifier, so [[graft.io.ArtifactStore]] keys
-    * stay scope-based); a collision in the memo is at worst a retrain,
-    * never a wrong serve, because the plan hash binds the key to the
-    * exact slice. */
+  /** Memo key = inputFiles + the analyzed plan's canonicalized hash +
+    * params (+ optional scope). The plan hash is the slice
+    * discriminator the caller CANNOT forget (r9 advice): two different
+    * filters of the same table share inputFiles but canonicalize to
+    * different plans, so a slice-trained model no longer aliases the
+    * whole-table model when the caller forgets `scope`. Two contracts
+    * this key TIGHTENS, stated honestly (review-adjudicated):
+    *  - PRELOAD narrowing: a preloaded artifact is served only to
+    *    consumers whose DataFrame canonicalizes identically to the
+    *    loader's. Semantically-equal-but-differently-written slices
+    *    (e.g. `% =!=` vs `!(pmod === )`) miss the memo and RETRAIN —
+    *    wasteful, never wrong. All in-repo loader/consumer pairs build
+    *    their slices through the same expressions (the ArtifactStore
+    *    round-trip specs exercise the real caller paths and pin zero
+    *    retrains), and an external warmer must do the same.
+    *  - Collision honesty: a 32-bit plan-hash collision between two
+    *    DIFFERENT slices that also share files/params/scope would
+    *    serve one slice's weights for the other — the pre-fix hazard,
+    *    now shrunk from "deterministic whenever scope is forgotten"
+    *    to a ~2⁻³² sliver, not eliminated. `scope` remains both the
+    *    belt to this suspender and the stable artifact-path name
+    *    ([[graft.io.ArtifactStore]] keys stay scope-based — a plan
+    *    hash is not a stable cross-JVM identifier). */
   private def memoKey(documents: DataFrame, iters: Int, trainN: Int,
                       scope: String): Option[String] = {
     val files = documents.inputFiles

@@ -341,8 +341,7 @@ object DocStream {
         val adm = refined.filter(col("verdict") === "new")
           .select("doc_id", "text")
         stores.hashes.appendTickAt(stateTick + 1,
-          adm.select(conv(substring(md5(col("text")), 1, 15), 16, 10)
-            .cast("long").as("ch")).distinct())
+          graft.operators.Provenance.corpusHashState(adm))
         stores.bands.appendTickAt(stateTick + 1,
           graft.operators.Fuzzy.corpusBandState(adm))
         stores.shingles.appendTickAt(stateTick + 1,

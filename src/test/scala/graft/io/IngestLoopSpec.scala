@@ -104,6 +104,46 @@ class IngestLoopSpec extends AnyFunSuite {
     }
   }
 
+  test("a tick crashed between per-store folds is REDONE, not compounded: replay repairs the partial fold and reproduces clean verdicts") {
+    val root = Files.createTempDirectory("graft_ingest_crash").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    val t1 = docs.filter(m >= 10)
+    val w = QualityModel.weights(corpus,
+      scope = s"multitick${Provenance.BatchMod}")
+
+    // the clean yardstick
+    val stA = IngestLoop.stores(spark, root, "clean")
+    IngestLoop.bootstrap(stA, corpus)
+    val cleanRep = rows(IngestLoop.runTick(stA, t1, w))
+    val cleanHashes = stA.hashes.current().get
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+    // the crashed loop: tick 2's hash fold landed (with WRONG content —
+    // the worst case: the whole batch, as if judged against nothing)
+    // but bands/shingles never did
+    val stB = IngestLoop.stores(spark, root, "crashed")
+    IngestLoop.bootstrap(stB, corpus)
+    stB.hashes.appendTickAt(2, Provenance.corpusHashState(t1))
+    assert(stB.hashes.maxTick === 2L && stB.bands.maxTick === 1L)
+
+    // replay: nextTick sees the store disagreement, REDOES tick 2
+    // against the pre-tick state (currentUpTo(1) — the half fold is
+    // invisible), and overwrites all three stores idempotently
+    val replayRep = rows(IngestLoop.runTick(stB, t1, w))
+    assert(replayRep === cleanRep,
+      "replayed verdicts must be identical — admitted docs must NOT " +
+        "be judged against their own half-folded hashes")
+    assert(stB.hashes.current().get.collect().map(_.getLong(0)).sorted.toSeq
+      === cleanHashes, "the wrong partial fold must be overwritten")
+    assert(Seq(stB.hashes, stB.bands, stB.shingles).map(_.maxTick).distinct
+      === Seq(2L), "all stores converge on the repaired tick")
+    // and bootstrap itself is idempotent (appendTickAt(1) overwrites)
+    IngestLoop.bootstrap(stB, corpus)
+    assert(stB.hashes.maxTick === 2L,
+      "a re-run bootstrap must overwrite tick 1, never append a copy")
+  }
+
   test("q113 adaptive ingest: both canary branches reachable, and the no-retrain branch degenerates to q106 exactly") {
     // default maxFlips: the drifted corpus trips the canary → tick 2
     // is gated by the retrained model and the report SAYS so
