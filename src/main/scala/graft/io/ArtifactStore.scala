@@ -324,9 +324,19 @@ object ArtifactStore {
       ingestState(spark, root, s"$name/bm25_tf")
 
     /** Tokenize + append one batch's postings; tick 1 is the
-      * bootstrap corpus, later ticks are admitted ingest batches. */
+      * bootstrap corpus, later ticks are admitted ingest batches.
+      * Auto-increments — for the bootstrap itself use [[bootstrap]]
+      * (r10 advice): a crashed-then-retried auto-increment bootstrap
+      * would append a SECOND copy of the corpus postings as tick 2,
+      * doubling tf/df/dl and silently corrupting every ranking. */
     def appendDocs(docs: DataFrame): Long =
       tfStore.appendTick(graft.operators.Retrieval.tfOf(docs))
+
+    /** IDEMPOTENT tick-1 bootstrap (mirrors [[IngestLoop.bootstrap]]):
+      * a re-run after a crash overwrites the same tick-1 directory
+      * instead of appending a duplicate posting copy. */
+    def bootstrap(corpusDocs: DataFrame): Unit =
+      appendDocsAt(1, corpusDocs)
 
     /** Tick-keyed idempotent append — the form [[IngestLoop]]'s
       * composed tick uses so a crashed/replayed tick overwrites its
@@ -370,12 +380,31 @@ object ArtifactStore {
       ingestState(spark, root, s"$name/ivfpq_codes")
 
     /** Encode + append one batch of admitted vectors under the frozen
-      * artifact tables; tick 1 is the bootstrap corpus. */
+      * artifact tables; tick 1 is the bootstrap corpus.
+      * Auto-increments — for the bootstrap itself use [[bootstrap]]
+      * (r10 advice): a crashed-then-retried auto-increment bootstrap
+      * would append duplicate code rows as tick 2 with no error. */
     def appendVectors(vectors: DataFrame, cents: DataFrame, rcb: DataFrame,
                       m: Int = Pq.DefaultM,
                       subDim: Int = Pq.DefaultSubDim): Long =
       codeStore.appendTick(
         graft.operators.Pq.residualCodes(vectors, cents, rcb, m, subDim))
+
+    /** Tick-keyed idempotent append — the [[Bm25IncrementalIndex]]
+      * replay form for the vector leg. */
+    def appendVectorsAt(t: Long, vectors: DataFrame, cents: DataFrame,
+                        rcb: DataFrame, m: Int = Pq.DefaultM,
+                        subDim: Int = Pq.DefaultSubDim): Unit =
+      codeStore.appendTickAt(t,
+        graft.operators.Pq.residualCodes(vectors, cents, rcb, m, subDim))
+
+    /** IDEMPOTENT tick-1 bootstrap (mirrors [[IngestLoop.bootstrap]]):
+      * a crashed-then-re-run bootstrap overwrites tick 1 instead of
+      * appending a duplicate copy of the corpus codes. */
+    def bootstrap(vectors: DataFrame, cents: DataFrame, rcb: DataFrame,
+                  m: Int = Pq.DefaultM,
+                  subDim: Int = Pq.DefaultSubDim): Unit =
+      appendVectorsAt(1, vectors, cents, rcb, m, subDim)
 
     /** Every code row appended so far — the relation an IVF-PQ scan
       * probes (cluster-pruned by `cid`, ADC over `(sub, code)`). */
@@ -536,7 +565,26 @@ object ArtifactStore {
           s"state at $base was compacted past tick $maxT — " +
             "the pre-compaction increments are gone")
         None
-      } else Some(spark.read.parquet(paths: _*))
+      } else {
+        // COVERAGE guard (r10 advice): "something resolved" is not
+        // "ticks 1..maxT resolved". After a crashed compaction's
+        // interrupted delete phase (gen=G committed, some tick<=G dirs
+        // already deleted, an older gen perhaps still present), a
+        // currentUpTo(maxT < G) can resolve a non-empty SUBSET — e.g.
+        // the stale gen plus surviving late ticks, minus the deleted
+        // early ones — and would silently serve partial state. Require
+        // the resolved base (a gen covering 1..g, or tick=1) plus
+        // CONTIGUOUS ticks up to maxT.
+        val covered = gen.getOrElse(0L)
+        val expected = (covered + 1) to maxT
+        require(ticks == expected,
+          s"state at $base does not cover ticks 1..$maxT: base " +
+            s"${gen.map(g => s"gen=$g").getOrElse("none")} + ticks " +
+            s"${ticks.mkString("[", ",", "]")} (expected ticks " +
+            s"${expected.mkString("[", ",", "]")}) — a compaction past " +
+            s"tick $maxT has removed part of this snapshot")
+        Some(spark.read.parquet(paths: _*))
+      }
     }
 
     /** Parquet data files currently backing `current()` — the quantity

@@ -74,10 +74,23 @@ object IngestLoop {
     * incomplete tick (the max) must be REDONE — judged against
     * `currentUpTo(t−1)` and rewritten idempotently, so a partial fold
     * can neither self-dup the replayed batch nor leave a store behind
-    * (IngestLoopSpec pins the replay). */
-  private def nextTick(st: Stores): Long = {
-    val done = Seq(st.hashes, st.bands, st.shingles).map(_.maxTick)
-    require(done.max >= 1, "ingest loop not bootstrapped")
+    * (IngestLoopSpec pins the replay).
+    *
+    * When a BM25 index rides the tick ([[runTickWithRetrieval]]) its
+    * tf store participates in the agreement check (r10 advice): a
+    * crash AFTER the shingles append but BEFORE the postings append
+    * would otherwise leave the three dedup stores agreeing at tick T —
+    * the replay would compute T+1, judge the replayed batch against
+    * its own tick-T admissions (all dup_exact), and the index would
+    * permanently miss tick T's postings. Including the tf store makes
+    * the lag visible and tick T is redone across all FOUR stores. */
+  private def nextTick(st: Stores,
+                       idx: Option[ArtifactStore.Bm25IncrementalIndex]): Long = {
+    val done = (Seq(st.hashes, st.bands, st.shingles) ++
+      idx.map(_.tfStore)).map(_.maxTick)
+    require(done.min >= 1,
+      "ingest loop not bootstrapped (every store — including the BM25 " +
+        "index when attached — needs its tick-1 base)")
     if (done.distinct.size == 1) done.head + 1 else done.max
   }
 
@@ -102,7 +115,7 @@ object IngestLoop {
                           idx: Option[ArtifactStore.Bm25IncrementalIndex],
                           batchDocs: DataFrame, w: Seq[Double],
                           threshold: Double, lowFrac: Double): DataFrame = {
-    val t = nextTick(st)
+    val t = nextTick(st, idx)
     val state = st.hashes.currentUpTo(t - 1).getOrElse(
       sys.error("ingest loop not bootstrapped: hash state is empty"))
     val fuzzy = Fuzzy.lshPairsAgainstState(

@@ -228,7 +228,12 @@ class IngestLoopSpec extends AnyFunSuite {
     val st = IngestLoop.stores(spark, root, "retrloop")
     IngestLoop.bootstrap(st, corpus)
     val idx = ArtifactStore.bm25Incremental(spark, root, "retrloop")
-    idx.appendDocs(corpus)
+    idx.bootstrap(corpus)
+    // bootstrap is idempotent: a crashed-then-retried bootstrap
+    // overwrites tick 1, never appends a duplicate posting copy
+    idx.bootstrap(corpus)
+    assert(idx.tfStore.maxTick === 1L,
+      "re-run index bootstrap must overwrite tick 1, not append tick 2")
 
     val tok0 = Retrieval.tokenizeRuns.get()
     val rep1 = IngestLoop.runTickWithRetrieval(st, idx, t1, w).collect()
@@ -253,5 +258,49 @@ class IngestLoopSpec extends AnyFunSuite {
     assert(served.nonEmpty)
     assert(served.toSeq === rebuilt.toSeq,
       "tick-maintained postings must rank exactly like a rebuild over the ingested corpus")
+  }
+
+  test("crash between the shingles append and the postings append: the tf store's lag forces the tick to be REDONE across all four stores") {
+    import graft.operators.Retrieval
+    val root = Files.createTempDirectory("graft_ingest_retr_crash").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    val t1 = docs.filter(m >= 10)
+    val w = QualityModel.weights(corpus,
+      scope = s"multitick${Provenance.BatchMod}")
+
+    // the clean four-store yardstick
+    val stA = IngestLoop.stores(spark, root, "retr_clean")
+    IngestLoop.bootstrap(stA, corpus)
+    val idxA = ArtifactStore.bm25Incremental(spark, root, "retr_clean")
+    idxA.bootstrap(corpus)
+    val cleanRep = rows(IngestLoop.runTickWithRetrieval(stA, idxA, t1, w))
+
+    // the crashed loop: all three dedup folds of tick 2 landed (runTick
+    // without the index is EXACTLY the r10-advice crash point — after
+    // the shingles append, before idx.appendDocsAt) but the postings
+    // append never did
+    val stB = IngestLoop.stores(spark, root, "retr_crash")
+    IngestLoop.bootstrap(stB, corpus)
+    val idxB = ArtifactStore.bm25Incremental(spark, root, "retr_crash")
+    idxB.bootstrap(corpus)
+    IngestLoop.runTick(stB, t1, w)
+    assert(stB.shingles.maxTick === 2L && idxB.tfStore.maxTick === 1L,
+      "precondition: dedup stores agree at tick 2, the tf store lags")
+
+    // replay: nextTick must see the FOUR-store disagreement and redo
+    // tick 2 (not compute tick 3 — which would judge the replayed batch
+    // against its own tick-2 admissions and report everything dup_exact)
+    val replayRep = rows(IngestLoop.runTickWithRetrieval(stB, idxB, t1, w))
+    assert(replayRep === cleanRep,
+      "replayed verdicts must be identical to the uncrashed run")
+    assert(idxB.tfStore.maxTick === 2L,
+      "the postings append must be repaired")
+
+    // and the repaired index serves the same ranking as the clean one
+    val queries = docs.filter(pmod(col("doc_id"), lit(50L)) === 7)
+    assert(Retrieval.topkFromIndex(idxB.index(), queries).collect().map(_.toSeq).toSeq
+      === Retrieval.topkFromIndex(idxA.index(), queries).collect().map(_.toSeq).toSeq,
+      "repaired postings must rank exactly like the uncrashed index")
   }
 }

@@ -96,4 +96,38 @@ class IngestStateSpec extends AnyFunSuite {
     assert(checksum(state.current().get) === before)
     assert(new java.io.File(s"$root/ingest_state/hashes/gen=3/_SUCCESS").exists())
   }
+
+  test("currentUpTo refuses PARTIAL snapshots, not just empty ones (r10 advice): a crashed compaction's surviving subset must throw") {
+    val root = Files.createTempDirectory("graft_upto_guard").toString
+    val state = ArtifactStore.ingestState(spark, root, "hashes")
+    (0 until 5).foreach { k =>
+      state.appendTick(Provenance.corpusHashState(
+        docs.filter(pmod(col("doc_id"), lit(8L)) === k)))
+    }
+    // fold ticks 1..2 into gen=2 by compacting early: fabricate via a
+    // second store view — compact() always folds to maxTick, so build
+    // the layout a crashed compaction leaves directly: gen=2 committed,
+    // ticks 1..2 gone, ticks 3..5 present, then the interrupted delete
+    // phase of a LATER compaction removes tick=3 before dying
+    val base = s"$root/ingest_state/hashes"
+    spark.read.parquet(s"$base/tick=1", s"$base/tick=2")
+      .write.parquet(s"$base/gen=2")
+    assert(new java.io.File(s"$base/gen=2/_SUCCESS").exists())
+    val hfs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(1, 2, 3).foreach { t =>
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$base/tick=$t"), true)
+    }
+
+    // full coverage still resolves: gen=2 + ticks 4,5 ... is MISSING
+    // tick 3 — currentUpTo(5) and (4) must throw, never silently serve
+    val e = intercept[IllegalArgumentException](state.currentUpTo(5))
+    assert(e.getMessage.contains("does not cover"),
+      s"expected the coverage guard, got: ${e.getMessage}")
+    intercept[IllegalArgumentException](state.currentUpTo(4))
+    // snapshots the surviving layout DOES cover still serve
+    assert(state.currentUpTo(2).isDefined,
+      "gen=2 alone fully covers ticks 1..2")
+    assert(checksum(state.currentUpTo(2).get)._1 > 0)
+  }
 }
