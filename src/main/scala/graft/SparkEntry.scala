@@ -170,6 +170,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q116_audio_dedup:    perceptual audio near-dup census — envelope
   *                         signature over REAL javax.sound-decoded PCM,
   *                         Hamming bands + popcount (q110 on audio)
+  *  - q117_retraction_tick: the TAKEDOWN leg — tick 1, doc-granular
+  *                         retraction of 1/3 of the ingested state,
+  *                         tick 2 judged post-retraction: dups of a
+  *                         retracted doc become re-admittable
+  *                         (deployment form: io.IngestLoop.retractTick)
   */
 object SparkEntry {
 
@@ -306,6 +311,7 @@ object SparkEntry {
     "q114_image_admission" -> t("documents")(graft.multimodal.Multimodal.q114ImageAdmission(_)),
     "q115_fertility_drift" -> t("documents")(Bpe.q115FertilityDrift(_)),
     "q116_audio_dedup" -> t("documents")(graft.multimodal.Multimodal.q116AudioDedup(_)),
+    "q117_retraction_tick" -> t("documents")(Provenance.q117RetractionTick(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -427,5 +433,6 @@ object SparkEntry {
     "q114_image_admission" -> graft.multimodal.Multimodal.q114Sql(),
     "q115_fertility_drift" -> Bpe.q115Sql(),
     "q116_audio_dedup" -> graft.multimodal.Multimodal.q116Sql(),
+    "q117_retraction_tick" -> Provenance.q117Sql(),
   )
 }

@@ -323,6 +323,31 @@ object ArtifactStore {
     val tfStore: IngestStateStore =
       ingestState(spark, root, s"$name/bm25_tf")
 
+    /** doc_id tombstones (r10 verdict item 1 — the retraction leg):
+      * retracted docs' postings are anti-joined out of every read, so
+      * df/dl/avgdl — re-derived from the resolved tf by [[index]] — are
+      * exact for the remaining corpus with NO decrement machinery (the
+      * `ArtifactStore` "nothing is ever removed" assumption, retired).
+      * The anti-join is idempotent; [[compact]] folds tombstones into
+      * the generation and clears them. */
+    val tombStore: IngestStateStore =
+      ingestState(spark, root, s"$name/bm25_tombs")
+
+    private def resolve(tf: DataFrame): DataFrame =
+      tombStore.current().fold(tf)(tb =>
+        tf.join(tb.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+
+    /** Retract docs (a `doc_id` column) from the served index — a
+      * takedown-sized tombstone append; no posting is rewritten until
+      * the next compaction folds them. */
+    def retractDocs(docIds: DataFrame): Long =
+      tombStore.appendTick(docIds.select("doc_id"))
+
+    /** Tick-keyed idempotent retraction (replayed takedown batches
+      * overwrite their own tombstone tick). */
+    def retractDocsAt(t: Long, docIds: DataFrame): Unit =
+      tombStore.appendTickAt(t, docIds.select("doc_id"))
+
     /** Tokenize + append one batch's postings; tick 1 is the
       * bootstrap corpus, later ticks are admitted ingest batches.
       * Auto-increments — for the bootstrap itself use [[bootstrap]]
@@ -344,14 +369,21 @@ object ArtifactStore {
     def appendDocsAt(t: Long, docs: DataFrame): Unit =
       tfStore.appendTickAt(t, graft.operators.Retrieval.tfOf(docs))
 
-    /** The index over everything appended so far — tf from parquet,
-      * dl/df/stats derived, text untouched. */
+    /** The index over everything appended so far MINUS retracted docs
+      * — tf from parquet, dl/df/stats derived, text untouched. */
     def index(): graft.operators.Retrieval.Bm25Index =
-      graft.operators.Retrieval.indexFromTf(tfStore.current().getOrElse(
-        sys.error("incremental BM25 index is empty: append a corpus first")))
+      graft.operators.Retrieval.indexFromTf(resolve(tfStore.current().getOrElse(
+        sys.error("incremental BM25 index is empty: append a corpus first"))))
 
-    def compact(targetBytes: Long = 128L * 1024 * 1024): Int =
-      tfStore.compact(targetBytes)
+    /** Compaction folds tombstones into the generation (retracted
+      * postings physically leave the index) and clears the tombstone
+      * store — only after the fold actually ran (a skipped single-gen
+      * fold keeps the tombstones; reads stay correct either way). */
+    def compact(targetBytes: Long = 128L * 1024 * 1024): Int = {
+      val n = tfStore.compactWith(resolve, targetBytes)
+      if (n > 0) tombStore.reset()
+      n
+    }
   }
 
   def bm25Incremental(spark: SparkSession, root: String,
@@ -378,6 +410,23 @@ object ArtifactStore {
                                     name: String) {
     val codeStore: IngestStateStore =
       ingestState(spark, root, s"$name/ivfpq_codes")
+
+    /** vec_id tombstones — the [[Bm25IncrementalIndex.tombStore]]
+      * contract on the vector leg: retracted vectors' code rows leave
+      * every [[codes]] read via an idempotent anti-join; [[compact]]
+      * folds and clears. */
+    val tombStore: IngestStateStore =
+      ingestState(spark, root, s"$name/ivfpq_tombs")
+
+    private def resolve(codes: DataFrame): DataFrame =
+      tombStore.current().fold(codes)(tb =>
+        codes.join(tb.select("vec_id").distinct(), Seq("vec_id"), "left_anti"))
+
+    def retractVectors(vecIds: DataFrame): Long =
+      tombStore.appendTick(vecIds.select("vec_id"))
+
+    def retractVectorsAt(t: Long, vecIds: DataFrame): Unit =
+      tombStore.appendTickAt(t, vecIds.select("vec_id"))
 
     /** Encode + append one batch of admitted vectors under the frozen
       * artifact tables; tick 1 is the bootstrap corpus.
@@ -406,13 +455,17 @@ object ArtifactStore {
                   subDim: Int = Pq.DefaultSubDim): Unit =
       appendVectorsAt(1, vectors, cents, rcb, m, subDim)
 
-    /** Every code row appended so far — the relation an IVF-PQ scan
-      * probes (cluster-pruned by `cid`, ADC over `(sub, code)`). */
-    def codes(): DataFrame = codeStore.current().getOrElse(
-      sys.error("incremental IVF-PQ index is empty: append a corpus first"))
+    /** Every code row appended so far MINUS retracted vectors — the
+      * relation an IVF-PQ scan probes (cluster-pruned by `cid`, ADC
+      * over `(sub, code)`). */
+    def codes(): DataFrame = resolve(codeStore.current().getOrElse(
+      sys.error("incremental IVF-PQ index is empty: append a corpus first")))
 
-    def compact(targetBytes: Long = 128L * 1024 * 1024): Int =
-      codeStore.compact(targetBytes)
+    def compact(targetBytes: Long = 128L * 1024 * 1024): Int = {
+      val n = codeStore.compactWith(resolve, targetBytes)
+      if (n > 0) tombStore.reset()
+      n
+    }
   }
 
   def ivfPqIncremental(spark: SparkSession, root: String,
@@ -599,16 +652,29 @@ object ArtifactStore {
     /** Fold base + ticks into generation `maxTick`, sized from the
       * accumulated bytes; drop superseded dirs only after the new base
       * commits. Returns the output partition count. */
-    def compact(targetBytes: Long = 128L * 1024 * 1024): Int = {
+    def compact(targetBytes: Long = 128L * 1024 * 1024): Int =
+      compactWith(identity, targetBytes)
+
+    /** [[compact]] with a row transform applied while folding — the
+      * tombstone-fold hook ([[IngestLoop.compactIfNeeded]] passes the
+      * retraction anti-join so a folded generation no longer carries
+      * retracted docs' rows). The transform MUST be one whose read-path
+      * application is idempotent (anti-joins are): correctness never
+      * depends on whether a fold ran — reads keep applying it — so a
+      * crash at any point between per-store folds leaves every verdict
+      * unchanged. Returns 0 without folding when the store is already a
+      * single up-to-date generation (re-compacting would overwrite the
+      * very files being read; the unfolded transform keeps applying at
+      * read time, so skipping is safe). */
+    def compactWith(transform: DataFrame => DataFrame,
+                    targetBytes: Long = 128L * 1024 * 1024): Int = {
       val upTo = maxTick
       val paths = currentPaths
       require(paths.nonEmpty, "nothing to compact")
-      // already a single up-to-date generation: re-compacting would
-      // overwrite the very files being read
       if (paths == Seq(s"$base/gen=$upTo")) return 0
       val bytes = paths.map(Compact.dataBytes(spark, _)).sum
       val n = Compact.partitionsFor(bytes, targetBytes)
-      spark.read.parquet(paths: _*).repartition(n)
+      transform(spark.read.parquet(paths: _*)).repartition(n)
         .write.mode("overwrite").parquet(s"$base/gen=$upTo")
       // the new generation is committed (_SUCCESS exists) — superseded
       // state can go; a crash between these deletes only leaves ignored
@@ -617,6 +683,17 @@ object ArtifactStore {
        listNums("tick=", sucOnly = false).filter(_ <= upTo).map(t => s"$base/tick=$t"))
         .foreach(p => f.delete(new Path(p), true))
       n
+    }
+
+    /** Delete ALL state — the tombstone-store clear after a fold has
+      * baked every retraction into the data stores' generations. Safe
+      * to crash around: a half-cleared tombstone store only re-subtracts
+      * already-removed doc_ids (the anti-join is idempotent). NOT for
+      * data stores — their content is the corpus state. */
+    def reset(): Unit = {
+      val p = new Path(base)
+      if (f.exists(p)) f.listStatus(p).filter(_.isDirectory)
+        .foreach(d => f.delete(d.getPath, true))
     }
   }
 

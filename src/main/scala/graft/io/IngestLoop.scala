@@ -43,16 +43,34 @@ import graft.operators.{Fuzzy, Provenance, QualityModel}
   */
 object IngestLoop {
 
-  /** The three state stores of one named ingest loop. */
+  /** The state stores of one named ingest loop: three doc-keyed data
+    * stores plus the RETRACTION tombstone store (r10 verdict item 1 —
+    * the takedown leg). `hashes` rows are DOC-GRANULAR (doc_id, ch)
+    * ([[Provenance.corpusDocHashes]]): retracting one of two ingested
+    * docs that share a hash must keep the hash, which a bare distinct-ch
+    * store cannot express. `tombs` holds (doc_id) rows of retracted
+    * docs; EVERY state read anti-joins them ([[resolved]]), so
+    * correctness never depends on whether a compaction has folded
+    * tombstones into the generations — the anti-join is idempotent, and
+    * a crash at any point of the fold sequence leaves verdicts
+    * unchanged. */
   final case class Stores(hashes: ArtifactStore.IngestStateStore,
                           bands: ArtifactStore.IngestStateStore,
-                          shingles: ArtifactStore.IngestStateStore)
+                          shingles: ArtifactStore.IngestStateStore,
+                          tombs: ArtifactStore.IngestStateStore)
 
   def stores(spark: SparkSession, root: String, name: String): Stores =
     Stores(
       ArtifactStore.ingestState(spark, root, s"$name/hashes"),
       ArtifactStore.ingestState(spark, root, s"$name/bands"),
-      ArtifactStore.ingestState(spark, root, s"$name/shingles"))
+      ArtifactStore.ingestState(spark, root, s"$name/shingles"),
+      ArtifactStore.ingestState(spark, root, s"$name/tombs"))
+
+  /** A state frame minus the retracted docs — the ONE tombstone
+    * application every read goes through. */
+  private def resolved(st: Stores, df: DataFrame): DataFrame =
+    st.tombs.current().fold(df)(tb =>
+      df.join(tb.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
 
   /** Seed the loop's state from the existing corpus — tick 1 in each
     * store, written IDEMPOTENTLY (`appendTickAt(1)`): a bootstrap that
@@ -63,9 +81,31 @@ object IngestLoop {
     * and inflate fuzzy intersection counts (the review-found hazard).
     * The only corpus-text scan the loop ever performs. */
   def bootstrap(st: Stores, corpusDocs: DataFrame): Unit = {
-    st.hashes.appendTickAt(1, Provenance.corpusHashState(corpusDocs))
+    st.hashes.appendTickAt(1, Provenance.corpusDocHashes(corpusDocs))
     st.bands.appendTickAt(1, Fuzzy.corpusBandState(corpusDocs))
     st.shingles.appendTickAt(1, Fuzzy.corpusShingleHashes(corpusDocs))
+  }
+
+  /** RETRACT ingested documents (takedowns: copyright, post-admission
+    * PII, re-judged docs) at DOCUMENT granularity — one tombstone
+    * append; no state row is rewritten until the next compaction folds
+    * the tombstones. After this, a retracted doc's hash leaves the
+    * exact gate (unless a surviving ingested doc shares it), its
+    * band/shingle rows leave the fuzzy gate — so its duplicates stop
+    * being rejected and the doc itself is re-admittable — and, when
+    * the loop serves retrieval, its BM25 postings leave the index
+    * (df/dl/stats re-derive exactly; [[ArtifactStore
+    * .Bm25IncrementalIndex.retractDocs]]). Run at quiesce points only
+    * (no tick in flight), like compaction: a replayed crashed tick
+    * must see the same tombstone set its first run did.
+    *
+    * Returns the tombstone tick number. The live, oracle-checked form
+    * of the whole retraction loop is [[Provenance.q117RetractionTick]];
+    * RetractionSpec pins this store form ≡ that live form. */
+  def retractTick(st: Stores, docIds: DataFrame,
+                  idx: Option[ArtifactStore.Bm25IncrementalIndex] = None): Long = {
+    idx.foreach(_.retractDocs(docIds))
+    st.tombs.appendTick(docIds.select("doc_id"))
   }
 
   /** The tick this run should PRODUCE, with crash recovery: normally
@@ -116,10 +156,14 @@ object IngestLoop {
                           batchDocs: DataFrame, w: Seq[Double],
                           threshold: Double, lowFrac: Double): DataFrame = {
     val t = nextTick(st, idx)
-    val state = st.hashes.currentUpTo(t - 1).getOrElse(
-      sys.error("ingest loop not bootstrapped: hash state is empty"))
+    // every state read resolves through the tombstone store: retracted
+    // docs' rows are invisible whether or not a compaction folded them
+    val state = resolved(st, st.hashes.currentUpTo(t - 1).getOrElse(
+        sys.error("ingest loop not bootstrapped: hash state is empty")))
+      .select("ch").distinct()
     val fuzzy = Fuzzy.lshPairsAgainstState(
-        st.bands.currentUpTo(t - 1).get, st.shingles.currentUpTo(t - 1).get,
+        resolved(st, st.bands.currentUpTo(t - 1).get),
+        resolved(st, st.shingles.currentUpTo(t - 1).get),
         batchDocs, threshold)
       .select(col("eval_id").as("fid")).distinct()
     // the q103/q106 kernel; the returned frame is checkpointed, so the
@@ -128,7 +172,7 @@ object IngestLoop {
     val admIds = v.filter(col("lq") === false).select("doc_id")
     val admDocs = batchDocs.join(admIds, Seq("doc_id"), "left_semi")
     st.hashes.appendTickAt(t, v.filter(col("lq") === false)
-      .select(col("h").as("ch")).distinct())
+      .select(col("doc_id"), col("h").as("ch")))
     st.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
     st.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
     idx.foreach(_.appendDocsAt(t, admDocs))
@@ -137,14 +181,22 @@ object IngestLoop {
 
   /** File-count-triggered compaction (the production trigger the r9
     * verdict names): when any store's backing data-file count crosses
-    * `maxDataFiles`, fold ALL three into their current generation.
-    * Returns whether compaction ran. Verdicts are unaffected — state
-    * content is identical before and after (spec-pinned); run at
-    * quiesce points only (see `IngestStateStore.currentUpTo`). */
+    * `maxDataFiles`, fold ALL three into their current generation —
+    * applying the tombstone anti-join while folding, so retracted docs'
+    * rows physically leave the state. The tombstone store is cleared
+    * only once every data store folded (a skipped single-gen fold keeps
+    * it; the read-path anti-join makes either outcome verdict-invariant,
+    * which is also why any crash ordering here is safe — spec-pinned).
+    * Returns whether compaction ran. Run at quiesce points only (see
+    * `IngestStateStore.currentUpTo`). */
   def compactIfNeeded(st: Stores, maxDataFiles: Long = 64): Boolean = {
     val all = Seq(st.hashes, st.bands, st.shingles)
     val need = all.exists(_.dataFileCount > maxDataFiles)
-    if (need) all.foreach(_.compact())
+    if (need) {
+      val folded = all.map(_.compactWith(df => resolved(st, df)))
+      if (st.tombs.current().isDefined && folded.forall(_ > 0))
+        st.tombs.reset()
+    }
     need
   }
 

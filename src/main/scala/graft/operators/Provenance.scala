@@ -54,6 +54,32 @@ object Provenance {
        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** The XOR-OUT partial manifest of RETRACTED docs — the q117
+    * takedown leg on the q112 manifest series: XOR is self-inverse, so
+    * appending this partial to a per-tick manifest store makes
+    * [[mergeManifests]] cancel each retracted doc's signature
+    * contribution exactly, while the negated count/bytes subtract.
+    * min_id/max_id are NULL (merge's min/max ignore them): after a
+    * retraction the merged bounds are CONSERVATIVE — still valid
+    * bounds on the remaining ids, not necessarily tight when the
+    * retracted doc was bucket-extremal (recomputing a tight bound
+    * would need the corpus, which manifests exist to avoid touching;
+    * RetractionSpec pins exact n_docs/content_sig/sum_chars and the
+    * bound property). */
+  def retractionManifest(docs: DataFrame, buckets: Int = 64): DataFrame =
+    docs
+      .select(
+        pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+        contentHash60(concat_ws("|", col("doc_id"), col("text"))).as("h"),
+        col("n_chars"))
+      .groupBy("bucket")
+      .agg(
+        (-count(lit(1))).as("n_docs"),
+        expr("bit_xor(h)").as("content_sig"),
+        lit(null).cast("long").as("min_id"),
+        lit(null).cast("long").as("max_id"),
+        (-sum("n_chars")).as("sum_chars"))
+
   /** Batch-membership modulus for q73: doc_id % 17 == 0 plays the
     * incoming batch (~6 %), the rest plays the already-ingested corpus —
     * deterministic, engine-portable, and coprime to GenData's planting
@@ -84,6 +110,18 @@ object Provenance {
     * hash per already-ingested document — ~0.01 % of the corpus bytes. */
   def corpusHashState(corpusDocs: DataFrame): DataFrame =
     corpusDocs.select(contentHash60(col("text")).as("ch")).distinct()
+
+  /** DOC-GRANULAR hash state: (doc_id, ch) per ingested document — the
+    * retraction-capable layout [[graft.io.IngestLoop]] stores (r10
+    * verdict item 1). The distinct-ch projection of these rows is the
+    * exact [[corpusHashState]] relation the admission join probes; the
+    * doc_id is what makes a TAKEDOWN removable at document granularity:
+    * retracting one of two ingested docs that share a hash (base-corpus
+    * exact dups) must keep the hash — a hash-keyed tombstone would
+    * over-remove it. ~16 bytes/doc instead of 8: still ~0.02 % of the
+    * corpus. */
+  def corpusDocHashes(corpusDocs: DataFrame): DataFrame =
+    corpusDocs.select(col("doc_id"), contentHash60(col("text")).as("ch"))
 
   /** Per-source admission report of a batch against an existing hash
     * state (`ch` column) — the q73 kernel, factored out so the state can
@@ -321,7 +359,7 @@ object Provenance {
     * tick 1 and the fold-back state verbatim. */
   private[graft] final case class MultiTickParts(
       v1: DataFrame, t2: DataFrame, c1: DataFrame, fz2: DataFrame,
-      w: Seq[Double])
+      w: Seq[Double], adj: DataFrame)
 
   private[graft] def multiTickParts(documents: DataFrame,
                                     threshold: Double,
@@ -349,7 +387,7 @@ object Provenance {
       .join(adm1.select(col("doc_id").as("aid")), col("a") === col("aid"), "left")
       .filter(m(col("a")).between(1, 9) || col("aid").isNotNull)
       .select(col("b").as("fid")).distinct()
-    MultiTickParts(v1, t2, c1, fz2, w)
+    MultiTickParts(v1, t2, c1, fz2, w, adj)
   }
 
   private[graft] def multiTickFrames(documents: DataFrame,
@@ -590,14 +628,19 @@ object Provenance {
   }
 
   /** Tick 2's scoring/verdict CTEs under an arbitrary one-row weight
-    * alias `wRel` — `s2 … v2` (v2 MATERIALIZED). */
-  private def tick2SqlCtes(lowFrac: Double, wRel: String): String =
+    * alias `wRel` — `s2 … v2` (v2 MATERIALIZED). `stateRel`/`fuzzyRel`
+    * name the hash-state / fuzzy-flag relations tick 2 judges against
+    * (default: the q106 fold-back state; q117 passes its
+    * post-RETRACTION versions). */
+  private def tick2SqlCtes(lowFrac: Double, wRel: String,
+                           stateRel: String = "c1",
+                           fuzzyRel: String = "fz2"): String =
     s"""sc2 AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
        |       FROM b2_feat, $wRel w),
-       |j2 AS MATERIALIZED (SELECT t2.doc_id, t2.source, c1.h AS ch,
-       |        fz2.fid, sc2.p
-       |      FROM t2 LEFT JOIN c1 ON t2.h = c1.h
-       |      LEFT JOIN fz2 ON fz2.fid = t2.doc_id
+       |j2 AS MATERIALIZED (SELECT t2.doc_id, t2.source, $stateRel.h AS ch,
+       |        $fuzzyRel.fid, sc2.p
+       |      FROM t2 LEFT JOIN $stateRel ON t2.h = $stateRel.h
+       |      LEFT JOIN $fuzzyRel ON $fuzzyRel.fid = t2.doc_id
        |      JOIN sc2 ON sc2.doc_id = t2.doc_id),
        |lq2 AS (SELECT doc_id,
        |          cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
@@ -750,6 +793,108 @@ object Provenance {
        |         count(CASE WHEN lq THEN 1 END) AS n_low_quality,
        |         count(CASE WHEN lq = false THEN 1 END) AS n_new
        |       FROM v2 GROUP BY source)
+       |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |ORDER BY tick, source""".stripMargin
+  }
+
+  /** Batch-membership modulus of the q117 RETRACTION set: among the
+    * docs ingested through tick 1 (base corpus ∪ tick-1 admissions),
+    * those with doc_id % 3 == 1 are retracted — deterministic,
+    * engine-portable, coprime to [[BatchMod]] and to GenData's planting
+    * strides, so the retraction set contains exact-hash and near-dup
+    * partners of tick-2 batch docs (the decisive re-admission cases). */
+  val RetractMod = 3L
+  val RetractRem = 1L
+
+  /** q117: the RETRACTION tick — the r10 verdict's top item, retiring
+    * the append-only-state assumption: a production corpus must process
+    * takedowns (copyright, post-admission PII, re-judged docs), and a
+    * retracted document's state must stop rejecting its duplicates.
+    * Three phases, all re-derived by the oracle in one WITH clause:
+    *
+    *   1. tick 1 — the q106 tick verbatim (batch doc_id % 17 ≥ 10
+    *      judged against the base corpus under the frozen base model);
+    *   2. RETRACTION — every ingested doc (base ∪ tick-1 admissions)
+    *      with doc_id % [[RetractMod]] == [[RetractRem]] is removed
+    *      from the state at DOCUMENT granularity: its content hash
+    *      leaves the exact gate UNLESS a surviving ingested doc shares
+    *      it (the doc-granular [[corpusDocHashes]] argument), and its
+    *      band/shingle rows leave the fuzzy gate;
+    *   3. tick 2 — the q106 tick-2 batch (doc_id % 17 == 0) judged
+    *      against the POST-RETRACTION state: an exact or near dup of a
+    *      retracted doc with no surviving partner is verdicted `new`
+    *      (re-admittable) where q106 rejected it.
+    *
+    * Output: the q106 report plus `n_state` — the distinct-hash count
+    * of the state each tick was judged against, which certifies the
+    * retraction magnitude inside the oracle-checked result (tick 2's
+    * n_state < tick 1's n_state + tick-1 admissions).
+    *
+    * The DEPLOYMENT form is [[graft.io.IngestLoop.retractTick]]:
+    * doc_id tombstones in a sibling store, anti-joined at every state
+    * read (idempotent — correctness never depends on whether a
+    * compaction has folded them), folded into the generation at
+    * compaction. RetractionSpec pins store form ≡ this live form,
+    * post-retraction BM25 ranking ≡ a rebuild without the docs, and
+    * verdict-invariant tombstone folding.
+    *
+    * Scale shape: q106's (one LSH chain, one bounded training pass,
+    * ≤1-match joins) plus one id-keyed anti-join per state relation —
+    * the retraction set is takedown-sized, broadcast against 8–26-byte
+    * state rows; corpus text is never rescanned to retract. */
+  def q117RetractionTick(documents: DataFrame, threshold: Double = 0.2,
+                         lowFrac: Double = 0.25): DataFrame = {
+    val p = multiTickParts(documents, threshold, lowFrac)
+    val m = (c: org.apache.spark.sql.Column) => pmod(c, lit(BatchMod))
+    val corpus = documents.filter(m(col("doc_id")).between(1, 9))
+    // ingested-through-tick-1 membership, minus the retraction set
+    val ing1 = corpus.select("doc_id")
+      .union(p.v1.filter(col("lq") === false).select("doc_id"))
+    val keep = ing1.filter(pmod(col("doc_id"), lit(RetractMod)) =!= RetractRem)
+    val keepDocs = documents.join(keep, Seq("doc_id"), "left_semi")
+    // post-retraction state: hash present iff a SURVIVING doc has it
+    val c1r = corpusHashState(keepDocs)
+    val fz2r = p.adj.filter(m(col("b")) === 0)
+      .join(keep.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+      .select(col("b").as("fid")).distinct()
+    val v2 = gatedTickFrame(p.t2, c1r, fz2r, p.w, lowFrac)
+    val ns1 = corpusHashState(corpus).agg(count(lit(1)).as("n_state"))
+    val ns2 = c1r.agg(count(lit(1)).as("n_state"))
+    gatedTickReport(p.v1).withColumn("tick", lit(1)).crossJoin(broadcast(ns1))
+      .union(gatedTickReport(v2).withColumn("tick", lit(2))
+        .crossJoin(broadcast(ns2)))
+      .select(col("tick"), col("source"), col("n_batch"), col("n_dup_exact"),
+        col("n_dup_fuzzy"), col("n_low_quality"), col("n_new"), col("n_state"))
+      .orderBy("tick", "source")
+  }
+
+  def q117Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    val bm = BatchMod
+    def reportSql(tick: Int, v: String, ns: String) =
+      s"""SELECT $tick AS tick, source, count(*) AS n_batch,
+         |  count(ch) AS n_dup_exact,
+         |  count(CASE WHEN ch IS NULL THEN fid END) AS n_dup_fuzzy,
+         |  count(CASE WHEN lq THEN 1 END) AS n_low_quality,
+         |  count(CASE WHEN lq = false THEN 1 END) AS n_new,
+         |  n_state
+         |FROM $v, $ns GROUP BY source, n_state""".stripMargin
+    s"""WITH ${multiTickCoreSqlCtes(threshold, lowFrac, iters, trainN)},
+       |ing1 AS (SELECT doc_id FROM documents WHERE doc_id % $bm BETWEEN 1 AND 9
+       |         UNION ALL SELECT doc_id FROM adm1),
+       |keep AS MATERIALIZED (SELECT doc_id FROM ing1
+       |         WHERE doc_id % $RetractMod <> $RetractRem),
+       |c1r AS MATERIALIZED (SELECT DISTINCT h.h FROM h
+       |        JOIN keep k ON k.doc_id = h.doc_id),
+       |fz2r AS (SELECT DISTINCT adj.b AS fid FROM adj
+       |         JOIN keep k ON adj.a = k.doc_id
+       |         WHERE adj.b % $bm = 0),
+       |${tick2SqlCtes(lowFrac, "ctr_w", "c1r", "fz2r")},
+       |ns1 AS (SELECT count(*) AS n_state FROM c0),
+       |ns2 AS (SELECT count(*) AS n_state FROM c1r),
+       |r1 AS (${reportSql(1, "v1", "ns1")}),
+       |r2 AS (${reportSql(2, "v2", "ns2")})
        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
        |ORDER BY tick, source""".stripMargin
   }

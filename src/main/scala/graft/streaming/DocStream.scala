@@ -341,7 +341,7 @@ object DocStream {
         val adm = refined.filter(col("verdict") === "new")
           .select("doc_id", "text")
         stores.hashes.appendTickAt(stateTick + 1,
-          graft.operators.Provenance.corpusHashState(adm))
+          graft.operators.Provenance.corpusDocHashes(adm))
         stores.bands.appendTickAt(stateTick + 1,
           graft.operators.Fuzzy.corpusBandState(adm))
         stores.shingles.appendTickAt(stateTick + 1,

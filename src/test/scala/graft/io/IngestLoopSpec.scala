@@ -42,7 +42,7 @@ class IngestLoopSpec extends AnyFunSuite {
 
     val st = IngestLoop.stores(spark, root, "loop1")
     IngestLoop.bootstrap(st, corpus)
-    val hashesBefore = st.hashes.current().get
+    val hashesBefore = st.hashes.current().get.select("ch")
       .collect().map(_.getLong(0)).toSet
 
     // tick 1: report equals the live tick-1 rows
@@ -53,7 +53,8 @@ class IngestLoopSpec extends AnyFunSuite {
     // ONLY admitted docs entered the state: the added hashes are a
     // subset of tick 1's hashes, and their count matches tick 1's
     // n_new total (no duplicate-admitted texts in this slice)
-    val added = st.hashes.current().get.collect().map(_.getLong(0)).toSet
+    val added = st.hashes.current().get.select("ch")
+      .collect().map(_.getLong(0)).toSet
       .diff(hashesBefore)
     val n1new = liveTick(1).map(_(5).asInstanceOf[Long]).sum
     assert(added.size.toLong === n1new,
@@ -116,7 +117,7 @@ class IngestLoopSpec extends AnyFunSuite {
     val stA = IngestLoop.stores(spark, root, "clean")
     IngestLoop.bootstrap(stA, corpus)
     val cleanRep = rows(IngestLoop.runTick(stA, t1, w))
-    val cleanHashes = stA.hashes.current().get
+    val cleanHashes = stA.hashes.current().get.select("ch")
       .collect().map(_.getLong(0)).sorted.toSeq
 
     // the crashed loop: tick 2's hash fold landed (with WRONG content —
@@ -124,7 +125,7 @@ class IngestLoopSpec extends AnyFunSuite {
     // but bands/shingles never did
     val stB = IngestLoop.stores(spark, root, "crashed")
     IngestLoop.bootstrap(stB, corpus)
-    stB.hashes.appendTickAt(2, Provenance.corpusHashState(t1))
+    stB.hashes.appendTickAt(2, Provenance.corpusDocHashes(t1))
     assert(stB.hashes.maxTick === 2L && stB.bands.maxTick === 1L)
 
     // replay: nextTick sees the store disagreement, REDOES tick 2
@@ -134,7 +135,8 @@ class IngestLoopSpec extends AnyFunSuite {
     assert(replayRep === cleanRep,
       "replayed verdicts must be identical — admitted docs must NOT " +
         "be judged against their own half-folded hashes")
-    assert(stB.hashes.current().get.collect().map(_.getLong(0)).sorted.toSeq
+    assert(stB.hashes.current().get.select("ch")
+      .collect().map(_.getLong(0)).sorted.toSeq
       === cleanHashes, "the wrong partial fold must be overwritten")
     assert(Seq(stB.hashes, stB.bands, stB.shingles).map(_.maxTick).distinct
       === Seq(2L), "all stores converge on the repaired tick")
