@@ -175,6 +175,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         tick 2 judged post-retraction: dups of a
   *                         retracted doc become re-admittable
   *                         (deployment form: io.IngestLoop.retractTick)
+  *  - q118_multimodal_admission: the UNIFIED multimodal tick — one
+  *                         verdict per text+image+audio doc, precedence
+  *                         exact → fuzzy → image → audio → low_quality
+  *                         → new (deployment form: io.IngestLoop.runMmTick)
   */
 object SparkEntry {
 
@@ -312,6 +316,8 @@ object SparkEntry {
     "q115_fertility_drift" -> t("documents")(Bpe.q115FertilityDrift(_)),
     "q116_audio_dedup" -> t("documents")(graft.multimodal.Multimodal.q116AudioDedup(_)),
     "q117_retraction_tick" -> t("documents")(Provenance.q117RetractionTick(_)),
+    "q118_multimodal_admission" -> t("documents")(
+      graft.multimodal.Multimodal.q118MultimodalAdmission(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -434,5 +440,6 @@ object SparkEntry {
     "q115_fertility_drift" -> Bpe.q115Sql(),
     "q116_audio_dedup" -> graft.multimodal.Multimodal.q116Sql(),
     "q117_retraction_tick" -> Provenance.q117Sql(),
+    "q118_multimodal_admission" -> graft.multimodal.Multimodal.q118Sql(),
   )
 }

@@ -124,15 +124,17 @@ object IngestLoop {
     * its own tick-T admissions (all dup_exact), and the index would
     * permanently miss tick T's postings. Including the tf store makes
     * the lag visible and tick T is redone across all FOUR stores. */
-  private def nextTick(st: Stores,
-                       idx: Option[ArtifactStore.Bm25IncrementalIndex]): Long = {
-    val done = (Seq(st.hashes, st.bands, st.shingles) ++
-      idx.map(_.tfStore)).map(_.maxTick)
+  private def nextTickOf(all: Seq[ArtifactStore.IngestStateStore]): Long = {
+    val done = all.map(_.maxTick)
     require(done.min >= 1,
       "ingest loop not bootstrapped (every store — including the BM25 " +
         "index when attached — needs its tick-1 base)")
     if (done.distinct.size == 1) done.head + 1 else done.max
   }
+
+  private def nextTick(st: Stores,
+                       idx: Option[ArtifactStore.Bm25IncrementalIndex]): Long =
+    nextTickOf(Seq(st.hashes, st.bands, st.shingles) ++ idx.map(_.tfStore))
 
   /** Judge one batch against the accumulated state, fold the admitted
     * docs' increments back, and return the per-source q103 report
@@ -220,4 +222,97 @@ object IngestLoop {
                            threshold: Double = 0.2,
                            lowFrac: Double = 0.25): DataFrame =
     runTickImpl(st, Some(idx), batchDocs, w, threshold, lowFrac)
+
+  // ---- unified MULTIMODAL admission (q118's deployment form) -----------
+
+  /** The store bundle of a multimodal ingest loop: the text [[Stores]]
+    * (hashes/bands/shingles + the SHARED tombstone store — one takedown
+    * retracts a doc from every modality at once) plus per-modality
+    * 8-byte perceptual-signature stores (doc_id, sig). */
+  final case class MmStores(text: Stores,
+                            imgSigs: ArtifactStore.IngestStateStore,
+                            audSigs: ArtifactStore.IngestStateStore) {
+    private[io] def all: Seq[ArtifactStore.IngestStateStore] =
+      Seq(text.hashes, text.bands, text.shingles, imgSigs, audSigs)
+  }
+
+  def mmStores(spark: SparkSession, root: String, name: String): MmStores =
+    MmStores(stores(spark, root, name),
+      ArtifactStore.ingestState(spark, root, s"$name/img_sigs"),
+      ArtifactStore.ingestState(spark, root, s"$name/aud_sigs"))
+
+  /** Seed all five stores from the existing corpus — tick 1,
+    * idempotent ([[bootstrap]]'s contract): corpus text is read once,
+    * each payload is decoded once at the codec seam. */
+  def bootstrapMm(st: MmStores, corpusDocs: DataFrame): Unit = {
+    bootstrap(st.text, corpusDocs)
+    st.imgSigs.appendTickAt(1,
+      graft.multimodal.Multimodal.imageSigs(corpusDocs))
+    st.audSigs.appendTickAt(1,
+      graft.multimodal.Multimodal.audioSigs(corpusDocs))
+  }
+
+  /** One UNIFIED multimodal admission tick — the deployment form of
+    * [[graft.multimodal.Multimodal.q118MultimodalAdmission]]: the batch
+    * is judged once across all modalities (precedence exact text →
+    * fuzzy text → image sig → audio sig → low_quality → new) against
+    * the accumulated five-store state, and ONLY admitted docs fold back
+    * into every store — so tick N+1 rejects an image/audio near-dup of
+    * what tick N admitted (MmIngestSpec pins the fold-back per
+    * modality, and the replay across a crash between any per-store
+    * writes: [[nextTickOf]] over all five stores redoes a lagging
+    * tick). State reads resolve through the shared tombstone store —
+    * [[retractTick]] on `st.text` retracts a doc's signatures too. */
+  def runMmTick(st: MmStores, batchDocs: DataFrame, w: Seq[Double],
+                threshold: Double = 0.2, lowFrac: Double = 0.25,
+                maxDist: Int = 10, maxBand: Int = 64): DataFrame = {
+    import graft.multimodal.Multimodal
+    val t = nextTickOf(st.all)
+    val state = resolved(st.text, st.text.hashes.currentUpTo(t - 1).getOrElse(
+        sys.error("multimodal loop not bootstrapped")))
+      .select("ch").distinct()
+    val fuzzy = Fuzzy.lshPairsAgainstState(
+        resolved(st.text, st.text.bands.currentUpTo(t - 1).get),
+        resolved(st.text, st.text.shingles.currentUpTo(t - 1).get),
+        batchDocs, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    // batch signatures derive map-side at the codec seam; severed — the
+    // flag chain reads each twice and the fold-back a third time
+    val batchISigs = Multimodal.imageSigs(batchDocs).localCheckpoint()
+    val batchASigs = Multimodal.audioSigs(batchDocs).localCheckpoint()
+    val imFlag = Multimodal.flaggedAgainstState(
+        resolved(st.text, st.imgSigs.currentUpTo(t - 1).get),
+        batchISigs, maxDist, maxBand)
+      .select(col("fid").as("ifid"))
+    val auFlag = Multimodal.flaggedAgainstState(
+        resolved(st.text, st.audSigs.currentUpTo(t - 1).get),
+        batchASigs, maxDist, maxBand)
+      .select(col("fid").as("afid"))
+    val v = Multimodal.mmGatedTickFrame(batchDocs, state, fuzzy,
+      imFlag, auFlag, w, lowFrac)
+    val admIds = v.filter(col("lq") === false).select("doc_id")
+    val admDocs = batchDocs.join(admIds, Seq("doc_id"), "left_semi")
+    st.text.hashes.appendTickAt(t, v.filter(col("lq") === false)
+      .select(col("doc_id"), col("h").as("ch")))
+    st.text.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
+    st.text.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
+    st.imgSigs.appendTickAt(t,
+      batchISigs.join(admIds, Seq("doc_id"), "left_semi"))
+    st.audSigs.appendTickAt(t,
+      batchASigs.join(admIds, Seq("doc_id"), "left_semi"))
+    Multimodal.mmGatedTickReport(v)
+  }
+
+  /** [[compactIfNeeded]] over all five multimodal stores — tombstones
+    * fold out of every modality's state; cleared only when every store
+    * folded (same read-path-idempotence argument). */
+  def compactMmIfNeeded(st: MmStores, maxDataFiles: Long = 64): Boolean = {
+    val need = st.all.exists(_.dataFileCount > maxDataFiles)
+    if (need) {
+      val folded = st.all.map(_.compactWith(df => resolved(st.text, df)))
+      if (st.text.tombs.current().isDefined && folded.forall(_ > 0))
+        st.text.tombs.reset()
+    }
+    need
+  }
 }

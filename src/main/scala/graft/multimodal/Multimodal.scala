@@ -305,9 +305,12 @@ object Multimodal {
   }
 
   /** The arithmetic dHash re-derivation CTEs (spec → dims → grid →
-    * lum → cmp → `sig(doc_id, sig)` → `bands`) — shared by q110Sql
-    * and q114Sql; never decodes anything. */
-  private def sigSqlCtes: String = {
+    * lum → cmp → `${p}sig(doc_id, sig)` → `${p}bands`) — shared by
+    * q110Sql/q114Sql and, prefixed, by the composed multimodal
+    * admission oracle (q118 — the CTE-namespace convention: two sig
+    * chains of two modalities share one WITH clause); never decodes
+    * anything. */
+  private def sigSqlCtes(p: String = ""): String = {
     // channel value at raster channel index i, with the planted bump
     def chan(c: Int): String = {
       val i = s"(3 * (sy * w + sx) + $c)"
@@ -315,36 +318,90 @@ object Multimodal {
         s" + CASE WHEN pert AND $i % $DedupStride = 0" +
         s" THEN $DedupDelta ELSE 0 END) % 256)"
     }
-    s"""spec AS (
+    s"""${p}spec AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id >= 3 AND doc_id % 7 = 3 THEN doc_id - 3
        |         ELSE doc_id END AS seed,
        |    (doc_id >= 3 AND doc_id % 7 = 3) AS pert
        |  FROM documents),
-       |dims AS (SELECT doc_id, seed, pert,
+       |${p}dims AS (SELECT doc_id, seed, pert,
        |    CAST(8 + seed % 24 AS BIGINT) AS w,
        |    CAST(8 + (seed // 3) % 16 AS BIGINT) AS h
-       |  FROM spec),
-       |grid AS (SELECT doc_id, seed, pert, w, h, gx.g AS gx, gy.g AS gy,
+       |  FROM ${p}spec),
+       |${p}grid AS (SELECT doc_id, seed, pert, w, h, gx.g AS gx, gy.g AS gy,
        |    (gx.g * w) // 8 AS sx, (gy.g * h) // 8 AS sy
-       |  FROM dims, unnest(range(0, 8)) gx(g), unnest(range(0, 8)) gy(g)),
-       |lum AS (SELECT doc_id, gx, gy,
+       |  FROM ${p}dims, unnest(range(0, 8)) gx(g), unnest(range(0, 8)) gy(g)),
+       |${p}lum AS (SELECT doc_id, gx, gy,
        |    ${chan(0)} + ${chan(1)} + ${chan(2)} AS lum
-       |  FROM grid),
-       |cmp AS (SELECT a.doc_id, a.gy * 7 + a.gx AS b,
+       |  FROM ${p}grid),
+       |${p}cmp AS (SELECT a.doc_id, a.gy * 7 + a.gx AS b,
        |    CASE WHEN a.lum > bb.lum THEN 1 ELSE 0 END AS bit
-       |  FROM lum a JOIN lum bb ON bb.doc_id = a.doc_id AND bb.gy = a.gy
+       |  FROM ${p}lum a JOIN ${p}lum bb ON bb.doc_id = a.doc_id AND bb.gy = a.gy
        |    AND bb.gx = a.gx + 1
        |  WHERE a.gx < 7),
-       |sig AS MATERIALIZED (SELECT doc_id,
+       |${p}sig AS MATERIALIZED (SELECT doc_id,
        |    CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sig
-       |  FROM cmp GROUP BY doc_id),
-       |bands AS (SELECT doc_id, k.k AS band, (sig >> (14 * k.k)) & 16383 AS x
-       |  FROM sig, unnest(range(0, 4)) k(k))""".stripMargin
+       |  FROM ${p}cmp GROUP BY doc_id),
+       |${p}bands AS (SELECT doc_id, k.k AS band, (sig >> (14 * k.k)) & 16383 AS x
+       |  FROM ${p}sig, unnest(range(0, 4)) k(k))""".stripMargin
   }
 
+  /** The audio envelope-signature re-derivation CTEs (`${p}sig` /
+    * `${p}bands`) — q116's chain, prefix-parameterized like
+    * [[sigSqlCtes]] so both modalities compose into one WITH clause. */
+  private def audioSigSqlCtes(p: String = ""): String =
+    s"""${p}spec AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id >= 2 AND doc_id % 5 = 2 THEN doc_id - 2
+       |         ELSE doc_id END AS seed,
+       |    (doc_id >= 2 AND doc_id % 5 = 2) AS pert
+       |  FROM documents),
+       |${p}sp AS (SELECT doc_id, seed, pert,
+       |    CAST(200 + seed % 150 AS BIGINT) AS n
+       |  FROM ${p}spec),
+       |${p}smp AS (SELECT doc_id, (57 * ii.i) // n AS k,
+       |    abs(((seed * 31 + (1 + seed % 1009) * ii.i * ii.i
+       |          + CASE WHEN pert AND ii.i % $AudioStride = 0
+       |                 THEN $AudioDelta ELSE 0 END) % 65536) - 32768) AS a
+       |  FROM ${p}sp, unnest(range(0, n)) ii(i)),
+       |${p}win AS (SELECT doc_id, k, CAST(sum(a) AS BIGINT) AS s,
+       |          count(*) AS c
+       |        FROM ${p}smp GROUP BY doc_id, k),
+       |${p}cmp AS (SELECT a.doc_id, a.k AS b,
+       |    CASE WHEN a.s * bb.c > bb.s * a.c THEN 1 ELSE 0 END AS bit
+       |  FROM ${p}win a JOIN ${p}win bb ON bb.doc_id = a.doc_id AND bb.k = a.k + 1
+       |  WHERE a.k < 56),
+       |${p}sig AS MATERIALIZED (SELECT doc_id,
+       |    CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sig
+       |  FROM ${p}cmp GROUP BY doc_id),
+       |${p}bands AS (SELECT doc_id, kk.k AS band, (sig >> (14 * kk.k)) & 16383 AS x
+       |  FROM ${p}sig, unnest(range(0, 4)) kk(k))""".stripMargin
+
+  /** Cross-side flag CTEs over a prefixed `${p}sig`/`${p}bands` chain:
+    * batch docs (doc_id % `bm` == 0) whose signature popcount-matches a
+    * corpus-side signature, corpus hot buckets gated — ends in
+    * `${p}fz(fid)`. The q114 flag machinery, signature-generic (image
+    * and audio share it verbatim). */
+  private def sigFlagSqlCtes(p: String, bm: Long, maxDist: Int,
+                             maxBand: Int): String =
+    s"""${p}cb AS (SELECT b.* FROM ${p}bands b
+       |       WHERE b.doc_id % $bm <> 0),
+       |${p}keep AS (SELECT band, x FROM ${p}cb GROUP BY band, x
+       |         HAVING count(*) <= $maxBand),
+       |${p}cbg AS (SELECT cb.doc_id AS sid, cb.band, cb.x FROM ${p}cb cb
+       |        JOIN ${p}keep k ON k.band = cb.band AND k.x = cb.x),
+       |${p}bb AS (SELECT * FROM ${p}bands WHERE doc_id % $bm = 0),
+       |${p}cand AS (SELECT DISTINCT bb.doc_id, cbg.sid
+       |         FROM ${p}bb bb JOIN ${p}cbg cbg
+       |           ON cbg.band = bb.band AND cbg.x = bb.x),
+       |${p}fz AS (SELECT DISTINCT c.doc_id AS fid
+       |       FROM ${p}cand c
+       |       JOIN ${p}sig sa ON sa.doc_id = c.doc_id
+       |       JOIN ${p}sig sb ON sb.doc_id = c.sid
+       |       WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxDist)""".stripMargin
+
   def q110Sql(maxDist: Int = 10, maxBand: Int = 64): String =
-    s"""WITH $sigSqlCtes,
+    s"""WITH ${sigSqlCtes()},
        |keep AS (SELECT band, x FROM bands GROUP BY band, x
        |         HAVING count(*) > 1 AND count(*) <= $maxBand),
        |gated AS (SELECT b.* FROM bands b JOIN keep k
@@ -423,21 +480,8 @@ object Multimodal {
 
   def q114Sql(maxDist: Int = 10, maxBand: Int = 64): String = {
     val bm = graft.operators.Provenance.BatchMod
-    s"""WITH $sigSqlCtes,
-       |cb AS (SELECT b.* FROM bands b
-       |       WHERE b.doc_id % $bm <> 0),
-       |keep AS (SELECT band, x FROM cb GROUP BY band, x
-       |         HAVING count(*) <= $maxBand),
-       |cbg AS (SELECT cb.doc_id AS sid, cb.band, cb.x FROM cb
-       |        JOIN keep k ON k.band = cb.band AND k.x = cb.x),
-       |bb AS (SELECT * FROM bands WHERE doc_id % $bm = 0),
-       |cand AS (SELECT DISTINCT bb.doc_id, cbg.sid
-       |         FROM bb JOIN cbg ON cbg.band = bb.band AND cbg.x = bb.x),
-       |fz AS (SELECT DISTINCT c.doc_id AS fid
-       |       FROM cand c
-       |       JOIN sig sa ON sa.doc_id = c.doc_id
-       |       JOIN sig sb ON sb.doc_id = c.sid
-       |       WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxDist)
+    s"""WITH ${sigSqlCtes()},
+       |${sigFlagSqlCtes("", bm, maxDist, maxBand)}
        |SELECT d.source, count(*) AS n_batch, count(fz.fid) AS n_dup_image,
        |  count(*) - count(fz.fid) AS n_new
        |FROM documents d LEFT JOIN fz ON fz.fid = d.doc_id
@@ -509,32 +553,7 @@ object Multimodal {
   }
 
   def q116Sql(maxDist: Int = 10, maxBand: Int = 64): String =
-    s"""WITH spec AS (
-       |  SELECT doc_id,
-       |    CASE WHEN doc_id >= 2 AND doc_id % 5 = 2 THEN doc_id - 2
-       |         ELSE doc_id END AS seed,
-       |    (doc_id >= 2 AND doc_id % 5 = 2) AS pert
-       |  FROM documents),
-       |sp AS (SELECT doc_id, seed, pert,
-       |    CAST(200 + seed % 150 AS BIGINT) AS n
-       |  FROM spec),
-       |smp AS (SELECT doc_id, (57 * ii.i) // n AS k,
-       |    abs(((seed * 31 + (1 + seed % 1009) * ii.i * ii.i
-       |          + CASE WHEN pert AND ii.i % $AudioStride = 0
-       |                 THEN $AudioDelta ELSE 0 END) % 65536) - 32768) AS a
-       |  FROM sp, unnest(range(0, n)) ii(i)),
-       |win AS (SELECT doc_id, k, CAST(sum(a) AS BIGINT) AS s,
-       |          count(*) AS c
-       |        FROM smp GROUP BY doc_id, k),
-       |cmp AS (SELECT a.doc_id, a.k AS b,
-       |    CASE WHEN a.s * bb.c > bb.s * a.c THEN 1 ELSE 0 END AS bit
-       |  FROM win a JOIN win bb ON bb.doc_id = a.doc_id AND bb.k = a.k + 1
-       |  WHERE a.k < 56),
-       |sig AS MATERIALIZED (SELECT doc_id,
-       |    CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sig
-       |  FROM cmp GROUP BY doc_id),
-       |bands AS (SELECT doc_id, kk.k AS band, (sig >> (14 * kk.k)) & 16383 AS x
-       |  FROM sig, unnest(range(0, 4)) kk(k)),
+    s"""WITH ${audioSigSqlCtes()},
        |keep AS (SELECT band, x FROM bands GROUP BY band, x
        |         HAVING count(*) > 1 AND count(*) <= $maxBand),
        |gated AS (SELECT b.* FROM bands b JOIN keep k
@@ -549,6 +568,156 @@ object Multimodal {
        |JOIN sig sb ON sb.doc_id = c.idb
        |WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxDist
        |ORDER BY ida, idb""".stripMargin
+
+  // ---- q118: UNIFIED multimodal admission tick -------------------------
+
+  /** One gated multimodal tick's labeled frame — the
+    * [[graft.operators.Provenance.gatedTickFrame]] kernel extended with
+    * the image and audio signature legs: per batch doc,
+    * (doc_id, source, h, ch, fid, ifid, afid, p, lq) under the verdict
+    * precedence exact text → fuzzy text → image sig → audio sig →
+    * low_quality → new. All five flag joins are ≤1-match (distinct
+    * state/flag ids), so the verdict classes partition the batch; the
+    * budget window ranges over docs NO modality flagged. Checkpointed
+    * twice (the q103 marker discipline). Shared by the live q118 and
+    * [[graft.io.IngestLoop.runMmTick]] — the one-kernel rule the r10
+    * runTick review established. */
+  private[graft] def mmGatedTickFrame(batch: DataFrame, state: DataFrame,
+                                      fuzzyIds: DataFrame, imgIds: DataFrame,
+                                      audIds: DataFrame, w: Seq[Double],
+                                      lowFrac: Double): DataFrame = {
+    import graft.operators.{Provenance, QualityModel}
+    val j = batch
+      .select(col("doc_id"), col("source"),
+        Provenance.contentHash60(col("text")).as("h"))
+      .join(state, col("h") === col("ch"), "left")
+      .join(fuzzyIds.select("fid"), col("doc_id") === col("fid"), "left")
+      .join(imgIds.select("ifid"), col("doc_id") === col("ifid"), "left")
+      .join(audIds.select("afid"), col("doc_id") === col("afid"), "left")
+      .join(QualityModel.scores(batch, w), "doc_id")
+      .localCheckpoint()
+    val lq = j.filter(col("ch").isNull && col("fid").isNull &&
+        col("ifid").isNull && col("afid").isNull)
+      .withColumn("lq", cume_dist().over(
+        org.apache.spark.sql.expressions.Window.orderBy("p", "doc_id"))
+        <= lowFrac)
+      .select(col("doc_id").as("lqid"), col("lq"))
+    j.join(lq, col("doc_id") === col("lqid"), "left").localCheckpoint()
+  }
+
+  /** The per-source report of a [[mmGatedTickFrame]] — q103's columns
+    * with the two modality verdicts spliced into the precedence. */
+  private[graft] def mmGatedTickReport(v: DataFrame): DataFrame =
+    v.groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        count(col("ch")).as("n_dup_exact"),
+        count(when(col("ch").isNull, col("fid"))).as("n_dup_fuzzy"),
+        count(when(col("ch").isNull && col("fid").isNull, col("ifid")))
+          .as("n_dup_image"),
+        count(when(col("ch").isNull && col("fid").isNull &&
+          col("ifid").isNull, col("afid"))).as("n_dup_audio"),
+        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+        count(when(col("lq") === false, lit(1))).as("n_new"))
+      .orderBy("source")
+
+  /** q118: the UNIFIED multimodal admission tick — r10 verdict item 2:
+    * "a doc with text + image + audio columns gets no single verdict".
+    * One q103-shaped tick where a batch doc (doc_id % 17 == 0) carrying
+    * all three modalities is judged once, with documented precedence:
+    * `dup_corpus_exact` (text hash in corpus state) → `dup_corpus_fuzzy`
+    * (verified text near-dup) → `dup_image` (dHash popcount-match vs a
+    * corpus image, q114's leg) → `dup_audio` (envelope-sig match vs a
+    * corpus clip, q116's machinery as an ADMISSION leg — previously
+    * census-only) → `low_quality` (budget gate over the docs NO
+    * modality flagged) → `new`. An audio-only near-dup is now rejected
+    * at ingest — the leg the census queries couldn't exercise.
+    *
+    * Oracle: q103's text chain + BOTH arithmetic signature chains
+    * (prefixed `im_`/`au_` — the CTE-namespace convention) + the two
+    * cross-side flag chains, composed in ONE WITH clause; a hash match
+    * certifies every leg and the precedence logic together.
+    *
+    * Scale shape: the text legs are q103's (persistable 8–26-byte
+    * state, map-side batch hashing, candidate-driven verify); each
+    * modality adds 8-byte signatures computed map-side at the codec
+    * seam, a banded cross-side equi-join with corpus hot buckets gated
+    * (`maxBand`), and one popcount per candidate. Payloads never enter
+    * a shuffle. The deployment form is [[graft.io.IngestLoop.runMmTick]]
+    * (signature state in IngestStateStores, fold-back per tick,
+    * retraction-aware) — MmIngestSpec pins the two equal. */
+  def q118MultimodalAdmission(docs: DataFrame, threshold: Double = 0.2,
+                              lowFrac: Double = 0.25, maxDist: Int = 10,
+                              maxBand: Int = 64): DataFrame = {
+    import graft.operators.{Fuzzy, Provenance, QualityModel}
+    val bm = graft.operators.Provenance.BatchMod
+    val m = pmod(col("doc_id"), lit(bm))
+    val corpus = docs.filter(m =!= 0)
+    val batch = docs.filter(m === 0)
+    val fuzzy = Fuzzy.lshCrossPairs(docs,
+        (c: org.apache.spark.sql.Column) => pmod(c, lit(bm)) === 0, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    val w = QualityModel.weights(corpus, scope = s"admission$bm")
+    // severed: each signature frame is RDD-backed and read by bands +
+    // both verify sides (the q110/q114 review finding)
+    val sigsI = imageSigs(docs).localCheckpoint()
+    val sigsA = audioSigs(docs).localCheckpoint()
+    val imFlag = flaggedAgainstState(sigsI.filter(m =!= 0),
+      sigsI.filter(m === 0), maxDist, maxBand).select(col("fid").as("ifid"))
+    val auFlag = flaggedAgainstState(sigsA.filter(m =!= 0),
+      sigsA.filter(m === 0), maxDist, maxBand).select(col("fid").as("afid"))
+    mmGatedTickReport(mmGatedTickFrame(batch,
+      Provenance.corpusHashState(corpus), fuzzy, imFlag, auFlag, w, lowFrac))
+  }
+
+  def q118Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              maxDist: Int = 10, maxBand: Int = 64,
+              iters: Int = graft.operators.QualityModel.DefaultIters,
+              trainN: Int = graft.operators.QualityModel.DefaultTrainN): String = {
+    import graft.operators.{Fuzzy, QualityModel}
+    val bm = graft.operators.Provenance.BatchMod
+    s"""WITH ${Fuzzy.lshPairsSqlCtes(
+         "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
+         threshold)},
+       |h AS (SELECT doc_id, source,
+       |        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+       |      FROM documents),
+       |b AS (SELECT doc_id, source, h FROM h WHERE doc_id % $bm = 0),
+       |c AS (SELECT DISTINCT h FROM h WHERE doc_id % $bm <> 0),
+       |fz AS (SELECT DISTINCT CASE WHEN ida % $bm = 0 THEN ida ELSE idb END AS fid
+       |       FROM pairs WHERE (ida % $bm = 0) <> (idb % $bm = 0)),
+       |${QualityModel.featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm <> 0)", "ctr_")},
+       |${QualityModel.trainSqlCtes(iters, trainN, "ctr_")},
+       |${QualityModel.featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm = 0)", "bf_")},
+       |s AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+       |      FROM bf_feat, ctr_w w),
+       |${sigSqlCtes("im_")},
+       |${sigFlagSqlCtes("im_", bm, maxDist, maxBand)},
+       |${audioSigSqlCtes("au_")},
+       |${sigFlagSqlCtes("au_", bm, maxDist, maxBand)},
+       |j AS (SELECT b.doc_id, b.source, c.h AS ch, fz.fid,
+       |        imf.fid AS ifid, auf.fid AS afid, s.p
+       |      FROM b LEFT JOIN c ON b.h = c.h
+       |      LEFT JOIN fz ON fz.fid = b.doc_id
+       |      LEFT JOIN im_fz imf ON imf.fid = b.doc_id
+       |      LEFT JOIN au_fz auf ON auf.fid = b.doc_id
+       |      JOIN s ON s.doc_id = b.doc_id),
+       |lq AS (SELECT doc_id,
+       |         cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
+       |       FROM j WHERE ch IS NULL AND fid IS NULL
+       |         AND ifid IS NULL AND afid IS NULL)
+       |SELECT j.source, count(*) AS n_batch, count(j.ch) AS n_dup_exact,
+       |  count(CASE WHEN j.ch IS NULL THEN j.fid END) AS n_dup_fuzzy,
+       |  count(CASE WHEN j.ch IS NULL AND j.fid IS NULL THEN j.ifid END)
+       |    AS n_dup_image,
+       |  count(CASE WHEN j.ch IS NULL AND j.fid IS NULL AND j.ifid IS NULL
+       |    THEN j.afid END) AS n_dup_audio,
+       |  count(CASE WHEN lq.lq THEN 1 END) AS n_low_quality,
+       |  count(CASE WHEN lq.lq = false THEN 1 END) AS n_new
+       |FROM j LEFT JOIN lq ON lq.doc_id = j.doc_id
+       |GROUP BY j.source ORDER BY source""".stripMargin
+  }
 
   /** Oracle twin of [[q71ImageDecode]]: dims from the same formula,
     * pixel sum re-derived arithmetically (never decoding anything) —

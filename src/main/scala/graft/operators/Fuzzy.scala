@@ -103,7 +103,7 @@ object Fuzzy {
     * when, as with q88's 20% decile split, it is proportional to the
     * corpus. Exact verification is candidate-driven (q27's shape) and
     * never touches within-side pairs — the work q27 already did. */
-  private[operators] def lshCrossPairs(documents: DataFrame,
+  private[graft] def lshCrossPairs(documents: DataFrame,
       isEval: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       threshold: Double): DataFrame = {
     val sh = shingles(documents)
@@ -224,7 +224,7 @@ object Fuzzy {
     * what bounds candidates, not a stop-shingle cap), so a hot shingle
     * at gen-sf1 blew the oracle's join memory before the cand
     * constraint applied. */
-  private[operators] def lshPairsSqlCtes(tokCte: String, threshold: Double,
+  private[graft] def lshPairsSqlCtes(tokCte: String, threshold: Double,
                                          p: String = ""): String = {
     val h = portableHashSql("s")
     val slots = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>

@@ -216,7 +216,7 @@ object QualityModel {
     * `${p}feat(doc_id, lang, hv, y, x0..x6)`. Prefix-parameterized
     * (the LangQuality.featSqlCtes convention) so a composed oracle can
     * derive features for two corpus SLICES in one WITH clause (q103). */
-  private[operators] def featureSqlCtes(docs: String = "documents",
+  private[graft] def featureSqlCtes(docs: String = "documents",
                                         p: String = ""): String = {
     val hits = LangQuality.Markers.map { case (l, ws) =>
       s"${LangQuality.hitsSql(ws)} AS hits_$l"
@@ -242,7 +242,7 @@ object QualityModel {
   /** The unrolled training CTEs (w0 → g_i/w_i), the Kmeans sqlCtes
     * shape: reads the `${p}feat` relation, ends by defining
     * `${p}w(w0..w6)`. */
-  private[operators] def trainSqlCtes(iters: Int, trainN: Int,
+  private[graft] def trainSqlCtes(iters: Int, trainN: Int,
                                       p: String = ""): String = {
     val js = 0 until NumW
     def zSql(alias: String) = js.map(j => s"$alias.w$j * x$j").mkString(" + ")
@@ -262,7 +262,7 @@ object QualityModel {
 
   /** The scoring expression both q101Sql and q103Sql apply: requires a
     * scope exposing x0..x6 and a 1-row `w` alias. */
-  private[operators] def scoreSql(wAlias: String = "w"): String = {
+  private[graft] def scoreSql(wAlias: String = "w"): String = {
     val z = (0 until NumW).map(j => s"$wAlias.w$j * x$j").mkString(" + ")
     s"round(1.0 / (1.0 + exp(-($z))), 6)"
   }
