@@ -179,6 +179,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         verdict per text+image+audio doc, precedence
   *                         exact → fuzzy → image → audio → low_quality
   *                         → new (deployment form: io.IngestLoop.runMmTick)
+  *  - q119_tokenizer_retrain: q115's consumer — retrain BPE merges on
+  *                         the post-tick snapshot, canary-gate the
+  *                         choice (token savings), re-tokenize tick 2
+  *                         under the chosen merges (the q113 shape for
+  *                         the tokenizer)
   */
 object SparkEntry {
 
@@ -318,6 +323,7 @@ object SparkEntry {
     "q117_retraction_tick" -> t("documents")(Provenance.q117RetractionTick(_)),
     "q118_multimodal_admission" -> t("documents")(
       graft.multimodal.Multimodal.q118MultimodalAdmission(_)),
+    "q119_tokenizer_retrain" -> t("documents")(Bpe.q119TokenizerRetrain(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -441,5 +447,6 @@ object SparkEntry {
     "q116_audio_dedup" -> graft.multimodal.Multimodal.q116Sql(),
     "q117_retraction_tick" -> Provenance.q117Sql(),
     "q118_multimodal_admission" -> graft.multimodal.Multimodal.q118Sql(),
+    "q119_tokenizer_retrain" -> Bpe.q119Sql(),
   )
 }

@@ -56,9 +56,26 @@ object Bpe {
   /** Train a merge table on `documents` rows with doc_id < trainDocs.
     * Returns merges in learned (priority) order. */
   def train(documents: DataFrame, nMerges: Int = DefaultMerges,
-            trainDocs: Long = DefaultTrainDocs): Seq[String] = {
+            trainDocs: Long = DefaultTrainDocs): Seq[String] =
+    trainOn(documents.filter(col("doc_id") < trainDocs), nMerges)
+
+  /** [[train]] over a HASH-RANKED bounded sample instead of the id
+    * prefix — the snapshot-retrain form (q119): a retrain must SEE the
+    * admitted docs, which an id-prefix cap on a grown corpus mostly
+    * does not (admissions carry arbitrary ids), while a hash-ranked
+    * sample draws uniformly from base ∪ admissions (the QualityModel/
+    * Kmeans bounded-sample convention, mirrored in the oracle). */
+  def trainHashSampled(documents: DataFrame, nMerges: Int = DefaultMerges,
+                       sampleN: Long = DefaultTrainDocs): Seq[String] = {
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    trainOn(documents.withColumn("hv", hv).orderBy("hv", "doc_id")
+      .limit(sampleN.toInt), nMerges)
+  }
+
+  private def trainOn(trainSet: DataFrame, nMerges: Int): Seq[String] = {
     trainRuns.incrementAndGet()
-    val base = documents.filter(col("doc_id") < trainDocs)
+    val base = trainSet
       .select(encode(col("text")).as("s"))
       .cache()
     try {
@@ -96,11 +113,19 @@ object Bpe {
     * artifact must leave this unchanged). */
   val trainRuns = new java.util.concurrent.atomic.AtomicLong
 
+  /** Memo key = inputFiles + the analyzed plan's canonicalized hash +
+    * params (+ optional scope) — the [[QualityModel]] slice-discriminator
+    * discipline (r11, for q119's snapshot-trained table): a merge table
+    * trained on a SLICE of the corpus must never alias the whole-table
+    * artifact, even when the caller forgets `scope`. Same documented
+    * trade-offs: preload narrowing + the ~2⁻³² plan-hash sliver. */
   private def memoKey(documents: DataFrame, nMerges: Int,
-                      trainDocs: Long): Option[String] = {
+                      trainDocs: Long, scope: String): Option[String] = {
     val files = documents.inputFiles
     if (files.isEmpty) None
-    else Some(files.sorted.mkString(",") + s"#$nMerges#$trainDocs")
+    else Some(files.sorted.mkString(",") +
+      s"#${documents.queryExecution.analyzed.canonicalized.hashCode()}" +
+      s"#$nMerges#$trainDocs#$scope")
   }
 
   /** Seed the memo with an externally-persisted merge table (the
@@ -108,15 +133,28 @@ object Bpe {
     * corpus+hyperparams serve the artifact and never train. */
   def preload(documents: DataFrame, ms: Seq[String],
               nMerges: Int = DefaultMerges,
-              trainDocs: Long = DefaultTrainDocs): Unit =
-    memoKey(documents, nMerges, trainDocs).foreach(memo.put(_, ms))
+              trainDocs: Long = DefaultTrainDocs,
+              scope: String = ""): Unit =
+    memoKey(documents, nMerges, trainDocs, scope).foreach(memo.put(_, ms))
 
   /** Memoized merge table for a parquet-backed corpus. */
   def merges(documents: DataFrame, nMerges: Int = DefaultMerges,
-             trainDocs: Long = DefaultTrainDocs): Seq[String] =
-    memoKey(documents, nMerges, trainDocs) match {
+             trainDocs: Long = DefaultTrainDocs,
+             scope: String = ""): Seq[String] =
+    memoKey(documents, nMerges, trainDocs, scope) match {
       case None      => train(documents, nMerges, trainDocs)
       case Some(key) => memo.getOrElseUpdate(key, train(documents, nMerges, trainDocs))
+    }
+
+  /** Memoized [[trainHashSampled]] (the "hs:" scope namespace keeps it
+    * apart from id-prefix tables of the same corpus+params). */
+  def mergesHashSampled(documents: DataFrame, nMerges: Int = DefaultMerges,
+                        sampleN: Long = DefaultTrainDocs,
+                        scope: String = ""): Seq[String] =
+    memoKey(documents, nMerges, sampleN, s"hs:$scope") match {
+      case None      => trainHashSampled(documents, nMerges, sampleN)
+      case Some(key) =>
+        memo.getOrElseUpdate(key, trainHashSampled(documents, nMerges, sampleN))
     }
 
   /** Learned-BPE token count of `text` under a trained merge table:
@@ -265,44 +303,186 @@ object Bpe {
        |FROM ag, f0 ORDER BY tick""".stripMargin
   }
 
+  /** q119: the TOKENIZER RETRAIN response — q115's consumer (r10
+    * verdict item 3; the q113 shape for BPE): after tick 1's
+    * admissions, RETRAIN the merge table on the post-tick ingested
+    * snapshot (base corpus ∪ tick-1 admissions — never on rejects;
+    * bounded HASH-RANKED sample, so the retrain actually sees admitted
+    * docs — an id-prefix cap on a grown corpus would not),
+    * measure both tokenizers on a bounded hash-ranked canary sample of
+    * that snapshot, and GATE the choice: adopt the fresh merges iff
+    * they save at least `minGainTokens` BPE tokens on the canary
+    * (fewer tokens = the merges fit the incoming mix better — the
+    * compression objective BPE trains for, priced in the exact units
+    * q69's budgets spend). The tick-2 batch is then re-tokenized under
+    * the CHOSEN merges — the accounting a budget-aware ingest loop
+    * actually runs. Output rows: the canary measurement under both
+    * tokenizers, then tick 2 under the chosen one — the choice itself
+    * is re-derived by the oracle (a CASE over the two canary totals),
+    * so a hash match certifies retrain ∘ canary ∘ gate ∘ re-tokenize.
+    *
+    * Oracle: TWO unrolled Sennrich training chains in one WITH clause
+    * (the unprefixed artifact chain + the `nw_` snapshot chain — the
+    * prefix machinery q113 proved for logreg, applied to BPE) + the
+    * q106 core for the admitted set.
+    *
+    * Scale shape: the q106 chain (shared/checkpointed) + one more
+    * bounded-sample training run + canary-sized (`evalN`) dual
+    * tokenization + ONE scalar barrier (two token totals — a 2-long
+    * row, the q113 flip-count shape) + a row-local re-tokenize of the
+    * tick-2 batch. */
+  def q119TokenizerRetrain(documents: DataFrame, threshold: Double = 0.2,
+                           lowFrac: Double = 0.25,
+                           nMerges: Int = DefaultMerges,
+                           trainDocs: Long = DefaultTrainDocs,
+                           evalN: Int = 256,
+                           minGainTokens: Long = 1L): DataFrame = {
+    val p = Provenance.multiTickParts(documents, threshold, lowFrac)
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = documents.filter(m.between(1, 9))
+    val adm1Docs = documents.join(
+      p.v1.filter(col("lq") === false).select("doc_id"), Seq("doc_id"), "left_semi")
+    val snapshot = corpus.union(adm1Docs)
+    val msFrozen = merges(documents, nMerges, trainDocs) // the q35/q115 artifact
+    val msFresh = mergesHashSampled(snapshot, nMerges, trainDocs,
+      scope = s"snapshot${Provenance.BatchMod}")
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val canary = snapshot.withColumn("hv", hv).orderBy("hv", "doc_id")
+      .limit(evalN).select("doc_id", "text").localCheckpoint()
+    // the ONE scalar barrier: two exact token totals choose the merges
+    val tots = canary.agg(
+      sum(tokenCount(msFrozen, col("text")).cast("long")).as("tfz"),
+      sum(tokenCount(msFresh, col("text")).cast("long")).as("tfr")).collect()(0)
+    val adopt = tots.getLong(1) + minGainTokens <= tots.getLong(0)
+    val chosen = if (adopt) msFresh else msFrozen
+    val chosenLabel = if (adopt) "fresh" else "frozen"
+    def slice(df: DataFrame, sliceName: String, label: String,
+              ms: Seq[String]): DataFrame =
+      df.select(size(split(col("text"), " ")).cast("long").as("ws"),
+          tokenCount(ms, col("text")).cast("long").as("bpe"))
+        .agg(count(lit(1)).as("n_docs"), sum("ws").as("n_ws_tokens"),
+          sum("bpe").as("n_bpe_tokens"))
+        .select(lit(sliceName).as("slice"), lit(label).as("tokenizer"),
+          col("n_docs"), col("n_ws_tokens"), col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6)
+            .as("fertility"))
+    slice(canary, "canary", "frozen", msFrozen)
+      .union(slice(canary, "canary", "fresh", msFresh))
+      .union(slice(documents.filter(m === 0), "tick2", chosenLabel, chosen))
+      .orderBy("slice", "tokenizer")
+  }
+
+  def q119Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              nMerges: Int = DefaultMerges,
+              trainDocs: Long = DefaultTrainDocs,
+              evalN: Int = 256, minGainTokens: Long = 1L,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    val bm = Provenance.BatchMod
+    val snapRel = "(SELECT d.doc_id, d.text FROM documents d " +
+      "JOIN csnap cs ON cs.doc_id = d.doc_id)"
+    def cnt(x: String) = s"len($x) - len(replace($x, '<', ''))"
+    s"""WITH ${Provenance.multiTickCoreSqlCtes(threshold, lowFrac, iters, trainN)},
+       |csnap AS MATERIALIZED (
+       |  SELECT doc_id FROM documents WHERE doc_id % $bm BETWEEN 1 AND 9
+       |  UNION ALL SELECT doc_id FROM adm1),
+       |${sqlCtes(nMerges, trainDocs)},
+       |${sqlCtes(nMerges, trainDocs, snapRel, "nw_", hashSampled = true)},
+       |canary AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN csnap cs ON cs.doc_id = d.doc_id
+       |  ORDER BY CAST(concat('0x', substr(md5(CAST(d.doc_id AS varchar)), 1, 15))
+       |    AS BIGINT), d.doc_id
+       |  LIMIT $evalN),
+       |capp AS MATERIALIZED (
+       |  SELECT doc_id, len(regexp_split_to_array(text, ' ')) AS ws,
+       |    ${cnt("x1")} AS fz, ${cnt("x2")} AS fr
+       |  FROM (SELECT doc_id, text,
+       |          ${applySqlExpr("text", nMerges)} AS x1,
+       |          ${applySqlExpr("text", nMerges, "nw_")} AS x2
+       |        FROM canary) z),
+       |ctot AS MATERIALIZED (SELECT count(*) AS n_docs,
+       |  CAST(sum(ws) AS BIGINT) AS ws,
+       |  CAST(sum(fz) AS BIGINT) AS tfz, CAST(sum(fr) AS BIGINT) AS tfr
+       |  FROM capp),
+       |ch AS (SELECT CASE WHEN tfr + $minGainTokens <= tfz
+       |         THEN 'fresh' ELSE 'frozen' END AS tk FROM ctot),
+       |t2app AS (SELECT len(regexp_split_to_array(text, ' ')) AS ws,
+       |    ${cnt("x1")} AS fz, ${cnt("x2")} AS fr
+       |  FROM (SELECT text,
+       |          ${applySqlExpr("text", nMerges)} AS x1,
+       |          ${applySqlExpr("text", nMerges, "nw_")} AS x2
+       |        FROM documents WHERE doc_id % $bm = 0) z),
+       |t2tot AS (SELECT ch.tk, count(*) AS n_docs,
+       |    CAST(sum(ws) AS BIGINT) AS ws,
+       |    CAST(sum(CASE WHEN ch.tk = 'fresh' THEN fr ELSE fz END) AS BIGINT)
+       |      AS bpe
+       |  FROM t2app, ch GROUP BY ch.tk),
+       |r1 AS (SELECT 'canary' AS slice, 'frozen' AS tokenizer, n_docs,
+       |         ws AS n_ws_tokens, tfz AS n_bpe_tokens,
+       |         round(CAST(tfz AS DOUBLE) / ws, 6) AS fertility FROM ctot),
+       |r2 AS (SELECT 'canary' AS slice, 'fresh' AS tokenizer, n_docs,
+       |         ws AS n_ws_tokens, tfr AS n_bpe_tokens,
+       |         round(CAST(tfr AS DOUBLE) / ws, 6) AS fertility FROM ctot),
+       |r3 AS (SELECT 'tick2' AS slice, tk AS tokenizer, n_docs,
+       |         ws AS n_ws_tokens, bpe AS n_bpe_tokens,
+       |         round(CAST(bpe AS DOUBLE) / ws, 6) AS fertility FROM t2tot)
+       |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+       |ORDER BY slice, tokenizer""".stripMargin
+  }
+
   // ---- oracle SQL generation ------------------------------------------
 
   /** The unrolled training CTEs: s0 (encoded train set), then per
     * iteration i: p_i (pair counts), b_i (argmax), s_i (state after
     * applying b_i). MATERIALIZED pins linear evaluation — each s_i is
     * referenced twice (p_{i+1} and s_{i+1}), and inlining the chain
-    * would blow up exponentially. */
+    * would blow up exponentially. `docs` names the training relation
+    * and `p` prefixes every CTE (the CTE-namespace convention), so TWO
+    * training chains — frozen artifact vs snapshot retrain — compose
+    * into one WITH clause (q119). */
   def sqlCtes(nMerges: Int = DefaultMerges,
-              trainDocs: Long = DefaultTrainDocs): String = {
+              trainDocs: Long = DefaultTrainDocs,
+              docs: String = "documents", p: String = "",
+              hashSampled: Boolean = false): String = {
+    val trainRel =
+      if (hashSampled)
+        s"""(SELECT doc_id, text FROM $docs
+           |   ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS varchar)), 1, 15))
+           |     AS BIGINT), doc_id
+           |   LIMIT $trainDocs)""".stripMargin
+      else s"$docs WHERE doc_id < $trainDocs"
     val s0 =
-      s"""s0 AS MATERIALIZED (
+      s"""${p}s0 AS MATERIALIZED (
          |  SELECT doc_id, regexp_replace(text, '([^ ])', '<\\1>', 'g') AS s
-         |  FROM documents WHERE doc_id < $trainDocs)""".stripMargin
+         |  FROM $trainRel)""".stripMargin
     val iters = (1 to nMerges).map { i =>
-      s"""p$i AS (
+      s"""${p}p$i AS (
          |  SELECT u.p AS pair, count(*) AS c
-         |  FROM s${i - 1}, UNNEST(flatten(list_transform(string_split(s, ' '), w ->
+         |  FROM ${p}s${i - 1}, UNNEST(flatten(list_transform(string_split(s, ' '), w ->
          |    list_transform(range(1, len(regexp_extract_all(w, '<[^>]*>'))),
          |      j -> regexp_extract_all(w, '<[^>]*>')[j] || regexp_extract_all(w, '<[^>]*>')[j+1])))) AS u(p)
          |  GROUP BY 1),
-         |b$i AS (SELECT pair FROM p$i ORDER BY c DESC, pair LIMIT 1),
-         |s$i AS MATERIALIZED (SELECT doc_id, replace(s,
-         |  coalesce((SELECT pair FROM b$i), '@@'),
-         |  coalesce((SELECT replace(pair, '><', '') FROM b$i), '@@')) AS s FROM s${i - 1})""".stripMargin
+         |${p}b$i AS (SELECT pair FROM ${p}p$i ORDER BY c DESC, pair LIMIT 1),
+         |${p}s$i AS MATERIALIZED (SELECT doc_id, replace(s,
+         |  coalesce((SELECT pair FROM ${p}b$i), '@@'),
+         |  coalesce((SELECT replace(pair, '><', '') FROM ${p}b$i), '@@')) AS s FROM ${p}s${i - 1})""".stripMargin
     }
     (s0 +: iters).mkString(",\n")
   }
 
   /** Application chain over an arbitrary text expression, as SQL: the
-    * same fold of replaces, each merge read back from its b_i CTE
+    * same fold of replaces, each merge read back from its `${p}b_i` CTE
     * (scalar subquery; coalesce makes an exhausted iteration a no-op,
     * matching the trainer's early stop). */
-  def applySqlExpr(textExpr: String, nMerges: Int = DefaultMerges): String =
+  def applySqlExpr(textExpr: String, nMerges: Int = DefaultMerges,
+                   p: String = ""): String =
     (1 to nMerges).foldLeft(
       s"regexp_replace($textExpr, '([^ ])', '<\\1>', 'g')") { (acc, i) =>
       s"""replace($acc,
-         |  coalesce((SELECT pair FROM b$i), '@@'),
-         |  coalesce((SELECT replace(pair, '><', '') FROM b$i), '@@'))""".stripMargin
+         |  coalesce((SELECT pair FROM ${p}b$i), '@@'),
+         |  coalesce((SELECT replace(pair, '><', '') FROM ${p}b$i), '@@'))""".stripMargin
     }
 
   /** Per-doc learned token counts as a CTE named `bpe_tok(doc_id,

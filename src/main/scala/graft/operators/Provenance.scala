@@ -581,8 +581,9 @@ object Provenance {
     * fz2`) — WITHOUT tick 2's scoring/verdict, so q113 can splice a
     * canary-chosen weight row in. [[multiTickSqlCtes]] appends the
     * standard base-model tick 2. */
-  private def multiTickCoreSqlCtes(threshold: Double, lowFrac: Double,
-                                   iters: Int, trainN: Int): String = {
+  private[operators] def multiTickCoreSqlCtes(threshold: Double,
+                                              lowFrac: Double,
+                                              iters: Int, trainN: Int): String = {
     val bm = BatchMod
     s"""${Fuzzy.lshPairsSqlCtes(
          "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",

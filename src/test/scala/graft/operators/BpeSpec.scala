@@ -127,4 +127,33 @@ class BpeSpec extends AnyFunSuite {
     assert(out.map(_.getLong(3)).sum === q35.map(_.getInt(2).toLong).sum)
     assert(out.map(_.getLong(1)).sum === q35.length.toLong)
   }
+
+  test("q119 tokenizer retrain: both gate branches reachable, the choice has teeth, canary rows invariant") {
+    val docs = graft.io.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+
+    // default gate: the hash-sampled snapshot retrain saves tokens on
+    // the canary and is ADOPTED — tick 2 re-tokenizes under it
+    val adopted = Bpe.q119TokenizerRetrain(docs).collect()
+    val byKey = adopted.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byKey.contains(("canary", "frozen")) && byKey.contains(("canary", "fresh")))
+    val tick2Adopted = adopted.filter(_.getString(0) == "tick2").head
+    assert(tick2Adopted.getString(1) === "fresh",
+      "on this corpus the snapshot retrain must win the canary")
+    assert(byKey(("canary", "fresh")).getLong(4) <
+      byKey(("canary", "frozen")).getLong(4),
+      "adoption requires a real canary token saving")
+
+    // unreachable gain: the frozen artifact stands
+    val held = Bpe.q119TokenizerRetrain(docs, minGainTokens = 1000000L).collect()
+    val tick2Held = held.filter(_.getString(0) == "tick2").head
+    assert(tick2Held.getString(1) === "frozen")
+
+    // teeth: the two branches tokenize tick 2 DIFFERENTLY — the choice
+    // gates real accounting, not just a label
+    assert(tick2Adopted.getLong(4) !== tick2Held.getLong(4),
+      "chosen-merges tick-2 totals must differ between branches")
+    // and the canary measurement itself is gate-invariant (same rows)
+    assert(held.filter(_.getString(0) == "canary").map(_.toSeq).toSeq ===
+      adopted.filter(_.getString(0) == "canary").map(_.toSeq).toSeq)
+  }
 }
