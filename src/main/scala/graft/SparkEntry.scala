@@ -184,6 +184,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         choice (token savings), re-tokenize tick 2
   *                         under the chosen merges (the q113 shape for
   *                         the tokenizer)
+  *  - q120_ann_recall_canary: frozen-artifact IVF-PQ recall on a fresh-
+  *                         tick probe set vs a retrained index, per
+  *                         frozen-recall decile, with the recluster
+  *                         trigger (the q109 shape for retrieval)
   */
 object SparkEntry {
 
@@ -324,6 +328,7 @@ object SparkEntry {
     "q118_multimodal_admission" -> t("documents")(
       graft.multimodal.Multimodal.q118MultimodalAdmission(_)),
     "q119_tokenizer_retrain" -> t("documents")(Bpe.q119TokenizerRetrain(_)),
+    "q120_ann_recall_canary" -> t("embeddings")(Pq.q120AnnRecallCanary(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -448,5 +453,6 @@ object SparkEntry {
     "q117_retraction_tick" -> Provenance.q117Sql(),
     "q118_multimodal_admission" -> graft.multimodal.Multimodal.q118Sql(),
     "q119_tokenizer_retrain" -> Bpe.q119Sql(),
+    "q120_ann_recall_canary" -> Pq.q120Sql(),
   )
 }

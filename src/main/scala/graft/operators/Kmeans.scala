@@ -61,11 +61,17 @@ object Kmeans {
     * artifact must leave this unchanged). */
   val trainRuns = new java.util.concurrent.atomic.AtomicLong
 
+  /** Memo key folds the canonicalized plan hash (the QualityModel/Bpe
+    * slice-discriminator discipline, r11): a centroid table trained on
+    * a SLICE (q120's frozen base-corpus quantizer) shares inputFiles
+    * with the whole table and must never alias its artifact. */
   private def memoKey(embeddings: DataFrame, k: Int, iters: Int,
                       trainN: Int): Option[String] = {
     val files = embeddings.inputFiles
     if (files.isEmpty) None
-    else Some(files.sorted.mkString(",") + s"#$k#$iters#$trainN")
+    else Some(files.sorted.mkString(",") +
+      s"#${embeddings.queryExecution.analyzed.canonicalized.hashCode()}" +
+      s"#$k#$iters#$trainN")
   }
 
   /** Seed the memo with an externally-persisted centroid table (the
@@ -131,29 +137,34 @@ object Kmeans {
       centroids(embeddings, k, iters, trainN).map(_._2.toArray).toArray)
 
   /** The unrolled training CTEs for the oracle. Requires an
-    * `e(vec_id, ed)` CTE in scope; ends by defining `c(cid, ce)` — the
-    * drop-in replacement for the old first-N centroid CTE. */
+    * `$e(vec_id, ed)` CTE in scope; ends by defining `${p}c(cid, ce)` —
+    * the drop-in replacement for the old first-N centroid CTE. `e`
+    * names the training relation and `p` prefixes every CTE (the
+    * CTE-namespace convention), so TWO quantizer chains — q120's
+    * frozen base-corpus vs retrained full-corpus — compose into one
+    * WITH clause; defaults keep every existing oracle unchanged. */
   def sqlCtes(k: Int = DefaultK, iters: Int = DefaultIters,
-              trainN: Int = DefaultTrainN): String = {
+              trainN: Int = DefaultTrainN,
+              e: String = "e", p: String = ""): String = {
     val init =
-      s"""tr AS MATERIALIZED (
+      s"""${p}tr AS MATERIALIZED (
          |  SELECT vec_id, ed,
          |    cast(concat('0x', substr(md5(cast(vec_id AS varchar)), 1, 15)) AS bigint) AS hv
-         |  FROM e ORDER BY hv, vec_id LIMIT $trainN),
-         |c0 AS (SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cid, ed AS ce
-         |       FROM tr ORDER BY hv, vec_id LIMIT $k)""".stripMargin
+         |  FROM $e ORDER BY hv, vec_id LIMIT $trainN),
+         |${p}c0 AS (SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cid, ed AS ce
+         |       FROM ${p}tr ORDER BY hv, vec_id LIMIT $k)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""a$i AS (SELECT cid, ed FROM (
+      s"""${p}a$i AS (SELECT cid, ed FROM (
          |  SELECT t.ed, c.cid, row_number() OVER (PARTITION BY t.vec_id
          |    ORDER BY round(list_cosine_similarity(t.ed, c.ce), 6) DESC, c.cid) AS rn
-         |  FROM tr t, c${i - 1} c) z WHERE rn = 1),
-         |m$i AS (SELECT cid, d, round(avg(ed[d]), 6) AS v
-         |        FROM a$i, UNNEST(range(1, 65)) AS dd(d) GROUP BY cid, d),
-         |c$i AS (SELECT p.cid, coalesce(n.ce, p.ce) AS ce
-         |        FROM c${i - 1} p LEFT JOIN
-         |          (SELECT cid, list(v ORDER BY d) AS ce FROM m$i GROUP BY cid) n
+         |  FROM ${p}tr t, ${p}c${i - 1} c) z WHERE rn = 1),
+         |${p}m$i AS (SELECT cid, d, round(avg(ed[d]), 6) AS v
+         |        FROM ${p}a$i, UNNEST(range(1, 65)) AS dd(d) GROUP BY cid, d),
+         |${p}c$i AS (SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+         |        FROM ${p}c${i - 1} p LEFT JOIN
+         |          (SELECT cid, list(v ORDER BY d) AS ce FROM ${p}m$i GROUP BY cid) n
          |          USING (cid))""".stripMargin
     }
-    ((init +: steps) :+ s"c AS (SELECT cid, ce FROM c$iters)").mkString(",\n")
+    ((init +: steps) :+ s"${p}c AS (SELECT cid, ce FROM ${p}c$iters)").mkString(",\n")
   }
 }

@@ -78,12 +78,18 @@ object Pq {
   /** Actual training runs this JVM (ArtifactStore cold-load pin). */
   val trainRuns = new java.util.concurrent.atomic.AtomicLong
 
+  /** Memo key folds the canonicalized plan hash (the QualityModel/Bpe/
+    * Kmeans slice-discriminator discipline, r11): q120's frozen
+    * base-corpus codebooks share inputFiles with the full table and
+    * must never alias its artifact. */
   private def memoKey(embeddings: DataFrame, m: Int, subDim: Int, kCb: Int,
                       iters: Int, trainN: Int,
                       tag: String = "pq"): Option[String] = {
     val files = embeddings.inputFiles
     if (files.isEmpty) None
-    else Some(files.sorted.mkString(",") + s"#$tag#$m#$subDim#$kCb#$iters#$trainN")
+    else Some(files.sorted.mkString(",") +
+      s"#${embeddings.queryExecution.analyzed.canonicalized.hashCode()}" +
+      s"#$tag#$m#$subDim#$kCb#$iters#$trainN")
   }
 
   /** Seed the memo with a persisted codebook (ArtifactStore load path). */
@@ -657,48 +663,56 @@ object Pq {
       .orderBy("qid")
   }
 
-  /** Residual train + encode + per-(query, cluster) LUT CTEs, `r`
-    * prefixed; requires `rese(vec_id, ed)` and `qres(qid, qcid, ed)`
-    * in scope; ends with r0pd … r{m−1}pd of (qid, qcid, vec_id, pd). */
+  /** Residual train + encode + per-(query, cluster) LUT CTEs, `${p}r`
+    * prefixed; requires `$rese(vec_id, ed)` (the encode population),
+    * `$trainRese` (the TRAINING population — q120's frozen chain trains
+    * on base-corpus residuals while encoding everything; defaults to
+    * `rese`) and `$qres(qid, qcid, ed)` in scope; ends with
+    * ${p}r0pd … ${p}r{m−1}pd of (qid, qcid, vec_id, pd). */
   private def residualTrainEncodeCtes(m: Int, subDim: Int, kCb: Int,
-                                      iters: Int, trainN: Int): String = {
+                                      iters: Int, trainN: Int,
+                                      rese: String = "rese",
+                                      qres: String = "qres",
+                                      trainReseOpt: String = "",
+                                      p: String = ""): String = {
+    val trainRese = if (trainReseOpt.isEmpty) rese else trainReseOpt
     val shared =
-      s"""rtr AS MATERIALIZED (
+      s"""${p}rtr AS MATERIALIZED (
          |  SELECT vec_id, ed,
          |    cast(concat('0x', substr(md5(cast(vec_id AS varchar)), 1, 15)) AS bigint) AS hv
-         |  FROM rese ORDER BY hv, vec_id LIMIT $trainN),
-         |rini AS (SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cid, ed
-         |        FROM rtr ORDER BY hv, vec_id LIMIT $kCb)""".stripMargin
+         |  FROM $trainRese ORDER BY hv, vec_id LIMIT $trainN),
+         |${p}rini AS (SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cid, ed
+         |        FROM ${p}rtr ORDER BY hv, vec_id LIMIT $kCb)""".stripMargin
     val subs = (0 until m).map { s =>
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
       val init =
-        s"""r${s}tr AS (SELECT vec_id, ed[$lo:$hi] AS sv FROM rtr),
-           |r${s}c0 AS (SELECT cid, ed[$lo:$hi] AS ce FROM rini)""".stripMargin
+        s"""${p}r${s}tr AS (SELECT vec_id, ed[$lo:$hi] AS sv FROM ${p}rtr),
+           |${p}r${s}c0 AS (SELECT cid, ed[$lo:$hi] AS ce FROM ${p}rini)""".stripMargin
       val steps = (1 to iters).map { i =>
-        s"""r${s}a$i AS (SELECT cid, sv FROM (
+        s"""${p}r${s}a$i AS (SELECT cid, sv FROM (
            |  SELECT t.sv, c.cid, row_number() OVER (PARTITION BY t.vec_id
            |    ORDER BY round(${d2Sql("t.sv", "c.ce")}, 6), c.cid) AS rn
-           |  FROM r${s}tr t, r${s}c${i - 1} c) z WHERE rn = 1),
-           |r${s}m$i AS (SELECT cid, d, round(avg(sv[d]), 6) AS v
-           |        FROM r${s}a$i, UNNEST(range(1, ${subDim + 1})) AS dd(d) GROUP BY cid, d),
-           |r${s}c$i AS (SELECT p.cid, coalesce(n.ce, p.ce) AS ce
-           |        FROM r${s}c${i - 1} p LEFT JOIN
-           |          (SELECT cid, list(v ORDER BY d) AS ce FROM r${s}m$i GROUP BY cid) n
+           |  FROM ${p}r${s}tr t, ${p}r${s}c${i - 1} c) z WHERE rn = 1),
+           |${p}r${s}m$i AS (SELECT cid, d, round(avg(sv[d]), 6) AS v
+           |        FROM ${p}r${s}a$i, UNNEST(range(1, ${subDim + 1})) AS dd(d) GROUP BY cid, d),
+           |${p}r${s}c$i AS (SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+           |        FROM ${p}r${s}c${i - 1} p LEFT JOIN
+           |          (SELECT cid, list(v ORDER BY d) AS ce FROM ${p}r${s}m$i GROUP BY cid) n
            |          USING (cid))""".stripMargin
       }
       val encode =
-        s"""r${s}sl AS (SELECT vec_id, ed[$lo:$hi] AS sv FROM rese),
-           |r${s}enc AS (SELECT vec_id, cid AS code FROM (
+        s"""${p}r${s}sl AS (SELECT vec_id, ed[$lo:$hi] AS sv FROM $rese),
+           |${p}r${s}enc AS (SELECT vec_id, cid AS code FROM (
            |  SELECT sl.vec_id, c.cid, row_number() OVER (PARTITION BY sl.vec_id
            |    ORDER BY round(${d2Sql("sl.sv", "c.ce")}, 6), c.cid) AS rn
-           |  FROM r${s}sl sl, r${s}c$iters c) z WHERE rn = 1),
-           |r${s}qsl AS (SELECT qid, qcid, ed[$lo:$hi] AS sv FROM qres),
-           |r${s}lut AS (SELECT q.qid, q.qcid, c.cid,
+           |  FROM ${p}r${s}sl sl, ${p}r${s}c$iters c) z WHERE rn = 1),
+           |${p}r${s}qsl AS (SELECT qid, qcid, ed[$lo:$hi] AS sv FROM $qres),
+           |${p}r${s}lut AS (SELECT q.qid, q.qcid, c.cid,
            |    CAST(round((${d2Sql("q.sv", "c.ce")}) * 1e6, 0) AS BIGINT) AS pd
-           |  FROM r${s}qsl q, r${s}c$iters c),
-           |r${s}pd AS (SELECT l.qid, l.qcid, en.vec_id, l.pd
-           |  FROM r${s}enc en JOIN r${s}lut l ON l.cid = en.code)""".stripMargin
+           |  FROM ${p}r${s}qsl q, ${p}r${s}c$iters c),
+           |${p}r${s}pd AS (SELECT l.qid, l.qcid, en.vec_id, l.pd
+           |  FROM ${p}r${s}enc en JOIN ${p}r${s}lut l ON l.cid = en.code)""".stripMargin
       ((init +: steps) :+ encode).mkString(",\n")
     }
     (shared +: subs).mkString(",\n")
@@ -731,6 +745,236 @@ object Pq {
       .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
       .select(col("vec_id"), col("acid").as("cid"), col("sub"),
         col("cid").as("code"))
+  }
+
+  /** Per-query ADC hit counts of a residual IVF-PQ search under GIVEN
+    * artifact tables vs the exact top-`kTop` ground truth —
+    * (qid, n_hits). The q107 search core with the artifacts
+    * parameterized, so q120 can run it twice (frozen vs retrained) over
+    * the same query population. `isQuery` selects query vectors. */
+  private def ivfadcHits(e: DataFrame, cents: DataFrame, rcb: DataFrame,
+                         isQuery: Column, nprobe: Int, m: Int, subDim: Int,
+                         kTop: Int): DataFrame = {
+    val ranked = assignRanked(e, cents)
+    val asg = ranked.filter(col("arn") === 1).select("vec_id", "cid")
+    val probes = ranked.filter(col("arn") <= nprobe && isQuery)
+      .select(col("vec_id").as("qid"), col("cid").as("qcid"))
+    val cand = broadcast(probes)
+      .join(asg, col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .select("qid", "qcid", "vec_id")
+    val rese = residualRel(asg, e, cents).select("vec_id", "ed")
+    val sl = sliceAll(rese, "ed", m, subDim)
+    val wEnc = Window.partitionBy("vec_id", "sub").orderBy(asc("d2r"), asc("cid"))
+    val codes = sl.join(broadcast(rcb), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"),
+        round(d2(col("sv"), col("ce")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+    val qres = probes
+      .join(e.select(col("vec_id").as("qid2"), col("ed")), col("qid") === col("qid2"))
+      .join(broadcast(cents.select(col("cid").as("qcid2"), col("ce"))),
+        col("qcid") === col("qcid2"))
+      .select(col("qid"), col("qcid"),
+        expr("zip_with(ed, ce, (x, y) -> x - y)").as("ed"))
+    val qsl = sliceAll(qres, "ed", m, subDim)
+    val lut = qsl.join(broadcast(rcb), "sub")
+      .select(col("qid").as("lqid"), col("qcid").as("lqcid"),
+        col("sub").as("lsub"), col("cid").as("lcid"),
+        round(d2(col("sv"), col("ce")) * lit(1e6), 0).cast("long").as("pd"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut),
+        col("qid") === col("lqid") && col("qcid") === col("lqcid") &&
+          col("sub") === col("lsub") && col("code") === col("lcid"))
+      .groupBy("qid", "vec_id").agg(sum("pd").as("adc"))
+    val wTop = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+    val approx = adc.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= kTop)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    val q = e.filter(isQuery).select(col("vec_id").as("qid"), col("ed").as("qed"))
+    val wEx = Window.partitionBy("qid").orderBy(asc("d2r"), asc("vec_id"))
+    val exact = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(d2(col("qed"), col("ed")), 6).as("d2r"))
+      .withColumn("rn", row_number().over(wEx)).filter(col("rn") <= kTop)
+      .select(col("qid"), col("vec_id"))
+    exact
+      .join(approx, col("qid") === col("aqid") && col("vec_id") === col("avid"),
+        "left")
+      .groupBy("qid").agg(count(col("aqid")).as("n_hits"))
+  }
+
+  /** q120: the ANN RECALL CANARY over the incremental index's frozen
+    * artifacts — r10 verdict item 4 (the q109 shape for retrieval):
+    * [[graft.io.ArtifactStore.IvfPqIncrementalIndex]] appends codes
+    * under FROZEN centroids/codebooks, correct for stationary data —
+    * but as the ingested distribution drifts, recall decays SILENTLY.
+    * This measures it: on a bounded probe set drawn from the vectors
+    * APPENDED SINCE BOOTSTRAP (vec_id % 17 outside 1..9 — the q106
+    * base-vs-ticks split: the bootstrap corpus is classes 1..9,
+    * everything else arrived through later ticks and is the
+    * drift-exposed population), IVFADC recall@k under the FROZEN
+    * artifacts (coarse quantizer + residual codebooks trained on the
+    * bootstrap corpus, every vector encoded under them — exactly the
+    * incremental index's serving posture) vs under a RETRAINED index
+    * (both artifacts re-fit on the full corpus, which now carries the
+    * appended mass a retrain CAN dedicate capacity to). Output per
+    * frozen-recall decile:
+    * query/hit counts, both recalls, the delta, and the RECLUSTER
+    * TRIGGER — 'recluster' iff retraining recovers at least
+    * `minGainHits` ground-truth hits on the canary, else 'keep' — the
+    * measured decision (the q113/q119 discipline) that tells a
+    * deployment when the incremental appends have outgrown their
+    * artifacts.
+    *
+    * Oracle: BOTH full chains — two unrolled k-means quantizers
+    * (`fz_`/`fr_` [[Kmeans.sqlCtes]] prefixes) and two unrolled
+    * residual-codebook/encode chains ([[residualTrainEncodeCtes]]
+    * prefixed, the frozen one TRAINING on base residuals while
+    * ENCODING everything) — plus one shared exact ground truth, in a
+    * single WITH clause; the trigger is a CASE over the two hit
+    * totals, so a hash match certifies the whole measurement-and-
+    * decision loop.
+    *
+    * Scale shape: 2× the q107 cost profile (bounded training, row-local
+    * encodes, cluster-pruned candidate joins, canary-sized probe set);
+    * the ground truth is canary × corpus — the price of MEASURING
+    * recall, bounded by `nQueries`, never corpus². */
+  def q120AnnRecallCanary(embeddings: DataFrame,
+                          nCentroids: Int = Kmeans.DefaultK,
+                          nprobe: Int = 2,
+                          m: Int = DefaultM, subDim: Int = DefaultSubDim,
+                          kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+                          trainN: Int = DefaultTrainN,
+                          nQueries: Int = 32, kTop: Int = DefaultTopK,
+                          minGainHits: Long = 1L): DataFrame = {
+    val bm = Provenance.BatchMod
+    // appended classes are ~8/17 of ids, so a 2× id cap yields
+    // ~nQueries probe vectors
+    val qCap = nQueries.toLong * 2
+    val m17 = pmod(col("vec_id"), lit(bm))
+    val isQ = !m17.between(1, 9) && col("vec_id") < qCap
+    val base = embeddings.filter(m17.between(1, 9))
+    // FROZEN artifacts: trained on the bootstrap corpus (the
+    // incremental index's posture); FRESH: retrained on everything
+    val cFz = Kmeans.centroidTable(base, nCentroids)
+    val rcbFz = residualCodebookTable(base, nCentroids, m, subDim, kCb,
+      iters, trainN)
+    val cFr = Kmeans.centroidTable(embeddings, nCentroids)
+    val rcbFr = residualCodebookTable(embeddings, nCentroids, m, subDim, kCb,
+      iters, trainN)
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    val hFz = ivfadcHits(e, cFz, rcbFz, isQ, nprobe, m, subDim, kTop)
+      .select(col("qid"), col("n_hits").as("hf"))
+    val hFr = ivfadcHits(e, cFr, rcbFr, isQ, nprobe, m, subDim, kTop)
+      .select(col("qid").as("qid2"), col("n_hits").as("hr"))
+    val perq = hFz.join(hFr, col("qid") === col("qid2"))
+      .select("qid", "hf", "hr").localCheckpoint() // totals + report read it
+    val tot = perq.agg(sum("hf").as("thf"), sum("hr").as("thr"))
+    perq
+      .groupBy(expr(s"CAST(least(hf * 10 div $kTop, 9) AS INT)").as("bucket"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum("hf").as("n_hits_frozen"), sum("hr").as("n_hits_fresh"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_queries"),
+        col("n_hits_frozen"), col("n_hits_fresh"),
+        round(col("n_hits_frozen") / (col("n_queries") * kTop), 6)
+          .as("recall_frozen"),
+        round(col("n_hits_fresh") / (col("n_queries") * kTop), 6)
+          .as("recall_fresh"),
+        round(col("n_hits_fresh") / (col("n_queries") * kTop)
+          - col("n_hits_frozen") / (col("n_queries") * kTop), 6).as("delta"),
+        when(col("thr") - col("thf") >= minGainHits, lit("recluster"))
+          .otherwise(lit("keep")).as("action"))
+      .orderBy("bucket")
+  }
+
+  def q120Sql(nCentroids: Int = Kmeans.DefaultK, nprobe: Int = 2,
+              m: Int = DefaultM, subDim: Int = DefaultSubDim,
+              kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+              trainN: Int = DefaultTrainN, nQueries: Int = 32,
+              kTop: Int = DefaultTopK, minGainHits: Long = 1L): String = {
+    val bm = Provenance.BatchMod
+    val qCap = nQueries.toLong * 2
+    val resT = "list_transform(range(1, len(ed) + 1), " +
+      "ii -> ed[CAST(ii AS INT)] - ce[CAST(ii AS INT)])"
+    // one chain's assignment + candidates + ADC + top-k, prefix `p`
+    def chain(p: String): String =
+      s"""${p}ranked AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid) AS arn
+         |  FROM e, ${p}c c),
+         |${p}asg AS (SELECT vec_id, cid FROM ${p}ranked WHERE arn = 1),
+         |${p}probes AS (SELECT vec_id AS qid, cid AS qcid FROM ${p}ranked
+         |           WHERE arn <= $nprobe
+         |             AND NOT (vec_id % $bm BETWEEN 1 AND 9)
+         |             AND vec_id < $qCap),
+         |${p}rese AS MATERIALIZED (SELECT vec_id, $resT AS ed FROM
+         |  (SELECT a.vec_id, e.ed AS ed, c.ce AS ce
+         |   FROM ${p}asg a JOIN e ON e.vec_id = a.vec_id
+         |   JOIN ${p}c c ON c.cid = a.cid) z),
+         |${p}qres AS MATERIALIZED (SELECT qid, qcid, $resT AS ed FROM
+         |  (SELECT pr.qid, pr.qcid, e.ed AS ed, c.ce AS ce
+         |   FROM ${p}probes pr JOIN e ON e.vec_id = pr.qid
+         |   JOIN ${p}c c ON c.cid = pr.qcid) z),
+         |${p}cand AS (SELECT pr.qid, pr.qcid, a.vec_id FROM ${p}probes pr
+         |         JOIN ${p}asg a ON a.cid = pr.qcid AND a.vec_id <> pr.qid)"""
+        .stripMargin
+    def adcTop(p: String): String =
+      s"""${p}adc AS (SELECT u.qid, u.vec_id, sum(u.pd) AS adc
+         |        FROM (${(0 until m).map(s => s"SELECT * FROM ${p}r${s}pd").mkString(" UNION ALL ")}) u
+         |        JOIN ${p}cand cd ON cd.qid = u.qid AND cd.qcid = u.qcid
+         |          AND cd.vec_id = u.vec_id
+         |        GROUP BY 1, 2),
+         |${p}top AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc, vec_id) AS rn FROM ${p}adc) z WHERE rn <= $kTop)"""
+        .stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |eb AS (SELECT * FROM e WHERE vec_id % $bm BETWEEN 1 AND 9),
+       |${Kmeans.sqlCtes(nCentroids, e = "eb", p = "fz_")},
+       |${Kmeans.sqlCtes(nCentroids, e = "e", p = "fr_")},
+       |${chain("fz_")},
+       |fz_reseb AS MATERIALIZED (SELECT * FROM fz_rese
+       |  WHERE vec_id % $bm BETWEEN 1 AND 9),
+       |${residualTrainEncodeCtes(m, subDim, kCb, iters, trainN,
+           rese = "fz_rese", qres = "fz_qres", trainReseOpt = "fz_reseb",
+           p = "fz_")},
+       |${adcTop("fz_")},
+       |${chain("fr_")},
+       |${residualTrainEncodeCtes(m, subDim, kCb, iters, trainN,
+           rese = "fr_rese", qres = "fr_qres", p = "fr_")},
+       |${adcTop("fr_")},
+       |qs AS (SELECT vec_id AS qid, ed FROM e
+       |       WHERE NOT (vec_id % $bm BETWEEN 1 AND 9) AND vec_id < $qCap),
+       |exact AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY round(${d2Sql("q.ed", "e.ed")}, 6), e.vec_id) AS rn
+       |  FROM qs q, e WHERE e.vec_id <> q.qid) z WHERE rn <= $kTop),
+       |fzh AS (SELECT ex.qid, count(t.vec_id) AS hf FROM exact ex
+       |        LEFT JOIN fz_top t ON t.qid = ex.qid AND t.vec_id = ex.vec_id
+       |        GROUP BY ex.qid),
+       |frh AS (SELECT ex.qid, count(t.vec_id) AS hr FROM exact ex
+       |        LEFT JOIN fr_top t ON t.qid = ex.qid AND t.vec_id = ex.vec_id
+       |        GROUP BY ex.qid),
+       |perq AS MATERIALIZED (SELECT fzh.qid, fzh.hf, frh.hr
+       |        FROM fzh JOIN frh ON frh.qid = fzh.qid),
+       |tot AS (SELECT CAST(sum(hf) AS BIGINT) AS thf,
+       |               CAST(sum(hr) AS BIGINT) AS thr FROM perq)
+       |SELECT CAST(least(hf * 10 // $kTop, 9) AS INT) AS bucket,
+       |  count(*) AS n_queries,
+       |  CAST(sum(hf) AS BIGINT) AS n_hits_frozen,
+       |  CAST(sum(hr) AS BIGINT) AS n_hits_fresh,
+       |  round(CAST(sum(hf) AS BIGINT) / (count(*) * $kTop), 6) AS recall_frozen,
+       |  round(CAST(sum(hr) AS BIGINT) / (count(*) * $kTop), 6) AS recall_fresh,
+       |  round(CAST(sum(hr) AS BIGINT) / (count(*) * $kTop)
+       |    - CAST(sum(hf) AS BIGINT) / (count(*) * $kTop), 6) AS delta,
+       |  CASE WHEN thr - thf >= $minGainHits THEN 'recluster' ELSE 'keep' END
+       |    AS action
+       |FROM perq, tot
+       |GROUP BY 1, action
+       |ORDER BY bucket""".stripMargin
   }
 
   def q107Sql(nCentroids: Int = Kmeans.DefaultK, nprobe: Int = 2,

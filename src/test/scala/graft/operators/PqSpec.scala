@@ -130,6 +130,49 @@ class PqSpec extends AnyFunSuite {
       "appending vectors must never retrain any artifact")
   }
 
+  test("q120 ANN recall canary: keep branch reachable at the same operating point where a drifted tick trips recluster") {
+    import org.apache.spark.sql.functions.{col, expr, lit, pmod, when}
+    // sf0.01: the canary needs a probe population whose neighbors the
+    // retrain can actually move (sf0.001's ~60-vector appended slice is
+    // too small for a stable net gain)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    // default gate (1 recovered hit): on the driver corpus the retrain
+    // nets a small gain — recluster fires
+    val rep = Pq.q120AnnRecallCanary(emb).collect()
+    assert(rep.nonEmpty)
+    assert(rep.map(_.getString(7)).distinct.toSeq === Seq("recluster"))
+    val netGain = rep.map(_.getLong(3)).sum - rep.map(_.getLong(2)).sum
+    assert(netGain >= 1L)
+
+    // operating point G: above the stationary corpus's net gain — the
+    // frozen artifacts stand, and the measurement rows are identical
+    val G = netGain + 5
+    val held = Pq.q120AnnRecallCanary(emb, minGainHits = G).collect()
+    assert(held.map(_.getString(7)).distinct.toSeq === Seq("keep"))
+    assert(held.map(_.toSeq.dropRight(1)).toSeq ===
+      rep.map(_.toSeq.dropRight(1)).toSeq,
+      "the gate must not change the measurement, only the decision")
+
+    // DELIBERATE drift: every vector appended since bootstrap (the
+    // non-1..9 classes) shifts into a region the bootstrap-trained
+    // quantizer never saw — frozen-artifact recall collapses, the
+    // retrained index dedicates capacity to the appended mass, and at
+    // the SAME operating point G the trigger flips
+    val drifted = emb.withColumn("embedding",
+      when(!pmod(col("vec_id"), lit(17L)).between(1, 9),
+        expr("transform(embedding, x -> x + CAST(5.0 AS FLOAT))"))
+        .otherwise(col("embedding")))
+    val drift = Pq.q120AnnRecallCanary(drifted, minGainHits = G).collect()
+    assert(drift.map(_.getString(7)).distinct.toSeq === Seq("recluster"),
+      "the drifted tick must trip the trigger at the operating point " +
+        "the stationary corpus held")
+    val driftGain = drift.map(_.getLong(3)).sum - drift.map(_.getLong(2)).sum
+    assert(driftGain > netGain,
+      s"retraining must recover more on the drifted tick ($driftGain) " +
+        s"than on the stationary corpus ($netGain)")
+  }
+
   test("artifact store: copied corpus loads the codebook, q87 bit-identical") {
     def tmpDir(p: String) = Files.createTempDirectory(p).toString
     val root = tmpDir("graft_artifacts_pq")
