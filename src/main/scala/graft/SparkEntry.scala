@@ -188,6 +188,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         tick probe set vs a retrained index, per
   *                         frozen-recall decile, with the recluster
   *                         trigger (the q109 shape for retrieval)
+  *  - q121_incremental_curation: tick-shaped curation — the batch's
+  *                         substring-dup coverage judged against the
+  *                         MAINTAINED corpus gram census (the census-
+  *                         merge algebra; store form io.ArtifactStore
+  *                         .GramCensusIncrementalIndex)
   */
 object SparkEntry {
 
@@ -329,6 +334,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.q118MultimodalAdmission(_)),
     "q119_tokenizer_retrain" -> t("documents")(Bpe.q119TokenizerRetrain(_)),
     "q120_ann_recall_canary" -> t("embeddings")(Pq.q120AnnRecallCanary(_)),
+    "q121_incremental_curation" -> t("documents")(
+      SubstringDedup.q121IncrementalCuration(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -454,5 +461,6 @@ object SparkEntry {
     "q118_multimodal_admission" -> graft.multimodal.Multimodal.q118Sql(),
     "q119_tokenizer_retrain" -> Bpe.q119Sql(),
     "q120_ann_recall_canary" -> Pq.q120Sql(),
+    "q121_incremental_curation" -> SubstringDedup.q121Sql(),
   )
 }

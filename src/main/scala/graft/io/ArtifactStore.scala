@@ -472,6 +472,61 @@ object ArtifactStore {
                        name: String): IvfPqIncrementalIndex =
     new IvfPqIncrementalIndex(spark, root, name)
 
+  // ---- incremental k-gram census (tick-maintained curation state) ------
+
+  /** INCREMENTAL CURATION STATE (r10 verdict item 5): the corpus-global
+    * k-gram census feeding the q90 boilerplate winners and the
+    * q86/q91/q95 duplicated-gram statistics, maintained per ingest tick
+    * — the [[Bm25IncrementalIndex]] pattern applied to curation: each
+    * tick appends ONLY its admitted docs' (h, df_docs, n_occ) census
+    * increment ([[graft.operators.SubstringDedup.censusOf]] — additive
+    * because a doc is admitted in exactly one tick), and the served
+    * census/winner set is one merge aggregate over the accumulated
+    * 20-byte hash rows — old text is never re-mined
+    * (SubstringDedupSpec pins winners ≡ full re-mine with the census
+    * counter showing one pass per batch). Compaction FOLDS partials
+    * via [[graft.operators.SubstringDedup.mergeCensus]], so the
+    * generation holds one row per distinct gram. */
+  final class GramCensusIncrementalIndex(spark: SparkSession, root: String,
+                                         name: String, k: Int) {
+    val censusStore: IngestStateStore =
+      ingestState(spark, root, s"$name/gram_census")
+
+    def appendDocs(docs: DataFrame): Long =
+      censusStore.appendTick(graft.operators.SubstringDedup.censusOf(docs, k))
+
+    def appendDocsAt(t: Long, docs: DataFrame): Unit =
+      censusStore.appendTickAt(t,
+        graft.operators.SubstringDedup.censusOf(docs, k))
+
+    /** IDEMPOTENT tick-1 bootstrap (the [[Bm25IncrementalIndex]]
+      * contract): a retried bootstrap overwrites tick 1. */
+    def bootstrap(corpusDocs: DataFrame): Unit = appendDocsAt(1, corpusDocs)
+
+    /** The merged corpus-global census over everything appended. */
+    def census(): DataFrame =
+      graft.operators.SubstringDedup.mergeCensus(censusStore.current()
+        .getOrElse(sys.error(
+          "incremental gram census is empty: append a corpus first")))
+
+    /** The q90 winner hash set from the maintained census. */
+    def winners(topN: Int = 20): DataFrame =
+      graft.operators.SubstringDedup.winnersFromCensus(census(), topN)
+
+    /** The q86/q91 duplicated-gram hash set (global df ≥ 2). */
+    def dupHashes(): DataFrame =
+      census().filter(col("df_docs") >= 2).select("h")
+
+    def compact(targetBytes: Long = 128L * 1024 * 1024): Int =
+      censusStore.compactWith(graft.operators.SubstringDedup.mergeCensus,
+        targetBytes)
+  }
+
+  def gramCensusIncremental(spark: SparkSession, root: String, name: String,
+                            k: Int = graft.operators.SubstringDedup.DefaultK)
+      : GramCensusIncrementalIndex =
+    new GramCensusIncrementalIndex(spark, root, name, k)
+
   // ---- q73 corpus hash state -------------------------------------------
 
   /** Build-or-load the corpus content-hash state (`ch` long per distinct

@@ -137,6 +137,59 @@ class SubstringDedupSpec extends AnyFunSuite {
       s"unique remainder lost for doc ${r.getLong(0)}"))
   }
 
+  test("incremental gram census: tick-maintained winners ≡ full re-mine, zero re-mines of old ticks, compaction folds partials, q121 ≡ q86 batch rows") {
+    import java.nio.file.Files
+    import graft.io.{ArtifactStore, Tables}
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val m = org.apache.spark.sql.functions.pmod(col("doc_id"),
+      org.apache.spark.sql.functions.lit(Provenance.BatchMod))
+    val corpus = docs.filter(m =!= 0)
+    val batch = docs.filter(m === 0)
+
+    val root = Files.createTempDirectory("graft_gram_census").toString
+    val idx = ArtifactStore.gramCensusIncremental(spark, root, "census1")
+    val c0 = SubstringDedup.censusRuns.get()
+    idx.bootstrap(corpus)
+    idx.appendDocs(batch)
+    assert(SubstringDedup.censusRuns.get() - c0 === 2L,
+      "each append mines exactly its own batch, nothing else")
+
+    // tick-maintained winner set ≡ the q90 full re-mine over the union
+    val maintained = idx.winners().collect().map(_.getLong(0)).toSeq
+    val remined = SubstringDedup.winnerHashes(docs, SubstringDedup.DefaultK, 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(maintained.nonEmpty)
+    assert(maintained === remined,
+      "merged census winners must equal the full re-mine — the " +
+        "additivity of per-tick distinct-doc counts is the whole point")
+
+    // compaction folds partials into one row per gram, winners invariant
+    val before = idx.censusStore.dataFileCount
+    assert(idx.compact() > 0)
+    assert(idx.censusStore.dataFileCount < before)
+    assert(idx.winners().collect().map(_.getLong(0)).toSeq === maintained)
+    val folded = idx.censusStore.current().get
+    assert(folded.groupBy("h").count().filter(col("count") > 1).count() === 0L,
+      "a folded generation holds one row per distinct gram")
+
+    // q121's incremental judgement ≡ the q86 full re-mine, batch rows
+    val q121 = SubstringDedup.q121IncrementalCuration(docs)
+      .collect().map(_.toSeq).toSeq
+    val q86b = SubstringDedup.q86SubstringDups(docs)
+      .filter(m === 0).collect().map(_.toSeq).toSeq
+    assert(q121.nonEmpty && q121 === q86b,
+      "tick-shaped coverage against the maintained census must equal " +
+        "the whole-corpus re-mine restricted to the batch")
+
+    // and the store-backed dup set drives the same q121 coverage
+    val dupFromStore = idx.dupHashes()
+    val viaStore = SubstringDedup.coverageAgainstDupForSpec(batch, dupFromStore)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaStore === q121,
+      "store-served census must judge the batch identically to the live form")
+  }
+
   test("real corpus: bounds hold and exact-dup docs are fully covered") {
     val docs = Tables.load(spark, sf, "documents")
     val out = SubstringDedup.q86SubstringDups(docs).collect()
