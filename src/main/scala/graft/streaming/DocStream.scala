@@ -322,7 +322,8 @@ object DocStream {
                                  weights: Seq[Double],
                                  outPath: String, checkpoint: String,
                                  threshold: Double = 0.2,
-                                 lowFrac: Double = 0.25)
+                                 lowFrac: Double = 0.25,
+                                 idx: Option[graft.io.ArtifactStore.Bm25IncrementalIndex] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     admissionStreamWithText(docs, corpusHashes)
       .writeStream.outputMode("append")
@@ -334,7 +335,7 @@ object DocStream {
             stores.bands.currentUpTo(stateTick).get,
             stores.shingles.currentUpTo(stateTick).get, threshold),
           weights, lowFrac)
-          // severed: read by the sink write AND three fold increments
+          // severed: read by the sink write AND the fold increments
           .localCheckpoint()
         refined.drop("text")
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
@@ -346,6 +347,16 @@ object DocStream {
           graft.operators.Fuzzy.corpusBandState(adm))
         stores.shingles.appendTickAt(stateTick + 1,
           graft.operators.Fuzzy.corpusShingleHashes(adm))
+        // STREAMING RETRIEVAL FOLD (r10 verdict item 7): when a BM25
+        // index rides the stream, each micro-batch's ADMITTED docs
+        // additionally append their postings under the same
+        // batch-id-keyed tick — a replayed batch overwrites its own
+        // postings, so the served index never lags the dedup state and
+        // never double-counts (DocStreamSpec pins served ranking ≡ a
+        // batch rebuild over base ∪ all admissions across kill/restart).
+        // The index must be bootstrapped from the same corpus as the
+        // stores (idx.bootstrap — tick 1).
+        idx.foreach(_.appendDocsAt(stateTick + 1, adm))
       }
       .start()
   }

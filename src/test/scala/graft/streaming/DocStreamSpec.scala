@@ -468,6 +468,10 @@ class DocStreamSpec extends AnyFunSuite {
 
     val st = graft.io.IngestLoop.stores(spark, artRoot, "foldloop")
     graft.io.IngestLoop.bootstrap(st, documents)
+    // the stream also serves retrieval: postings fold per micro-batch
+    val idx = graft.io.ArtifactStore.bm25Incremental(spark, artRoot, "foldloop")
+    idx.bootstrap(documents)
+    val tok0 = graft.operators.Retrieval.tokenizeRuns.get()
 
     val dir = Files.createTempDirectory("graft_fold_jsonl")
     val ckpt = Files.createTempDirectory("graft_fold_ckpt").toString
@@ -485,7 +489,7 @@ class DocStreamSpec extends AnyFunSuite {
       // test isolates the FOLD (the budget leg is the gated test above)
       DocStream.foldingGatedAdmissionQuery(raw,
         hashes.select(col("ch").as("h")), st, w, outDir, ckpt,
-        lowFrac = 0.0)
+        lowFrac = 0.0, idx = Some(idx))
     }
 
     // tick 1: X admitted → folded into the stores; then KILL
@@ -518,6 +522,31 @@ class DocStreamSpec extends AnyFunSuite {
     // fold idempotency bookkeeping: batch 1 folded at tick 3 on the
     // compacted generation (gen=2), nothing double-folded
     assert(st.bands.maxTick === 3L)
+
+    // STREAMING RETRIEVAL FOLD: the index followed the stream — its
+    // served ranking must equal a from-scratch rebuild over base ∪ the
+    // stream's admissions, across the kill/restart, with each batch
+    // tokenized exactly once (bootstrap + 2 batches)
+    import graft.operators.Retrieval
+    assert(idx.tfStore.maxTick === 3L,
+      "postings fold batch-id-keyed alongside the dedup stores")
+    assert(Retrieval.tokenizeRuns.get() - tok0 <= 3L,
+      "no batch may be re-tokenized (bootstrap + one pass per batch)")
+    val admittedIds = got.filter(_._2 == "new").map(_._1).toSet
+    assert(admittedIds === Set(800000L, 800003L))
+    import spark.implicits._
+    val admittedDocs = Seq((800000L, xText), (800003L, yText))
+      .toDF("doc_id", "text")
+    val rebuildCorpus = documents.select("doc_id", "text").union(admittedDocs)
+    val queries = documents.filter(col("doc_id") % 50 === 7)
+      .select("doc_id", "text")
+    val served = Retrieval.topkFromIndex(idx.index(), queries)
+      .collect().map(_.toSeq).toSeq
+    val rebuilt = Retrieval.topkFromIndex(Retrieval.index(rebuildCorpus), queries)
+      .collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served === rebuilt,
+      "stream-folded postings must rank exactly like a rebuild over " +
+        "base ∪ admissions — the served index never lags the dedup state")
   }
 
   test("gated admission stream (q103 twin): one tick reconciles with the batch report") {
