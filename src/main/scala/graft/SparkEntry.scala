@@ -193,6 +193,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         MAINTAINED corpus gram census (the census-
   *                         merge algebra; store form io.ArtifactStore
   *                         .GramCensusIncrementalIndex)
+  *  - q122_ann_recluster:  q120's consumer — the canary's decision
+  *                         CLOSES the loop: on 'recluster' the serving
+  *                         index swaps to retrained artifacts with all
+  *                         codes re-encoded; output certifies the
+  *                         post-action per-cluster code census + served
+  *                         recall (deployment form: io.ArtifactStore
+  *                         .IvfPqIncrementalIndex.recluster)
   */
 object SparkEntry {
 
@@ -336,6 +343,7 @@ object SparkEntry {
     "q120_ann_recall_canary" -> t("embeddings")(Pq.q120AnnRecallCanary(_)),
     "q121_incremental_curation" -> t("documents")(
       SubstringDedup.q121IncrementalCuration(_)),
+    "q122_ann_recluster" -> t("embeddings")(Pq.q122AnnRecluster(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -462,5 +470,6 @@ object SparkEntry {
     "q119_tokenizer_retrain" -> Bpe.q119Sql(),
     "q120_ann_recall_canary" -> Pq.q120Sql(),
     "q121_incremental_curation" -> SubstringDedup.q121Sql(),
+    "q122_ann_recluster" -> Pq.q122Sql(),
   )
 }

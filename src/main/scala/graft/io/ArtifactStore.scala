@@ -408,15 +408,97 @@ object ArtifactStore {
     * code rows), across a compaction, with zero training runs. */
   final class IvfPqIncrementalIndex(spark: SparkSession, root: String,
                                     name: String) {
-    val codeStore: IngestStateStore =
-      ingestState(spark, root, s"$name/ivfpq_codes")
+    // ---- generations (q122's deployment form) ------------------------
+    // A RECLUSTER swaps the whole index to retrained artifacts: new
+    // codes re-encoded from raw vectors land under generation g+1's
+    // OWN stores (codes + tombstones + the serving artifact tables),
+    // and the swap commits by writing the generation marker LAST —
+    // readers resolve the max committed marker, so a crash anywhere
+    // mid-build leaves generation g serving exactly as before and a
+    // re-run overwrites the partial build idempotently (tick-1-keyed).
+    // Generation 1 is the legacy layout (no marker, no g-dir) so the
+    // pre-recluster behavior and on-disk shape are unchanged.
+    private val genMarkBase = s"$root/ingest_state/$name/ivfpq_generation"
+    private def f = fs(spark, genMarkBase)
+
+    /** Max committed generation marker; 1 before any recluster. */
+    def generation: Long = {
+      val p = new Path(genMarkBase)
+      if (!f.exists(p)) 1L
+      else f.listStatus(p).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("g="))
+        .filter(d => f.exists(new Path(d.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix("g=").toLong)
+        .maxOption.getOrElse(1L)
+    }
+
+    private def storeName(kind: String, g: Long): String =
+      if (g <= 1L) s"$name/ivfpq_$kind" else s"$name/g$g/ivfpq_$kind"
+
+    def codeStore: IngestStateStore =
+      ingestState(spark, root, storeName("codes", generation))
 
     /** vec_id tombstones — the [[Bm25IncrementalIndex.tombStore]]
       * contract on the vector leg: retracted vectors' code rows leave
       * every [[codes]] read via an idempotent anti-join; [[compact]]
-      * folds and clears. */
-    val tombStore: IngestStateStore =
-      ingestState(spark, root, s"$name/ivfpq_tombs")
+      * folds and clears. Per-generation: a recluster's re-encode
+      * excludes tombstoned vectors at build time, so the new
+      * generation starts with an empty tombstone store. */
+    def tombStore: IngestStateStore =
+      ingestState(spark, root, storeName("tombs", generation))
+
+    /** The serving artifact tables (coarse centroids, residual
+      * codebooks) a post-recluster generation was built under — what
+      * subsequent [[appendVectorsAt]] calls must encode with. None for
+      * generation 1 (the caller owns the bootstrap artifacts). */
+    def servingArtifacts(): Option[(DataFrame, DataFrame)] = {
+      val g = generation
+      if (g <= 1L) None
+      else Some((
+        spark.read.parquet(s"$root/ingest_state/${storeName("cents", g)}"),
+        spark.read.parquet(s"$root/ingest_state/${storeName("rcb", g)}")))
+    }
+
+    /** Build generation `generation + 1` WITHOUT committing it — the
+      * crash-injection seam ([[recluster]] = this + commit). Re-encodes
+      * every live vector (raws anti-joined against the CURRENT
+      * generation's tombstones) under the retrained artifacts and
+      * persists artifacts + codes under the new generation's stores. */
+    private[graft] def buildNextGeneration(vectors: DataFrame,
+                                           cents: DataFrame, rcb: DataFrame,
+                                           m: Int = Pq.DefaultM,
+                                           subDim: Int = Pq.DefaultSubDim): Long = {
+      val g = generation + 1
+      val live = tombStore.current().fold(vectors)(tb =>
+        vectors.join(tb.select("vec_id").distinct(), Seq("vec_id"), "left_anti"))
+      cents.write.mode("overwrite")
+        .parquet(s"$root/ingest_state/${storeName("cents", g)}")
+      rcb.write.mode("overwrite")
+        .parquet(s"$root/ingest_state/${storeName("rcb", g)}")
+      val st = ingestState(spark, root, storeName("codes", g))
+      st.appendTickAt(1, graft.operators.Pq.residualCodes(live, cents, rcb,
+        m, subDim))
+      g
+    }
+
+    private[graft] def commitGeneration(g: Long): Unit = {
+      f.mkdirs(new Path(s"$genMarkBase/g=$g"))
+      f.create(new Path(s"$genMarkBase/g=$g/_SUCCESS"), true).close()
+    }
+
+    /** The q122 deployment form: swap the index to retrained artifacts.
+      * Marker-last crash discipline — until [[commitGeneration]] runs,
+      * every reader (codes/search/append/retract) still resolves the
+      * old generation; a re-run after a crash rebuilds the partial
+      * generation idempotently (tick-1 overwrite + artifact overwrite).
+      * Returns the new generation number. */
+    def recluster(vectors: DataFrame, cents: DataFrame, rcb: DataFrame,
+                  m: Int = Pq.DefaultM,
+                  subDim: Int = Pq.DefaultSubDim): Long = {
+      val g = buildNextGeneration(vectors, cents, rcb, m, subDim)
+      commitGeneration(g)
+      g
+    }
 
     private def resolve(codes: DataFrame): DataFrame =
       tombStore.current().fold(codes)(tb =>

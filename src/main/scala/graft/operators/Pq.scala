@@ -839,14 +839,20 @@ object Pq {
     * encodes, cluster-pruned candidate joins, canary-sized probe set);
     * the ground truth is canary × corpus — the price of MEASURING
     * recall, bounded by `nQueries`, never corpus². */
-  def q120AnnRecallCanary(embeddings: DataFrame,
-                          nCentroids: Int = Kmeans.DefaultK,
-                          nprobe: Int = 2,
-                          m: Int = DefaultM, subDim: Int = DefaultSubDim,
-                          kCb: Int = DefaultKCb, iters: Int = DefaultIters,
-                          trainN: Int = DefaultTrainN,
-                          nQueries: Int = 32, kTop: Int = DefaultTopK,
-                          minGainHits: Long = 1L): DataFrame = {
+  /** The two canary chains shared by q120 (the measurement) and q122
+    * (the response): frozen-vs-retrained artifact tables plus the
+    * per-probe-query hit counts of both IVFADC searches against one
+    * exact ground truth. `perq` is localCheckpointed — q120's totals +
+    * report and q122's decision barrier + census all read materialized
+    * rows instead of re-running the two search chains. */
+  private final case class CanaryChains(perq: DataFrame,
+                                        cFz: DataFrame, rcbFz: DataFrame,
+                                        cFr: DataFrame, rcbFr: DataFrame)
+
+  private def canaryChains(embeddings: DataFrame, nCentroids: Int,
+                           nprobe: Int, m: Int, subDim: Int, kCb: Int,
+                           iters: Int, trainN: Int, nQueries: Int,
+                           kTop: Int): CanaryChains = {
     val bm = Provenance.BatchMod
     // appended classes are ~8/17 of ids, so a 2× id cap yields
     // ~nQueries probe vectors
@@ -870,6 +876,19 @@ object Pq {
       .select(col("qid").as("qid2"), col("n_hits").as("hr"))
     val perq = hFz.join(hFr, col("qid") === col("qid2"))
       .select("qid", "hf", "hr").localCheckpoint() // totals + report read it
+    CanaryChains(perq, cFz, rcbFz, cFr, rcbFr)
+  }
+
+  def q120AnnRecallCanary(embeddings: DataFrame,
+                          nCentroids: Int = Kmeans.DefaultK,
+                          nprobe: Int = 2,
+                          m: Int = DefaultM, subDim: Int = DefaultSubDim,
+                          kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+                          trainN: Int = DefaultTrainN,
+                          nQueries: Int = 32, kTop: Int = DefaultTopK,
+                          minGainHits: Long = 1L): DataFrame = {
+    val perq = canaryChains(embeddings, nCentroids, nprobe, m, subDim, kCb,
+      iters, trainN, nQueries, kTop).perq
     val tot = perq.agg(sum("hf").as("thf"), sum("hr").as("thr"))
     perq
       .groupBy(expr(s"CAST(least(hf * 10 div $kTop, 9) AS INT)").as("bucket"))
@@ -889,11 +908,80 @@ object Pq {
       .orderBy("bucket")
   }
 
-  def q120Sql(nCentroids: Int = Kmeans.DefaultK, nprobe: Int = 2,
-              m: Int = DefaultM, subDim: Int = DefaultSubDim,
-              kCb: Int = DefaultKCb, iters: Int = DefaultIters,
-              trainN: Int = DefaultTrainN, nQueries: Int = 32,
-              kTop: Int = DefaultTopK, minGainHits: Long = 1L): String = {
+  /** q122: the RECLUSTER RESPONSE — q120's canary actually CLOSING the
+    * ANN staleness loop (the q113/q119 discipline: a measured decision
+    * followed by the action it gates, both re-derived by the oracle).
+    * Runs the q120 canary; if retraining recovers at least
+    * `minGainHits` ground-truth hits, the serving index SWAPS to the
+    * retrained artifacts — every accumulated vector re-encoded under
+    * the fresh coarse quantizer + residual codebooks (the one bounded
+    * full re-encode that is the price of a recluster) — otherwise the
+    * frozen artifacts keep serving. Output certifies the POST-ACTION
+    * serving state, not just the decision: the per-coarse-cluster
+    * census of the served codes (vector counts + a positional checksum
+    * over the actual PQ code values, so a hash match proves the
+    * re-encode happened under the chosen artifacts) plus the action
+    * and the served recall on the canary.
+    *
+    * The deployment form is
+    * [[graft.io.ArtifactStore.IvfPqIncrementalIndex.recluster]] —
+    * generation-swap with marker-last crash discipline; this query is
+    * the self-contained twin whose oracle re-derives decision AND
+    * consequence in one WITH clause (both chains unrolled, the census
+    * read from the CASE-selected one).
+    *
+    * Scale shape: q120's cost (the canary IS the dominant term) + one
+    * re-encode pass over the vector corpus for the chosen branch —
+    * row-local slicing against broadcast codebooks, no new shuffle
+    * regimes; the decision is ONE documented scalar barrier (two hit
+    * totals + the probe count, a single 3-long row to the driver,
+    * q113's flip-count shape). */
+  def q122AnnRecluster(embeddings: DataFrame,
+                       nCentroids: Int = Kmeans.DefaultK,
+                       nprobe: Int = 2,
+                       m: Int = DefaultM, subDim: Int = DefaultSubDim,
+                       kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+                       trainN: Int = DefaultTrainN,
+                       nQueries: Int = 32, kTop: Int = DefaultTopK,
+                       minGainHits: Long = 1L): DataFrame = {
+    val ch = canaryChains(embeddings, nCentroids, nprobe, m, subDim, kCb,
+      iters, trainN, nQueries, kTop)
+    // the decision barrier: two hit totals + the probe count — one
+    // 3-long row to the driver (the q113 flip-count discipline)
+    val dec = ch.perq
+      .agg(sum("hf").cast("long").as("thf"), sum("hr").cast("long").as("thr"),
+        count(lit(1)).as("nq")).head()
+    val (thf, thr, nq) = (dec.getLong(0), dec.getLong(1), dec.getLong(2))
+    val reclustered = thr - thf >= minGainHits
+    val (cents, rcb) =
+      if (reclustered) (ch.cFr, ch.rcbFr) else (ch.cFz, ch.rcbFz)
+    val hServed = if (reclustered) thr else thf
+    val recallServed = BigDecimal(hServed.toDouble / (nq * kTop))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact_ prefix: this census CERTIFIES the re-encode (the oracle
+    // hashes it) — a sketch would silently change the certificate, so
+    // the valve contract pins it exact at any estimated size (the
+    // residual-encode join tree's stats estimate is huge even when the
+    // corpus is small, which is exactly when the valve would fire)
+    residualCodes(embeddings, cents, rcb, m, subDim)
+      .groupBy("cid")
+      .agg(countDistinct("vec_id").as("exact_n_vectors"),
+        sum(col("sub") * kCb + col("code")).as("code_sum"))
+      .select(col("cid"), col("exact_n_vectors"), col("code_sum"),
+        lit(if (reclustered) "recluster" else "keep").as("action"),
+        lit(hServed).as("n_hits_served"),
+        lit(recallServed).as("recall_served"))
+      .orderBy("cid")
+  }
+
+  /** The full canary WITH-clause body shared by [[q120Sql]] and
+    * [[q122Sql]]: both unrolled k-means quantizers, both residual
+    * train/encode chains, the shared exact ground truth, and the
+    * per-query hit counts — ends with `perq(qid, hf, hr)` and
+    * `tot(thf, thr)` in scope. */
+  private def canarySqlCtes(nCentroids: Int, nprobe: Int, m: Int,
+                            subDim: Int, kCb: Int, iters: Int, trainN: Int,
+                            nQueries: Int, kTop: Int): String = {
     val bm = Provenance.BatchMod
     val qCap = nQueries.toLong * 2
     val resT = "list_transform(range(1, len(ed) + 1), " +
@@ -931,7 +1019,7 @@ object Pq {
          |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
          |    ORDER BY adc, vec_id) AS rn FROM ${p}adc) z WHERE rn <= $kTop)"""
         .stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
        |eb AS (SELECT * FROM e WHERE vec_id % $bm BETWEEN 1 AND 9),
        |${Kmeans.sqlCtes(nCentroids, e = "eb", p = "fz_")},
        |${Kmeans.sqlCtes(nCentroids, e = "e", p = "fr_")},
@@ -961,7 +1049,16 @@ object Pq {
        |perq AS MATERIALIZED (SELECT fzh.qid, fzh.hf, frh.hr
        |        FROM fzh JOIN frh ON frh.qid = fzh.qid),
        |tot AS (SELECT CAST(sum(hf) AS BIGINT) AS thf,
-       |               CAST(sum(hr) AS BIGINT) AS thr FROM perq)
+       |               CAST(sum(hr) AS BIGINT) AS thr FROM perq)""".stripMargin
+  }
+
+  def q120Sql(nCentroids: Int = Kmeans.DefaultK, nprobe: Int = 2,
+              m: Int = DefaultM, subDim: Int = DefaultSubDim,
+              kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+              trainN: Int = DefaultTrainN, nQueries: Int = 32,
+              kTop: Int = DefaultTopK, minGainHits: Long = 1L): String = {
+    s"""WITH ${canarySqlCtes(nCentroids, nprobe, m, subDim, kCb, iters,
+           trainN, nQueries, kTop)}
        |SELECT CAST(least(hf * 10 // $kTop, 9) AS INT) AS bucket,
        |  count(*) AS n_queries,
        |  CAST(sum(hf) AS BIGINT) AS n_hits_frozen,
@@ -975,6 +1072,46 @@ object Pq {
        |FROM perq, tot
        |GROUP BY 1, action
        |ORDER BY bucket""".stripMargin
+  }
+
+  /** q122's oracle: the shared canary CTEs + the decision CASE + BOTH
+    * post-action censuses, the final select reading from the one the
+    * decision selects — DuckDB re-derives the measurement, the choice,
+    * AND its consequence, so a hash match certifies the closed loop. */
+  def q122Sql(nCentroids: Int = Kmeans.DefaultK, nprobe: Int = 2,
+              m: Int = DefaultM, subDim: Int = DefaultSubDim,
+              kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+              trainN: Int = DefaultTrainN, nQueries: Int = 32,
+              kTop: Int = DefaultTopK, minGainHits: Long = 1L): String = {
+    // census of one chain's served codes: every subspace's encode CTE
+    // unioned (sub index attached), coarse cid joined from the chain's
+    // assignment, positional checksum over the actual code values
+    def census(p: String): String =
+      s"""${p}codes AS (SELECT a.cid, u.vec_id, u.sub, u.code
+         |  FROM (${(0 until m).map(s =>
+               s"SELECT vec_id, $s AS sub, code FROM ${p}r${s}enc")
+               .mkString(" UNION ALL ")}) u
+         |  JOIN ${p}asg a ON a.vec_id = u.vec_id),
+         |${p}census AS (SELECT cid, count(DISTINCT vec_id) AS exact_n_vectors,
+         |  CAST(sum(sub * $kCb + code) AS BIGINT) AS code_sum
+         |  FROM ${p}codes GROUP BY cid)""".stripMargin
+    s"""WITH ${canarySqlCtes(nCentroids, nprobe, m, subDim, kCb, iters,
+           trainN, nQueries, kTop)},
+       |${census("fz_")},
+       |${census("fr_")},
+       |nqs AS (SELECT count(*) AS nq FROM perq),
+       |dec AS (SELECT (thr - thf >= $minGainHits) AS trig,
+       |  CASE WHEN thr - thf >= $minGainHits THEN 'recluster' ELSE 'keep' END
+       |    AS action,
+       |  CASE WHEN thr - thf >= $minGainHits THEN thr ELSE thf END AS hs
+       |  FROM tot)
+       |SELECT c.cid, c.exact_n_vectors, c.code_sum, d.action,
+       |  CAST(d.hs AS BIGINT) AS n_hits_served,
+       |  round(d.hs / (n.nq * $kTop), 6) AS recall_served
+       |FROM (SELECT * FROM fr_census WHERE (SELECT trig FROM dec)
+       |      UNION ALL SELECT * FROM fz_census
+       |      WHERE NOT (SELECT trig FROM dec)) c, dec d, nqs n
+       |ORDER BY c.cid""".stripMargin
   }
 
   def q107Sql(nCentroids: Int = Kmeans.DefaultK, nprobe: Int = 2,

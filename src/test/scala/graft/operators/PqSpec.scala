@@ -199,4 +199,91 @@ class PqSpec extends AnyFunSuite {
     assert(Pq.trainRuns.get() === tq, "q87 on the copy must ride the loaded artifact")
     assert(a === b)
   }
+
+  test("q122 recluster response: each branch's served census ≡ a re-encode under that branch's artifacts") {
+    import org.apache.spark.sql.functions.{col, countDistinct, lit, pmod, sum}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(pmod(col("vec_id"), lit(17L)).between(1, 9))
+    def censusUnder(cents: org.apache.spark.sql.DataFrame,
+                    rcb: org.apache.spark.sql.DataFrame) =
+      Pq.residualCodes(emb, cents, rcb).groupBy("cid")
+        .agg(countDistinct("vec_id").as("exact_n_vectors"),
+          sum(col("sub") * Pq.DefaultKCb + col("code")).as("code_sum"))
+        .orderBy("cid").collect().map(_.toSeq).toSeq
+    // gate far above any possible gain → keep: frozen artifacts serve
+    val keep = Pq.q122AnnRecluster(emb, minGainHits = 1000000L).collect()
+    assert(keep.map(_.getString(3)).distinct.toSeq === Seq("keep"))
+    assert(keep.map(_.toSeq.take(3)).toSeq ===
+      censusUnder(Kmeans.centroidTable(base), Pq.residualCodebookTable(base)),
+      "keep must serve the codes encoded under the FROZEN artifacts")
+    // gate below any gain (retraining can only help or tie) → recluster
+    val re = Pq.q122AnnRecluster(emb, minGainHits = -1000000L).collect()
+    assert(re.map(_.getString(3)).distinct.toSeq === Seq("recluster"))
+    assert(re.map(_.toSeq.take(3)).toSeq ===
+      censusUnder(Kmeans.centroidTable(emb), Pq.residualCodebookTable(emb)),
+      "recluster must serve the codes re-encoded under the FRESH artifacts")
+    // served hits = the branch's canary total — keep reports the frozen
+    // total, recluster the fresh one; recall columns are constants
+    assert(keep.map(_.getLong(4)).distinct.length === 1)
+    assert(re.map(_.getLong(4)).distinct.length === 1)
+  }
+
+  test("recluster deployment form: generation swap is marker-last crash-safe, bakes retractions in, and serves the retrained artifacts") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = Files.createTempDirectory("graft_ivfpq_reclus").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val m17 = pmod(col("vec_id"), lit(17L))
+    val base = emb.filter(m17.between(1, 9))
+    val tick = emb.filter(!m17.between(1, 9))
+    val cFz = Kmeans.centroidTable(base)
+    val rcbFz = Pq.residualCodebookTable(base)
+
+    val idx = ArtifactStore.ivfPqIncremental(spark, root, "serveG")
+    idx.bootstrap(base, cFz, rcbFz)
+    idx.appendVectors(tick, cFz, rcbFz)
+    // takedown before the recluster: the re-encode must exclude it
+    val gone = emb.select("vec_id").orderBy("vec_id").limit(1)
+    idx.retractVectors(gone)
+    val goneId = gone.collect()(0).getLong(0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id", "sub").collect().map(_.toSeq).toSeq
+    val beforeSwap = rows(idx.codes())
+    assert(idx.generation === 1L && idx.servingArtifacts().isEmpty)
+
+    // CRASH: next generation fully built but the marker never commits —
+    // every reader still resolves generation 1, bit-for-bit
+    val cFr = Kmeans.centroidTable(emb)
+    val rcbFr = Pq.residualCodebookTable(emb)
+    val g2 = idx.buildNextGeneration(emb, cFr, rcbFr)
+    assert(g2 === 2L)
+    assert(idx.generation === 1L, "uncommitted generation must not serve")
+    assert(rows(idx.codes()) === beforeSwap,
+      "a crashed recluster must leave the old generation serving")
+
+    // re-run after the crash: rebuilds generation 2 idempotently and
+    // commits — served codes = a full re-encode of the LIVE corpus
+    // (retraction baked in) under the fresh artifacts
+    assert(idx.recluster(emb, cFr, rcbFr) === 2L)
+    assert(idx.generation === 2L)
+    val live = emb.filter(col("vec_id") =!= goneId)
+    assert(rows(idx.codes()) === rows(Pq.residualCodes(live, cFr, rcbFr)))
+    assert(idx.codes().filter(col("vec_id") === goneId).count() === 0L)
+    val (sc, sr) = idx.servingArtifacts().get
+    assert(rows2(sc) === rows2(cFr) && rows2(sr) === rows2(rcbFr),
+      "the new generation must serve the artifacts it was built under")
+
+    // the post-swap index is a full citizen: appends encode into the
+    // new generation's store, retraction works on it
+    val n2 = idx.codes().count()
+    idx.retractVectors(emb.select("vec_id")
+      .filter(col("vec_id") =!= goneId).orderBy("vec_id").limit(1))
+    assert(idx.codes().count() < n2,
+      "retraction must keep working after the swap")
+  }
+
+  private def rows2(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq.map {
+      case s: Seq[_] => s.toList
+      case x => x
+    }).toSeq.sortBy(_.toString)
 }
