@@ -200,6 +200,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         post-action per-cluster code census + served
   *                         recall (deployment form: io.ArtifactStore
   *                         .IvfPqIncrementalIndex.recluster)
+  *  - q123_census_retraction: the q117 takedown leg composed with
+  *                         q121's maintained census — the one state
+  *                         family an anti-join cannot retract from, so
+  *                         the retracted docs' NEGATED increment is
+  *                         appended; oracle re-mines with a WHERE
+  *                         clause, certifying subtraction ≡ removal
+  *                         (store form: GramCensusIncrementalIndex
+  *                         .retractDocs, guarded by IngestLoop
+  *                         .retractTick's tombstone existence check)
   */
 object SparkEntry {
 
@@ -344,6 +353,8 @@ object SparkEntry {
     "q121_incremental_curation" -> t("documents")(
       SubstringDedup.q121IncrementalCuration(_)),
     "q122_ann_recluster" -> t("embeddings")(Pq.q122AnnRecluster(_)),
+    "q123_census_retraction" -> t("documents")(
+      SubstringDedup.q123CensusRetraction(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -471,5 +482,6 @@ object SparkEntry {
     "q120_ann_recall_canary" -> Pq.q120Sql(),
     "q121_incremental_curation" -> SubstringDedup.q121Sql(),
     "q122_ann_recluster" -> Pq.q122Sql(),
+    "q123_census_retraction" -> SubstringDedup.q123Sql(),
   )
 }

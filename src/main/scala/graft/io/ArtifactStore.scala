@@ -560,7 +560,7 @@ object ArtifactStore {
     * k-gram census feeding the q90 boilerplate winners and the
     * q86/q91/q95 duplicated-gram statistics, maintained per ingest tick
     * — the [[Bm25IncrementalIndex]] pattern applied to curation: each
-    * tick appends ONLY its admitted docs' (h, df_docs, n_occ) census
+    * tick appends ONLY its admitted docs' (h, exact_df_docs, n_occ) census
     * increment ([[graft.operators.SubstringDedup.censusOf]] — additive
     * because a doc is admitted in exactly one tick), and the served
     * census/winner set is one merge aggregate over the accumulated
@@ -597,10 +597,36 @@ object ArtifactStore {
 
     /** The q86/q91 duplicated-gram hash set (global df ≥ 2). */
     def dupHashes(): DataFrame =
-      census().filter(col("df_docs") >= 2).select("h")
+      census().filter(col("exact_df_docs") >= 2).select("h")
 
+    /** RETRACT docs from the maintained census (q123's store form) by
+      * appending their NEGATED increment — the census is the one state
+      * family an anti-join cannot retract from (no doc_id column), so
+      * the takedown leg subtracts instead: merged counts return to the
+      * re-mine-without-them values exactly ([[graft.operators
+      * .SubstringDedup.negCensusOf]]). Needs the docs' text; must not
+      * be called twice for the same doc (the caller's tombstone store
+      * is the existence check — [[IngestLoop.retractTick]]). */
+    def retractDocs(docs: DataFrame): Long =
+      censusStore.appendTick(
+        graft.operators.SubstringDedup.negCensusOf(docs, k))
+
+    /** Tick-keyed idempotent retraction — a replayed takedown
+      * overwrites its own negative increment instead of double-
+      * subtracting. */
+    def retractDocsAt(t: Long, docs: DataFrame): Unit =
+      censusStore.appendTickAt(t,
+        graft.operators.SubstringDedup.negCensusOf(docs, k))
+
+    /** Compaction folds increments (positive and negative) to one row
+      * per gram and DROPS fully-retracted grams (both counts zeroed) —
+      * reads don't need the drop (df 0 never passes a ≥ 2 gate), so a
+      * crash mid-fold leaves every verdict unchanged (the
+      * [[IngestStateStore.compactWith]] idempotence contract). */
     def compact(targetBytes: Long = 128L * 1024 * 1024): Int =
-      censusStore.compactWith(graft.operators.SubstringDedup.mergeCensus,
+      censusStore.compactWith(df =>
+        graft.operators.SubstringDedup.mergeCensus(df)
+          .filter(col("exact_df_docs") =!= 0 || col("n_occ") =!= 0),
         targetBytes)
   }
 

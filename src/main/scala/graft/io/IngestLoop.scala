@@ -103,9 +103,25 @@ object IngestLoop {
     * of the whole retraction loop is [[Provenance.q117RetractionTick]];
     * RetractionSpec pins this store form ≡ that live form. */
   def retractTick(st: Stores, docIds: DataFrame,
-                  idx: Option[ArtifactStore.Bm25IncrementalIndex] = None): Long = {
-    idx.foreach(_.retractDocs(docIds))
-    st.tombs.appendTick(docIds.select("doc_id"))
+                  idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
+                  census: Option[(ArtifactStore.GramCensusIncrementalIndex,
+                                  DataFrame)] = None): Long = {
+    // Docs already tombstoned are dropped BEFORE any leg runs: the
+    // anti-join legs (dedup stores, BM25 postings, IVF-PQ codes) are
+    // naturally idempotent under a repeated takedown, but the census
+    // leg SUBTRACTS (q123) — a double retraction would subtract twice.
+    // The tombstone store is the existence check for all of them.
+    val ids = docIds.select("doc_id")
+    val fresh = st.tombs.current()
+      .fold(ids)(tb =>
+        ids.join(tb.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+    idx.foreach(_.retractDocs(fresh))
+    // census retraction needs the docs' TEXT (census rows carry no
+    // doc_id to anti-join) — the caller passes the retracted documents
+    census.foreach { case (cIdx, docs) =>
+      cIdx.retractDocs(docs.join(fresh, Seq("doc_id"), "left_semi"))
+    }
+    st.tombs.appendTick(fresh)
   }
 
   /** The tick this run should PRODUCE, with crash recovery: normally

@@ -117,32 +117,59 @@ object SubstringDedup {
     * never re-mined. */
   val censusRuns = new java.util.concurrent.atomic.AtomicLong
 
-  /** One batch's k-gram census increment: (h, df_docs, n_occ) — the
-    * unit [[graft.io.ArtifactStore.GramCensusIncrementalIndex]]
+  /** One batch's k-gram census increment: (h, exact_df_docs, n_occ) —
+    * the unit [[graft.io.ArtifactStore.GramCensusIncrementalIndex]]
     * appends per ingest tick. ADDITIVE across ticks because a document
-    * is admitted in exactly one tick: global df_docs(h) = Σ per-tick
+    * is admitted in exactly one tick: global df(h) = Σ per-tick
     * distinct-doc counts (no doc straddles ticks), n_occ likewise — so
     * the corpus-global census q90/q91/q95 feed on is maintainable
     * without re-mining old text (the Bm25IncrementalIndex argument,
-    * applied to curation state: r10 verdict item 5). */
+    * applied to curation state: r10 verdict item 5).
+    *
+    * exact_ prefix: this df feeds the `>= 2` duplicated-gram filter
+    * and the winner top-N — the SELECTION sites the valve contract
+    * names verbatim ([[graft.catalyst.ApproxDistinctAboveThreshold]]);
+    * the exploding postings child is precisely the plan whose stats
+    * estimate trips the valve at scale, and a sketched df stored into
+    * the census would corrupt every later tick's verdicts. */
   def censusOf(docs: DataFrame, k: Int = DefaultK): DataFrame = {
     censusRuns.incrementAndGet()
     postings(docs, k).groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("df_docs"),
+      .agg(countDistinct(col("doc_id")).as("exact_df_docs"),
         count(lit(1)).as("n_occ"))
   }
 
   /** Merge census increments — one groupBy-sum over tiny hash rows. */
   def mergeCensus(parts: DataFrame): DataFrame =
     parts.groupBy("h")
-      .agg(sum("df_docs").as("df_docs"), sum("n_occ").as("n_occ"))
+      .agg(sum("exact_df_docs").as("exact_df_docs"), sum("n_occ").as("n_occ"))
+
+  /** A retraction's census increment: [[censusOf]] NEGATED. The census
+    * has no doc_id column to anti-join a tombstone against — it is the
+    * one state family where retraction must SUBTRACT rather than
+    * filter — and because a doc's contribution is exactly
+    * censusOf(that doc), appending its negation restores the merged
+    * census to what a full re-mine without the doc would produce
+    * (grams it alone duplicated drop below the df ≥ 2 gate; fully-
+    * retracted grams zero out and compaction drops them). Requires the
+    * retracted docs' TEXT (a takedown carries its document, or the
+    * loop re-reads it from the raw store) — tick-sized, like every
+    * other retraction leg. Callers must not retract the same doc
+    * twice (double subtraction); [[graft.io.IngestLoop]]'s tombstone
+    * store is the existence check, and replay safety comes from
+    * tick-keyed writes ([[graft.io.ArtifactStore
+    * .GramCensusIncrementalIndex.retractDocsAt]]). */
+  def negCensusOf(docs: DataFrame, k: Int = DefaultK): DataFrame =
+    censusOf(docs, k).select(col("h"),
+      (-col("exact_df_docs")).as("exact_df_docs"),
+      (-col("n_occ")).as("n_occ"))
 
   /** The q90 winner selection over a MERGED census — bit-equal to
-    * [[winnerHashes]]'s full re-mine because merged df_docs is the
-    * exact global distinct-doc count (spec-pinned). */
+    * [[winnerHashes]]'s full re-mine because merged exact_df_docs is
+    * the exact global distinct-doc count (spec-pinned). */
   def winnersFromCensus(census: DataFrame, topN: Int = 20): DataFrame =
-    census.filter(col("df_docs") >= 2)
-      .orderBy(desc("df_docs"), asc("h")).limit(topN)
+    census.filter(col("exact_df_docs") >= 2)
+      .orderBy(desc("exact_df_docs"), asc("h")).limit(topN)
       .select("h")
 
   /** q121: the TICK-SHAPED incremental curation pass — r10 verdict
@@ -168,10 +195,57 @@ object SubstringDedup {
     val corpus = documents.filter(m =!= 0)
     val batch = documents.filter(m === 0)
     val merged = mergeCensus(censusOf(corpus, k).union(censusOf(batch, k)))
-    val dup = merged.filter(col("df_docs") >= 2).select("h")
+    val dup = merged.filter(col("exact_df_docs") >= 2).select("h")
     coverageAgainstDup(batch,
       postings(batch, k).select("doc_id", "n_tokens", "i", "h"), dup, k)
       .orderBy("doc_id")
+  }
+
+  /** q123: RETRACTION REACHES THE CURATION CENSUS — the q117 takedown
+    * leg composed with q121's maintained state (the one state family
+    * an anti-join cannot retract from, because census rows carry no
+    * doc_id): a corpus slice (doc_id % 17 == 6 — a class that SHARES
+    * covering grams with the batch, so the takedown is DECISIVE: at
+    * least one batch doc's coverage drops) is retracted by
+    * appending its NEGATED census increment ([[negCensusOf]]), and the
+    * batch (doc_id % 17 == 0) is then judged against the subtracted
+    * census — corpus + batch − retracted, merged, df ≥ 2. The oracle
+    * re-mines documents WITH THE RETRACTED DOCS REMOVED BY A WHERE
+    * CLAUSE, so a hash match certifies subtraction ≡ removal: grams
+    * the retracted docs alone made duplicated stop covering batch
+    * spans. Output: the q86 columns for the batch docs.
+    *
+    * Store form: [[graft.io.ArtifactStore.GramCensusIncrementalIndex
+    * .retractDocs]] (SubstringDedupSpec pins store ≡ live ≡ re-mine).
+    *
+    * Scale shape: q121's tick cost + one tick-sized census pass over
+    * the retracted docs (their text only — the corpus is still never
+    * re-tokenized). */
+  def q123CensusRetraction(documents: DataFrame,
+                           k: Int = DefaultK): DataFrame = {
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = documents.filter(m =!= 0)
+    val batch = documents.filter(m === 0)
+    val retracted = documents.filter(m === 6)
+    val merged = mergeCensus(censusOf(corpus, k).union(censusOf(batch, k))
+      .union(negCensusOf(retracted, k)))
+    val dup = merged.filter(col("exact_df_docs") >= 2).select("h")
+    coverageAgainstDup(batch,
+      postings(batch, k).select("doc_id", "n_tokens", "i", "h"), dup, k)
+      .orderBy("doc_id")
+  }
+
+  def q123Sql(k: Int = DefaultK): String = {
+    val bm = Provenance.BatchMod
+    s"""WITH ${coverageSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm <> 6)", k)}
+       |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       |  coalesce(ag.n_dup_grams, 0) AS n_dup_grams,
+       |  coalesce(ag.covered_tokens, 0) AS covered_tokens,
+       |  round(coalesce(ag.covered_tokens, 0) / CAST(b.n_tokens AS DOUBLE), 6) AS dup_frac
+       |FROM base b LEFT JOIN agg ag USING (doc_id)
+       |WHERE b.doc_id % $bm = 0
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Spec-visible [[coverageAgainstDup]] over a (h) dup set — lets

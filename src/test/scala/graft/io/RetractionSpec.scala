@@ -230,4 +230,35 @@ class RetractionSpec extends AnyFunSuite {
       col("mmax") < col("fmax")).count() === 0L,
       "merged bounds must contain the true post-retraction bounds")
   }
+
+  test("census leg rides retractTick; the tombstone existence check prevents double subtraction on a replayed takedown") {
+    val root = Files.createTempDirectory("graft_retr_census").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    val retracted = corpus.filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) === Provenance.RetractRem)
+    val survivors = corpus.join(retracted.select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+    val st = IngestLoop.stores(spark, root, "retr_cen")
+    IngestLoop.bootstrap(st, corpus)
+    val cidx = ArtifactStore.gramCensusIncremental(spark, root, "retr_cen_idx")
+    cidx.bootstrap(corpus)
+
+    IngestLoop.retractTick(st, retracted.select("doc_id"),
+      census = Some((cidx, docs)))
+    val expect = graft.operators.SubstringDedup
+      .winnersFromCensus(graft.operators.SubstringDedup.censusOf(survivors))
+      .collect().map(_.getLong(0)).toSeq
+    assert(cidx.winners().collect().map(_.getLong(0)).toSeq === expect,
+      "the census leg must subtract the retracted docs' contribution")
+
+    // the SAME takedown arrives again (an at-least-once upstream): the
+    // tombstone store already carries the ids, so the census leg gets
+    // an empty fresh set — no second subtraction
+    IngestLoop.retractTick(st, retracted.select("doc_id"),
+      census = Some((cidx, docs)))
+    assert(cidx.winners().collect().map(_.getLong(0)).toSeq === expect,
+      "a replayed takedown must not subtract twice")
+  }
 }

@@ -190,6 +190,69 @@ class SubstringDedupSpec extends AnyFunSuite {
       "store-served census must judge the batch identically to the live form")
   }
 
+  test("census retraction (q123): negated increment ≡ re-mine without the docs; replay-idempotent; compaction drops zeroed grams") {
+    import java.nio.file.Files
+    import graft.io.{ArtifactStore, Tables}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m =!= 0)
+    val batch = docs.filter(m === 0)
+    val retracted = docs.filter(m === 6)
+    val survivors = docs.filter(m =!= 6)
+
+    val root = Files.createTempDirectory("graft_gram_retract").toString
+    val idx = ArtifactStore.gramCensusIncremental(spark, root, "census2")
+    idx.bootstrap(corpus)
+    idx.appendDocs(batch)
+    val tR = idx.retractDocs(retracted)
+
+    // maintained winners after the subtraction ≡ a full re-mine of the
+    // surviving corpus — the algebra q123's oracle certifies
+    val maintained = idx.winners().collect().map(_.getLong(0)).toSeq
+    val remined = SubstringDedup
+      .winnerHashes(survivors, SubstringDedup.DefaultK, 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(maintained === remined,
+      "subtracting a doc's census must equal never having mined it")
+
+    // q123 live form ≡ the q86 re-mine without the retracted docs,
+    // restricted to batch rows
+    val q123 = SubstringDedup.q123CensusRetraction(docs)
+      .collect().map(_.toSeq).toSeq
+    val q86b = SubstringDedup.q86SubstringDups(survivors)
+      .filter(m === 0).collect().map(_.toSeq).toSeq
+    assert(q123.nonEmpty && q123 === q86b)
+
+    // DECISIVE: the retracted class shares covering grams with the
+    // batch, so at least one batch doc's coverage actually drops vs the
+    // no-retraction judgement (q121) — the takedown is observable, not
+    // a no-op certified by construction
+    val q121 = SubstringDedup.q121IncrementalCuration(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(q123 !== q121,
+      "retraction must change at least one batch doc's coverage")
+
+    // store-served dup set judges the batch identically to the live form
+    val viaStore = SubstringDedup
+      .coverageAgainstDupForSpec(batch, idx.dupHashes())
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaStore === q123)
+
+    // a REPLAYED takedown (same tick key) must not subtract twice
+    idx.retractDocsAt(tR, retracted)
+    assert(idx.winners().collect().map(_.getLong(0)).toSeq === maintained)
+
+    // compaction folds positives and negatives to one row per gram,
+    // drops fully-zeroed grams, and changes no verdict
+    assert(idx.compact() > 0)
+    assert(idx.winners().collect().map(_.getLong(0)).toSeq === maintained)
+    val folded = idx.censusStore.current().get
+    assert(folded.filter(col("exact_df_docs") === 0 && col("n_occ") === 0)
+      .count() === 0L, "fully-retracted grams must leave the folded store")
+    assert(folded.groupBy("h").count().filter(col("count") > 1).count() === 0L)
+  }
+
   test("real corpus: bounds hold and exact-dup docs are fully covered") {
     val docs = Tables.load(spark, sf, "documents")
     val out = SubstringDedup.q86SubstringDups(docs).collect()
