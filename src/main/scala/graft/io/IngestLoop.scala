@@ -149,8 +149,11 @@ object IngestLoop {
   }
 
   private def nextTick(st: Stores,
-                       idx: Option[ArtifactStore.Bm25IncrementalIndex]): Long =
-    nextTickOf(Seq(st.hashes, st.bands, st.shingles) ++ idx.map(_.tfStore))
+                       idx: Option[ArtifactStore.Bm25IncrementalIndex],
+                       census: Option[ArtifactStore.GramCensusIncrementalIndex]
+                         = None): Long =
+    nextTickOf(Seq(st.hashes, st.bands, st.shingles) ++ idx.map(_.tfStore)
+      ++ census.map(_.censusStore))
 
   /** Judge one batch against the accumulated state, fold the admitted
     * docs' increments back, and return the per-source q103 report
@@ -172,8 +175,11 @@ object IngestLoop {
   private def runTickImpl(st: Stores,
                           idx: Option[ArtifactStore.Bm25IncrementalIndex],
                           batchDocs: DataFrame, w: Seq[Double],
-                          threshold: Double, lowFrac: Double): DataFrame = {
-    val t = nextTick(st, idx)
+                          threshold: Double, lowFrac: Double,
+                          census: Option[
+                            ArtifactStore.GramCensusIncrementalIndex] = None)
+      : DataFrame = {
+    val t = nextTick(st, idx, census)
     // every state read resolves through the tombstone store: retracted
     // docs' rows are invisible whether or not a compaction folded them
     val state = resolved(st, st.hashes.currentUpTo(t - 1).getOrElse(
@@ -194,6 +200,7 @@ object IngestLoop {
     st.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
     st.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
     idx.foreach(_.appendDocsAt(t, admDocs))
+    census.foreach(_.appendDocsAt(t, admDocs))
     Provenance.gatedTickReport(v)
   }
 
@@ -238,6 +245,29 @@ object IngestLoop {
                            threshold: Double = 0.2,
                            lowFrac: Double = 0.25): DataFrame =
     runTickImpl(st, Some(idx), batchDocs, w, threshold, lowFrac)
+
+  /** The FULL deployment tick — every maintained state family fed from
+    * the one checkpointed verdict frame: the three dedup stores, the
+    * BM25 postings ([[runTickWithRetrieval]]'s leg), and the curation
+    * gram census ([[ArtifactStore.GramCensusIncrementalIndex]] —
+    * q121's state), so a deployment that deduplicates, serves
+    * retrieval, AND curates per-tick maintains all five stores in one
+    * pass: the admitted set is derived once, admitted text is
+    * tokenized once per consumer seam, and no store can disagree about
+    * what was ingested. The census store participates in the tick
+    * agreement, so a crash between ANY pair of appends (including
+    * after the postings but before the census) makes the lag visible
+    * and the whole tick is redone idempotently (IngestLoopSpec pins
+    * the five-store replay). Retraction composes: [[retractTick]]'s
+    * census leg subtracts what this tick's census appends added. */
+  def runFullTick(st: Stores,
+                  idx: ArtifactStore.Bm25IncrementalIndex,
+                  census: ArtifactStore.GramCensusIncrementalIndex,
+                  batchDocs: DataFrame, w: Seq[Double],
+                  threshold: Double = 0.2,
+                  lowFrac: Double = 0.25): DataFrame =
+    runTickImpl(st, Some(idx), batchDocs, w, threshold, lowFrac,
+      census = Some(census))
 
   // ---- unified MULTIMODAL admission (q118's deployment form) -----------
 

@@ -305,4 +305,70 @@ class IngestLoopSpec extends AnyFunSuite {
       === Retrieval.topkFromIndex(idxA.index(), queries).collect().map(_.toSeq).toSeq,
       "repaired postings must rank exactly like the uncrashed index")
   }
+
+  test("full deployment tick: dedup + BM25 + gram census fed from one verdict frame; census lag forces a five-store redo; retraction subtracts what the tick added") {
+    import graft.operators.{Retrieval, SubstringDedup}
+    val root = Files.createTempDirectory("graft_ingest_full").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    val t1 = docs.filter(m >= 10)
+    val t2 = docs.filter(m === 0)
+    val w = QualityModel.weights(corpus,
+      scope = s"multitick${Provenance.BatchMod}")
+
+    def build(name: String) = {
+      val st = IngestLoop.stores(spark, root, name)
+      IngestLoop.bootstrap(st, corpus)
+      val idx = ArtifactStore.bm25Incremental(spark, root, name)
+      idx.bootstrap(corpus)
+      val cen = ArtifactStore.gramCensusIncremental(spark, root, s"${name}_cen")
+      cen.bootstrap(corpus)
+      (st, idx, cen)
+    }
+    val (stA, idxA, cenA) = build("full_clean")
+    val rep1 = rows(IngestLoop.runFullTick(stA, idxA, cenA, t1, w))
+    val rep2 = rows(IngestLoop.runFullTick(stA, idxA, cenA, t2, w))
+    assert(rep1.nonEmpty && rep2.nonEmpty)
+
+    // the served census ≡ a full re-mine over base ∪ all admissions —
+    // the two-tick twin of the q121 additivity pin, driven by the loop
+    val admitted = docs.join(
+      stA.hashes.current().get.select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(cenA.winners().collect().map(_.getLong(0)).toSeq ===
+      SubstringDedup.winnersFromCensus(SubstringDedup.censusOf(admitted))
+        .collect().map(_.getLong(0)).toSeq,
+      "tick-maintained census must equal a re-mine of the ingested corpus")
+
+    // CRASH: the four-store tick lands (dedup + postings) but the
+    // census append never does — the census store's lag must force the
+    // REDO of the whole tick, reproducing identical verdicts
+    val (stB, idxB, cenB) = build("full_crash")
+    IngestLoop.runTickWithRetrieval(stB, idxB, t1, w)
+    assert(stB.shingles.maxTick === 2L && cenB.censusStore.maxTick === 1L,
+      "precondition: dedup+postings at tick 2, census lags")
+    val replay = rows(IngestLoop.runFullTick(stB, idxB, cenB, t1, w))
+    assert(replay === rep1,
+      "five-store replay must reproduce the uncrashed verdicts")
+    assert(cenB.censusStore.maxTick === 2L, "census append repaired")
+
+    // retraction closes over the tick: retract tick 1's admissions
+    // (census leg included) — the census returns to base ∪ tick-2
+    val t1Adm = stA.hashes.currentUpTo(2).get.select("doc_id")
+      .join(stA.hashes.currentUpTo(1).get.select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    IngestLoop.retractTick(stA, t1Adm,
+      idx = Some(idxA), census = Some((cenA, docs)))
+    val surviving = admitted.join(t1Adm, Seq("doc_id"), "left_anti")
+    assert(cenA.winners().collect().map(_.getLong(0)).toSeq ===
+      SubstringDedup.winnersFromCensus(SubstringDedup.censusOf(surviving))
+        .collect().map(_.getLong(0)).toSeq,
+      "retraction must subtract exactly what the tick's census added")
+    assert(Retrieval.topkFromIndex(idxA.index(),
+        docs.filter(pmod(col("doc_id"), lit(50L)) === 7))
+      .collect().map(_.toSeq).toSeq ===
+      Retrieval.topkFromIndex(Retrieval.index(surviving),
+        docs.filter(pmod(col("doc_id"), lit(50L)) === 7))
+      .collect().map(_.toSeq).toSeq,
+      "the BM25 leg of the same takedown serves the surviving corpus")
+  }
 }
