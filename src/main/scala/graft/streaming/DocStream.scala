@@ -323,7 +323,8 @@ object DocStream {
                                  outPath: String, checkpoint: String,
                                  threshold: Double = 0.2,
                                  lowFrac: Double = 0.25,
-                                 idx: Option[graft.io.ArtifactStore.Bm25IncrementalIndex] = None)
+                                 idx: Option[graft.io.ArtifactStore.Bm25IncrementalIndex] = None,
+                                 census: Option[graft.io.ArtifactStore.GramCensusIncrementalIndex] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     admissionStreamWithText(docs, corpusHashes)
       .writeStream.outputMode("append")
@@ -357,6 +358,13 @@ object DocStream {
         // The index must be bootstrapped from the same corpus as the
         // stores (idx.bootstrap — tick 1).
         idx.foreach(_.appendDocsAt(stateTick + 1, adm))
+        // STREAMING CURATION FOLD (the runFullTick symmetry): the gram
+        // census follows the same batch-id-keyed ticks, so a streaming
+        // deployment's q121-style curation state never lags admissions
+        // either — same replay discipline (a redelivered batch
+        // overwrites its own census increment; the subtraction leg of
+        // a takedown composes via IngestLoop.retractTick as in batch).
+        census.foreach(_.appendDocsAt(stateTick + 1, adm))
       }
       .start()
   }

@@ -472,6 +472,11 @@ class DocStreamSpec extends AnyFunSuite {
     val idx = graft.io.ArtifactStore.bm25Incremental(spark, artRoot, "foldloop")
     idx.bootstrap(documents)
     val tok0 = graft.operators.Retrieval.tokenizeRuns.get()
+    // ... and maintains curation state (the runFullTick symmetry)
+    val cen = graft.io.ArtifactStore.gramCensusIncremental(
+      spark, artRoot, "foldloop_cen")
+    cen.bootstrap(documents)
+    val cenRuns0 = graft.operators.SubstringDedup.censusRuns.get()
 
     val dir = Files.createTempDirectory("graft_fold_jsonl")
     val ckpt = Files.createTempDirectory("graft_fold_ckpt").toString
@@ -489,7 +494,7 @@ class DocStreamSpec extends AnyFunSuite {
       // test isolates the FOLD (the budget leg is the gated test above)
       DocStream.foldingGatedAdmissionQuery(raw,
         hashes.select(col("ch").as("h")), st, w, outDir, ckpt,
-        lowFrac = 0.0, idx = Some(idx))
+        lowFrac = 0.0, idx = Some(idx), census = Some(cen))
     }
 
     // tick 1: X admitted → folded into the stores; then KILL
@@ -547,6 +552,19 @@ class DocStreamSpec extends AnyFunSuite {
     assert(served.nonEmpty && served === rebuilt,
       "stream-folded postings must rank exactly like a rebuild over " +
         "base ∪ admissions — the served index never lags the dedup state")
+
+    // STREAMING CURATION FOLD: the census followed the same ticks — the
+    // maintained winner set must equal a re-mine of base ∪ admissions,
+    // with each batch census-mined exactly once (no old tick re-mined)
+    import graft.operators.SubstringDedup
+    assert(cen.censusStore.maxTick === 3L,
+      "census increments fold batch-id-keyed alongside the dedup stores")
+    assert(SubstringDedup.censusRuns.get() - cenRuns0 <= 2L,
+      "each micro-batch's admissions are census-mined exactly once")
+    assert(cen.winners().collect().map(_.getLong(0)).toSeq ===
+      SubstringDedup.winnersFromCensus(SubstringDedup.censusOf(rebuildCorpus))
+        .collect().map(_.getLong(0)).toSeq,
+      "stream-folded census must equal a re-mine over base ∪ admissions")
   }
 
   test("gated admission stream (q103 twin): one tick reconciles with the batch report") {
