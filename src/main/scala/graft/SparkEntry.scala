@@ -209,6 +209,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         (store form: GramCensusIncrementalIndex
   *                         .retractDocs, guarded by IngestLoop
   *                         .retractTick's tombstone existence check)
+  *  - q124_ann_ingest_tick: the ANN SERVING leg of the deployment tick
+  *                         — a q103 admission tick whose admitted docs'
+  *                         embeddings encode under the FROZEN
+  *                         corpus-trained IVFADC artifacts and join the
+  *                         served index; output = per-cluster census of
+  *                         base ∪ admitted codes with the q122
+  *                         positional checksum (deployment form:
+  *                         IngestLoop.runFullTick + AnnLeg; retraction
+  *                         via retractTick's ANN leg; streaming twin in
+  *                         DocStream.foldingGatedAdmissionQuery)
   */
 object SparkEntry {
 
@@ -355,6 +365,8 @@ object SparkEntry {
     "q122_ann_recluster" -> t("embeddings")(Pq.q122AnnRecluster(_)),
     "q123_census_retraction" -> t("documents")(
       SubstringDedup.q123CensusRetraction(_)),
+    "q124_ann_ingest_tick" -> ((s, dir) => Pq.q124AnnIngestTick(
+      Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -483,5 +495,6 @@ object SparkEntry {
     "q121_incremental_curation" -> SubstringDedup.q121Sql(),
     "q122_ann_recluster" -> Pq.q122Sql(),
     "q123_census_retraction" -> SubstringDedup.q123Sql(),
+    "q124_ann_ingest_tick" -> Pq.q124Sql(),
   )
 }

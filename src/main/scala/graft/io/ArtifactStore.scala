@@ -467,7 +467,8 @@ object ArtifactStore {
     private[graft] def buildNextGeneration(vectors: DataFrame,
                                            cents: DataFrame, rcb: DataFrame,
                                            m: Int = Pq.DefaultM,
-                                           subDim: Int = Pq.DefaultSubDim): Long = {
+                                           subDim: Int = Pq.DefaultSubDim,
+                                           baseTick: Long = 1L): Long = {
       val g = generation + 1
       val live = tombStore.current().fold(vectors)(tb =>
         vectors.join(tb.select("vec_id").distinct(), Seq("vec_id"), "left_anti"))
@@ -476,8 +477,15 @@ object ArtifactStore {
       rcb.write.mode("overwrite")
         .parquet(s"$root/ingest_state/${storeName("rcb", g)}")
       val st = ingestState(spark, root, storeName("codes", g))
-      st.appendTickAt(1, graft.operators.Pq.residualCodes(live, cents, rcb,
-        m, subDim))
+      val codes = graft.operators.Pq.residualCodes(live, cents, rcb, m, subDim)
+      // baseTick > 1: the re-encode claims coverage of loop ticks
+      // 1..baseTick (gen-base layout), so when this index rides an
+      // IngestLoop tick agreement ([[IngestLoop.AnnLeg]]) a recluster
+      // between loop ticks leaves maxTick aligned with the dedup
+      // stores instead of resetting to 1 — the next loop tick appends
+      // contiguously at baseTick+1 and the coverage guard holds.
+      if (baseTick <= 1L) st.appendTickAt(1, codes)
+      else st.writeGenerationAt(baseTick, codes)
       g
     }
 
@@ -494,8 +502,9 @@ object ArtifactStore {
       * Returns the new generation number. */
     def recluster(vectors: DataFrame, cents: DataFrame, rcb: DataFrame,
                   m: Int = Pq.DefaultM,
-                  subDim: Int = Pq.DefaultSubDim): Long = {
-      val g = buildNextGeneration(vectors, cents, rcb, m, subDim)
+                  subDim: Int = Pq.DefaultSubDim,
+                  baseTick: Long = 1L): Long = {
+      val g = buildNextGeneration(vectors, cents, rcb, m, subDim, baseTick)
       commitGeneration(g)
       g
     }
@@ -760,6 +769,20 @@ object ArtifactStore {
     def appendTickAt(t: Long, increment: DataFrame): Unit = {
       require(t >= 1, s"tick numbers start at 1, got $t")
       increment.write.mode("overwrite").parquet(s"$base/tick=$t")
+    }
+
+    /** IDEMPOTENT generation-base write: persist `df` as `gen=$g`, the
+      * layout meaning "this covers ticks 1..g" — so a store REBUILT
+      * from scratch mid-loop (an ANN recluster's re-encode,
+      * [[IvfPqIncrementalIndex.recluster]] with `baseTick` > 1) can
+      * re-enter a tick-agreement protocol at the loop's CURRENT tick
+      * instead of restarting at 1: `maxTick` reads g, subsequent
+      * appends land at g+1, g+2, … and [[currentUpTo]]'s coverage
+      * guard holds (a gen base + contiguous ticks). Overwrite-safe
+      * like [[appendTickAt]]. */
+    def writeGenerationAt(g: Long, df: DataFrame): Unit = {
+      require(g >= 1, s"generation numbers start at 1, got $g")
+      df.write.mode("overwrite").parquet(s"$base/gen=$g")
     }
 
     /** The state AS OF tick `maxT` inclusive — what a replayed

@@ -105,7 +105,9 @@ object IngestLoop {
   def retractTick(st: Stores, docIds: DataFrame,
                   idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
                   census: Option[(ArtifactStore.GramCensusIncrementalIndex,
-                                  DataFrame)] = None): Long = {
+                                  DataFrame)] = None,
+                  ann: Option[ArtifactStore.IvfPqIncrementalIndex] = None)
+      : Long = {
     // Docs already tombstoned are dropped BEFORE any leg runs: the
     // anti-join legs (dedup stores, BM25 postings, IVF-PQ codes) are
     // naturally idempotent under a repeated takedown, but the census
@@ -121,6 +123,11 @@ object IngestLoop {
     census.foreach { case (cIdx, docs) =>
       cIdx.retractDocs(docs.join(fresh, Seq("doc_id"), "left_semi"))
     }
+    // ANN leg (the q124 serving index): a takedown's code rows leave
+    // every codes() read via the index's own vec_id tombstones —
+    // idempotent anti-join, folded out at the index's next compaction
+    // or baked into the next recluster's re-encode
+    ann.foreach(_.retractVectors(fresh.select(col("doc_id").as("vec_id"))))
     st.tombs.appendTick(fresh)
   }
 
@@ -151,9 +158,29 @@ object IngestLoop {
   private def nextTick(st: Stores,
                        idx: Option[ArtifactStore.Bm25IncrementalIndex],
                        census: Option[ArtifactStore.GramCensusIncrementalIndex]
-                         = None): Long =
+                         = None,
+                       ann: Option[AnnLeg] = None): Long =
     nextTickOf(Seq(st.hashes, st.bands, st.shingles) ++ idx.map(_.tfStore)
-      ++ census.map(_.censusStore))
+      ++ census.map(_.censusStore) ++ ann.map(_.idx.codeStore))
+
+  /** The ANN SERVING leg of a deployment tick (q124,
+    * [[graft.operators.Pq.q124AnnIngestTick]]): the loop additionally
+    * maintains an IVF-PQ index over the admitted docs' embeddings —
+    * `vectors` is the (vec_id, embedding) side table keyed by doc_id,
+    * semi-joined per tick on the admitted set; codes encode under the
+    * index's CURRENT serving artifacts ([[ArtifactStore
+    * .IvfPqIncrementalIndex.servingArtifacts]] — post-recluster
+    * generations carry their own) falling back to the bootstrap
+    * `cents`/`rcb` the caller trained on the ingested corpus. The code
+    * store participates in the tick agreement, so a crash between any
+    * pair of per-store appends (including after the census but before
+    * the codes) redoes the whole tick idempotently. A recluster
+    * between loop ticks must pass `baseTick = <current loop tick>` so
+    * the rebuilt generation re-enters the agreement at the loop's tick
+    * instead of resetting to 1 (AnnIngestSpec pins both). */
+  final case class AnnLeg(idx: ArtifactStore.IvfPqIncrementalIndex,
+                          vectors: DataFrame,
+                          cents: DataFrame, rcb: DataFrame)
 
   /** Judge one batch against the accumulated state, fold the admitted
     * docs' increments back, and return the per-source q103 report
@@ -177,9 +204,10 @@ object IngestLoop {
                           batchDocs: DataFrame, w: Seq[Double],
                           threshold: Double, lowFrac: Double,
                           census: Option[
-                            ArtifactStore.GramCensusIncrementalIndex] = None)
+                            ArtifactStore.GramCensusIncrementalIndex] = None,
+                          ann: Option[AnnLeg] = None)
       : DataFrame = {
-    val t = nextTick(st, idx, census)
+    val t = nextTick(st, idx, census, ann)
     // every state read resolves through the tombstone store: retracted
     // docs' rows are invisible whether or not a compaction folded them
     val state = resolved(st, st.hashes.currentUpTo(t - 1).getOrElse(
@@ -201,6 +229,12 @@ object IngestLoop {
     st.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
     idx.foreach(_.appendDocsAt(t, admDocs))
     census.foreach(_.appendDocsAt(t, admDocs))
+    ann.foreach { leg =>
+      val (c, r) = leg.idx.servingArtifacts().getOrElse((leg.cents, leg.rcb))
+      leg.idx.appendVectorsAt(t, leg.vectors.join(
+        admIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        c, r)
+    }
     Provenance.gatedTickReport(v)
   }
 
@@ -259,15 +293,20 @@ object IngestLoop {
     * after the postings but before the census) makes the lag visible
     * and the whole tick is redone idempotently (IngestLoopSpec pins
     * the five-store replay). Retraction composes: [[retractTick]]'s
-    * census leg subtracts what this tick's census appends added. */
+    * census leg subtracts what this tick's census appends added. With
+    * an [[AnnLeg]] the tick feeds the SIXTH store too — the served
+    * IVF-PQ codes (q124's deployment form; AnnIngestSpec pins the
+    * six-store agreement, the recluster tick alignment, and the ANN
+    * retraction leg). */
   def runFullTick(st: Stores,
                   idx: ArtifactStore.Bm25IncrementalIndex,
                   census: ArtifactStore.GramCensusIncrementalIndex,
                   batchDocs: DataFrame, w: Seq[Double],
                   threshold: Double = 0.2,
-                  lowFrac: Double = 0.25): DataFrame =
+                  lowFrac: Double = 0.25,
+                  ann: Option[AnnLeg] = None): DataFrame =
     runTickImpl(st, Some(idx), batchDocs, w, threshold, lowFrac,
-      census = Some(census))
+      census = Some(census), ann = ann)
 
   // ---- unified MULTIMODAL admission (q118's deployment form) -----------
 

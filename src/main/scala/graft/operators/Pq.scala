@@ -674,7 +674,8 @@ object Pq {
                                       rese: String = "rese",
                                       qres: String = "qres",
                                       trainReseOpt: String = "",
-                                      p: String = ""): String = {
+                                      p: String = "",
+                                      withLut: Boolean = true): String = {
     val trainRese = if (trainReseOpt.isEmpty) rese else trainReseOpt
     val shared =
       s"""${p}rtr AS MATERIALIZED (
@@ -701,12 +702,14 @@ object Pq {
            |          (SELECT cid, list(v ORDER BY d) AS ce FROM ${p}r${s}m$i GROUP BY cid) n
            |          USING (cid))""".stripMargin
       }
-      val encode =
+      val encodeOnly =
         s"""${p}r${s}sl AS (SELECT vec_id, ed[$lo:$hi] AS sv FROM $rese),
            |${p}r${s}enc AS (SELECT vec_id, cid AS code FROM (
            |  SELECT sl.vec_id, c.cid, row_number() OVER (PARTITION BY sl.vec_id
            |    ORDER BY round(${d2Sql("sl.sv", "c.ce")}, 6), c.cid) AS rn
-           |  FROM ${p}r${s}sl sl, ${p}r${s}c$iters c) z WHERE rn = 1),
+           |  FROM ${p}r${s}sl sl, ${p}r${s}c$iters c) z WHERE rn = 1)""".stripMargin
+      val encode = if (!withLut) encodeOnly else
+        s"""$encodeOnly,
            |${p}r${s}qsl AS (SELECT qid, qcid, ed[$lo:$hi] AS sv FROM $qres),
            |${p}r${s}lut AS (SELECT q.qid, q.qcid, c.cid,
            |    CAST(round((${d2Sql("q.sv", "c.ce")}) * 1e6, 0) AS BIGINT) AS pd
@@ -1112,6 +1115,142 @@ object Pq {
        |      UNION ALL SELECT * FROM fz_census
        |      WHERE NOT (SELECT trig FROM dec)) c, dec d, nqs n
        |ORDER BY c.cid""".stripMargin
+  }
+
+  /** q124: the ANN SERVING LEG of the deployment tick — the r10 "full
+    * deployment tick" (dedup + BM25 + gram census from one verdict
+    * frame) extended to the FOURTH consumer a production corpus serves:
+    * similarity search. One q103-shaped admission tick (exact →
+    * fuzzy → low_quality → new, the model frozen to the ingested
+    * corpus) whose ADMITTED docs' embeddings are encoded under the
+    * FROZEN serving artifacts — coarse quantizer + residual codebooks
+    * trained on the already-ingested corpus only, the
+    * [[graft.io.ArtifactStore.IvfPqIncrementalIndex]] posture: nothing
+    * retrains at tick time ([[residualCodes]]) — and appended to the
+    * served IVF-PQ index. Output certifies the POST-TICK SERVED INDEX,
+    * not just the verdicts: the per-coarse-cluster census of base ∪
+    * admitted codes (vector counts + the q122 positional checksum over
+    * the actual PQ code values — a hash match proves rejected docs'
+    * vectors never entered the index and admitted ones encode under
+    * the corpus-trained artifacts), plus the total indexed count and
+    * the admission count attached as broadcast one-row aggregates (the
+    * q103 pattern).
+    *
+    * The deployment form is [[graft.io.IngestLoop.runFullTick]] with an
+    * [[graft.io.IngestLoop.AnnLeg]] — the code store participates in
+    * the tick agreement, a crashed tick replays across all six stores,
+    * and [[graft.io.IngestLoop.retractTick]]'s ANN leg removes a
+    * takedown's codes; AnnIngestSpec pins loop-served codes ≡ this
+    * query's census ≡ a full re-encode over base ∪ admissions.
+    *
+    * Scale shape: the q103 gate (persistable 8–26-byte dedup state,
+    * candidate-driven verify, one bounded training pass) + one encode
+    * pass over the SERVED vectors — row-local slicing against
+    * broadcast codebooks, the assignment's only join is vectors ×
+    * nCentroids broadcast rows; the census is a ≤nCentroids-group
+    * aggregate. No candidate relation at all (serving, not searching —
+    * the search over this index is q107/q120's shape). Oracle: the
+    * q103 WITH chain ([[Provenance.gateSqlCtes]]) + one unrolled
+    * k-means quantizer over the corpus slice + one residual
+    * train/encode chain (training population restricted to corpus
+    * residuals, encode population = served — the q120 frozen-chain
+    * pattern) + the census, in a single WITH clause. */
+  def q124AnnIngestTick(documents: DataFrame, embeddings: DataFrame,
+                        threshold: Double = 0.2, lowFrac: Double = 0.25,
+                        nCentroids: Int = Kmeans.DefaultK,
+                        m: Int = DefaultM, subDim: Int = DefaultSubDim,
+                        kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+                        trainN: Int = DefaultTrainN): DataFrame = {
+    val bm = Provenance.BatchMod
+    val isBatch = (c: Column) => pmod(c, lit(bm)) === 0
+    val corpus = documents.filter(!isBatch(col("doc_id")))
+    val batch = documents.filter(isBatch(col("doc_id")))
+    val fuzzy = Fuzzy.lshCrossPairs(documents, isBatch, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    val w = QualityModel.weights(corpus, scope = s"admission$bm")
+    // the q103 verdict frame (checkpointed inside): the admitted set is
+    // derived ONCE — the same discipline as IngestLoop.runFullTick
+    val v = Provenance.gatedTickFrame(batch,
+      Provenance.corpusHashState(corpus), fuzzy, w, lowFrac)
+    val admIds = v.filter(col("lq") === false).select(col("doc_id").as("vid"))
+    // FROZEN serving artifacts: trained on the ingested corpus only
+    val corpusEmb = embeddings.filter(pmod(col("vec_id"), lit(bm)) =!= 0)
+    val cents = Kmeans.centroidTable(corpusEmb, nCentroids)
+    val rcb = residualCodebookTable(corpusEmb, nCentroids, m, subDim, kCb,
+      iters, trainN)
+    val served = embeddings.join(
+      corpusEmb.select(col("vec_id").as("vid")).union(admIds).distinct(),
+      col("vec_id") === col("vid"), "left_semi")
+    // severed: the census groups and the indexed-total read the codes —
+    // un-severed, the encode chain would re-execute per consumer
+    val codes = residualCodes(served, cents, rcb, m, subDim).localCheckpoint()
+    // exact_ aliases: these counts CERTIFY the served index (the oracle
+    // hashes them) — the valve contract pins them exact at any
+    // estimated size (the q122 lesson: the encode join tree's stats
+    // estimate trips the HLL valve even on a tiny corpus)
+    val tot = codes.agg(countDistinct("vec_id").as("exact_n_indexed"))
+    val na = admIds.agg(count(lit(1)).as("n_admitted"))
+    codes.groupBy("cid")
+      .agg(countDistinct("vec_id").as("exact_n_vectors"),
+        sum(col("sub") * kCb + col("code")).as("code_sum"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(na))
+      .select(col("cid"), col("exact_n_vectors"), col("code_sum"),
+        col("exact_n_indexed"), col("n_admitted"))
+      .orderBy("cid")
+  }
+
+  /** q124's oracle: the q103 admission chain + the frozen-artifact
+    * encode of base ∪ admitted + the served-index census, one WITH
+    * clause — DuckDB re-derives the gate, the artifacts, AND the codes,
+    * so a hash match certifies admission-gated index maintenance end to
+    * end. */
+  def q124Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              gateIters: Int = QualityModel.DefaultIters,
+              gateTrainN: Int = QualityModel.DefaultTrainN,
+              nCentroids: Int = Kmeans.DefaultK,
+              m: Int = DefaultM, subDim: Int = DefaultSubDim,
+              kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+              trainN: Int = DefaultTrainN): String = {
+    val bm = Provenance.BatchMod
+    val resT = "list_transform(range(1, len(ed) + 1), " +
+      "ii -> ed[CAST(ii AS INT)] - ce[CAST(ii AS INT)])"
+    s"""WITH ${Provenance.gateSqlCtes(threshold, lowFrac, gateIters,
+           gateTrainN)},
+       |adm AS (SELECT j.doc_id FROM j LEFT JOIN lq ON lq.doc_id = j.doc_id
+       |        WHERE lq.lq = false),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |eb AS (SELECT * FROM e WHERE vec_id % $bm <> 0),
+       |served AS MATERIALIZED (SELECT * FROM e WHERE vec_id % $bm <> 0
+       |  OR vec_id IN (SELECT doc_id FROM adm)),
+       |${Kmeans.sqlCtes(nCentroids, e = "eb", p = "sv_")},
+       |sv_ranked AS (
+       |  SELECT sv.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY sv.vec_id
+       |      ORDER BY round(list_cosine_similarity(sv.ed, c.ce), 6) DESC, c.cid) AS arn
+       |  FROM served sv, sv_c c),
+       |sv_asg AS (SELECT vec_id, cid FROM sv_ranked WHERE arn = 1),
+       |sv_rese AS MATERIALIZED (SELECT vec_id, $resT AS ed FROM
+       |  (SELECT a.vec_id, sv.ed AS ed, c.ce AS ce
+       |   FROM sv_asg a JOIN served sv ON sv.vec_id = a.vec_id
+       |   JOIN sv_c c ON c.cid = a.cid) z),
+       |sv_reseb AS MATERIALIZED (SELECT * FROM sv_rese
+       |  WHERE vec_id % $bm <> 0),
+       |${residualTrainEncodeCtes(m, subDim, kCb, iters, trainN,
+           rese = "sv_rese", trainReseOpt = "sv_reseb", p = "sv_",
+           withLut = false)},
+       |svcodes AS (SELECT a.cid, u.vec_id, u.sub, u.code
+       |  FROM (${(0 until m).map(s =>
+             s"SELECT vec_id, $s AS sub, code FROM sv_r${s}enc")
+             .mkString(" UNION ALL ")}) u
+       |  JOIN sv_asg a ON a.vec_id = u.vec_id),
+       |tot AS (SELECT count(DISTINCT vec_id) AS exact_n_indexed FROM svcodes),
+       |na AS (SELECT count(*) AS n_admitted FROM adm)
+       |SELECT sc.cid, count(DISTINCT sc.vec_id) AS exact_n_vectors,
+       |  CAST(sum(sc.sub * $kCb + sc.code) AS BIGINT) AS code_sum,
+       |  t.exact_n_indexed, n.n_admitted
+       |FROM svcodes sc, tot t, na n
+       |GROUP BY sc.cid, t.exact_n_indexed, n.n_admitted
+       |ORDER BY sc.cid""".stripMargin
   }
 
   def q107Sql(nCentroids: Int = Kmeans.DefaultK, nprobe: Int = 2,

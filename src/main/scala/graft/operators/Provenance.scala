@@ -287,10 +287,13 @@ object Provenance {
       .orderBy("source")
   }
 
-  def q103Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
-              iters: Int = QualityModel.DefaultIters,
-              trainN: Int = QualityModel.DefaultTrainN): String =
-    s"""WITH ${Fuzzy.lshPairsSqlCtes(
+  /** The q103 oracle chain through the verdict CTEs (`... j, lq`) —
+    * shared by [[q103Sql]] and the queries that compose the gate with a
+    * downstream consumer of its ADMITTED set (q124's ANN serving tick:
+    * `adm` = j ⟕ lq WHERE lq.lq = false). */
+  private[operators] def gateSqlCtes(threshold: Double, lowFrac: Double,
+                                     iters: Int, trainN: Int): String =
+    s"""${Fuzzy.lshPairsSqlCtes(
          "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
          threshold)},
        |h AS (SELECT doc_id, source,
@@ -313,7 +316,12 @@ object Provenance {
        |      JOIN s ON s.doc_id = b.doc_id),
        |lq AS (SELECT doc_id,
        |         cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
-       |       FROM j WHERE ch IS NULL AND fid IS NULL)
+       |       FROM j WHERE ch IS NULL AND fid IS NULL)""".stripMargin
+
+  def q103Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String =
+    s"""WITH ${gateSqlCtes(threshold, lowFrac, iters, trainN)}
        |SELECT j.source, count(*) AS n_batch, count(j.ch) AS n_dup_exact,
        |  count(CASE WHEN j.ch IS NULL THEN j.fid END) AS n_dup_fuzzy,
        |  count(CASE WHEN lq.lq THEN 1 END) AS n_low_quality,

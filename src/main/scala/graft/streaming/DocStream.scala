@@ -324,7 +324,8 @@ object DocStream {
                                  threshold: Double = 0.2,
                                  lowFrac: Double = 0.25,
                                  idx: Option[graft.io.ArtifactStore.Bm25IncrementalIndex] = None,
-                                 census: Option[graft.io.ArtifactStore.GramCensusIncrementalIndex] = None)
+                                 census: Option[graft.io.ArtifactStore.GramCensusIncrementalIndex] = None,
+                                 ann: Option[graft.io.IngestLoop.AnnLeg] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     admissionStreamWithText(docs, corpusHashes)
       .writeStream.outputMode("append")
@@ -365,6 +366,21 @@ object DocStream {
         // overwrites its own census increment; the subtraction leg of
         // a takedown composes via IngestLoop.retractTick as in batch).
         census.foreach(_.appendDocsAt(stateTick + 1, adm))
+        // STREAMING ANN FOLD (the q124 symmetry): admitted docs'
+        // embeddings — semi-joined from the leg's side table — encode
+        // under the index's current serving artifacts and append under
+        // the same batch-id-keyed tick, so the served similarity index
+        // never lags the stream's admissions; replay overwrites its own
+        // code tick (AnnIngestSpec pins served codes ≡ a batch
+        // re-encode over base ∪ all stream admissions across
+        // kill/restart).
+        ann.foreach { leg =>
+          val (c, r) = leg.idx.servingArtifacts()
+            .getOrElse((leg.cents, leg.rcb))
+          leg.idx.appendVectorsAt(stateTick + 1, leg.vectors.join(
+            adm.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi"), c, r)
+        }
       }
       .start()
   }

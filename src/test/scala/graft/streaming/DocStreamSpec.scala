@@ -477,6 +477,22 @@ class DocStreamSpec extends AnyFunSuite {
       spark, artRoot, "foldloop_cen")
     cen.bootstrap(documents)
     val cenRuns0 = graft.operators.SubstringDedup.censusRuns.get()
+    // ... and serves similarity search (the q124 symmetry): the ANN leg
+    // carries a side table of the stream docs' embeddings; admitted
+    // docs' codes fold under the same batch-id-keyed ticks
+    import graft.operators.{Kmeans, Pq}
+    import spark.implicits._
+    val embBase = graft.io.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val sideVecs = Seq(800000L, 800001L, 800002L, 800003L).map(id =>
+      (id, Array.tabulate(64)(d => ((id % 7) + d % 5 + 1).toDouble / 10.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Kmeans.centroidTable(embBase)
+    val rcb = Pq.residualCodebookTable(embBase)
+    val ann = graft.io.ArtifactStore.ivfPqIncremental(
+      spark, artRoot, "foldloop")
+    ann.bootstrap(embBase, cents, rcb)
 
     val dir = Files.createTempDirectory("graft_fold_jsonl")
     val ckpt = Files.createTempDirectory("graft_fold_ckpt").toString
@@ -494,7 +510,8 @@ class DocStreamSpec extends AnyFunSuite {
       // test isolates the FOLD (the budget leg is the gated test above)
       DocStream.foldingGatedAdmissionQuery(raw,
         hashes.select(col("ch").as("h")), st, w, outDir, ckpt,
-        lowFrac = 0.0, idx = Some(idx), census = Some(cen))
+        lowFrac = 0.0, idx = Some(idx), census = Some(cen),
+        ann = Some(graft.io.IngestLoop.AnnLeg(ann, sideVecs, cents, rcb)))
     }
 
     // tick 1: X admitted → folded into the stores; then KILL
@@ -565,6 +582,20 @@ class DocStreamSpec extends AnyFunSuite {
       SubstringDedup.winnersFromCensus(SubstringDedup.censusOf(rebuildCorpus))
         .collect().map(_.getLong(0)).toSeq,
       "stream-folded census must equal a re-mine over base ∪ admissions")
+
+    // STREAMING ANN FOLD: the served codes followed the same ticks —
+    // admitted docs' vectors (and ONLY those) encode under the frozen
+    // serving artifacts, bit-equal to a batch re-encode over base ∪
+    // the stream's admissions, across the kill/restart
+    assert(ann.codeStore.maxTick === 3L,
+      "ANN codes fold batch-id-keyed alongside the dedup stores")
+    val rebuildVecs = embBase.unionByName(
+      sideVecs.filter(col("vec_id").isin(admittedIds.toSeq: _*)))
+    assert(ann.codes().collect().map(_.toSeq).toSet ===
+      Pq.residualCodes(rebuildVecs, cents, rcb)
+        .collect().map(_.toSeq).toSet,
+      "stream-folded codes must equal a re-encode over base ∪ admissions " +
+        "— the served similarity index never lags the dedup state")
   }
 
   test("gated admission stream (q103 twin): one tick reconciles with the batch report") {
