@@ -219,6 +219,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         IngestLoop.runFullTick + AnnLeg; retraction
   *                         via retractTick's ANN leg; streaming twin in
   *                         DocStream.foldingGatedAdmissionQuery)
+  *  - q125_export_retraction: the takedown leg reaching the PHYSICAL
+  *                         TRAINING SHARDS — per-tick (epoch) packed
+  *                         export under the frozen tokenizer; a
+  *                         retraction re-packs only the affected ticks
+  *                         from stored token counts (zero re-tokenizes,
+  *                         zero text reads); oracle re-packs both ticks
+  *                         without the retracted docs, certifying
+  *                         retraction ≡ re-export-without (deployment
+  *                         form: io.ArtifactStore.PackedExportStore,
+  *                         riding IngestLoop.runFullTick's export leg)
   */
 object SparkEntry {
 
@@ -365,6 +375,8 @@ object SparkEntry {
     "q122_ann_recluster" -> t("embeddings")(Pq.q122AnnRecluster(_)),
     "q123_census_retraction" -> t("documents")(
       SubstringDedup.q123CensusRetraction(_)),
+    "q125_export_retraction" -> t("documents")(
+      Packing.q125ExportRetraction(_)),
     "q124_ann_ingest_tick" -> ((s, dir) => Pq.q124AnnIngestTick(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
   )
@@ -496,5 +508,6 @@ object SparkEntry {
     "q122_ann_recluster" -> Pq.q122Sql(),
     "q123_census_retraction" -> SubstringDedup.q123Sql(),
     "q124_ann_ingest_tick" -> Pq.q124Sql(),
+    "q125_export_retraction" -> Packing.q125Sql(),
   )
 }

@@ -644,6 +644,171 @@ object ArtifactStore {
       : GramCensusIncrementalIndex =
     new GramCensusIncrementalIndex(spark, root, name, k)
 
+  // ---- maintained packed-sequence export (q125) -------------------------
+
+  /** The INCREMENTALLY MAINTAINED packed-sequence export — the physical
+    * training shards as a per-tick state family (q125,
+    * [[graft.operators.Packing.q125ExportRetraction]]): each ingest
+    * tick's admitted docs pack TICK-LOCALLY under the frozen tokenizer
+    * ([[graft.operators.Packing.tickSlices]] — sequences never span
+    * ticks, so old epochs stay immutable as the corpus grows) and land
+    * as their own `tick=T` subtree; a TAKEDOWN re-packs only the
+    * affected ticks, from the stored (doc_id, n_tokens, h) reduction
+    * alone — zero re-tokenizes, zero corpus reads — so the physical
+    * shards a training job streams stop carrying the retracted doc
+    * (the state family q117/q123's legs left out).
+    *
+    * Layout under `root/export_state/<name>/`:
+    *
+    *   tick=T/rev=R/shard=S/part-*.parquet
+    *
+    * REVISION crash discipline (the reason this is not an
+    * [[IngestStateStore]]: retraction REWRITES history — old ticks'
+    * packing changes — which the tick/gen layout cannot express without
+    * an unsafe in-place generation overwrite): each rewrite of a tick
+    * lands as the next `rev=R+1`, complete-or-invisible behind its own
+    * `_SUCCESS`; reads serve the newest complete rev per tick, and
+    * superseded revs are deleted only after the new one commits — a
+    * crash at ANY point leaves the previous rev serving bit-for-bit
+    * (ExportStoreSpec pins it). Replays are idempotent by content: a
+    * redelivered append or takedown writes a new rev with identical
+    * rows (the repack is a pure function of the surviving rows).
+    *
+    * Scale shape: rows are ~40-byte (ids, counts, 8-byte hashes) —
+    * text never enters the store; per-tick writes are tick-sized; a
+    * takedown costs O(affected ticks' rows). Readers prune by the
+    * `shard=` partition directory within each epoch, so a training job
+    * reading shard 7 lists one directory per tick — epochs are
+    * operator-controlled (per quiesce/epoch, never per micro-batch), so
+    * the tick count stays dozens, not thousands; a deployment that
+    * outgrows epoch-append re-exports whole via the q108 full form. */
+  final class PackedExportStore(spark: SparkSession, root: String,
+                                name: String, val seqLen: Int,
+                                val nShards: Int) {
+    private val base = s"$root/export_state/$name"
+    private def f = fs(spark, base)
+
+    private def listChildNums(dir: Path, prefix: String): Seq[Long] =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix))
+        .map(_.getPath.getName.stripPrefix(prefix).toLong).sorted
+
+    private def revs(t: Long, sucOnly: Boolean): Seq[Long] =
+      listChildNums(new Path(s"$base/tick=$t"), "rev=")
+        .filter(r => !sucOnly ||
+          f.exists(new Path(s"$base/tick=$t/rev=$r", "_SUCCESS")))
+
+    /** Newest complete revision serving tick `t` (None = tick absent). */
+    private def servingRev(t: Long): Option[Long] =
+      revs(t, sucOnly = true).maxOption
+
+    def ticks: Seq[Long] =
+      listChildNums(new Path(base), "tick=").filter(servingRev(_).isDefined)
+
+    def maxTick: Long = ticks.maxOption.getOrElse(0L)
+
+    /** Whether a committed rev dir holds any data file (an empty tick's
+      * rev is just a `_SUCCESS` marker — parquet cannot re-read it). */
+    private def hasData(p: Path): Boolean = {
+      val it = f.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = !it.next().getPath.getName.startsWith("_")
+      found
+    }
+
+    /** Write `slices` (doc_id, seq_id, toks, h, tick) as tick `t`'s next
+      * revision: per-sequence signature/shard derive here (the q108
+      * placement algebra), the tree partitions by `shard` for reader
+      * pruning, and older revs are dropped only after `_SUCCESS`. */
+    private def writeRev(t: Long, slices: DataFrame): Unit = {
+      val withShard = slices.join(
+        graft.operators.Packing.tickSeqShards(slices, nShards)
+          .select("tick", "seq_id", "ssig", "shard"),
+        Seq("tick", "seq_id"))
+      val r = revs(t, sucOnly = false).maxOption.getOrElse(0L) + 1
+      withShard
+        .repartition(col("shard"))
+        .write.partitionBy("shard").mode("overwrite")
+        .parquet(s"$base/tick=$t/rev=$r")
+      revs(t, sucOnly = false).filter(_ < r)
+        .foreach(rr => f.delete(new Path(s"$base/tick=$t/rev=$rr"), true))
+    }
+
+    /** Pack tick `t`'s docs tick-locally under the frozen merges and
+      * persist them as this tick's serving revision (idempotent: a
+      * replayed producer writes identical content as the next rev). */
+    def appendDocsAt(t: Long, docs: DataFrame, ms: Seq[String]): Unit = {
+      require(t >= 1, s"tick numbers start at 1, got $t")
+      // tick stored as INT (the live q125 form's literal type)
+      writeRev(t, graft.operators.Packing.tickSlices(docs, seqLen, ms)
+        .withColumn("tick", lit(t.toInt)))
+    }
+
+    /** IDEMPOTENT tick-1 bootstrap (the incremental-index contract). */
+    def bootstrap(corpusDocs: DataFrame, ms: Seq[String]): Unit =
+      appendDocsAt(1, corpusDocs, ms)
+
+    /** Every serving slice row across ticks: (tick, doc_id, seq_id,
+      * toks, h, ssig, shard) — `shard` recovered from the partition
+      * directory, so a filter on it prunes to one directory per tick. */
+    def slices(): DataFrame = {
+      val paths = ticks.flatMap { t =>
+        val p = s"$base/tick=$t/rev=${servingRev(t).get}"
+        if (hasData(new Path(p))) Some(p) else None
+      }
+      require(paths.nonEmpty, s"packed export at $base is empty")
+      // one read per epoch, each rooted at its own rev dir (multi-root
+      // partition inference would misparse tick=/rev= as partition
+      // columns); epochs are dozens, so the union is cheap
+      paths.map(p => spark.read.option("basePath", p).parquet(p))
+        .reduce(_.unionByName(_))
+        // directory-inferred partition column back to the written type
+        .withColumn("shard", col("shard").cast("long"))
+    }
+
+    /** One training shard, WHOLE sequences only — the reader contract. */
+    def readShard(s: Long): DataFrame = slices().filter(col("shard") === s)
+
+    /** The served per-(tick, shard) manifest (q108's columns per epoch),
+      * recomputed from the serving rows — files and manifest cannot
+      * disagree because both ARE the serving rows. */
+    def manifest(): DataFrame =
+      graft.operators.Packing.tickManifest(
+        slices().select("tick", "doc_id", "seq_id", "toks", "h"),
+        seqLen, nShards)
+
+    /** The TAKEDOWN: re-pack every tick containing a retracted doc from
+      * its own stored per-doc reduction (no text), as that tick's next
+      * revision; untouched ticks' revisions are not rewritten. Returns
+      * the affected tick numbers (an O(ticks) driver barrier — epochs
+      * are dozens, documented above). Naturally idempotent: a repeated
+      * takedown re-packs to identical rows. Like every retraction leg,
+      * run at quiesce points only. */
+    def retractDocs(docIds: DataFrame): Seq[Long] = {
+      val ids = docIds.select("doc_id")
+      val affected = slices()
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select("tick").distinct().collect().map(_.getInt(0).toLong).sorted
+      affected.foreach { t =>
+        val docRows = slices().filter(col("tick") === t)
+          .groupBy("doc_id")
+          .agg(sum("toks").as("n_tokens"), max("h").as("h"))
+          .join(ids, Seq("doc_id"), "left_anti")
+        writeRev(t, graft.operators.Packing.repackSlices(docRows, seqLen)
+          .withColumn("tick", lit(t.toInt)))
+      }
+      affected.toSeq
+    }
+  }
+
+  def packedExport(spark: SparkSession, root: String, name: String,
+                   seqLen: Int = 2048,
+                   nShards: Int = graft.operators.Sharding.DefaultShards)
+      : PackedExportStore =
+    new PackedExportStore(spark, root, name, seqLen, nShards)
+
   // ---- q73 corpus hash state -------------------------------------------
 
   /** Build-or-load the corpus content-hash state (`ch` long per distinct

@@ -67,8 +67,11 @@ object IngestLoop {
       ArtifactStore.ingestState(spark, root, s"$name/tombs"))
 
   /** A state frame minus the retracted docs — the ONE tombstone
-    * application every read goes through. */
-  private def resolved(st: Stores, df: DataFrame): DataFrame =
+    * application every read goes through (package-visible: the
+    * streaming folds resolve their state reads through it too, so a
+    * quiesce-point takedown between stream runs reaches the stream's
+    * fuzzy/signature judgement as well). */
+  private[graft] def resolved(st: Stores, df: DataFrame): DataFrame =
     st.tombs.current().fold(df)(tb =>
       df.join(tb.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
 
@@ -106,7 +109,8 @@ object IngestLoop {
                   idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
                   census: Option[(ArtifactStore.GramCensusIncrementalIndex,
                                   DataFrame)] = None,
-                  ann: Option[ArtifactStore.IvfPqIncrementalIndex] = None)
+                  ann: Option[ArtifactStore.IvfPqIncrementalIndex] = None,
+                  export: Option[ArtifactStore.PackedExportStore] = None)
       : Long = {
     // Docs already tombstoned are dropped BEFORE any leg runs: the
     // anti-join legs (dedup stores, BM25 postings, IVF-PQ codes) are
@@ -128,6 +132,11 @@ object IngestLoop {
     // idempotent anti-join, folded out at the index's next compaction
     // or baked into the next recluster's re-encode
     ann.foreach(_.retractVectors(fresh.select(col("doc_id").as("vec_id"))))
+    // EXPORT leg (q125): re-pack the affected epochs from stored counts
+    // so the physical training shards stop carrying the retracted docs
+    // — naturally idempotent (a repeated repack reproduces identical
+    // rows), still behind the tombstone existence check like every leg
+    export.foreach(_.retractDocs(fresh))
     st.tombs.appendTick(fresh)
   }
 
@@ -147,11 +156,11 @@ object IngestLoop {
     * its own tick-T admissions (all dup_exact), and the index would
     * permanently miss tick T's postings. Including the tf store makes
     * the lag visible and tick T is redone across all FOUR stores. */
-  private def nextTickOf(all: Seq[ArtifactStore.IngestStateStore]): Long = {
-    val done = all.map(_.maxTick)
+  private def nextTickOf(done: Seq[Long]): Long = {
     require(done.min >= 1,
       "ingest loop not bootstrapped (every store — including the BM25 " +
-        "index when attached — needs its tick-1 base)")
+        "index / census / ANN / export legs when attached — needs its " +
+        "tick-1 base)")
     if (done.distinct.size == 1) done.head + 1 else done.max
   }
 
@@ -159,9 +168,11 @@ object IngestLoop {
                        idx: Option[ArtifactStore.Bm25IncrementalIndex],
                        census: Option[ArtifactStore.GramCensusIncrementalIndex]
                          = None,
-                       ann: Option[AnnLeg] = None): Long =
-    nextTickOf(Seq(st.hashes, st.bands, st.shingles) ++ idx.map(_.tfStore)
+                       ann: Option[AnnLeg] = None,
+                       export: Option[ExportLeg] = None): Long =
+    nextTickOf((Seq(st.hashes, st.bands, st.shingles) ++ idx.map(_.tfStore)
       ++ census.map(_.censusStore) ++ ann.map(_.idx.codeStore))
+      .map(_.maxTick) ++ export.map(_.store.maxTick))
 
   /** The ANN SERVING leg of a deployment tick (q124,
     * [[graft.operators.Pq.q124AnnIngestTick]]): the loop additionally
@@ -181,6 +192,23 @@ object IngestLoop {
   final case class AnnLeg(idx: ArtifactStore.IvfPqIncrementalIndex,
                           vectors: DataFrame,
                           cents: DataFrame, rcb: DataFrame)
+
+  /** The EXPORT leg of a deployment tick (q125,
+    * [[graft.operators.Packing.q125ExportRetraction]]): the loop
+    * additionally maintains the physical training shards — each tick's
+    * ADMITTED docs pack tick-locally under the FROZEN merge list `ms`
+    * (retraining the tokenizer is the q119 gated choice, never an
+    * implicit per-tick side effect) and land as their own export epoch
+    * ([[ArtifactStore.PackedExportStore]]). The export participates in
+    * the tick agreement via its maxTick, so a crash between any other
+    * append and the export's makes the lag visible and the whole tick
+    * redoes; the export side of a REDONE tick writes identical slices
+    * as the tick's next revision (complete-or-invisible), so replays
+    * are idempotent in effect. [[retractTick]]'s export leg re-packs
+    * affected epochs from stored counts — the takedown reaches the
+    * shards a training job actually streams. */
+  final case class ExportLeg(store: ArtifactStore.PackedExportStore,
+                             ms: Seq[String])
 
   /** Judge one batch against the accumulated state, fold the admitted
     * docs' increments back, and return the per-source q103 report
@@ -205,9 +233,10 @@ object IngestLoop {
                           threshold: Double, lowFrac: Double,
                           census: Option[
                             ArtifactStore.GramCensusIncrementalIndex] = None,
-                          ann: Option[AnnLeg] = None)
+                          ann: Option[AnnLeg] = None,
+                          export: Option[ExportLeg] = None)
       : DataFrame = {
-    val t = nextTick(st, idx, census, ann)
+    val t = nextTick(st, idx, census, ann, export)
     // every state read resolves through the tombstone store: retracted
     // docs' rows are invisible whether or not a compaction folded them
     val state = resolved(st, st.hashes.currentUpTo(t - 1).getOrElse(
@@ -235,6 +264,9 @@ object IngestLoop {
         admIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
         c, r)
     }
+    // EXPORT leg: admitted docs pack as this tick's epoch under the
+    // frozen merges — the same admitted frame every other store folds
+    export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
     Provenance.gatedTickReport(v)
   }
 
@@ -297,16 +329,20 @@ object IngestLoop {
     * an [[AnnLeg]] the tick feeds the SIXTH store too — the served
     * IVF-PQ codes (q124's deployment form; AnnIngestSpec pins the
     * six-store agreement, the recluster tick alignment, and the ANN
-    * retraction leg). */
+    * retraction leg). With an [[ExportLeg]] the admitted docs
+    * additionally pack as this tick's export epoch — the SEVENTH
+    * maintained family, the physical shards a training job streams
+    * (q125; ExportStoreSpec + IngestLoopSpec pin the leg). */
   def runFullTick(st: Stores,
                   idx: ArtifactStore.Bm25IncrementalIndex,
                   census: ArtifactStore.GramCensusIncrementalIndex,
                   batchDocs: DataFrame, w: Seq[Double],
                   threshold: Double = 0.2,
                   lowFrac: Double = 0.25,
-                  ann: Option[AnnLeg] = None): DataFrame =
+                  ann: Option[AnnLeg] = None,
+                  export: Option[ExportLeg] = None): DataFrame =
     runTickImpl(st, Some(idx), batchDocs, w, threshold, lowFrac,
-      census = Some(census), ann = ann)
+      census = Some(census), ann = ann, export = export)
 
   // ---- unified MULTIMODAL admission (q118's deployment form) -----------
 
@@ -347,12 +383,23 @@ object IngestLoop {
     * modality, and the replay across a crash between any per-store
     * writes: [[nextTickOf]] over all five stores redoes a lagging
     * tick). State reads resolve through the shared tombstone store —
-    * [[retractTick]] on `st.text` retracts a doc's signatures too. */
+    * [[retractTick]] on `st.text` retracts a doc's signatures too.
+    * The optional consumer legs (BM25 postings / gram census / served
+    * ANN codes / packed export) mirror [[runFullTick]]'s exactly: the
+    * multimodal loop is not a reduced deployment — its admitted docs
+    * feed every consumer a text-only loop feeds, from the one mm
+    * verdict frame. */
   def runMmTick(st: MmStores, batchDocs: DataFrame, w: Seq[Double],
                 threshold: Double = 0.2, lowFrac: Double = 0.25,
-                maxDist: Int = 10, maxBand: Int = 64): DataFrame = {
+                maxDist: Int = 10, maxBand: Int = 64,
+                idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
+                census: Option[ArtifactStore.GramCensusIncrementalIndex] = None,
+                ann: Option[AnnLeg] = None,
+                export: Option[ExportLeg] = None): DataFrame = {
     import graft.multimodal.Multimodal
-    val t = nextTickOf(st.all)
+    val t = nextTickOf(st.all.map(_.maxTick)
+      ++ idx.map(_.tfStore.maxTick) ++ census.map(_.censusStore.maxTick)
+      ++ ann.map(_.idx.codeStore.maxTick) ++ export.map(_.store.maxTick))
     val state = resolved(st.text, st.text.hashes.currentUpTo(t - 1).getOrElse(
         sys.error("multimodal loop not bootstrapped")))
       .select("ch").distinct()
@@ -385,6 +432,22 @@ object IngestLoop {
       batchISigs.join(admIds, Seq("doc_id"), "left_semi"))
     st.audSigs.appendTickAt(t,
       batchASigs.join(admIds, Seq("doc_id"), "left_semi"))
+    // consumer legs — the [[runFullTick]] symmetry for the multimodal
+    // loop: a deployment that ingests text+image+audio docs serves the
+    // same four consumers (retrieval, curation census, ANN, export)
+    // from the ONE mm verdict frame; every attached store participates
+    // in the tick agreement above, so a crash between any pair of
+    // appends (including across modality/consumer seams) redoes the
+    // whole tick idempotently (MmIngestSpec pins the legs).
+    idx.foreach(_.appendDocsAt(t, admDocs))
+    census.foreach(_.appendDocsAt(t, admDocs))
+    ann.foreach { leg =>
+      val (c, r) = leg.idx.servingArtifacts().getOrElse((leg.cents, leg.rcb))
+      leg.idx.appendVectorsAt(t, leg.vectors.join(
+        admIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        c, r)
+    }
+    export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
     Multimodal.mmGatedTickReport(v)
   }
 

@@ -47,7 +47,20 @@ object Packing {
     val tok =
       if (learned) Bpe.tokenCount(Bpe.merges(documents), col("text"))
       else size(split(col("text"), " "))
-    val d = documents.select(col("doc_id"), tok.cast("long").as("n_tokens"))
+    offsetsOf(documents.select(col("doc_id"), tok.cast("long").as("n_tokens")))
+  }
+
+  /** The offsets machinery over a PRE-COUNTED (doc_id, n_tokens) frame —
+    * factored out of [[packedOffsets]] so a maintained export can
+    * RE-pack a tick from stored token counts alone ([[repackSlices]]):
+    * packing is a pure function of the doc_id-ordered count sequence,
+    * so no text read or re-tokenize is ever needed to reproduce it.
+    * The approxQuantile bucket boundaries may differ between runs over
+    * differently-partitioned inputs; they only partition the work — the
+    * (doc_id → start_tok) mapping is exact either way (the object
+    * scaladoc's argument; ExportStoreSpec pins bit-equality between a
+    * text-side pack and a counts-side repack). */
+  private[graft] def offsetsOf(d: DataFrame): DataFrame = {
     // 1. order-preserving doc_id buckets from one loose sketch
     val probs = (1 until RankStats.Buckets).map(_.toDouble / RankStats.Buckets).toArray
     val cuts = d.stat.approxQuantile("doc_id", probs, 0.01).distinct.sorted
@@ -91,7 +104,13 @@ object Packing {
     * exact offsets; Σ toks per doc ≡ n_tokens by construction. */
   private[graft] def packedSeqSlices(documents: DataFrame, seqLen: Int,
                                      learned: Boolean = true): DataFrame =
-    packedOffsets(documents, learned)
+    slicesOfOffsets(packedOffsets(documents, learned), seqLen)
+
+  /** Explode exact offsets into per-(sequence, doc) slices — the
+    * row-local second half of [[packedSeqSlices]], shared with the
+    * counts-only repack path. */
+  private[graft] def slicesOfOffsets(off: DataFrame, seqLen: Int): DataFrame =
+    off
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("start_tok"), col("end_tok"),
         explode(expr(
@@ -101,6 +120,68 @@ object Packing {
         (least(col("end_tok"), (col("seq_id") + 1) * seqLen) -
           greatest(col("start_tok"), col("seq_id") * lit(seqLen.toLong)))
           .as("toks"))
+
+  /** TICK-LOCAL packed slices under a FROZEN tokenizer — the unit a
+    * maintained export appends per ingest tick
+    * ([[graft.io.ArtifactStore.PackedExportStore]]): the tick's docs
+    * pack into their own seq_id=0.. sequences (sequences never span
+    * ticks — old shards stay immutable as the corpus grows, the
+    * standard epoch-append export layout), token counts come from the
+    * caller's frozen merge list `ms` (retraining the tokenizer mid-loop
+    * would silently re-pack history — the q119 retrain loop gates that
+    * choice explicitly), and each slice carries its doc's q108-convention
+    * content hash `h` so per-sequence signatures, shard placement, AND
+    * a later no-text repack all derive from the stored rows alone.
+    * Output: (doc_id, seq_id, toks, h) — [[repackSlices]] reproduces it
+    * bit-for-bit from the (doc_id, n_tokens, h) reduction. */
+  def tickSlices(docs: DataFrame, seqLen: Int, ms: Seq[String]): DataFrame = {
+    val counted = docs.select(col("doc_id"),
+      Bpe.tokenCount(ms, col("text")).cast("long").as("n_tokens"),
+      Provenance.contentHash60(concat_ws("|", col("doc_id"), col("text")))
+        .as("h"))
+    slicesOfOffsets(
+        offsetsOf(counted.select("doc_id", "n_tokens")), seqLen)
+      .join(counted.select("doc_id", "h"), "doc_id")
+      .select("doc_id", "seq_id", "toks", "h")
+  }
+
+  /** Re-pack a tick WITHOUT reading text — the retraction path of the
+    * maintained export: `docRows` is (doc_id, n_tokens, h), exactly the
+    * per-doc reduction of a tick's stored slices (n_tokens = Σ toks),
+    * so a takedown re-packs the surviving docs of the affected tick
+    * from the store alone — zero re-tokenizes, zero corpus reads, and
+    * the result is bit-identical to [[tickSlices]] over the surviving
+    * docs (ExportStoreSpec pins it; packing is a pure function of the
+    * doc_id-ordered count sequence). */
+  def repackSlices(docRows: DataFrame, seqLen: Int): DataFrame =
+    slicesOfOffsets(offsetsOf(docRows.select("doc_id", "n_tokens")), seqLen)
+      .join(docRows.select("doc_id", "h"), "doc_id")
+      .select("doc_id", "seq_id", "toks", "h")
+
+  /** Per-sequence shard rows over tick-carrying slices — (tick, seq_id,
+    * n_doc_slices, n_toks, ssig, shard): the q108 signature/placement
+    * algebra applied per tick (seq_ids are tick-local, so the grouping
+    * key is the pair). */
+  private[graft] def tickSeqShards(slices: DataFrame, nShards: Int): DataFrame =
+    slices
+      .groupBy("tick", "seq_id")
+      .agg(count(lit(1)).as("n_doc_slices"), sum("toks").as("n_toks"),
+        expr("bit_xor(h)").as("ssig"))
+      .withColumn("shard", pmod(col("ssig"), lit(nShards.toLong)))
+
+  /** Per-(tick, shard) manifest over tick-carrying slices — the q108
+    * manifest columns, maintained per export epoch. */
+  def tickManifest(slices: DataFrame, seqLen: Int, nShards: Int): DataFrame =
+    tickSeqShards(slices, nShards)
+      .groupBy("tick", "shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum("n_doc_slices").as("n_doc_slices"),
+        sum("n_toks").as("n_tokens"),
+        expr("bit_xor(ssig)").as("content_sig"))
+      .withColumn("fill_rate",
+        round(col("n_tokens").cast("double") /
+          (col("n_seqs") * lit(seqLen.toLong)), 6))
+      .orderBy("tick", "shard")
 
   /** Per-sequence shard placement: sequence signature = XOR of member
     * docs' q70-convention content hashes (order-independent, mergeable
@@ -183,6 +264,100 @@ object Packing {
        |  bit_xor(ssig) AS content_sig,
        |  round(CAST(sum(n_toks) AS DOUBLE) / (count(*) * $seqLen), 6) AS fill_rate
        |FROM sq GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** q125: EXPORT RETRACTION — the takedown leg reaching the one state
+    * family q117/q123 left out: the physical training shards. A
+    * retracted doc that stays inside already-exported packed sequences
+    * is still trained on — the takedown isn't done until the export
+    * reflects it. This query runs the maintained-export algebra the
+    * deployment form ([[graft.io.ArtifactStore.PackedExportStore]],
+    * riding [[graft.io.IngestLoop.runFullTick]]'s export leg) uses:
+    *
+    *   1. tick 1 — the base corpus (doc_id % BatchMod in 1..9) packs
+    *      TICK-LOCALLY under the frozen tokenizer ([[tickSlices]]);
+    *   2. tick 2 — the ingest batch (doc_id % BatchMod == 0) packs as
+    *      its own epoch: sequences never span ticks, so old shards stay
+    *      immutable as the corpus grows;
+    *   3. RETRACTION — tick-1 docs with doc_id % RetractMod ==
+    *      RetractRem are taken down: tick 1 is RE-PACKED from its own
+    *      stored (doc_id, n_tokens, h) reduction ([[repackSlices]] —
+    *      zero re-tokenizes, zero text reads), while tick 2's epoch is
+    *      untouched (tick-granular rebuild; ExportStoreSpec counts the
+    *      repacks).
+    *
+    * Output: the post-takedown per-(tick, shard) manifest — n_seqs,
+    * n_doc_slices, n_tokens, content_sig (XOR of member-sequence
+    * signatures, the transport-verifiable q108 certificate), fill_rate
+    * (each tick has exactly one non-full tail sequence — the epoch-
+    * append trade vs q108's single global tail). The oracle re-packs
+    * both ticks from scratch WITHOUT the retracted docs, certifying
+    * retraction ≡ re-export-without (the q117 discipline, at the shard
+    * level). Admission gating is deliberately out of frame — q103/q106
+    * certify it; the deployment form composes both (spec-pinned).
+    *
+    * Scale shape: two bucketed prefix sums (no global window), one
+    * row-local explode, (tick, seq)-keyed aggregates; text never
+    * shuffles (the hash join is id-keyed, and the repack path reads no
+    * text at all). The takedown's cost is bounded by the AFFECTED
+    * ticks' stored rows — never the corpus. */
+  def q125ExportRetraction(documents: DataFrame, seqLen: Int = 2048,
+                           nShards: Int = Sharding.DefaultShards): DataFrame = {
+    val ms = Bpe.merges(documents)
+    val m = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(Provenance.BatchMod))
+    val s1 = tickSlices(
+      documents.filter(m(col("doc_id")).between(1, 9)), seqLen, ms)
+    // the takedown: re-pack tick 1 from its own per-doc reduction —
+    // exactly what the store form derives from its rows, no text
+    val docRows1 = s1.groupBy("doc_id")
+      .agg(sum("toks").as("n_tokens"), max("h").as("h"))
+      .filter(pmod(col("doc_id"), lit(Provenance.RetractMod))
+        =!= Provenance.RetractRem)
+    val s1r = repackSlices(docRows1, seqLen).withColumn("tick", lit(1))
+    val s2 = tickSlices(documents.filter(m(col("doc_id")) === 0), seqLen, ms)
+      .withColumn("tick", lit(2))
+    tickManifest(s1r.unionByName(s2), seqLen, nShards)
+  }
+
+  def q125Sql(seqLen: Int = 2048,
+              nShards: Int = Sharding.DefaultShards): String = {
+    val bm = Provenance.BatchMod
+    // one tick's pack: its own doc_id-ordered window over bpe_tok counts
+    def tickCtes(tag: String, where: String) =
+      s"""t$tag AS (SELECT doc_id, n_tokens FROM bpe_tok WHERE $where),
+         |c$tag AS (SELECT doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS end_tok
+         |      FROM t$tag),
+         |sl$tag AS (SELECT $tag AS tick, doc_id,
+         |         s.seq_id,
+         |         least(end_tok, (s.seq_id + 1) * $seqLen)
+         |           - greatest(end_tok - n_tokens, s.seq_id * $seqLen) AS toks
+         |       FROM c$tag, UNNEST(range((end_tok - n_tokens) // $seqLen,
+         |                            (end_tok - 1) // $seqLen + 1)) AS s(seq_id)
+         |       WHERE n_tokens > 0)""".stripMargin
+    s"""WITH ${Bpe.tokenSqlCtes()},
+       |${tickCtes("1", s"doc_id % $bm BETWEEN 1 AND 9 AND " +
+           s"doc_id % ${Provenance.RetractMod} <> ${Provenance.RetractRem}")},
+       |${tickCtes("2", s"doc_id % $bm = 0")},
+       |sl AS (SELECT * FROM sl1 UNION ALL SELECT * FROM sl2),
+       |hh AS (SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(concat_ws('|', doc_id, text)), 1, 15))
+       |           AS BIGINT) AS h
+       |       FROM documents),
+       |sq AS (SELECT tick, sl.seq_id, count(*) AS n_doc_slices,
+       |         CAST(sum(sl.toks) AS BIGINT) AS n_toks, bit_xor(hh.h) AS ssig
+       |       FROM sl JOIN hh ON hh.doc_id = sl.doc_id
+       |       GROUP BY tick, sl.seq_id)
+       |SELECT tick, ssig % $nShards AS shard, count(*) AS n_seqs,
+       |  CAST(sum(n_doc_slices) AS BIGINT) AS n_doc_slices,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  bit_xor(ssig) AS content_sig,
+       |  round(CAST(sum(n_toks) AS DOUBLE) / (count(*) * $seqLen), 6)
+       |    AS fill_rate
+       |FROM sq GROUP BY 1, 2 ORDER BY tick, shard""".stripMargin
+  }
 
   def q67Sql(seqLen: Int = 2048): String =
     s"""WITH ${Bpe.tokenSqlCtes()},

@@ -325,17 +325,25 @@ object DocStream {
                                  lowFrac: Double = 0.25,
                                  idx: Option[graft.io.ArtifactStore.Bm25IncrementalIndex] = None,
                                  census: Option[graft.io.ArtifactStore.GramCensusIncrementalIndex] = None,
-                                 ann: Option[graft.io.IngestLoop.AnnLeg] = None)
+                                 ann: Option[graft.io.IngestLoop.AnnLeg] = None,
+                                 export: Option[graft.io.IngestLoop.ExportLeg] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     admissionStreamWithText(docs, corpusHashes)
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[AdmissionDoc], batchId: Long) =>
         val stateTick = batchId + 1 // bootstrap=1, batch k folds at k+2
+        // state reads resolve through the shared tombstone store: a
+        // quiesce-point takedown between stream runs stops rejecting
+        // the retracted docs' near-dups here too (the exact-hash layer
+        // lives in the streaming checkpoint — see the takedown caveat
+        // in the method scaladoc)
+        val rs = (df: DataFrame) =>
+          graft.io.IngestLoop.resolved(stores, df)
         val refined = refineQuality(
           refineFuzzy(b.toDF(),
-            stores.bands.currentUpTo(stateTick).get,
-            stores.shingles.currentUpTo(stateTick).get, threshold),
+            rs(stores.bands.currentUpTo(stateTick).get),
+            rs(stores.shingles.currentUpTo(stateTick).get), threshold),
           weights, lowFrac)
           // severed: read by the sink write AND the fold increments
           .localCheckpoint()
@@ -349,38 +357,140 @@ object DocStream {
           graft.operators.Fuzzy.corpusBandState(adm))
         stores.shingles.appendTickAt(stateTick + 1,
           graft.operators.Fuzzy.corpusShingleHashes(adm))
-        // STREAMING RETRIEVAL FOLD (r10 verdict item 7): when a BM25
-        // index rides the stream, each micro-batch's ADMITTED docs
-        // additionally append their postings under the same
-        // batch-id-keyed tick — a replayed batch overwrites its own
-        // postings, so the served index never lags the dedup state and
-        // never double-counts (DocStreamSpec pins served ranking ≡ a
-        // batch rebuild over base ∪ all admissions across kill/restart).
-        // The index must be bootstrapped from the same corpus as the
-        // stores (idx.bootstrap — tick 1).
-        idx.foreach(_.appendDocsAt(stateTick + 1, adm))
-        // STREAMING CURATION FOLD (the runFullTick symmetry): the gram
-        // census follows the same batch-id-keyed ticks, so a streaming
-        // deployment's q121-style curation state never lags admissions
-        // either — same replay discipline (a redelivered batch
-        // overwrites its own census increment; the subtraction leg of
-        // a takedown composes via IngestLoop.retractTick as in batch).
-        census.foreach(_.appendDocsAt(stateTick + 1, adm))
-        // STREAMING ANN FOLD (the q124 symmetry): admitted docs'
-        // embeddings — semi-joined from the leg's side table — encode
-        // under the index's current serving artifacts and append under
-        // the same batch-id-keyed tick, so the served similarity index
-        // never lags the stream's admissions; replay overwrites its own
-        // code tick (AnnIngestSpec pins served codes ≡ a batch
-        // re-encode over base ∪ all stream admissions across
-        // kill/restart).
-        ann.foreach { leg =>
-          val (c, r) = leg.idx.servingArtifacts()
-            .getOrElse((leg.cents, leg.rcb))
-          leg.idx.appendVectorsAt(stateTick + 1, leg.vectors.join(
-            adm.select(col("doc_id").as("vec_id")), Seq("vec_id"),
-            "left_semi"), c, r)
-        }
+        foldConsumerLegs(adm, stateTick + 1, idx, census, ann, export)
+      }
+      .start()
+  }
+
+  /** The consumer-leg folds one micro-batch's ADMITTED docs feed — the
+    * [[graft.io.IngestLoop.runFullTick]] symmetry in streaming, shared
+    * by the text and multimodal folding queries. All legs append under
+    * the same batch-id-keyed tick as the dedup folds, so a replayed
+    * batch overwrites its own increments (exactly-once effect under
+    * at-least-once foreachBatch) and no served state ever lags the
+    * stream's admissions:
+    *
+    *   - RETRIEVAL (r10 item 7): BM25 postings — DocStreamSpec pins
+    *     served ranking ≡ a batch rebuild over base ∪ all admissions
+    *     across kill/restart; each batch tokenized exactly once.
+    *   - CURATION: the gram census — same pin; a takedown's
+    *     subtraction leg composes via IngestLoop.retractTick as in
+    *     batch.
+    *   - ANN (the q124 symmetry): admitted docs' embeddings (semi-
+    *     joined from the leg's side table) encode under the index's
+    *     CURRENT serving artifacts; served codes ≡ a batch re-encode
+    *     over base ∪ all stream admissions.
+    *   - EXPORT (the q125 symmetry): admitted docs pack as the batch's
+    *     epoch under the frozen merges; a replayed batch writes an
+    *     identical next revision (complete-or-invisible). Streaming
+    *     epochs are micro-batch-sized — a deployment whose batches are
+    *     small compacts by re-exporting at quiesce points (the
+    *     PackedExportStore scaladoc's epoch-count argument).
+    *
+    * Every index must be bootstrapped from the same corpus as the
+    * stores (tick 1) before the query starts. */
+  private def foldConsumerLegs(adm: DataFrame, tick: Long,
+                               idx: Option[graft.io.ArtifactStore.Bm25IncrementalIndex],
+                               census: Option[graft.io.ArtifactStore.GramCensusIncrementalIndex],
+                               ann: Option[graft.io.IngestLoop.AnnLeg],
+                               export: Option[graft.io.IngestLoop.ExportLeg])
+      : Unit = {
+    idx.foreach(_.appendDocsAt(tick, adm))
+    census.foreach(_.appendDocsAt(tick, adm))
+    ann.foreach { leg =>
+      val (c, r) = leg.idx.servingArtifacts()
+        .getOrElse((leg.cents, leg.rcb))
+      leg.idx.appendVectorsAt(tick, leg.vectors.join(
+        adm.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi"), c, r)
+    }
+    export.foreach(leg => leg.store.appendDocsAt(tick, adm, leg.ms))
+  }
+
+  /** MULTIMODAL folding admission — the [[graft.io.IngestLoop
+    * .runMmTick]] twin in streaming: per micro-batch, docs the exact
+    * pass called 'new' refine through fuzzy text (persisted LSH state),
+    * then image and audio perceptual signatures against the persisted
+    * sig stores (verdict precedence dup_corpus/dup_stream →
+    * dup_corpus_fuzzy → dup_image → dup_audio → low_quality → new —
+    * q118's precedence with the stream's exact layer spliced in), and
+    * ONLY admitted docs fold back into all five stores — so batch N+1
+    * rejects an image/audio near-dup of what batch N admitted, without
+    * waiting for a batch tick. Same batch-id-keyed replay discipline
+    * as [[foldingGatedAdmissionQuery]]; optional consumer legs via
+    * [[foldConsumerLegs]].
+    *
+    * Takedown caveat (both folding queries): the fuzzy/signature state
+    * resolves through the shared tombstone store at every batch, so a
+    * quiesce-point [[graft.io.IngestLoop.retractTick]] between stream
+    * runs reaches them; the EXACT-hash layer, however, lives in the
+    * streaming checkpoint (seeded once from `corpusHashes`), so a
+    * takedown of exact content requires restarting the query with a
+    * fresh checkpoint re-seeded from the post-retraction hash state —
+    * run takedowns at stream restart boundaries. */
+  def foldingMmAdmissionQuery(docs: DataFrame, corpusHashes: DataFrame,
+                              stores: graft.io.IngestLoop.MmStores,
+                              weights: Seq[Double],
+                              outPath: String, checkpoint: String,
+                              threshold: Double = 0.2,
+                              lowFrac: Double = 0.25,
+                              maxDist: Int = 10, maxBand: Int = 64,
+                              idx: Option[graft.io.ArtifactStore.Bm25IncrementalIndex] = None,
+                              census: Option[graft.io.ArtifactStore.GramCensusIncrementalIndex] = None,
+                              ann: Option[graft.io.IngestLoop.AnnLeg] = None,
+                              export: Option[graft.io.IngestLoop.ExportLeg] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.multimodal.Multimodal
+    admissionStreamWithText(docs, corpusHashes)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[AdmissionDoc], batchId: Long) =>
+        val stateTick = batchId + 1
+        val rs = (df: DataFrame) =>
+          graft.io.IngestLoop.resolved(stores.text, df)
+        val fuzzed = refineFuzzy(b.toDF(),
+          rs(stores.text.bands.currentUpTo(stateTick).get),
+          rs(stores.text.shingles.currentUpTo(stateTick).get), threshold)
+        // batch signatures derive once at the codec seam; severed —
+        // read by the flag joins AND the fold-back
+        val newDocs = fuzzed.filter(col("verdict") === "new")
+          .select("doc_id")
+        val bISigs = Multimodal.imageSigs(newDocs).localCheckpoint()
+        val bASigs = Multimodal.audioSigs(newDocs).localCheckpoint()
+        val imFlag = Multimodal.flaggedAgainstState(
+            rs(stores.imgSigs.currentUpTo(stateTick).get),
+            bISigs, maxDist, maxBand)
+          .select(col("fid").as("ifid"))
+        val auFlag = Multimodal.flaggedAgainstState(
+            rs(stores.audSigs.currentUpTo(stateTick).get),
+            bASigs, maxDist, maxBand)
+          .select(col("fid").as("afid"))
+        val mmRefined = fuzzed
+          .join(imFlag, col("doc_id") === col("ifid"), "left")
+          .join(auFlag, col("doc_id") === col("afid"), "left")
+          .withColumn("verdict",
+            when(col("verdict") =!= "new", col("verdict"))
+              .when(col("ifid").isNotNull, lit("dup_corpus_image"))
+              .when(col("afid").isNotNull, lit("dup_corpus_audio"))
+              .otherwise(col("verdict")))
+          .select("doc_id", "h", "verdict", "text")
+        val refined = refineQuality(mmRefined, weights, lowFrac)
+          .localCheckpoint()
+        refined.drop("text")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val adm = refined.filter(col("verdict") === "new")
+          .select("doc_id", "text")
+        stores.text.hashes.appendTickAt(stateTick + 1,
+          graft.operators.Provenance.corpusDocHashes(adm))
+        stores.text.bands.appendTickAt(stateTick + 1,
+          graft.operators.Fuzzy.corpusBandState(adm))
+        stores.text.shingles.appendTickAt(stateTick + 1,
+          graft.operators.Fuzzy.corpusShingleHashes(adm))
+        stores.imgSigs.appendTickAt(stateTick + 1,
+          bISigs.join(adm.select("doc_id"), Seq("doc_id"), "left_semi"))
+        stores.audSigs.appendTickAt(stateTick + 1,
+          bASigs.join(adm.select("doc_id"), Seq("doc_id"), "left_semi"))
+        foldConsumerLegs(adm, stateTick + 1, idx, census, ann, export)
       }
       .start()
   }

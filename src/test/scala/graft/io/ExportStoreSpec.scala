@@ -1,0 +1,156 @@
+package graft.io
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.operators.{Bpe, Packing, Provenance}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The maintained packed-sequence export (q125) — the takedown leg
+  * reaching the PHYSICAL TRAINING SHARDS: [[ArtifactStore
+  * .PackedExportStore]] must serve manifests equal to the live
+  * [[Packing.q125ExportRetraction]], re-pack ONLY affected ticks on a
+  * takedown (from stored counts — no text), keep untouched epochs'
+  * revisions byte-identical, survive a crash between revision write and
+  * `_SUCCESS`, and stay idempotent under a replayed takedown. sf0.01. */
+class ExportStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+  private val seqLen = 2048
+
+  private def docs = Tables.load(spark, sf, "documents")
+  private def m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(i =>
+      if (r.isNullAt(i)) null else r.get(i)))
+
+  private def sliceSet(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select("doc_id", "seq_id", "toks", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("store form ≡ live q125; takedown re-packs only affected ticks, " +
+       "bit-equal to a text-side re-export without the docs") {
+    val root = Files.createTempDirectory("graft_export").toString
+    val ms = Bpe.merges(docs)
+    val ex = ArtifactStore.packedExport(spark, root, "exp1", seqLen)
+    val t1 = docs.filter(m.between(1, 9))
+    val t2 = docs.filter(m === 0)
+    ex.bootstrap(t1, ms)
+    ex.appendDocsAt(2, t2, ms)
+    assert(ex.maxTick === 2L)
+
+    // pre-takedown: tick 1's slices ≡ the text-side pack of its docs
+    assert(sliceSet(ex.slices().filter(col("tick") === 1)) ===
+      sliceSet(Packing.tickSlices(t1, seqLen, ms)))
+
+    // the takedown: tick-1 docs with id % RetractMod == RetractRem
+    val retracted = t1.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) === Provenance.RetractRem)
+    assert(retracted.count() > 0)
+    val affected = ex.retractDocs(retracted)
+    assert(affected === Seq(1L), "only tick 1 contains retracted docs")
+
+    // post-takedown manifest ≡ the live oracle-checked q125
+    assert(rows(ex.manifest()) ===
+      rows(Packing.q125ExportRetraction(docs, seqLen)),
+      "served manifest must equal the live q125 form")
+
+    // the repacked tick ≡ a from-scratch TEXT-side export without the
+    // retracted docs (retraction ≡ re-export-without, bit-equal slices)
+    val surviving = t1.join(retracted, Seq("doc_id"), "left_anti")
+    assert(sliceSet(ex.slices().filter(col("tick") === 1)) ===
+      sliceSet(Packing.tickSlices(surviving, seqLen, ms)))
+
+    // a REPLAYED takedown is a no-op in effect: identical slices
+    val before = sliceSet(ex.slices())
+    ex.retractDocs(retracted)
+    assert(sliceSet(ex.slices()) === before)
+  }
+
+  test("tick-granular rebuild: an untouched epoch's revision directory " +
+       "is not rewritten by a takedown") {
+    val root = Files.createTempDirectory("graft_export").toString
+    val ms = Bpe.merges(docs)
+    val ex = ArtifactStore.packedExport(spark, root, "exp2", seqLen)
+    ex.bootstrap(docs.filter(m.between(1, 9)), ms)
+    ex.appendDocsAt(2, docs.filter(m === 0), ms)
+
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def revStamp(t: Long): Seq[(String, Long)] =
+      fs.listStatus(new Path(s"$root/export_state/exp2/tick=$t")).toSeq
+        .map(s => (s.getPath.getName, s.getModificationTime)).sorted
+    val t2Before = revStamp(2)
+
+    val retracted = docs.filter(m.between(1, 9)).select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) === Provenance.RetractRem)
+    assert(ex.retractDocs(retracted) === Seq(1L))
+    assert(revStamp(2) === t2Before,
+      "tick 2's serving revision must be untouched")
+    // tick 1 moved to rev 2; rev 1 is gone after the commit
+    assert(fs.exists(new Path(s"$root/export_state/exp2/tick=1/rev=2/_SUCCESS")))
+    assert(!fs.exists(new Path(s"$root/export_state/exp2/tick=1/rev=1")))
+  }
+
+  test("crash discipline: a revision without _SUCCESS is invisible — " +
+       "the previous revision keeps serving bit-for-bit") {
+    val root = Files.createTempDirectory("graft_export").toString
+    val ms = Bpe.merges(docs)
+    val ex = ArtifactStore.packedExport(spark, root, "exp3", seqLen)
+    val t1 = docs.filter(m.between(1, 9))
+    ex.bootstrap(t1, ms)
+    val served = sliceSet(ex.slices())
+
+    // simulate a takedown crashed between data write and _SUCCESS:
+    // copy rev=1 to rev=2, drop the marker
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val r1 = new Path(s"$root/export_state/exp3/tick=1/rev=1")
+    val r2 = new Path(s"$root/export_state/exp3/tick=1/rev=2")
+    org.apache.hadoop.fs.FileUtil.copy(fs, r1, fs, r2, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(r2, "_SUCCESS"), false)
+
+    assert(sliceSet(ex.slices()) === served,
+      "an uncommitted revision must not serve")
+    // and the retried takedown lands cleanly as rev 3
+    val retracted = t1.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) === Provenance.RetractRem)
+    ex.retractDocs(retracted)
+    assert(fs.exists(new Path(s"$root/export_state/exp3/tick=1/rev=3/_SUCCESS")))
+    assert(sliceSet(ex.slices()) ===
+      sliceSet(Packing.tickSlices(
+        t1.join(retracted, Seq("doc_id"), "left_anti"), seqLen, ms)))
+  }
+
+  test("shard reader contract: partition-pruned shard reads union to the " +
+       "full export, and no sequence is torn across shards") {
+    val root = Files.createTempDirectory("graft_export").toString
+    val ms = Bpe.merges(docs)
+    val ex = ArtifactStore.packedExport(spark, root, "exp4", seqLen)
+    ex.bootstrap(docs.filter(m.between(1, 9)), ms)
+    ex.appendDocsAt(2, docs.filter(m === 0), ms)
+
+    // every (tick, seq) lives in exactly one shard
+    val torn = ex.slices().groupBy("tick", "seq_id")
+      .agg(countDistinct("shard").as("n"))
+      .filter(col("n") > 1).count()
+    assert(torn === 0L, "a sequence must never be torn across shards")
+
+    // per-shard reads cover the whole export exactly once
+    val whole = ex.slices().count()
+    val shards = ex.slices().select("shard").distinct()
+      .collect().map(_.getLong(0))
+    assert(shards.map(s => ex.readShard(s).count()).sum === whole)
+
+    // manifest totals reconcile with the physical rows
+    val manTok = ex.manifest().agg(sum("n_tokens")).head().getLong(0)
+    val rowTok = ex.slices().agg(sum("toks")).head().getLong(0)
+    assert(manTok === rowTok)
+  }
+}

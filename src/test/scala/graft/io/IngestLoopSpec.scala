@@ -371,4 +371,74 @@ class IngestLoopSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq,
       "the BM25 leg of the same takedown serves the surviving corpus")
   }
+
+  test("export leg of the deployment tick: admitted docs pack as the tick's epoch; export lag forces the redo; the takedown reaches the shards") {
+    import graft.operators.{Bpe, Packing}
+    val root = Files.createTempDirectory("graft_ingest_export").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    val t1 = docs.filter(m >= 10)
+    val w = QualityModel.weights(corpus,
+      scope = s"multitick${Provenance.BatchMod}")
+    val ms = Bpe.merges(corpus) // the frozen tokenizer, trained once
+    val seqLen = 2048
+
+    def sliceSet(df: DataFrame): Set[(Long, Long, Long, Long)] =
+      df.select("doc_id", "seq_id", "toks", "h").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def build(name: String) = {
+      val st = IngestLoop.stores(spark, root, name)
+      IngestLoop.bootstrap(st, corpus)
+      val idx = ArtifactStore.bm25Incremental(spark, root, name)
+      idx.bootstrap(corpus)
+      val cen = ArtifactStore.gramCensusIncremental(spark, root, s"${name}_cen")
+      cen.bootstrap(corpus)
+      val ex = ArtifactStore.packedExport(spark, root, s"${name}_ex", seqLen)
+      ex.bootstrap(corpus, ms)
+      (st, idx, cen, ex)
+    }
+
+    val (stA, idxA, cenA, exA) = build("exp_clean")
+    val rep1 = rows(IngestLoop.runFullTick(stA, idxA, cenA, t1, w,
+      export = Some(IngestLoop.ExportLeg(exA, ms))))
+    assert(rep1.nonEmpty)
+
+    // export epoch 2 ≡ a text-side pack of exactly the admitted docs
+    val adm1 = stA.hashes.currentUpTo(2).get.select("doc_id")
+      .join(stA.hashes.currentUpTo(1).get.select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    val admDocs = docs.join(adm1, Seq("doc_id"), "left_semi")
+    assert(sliceSet(exA.slices().filter(col("tick") === 2)) ===
+      sliceSet(Packing.tickSlices(admDocs, seqLen, ms)),
+      "the export epoch must pack exactly the tick's admitted docs")
+
+    // CRASH: the six-store tick lands but the export append never does
+    // — the export's lag must force the REDO of the whole tick
+    val (stB, idxB, cenB, exB) = build("exp_crash")
+    IngestLoop.runFullTick(stB, idxB, cenB, t1, w) // no export leg
+    assert(exB.maxTick === 1L && stB.shingles.maxTick === 2L,
+      "precondition: every other store at tick 2, export lags")
+    val replay = rows(IngestLoop.runFullTick(stB, idxB, cenB, t1, w,
+      export = Some(IngestLoop.ExportLeg(exB, ms))))
+    assert(replay === rep1,
+      "the redone tick must reproduce the uncrashed verdicts")
+    assert(exB.maxTick === 2L, "export epoch repaired")
+
+    // the TAKEDOWN reaches the shards: retract part of the tick's
+    // admissions — the affected epoch re-packs without them (from
+    // stored counts), the untouched bootstrap epoch stays put
+    val takedown = adm1.filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) === Provenance.RetractRem)
+    assert(takedown.count() > 0)
+    IngestLoop.retractTick(stA, takedown,
+      idx = Some(idxA), census = Some((cenA, docs)), export = Some(exA))
+    assert(sliceSet(exA.slices().filter(col("tick") === 2)) ===
+      sliceSet(Packing.tickSlices(
+        admDocs.join(takedown, Seq("doc_id"), "left_anti"), seqLen, ms)),
+      "the epoch must re-pack to exactly the surviving admitted docs")
+    assert(sliceSet(exA.slices().filter(col("tick") === 1)) ===
+      sliceSet(Packing.tickSlices(corpus, seqLen, ms)),
+      "the bootstrap epoch must be untouched")
+  }
 }

@@ -103,4 +103,63 @@ class MmIngestSpec extends AnyFunSuite {
     assert(rows(IngestLoop.runMmTick(stR, t2, w)) === rep2NoFold,
       "retracting every tick-1 admission must restore the fold-free verdicts on every modality")
   }
+
+  test("multimodal consumer legs: the mm tick feeds BM25 / census / export like runFullTick; a lagging leg forces the redo") {
+    import graft.operators.{Bpe, Packing, Retrieval, SubstringDedup}
+    val root = Files.createTempDirectory("graft_mm_legs").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    val t1 = docs.filter(m >= 10)
+    val w = QualityModel.weights(corpus,
+      scope = s"multitick${Provenance.BatchMod}")
+    val ms = Bpe.merges(corpus)
+
+    def build(name: String) = {
+      val st = IngestLoop.mmStores(spark, root, name)
+      IngestLoop.bootstrapMm(st, corpus)
+      val idx = ArtifactStore.bm25Incremental(spark, root, name)
+      idx.bootstrap(corpus)
+      val cen = ArtifactStore.gramCensusIncremental(spark, root, s"${name}_cen")
+      cen.bootstrap(corpus)
+      val ex = ArtifactStore.packedExport(spark, root, s"${name}_ex")
+      ex.bootstrap(corpus, ms)
+      (st, idx, cen, ex)
+    }
+    val (st, idx, cen, ex) = build("legs")
+    val rep1 = rows(IngestLoop.runMmTick(st, t1, w,
+      idx = Some(idx), census = Some(cen),
+      export = Some(IngestLoop.ExportLeg(ex, ms))))
+    assert(rep1.nonEmpty)
+
+    // every consumer serves exactly base ∪ the mm tick's admissions
+    val admitted = docs.join(
+      st.text.hashes.current().get.select("doc_id"), Seq("doc_id"), "left_semi")
+    val queries = docs.filter(pmod(col("doc_id"), lit(50L)) === 7)
+    assert(Retrieval.topkFromIndex(idx.index(), queries)
+        .collect().map(_.toSeq).toSeq ===
+      Retrieval.topkFromIndex(Retrieval.index(admitted), queries)
+        .collect().map(_.toSeq).toSeq,
+      "BM25 must rank like a rebuild over base ∪ mm admissions")
+    assert(cen.winners().collect().map(_.getLong(0)).toSeq ===
+      SubstringDedup.winnersFromCensus(SubstringDedup.censusOf(admitted))
+        .collect().map(_.getLong(0)).toSeq,
+      "census must equal a re-mine of the mm-ingested corpus")
+    val admOnly = admitted.join(corpus.select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    assert(ex.slices().filter(col("tick") === 2)
+        .select("doc_id", "seq_id", "toks", "h").collect().map(_.toSeq).toSet ===
+      Packing.tickSlices(admOnly, 2048, ms)
+        .select("doc_id", "seq_id", "toks", "h").collect().map(_.toSeq).toSet,
+      "the export epoch must pack the mm tick's admissions")
+
+    // a lagging consumer leg forces the whole-tick redo
+    val (stB, idxB, cenB, exB) = build("legs_crash")
+    IngestLoop.runMmTick(stB, t1, w, idx = Some(idxB), census = Some(cenB))
+    assert(exB.maxTick === 1L && stB.audSigs.maxTick === 2L)
+    val replay = rows(IngestLoop.runMmTick(stB, t1, w,
+      idx = Some(idxB), census = Some(cenB),
+      export = Some(IngestLoop.ExportLeg(exB, ms))))
+    assert(replay === rep1, "the redone mm tick must reproduce the verdicts")
+    assert(exB.maxTick === 2L)
+  }
 }

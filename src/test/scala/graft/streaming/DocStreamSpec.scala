@@ -598,6 +598,75 @@ class DocStreamSpec extends AnyFunSuite {
         "— the served similarity index never lags the dedup state")
   }
 
+  test("multimodal folding admission: image/audio sig state folds between micro-batches — a perceptual near-dup of a batch-0 ADMISSION is caught at batch 1, across kill + restart") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val documents = Tables.load(spark, sf, "documents")
+
+    val artRoot = Files.createTempDirectory("graft_mmfold_art").toString
+    val hashes = graft.io.ArtifactStore.corpusHashesOrBuild(artRoot, documents)
+    val w = graft.operators.QualityModel.weights(documents, scope = "mmfoldspec")
+
+    // planted perceptual partners (the q110/q116 id formulas): B's image
+    // is A's seed perturbed (B = A+3, B%7==3); D's audio is C's seed
+    // perturbed (D = C+2, D%5==2). All four texts are novel and textually
+    // unrelated, so ONLY the signature legs can reject B and D.
+    def toks(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val a = DocStream.Doc(900200L, HourNs, toks("ima"))
+    val c = DocStream.Doc(900115L, HourNs, toks("aua"))
+    val b = DocStream.Doc(900203L, 2 * HourNs, toks("imb"))
+    val d = DocStream.Doc(900117L, 2 * HourNs, toks("aub"))
+    val e = DocStream.Doc(900120L, 2 * HourNs, toks("nov"))
+
+    val st = graft.io.IngestLoop.mmStores(spark, artRoot, "mmfold")
+    graft.io.IngestLoop.bootstrapMm(st, documents)
+
+    val dir = Files.createTempDirectory("graft_mmfold_jsonl")
+    val ckpt = Files.createTempDirectory("graft_mmfold_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_mmfold_out").toString
+    def jline(dc: DocStream.Doc): String =
+      s"""{"doc_id": ${dc.doc_id}, "ts": ${dc.ts}, "text": "${dc.text}"}"""
+    def drop(name: String, ds: Seq[DocStream.Doc]): Unit =
+      Files.writeString(dir.resolve(name), ds.map(jline).mkString("\n") + "\n")
+    def startQuery() = {
+      val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+        DocStream.JsonlDocSchema)
+        .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+        .drop(graft.io.JsonLines.CorruptCol)
+      DocStream.foldingMmAdmissionQuery(raw,
+        hashes.select(col("ch").as("h")), st, w, outDir, ckpt,
+        lowFrac = 0.0)
+    }
+
+    // batch 0: A and C admitted → their sigs fold; then KILL
+    drop("b0.jsonl", Seq(a, c))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(st.imgSigs.maxTick === 2L && st.audSigs.maxTick === 2L,
+      "batch 0 must fold its admissions' signatures at tick 2")
+
+    // batch 1 lands while the query is DOWN; a fresh query resumes
+    drop("b1.jsonl", Seq(b, d, e))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(got(900200L) === "new" && got(900115L) === "new",
+      "batch 0's planted sources are novel")
+    assert(got(900203L) === "dup_corpus_image",
+      "B must be rejected at batch 1 by the FOLDED image sig state")
+    assert(got(900117L) === "dup_corpus_audio",
+      "D must be rejected at batch 1 by the FOLDED audio sig state")
+    assert(got(900120L) === "new", "unrelated novel doc stays admitted")
+    // rejected docs' sigs never entered the state
+    assert(st.imgSigs.maxTick === 3L && st.audSigs.maxTick === 3L)
+    assert(st.imgSigs.current().get
+      .filter(col("doc_id").isin(900203L, 900117L)).count() === 0L,
+      "a rejected doc's signature must not fold")
+  }
+
   test("gated admission stream (q103 twin): one tick reconciles with the batch report") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.{col, lit, pmod}
