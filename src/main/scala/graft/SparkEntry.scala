@@ -229,6 +229,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         retraction ≡ re-export-without (deployment
   *                         form: io.ArtifactStore.PackedExportStore,
   *                         riding IngestLoop.runFullTick's export leg)
+  *  - q126_multimodal_retraction: the MULTIMODAL takedown — q117's
+  *                         retraction discipline over q118's unified
+  *                         five-store state: one takedown retracts a
+  *                         doc from every modality (exact text / LSH /
+  *                         image sig / audio sig), the batch is judged
+  *                         against the survivors under the FROZEN
+  *                         model; oracle re-derives every state side
+  *                         filtered to survivors — including the sig
+  *                         chains' hot-bucket censuses — in one WITH
+  *                         clause (store form: retractTick on the
+  *                         shared tombstone store + runMmTick)
   */
 object SparkEntry {
 
@@ -377,6 +388,8 @@ object SparkEntry {
       SubstringDedup.q123CensusRetraction(_)),
     "q125_export_retraction" -> t("documents")(
       Packing.q125ExportRetraction(_)),
+    "q126_multimodal_retraction" -> t("documents")(
+      graft.multimodal.Multimodal.q126MultimodalRetraction(_)),
     "q124_ann_ingest_tick" -> ((s, dir) => Pq.q124AnnIngestTick(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
   )
@@ -509,5 +522,6 @@ object SparkEntry {
     "q123_census_retraction" -> SubstringDedup.q123Sql(),
     "q124_ann_ingest_tick" -> Pq.q124Sql(),
     "q125_export_retraction" -> Packing.q125Sql(),
+    "q126_multimodal_retraction" -> graft.multimodal.Multimodal.q126Sql(),
   )
 }

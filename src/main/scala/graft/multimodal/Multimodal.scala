@@ -383,9 +383,9 @@ object Multimodal {
     * `${p}fz(fid)`. The q114 flag machinery, signature-generic (image
     * and audio share it verbatim). */
   private def sigFlagSqlCtes(p: String, bm: Long, maxDist: Int,
-                             maxBand: Int): String =
+                             maxBand: Int, stateWhere: String = ""): String =
     s"""${p}cb AS (SELECT b.* FROM ${p}bands b
-       |       WHERE b.doc_id % $bm <> 0),
+       |       WHERE b.doc_id % $bm <> 0$stateWhere),
        |${p}keep AS (SELECT band, x FROM ${p}cb GROUP BY band, x
        |         HAVING count(*) <= $maxBand),
        |${p}cbg AS (SELECT cb.doc_id AS sid, cb.band, cb.x FROM ${p}cb cb
@@ -672,17 +672,40 @@ object Multimodal {
   def q118Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
               maxDist: Int = 10, maxBand: Int = 64,
               iters: Int = graft.operators.QualityModel.DefaultIters,
-              trainN: Int = graft.operators.QualityModel.DefaultTrainN): String = {
-    import graft.operators.{Fuzzy, QualityModel}
-    val bm = graft.operators.Provenance.BatchMod
+              trainN: Int = graft.operators.QualityModel.DefaultTrainN): String =
+    mmAdmissionSql(threshold, lowFrac, maxDist, maxBand, iters, trainN,
+      keepState = false)
+
+  /** The shared q118/q126 oracle generator: the unified-multimodal
+    * WITH chain, with every CORPUS-STATE side optionally filtered to
+    * the takedown survivors (`doc_id % RetractMod <> RetractRem`) —
+    * the exact-hash state, the LSH pair universe, and both signature
+    * flag chains' state sides (including their hot-bucket censuses,
+    * which must re-derive over survivors exactly as
+    * [[flaggedAgainstState]] does on a filtered state frame). The
+    * model CTEs always train on the FULL corpus: a takedown does not
+    * retrain the frozen model (the q104/q109 loop gates that). */
+  private def mmAdmissionSql(threshold: Double, lowFrac: Double,
+                             maxDist: Int, maxBand: Int,
+                             iters: Int, trainN: Int,
+                             keepState: Boolean): String = {
+    import graft.operators.{Fuzzy, Provenance, QualityModel}
+    val bm = Provenance.BatchMod
+    val keepSql =
+      s"doc_id % ${Provenance.RetractMod} <> ${Provenance.RetractRem}"
+    val tokWhere =
+      if (keepState) s" WHERE doc_id % $bm = 0 OR $keepSql" else ""
+    val cWhere = if (keepState) s" AND $keepSql" else ""
+    val sigWhere = if (keepState) s" AND b.$keepSql" else ""
     s"""WITH ${Fuzzy.lshPairsSqlCtes(
-         "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
+         "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a " +
+           s"FROM documents$tokWhere)",
          threshold)},
        |h AS (SELECT doc_id, source,
        |        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
        |      FROM documents),
        |b AS (SELECT doc_id, source, h FROM h WHERE doc_id % $bm = 0),
-       |c AS (SELECT DISTINCT h FROM h WHERE doc_id % $bm <> 0),
+       |c AS (SELECT DISTINCT h FROM h WHERE doc_id % $bm <> 0$cWhere),
        |fz AS (SELECT DISTINCT CASE WHEN ida % $bm = 0 THEN ida ELSE idb END AS fid
        |       FROM pairs WHERE (ida % $bm = 0) <> (idb % $bm = 0)),
        |${QualityModel.featureSqlCtes(
@@ -693,9 +716,9 @@ object Multimodal {
        |s AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
        |      FROM bf_feat, ctr_w w),
        |${sigSqlCtes("im_")},
-       |${sigFlagSqlCtes("im_", bm, maxDist, maxBand)},
+       |${sigFlagSqlCtes("im_", bm, maxDist, maxBand, sigWhere)},
        |${audioSigSqlCtes("au_")},
-       |${sigFlagSqlCtes("au_", bm, maxDist, maxBand)},
+       |${sigFlagSqlCtes("au_", bm, maxDist, maxBand, sigWhere)},
        |j AS (SELECT b.doc_id, b.source, c.h AS ch, fz.fid,
        |        imf.fid AS ifid, auf.fid AS afid, s.p
        |      FROM b LEFT JOIN c ON b.h = c.h
@@ -718,6 +741,65 @@ object Multimodal {
        |FROM j LEFT JOIN lq ON lq.doc_id = j.doc_id
        |GROUP BY j.source ORDER BY source""".stripMargin
   }
+
+  /** q126: the MULTIMODAL TAKEDOWN — q117's retraction discipline
+    * applied to the unified five-store admission state (q118): corpus
+    * docs with doc_id % RetractMod == RetractRem are retracted from
+    * EVERY modality's state at once (the shared-tombstone argument of
+    * [[graft.io.IngestLoop.MmStores]] — one takedown, five stores), and
+    * the q118 batch is judged against the survivors. A batch doc whose
+    * ONLY image partner was retracted stops being `dup_image` (same per
+    * modality), so the takedown observably shifts verdicts across the
+    * whole precedence ladder — MmIngestSpec pins the decisive contrast
+    * vs q118 on the image and audio legs specifically, and that the
+    * store form (retractTick on the shared tombstone store, then
+    * runMmTick) reproduces this live form tick for tick.
+    *
+    * The quality model stays FROZEN (trained on the full pre-takedown
+    * corpus): a takedown is not a retrain — the q104/q109/q113 loop
+    * owns that choice. The oracle re-derives every corpus-state side
+    * (exact hashes, the LSH pair universe, both signature chains WITH
+    * their hot-bucket censuses) filtered to survivors, in the same one
+    * WITH clause — certifying takedown ≡ state-without-the-docs on all
+    * five legs simultaneously.
+    *
+    * Scale shape: q118's plus one broadcast-sized anti-filter per
+    * state relation (the q117 argument — takedown-sized, never a
+    * corpus rescan; here expressed as the id-modulus the oracle can
+    * share). */
+  def q126MultimodalRetraction(docs: DataFrame, threshold: Double = 0.2,
+                               lowFrac: Double = 0.25, maxDist: Int = 10,
+                               maxBand: Int = 64): DataFrame = {
+    import graft.operators.{Fuzzy, Provenance, QualityModel}
+    val bm = Provenance.BatchMod
+    val m = pmod(col("doc_id"), lit(bm))
+    val keep =
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) =!= Provenance.RetractRem
+    val batch = docs.filter(m === 0)
+    // frozen pre-takedown model — trained on the FULL corpus
+    val w = QualityModel.weights(docs.filter(m =!= 0), scope = s"admission$bm")
+    // every state side filtered to the survivors; the pair universe is
+    // batch ∪ surviving corpus so no retracted doc can verify a pair
+    val fuzzy = Fuzzy.lshCrossPairs(docs.filter(m === 0 || keep),
+        (c: org.apache.spark.sql.Column) => pmod(c, lit(bm)) === 0, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    val sigsI = imageSigs(docs).localCheckpoint()
+    val sigsA = audioSigs(docs).localCheckpoint()
+    val imFlag = flaggedAgainstState(sigsI.filter(m =!= 0 && keep),
+      sigsI.filter(m === 0), maxDist, maxBand).select(col("fid").as("ifid"))
+    val auFlag = flaggedAgainstState(sigsA.filter(m =!= 0 && keep),
+      sigsA.filter(m === 0), maxDist, maxBand).select(col("fid").as("afid"))
+    mmGatedTickReport(mmGatedTickFrame(batch,
+      Provenance.corpusHashState(docs.filter(m =!= 0 && keep)),
+      fuzzy, imFlag, auFlag, w, lowFrac))
+  }
+
+  def q126Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              maxDist: Int = 10, maxBand: Int = 64,
+              iters: Int = graft.operators.QualityModel.DefaultIters,
+              trainN: Int = graft.operators.QualityModel.DefaultTrainN): String =
+    mmAdmissionSql(threshold, lowFrac, maxDist, maxBand, iters, trainN,
+      keepState = true)
 
   /** Oracle twin of [[q71ImageDecode]]: dims from the same formula,
     * pixel sum re-derived arithmetically (never decoding anything) —

@@ -104,6 +104,40 @@ class MmIngestSpec extends AnyFunSuite {
       "retracting every tick-1 admission must restore the fold-free verdicts on every modality")
   }
 
+  test("multimodal takedown (q126): store form ≡ live; the retraction is decisive on the image AND audio legs vs q118") {
+    val root = Files.createTempDirectory("graft_mm_retr").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m =!= 0)
+    val batch = docs.filter(m === 0)
+    val w = QualityModel.weights(corpus,
+      scope = s"admission${Provenance.BatchMod}")
+
+    val live = rows(graft.multimodal.Multimodal.q126MultimodalRetraction(docs))
+    val base = rows(graft.multimodal.Multimodal.q118MultimodalAdmission(docs))
+    def leg(r: Seq[Seq[Any]], i: Int) = r.map(_(i).asInstanceOf[Long]).sum
+    // decisive per modality: batch docs whose ONLY image/audio partner
+    // was retracted must stop being rejected on that leg
+    assert(leg(live, 3) < leg(base, 3),
+      "the takedown must un-reject at least one image near-dup")
+    assert(leg(live, 4) < leg(base, 4),
+      "the takedown must un-reject at least one audio near-dup")
+    // the exact-text leg can only shrink (its decisive case — a dup
+    // whose only hash partner is retracted — is q117's own pin; this
+    // corpus's planted exact partners don't land on the retraction
+    // modulus, so equality is the expected outcome here)
+    assert(leg(live, 2) <= leg(base, 2))
+
+    // store form: bootstrap the five stores, retract via the SHARED
+    // tombstone store (one takedown, every modality), judge the batch
+    val st = IngestLoop.mmStores(spark, root, "retr126")
+    IngestLoop.bootstrapMm(st, corpus)
+    val retracted = corpus.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) === Provenance.RetractRem)
+    IngestLoop.retractTick(st.text, retracted)
+    assert(rows(IngestLoop.runMmTick(st, batch, w)) === live,
+      "store-backed post-takedown mm tick must equal the live q126")
+  }
+
   test("multimodal consumer legs: the mm tick feeds BM25 / census / export like runFullTick; a lagging leg forces the redo") {
     import graft.operators.{Bpe, Packing, Retrieval, SubstringDedup}
     val root = Files.createTempDirectory("graft_mm_legs").toString
