@@ -240,6 +240,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         chains' hot-bucket censuses — in one WITH
   *                         clause (store form: retractTick on the
   *                         shared tombstone store + runMmTick)
+  *  - q127_mixture_rebalance: the MIXTURE maintenance loop — the
+  *                         q109/q113 measurement→choice→consequence
+  *                         discipline for the domain mix: per-source
+  *                         share drift of the ingested snapshot vs
+  *                         bootstrap (exact micro-units), a rebalance
+  *                         decision at a drift trigger, q97 temperature
+  *                         weights re-derived over the CHOSEN counts,
+  *                         and tick 2's batch actually sampled under
+  *                         them; oracle re-derives tick, drift, branch,
+  *                         weights, and the hash-filter admission in
+  *                         one WITH clause
   */
 object SparkEntry {
 
@@ -390,6 +401,8 @@ object SparkEntry {
       Packing.q125ExportRetraction(_)),
     "q126_multimodal_retraction" -> t("documents")(
       graft.multimodal.Multimodal.q126MultimodalRetraction(_)),
+    "q127_mixture_rebalance" -> t("documents")(
+      Provenance.q127MixtureRebalance(_)),
     "q124_ann_ingest_tick" -> ((s, dir) => Pq.q124AnnIngestTick(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
   )
@@ -523,5 +536,6 @@ object SparkEntry {
     "q124_ann_ingest_tick" -> Pq.q124Sql(),
     "q125_export_retraction" -> Packing.q125Sql(),
     "q126_multimodal_retraction" -> graft.multimodal.Multimodal.q126Sql(),
+    "q127_mixture_rebalance" -> Provenance.q127Sql(),
   )
 }

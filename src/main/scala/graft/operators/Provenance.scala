@@ -908,6 +908,153 @@ object Provenance {
        |ORDER BY tick, source""".stripMargin
   }
 
+  /** Default rebalance trigger for [[q127MixtureRebalance]]: maximum
+    * per-source share drift, in micro-units (1e-6 of the corpus). 2,000
+    * µ = 0.2 % — small enough that the planted tick-1 admission skew
+    * trips it on the test corpora (the interesting branch under oracle
+    * check), large enough that a no-drift tick keeps the old mixture
+    * (MixStatsSpec pins the keep branch at a raised trigger). */
+  val DefaultMixDriftMicros = 2000L
+
+  /** q127: the MIXTURE maintenance loop — the q109/q113/q119/q122
+    * measurement→choice→consequence discipline applied to the DOMAIN
+    * MIX: as admission ticks accumulate, the ingested corpus's source
+    * mixture drifts away from what the sampling weights were derived
+    * on, and the q69/q97 mixture tables silently go stale (the same
+    * staleness class as frozen ANN centroids or frozen BPE merges).
+    *
+    *   1. MEASUREMENT — after the q106 tick 1, the ingested snapshot's
+    *      per-source share (corpus ∪ tick-1 admissions) is compared to
+    *      the bootstrap corpus share, in exact micro-units;
+    *   2. CHOICE — if any source drifted more than `maxDriftMicros`,
+    *      the mixture REBALANCES: the q97 temperature weights re-derive
+    *      over the ingested counts; otherwise the bootstrap-derived
+    *      weights keep serving (both branches in the output's
+    *      `decision` column, the q109 canary shape);
+    *   3. CONSEQUENCE — the CHOSEN rate table gates tick 2's batch:
+    *      per source, the deterministic q58/q97 hash filter admits
+    *      `n_sampled` of `n_batch` arrivals — the next tick actually
+    *      samples under the maintained mixture, not the stale one.
+    *
+    * The oracle re-derives all three phases — the gated tick-1 chain
+    * (training pass included), the drift census, the branch, the
+    * exponentiated weights, and the tick-2 hash admission — in ONE
+    * WITH clause. MixStatsSpec pins both branches reachable and the
+    * keep branch degenerating to the bootstrap-mix q97 table exactly.
+    *
+    * Scale shape: q106's tick-1 chain plus two groupBy(source)
+    * aggregates (domains are few), two 1-row broadcasts, and one
+    * narrow batch scan against a broadcast rate table — the mixture
+    * machinery adds no data-sized shuffle. Integer-deterministic
+    * throughout (micro-unit shares, micro-unit thresholds, the 60-bit
+    * doc hash): both engines compare the same longs. */
+  def q127MixtureRebalance(documents: DataFrame, threshold: Double = 0.2,
+                           lowFrac: Double = 0.25, alpha: Double = 0.7,
+                           budgetFrac: Double = 0.5,
+                           maxDriftMicros: Long = DefaultMixDriftMicros)
+      : DataFrame = {
+    val p = multiTickParts(documents, threshold, lowFrac)
+    val m = (c: org.apache.spark.sql.Column) => pmod(c, lit(BatchMod))
+    val corpus = documents.filter(m(col("doc_id")).between(1, 9))
+    val adm1 = p.v1.filter(col("lq") === false).select("doc_id")
+    val ing = corpus.select("source")
+      .union(documents.join(adm1, Seq("doc_id"), "left_semi").select("source"))
+    val mixC = corpus.groupBy("source").agg(count(lit(1)).as("n_corpus"))
+    val mixI = ing.groupBy("source").agg(count(lit(1)).as("n_ingested"))
+    // full join: a source first seen in an admission tick still gets a
+    // row (n_corpus = 0); the share arithmetic stays exact micro-units
+    val mx = mixC.join(mixI, Seq("source"), "full")
+      .select(col("source"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+        coalesce(col("n_ingested"), lit(0L)).as("n_ingested"))
+    val tots = mx.agg(sum("n_corpus").as("tc"), sum("n_ingested").as("ti"))
+    val dr = mx.crossJoin(broadcast(tots))
+      .withColumn("drift",
+        abs(round(col("n_corpus") * lit(1e6) / col("tc")).cast("long") -
+          round(col("n_ingested") * lit(1e6) / col("ti")).cast("long")))
+      .select("source", "n_corpus", "n_ingested", "drift")
+    val trig = dr.agg(max("drift").as("max_drift"))
+    val sel = dr.crossJoin(broadcast(trig))
+      .withColumn("decision",
+        when(col("max_drift") > maxDriftMicros, lit("rebalance"))
+          .otherwise(lit("keep")))
+      .withColumn("n_sel",
+        when(col("decision") === "rebalance", col("n_ingested"))
+          .otherwise(col("n_corpus")))
+      .withColumn("wm",
+        round(pow(col("n_sel").cast("double"), lit(alpha)) * 1e6).cast("long"))
+    val tot2 = sel.agg(sum("wm").as("denom"), sum("n_sel").as("n_total"))
+    val rates = sel.crossJoin(broadcast(tot2))
+      .withColumn("weight", round(col("wm") / col("denom"), 6))
+      .withColumn("rate", round(least(lit(1.0),
+        lit(budgetFrac) * col("n_total") * col("wm")
+          / col("denom") / col("n_sel")), 6))
+      .withColumn("thr", round(col("rate") * 1e6).cast("long"))
+      .select("source", "n_corpus", "n_ingested", "drift", "decision",
+        "weight", "rate", "thr")
+    val hm = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000L)
+    p.t2.select(col("source"), hm.as("hm"))
+      .join(broadcast(rates), "source")
+      .groupBy(col("source"), col("n_corpus"), col("n_ingested"),
+        col("drift"), col("decision"), col("weight"), col("rate"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("hm") < col("thr"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("source")
+  }
+
+  def q127Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              alpha: Double = 0.7, budgetFrac: Double = 0.5,
+              maxDriftMicros: Long = DefaultMixDriftMicros,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    val bm = BatchMod
+    s"""WITH ${multiTickCoreSqlCtes(threshold, lowFrac, iters, trainN)},
+       |mixc AS (SELECT source, count(*) AS n_corpus FROM documents
+       |         WHERE doc_id % $bm BETWEEN 1 AND 9 GROUP BY source),
+       |ingd AS (SELECT source FROM documents WHERE doc_id % $bm BETWEEN 1 AND 9
+       |         UNION ALL
+       |         SELECT d.source FROM documents d
+       |         JOIN adm1 ON adm1.doc_id = d.doc_id),
+       |mixi AS (SELECT source, count(*) AS n_ingested FROM ingd GROUP BY source),
+       |mx AS (SELECT COALESCE(mixc.source, mixi.source) AS source,
+       |         COALESCE(n_corpus, 0) AS n_corpus,
+       |         COALESCE(n_ingested, 0) AS n_ingested
+       |       FROM mixc FULL JOIN mixi ON mixi.source = mixc.source),
+       |tots AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS tc,
+       |         CAST(sum(n_ingested) AS BIGINT) AS ti FROM mx),
+       |dr AS (SELECT source, n_corpus, n_ingested,
+       |         abs(CAST(round(n_corpus * 1e6 / tc) AS BIGINT)
+       |           - CAST(round(n_ingested * 1e6 / ti) AS BIGINT)) AS drift
+       |       FROM mx, tots),
+       |mdr AS (SELECT max(drift) AS max_drift FROM dr),
+       |sel AS (SELECT source, n_corpus, n_ingested, drift,
+       |         CASE WHEN max_drift > $maxDriftMicros
+       |              THEN 'rebalance' ELSE 'keep' END AS decision,
+       |         CASE WHEN max_drift > $maxDriftMicros
+       |              THEN n_ingested ELSE n_corpus END AS n_sel
+       |       FROM dr, mdr),
+       |w1 AS (SELECT *, CAST(round(pow(CAST(n_sel AS DOUBLE), $alpha) * 1e6)
+       |         AS BIGINT) AS wm FROM sel),
+       |t2tot AS (SELECT CAST(sum(wm) AS BIGINT) AS denom,
+       |          CAST(sum(n_sel) AS BIGINT) AS n_total FROM w1),
+       |r AS (SELECT source, n_corpus, n_ingested, drift, decision,
+       |        round(wm / denom, 6) AS weight,
+       |        round(least(1.0,
+       |          $budgetFrac * n_total * wm / denom / n_sel), 6) AS rate
+       |      FROM w1, t2tot)
+       |SELECT r.source, CAST(r.n_corpus AS BIGINT) AS n_corpus,
+       |  CAST(r.n_ingested AS BIGINT) AS n_ingested, r.drift, r.decision,
+       |  r.weight, r.rate, count(*) AS n_batch,
+       |  CAST(sum(CASE WHEN
+       |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 1000000 < CAST(round(r.rate * 1e6) AS BIGINT)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |FROM documents d JOIN r ON d.source = r.source
+       |WHERE d.doc_id % $bm = 0
+       |GROUP BY 1, 2, 3, 4, 5, 6, 7 ORDER BY r.source""".stripMargin
+  }
+
   /** q75: manifest DIFF — the consumer of q70's manifests: given two
     * corpus snapshots, which id-buckets changed, and how? This is how
     * two 100 TB snapshots are compared WITHOUT moving either corpus:

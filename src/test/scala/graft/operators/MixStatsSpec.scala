@@ -111,6 +111,45 @@ class MixStatsSpec extends AnyFunSuite {
       "identical snapshots must produce an empty drift report")
   }
 
+  test("q127 mixture rebalance: both branches reachable; the keep branch degenerates to the bootstrap-mix q97 table") {
+    // sf0.01 — the q106 tick-1 chain needs the multi-tick partner
+    // structure (the IngestLoopSpec argument)
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+
+    // default trigger: the planted tick-1 admission skew trips rebalance
+    val rb = Provenance.q127MixtureRebalance(docs).collect()
+    assert(rb.nonEmpty)
+    assert(rb.forall(_.getString(4) == "rebalance"),
+      "the default trigger must trip on the planted drift")
+
+    // an unreachable trigger keeps the bootstrap mixture; its
+    // weight/rate columns must equal the q97 temperature table over
+    // the corpus counts exactly (the maintained mixture degenerates to
+    // the bootstrap one — the q113 'no-retrain ≡ q106' discipline)
+    val keep = Provenance.q127MixtureRebalance(docs,
+      maxDriftMicros = 1000000L).collect()
+    assert(keep.forall(_.getString(4) == "keep"),
+      "an unreachable trigger must keep the bootstrap mixture")
+    val corpus = docs.filter(
+      pmod(col("doc_id"), lit(Provenance.BatchMod)).between(1, 9))
+    val q97 = graft.operators.Curate.q97TemperatureMix(corpus).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    keep.foreach { r =>
+      val (w97, r97) = q97(r.getString(0))
+      assert(r.getDouble(5) === w97 && r.getDouble(6) === r97,
+        s"keep-branch mixture must equal the bootstrap q97 table for ${r.getString(0)}")
+    }
+
+    // the consequence differs between branches: the gate the next tick
+    // samples under changed (at this sf the 1–2 docs per source don't
+    // flip an admission — the realized n_sampled flip is the gen-sf1
+    // rehearsal's pin; here the policy itself must move)
+    val rateRb = rb.map(r => r.getString(0) -> r.getDouble(6)).toMap
+    val rateKeep = keep.map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(rateRb != rateKeep,
+      "rebalancing must change the rate table the next tick samples under")
+  }
+
   test("plan: corpus counts equi-join on the word hash; only the scalar N nested-loops") {
     val df = MixStats.q79SourceDivergence(Tables.load(spark, sf, "documents"))
     df.collect()
