@@ -140,6 +140,31 @@ object IngestLoop {
     st.tombs.appendTick(fresh)
   }
 
+  /** Roll the loop into a FRESH store generation at a stream restart
+    * boundary — the executable form of the streaming takedown
+    * discipline ([[graft.streaming.DocStream.foldingMmAdmissionQuery]]'s
+    * scaladoc): a Structured Streaming query restarted with a fresh
+    * checkpoint resets micro-batch ids to 0, so its batch-id-keyed fold
+    * ticks would COLLIDE with the previous run's; and the exact-hash
+    * layer seeds from `corpusHashes` only at first start, so a takedown
+    * of exact content needs a re-seed anyway. `rollover` snapshots the
+    * old stores' RESOLVED state (tombstones baked in — one read per
+    * store, no text) as tick 1 of a new store generation: the new run
+    * folds from tick 2 up with no collisions, seeds its exact layer
+    * from the new `hashes` tick-1 state, and every retracted doc's rows
+    * are physically absent from the rolled state. DocStreamSpec pins
+    * the full boundary flow: run → quiesce takedown → rollover → run,
+    * with the retracted doc's exact copy and near-dup both re-admitted
+    * and a surviving doc's duplicate still rejected. */
+  def rollover(st: Stores, spark: SparkSession, root: String,
+               name: String): Stores = {
+    val next = stores(spark, root, name)
+    next.hashes.appendTickAt(1, resolved(st, st.hashes.current().get))
+    next.bands.appendTickAt(1, resolved(st, st.bands.current().get))
+    next.shingles.appendTickAt(1, resolved(st, st.shingles.current().get))
+    next
+  }
+
   /** The tick this run should PRODUCE, with crash recovery: normally
     * every store agrees on maxTick T and the next tick is T+1; after a
     * crash between the per-store writes the stores disagree, and the

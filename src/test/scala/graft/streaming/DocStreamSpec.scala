@@ -667,6 +667,85 @@ class DocStreamSpec extends AnyFunSuite {
       "a rejected doc's signature must not fold")
   }
 
+  test("takedown at a stream restart boundary: retract → rollover → restart un-rejects the retracted doc's copies on every layer; a control without the takedown keeps rejecting them") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, lit}
+    val documents = Tables.load(spark, sf, "documents")
+
+    val artRoot = Files.createTempDirectory("graft_takedown_art").toString
+    val w = graft.operators.QualityModel.weights(documents, scope = "tdspec")
+
+    // novel doc X admitted on run 1; after the takedown, an exact copy
+    // X2 and a near-dup X' must BOTH re-admit; a dup of a SURVIVING
+    // corpus doc must stay rejected (the takedown is doc-granular)
+    val xToks = (1 to 30).map(i => s"td$i")
+    val x = DocStream.Doc(910000L, HourNs, xToks.mkString(" "))
+    val x2 = DocStream.Doc(910001L, 2 * HourNs, xToks.mkString(" "))
+    val xp = DocStream.Doc(910002L, 2 * HourNs,
+      xToks.updated(7, "tdqz").mkString(" "))
+    val survDup = DocStream.Doc(910003L, 2 * HourNs,
+      documents.orderBy("doc_id").select("text").head().getString(0))
+
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    // one input dir, checkpoint, and output dir PER RUN: each restart
+    // is a fresh query over its own drop directory, folding into
+    // whatever store generation it is handed
+    def runOnce(st: graft.io.IngestLoop.Stores,
+                ds: Seq[DocStream.Doc]): Map[Long, String] = {
+      val dir = Files.createTempDirectory("graft_td_in")
+      val ckpt = Files.createTempDirectory("graft_td_ckpt").toString
+      val out = Files.createTempDirectory("graft_td_out").toString
+      Files.writeString(dir.resolve("drop.jsonl"),
+        ds.map(jline).mkString("\n") + "\n")
+      val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+        DocStream.JsonlDocSchema)
+        .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+        .drop(graft.io.JsonLines.CorruptCol)
+      // the exact layer seeds from the store generation's own tick-1
+      // hash state — the rollover contract
+      val seed = st.hashes.currentUpTo(1).get
+        .select(col("ch").as("h")).distinct()
+      val q = DocStream.foldingGatedAdmissionQuery(raw, seed, st, w,
+        out, ckpt, lowFrac = 0.0)
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+        .toMap
+    }
+    val run2Docs = Seq(x2, xp, survDup)
+
+    // takedown path: run 1 → quiesce retraction of X → rollover → run 2
+    val stA = graft.io.IngestLoop.stores(spark, artRoot, "tdA")
+    graft.io.IngestLoop.bootstrap(stA, documents)
+    val r1 = runOnce(stA, Seq(x))
+    assert(r1(910000L) === "new", "X is novel on run 1")
+    graft.io.IngestLoop.retractTick(stA,
+      spark.range(1).select(lit(910000L).as("doc_id")))
+    val stA2 = graft.io.IngestLoop.rollover(stA, spark, artRoot, "tdA2")
+    val r2 = runOnce(stA2, run2Docs)
+    assert(r2(910001L) === "new",
+      "the retracted doc's exact copy must re-admit after the takedown")
+    assert(r2(910002L) === "new",
+      "the retracted doc's near-dup must re-admit: its band/shingle " +
+        "rows are resolved out of the rolled state")
+    assert(r2(910003L) === "dup_corpus",
+      "a duplicate of a SURVIVING corpus doc must stay rejected")
+
+    // control path: identical flow WITHOUT the takedown — both copies
+    // keep being rejected, so the un-rejection above is the retraction
+    val stB = graft.io.IngestLoop.stores(spark, artRoot, "tdB")
+    graft.io.IngestLoop.bootstrap(stB, documents)
+    runOnce(stB, Seq(x))
+    val stB2 = graft.io.IngestLoop.rollover(stB, spark, artRoot, "tdB2")
+    val c2 = runOnce(stB2, run2Docs)
+    assert(c2(910001L) === "dup_corpus",
+      "control: the exact copy stays rejected without the takedown")
+    assert(c2(910002L) === "dup_corpus_fuzzy",
+      "control: the near-dup stays rejected without the takedown")
+    assert(c2(910003L) === "dup_corpus")
+  }
+
   test("gated admission stream (q103 twin): one tick reconciles with the batch report") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.{col, lit, pmod}
