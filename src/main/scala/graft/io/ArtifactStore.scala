@@ -644,6 +644,79 @@ object ArtifactStore {
       : GramCensusIncrementalIndex =
     new GramCensusIncrementalIndex(spark, root, name, k)
 
+  // ---- maintained domain-mix state (q127) --------------------------------
+
+  /** The DOMAIN-MIX state of an ingest loop, maintained per tick — the
+    * store form behind [[graft.operators.Provenance.q127MixtureRebalance]]:
+    * each tick appends its admitted docs' per-source counts (additive —
+    * a doc is admitted in exactly one tick), the served mix is one
+    * sum-merge over (source, n_docs) rows, and the q97 temperature
+    * table re-derives from it without ever recounting old ticks. A
+    * takedown SUBTRACTS (the census pattern — mix rows carry no doc_id
+    * to anti-join): [[IngestLoop.retractTick]]'s mix leg appends the
+    * retracted docs' negated counts behind the tombstone existence
+    * check. Rows are (source, n_docs) — bytes per DOMAIN per tick, the
+    * smallest state family in the loop. */
+  final class MixIncrementalIndex(spark: SparkSession, root: String,
+                                  name: String) {
+    val mixStore: IngestStateStore = ingestState(spark, root, s"$name/mix")
+
+    private def countsOf(docs: DataFrame): DataFrame =
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+
+    def appendDocsAt(t: Long, docs: DataFrame): Unit =
+      mixStore.appendTickAt(t, countsOf(docs))
+
+    /** IDEMPOTENT tick-1 bootstrap (the incremental-index contract). */
+    def bootstrap(corpusDocs: DataFrame): Unit = appendDocsAt(1, corpusDocs)
+
+    /** Retraction subtracts — tick-keyed like the census leg. */
+    def retractDocsAt(t: Long, docs: DataFrame): Unit =
+      mixStore.appendTickAt(t,
+        countsOf(docs).select(col("source"), (-col("n_docs")).as("n_docs")))
+
+    def retractDocs(docs: DataFrame): Long =
+      mixStore.appendTick(
+        countsOf(docs).select(col("source"), (-col("n_docs")).as("n_docs")))
+
+    /** The merged per-source counts over everything appended. */
+    def mix(): DataFrame =
+      mixStore.current().getOrElse(sys.error(
+          "incremental mix is empty: append a corpus first"))
+        .groupBy("source").agg(sum("n_docs").as("n_docs"))
+
+    /** The q97 temperature table over the MAINTAINED counts — what
+      * q127's rebalance branch serves, with zero recounts of old ticks
+      * (MixStatsSpec pins equality with the live q127 rate table). */
+    def temperatureTable(alpha: Double = 0.7,
+                         budgetFrac: Double = 0.5): DataFrame = {
+      val per = mix().filter(col("n_docs") > 0)
+        .withColumn("wm",
+          round(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6)
+            .cast("long"))
+      val tot = per.agg(sum("wm").as("denom"), sum("n_docs").as("n_total"))
+      per.crossJoin(org.apache.spark.sql.functions.broadcast(tot))
+        .withColumn("weight", round(col("wm") / col("denom"), 6))
+        .withColumn("rate", round(least(lit(1.0),
+          lit(budgetFrac) * col("n_total") * col("wm")
+            / col("denom") / col("n_docs")), 6))
+        .select("source", "n_docs", "weight", "rate")
+        .orderBy("source")
+    }
+
+    /** Compaction folds positive and negative increments to one row per
+      * source and drops fully-retracted domains. */
+    def compact(targetBytes: Long = 128L * 1024 * 1024): Int =
+      mixStore.compactWith(df =>
+        df.groupBy("source").agg(sum("n_docs").as("n_docs"))
+          .filter(col("n_docs") =!= 0),
+        targetBytes)
+  }
+
+  def mixIncremental(spark: SparkSession, root: String,
+                     name: String): MixIncrementalIndex =
+    new MixIncrementalIndex(spark, root, name)
+
   // ---- maintained packed-sequence export (q125) -------------------------
 
   /** The INCREMENTALLY MAINTAINED packed-sequence export — the physical

@@ -110,7 +110,9 @@ object IngestLoop {
                   census: Option[(ArtifactStore.GramCensusIncrementalIndex,
                                   DataFrame)] = None,
                   ann: Option[ArtifactStore.IvfPqIncrementalIndex] = None,
-                  export: Option[ArtifactStore.PackedExportStore] = None)
+                  export: Option[ArtifactStore.PackedExportStore] = None,
+                  mix: Option[(ArtifactStore.MixIncrementalIndex, DataFrame)]
+                    = None)
       : Long = {
     // Docs already tombstoned are dropped BEFORE any leg runs: the
     // anti-join legs (dedup stores, BM25 postings, IVF-PQ codes) are
@@ -137,6 +139,11 @@ object IngestLoop {
     // — naturally idempotent (a repeated repack reproduces identical
     // rows), still behind the tombstone existence check like every leg
     export.foreach(_.retractDocs(fresh))
+    // MIX leg (q127's state): subtraction, like the census — needs the
+    // docs' source column, so the caller passes the document table
+    mix.foreach { case (mIdx, docs) =>
+      mIdx.retractDocs(docs.join(fresh, Seq("doc_id"), "left_semi"))
+    }
     st.tombs.appendTick(fresh)
   }
 
@@ -194,9 +201,12 @@ object IngestLoop {
                        census: Option[ArtifactStore.GramCensusIncrementalIndex]
                          = None,
                        ann: Option[AnnLeg] = None,
-                       export: Option[ExportLeg] = None): Long =
+                       export: Option[ExportLeg] = None,
+                       mix: Option[ArtifactStore.MixIncrementalIndex] = None)
+      : Long =
     nextTickOf((Seq(st.hashes, st.bands, st.shingles) ++ idx.map(_.tfStore)
-      ++ census.map(_.censusStore) ++ ann.map(_.idx.codeStore))
+      ++ census.map(_.censusStore) ++ ann.map(_.idx.codeStore)
+      ++ mix.map(_.mixStore))
       .map(_.maxTick) ++ export.map(_.store.maxTick))
 
   /** The ANN SERVING leg of a deployment tick (q124,
@@ -259,9 +269,10 @@ object IngestLoop {
                           census: Option[
                             ArtifactStore.GramCensusIncrementalIndex] = None,
                           ann: Option[AnnLeg] = None,
-                          export: Option[ExportLeg] = None)
+                          export: Option[ExportLeg] = None,
+                          mix: Option[ArtifactStore.MixIncrementalIndex] = None)
       : DataFrame = {
-    val t = nextTick(st, idx, census, ann, export)
+    val t = nextTick(st, idx, census, ann, export, mix)
     // every state read resolves through the tombstone store: retracted
     // docs' rows are invisible whether or not a compaction folded them
     val state = resolved(st, st.hashes.currentUpTo(t - 1).getOrElse(
@@ -292,6 +303,8 @@ object IngestLoop {
     // EXPORT leg: admitted docs pack as this tick's epoch under the
     // frozen merges — the same admitted frame every other store folds
     export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
+    // MIX leg (q127's state): per-source admitted counts, additive
+    mix.foreach(_.appendDocsAt(t, admDocs))
     Provenance.gatedTickReport(v)
   }
 
@@ -365,9 +378,11 @@ object IngestLoop {
                   threshold: Double = 0.2,
                   lowFrac: Double = 0.25,
                   ann: Option[AnnLeg] = None,
-                  export: Option[ExportLeg] = None): DataFrame =
+                  export: Option[ExportLeg] = None,
+                  mix: Option[ArtifactStore.MixIncrementalIndex] = None)
+      : DataFrame =
     runTickImpl(st, Some(idx), batchDocs, w, threshold, lowFrac,
-      census = Some(census), ann = ann, export = export)
+      census = Some(census), ann = ann, export = export, mix = mix)
 
   // ---- unified MULTIMODAL admission (q118's deployment form) -----------
 

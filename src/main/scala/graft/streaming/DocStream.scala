@@ -395,6 +395,8 @@ object DocStream {
                                ann: Option[graft.io.IngestLoop.AnnLeg],
                                export: Option[graft.io.IngestLoop.ExportLeg])
       : Unit = {
+    // (no mix leg here: the stream wire schema carries no `source`
+    // column — the domain-mix state is a batch-loop leg)
     idx.foreach(_.appendDocsAt(tick, adm))
     census.foreach(_.appendDocsAt(tick, adm))
     ann.foreach { leg =>

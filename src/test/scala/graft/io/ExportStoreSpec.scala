@@ -128,6 +128,43 @@ class ExportStoreSpec extends AnyFunSuite {
         t1.join(retracted, Seq("doc_id"), "left_anti"), seqLen, ms)))
   }
 
+  test("tokenizer swap between epochs (the q119 choice feeding the export): " +
+       "new epochs pack under the new merges, old epochs are untouched") {
+    val root = Files.createTempDirectory("graft_export").toString
+    val t1 = docs.filter(m.between(1, 9))
+    val t2 = docs.filter(m === 0)
+    val msOld = Bpe.merges(t1)           // bootstrap-corpus tokenizer
+    val msNew = Bpe.merges(docs)         // the q119 'fresh' choice
+    val ex = ArtifactStore.packedExport(spark, root, "exp_swap", seqLen)
+    ex.bootstrap(t1, msOld)
+    val epoch1 = sliceSet(ex.slices().filter(col("tick") === 1))
+
+    // the swap: the next epoch packs under the CHOSEN merges — epochs
+    // are tick-local, so history is never re-packed implicitly (a
+    // deployment that wants old epochs under the new tokenizer
+    // re-exports them deliberately, the q108 full form)
+    ex.appendDocsAt(2, t2, msNew)
+    assert(sliceSet(ex.slices().filter(col("tick") === 1)) === epoch1,
+      "the tokenizer swap must not touch already-exported epochs")
+    assert(sliceSet(ex.slices().filter(col("tick") === 2)) ===
+      sliceSet(Packing.tickSlices(t2, seqLen, msNew)),
+      "the new epoch must pack under the chosen merges")
+    assert(sliceSet(ex.slices().filter(col("tick") === 2)) !==
+      sliceSet(Packing.tickSlices(t2, seqLen, msOld)),
+      "the swap must be observable (different token counts repack)")
+
+    // and a takedown on the old epoch still re-packs under ITS stored
+    // counts — the repack never re-tokenizes, so the tokenizer that
+    // packed an epoch is baked into its rows
+    val retracted = t1.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) === Provenance.RetractRem)
+    ex.retractDocs(retracted)
+    assert(sliceSet(ex.slices().filter(col("tick") === 1)) ===
+      sliceSet(Packing.tickSlices(
+        t1.join(retracted, Seq("doc_id"), "left_anti"), seqLen, msOld)),
+      "post-swap takedowns re-pack old epochs under their own tokenizer")
+  }
+
   test("shard reader contract: partition-pruned shard reads union to the " +
        "full export, and no sequence is torn across shards") {
     val root = Files.createTempDirectory("graft_export").toString

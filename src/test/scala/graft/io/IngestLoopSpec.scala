@@ -400,8 +400,10 @@ class IngestLoopSpec extends AnyFunSuite {
     }
 
     val (stA, idxA, cenA, exA) = build("exp_clean")
+    val mixA = ArtifactStore.mixIncremental(spark, root, "exp_clean_mix")
+    mixA.bootstrap(corpus)
     val rep1 = rows(IngestLoop.runFullTick(stA, idxA, cenA, t1, w,
-      export = Some(IngestLoop.ExportLeg(exA, ms))))
+      export = Some(IngestLoop.ExportLeg(exA, ms)), mix = Some(mixA)))
     assert(rep1.nonEmpty)
 
     // export epoch 2 ≡ a text-side pack of exactly the admitted docs
@@ -412,6 +414,23 @@ class IngestLoopSpec extends AnyFunSuite {
     assert(sliceSet(exA.slices().filter(col("tick") === 2)) ===
       sliceSet(Packing.tickSlices(admDocs, seqLen, ms)),
       "the export epoch must pack exactly the tick's admitted docs")
+
+    // MIX leg (q127's state): maintained counts ≡ a recount of the
+    // ingested snapshot, with zero recounts of old ticks by
+    // construction (one groupBy per tick); the q97 temperature table
+    // over the maintained counts ≡ the table derived from the recount
+    def mixOf(d: DataFrame) = d.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ingested = docs.join(stA.hashes.current().get.select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    assert(mixA.mix().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === mixOf(ingested),
+      "the maintained mix must equal a recount of the ingested snapshot")
+    assert(mixA.temperatureTable().collect().map(_.toSeq).toSeq ===
+      graft.operators.Curate.q97TemperatureMix(ingested).collect()
+        .map(r => Seq(r.get(0), r.get(1), r.get(2), r.get(3))).toSeq,
+      "the served temperature table must equal the recount-derived q97 " +
+        "table on (source, n_docs, weight, rate)")
 
     // CRASH: the six-store tick lands but the export append never does
     // — the export's lag must force the REDO of the whole tick
@@ -432,7 +451,8 @@ class IngestLoopSpec extends AnyFunSuite {
       pmod(col("doc_id"), lit(Provenance.RetractMod)) === Provenance.RetractRem)
     assert(takedown.count() > 0)
     IngestLoop.retractTick(stA, takedown,
-      idx = Some(idxA), census = Some((cenA, docs)), export = Some(exA))
+      idx = Some(idxA), census = Some((cenA, docs)), export = Some(exA),
+      mix = Some((mixA, docs)))
     assert(sliceSet(exA.slices().filter(col("tick") === 2)) ===
       sliceSet(Packing.tickSlices(
         admDocs.join(takedown, Seq("doc_id"), "left_anti"), seqLen, ms)),
@@ -440,5 +460,10 @@ class IngestLoopSpec extends AnyFunSuite {
     assert(sliceSet(exA.slices().filter(col("tick") === 1)) ===
       sliceSet(Packing.tickSlices(corpus, seqLen, ms)),
       "the bootstrap epoch must be untouched")
+    // ... and the mix leg subtracted exactly the takedown's counts
+    val surviving2 = ingested.join(takedown, Seq("doc_id"), "left_anti")
+    assert(mixA.mix().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === mixOf(surviving2),
+      "the takedown must subtract exactly its docs' per-source counts")
   }
 }
