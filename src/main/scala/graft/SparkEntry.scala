@@ -251,6 +251,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         them; oracle re-derives tick, drift, branch,
   *                         weights, and the hash-filter admission in
   *                         one WITH clause
+  *  - q128_model_unlearning: the takedown leg reaching the LEARNED
+  *                         state family — the takedown class is
+  *                         intersected with the frozen model's
+  *                         training-sample manifest (membership, not a
+  *                         canary threshold: unlearning is mandatory
+  *                         when the model trained on a retracted doc,
+  *                         provably unnecessary when it didn't), the
+  *                         surviving corpus retrains, and the next
+  *                         batch gates under the CHOSEN weights;
+  *                         oracle re-derives both training chains, the
+  *                         manifest intersection, the CASE-selected
+  *                         weight row, canary flips, and the gated
+  *                         batch in one WITH clause (store form:
+  *                         reservoir-backed ArtifactStore.ModelStore
+  *                         riding retractTick — zero text reads per
+  *                         takedown)
   */
 object SparkEntry {
 
@@ -405,6 +421,8 @@ object SparkEntry {
       Provenance.q127MixtureRebalance(_)),
     "q124_ann_ingest_tick" -> ((s, dir) => Pq.q124AnnIngestTick(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
+    "q128_model_unlearning" -> t("documents")(
+      QualityModel.q128ModelUnlearning(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -537,5 +555,6 @@ object SparkEntry {
     "q125_export_retraction" -> Packing.q125Sql(),
     "q126_multimodal_retraction" -> graft.multimodal.Multimodal.q126Sql(),
     "q127_mixture_rebalance" -> Provenance.q127Sql(),
+    "q128_model_unlearning" -> QualityModel.q128Sql(),
   )
 }

@@ -717,6 +717,144 @@ object ArtifactStore {
                      name: String): MixIncrementalIndex =
     new MixIncrementalIndex(spark, root, name)
 
+  // ---- serving quality model with unlearning (q128) ---------------------
+
+  /** The SERVING quality model as a state family with a takedown leg —
+    * q128's deployment form. Append-era stores solved "retract the
+    * doc's rows"; the model is different: a retracted doc's influence
+    * is a GRADIENT, removable only by retraining without it. Doing
+    * that from the corpus would re-read text on every takedown, so the
+    * store persists the trainer's bounded hv-prefix RESERVOIR
+    * ([[graft.operators.QualityModel.labeledReservoir]], `slack ×
+    * trainN` featurized rows): every doc outside it ranks after every
+    * doc inside, so while ≥ trainN reservoir rows survive, the
+    * survivors' global trainN training prefix lies entirely inside the
+    * reservoir and retrain-from-reservoir ≡ retrain-from-corpus
+    * EXACTLY — zero text reads per takedown (ModelStoreSpec pins the
+    * equivalence, decisive weight change, and both no-op tiers).
+    *
+    * Unlearn decision (q128's membership test, not a canary
+    * threshold):
+    *  - takedown ∩ reservoir = ∅ → weights AND generation stand (the
+    *    model provably never trained on the docs; zero writes);
+    *  - hits only the reservoir TAIL (rank > trainN) → new generation
+    *    with the shrunk reservoir but the SAME weights, zero train
+    *    runs (future unlearns shift, current sample didn't);
+    *  - hits the training prefix → retrain on the surviving reservoir,
+    *    new generation serves.
+    *
+    * Generations commit marker-LAST (the q122 recluster discipline): a
+    * crash mid-write leaves the old generation serving bit-for-bit and
+    * a re-run rebuilds idempotently. Exhaustion (< trainN survivors)
+    * throws rather than silently serving a divergent sample — the
+    * documented re-bootstrap trigger, the compaction analogue. */
+  final class ModelStore(spark: SparkSession, root: String, name: String,
+                         iters: Int = QualityModel.DefaultIters,
+                         trainN: Int = QualityModel.DefaultTrainN,
+                         slack: Int = 2) {
+    private val base = s"$root/model_store/$name"
+    private def f = fs(spark, base)
+    private def genDir(g: Long) = s"$base/g=$g"
+
+    /** Max committed generation; 0 before [[bootstrap]]. */
+    def generation: Long = {
+      val p = new Path(base)
+      if (!f.exists(p)) 0L
+      else f.listStatus(p).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("g="))
+        .filter(d => f.exists(new Path(d.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix("g=").toLong)
+        .maxOption.getOrElse(0L)
+    }
+
+    def reservoir(g: Long = generation): DataFrame = {
+      require(g >= 1, s"model store '$name' not bootstrapped")
+      spark.read.parquet(s"${genDir(g)}/reservoir")
+    }
+
+    def servingWeights(): Seq[Double] = {
+      val g = generation
+      require(g >= 1, s"model store '$name' not bootstrapped")
+      val r = spark.read.parquet(s"${genDir(g)}/weights").collect()(0)
+      (0 until QualityModel.NumW).map(j => r.getDouble(r.fieldIndex(s"w$j")))
+    }
+
+    /** Crash-injection seam: generation data WITHOUT the marker. */
+    private[graft] def writeGenData(g: Long, res: DataFrame,
+                                    w: Seq[Double]): Unit = {
+      res.coalesce(1).write.mode("overwrite")
+        .parquet(s"${genDir(g)}/reservoir")
+      import spark.implicits._
+      Seq(w).map(ws => (ws(0), ws(1), ws(2), ws(3), ws(4), ws(5), ws(6)))
+        .toDF((0 until QualityModel.NumW).map(j => s"w$j"): _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"${genDir(g)}/weights")
+    }
+
+    private[graft] def commitGeneration(g: Long): Unit =
+      f.create(new Path(s"${genDir(g)}/_SUCCESS"), true).close()
+
+    /** IDEMPOTENT generation-1 bootstrap: featurize the corpus once,
+      * persist the reservoir, train from its prefix. Returns the
+      * serving weights (≡ [[QualityModel.train]] on the corpus —
+      * spec-pinned). */
+    def bootstrap(corpusDocs: DataFrame): Seq[Double] = {
+      val res = QualityModel.labeledReservoir(corpusDocs, slack * trainN)
+        .localCheckpoint()
+      val w = QualityModel.trainOnFeatures(res, iters, trainN)
+      writeGenData(1, res, w)
+      commitGeneration(1)
+      w
+    }
+
+    /** The takedown leg ([[IngestLoop.retractTick]] calls this behind
+      * its tombstone existence check). Returns the post-takedown
+      * serving weights. */
+    def unlearn(docIds: DataFrame): Seq[Double] = {
+      val g = generation
+      require(g >= 1, s"model store '$name' not bootstrapped")
+      val res = reservoir(g).localCheckpoint()
+      val ids = docIds.select("doc_id").distinct().localCheckpoint()
+      // bounded joins: reservoir ≤ slack·trainN rows
+      if (res.join(ids, Seq("doc_id"), "left_semi").isEmpty)
+        return servingWeights()
+      val surv = res.join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+      val nLive = surv.count()
+      require(nLive >= trainN,
+        s"model store '$name' reservoir exhausted ($nLive < $trainN " +
+          "survivors): re-bootstrap from the corpus")
+      import org.apache.spark.sql.expressions.Window
+      val prefixHit = !res
+        .withColumn("rk", row_number().over(Window.orderBy("hv", "doc_id")))
+        .filter(col("rk") <= trainN)
+        .join(ids, Seq("doc_id"), "left_semi").isEmpty
+      val w =
+        if (prefixHit) QualityModel.trainOnFeatures(surv, iters, trainN)
+        else servingWeights()
+      writeGenData(g + 1, surv, w)
+      commitGeneration(g + 1)
+      w
+    }
+
+    /** The RETRAIN-choice consumer (q113's loop refreshing its serving
+      * artifact): a new generation from the current corpus snapshot —
+      * reservoir re-featurized, full slack restored. */
+    def refresh(corpusDocs: DataFrame): Seq[Double] = {
+      val g = generation
+      val res = QualityModel.labeledReservoir(corpusDocs, slack * trainN)
+        .localCheckpoint()
+      val w = QualityModel.trainOnFeatures(res, iters, trainN)
+      writeGenData(g + 1, res, w)
+      commitGeneration(g + 1)
+      w
+    }
+  }
+
+  def modelStore(spark: SparkSession, root: String, name: String,
+                 iters: Int = QualityModel.DefaultIters,
+                 trainN: Int = QualityModel.DefaultTrainN,
+                 slack: Int = 2): ModelStore =
+    new ModelStore(spark, root, name, iters, trainN, slack)
+
   // ---- maintained packed-sequence export (q125) -------------------------
 
   /** The INCREMENTALLY MAINTAINED packed-sequence export — the physical

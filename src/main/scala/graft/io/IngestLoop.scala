@@ -112,7 +112,8 @@ object IngestLoop {
                   ann: Option[ArtifactStore.IvfPqIncrementalIndex] = None,
                   export: Option[ArtifactStore.PackedExportStore] = None,
                   mix: Option[(ArtifactStore.MixIncrementalIndex, DataFrame)]
-                    = None)
+                    = None,
+                  model: Option[ArtifactStore.ModelStore] = None)
       : Long = {
     // Docs already tombstoned are dropped BEFORE any leg runs: the
     // anti-join legs (dedup stores, BM25 postings, IVF-PQ codes) are
@@ -144,6 +145,12 @@ object IngestLoop {
     mix.foreach { case (mIdx, docs) =>
       mIdx.retractDocs(docs.join(fresh, Seq("doc_id"), "left_semi"))
     }
+    // MODEL leg (q128): unlearn — if the takedown reaches the serving
+    // model's training sample, retrain from the persisted reservoir
+    // (zero text reads); membership decision + generation swap live in
+    // the store. Behind the tombstone check like the subtraction legs:
+    // a replayed takedown must not re-shrink the reservoir.
+    model.foreach(_.unlearn(fresh))
     st.tombs.appendTick(fresh)
   }
 

@@ -147,10 +147,35 @@ object QualityModel {
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(negate(z)))
 
-  def train(documents: DataFrame, iters: Int, trainN: Int): Seq[Double] = {
+  def train(documents: DataFrame, iters: Int, trainN: Int): Seq[Double] =
+    trainOnFeatures(featureFrame(documents).withColumn("hv", hv), iters, trainN)
+
+  /** The hv-prefix labeled reservoir of a corpus: the first `n` docs in
+    * (hv, doc_id) order with their label and feature columns — the
+    * BOUNDED state from which the trainer's sample is the `trainN`
+    * prefix. [[graft.io.ArtifactStore.ModelStore]] persists this (at
+    * `slack × trainN`) so a takedown can retrain WITHOUT re-reading any
+    * corpus text: every doc outside the reservoir ranks after every doc
+    * inside it, so as long as ≥ trainN reservoir rows survive a
+    * retraction, the survivors' global trainN prefix is entirely inside
+    * the reservoir and retrain-from-reservoir ≡ retrain-from-corpus
+    * exactly (ModelStoreSpec pins the equivalence and the exhaustion
+    * guard). */
+  private[graft] def labeledReservoir(documents: DataFrame, n: Int): DataFrame =
+    featureFrame(documents).withColumn("hv", hv)
+      .orderBy("hv", "doc_id").limit(n)
+      .select(Seq(col("doc_id"), col("hv"), col("y")) ++
+        (0 until NumW).map(j => col(s"x$j")): _*)
+
+  /** Full-batch GD over the `trainN` (hv, doc_id)-prefix of an already
+    * featurized frame (needs doc_id, hv, y, x0..x6) — the shared
+    * trainer body of [[train]] (which featurizes from text) and the
+    * ModelStore's reservoir retrain (which must not touch text). */
+  private[graft] def trainOnFeatures(feats: DataFrame, iters: Int,
+                                     trainN: Int): Seq[Double] = {
     trainRuns.incrementAndGet()
-    val trainSet = featureFrame(documents)
-      .withColumn("hv", hv).orderBy("hv", "doc_id").limit(trainN)
+    val trainSet = feats
+      .orderBy("hv", "doc_id").limit(trainN)
       .select("y", (0 until NumW).map(j => s"x$j"): _*)
       .localCheckpoint()
     var w = Array.fill(NumW)(0.0)
@@ -449,4 +474,148 @@ object QualityModel {
        |  count(CASE WHEN p >= 0.5 THEN 1 END) AS n_admitted,
        |  round(avg(p), 6) AS mean_score
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q128: MODEL UNLEARNING — the takedown leg reaching the LEARNED
+    * state family, the one place q117/q123/q125/q126's retraction
+    * discipline had not gone: a doc retracted from every derived store
+    * still has its gradient baked into the serving quality model. A
+    * compliance takedown (copyright, post-admission PII) is not done
+    * while the model that TRAINED on the doc keeps gating admissions —
+    * and unlike drift (q109/q113's gated CHOICE), unlearning is
+    * mandatory whenever the takedown reaches the training sample, and
+    * provably unnecessary when it does not (the model never saw the
+    * doc). So the decision here is membership, not a canary threshold:
+    *
+    *   1. MEASUREMENT — the takedown class (ingested docs with
+    *      doc_id % retractMod == retractRem, the q117 convention) is
+    *      intersected with the frozen model's TRAINING-SAMPLE MANIFEST
+    *      (the hv-ordered trainN prefix — exactly what
+    *      [[graft.io.ArtifactStore.ModelStore]] persists): `n_hit_train`;
+    *   2. CHOICE — n_hit_train > 0 ⇒ 'unlearn' (retrain on the
+    *      surviving ingested corpus); 0 ⇒ 'stand' (the serving model
+    *      provably never trained on a retracted doc);
+    *   3. CONSEQUENCE — the next batch is gated under the CHOSEN
+    *      weights (q103's bottom-`lowFrac` operating point, scoped to
+    *      the batch); the certificate columns pin the chosen weights
+    *      numerically (`w_l2_delta` — 0 exactly on the stand branch)
+    *      and behaviorally (`n_flips` at the operating point over the
+    *      bounded post-takedown canary).
+    *
+    * The oracle re-derives ALL of it in one WITH clause: both unrolled
+    * training chains (frozen + survivor), the manifest intersection,
+    * the CASE-selected weight row, the canary flips, and the gated
+    * batch — a hash match certifies takedown ∘ membership test ∘
+    * retrain ∘ conditional gate end-to-end. The deployment form is
+    * [[graft.io.ArtifactStore.ModelStore]] riding
+    * [[graft.io.IngestLoop.retractTick]]: reservoir-backed, so the
+    * production unlearn reads ZERO corpus text (ModelStoreSpec pins
+    * store ≡ this live form, the no-op branch with zero train runs,
+    * generation crash discipline, and the exhaustion guard).
+    *
+    * Scale shape: two fixed-cost training passes (bounded samples,
+    * 7-double gradient rows), one sample-sized canary with two rank
+    * windows, and a batch-scoped scoring projection + one window —
+    * the takedown adds NO data-sized shuffle; the only corpus-wide
+    * work is the row-local feature projection both trainers' hv-prefix
+    * limits read (and the store form eliminates even that). */
+  def q128ModelUnlearning(documents: DataFrame,
+                          iters: Int = DefaultIters,
+                          trainN: Int = DefaultTrainN,
+                          lowFrac: Double = 0.25,
+                          evalN: Int = DefaultTrainN,
+                          retractMod: Long = Provenance.RetractMod,
+                          retractRem: Long = Provenance.RetractRem): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isBatch = pmod(col("doc_id"), lit(Provenance.BatchMod)) === 0
+    val retracted = pmod(col("doc_id"), lit(retractMod)) === lit(retractRem)
+    val base = documents.filter(!isBatch)
+    val wF = weights(base, iters, trainN,
+      scope = s"admission${Provenance.BatchMod}")
+    // the takedown's reach into the training-sample manifest — ONE
+    // documented scalar barrier (a single long; the store form reads
+    // this from its persisted reservoir instead)
+    val nHit = labeledReservoir(base, trainN).filter(retracted).count()
+    val doUnlearn = nHit > 0
+    val wU =
+      if (doUnlearn) weights(base.filter(!retracted), iters, trainN,
+        scope = s"unlearn$retractMod-$retractRem")
+      else wF
+    val l2 = math.sqrt(wF.zip(wU).map { case (a, b) => (a - b) * (a - b) }.sum)
+    // behavioral certificate: admission flips at the operating point
+    // over the bounded post-takedown canary (retracted docs are gone
+    // from the corpus the canary samples; batch arrivals are not)
+    val flips = flipCount(documents.filter(isBatch || !retracted),
+      wF, wU, lowFrac, evalN)
+    // consequence: the batch gated under the CHOSEN weights
+    val batch = documents.filter(isBatch)
+    val lq = scores(batch, wU)
+      .withColumn("lq", cume_dist().over(Window.orderBy("p", "doc_id"))
+        <= lowFrac)
+    batch.select("doc_id", "source").join(lq, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        count(when(col("lq"), lit(1))).as("n_low_quality"),
+        count(when(!col("lq"), lit(1))).as("n_admitted"),
+        round(avg("p"), 6).as("mean_score"))
+      .withColumn("decision", lit(if (doUnlearn) "unlearn" else "stand"))
+      .withColumn("n_hit_train", lit(nHit))
+      .withColumn("n_flips", lit(flips))
+      .withColumn("w_l2_delta", round(lit(l2), 6))
+      .select(col("source"), col("decision"), col("n_hit_train"),
+        col("n_flips"), col("w_l2_delta"), col("n_batch"),
+        col("n_low_quality"), col("n_admitted"), col("mean_score"))
+      .orderBy("source")
+  }
+
+  def q128Sql(iters: Int = DefaultIters, trainN: Int = DefaultTrainN,
+              lowFrac: Double = 0.25, evalN: Int = DefaultTrainN,
+              retractMod: Long = Provenance.RetractMod,
+              retractRem: Long = Provenance.RetractRem): String = {
+    val bm = Provenance.BatchMod
+    val js = 0 until NumW
+    val wsel = js.map(j =>
+      s"CASE WHEN n.n_hit > 0 THEN u.w$j ELSE b.w$j END AS w$j").mkString(", ")
+    val l2 = js.map(j => s"(s.w$j - b.w$j) * (s.w$j - b.w$j)").mkString(" + ")
+    s"""WITH ${featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm <> 0)", "ctr_")},
+       |${trainSqlCtes(iters, trainN, "ctr_")},
+       |${featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm <> 0 AND doc_id % $retractMod <> $retractRem)",
+         "ul_")},
+       |${trainSqlCtes(iters, trainN, "ul_")},
+       |nh AS (SELECT count(CASE WHEN doc_id % $retractMod = $retractRem THEN 1 END) AS n_hit
+       |       FROM ctr_tr),
+       |wsel AS (SELECT $wsel FROM ctr_w b, ul_w u, nh n),
+       |wd AS (SELECT round(sqrt($l2), 6) AS w_l2 FROM ctr_w b, wsel s),
+       |${featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm = 0 OR doc_id % $retractMod <> $retractRem)",
+         "cv_")},
+       |csmp AS MATERIALIZED (
+       |  SELECT doc_id, ${scoreSql("wb")} AS pb, ${scoreSql("ws")} AS pf
+       |  FROM (SELECT * FROM cv_feat ORDER BY hv, doc_id LIMIT $evalN) f,
+       |       ctr_w wb, wsel ws),
+       |cfl AS (SELECT cume_dist() OVER (ORDER BY pb, doc_id) <= $lowFrac AS lb,
+       |          cume_dist() OVER (ORDER BY pf, doc_id) <= $lowFrac AS lf
+       |        FROM csmp),
+       |nflip AS (SELECT count(CASE WHEN lb <> lf THEN 1 END) AS flips FROM cfl),
+       |${featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm = 0)", "bt_")},
+       |bsc AS MATERIALIZED (SELECT doc_id, ${scoreSql("w")} AS p
+       |       FROM bt_feat, wsel w),
+       |blq AS (SELECT doc_id, p,
+       |          cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
+       |        FROM bsc)
+       |SELECT d.source,
+       |  (SELECT CASE WHEN n_hit > 0 THEN 'unlearn' ELSE 'stand' END FROM nh)
+       |    AS decision,
+       |  (SELECT n_hit FROM nh) AS n_hit_train,
+       |  (SELECT flips FROM nflip) AS n_flips,
+       |  (SELECT w_l2 FROM wd) AS w_l2_delta,
+       |  count(*) AS n_batch,
+       |  count(CASE WHEN lq THEN 1 END) AS n_low_quality,
+       |  count(CASE WHEN NOT lq THEN 1 END) AS n_admitted,
+       |  round(avg(p), 6) AS mean_score
+       |FROM blq JOIN documents d ON d.doc_id = blq.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
 }

@@ -139,4 +139,45 @@ class QualityModelSpec extends AnyFunSuite {
     assert(QualityModel.train(docs, iters = 2, trainN = 10) === Seq.fill(7)(0.0))
     assert(QualityModel.q101LearnedFilter(docs).count() === 0)
   }
+
+  test("q128 both branches: training-sample hit unlearns (decisive); a miss provably stands, flip-free") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val base = docs.filter(pmod(col("doc_id"), lit(Provenance.BatchMod)) =!= 0)
+
+    // UNLEARN branch (default takedown class): the class intersects the
+    // hv-prefix manifest, so the choice must be 'unlearn' with moved
+    // weights and a consistent gate
+    val un = QualityModel.q128ModelUnlearning(docs).collect()
+    assert(un.nonEmpty)
+    un.foreach { r =>
+      assert(r.getAs[String]("decision") === "unlearn")
+      assert(r.getAs[Long]("n_hit_train") > 0)
+      assert(r.getAs[Double]("w_l2_delta") > 0.0,
+        "retraining without a third of the sample must move the weights")
+      assert(r.getAs[Long]("n_low_quality") + r.getAs[Long]("n_admitted")
+        === r.getAs[Long]("n_batch"))
+    }
+
+    // STAND branch: retract exactly one doc OUTSIDE the trainN-prefix
+    // manifest (id picked via the same hv the trainer orders by) — the
+    // model provably never trained on it: decision 'stand', zero flips,
+    // zero weight delta
+    val trainN = 64
+    val ranked = QualityModel.labeledReservoir(base, 1 << 20)
+      .orderBy("hv", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranked.length > trainN)
+    val outside = ranked.last
+    val mod = ranked.max + 1 // doc_id % mod == outside ⇔ doc_id == outside
+    val st = QualityModel.q128ModelUnlearning(docs, trainN = trainN,
+      evalN = trainN, retractMod = mod, retractRem = outside).collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      assert(r.getAs[String]("decision") === "stand")
+      assert(r.getAs[Long]("n_hit_train") === 0L)
+      assert(r.getAs[Long]("n_flips") === 0L)
+      assert(r.getAs[Double]("w_l2_delta") === 0.0)
+    }
+  }
 }
