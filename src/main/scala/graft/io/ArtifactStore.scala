@@ -747,7 +747,18 @@ object ArtifactStore {
     * crash mid-write leaves the old generation serving bit-for-bit and
     * a re-run rebuilds idempotently. Exhaustion (< trainN survivors)
     * throws rather than silently serving a divergent sample — the
-    * documented re-bootstrap trigger, the compaction analogue. */
+    * documented re-bootstrap trigger, the compaction analogue.
+    *
+    * Snapshot contract (deliberate, not a gap): the reservoir is the
+    * snapshot the SERVING model was trained on — ingest ticks do NOT
+    * append to it. Unlearning must modify the model that actually
+    * trained on the retracted doc, so retraining within the serving
+    * generation's own snapshot (minus the doc) is exactly right; a
+    * takedown of a doc admitted AFTER that snapshot misses the
+    * reservoir and correctly no-ops (the serving model never saw it).
+    * Folding admissions into the model is the separate, MEASURED
+    * retrain choice (q109/q113) — its consumer here is [[refresh]],
+    * which re-snapshots with full slack. */
   final class ModelStore(spark: SparkSession, root: String, name: String,
                          iters: Int = QualityModel.DefaultIters,
                          trainN: Int = QualityModel.DefaultTrainN,
@@ -905,17 +916,37 @@ object ArtifactStore {
         .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix))
         .map(_.getPath.getName.stripPrefix(prefix).toLong).sorted
 
+    private def revsIn(dir: String, sucOnly: Boolean): Seq[Long] =
+      listChildNums(new Path(dir), "rev=")
+        .filter(r => !sucOnly || f.exists(new Path(s"$dir/rev=$r", "_SUCCESS")))
+
+    /** Newest complete revision under an epoch dir (None = absent). */
+    private def servingRevIn(dir: String): Option[Long] =
+      revsIn(dir, sucOnly = true).maxOption
+
     private def revs(t: Long, sucOnly: Boolean): Seq[Long] =
-      listChildNums(new Path(s"$base/tick=$t"), "rev=")
-        .filter(r => !sucOnly ||
-          f.exists(new Path(s"$base/tick=$t/rev=$r", "_SUCCESS")))
+      revsIn(s"$base/tick=$t", sucOnly)
 
-    /** Newest complete revision serving tick `t` (None = tick absent). */
-    private def servingRev(t: Long): Option[Long] =
-      revs(t, sucOnly = true).maxOption
+    private def servingRev(t: Long): Option[Long] = revs(t, sucOnly = true).maxOption
 
-    def ticks: Seq[Long] =
-      listChildNums(new Path(base), "tick=").filter(servingRev(_).isDefined)
+    /** Newest committed fold boundary ([[compactEpochs]]); epochs at or
+      * below it are served by the fold dir, their tick dirs ignored. */
+    private def foldBoundary: Option[Long] =
+      listChildNums(new Path(base), "fold=")
+        .filter(b => servingRevIn(s"$base/fold=$b").isDefined).maxOption
+
+    /** Epoch dir serving epoch number `e` under the fold rule. */
+    private def epochDir(e: Long): String =
+      if (foldBoundary.contains(e)) s"$base/fold=$e" else s"$base/tick=$e"
+
+    /** SERVED epoch numbers: the fold boundary (if any) plus every
+      * committed tick above it — tick dirs at or below a committed
+      * fold are invisible whether or not cleanup deleted them. */
+    def ticks: Seq[Long] = {
+      val fb = foldBoundary
+      (fb.toSeq ++ listChildNums(new Path(base), "tick=")
+        .filter(_ > fb.getOrElse(0L)).filter(servingRev(_).isDefined)).sorted
+    }
 
     def maxTick: Long = ticks.maxOption.getOrElse(0L)
 
@@ -929,29 +960,38 @@ object ArtifactStore {
       found
     }
 
-    /** Write `slices` (doc_id, seq_id, toks, h, tick) as tick `t`'s next
-      * revision: per-sequence signature/shard derive here (the q108
-      * placement algebra), the tree partitions by `shard` for reader
-      * pruning, and older revs are dropped only after `_SUCCESS`. */
-    private def writeRev(t: Long, slices: DataFrame): Unit = {
+    /** Write `slices` (doc_id, seq_id, toks, h, tick) as the epoch
+      * dir's next revision: per-sequence signature/shard derive here
+      * (the q108 placement algebra), the tree partitions by `shard` for
+      * reader pruning, and older revs are dropped only after
+      * `_SUCCESS`. */
+    private def writeRevIn(dir: String, slices: DataFrame): Unit = {
       val withShard = slices.join(
         graft.operators.Packing.tickSeqShards(slices, nShards)
           .select("tick", "seq_id", "ssig", "shard"),
         Seq("tick", "seq_id"))
-      val r = revs(t, sucOnly = false).maxOption.getOrElse(0L) + 1
+      val r = revsIn(dir, sucOnly = false).maxOption.getOrElse(0L) + 1
       withShard
         .repartition(col("shard"))
         .write.partitionBy("shard").mode("overwrite")
-        .parquet(s"$base/tick=$t/rev=$r")
-      revs(t, sucOnly = false).filter(_ < r)
-        .foreach(rr => f.delete(new Path(s"$base/tick=$t/rev=$rr"), true))
+        .parquet(s"$dir/rev=$r")
+      revsIn(dir, sucOnly = false).filter(_ < r)
+        .foreach(rr => f.delete(new Path(s"$dir/rev=$rr"), true))
     }
+
+    private def writeRev(t: Long, slices: DataFrame): Unit =
+      writeRevIn(s"$base/tick=$t", slices)
 
     /** Pack tick `t`'s docs tick-locally under the frozen merges and
       * persist them as this tick's serving revision (idempotent: a
       * replayed producer writes identical content as the next rev). */
     def appendDocsAt(t: Long, docs: DataFrame, ms: Seq[String]): Unit = {
       require(t >= 1, s"tick numbers start at 1, got $t")
+      require(foldBoundary.forall(t > _),
+        s"epoch $t is at or below the fold boundary " +
+          s"${foldBoundary.get} — folded history is immutable " +
+          "(a redone loop tick cannot reach here: folds run at quiesce " +
+          "points, after every store agreed)")
       // tick stored as INT (the live q125 form's literal type)
       writeRev(t, graft.operators.Packing.tickSlices(docs, seqLen, ms)
         .withColumn("tick", lit(t.toInt)))
@@ -966,7 +1006,8 @@ object ArtifactStore {
       * directory, so a filter on it prunes to one directory per tick. */
     def slices(): DataFrame = {
       val paths = ticks.flatMap { t =>
-        val p = s"$base/tick=$t/rev=${servingRev(t).get}"
+        val d = epochDir(t)
+        val p = s"$d/rev=${servingRevIn(d).get}"
         if (hasData(new Path(p))) Some(p) else None
       }
       require(paths.nonEmpty, s"packed export at $base is empty")
@@ -1007,10 +1048,61 @@ object ArtifactStore {
           .groupBy("doc_id")
           .agg(sum("toks").as("n_tokens"), max("h").as("h"))
           .join(ids, Seq("doc_id"), "left_anti")
-        writeRev(t, graft.operators.Packing.repackSlices(docRows, seqLen)
-          .withColumn("tick", lit(t.toInt)))
+        writeRevIn(epochDir(t),
+          graft.operators.Packing.repackSlices(docRows, seqLen)
+            .withColumn("tick", lit(t.toInt)))
       }
       affected.toSeq
+    }
+
+    /** EPOCH COMPACTION — the executable form of the micro-batch-epoch
+      * caveat: the streaming export fold lands one epoch per
+      * micro-batch, so a long-running stream accumulates hundreds of
+      * tiny epochs, each with its own directory and its own non-full
+      * tail sequence. This folds every served epoch ≤ `upTo` into ONE
+      * merged epoch AT number `upTo`, re-packed from the epochs'
+      * stored per-doc reductions — zero re-tokenizes, zero corpus
+      * reads (the [[graft.operators.Packing.repackSlices]] algebra) —
+      * with strictly fewer tail sequences (one per fold instead of one
+      * per epoch: fill rate only improves) and `maxTick` unchanged, so
+      * the loop/stream tick agreement is undisturbed.
+      *
+      * Crash discipline (the double-serving trap this layout avoids:
+      * merging INTO tick `upTo`'s own dir would expose the merged rows
+      * next to the still-present old epochs): the merged packing lands
+      * under its own `fold=upTo` dir, complete-or-invisible behind the
+      * revision `_SUCCESS`; READS resolve the newest committed fold
+      * FIRST and ignore tick dirs at or below it, so the post-commit
+      * deletes of folded tick dirs (and superseded older folds) are
+      * pure cleanup — a crash at any point leaves either the old
+      * epochs serving (fold invisible) or the fold serving with stale
+      * dirs invisible behind the boundary. Re-runs are idempotent
+      * (pure function of the served rows; a no-op when ≤ 1 epoch is
+      * below `upTo`). Later takedowns re-pack the fold dir via the
+      * same revision discipline. Run at quiesce points only, like
+      * every compaction. Returns the number of epochs folded (0 =
+      * nothing to do). */
+    def compactEpochs(upTo: Long = maxTick): Long = {
+      val toFold = ticks.filter(_ <= upTo)
+      if (toFold.size <= 1) return 0L
+      // the fold lands at the highest SERVED epoch ≤ upTo, never at a
+      // non-epoch number — maxTick (the tick-agreement input) must not
+      // move under a compaction
+      val target = toFold.max
+      val docRows = slices().filter(col("tick") <= target)
+        .groupBy("doc_id")
+        .agg(sum("toks").as("n_tokens"), max("h").as("h"))
+      writeRevIn(s"$base/fold=$target",
+        graft.operators.Packing.repackSlices(docRows, seqLen)
+          .withColumn("tick", lit(target.toInt)))
+      // committed: stale sources are invisible behind the boundary —
+      // physical deletes are cleanup, safe to lose to a crash
+      toFold.foreach { t =>
+        f.delete(new Path(s"$base/tick=$t"), true)
+      }
+      listChildNums(new Path(base), "fold=").filter(_ < target)
+        .foreach(b => f.delete(new Path(s"$base/fold=$b"), true))
+      toFold.size.toLong
     }
   }
 

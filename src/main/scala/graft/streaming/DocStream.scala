@@ -429,7 +429,13 @@ object DocStream {
     * streaming checkpoint (seeded once from `corpusHashes`), so a
     * takedown of exact content requires restarting the query with a
     * fresh checkpoint re-seeded from the post-retraction hash state —
-    * run takedowns at stream restart boundaries. */
+    * run takedowns at stream restart boundaries. The same boundary
+    * governs the quality `weights`: they are frozen for the run (a
+    * literal folded into every micro-batch's scoring projection), so
+    * a takedown that unlearns the serving model
+    * ([[graft.io.ArtifactStore.ModelStore]]) or a q113 refresh takes
+    * effect at the next start — pass `modelStore.servingWeights()`
+    * there, never a stale copy. */
   def foldingMmAdmissionQuery(docs: DataFrame, corpusHashes: DataFrame,
                               stores: graft.io.IngestLoop.MmStores,
                               weights: Seq[Double],

@@ -190,4 +190,66 @@ class ExportStoreSpec extends AnyFunSuite {
     val rowTok = ex.slices().agg(sum("toks")).head().getLong(0)
     assert(manTok === rowTok)
   }
+
+  test("epoch compaction: fold ≡ one-epoch re-pack from stored counts, maxTick fixed, " +
+       "crash leaves old epochs serving, post-fold takedown and append compose") {
+    val root = Files.createTempDirectory("graft_export").toString
+    val ms = Bpe.merges(docs)
+    val ex = ArtifactStore.packedExport(spark, root, "exp6", seqLen)
+    // three micro-batch-sized epochs (the streaming-fold shape)
+    val parts = Seq(m.between(1, 3), m.between(4, 6), m.between(7, 9))
+      .map(p => docs.filter(p))
+    ex.bootstrap(parts(0), ms)
+    ex.appendDocsAt(2, parts(1), ms)
+    ex.appendDocsAt(3, parts(2), ms)
+    val tokBefore = ex.slices().agg(sum("toks")).head().getLong(0)
+    val seqsBefore = ex.manifest().agg(sum("n_seqs")).head().getLong(0)
+
+    // CRASH seam first: a fold revision present WITHOUT its _SUCCESS
+    // while every tick dir still stands — the exact double-serving
+    // window the fold=/boundary layout exists to close. The old three
+    // epochs must keep serving exactly as before.
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val served = sliceSet(ex.slices())
+    val t3rev = new Path(s"$root/export_state/exp6/tick=3/rev=1")
+    val foldRev = new Path(s"$root/export_state/exp6/fold=3/rev=1")
+    org.apache.hadoop.fs.FileUtil.copy(fs, t3rev, fs, foldRev, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(foldRev, "_SUCCESS"), false)
+    assert(ex.ticks === Seq(1L, 2L, 3L),
+      "an uncommitted fold must hide nothing")
+    assert(sliceSet(ex.slices()) === served,
+      "an uncommitted fold must serve nothing")
+
+    // the re-run lands the fold as the dir's next revision and commits
+    val ex2 = ex
+    assert(ex2.compactEpochs() === 3L)
+    assert(fs.exists(
+      new Path(s"$root/export_state/exp6/fold=3/rev=2/_SUCCESS")))
+    assert(ex2.ticks === Seq(3L), "the fold serves as epoch 3 alone")
+    assert(ex2.maxTick === 3L, "compaction must not move the tick agreement")
+    // fold ≡ a one-epoch pack of all the docs (zero re-tokenizes is
+    // structural: compactEpochs reads only stored (doc_id,toks,h) rows)
+    val allDocs = parts.reduce(_.union(_))
+    assert(sliceSet(ex2.slices()) ===
+      sliceSet(Packing.tickSlices(allDocs, seqLen, ms)))
+    assert(ex2.slices().agg(sum("toks")).head().getLong(0) === tokBefore,
+      "token totals are fold-invariant")
+    assert(ex2.manifest().agg(sum("n_seqs")).head().getLong(0) <= seqsBefore,
+      "folding can only reduce tail sequences")
+    // re-run after commit: single served epoch ≤ upTo → no-op
+    assert(ex2.compactEpochs() === 0L)
+
+    // post-fold composition: a takedown re-packs the FOLD dir; a new
+    // epoch appends above the boundary; appending into folded history throws
+    val retracted = allDocs.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) === Provenance.RetractRem)
+    ex2.retractDocs(retracted)
+    assert(sliceSet(ex2.slices()) === sliceSet(Packing.tickSlices(
+      allDocs.join(retracted, Seq("doc_id"), "left_anti"), seqLen, ms)))
+    ex2.appendDocsAt(4, docs.filter(m === 0), ms)
+    assert(ex2.ticks === Seq(3L, 4L))
+    intercept[IllegalArgumentException](ex2.appendDocsAt(2, parts(1), ms))
+  }
 }

@@ -157,4 +157,36 @@ class ModelStoreSpec extends AnyFunSuite {
       "a replayed takedown must not open a new model generation")
     assert(ms.servingWeights() === w1)
   }
+
+  test("the q113 retrain choice rides refresh: serving weights follow the measured decision exactly") {
+    val root = Files.createTempDirectory("graft_modelstore").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    // default iters/trainN — the store must serve exactly the weights
+    // the live q113 compares and gates with
+    val ms = ArtifactStore.modelStore(spark, root, "adaptive")
+    val w0 = ms.bootstrap(corpus)
+    assert(w0 === QualityModel.weights(corpus,
+      scope = s"multitick${Provenance.BatchMod}"),
+      "bootstrap must serve the frozen model q113 measures against")
+
+    // q113's measurement: tick-1 admissions → post-tick snapshot →
+    // candidate weights → flips vs frozen at the operating point
+    val p = Provenance.multiTickParts(docs, 0.2, 0.25)
+    val adm1Docs = docs.join(
+      p.v1.filter(col("lq") === false).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val snapshot = corpus.union(adm1Docs)
+    val wFresh = QualityModel.weights(snapshot,
+      scope = s"adaptive${Provenance.BatchMod}")
+    val flips = QualityModel.flipCount(docs, w0, wFresh)
+
+    // the choice's CONSEQUENCE on the serving artifact: refresh on
+    // retrain, stand otherwise — generations record which
+    val serving =
+      if (flips > 4) ms.refresh(snapshot) else ms.servingWeights()
+    assert(serving === (if (flips > 4) wFresh else w0),
+      "the store must serve exactly the branch the measurement chose")
+    assert(ms.generation === (if (flips > 4) 2L else 1L))
+  }
 }
