@@ -267,6 +267,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         reservoir-backed ArtifactStore.ModelStore
   *                         riding retractTick — zero text reads per
   *                         takedown)
+  *  - q129_incremental_strip: the tick-shaped strip TRANSFORM — the
+  *                         q121 maintained-census algebra serving
+  *                         q93's transform: the batch is stripped
+  *                         against winners from the merged census
+  *                         (corpus 20-byte rows + the batch's own
+  *                         increment), so tick time mines and
+  *                         rewrites only batch text; oracle = the
+  *                         full strip re-mine restricted to batch
+  *                         docs (store form:
+  *                         GramCensusIncrementalIndex.winners,
+  *                         spec-pinned with zero corpus passes)
   */
 object SparkEntry {
 
@@ -423,6 +434,8 @@ object SparkEntry {
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
     "q128_model_unlearning" -> t("documents")(
       QualityModel.q128ModelUnlearning(_)),
+    "q129_incremental_strip" -> t("documents")(
+      SubstringDedup.q129IncrementalStrip(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -556,5 +569,6 @@ object SparkEntry {
     "q126_multimodal_retraction" -> graft.multimodal.Multimodal.q126Sql(),
     "q127_mixture_rebalance" -> Provenance.q127Sql(),
     "q128_model_unlearning" -> QualityModel.q128Sql(),
+    "q129_incremental_strip" -> SubstringDedup.q129Sql(),
   )
 }

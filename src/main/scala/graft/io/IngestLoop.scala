@@ -432,21 +432,24 @@ object IngestLoop {
     * tick). State reads resolve through the shared tombstone store —
     * [[retractTick]] on `st.text` retracts a doc's signatures too.
     * The optional consumer legs (BM25 postings / gram census / served
-    * ANN codes / packed export) mirror [[runFullTick]]'s exactly: the
-    * multimodal loop is not a reduced deployment — its admitted docs
-    * feed every consumer a text-only loop feeds, from the one mm
-    * verdict frame. */
+    * ANN codes / packed export / domain mix) mirror [[runFullTick]]'s
+    * exactly: the multimodal loop is not a reduced deployment — its
+    * admitted docs feed every consumer a text-only loop feeds, from
+    * the one mm verdict frame. */
   def runMmTick(st: MmStores, batchDocs: DataFrame, w: Seq[Double],
                 threshold: Double = 0.2, lowFrac: Double = 0.25,
                 maxDist: Int = 10, maxBand: Int = 64,
                 idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
                 census: Option[ArtifactStore.GramCensusIncrementalIndex] = None,
                 ann: Option[AnnLeg] = None,
-                export: Option[ExportLeg] = None): DataFrame = {
+                export: Option[ExportLeg] = None,
+                mix: Option[ArtifactStore.MixIncrementalIndex] = None)
+      : DataFrame = {
     import graft.multimodal.Multimodal
     val t = nextTickOf(st.all.map(_.maxTick)
       ++ idx.map(_.tfStore.maxTick) ++ census.map(_.censusStore.maxTick)
-      ++ ann.map(_.idx.codeStore.maxTick) ++ export.map(_.store.maxTick))
+      ++ ann.map(_.idx.codeStore.maxTick) ++ export.map(_.store.maxTick)
+      ++ mix.map(_.mixStore.maxTick))
     val state = resolved(st.text, st.text.hashes.currentUpTo(t - 1).getOrElse(
         sys.error("multimodal loop not bootstrapped")))
       .select("ch").distinct()
@@ -495,6 +498,9 @@ object IngestLoop {
         c, r)
     }
     export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
+    // MIX leg (q127's state) — the runFullTick symmetry: the mm loop's
+    // admitted counts maintain the same domain-mix table
+    mix.foreach(_.appendDocsAt(t, admDocs))
     Multimodal.mmGatedTickReport(v)
   }
 

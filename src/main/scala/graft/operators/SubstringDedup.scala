@@ -235,6 +235,56 @@ object SubstringDedup {
       .orderBy("doc_id")
   }
 
+  /** q129: the TICK-SHAPED STRIP — q121's maintained-census algebra
+    * serving q93's TRANSFORM, not just its judgment: the incoming
+    * batch (doc_id % 17 == 0) is stripped against the q90 winner set
+    * derived from the MERGED census — corpus-maintained 20-byte hash
+    * rows plus the batch's own increment, exactly what
+    * [[graft.io.ArtifactStore.GramCensusIncrementalIndex]] serves
+    * after the tick's append — so at tick time the only text MINED is
+    * the batch's and the only text REWRITTEN is the batch's; the
+    * corpus contributes statistics, never tokens. This is the
+    * production shape of a per-tick curation transform: q121 judges
+    * the batch's coverage, this emits the batch's cleaned text under
+    * the same maintained state (SubstringDedupSpec pins store-served
+    * winners ≡ this live form ≡ the q93 full re-mine restricted to
+    * batch docs, with zero corpus census passes in the store form).
+    * Output: q93's columns (doc_id, n_tokens, n_removed,
+    * text_stripped) for batch docs that lost tokens.
+    *
+    * Scale shape: q121's tick cost (batch-only posting mine + one
+    * census-row merge) + the broadcast ≤ topN winner semi-join + the
+    * row-local per-doc reassembly — batch text crosses no shuffle
+    * (positions only), corpus text is never read. */
+  def q129IncrementalStrip(documents: DataFrame, k: Int = DefaultK,
+                           topN: Int = 150): DataFrame = {
+    // topN = 150 (vs q93's 20): the strip-rule budget is sized so the
+    // batch actually intersects the winner set at every test scale
+    // (rank-ordered df puts corpus-internal boilerplate first; the
+    // batch's shared grams sit in the 60–150 band at sf0.01) — still a
+    // broadcast of ≤150 8-byte hashes, nothing data-sized
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = documents.filter(m =!= 0)
+    val batch = documents.filter(m === 0)
+    // additive merge = exact global df (the q121 argument: a doc is in
+    // exactly one increment), so the winner selection is bit-equal to
+    // the q90/q93 full re-mine's
+    val merged = mergeCensus(censusOf(corpus, k).union(censusOf(batch, k)))
+    strip(batch, winnersFromCensus(merged, topN), k)
+      .filter(col("n_removed") > 0)
+      .orderBy("doc_id")
+  }
+
+  def q129Sql(k: Int = DefaultK, topN: Int = 150): String = {
+    val bm = Provenance.BatchMod
+    s"""WITH ${stripSqlCtes("documents", k, topN)}
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_tokens - len(kt) AS BIGINT) AS n_removed,
+       |  array_to_string(kt, ' ') AS text_stripped
+       |FROM kept WHERE n_tokens - len(kt) > 0 AND doc_id % $bm = 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def q123Sql(k: Int = DefaultK): String = {
     val bm = Provenance.BatchMod
     s"""WITH ${coverageSqlCtes(

@@ -160,9 +160,11 @@ class MmIngestSpec extends AnyFunSuite {
       (st, idx, cen, ex)
     }
     val (st, idx, cen, ex) = build("legs")
+    val mx = ArtifactStore.mixIncremental(spark, root, "legs_mx")
+    mx.bootstrap(corpus)
     val rep1 = rows(IngestLoop.runMmTick(st, t1, w,
       idx = Some(idx), census = Some(cen),
-      export = Some(IngestLoop.ExportLeg(ex, ms))))
+      export = Some(IngestLoop.ExportLeg(ex, ms)), mix = Some(mx)))
     assert(rep1.nonEmpty)
 
     // every consumer serves exactly base ∪ the mm tick's admissions
@@ -185,6 +187,10 @@ class MmIngestSpec extends AnyFunSuite {
       Packing.tickSlices(admOnly, 2048, ms)
         .select("doc_id", "seq_id", "toks", "h").collect().map(_.toSeq).toSet,
       "the export epoch must pack the mm tick's admissions")
+    assert(mx.mix().collect().map(r => (r.getString(0), r.getLong(1))).toMap ===
+      admitted.groupBy("source").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap,
+      "the mix table must count base ∪ the mm tick's admissions")
 
     // a lagging consumer leg forces the whole-tick redo
     val (stB, idxB, cenB, exB) = build("legs_crash")

@@ -188,6 +188,27 @@ class SubstringDedupSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(viaStore === q121,
       "store-served census must judge the batch identically to the live form")
+
+    // q129: the strip TRANSFORM under the same maintained state —
+    // store-served winners ≡ the live merged-census form ≡ the q93
+    // full re-mine restricted to batch docs, with ZERO corpus census
+    // passes in the store form (winners() reads maintained rows; strip
+    // mines only batch postings)
+    val s0 = SubstringDedup.censusRuns.get()
+    val viaStoreStrip = SubstringDedup.strip(batch, idx.winners(150))
+      .filter(col("n_removed") > 0).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(SubstringDedup.censusRuns.get() === s0,
+      "the store-form strip must run zero census passes")
+    val liveStrip = SubstringDedup.q129IncrementalStrip(docs)
+      .collect().map(_.toSeq).toSeq
+    val q93b = SubstringDedup.q93BoilerplateStrip(docs, topN = 150)
+      .filter(m === 0).collect().map(_.toSeq).toSeq
+    assert(liveStrip.nonEmpty && viaStoreStrip === liveStrip,
+      "store-served winners must strip the batch identically to the live form")
+    assert(liveStrip === q93b,
+      "the tick-shaped strip must equal the whole-corpus re-mine " +
+        "restricted to the batch")
   }
 
   test("census retraction (q123): negated increment ≡ re-mine without the docs; replay-idempotent; compaction drops zeroed grams") {
