@@ -278,6 +278,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         docs (store form:
   *                         GramCensusIncrementalIndex.winners,
   *                         spec-pinned with zero corpus passes)
+  *  - q130_budgeted_admission: the q127 mixture loop closed INTO the
+  *                         gate — per-source TOKEN budgets from the
+  *                         target shares, novel docs admitted in
+  *                         quality-rank order while the running token
+  *                         sum stays inside the budget (prefix rule);
+  *                         n_new splits into n_admitted +
+  *                         n_over_budget with the token accounting
+  *                         oracle-checked (store form:
+  *                         IngestLoop.runBudgetedTick over the
+  *                         maintained mix counts — only the
+  *                         under-budget prefix folds back)
+  *  - q131_readjudication: the takedown loop's missing half —
+  *                         rejected ≠ discarded: tick 1's dup-rejected
+  *                         docs form a QUARANTINE; after the q117
+  *                         takedown they re-judge against the
+  *                         post-retraction state under the frozen
+  *                         model, and docs whose only dup partners
+  *                         were retracted re-admit; the oracle
+  *                         re-derives tick 1, the takedown, and the
+  *                         re-judgment in one WITH clause (store form:
+  *                         IngestLoop.readjudicateTick over the
+  *                         Quarantine store pair)
   */
 object SparkEntry {
 
@@ -436,6 +458,10 @@ object SparkEntry {
       QualityModel.q128ModelUnlearning(_)),
     "q129_incremental_strip" -> t("documents")(
       SubstringDedup.q129IncrementalStrip(_)),
+    "q130_budgeted_admission" -> t("documents")(
+      Provenance.q130BudgetedAdmission(_)),
+    "q131_readjudication" -> t("documents")(
+      Provenance.q131Readjudication(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -570,5 +596,7 @@ object SparkEntry {
     "q127_mixture_rebalance" -> Provenance.q127Sql(),
     "q128_model_unlearning" -> QualityModel.q128Sql(),
     "q129_incremental_strip" -> SubstringDedup.q129Sql(),
+    "q130_budgeted_admission" -> Provenance.q130Sql(),
+    "q131_readjudication" -> Provenance.q131Sql(),
   )
 }

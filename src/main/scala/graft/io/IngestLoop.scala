@@ -209,12 +209,67 @@ object IngestLoop {
                          = None,
                        ann: Option[AnnLeg] = None,
                        export: Option[ExportLeg] = None,
-                       mix: Option[ArtifactStore.MixIncrementalIndex] = None)
+                       mix: Option[ArtifactStore.MixIncrementalIndex] = None,
+                       quar: Option[Quarantine] = None)
       : Long =
     nextTickOf((Seq(st.hashes, st.bands, st.shingles) ++ idx.map(_.tfStore)
       ++ census.map(_.censusStore) ++ ann.map(_.idx.codeStore)
-      ++ mix.map(_.mixStore))
+      ++ mix.map(_.mixStore)
+      ++ quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds)))
       .map(_.maxTick) ++ export.map(_.store.maxTick))
+
+  /** The QUOTA leg of a budgeted deployment tick (q130,
+    * [[Provenance.q130BudgetedAdmission]]): per-source token budgets
+    * derived from the MAINTAINED mixture counts ([[ArtifactStore
+    * .MixIncrementalIndex.mix]] — zero recounts; bootstrap the mix
+    * store from the corpus and usually ALSO pass it as [[runFullTick]]'s
+    * `mix` fold leg so the budgets track admissions and takedowns).
+    * Within each source, the tick's novel docs admit in quality-rank
+    * order while the running token sum stays inside
+    * `budgetFrac × novel_tokens × source_share` — only the under-budget
+    * prefix folds back, so a LATER exact copy of an over-budget doc is
+    * still admittable (it was never ingested; IngestLoopSpec pins it).
+    * Over-budget docs are NOT quarantined: they are rate-limited, not
+    * rejected on evidence — a deployment re-enqueues them upstream. */
+  final case class QuotaLeg(mix: ArtifactStore.MixIncrementalIndex,
+                            budgetFrac: Double =
+                              Provenance.DefaultBudgetFrac)
+
+  /** The QUARANTINE of an ingest loop (q131,
+    * [[Provenance.q131Readjudication]]): rejected docs are not
+    * discarded — a dup verdict is derived from state rows that a later
+    * takedown may remove, so rejections are held re-judgeable. `rows`
+    * accumulates (doc_id, source, text, verdict) per tick —
+    * quarantine is the ONE store that must keep text, because
+    * re-judgment re-hashes, re-bands and re-scores it; `resolvedIds`
+    * accumulates the doc_ids a [[readjudicateTick]] resolved — docs
+    * that escaped the dup gates and reached a post-dup verdict
+    * (re-admitted OR quality-rejected; only still-dup docs stay
+    * re-judgeable) — the anti-join that removes them from the live
+    * quarantine (append-only like every store; ids are arrival-unique,
+    * so by-id suppression is exact). BOTH stores append every
+    * tick (empty frames when nothing changed), so they participate in
+    * the tick agreement and a crash between any pair of appends forces
+    * a visible redo. */
+  final case class Quarantine(rows: ArtifactStore.IngestStateStore,
+                              resolvedIds: ArtifactStore.IngestStateStore)
+
+  def quarantine(spark: SparkSession, root: String,
+                 name: String): Quarantine =
+    Quarantine(
+      ArtifactStore.ingestState(spark, root, s"$name/quar_rows"),
+      ArtifactStore.ingestState(spark, root, s"$name/quar_resolved"))
+
+  /** Seed an attached quarantine's tick-1 base (idempotent, the
+    * [[bootstrap]] contract): both stores start EMPTY — the corpus was
+    * ingested, not rejected — but need their tick-1 directories so the
+    * tick agreement's min-tick check holds. */
+  def bootstrapQuarantine(quar: Quarantine, corpusDocs: DataFrame): Unit = {
+    quar.rows.appendTickAt(1, corpusDocs
+      .select(col("doc_id"), col("source"), col("text"),
+        lit("").as("verdict")).limit(0))
+    quar.resolvedIds.appendTickAt(1, corpusDocs.select("doc_id").limit(0))
+  }
 
   /** The ANN SERVING leg of a deployment tick (q124,
     * [[graft.operators.Pq.q124AnnIngestTick]]): the loop additionally
@@ -266,8 +321,9 @@ object IngestLoop {
     * identical verdicts and completes the missing store writes instead
     * of judging admitted docs against their own half-folded hashes. */
   def runTick(st: Stores, batchDocs: DataFrame, w: Seq[Double],
-              threshold: Double = 0.2, lowFrac: Double = 0.25): DataFrame =
-    runTickImpl(st, None, batchDocs, w, threshold, lowFrac)
+              threshold: Double = 0.2, lowFrac: Double = 0.25,
+              quar: Option[Quarantine] = None): DataFrame =
+    runTickImpl(st, None, batchDocs, w, threshold, lowFrac, quar = quar)
 
   private def runTickImpl(st: Stores,
                           idx: Option[ArtifactStore.Bm25IncrementalIndex],
@@ -277,9 +333,11 @@ object IngestLoop {
                             ArtifactStore.GramCensusIncrementalIndex] = None,
                           ann: Option[AnnLeg] = None,
                           export: Option[ExportLeg] = None,
-                          mix: Option[ArtifactStore.MixIncrementalIndex] = None)
+                          mix: Option[ArtifactStore.MixIncrementalIndex] = None,
+                          quota: Option[QuotaLeg] = None,
+                          quar: Option[Quarantine] = None)
       : DataFrame = {
-    val t = nextTick(st, idx, census, ann, export, mix)
+    val t = nextTick(st, idx, census, ann, export, mix, quar)
     // every state read resolves through the tombstone store: retracted
     // docs' rows are invisible whether or not a compaction folded them
     val state = resolved(st, st.hashes.currentUpTo(t - 1).getOrElse(
@@ -293,9 +351,23 @@ object IngestLoop {
     // the q103/q106 kernel; the returned frame is checkpointed, so the
     // fold-back writes and the report never re-run the chain
     val v = Provenance.gatedTickFrame(batchDocs, state, fuzzy, w, lowFrac)
-    val admIds = v.filter(col("lq") === false).select("doc_id")
+    // the admitted set: every novel doc — or, on a BUDGETED tick
+    // (q130), the quality-ranked under-budget prefix per source, with
+    // budgets derived from the maintained mix counts
+    val (admIds, report) = quota match {
+      case None =>
+        (v.filter(col("lq") === false).select("doc_id"),
+          Provenance.gatedTickReport(v))
+      case Some(q) =>
+        val srcCounts = q.mix.mix()
+          .select(col("source"), col("n_docs").as("n_src"))
+        val bf = Provenance.budgetedFrame(v, batchDocs, srcCounts,
+          q.budgetFrac)
+        (bf.filter(col("admitted")).select("doc_id"),
+          Provenance.budgetedTickReport(v, bf, srcCounts, q.budgetFrac))
+    }
     val admDocs = batchDocs.join(admIds, Seq("doc_id"), "left_semi")
-    st.hashes.appendTickAt(t, v.filter(col("lq") === false)
+    st.hashes.appendTickAt(t, v.join(admIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("h").as("ch")))
     st.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
     st.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
@@ -312,7 +384,23 @@ object IngestLoop {
     export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
     // MIX leg (q127's state): per-source admitted counts, additive
     mix.foreach(_.appendDocsAt(t, admDocs))
-    Provenance.gatedTickReport(v)
+    // QUARANTINE leg (q131): evidence/quality rejections are held
+    // re-judgeable; over-budget docs are NOT quarantined (rate-limited,
+    // not rejected on evidence — see QuotaLeg). resolvedIds appends an
+    // empty frame so both quarantine stores stay in the tick agreement.
+    quar.foreach { qs =>
+      val rej = v.filter(col("ch").isNotNull || col("fid").isNotNull ||
+          col("lq") === true)
+        .withColumn("verdict",
+          when(col("ch").isNotNull, lit("dup_exact"))
+            .when(col("fid").isNotNull, lit("dup_fuzzy"))
+            .otherwise(lit("low_quality")))
+        .join(batchDocs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "source", "text", "verdict")
+      qs.rows.appendTickAt(t, rej)
+      qs.resolvedIds.appendTickAt(t, admIds.limit(0))
+    }
+    report
   }
 
   /** File-count-triggered compaction (the production trigger the r9
@@ -386,10 +474,125 @@ object IngestLoop {
                   lowFrac: Double = 0.25,
                   ann: Option[AnnLeg] = None,
                   export: Option[ExportLeg] = None,
-                  mix: Option[ArtifactStore.MixIncrementalIndex] = None)
+                  mix: Option[ArtifactStore.MixIncrementalIndex] = None,
+                  quota: Option[QuotaLeg] = None,
+                  quar: Option[Quarantine] = None)
       : DataFrame =
     runTickImpl(st, Some(idx), batchDocs, w, threshold, lowFrac,
-      census = Some(census), ann = ann, export = export, mix = mix)
+      census = Some(census), ann = ann, export = export, mix = mix,
+      quota = quota, quar = quar)
+
+  /** One BUDGETED admission tick — the deployment form of
+    * [[Provenance.q130BudgetedAdmission]]: the q103 gate runs
+    * unchanged, then each source's novel docs admit in quality-rank
+    * order under the [[QuotaLeg]] token budgets; ONLY the under-budget
+    * prefix folds back into the state (and any consumer legs), and the
+    * report carries the q130 accounting columns. Same crash/replay
+    * discipline as [[runTick]]. */
+  def runBudgetedTick(st: Stores, batchDocs: DataFrame, w: Seq[Double],
+                      quota: QuotaLeg,
+                      threshold: Double = 0.2, lowFrac: Double = 0.25,
+                      idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
+                      census: Option[
+                        ArtifactStore.GramCensusIncrementalIndex] = None,
+                      ann: Option[AnnLeg] = None,
+                      export: Option[ExportLeg] = None,
+                      mix: Option[ArtifactStore.MixIncrementalIndex] = None,
+                      quar: Option[Quarantine] = None): DataFrame =
+    runTickImpl(st, idx, batchDocs, w, threshold, lowFrac,
+      census = census, ann = ann, export = export, mix = mix,
+      quota = Some(quota), quar = quar)
+
+  /** RE-ADJUDICATE the quarantine — the deployment form of
+    * [[Provenance.q131Readjudication]], run after a [[retractTick]]
+    * (or any state change) at a quiesce point: the live quarantine's
+    * DUP-CLASS rows (exact/fuzzy — evidence-dependent verdicts;
+    * low-quality rows re-enter via q128's model loop, not this one)
+    * re-judge against the CURRENT state under the frozen model and the
+    * full gate discipline, and docs that now pass fold back into every
+    * state store and consumer leg like any admission. The
+    * re-adjudication is itself a tick in the store agreement: all
+    * writes are tick-keyed overwrites, the state is read as of the
+    * previous tick, and `resolvedIds` records the re-admitted ids (the
+    * anti-join that removes them from the live quarantine) — so a
+    * crash between any pair of appends redoes the tick with identical
+    * verdicts. Quarantine reads resolve through the shared tombstone
+    * store too: a doc taken down WHILE quarantined never re-admits.
+    *
+    * Returns the q131 report (per source, original × re-adjudicated
+    * verdict counts). ReadjudicationSpec pins store form ≡ the live
+    * q131, the no-takedown control (nothing re-admits), replay
+    * idempotence, and the fold-back (a later duplicate of a re-admitted
+    * doc is rejected). */
+  def readjudicateTick(st: Stores, quar: Quarantine, w: Seq[Double],
+                       threshold: Double = 0.2, lowFrac: Double = 0.25,
+                       idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
+                       census: Option[
+                         ArtifactStore.GramCensusIncrementalIndex] = None,
+                       ann: Option[AnnLeg] = None,
+                       export: Option[ExportLeg] = None,
+                       mix: Option[ArtifactStore.MixIncrementalIndex] = None)
+      : DataFrame = {
+    val t = nextTick(st, idx, census, ann, export, mix, Some(quar))
+    val rows = quar.rows.currentUpTo(t - 1).getOrElse(
+      sys.error("quarantine not bootstrapped: no tick-1 base"))
+    val liveRows = resolved(st,
+      quar.resolvedIds.currentUpTo(t - 1)
+        .fold(rows)(r => rows.join(r.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")))
+    val dupRows = liveRows
+      .filter(col("verdict").isin("dup_exact", "dup_fuzzy"))
+      .localCheckpoint()
+    val state = resolved(st, st.hashes.currentUpTo(t - 1).getOrElse(
+        sys.error("ingest loop not bootstrapped: hash state is empty")))
+      .select("ch").distinct()
+    val fuzzy = Fuzzy.lshPairsAgainstState(
+        resolved(st, st.bands.currentUpTo(t - 1).get),
+        resolved(st, st.shingles.currentUpTo(t - 1).get),
+        dupRows, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    val v = Provenance.gatedTickFrame(
+      dupRows.select("doc_id", "source", "text"), state, fuzzy, w, lowFrac)
+    val admIds = v.filter(col("lq") === false).select("doc_id")
+    val admDocs = dupRows.join(admIds, Seq("doc_id"), "left_semi")
+    st.hashes.appendTickAt(t, v.filter(col("lq") === false)
+      .select(col("doc_id"), col("h").as("ch")))
+    st.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
+    st.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
+    idx.foreach(_.appendDocsAt(t, admDocs))
+    census.foreach(_.appendDocsAt(t, admDocs))
+    ann.foreach { leg =>
+      val (c, r) = leg.idx.servingArtifacts().getOrElse((leg.cents, leg.rcb))
+      leg.idx.appendVectorsAt(t, leg.vectors.join(
+        admIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        c, r)
+    }
+    export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
+    mix.foreach(_.appendDocsAt(t, admDocs))
+    quar.rows.appendTickAt(t, dupRows.limit(0)
+      .select("doc_id", "source", "text", "verdict"))
+    // RESOLVED = reached a post-dup verdict: docs that escaped the dup
+    // gates entered the quality window and were either admitted or
+    // quality-rejected — both leave the quarantine (a quality verdict
+    // is model-dependent; re-opening it is q128's model loop, and
+    // keeping it in a DUP-class quarantine would misrepresent its
+    // evidence class AND make repeated passes drain the quality window
+    // geometrically). Still-dup docs stay re-judgeable.
+    quar.resolvedIds.appendTickAt(t,
+      v.filter(col("lq").isNotNull).select("doc_id"))
+    v.join(dupRows.select(col("doc_id").as("qid"),
+        (col("verdict") === "dup_exact").as("was_exact")),
+        col("doc_id") === col("qid"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_quarantined"),
+        count(when(col("was_exact"), lit(1))).as("n_exact_t1"),
+        count(when(!col("was_exact"), lit(1))).as("n_fuzzy_t1"),
+        count(col("ch")).as("n_still_exact"),
+        count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy"),
+        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+        count(when(col("lq") === false, lit(1))).as("n_readmitted"))
+      .orderBy("source")
+  }
 
   // ---- unified MULTIMODAL admission (q118's deployment form) -----------
 

@@ -1128,4 +1128,306 @@ object Provenance {
        |WHERE b.sig_before IS DISTINCT FROM a.sig_after
        |   OR b.n_before IS DISTINCT FROM a.n_after
        |ORDER BY bucket""".stripMargin
+
+  // ---- q130: BUDGETED admission (mixture quotas enforced at ingest) ----
+
+  /** Default per-tick token budget as a fraction of the tick's novel
+    * tokens: 0.5 makes both admission outcomes (under/over budget)
+    * well-populated on the test corpora, so the oracle check exercises
+    * the cutoff, not a degenerate all-admit. */
+  val DefaultBudgetFrac = 0.5
+
+  /** q130: BUDGETED admission — the q127 loop closed INTO the gate.
+    * q127 maintains the mixture and re-derives sampling rates, but
+    * admission itself never enforces the mix: a tick dominated by one
+    * source ingests everything novel and the corpus drifts anyway
+    * (rate-sampling decides per doc independently; it bounds the
+    * EXPECTED share, not the realized one). The budgeted tick makes the
+    * mixture a hard per-tick constraint, the way a training-data
+    * pipeline caps each domain's token contribution:
+    *
+    *   1. the q103 gate runs unchanged (exact → fuzzy → low-quality);
+    *   2. each source gets a TOKEN budget for this tick:
+    *      `budgetFrac × (tick's total novel tokens) × (source's target
+    *      share)` — target shares here are the bootstrap corpus mix
+    *      (the deployment form reads the maintained
+    *      [[graft.io.ArtifactStore.MixIncrementalIndex]] counts, so the
+    *      budget tracks the SERVED mixture with zero recounts);
+    *   3. within each source, novel docs admit in QUALITY-RANK order
+    *      (model score desc, doc_id tie-break) while the running token
+    *      sum stays inside the budget — the prefix rule: deterministic,
+    *      oracle-expressible as one windowed sum, and rank-monotone (an
+    *      admitted doc is never outranked by a rejected one; a
+    *      smaller-but-worse doc never back-fills the budget).
+    *
+    * Output per source: the q103 verdict columns plus novel/budget/
+    * admitted token accounting — `n_new` splits into `n_admitted` +
+    * `n_over_budget`, and `admitted_tokens ≤ budget_tokens` is part of
+    * the oracle-checked result. A source with no corpus presence gets
+    * the minimum budget of 1 token (documented floor, mirrored in the
+    * oracle).
+    *
+    * Deployment form: [[graft.io.IngestLoop.runBudgetedTick]] — only
+    * under-budget docs fold back into the state stores, so a LATER
+    * exact copy of an over-budget doc is still admittable (it was never
+    * ingested), pinned decisive in IngestLoopSpec.
+    *
+    * Scale shape: the q103 chain plus one narrow (source, p, n_tokens)
+    * frame of the tick's NOVEL docs. The per-source window is
+    * tick-sized, not corpus-sized — a 100 TB deployment's tick is the
+    * arrival batch; the window partitions by source (dozens of
+    * partitions), and each partition's ordered prefix sum is the
+    * textbook quota shape. Budgets are an O(sources) broadcast. */
+  def q130BudgetedAdmission(documents: DataFrame, threshold: Double = 0.2,
+                            lowFrac: Double = 0.25,
+                            budgetFrac: Double = DefaultBudgetFrac)
+      : DataFrame = {
+    val isBatch = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(BatchMod)) === 0
+    val corpus = documents.filter(!isBatch(col("doc_id")))
+    val batch = documents.filter(isBatch(col("doc_id")))
+    val fuzzy = Fuzzy.lshCrossPairs(documents, isBatch, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    val w = QualityModel.weights(corpus, scope = s"admission$BatchMod")
+    val v = gatedTickFrame(batch, corpusHashState(corpus), fuzzy, w, lowFrac)
+    val srcCounts = corpus.groupBy("source").agg(count(lit(1)).as("n_src"))
+    budgetedTickReport(v,
+      budgetedFrame(v, batch, srcCounts, budgetFrac), srcCounts, budgetFrac)
+  }
+
+  /** The per-doc budget annotation of a tick's NOVEL docs: quality-rank
+    * prefix admission under per-source token budgets derived from
+    * `srcCounts` (source, n_src) target shares. Returns
+    * (doc_id, source, p, n_tokens, cum_tokens, budget_tokens,
+    * admitted). Shared by the live q130 form and the deployment tick
+    * ([[graft.io.IngestLoop.runBudgetedTick]], which passes the
+    * maintained mix counts). */
+  private[graft] def budgetedFrame(v: DataFrame, batchDocs: DataFrame,
+                                   srcCounts: DataFrame,
+                                   budgetFrac: Double): DataFrame = {
+    val nv = v.filter(col("lq") === false)
+      .select(col("doc_id"), col("source"), col("p"))
+      .join(batchDocs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+    val tots = srcCounts.agg(sum("n_src").as("tc"))
+    val tn = nv.agg(coalesce(sum("n_tokens"), lit(0L)).as("t_novel"))
+    val bud = srcCounts.crossJoin(broadcast(tots)).crossJoin(broadcast(tn))
+      .select(col("source"), greatest(lit(1L),
+        round(lit(budgetFrac) * col("t_novel") * col("n_src") / col("tc"))
+          .cast("long")).as("budget_tokens"))
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("p").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    nv.withColumn("cum_tokens", sum("n_tokens").over(wdw))
+      .join(broadcast(bud), Seq("source"), "left")
+      .withColumn("budget_tokens", coalesce(col("budget_tokens"), lit(1L)))
+      .withColumn("admitted", col("cum_tokens") <= col("budget_tokens"))
+      // severed: the deployment tick reads this twice (admitted-id fold
+      // + report) — un-severed, the gate chain would re-execute per read
+      .localCheckpoint()
+  }
+
+  /** The q130 report: q103's verdict columns + the budget accounting
+    * over a precomputed [[budgetedFrame]] `bf`. */
+  private[graft] def budgetedTickReport(v: DataFrame, bf: DataFrame,
+                                        srcCounts: DataFrame,
+                                        budgetFrac: Double): DataFrame = {
+    val nrep = bf.groupBy("source")
+      .agg(sum("n_tokens").as("novel_tokens"),
+        count(when(col("admitted"), lit(1))).as("n_admitted"),
+        sum(when(col("admitted"), col("n_tokens"))).as("admitted_tokens"),
+        count(when(!col("admitted"), lit(1))).as("n_over_budget"))
+    val tots = srcCounts.agg(sum("n_src").as("tc"))
+    val tn = bf.agg(coalesce(sum("n_tokens"), lit(0L)).as("t_novel"))
+    val bud = srcCounts.crossJoin(broadcast(tots)).crossJoin(broadcast(tn))
+      .select(col("source"), greatest(lit(1L),
+        round(lit(budgetFrac) * col("t_novel") * col("n_src") / col("tc"))
+          .cast("long")).as("budget_tokens"))
+    gatedTickReport(v).withColumnRenamed("n_new", "n_novel")
+      .join(broadcast(bud), Seq("source"), "left")
+      .join(broadcast(nrep), Seq("source"), "left")
+      .select(col("source"), col("n_batch"), col("n_dup_exact"),
+        col("n_dup_fuzzy"), col("n_low_quality"), col("n_novel"),
+        coalesce(col("novel_tokens"), lit(0L)).as("novel_tokens"),
+        coalesce(col("budget_tokens"), lit(1L)).as("budget_tokens"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("admitted_tokens"), lit(0L)).as("admitted_tokens"),
+        coalesce(col("n_over_budget"), lit(0L)).as("n_over_budget"))
+      .orderBy("source")
+  }
+
+  def q130Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              budgetFrac: Double = DefaultBudgetFrac,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    val bm = BatchMod
+    s"""WITH ${gateSqlCtes(threshold, lowFrac, iters, trainN)},
+       |nv AS (SELECT j.doc_id, j.source, j.p,
+       |         CAST(len(regexp_split_to_array(d.text, ' ')) AS BIGINT)
+       |           AS n_tokens
+       |       FROM j JOIN lq ON lq.doc_id = j.doc_id
+       |       JOIN documents d ON d.doc_id = j.doc_id
+       |       WHERE lq.lq = false),
+       |srcs AS (SELECT source, count(*) AS n_src FROM documents
+       |         WHERE doc_id % $bm <> 0 GROUP BY source),
+       |tcs AS (SELECT CAST(sum(n_src) AS BIGINT) AS tc FROM srcs),
+       |tns AS (SELECT COALESCE(CAST(sum(n_tokens) AS BIGINT), 0) AS t_novel
+       |        FROM nv),
+       |bud AS (SELECT source, greatest(1,
+       |          CAST(round($budgetFrac * t_novel * n_src / tc) AS BIGINT))
+       |          AS budget_tokens
+       |        FROM srcs, tcs, tns),
+       |cum AS (SELECT nv.*, sum(n_tokens) OVER (PARTITION BY source
+       |          ORDER BY p DESC, doc_id ROWS UNBOUNDED PRECEDING)
+       |          AS cum_tokens FROM nv),
+       |cb AS (SELECT cum.*,
+       |         (cum_tokens <= COALESCE(bud.budget_tokens, 1)) AS admitted
+       |       FROM cum LEFT JOIN bud ON bud.source = cum.source),
+       |r AS (SELECT j.source, count(*) AS n_batch, count(j.ch) AS n_dup_exact,
+       |        count(CASE WHEN j.ch IS NULL THEN j.fid END) AS n_dup_fuzzy,
+       |        count(CASE WHEN lq.lq THEN 1 END) AS n_low_quality,
+       |        count(CASE WHEN lq.lq = false THEN 1 END) AS n_novel
+       |      FROM j LEFT JOIN lq ON lq.doc_id = j.doc_id GROUP BY j.source),
+       |nrep AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS novel_tokens,
+       |           count(CASE WHEN admitted THEN 1 END) AS n_admitted,
+       |           CAST(sum(CASE WHEN admitted THEN n_tokens END) AS BIGINT)
+       |             AS admitted_tokens,
+       |           count(CASE WHEN NOT admitted THEN 1 END) AS n_over_budget
+       |         FROM cb GROUP BY source)
+       |SELECT r.source, r.n_batch, r.n_dup_exact, r.n_dup_fuzzy,
+       |  r.n_low_quality, r.n_novel,
+       |  COALESCE(nrep.novel_tokens, 0) AS novel_tokens,
+       |  COALESCE(bud.budget_tokens, 1) AS budget_tokens,
+       |  COALESCE(nrep.n_admitted, 0) AS n_admitted,
+       |  COALESCE(nrep.admitted_tokens, 0) AS admitted_tokens,
+       |  COALESCE(nrep.n_over_budget, 0) AS n_over_budget
+       |FROM r LEFT JOIN bud ON bud.source = r.source
+       |LEFT JOIN nrep ON nrep.source = r.source
+       |ORDER BY r.source""".stripMargin
+  }
+
+  // ---- q131: RE-ADJUDICATION (rejected ≠ discarded) ---------------------
+
+  /** q131: quarantine RE-ADJUDICATION — the takedown loop's missing
+    * half. q117 made a retracted doc's FUTURE duplicates admissible,
+    * but a doc already rejected on evidence that was later taken down
+    * stays rejected forever: its verdict was derived from state rows
+    * that no longer exist. A production corpus quarantines rejections
+    * instead of discarding them, and a takedown triggers re-judgment:
+    *
+    *   1. tick 1 — the q106 tick verbatim; its DUP-rejected docs
+    *      (exact or fuzzy — evidence-dependent verdicts) form the
+    *      QUARANTINE (low-quality rejections are NOT re-adjudicated
+    *      here: a quality verdict depends on the MODEL, not on state
+    *      rows, so it changes via q128's unlearning loop — re-scoring
+    *      the same doc under the same frozen weights reproduces the
+    *      same score, and re-ranking it inside a different cohort
+    *      would flip verdicts for cohort-composition reasons, not
+    *      evidence reasons);
+    *   2. TAKEDOWN — the q117 retraction class (doc_id %
+    *      [[RetractMod]] == [[RetractRem]] of the ingested-through-
+    *      tick-1 docs) leaves every state relation;
+    *   3. RE-ADJUDICATION — the quarantined docs re-judge against the
+    *      post-retraction state under the frozen model and the full
+    *      gate discipline (exact → fuzzy → quality): a doc whose only
+    *      dup partners were retracted becomes `new` (re-admitted)
+    *      unless it lands in the bottom `lowFrac` of the re-judged
+    *      novel cohort.
+    *
+    * Output per source: quarantine size split by ORIGINAL verdict
+    * (n_exact_t1 / n_fuzzy_t1) × RE-ADJUDICATED verdict
+    * (n_still_exact / n_still_fuzzy / n_low_quality / n_readmitted) —
+    * the oracle re-derives tick 1, the takedown, and the re-judgment
+    * in one WITH clause. GenData's planted dups make the contrast
+    * decisive: tick-1 batch dups of retracted base docs re-admit,
+    * dups of surviving docs stay rejected (and the no-takedown control
+    * re-admits nothing — spec-pinned).
+    *
+    * Deployment form: [[graft.io.IngestLoop.readjudicateTick]] over a
+    * [[graft.io.IngestLoop.Quarantine]] store pair — rejected docs are
+    * quarantined per tick, a re-adjudication is itself a tick in the
+    * store agreement, and re-admitted docs fold into every state store
+    * and consumer leg like any admission.
+    *
+    * Scale shape: q106's chain (one LSH relation, one bounded training
+    * pass) plus quarantine-sized work — the quarantine is a rejected
+    * subset of one tick's batch, the takedown anti-joins are id-keyed
+    * against 8–26-byte state rows, and the re-judgment is the q103
+    * join shape over quarantine-sized inputs. Corpus text is never
+    * rescanned. */
+  def q131Readjudication(documents: DataFrame, threshold: Double = 0.2,
+                         lowFrac: Double = 0.25): DataFrame = {
+    val p = multiTickParts(documents, threshold, lowFrac)
+    val m = (c: org.apache.spark.sql.Column) => pmod(c, lit(BatchMod))
+    val corpus = documents.filter(m(col("doc_id")).between(1, 9))
+    val quar = p.v1.filter(col("ch").isNotNull || col("fid").isNotNull)
+      .select(col("doc_id"), col("ch").isNotNull.as("was_exact"))
+    val quarDocs = documents.join(quar.select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val ing1 = corpus.select("doc_id")
+      .union(p.v1.filter(col("lq") === false).select("doc_id"))
+    val keep = ing1.filter(pmod(col("doc_id"), lit(RetractMod)) =!= RetractRem)
+    val keepDocs = documents.join(keep, Seq("doc_id"), "left_semi")
+    val c1r = corpusHashState(keepDocs)
+    val fzq = p.adj
+      .join(quar.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      .join(keep.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+      .select(col("b").as("fid")).distinct()
+    val vr = gatedTickFrame(quarDocs, c1r, fzq, p.w, lowFrac)
+    vr.join(quar.withColumnRenamed("doc_id", "qid"),
+        col("doc_id") === col("qid"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_quarantined"),
+        count(when(col("was_exact"), lit(1))).as("n_exact_t1"),
+        count(when(!col("was_exact"), lit(1))).as("n_fuzzy_t1"),
+        count(col("ch")).as("n_still_exact"),
+        count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy"),
+        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+        count(when(col("lq") === false, lit(1))).as("n_readmitted"))
+      .orderBy("source")
+  }
+
+  def q131Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    val bm = BatchMod
+    s"""WITH ${multiTickCoreSqlCtes(threshold, lowFrac, iters, trainN)},
+       |quar AS MATERIALIZED (SELECT doc_id, source,
+       |          (ch IS NOT NULL) AS was_exact
+       |        FROM v1 WHERE ch IS NOT NULL OR fid IS NOT NULL),
+       |ing1 AS (SELECT doc_id FROM documents WHERE doc_id % $bm BETWEEN 1 AND 9
+       |         UNION ALL SELECT doc_id FROM adm1),
+       |keep AS MATERIALIZED (SELECT doc_id FROM ing1
+       |         WHERE doc_id % $RetractMod <> $RetractRem),
+       |c1r AS MATERIALIZED (SELECT DISTINCT h.h FROM h
+       |        JOIN keep k ON k.doc_id = h.doc_id),
+       |fzq AS (SELECT DISTINCT adj.b AS fid FROM adj
+       |        JOIN keep k ON adj.a = k.doc_id
+       |        JOIN quar q ON adj.b = q.doc_id),
+       |${QualityModel.featureSqlCtes(
+         "(SELECT d.* FROM documents d JOIN quar q ON q.doc_id = d.doc_id)",
+         "qr_")},
+       |scq AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+       |        FROM qr_feat, ctr_w w),
+       |jq AS MATERIALIZED (SELECT q.doc_id, q.source, q.was_exact,
+       |        c1r.h AS ch, fzq.fid, scq.p
+       |      FROM quar q
+       |      JOIN h hh ON hh.doc_id = q.doc_id
+       |      LEFT JOIN c1r ON hh.h = c1r.h
+       |      LEFT JOIN fzq ON fzq.fid = q.doc_id
+       |      JOIN scq ON scq.doc_id = q.doc_id),
+       |lqq AS (SELECT doc_id,
+       |          cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
+       |        FROM jq WHERE ch IS NULL AND fid IS NULL)
+       |SELECT jq.source, count(*) AS n_quarantined,
+       |  count(CASE WHEN was_exact THEN 1 END) AS n_exact_t1,
+       |  count(CASE WHEN NOT was_exact THEN 1 END) AS n_fuzzy_t1,
+       |  count(ch) AS n_still_exact,
+       |  count(CASE WHEN ch IS NULL THEN fid END) AS n_still_fuzzy,
+       |  count(CASE WHEN lqq.lq THEN 1 END) AS n_low_quality,
+       |  count(CASE WHEN lqq.lq = false THEN 1 END) AS n_readmitted
+       |FROM jq LEFT JOIN lqq ON lqq.doc_id = jq.doc_id
+       |GROUP BY jq.source ORDER BY jq.source""".stripMargin
+  }
 }

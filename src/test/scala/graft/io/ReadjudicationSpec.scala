@@ -1,0 +1,141 @@
+package graft.io
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.operators.{Provenance, QualityModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q131's deployment form — [[IngestLoop.readjudicateTick]] over the
+  * [[IngestLoop.Quarantine]] store pair: rejected ≠ discarded. A
+  * takedown that removes a rejection's evidence makes the quarantined
+  * doc re-admittable; the no-takedown control re-admits nothing; the
+  * re-adjudication is itself a tick with the full crash/replay
+  * discipline. sf0.01. */
+class ReadjudicationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def docs = Tables.load(spark, sf, "documents")
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(i =>
+      if (r.isNullAt(i)) null else r.get(i)))
+
+  private def m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+  private def corpus = docs.filter(m.between(1, 9))
+  private def t1 = docs.filter(m >= 10)
+  private def weights = QualityModel.weights(corpus,
+    scope = s"multitick${Provenance.BatchMod}")
+
+  private def build(root: String, name: String)
+      : (IngestLoop.Stores, IngestLoop.Quarantine) = {
+    val st = IngestLoop.stores(spark, root, name)
+    val quar = IngestLoop.quarantine(spark, root, name)
+    IngestLoop.bootstrap(st, corpus)
+    IngestLoop.bootstrapQuarantine(quar, corpus)
+    IngestLoop.runTick(st, t1, weights, quar = Some(quar))
+    (st, quar)
+  }
+
+  private def retractQ117Class(st: IngestLoop.Stores): Unit = {
+    val retracted = st.hashes.current().get.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
+        Provenance.RetractRem)
+    assert(retracted.count() > 0)
+    IngestLoop.retractTick(st, retracted)
+  }
+
+  test("store-backed re-adjudication ≡ live q131; takedown decisive; the no-takedown control re-admits nothing") {
+    val root = Files.createTempDirectory("graft_readj").toString
+    val live = rows(Provenance.q131Readjudication(docs))
+    assert(live.nonEmpty)
+    assert(live.map(_(7).asInstanceOf[Long]).sum > 0,
+      "the takedown must make at least one quarantined doc re-admittable")
+
+    val (st, quar) = build(root, "readj1")
+    retractQ117Class(st)
+    val rep = rows(IngestLoop.readjudicateTick(st, quar, weights))
+    assert(rep === live,
+      "the store-backed re-adjudication must equal the live q131 report")
+
+    // control: same quarantine, NO takedown — every dup verdict's
+    // evidence still stands, so nothing re-admits and nothing enters
+    // the quality window
+    val (stC, quarC) = build(root, "readj_ctrl")
+    val ctrl = IngestLoop.readjudicateTick(stC, quarC, weights).collect()
+    assert(ctrl.map(_.getLong(7)).sum === 0L,
+      "control: no takedown, no re-admission")
+    assert(ctrl.map(r => r.getLong(4) + r.getLong(5)).sum
+      === ctrl.map(_.getLong(1)).sum,
+      "control: every quarantined doc is still an exact or fuzzy dup")
+  }
+
+  test("re-admitted docs leave the live quarantine and fold into state: a second pass re-admits nothing more, their later copies reject") {
+    val root = Files.createTempDirectory("graft_readj_fold").toString
+    val (st, quar) = build(root, "readj2")
+    retractQ117Class(st)
+    val rep1 = IngestLoop.readjudicateTick(st, quar, weights).collect()
+    val nReadmitted = rep1.map(_.getLong(7)).sum
+    val nQuar1 = rep1.map(_.getLong(1)).sum
+    assert(nReadmitted > 0)
+
+    // resolvedIds = every doc that reached a post-dup verdict
+    // (re-admitted + quality-rejected); the re-admitted subset is the
+    // ones whose hashes joined the state
+    val nLowQ = rep1.map(_.getLong(6)).sum
+    assert(quar.resolvedIds.current().get.select("doc_id").count()
+      === nReadmitted + nLowQ)
+    val readmIds = quar.resolvedIds.current().get
+      .join(st.hashes.current().get.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+
+    assert(readmIds.count() === nReadmitted)
+
+    // fold-back: resubmitting a re-admitted doc hits the exact gate
+    val resub = IngestLoop.runTick(st,
+      docs.join(readmIds, Seq("doc_id"), "left_semi"), weights,
+      quar = Some(quar)).collect()
+    assert(resub.map(_.getLong(2)).sum === nReadmitted,
+      "every resubmitted re-admitted doc must be dup_exact")
+
+    // a second re-adjudication sees only the STILL-DUP survivors (the
+    // resolved docs left — re-admitted and quality-rejected alike; the
+    // resubmitted copies share resolved ids, so they are suppressed
+    // too) and re-admits nothing: state only grew, so surviving dup
+    // evidence still stands
+    val rep2 = IngestLoop.readjudicateTick(st, quar, weights).collect()
+    assert(rep2.map(_.getLong(7)).sum === 0L,
+      "second pass with no new takedown must re-admit nothing")
+    assert(rep2.map(_.getLong(1)).sum === nQuar1 - nReadmitted - nLowQ,
+      "second pass re-judges exactly the still-dup survivors")
+  }
+
+  test("crash between the state folds and the quarantine appends: the quarantine stores' lag forces the tick to be REDONE") {
+    val root = Files.createTempDirectory("graft_readj_crash").toString
+    // clean yardstick
+    val (stA, quarA) = build(root, "readj_clean")
+
+    // crashed run: the three dedup folds of tick 2 landed but neither
+    // quarantine append did (runTick WITHOUT the quarantine leg is
+    // exactly that crash point)
+    val stB = IngestLoop.stores(spark, root, "readj_crash")
+    val quarB = IngestLoop.quarantine(spark, root, "readj_crash")
+    IngestLoop.bootstrap(stB, corpus)
+    IngestLoop.bootstrapQuarantine(quarB, corpus)
+    IngestLoop.runTick(stB, t1, weights)
+    assert(stB.shingles.maxTick === 2L && quarB.rows.maxTick === 1L,
+      "precondition: dedup stores agree at tick 2, the quarantine lags")
+
+    // replay WITH the leg: the agreement sees the lag and redoes tick 2
+    IngestLoop.runTick(stB, t1, weights, quar = Some(quarB))
+    assert(quarB.rows.maxTick === 2L && quarB.resolvedIds.maxTick === 2L)
+
+    // both loops now retract and re-adjudicate identically
+    retractQ117Class(stA); retractQ117Class(stB)
+    assert(rows(IngestLoop.readjudicateTick(stA, quarA, weights))
+      === rows(IngestLoop.readjudicateTick(stB, quarB, weights)),
+      "the repaired quarantine must re-adjudicate exactly like the clean one")
+  }
+}
