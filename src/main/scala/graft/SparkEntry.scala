@@ -300,6 +300,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         re-judgment in one WITH clause (store form:
   *                         IngestLoop.readjudicateTick over the
   *                         Quarantine store pair)
+  *  - q132_export_release_gate: the certification a served epoch must
+  *                         pass BEFORE a training job streams it —
+  *                         liveness (no retracted doc inside any
+  *                         member sequence), fill floor, per-source
+  *                         mix tolerance vs the live corpus share,
+  *                         first-failure precedence; tick 1's original
+  *                         packing holds on the takedown, its q125
+  *                         re-pack serves (store form:
+  *                         PackedExportStore.certify over stored rows
+  *                         + the tombstone store, zero re-tokenizes)
   */
 object SparkEntry {
 
@@ -462,6 +472,8 @@ object SparkEntry {
       Provenance.q130BudgetedAdmission(_)),
     "q131_readjudication" -> t("documents")(
       Provenance.q131Readjudication(_)),
+    "q132_export_release_gate" -> t("documents")(
+      Packing.q132ExportReleaseGate(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -598,5 +610,6 @@ object SparkEntry {
     "q129_incremental_strip" -> SubstringDedup.q129Sql(),
     "q130_budgeted_admission" -> Provenance.q130Sql(),
     "q131_readjudication" -> Provenance.q131Sql(),
+    "q132_export_release_gate" -> Packing.q132Sql(),
   )
 }

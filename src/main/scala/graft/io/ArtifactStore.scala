@@ -1031,6 +1031,37 @@ object ArtifactStore {
         slices().select("tick", "doc_id", "seq_id", "toks", "h"),
         seqLen, nShards)
 
+    /** RELEASE GATE (q132, [[graft.operators.Packing
+      * .q132ExportReleaseGate]]): certify every served epoch from its
+      * stored rows alone — zero re-tokenizes, zero text reads. Per
+      * epoch (tick, serving rev): liveness against `tombIds` (an epoch
+      * still carrying a taken-down doc holds until [[retractDocs]]
+      * re-packs it), fill against `minFillMicro`, and per-source
+      * token-share deviation (via the caller's narrow doc_id → source
+      * relation) against the live cross-epoch corpus share. A training
+      * job streams only `decision = 'serve'` epochs. ExportStoreSpec
+      * pins store ≡ live on the shared epochs and stages all four
+      * decisions. */
+    def certify(docSources: DataFrame, tombIds: DataFrame,
+                minFillMicro: Long =
+                  graft.operators.Packing.DefaultMinFillMicro,
+                mixTolMicros: Long =
+                  graft.operators.Packing.DefaultMixTolMicros): DataFrame = {
+      val sl = slices()
+      val revOf = ticks.map { t =>
+        val d = epochDir(t)
+        (t.toInt, servingRevIn(d).get.toInt)
+      }.toMap
+      val revCol = revOf.foldLeft(lit(0)) { case (acc, (t, r)) =>
+        when(col("tick") === t, lit(r)).otherwise(acc)
+      }
+      graft.operators.Packing.releaseGate(
+        sl.select(col("tick"), revCol.as("rev"), col("doc_id"),
+          col("seq_id"), col("toks")),
+        docSources, tombIds.select("doc_id"),
+        seqLen, minFillMicro, mixTolMicros)
+    }
+
     /** The TAKEDOWN: re-pack every tick containing a retracted doc from
       * its own stored per-doc reduction (no text), as that tick's next
       * revision; untouched ticks' revisions are not rewritten. Returns

@@ -413,4 +413,217 @@ object Packing {
        |  round(CAST(sum(greatest(n_tok - $seqLen, 0)) AS DOUBLE)
        |    / sum(n_tok), 6) AS loss_frac
        |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q132: export RELEASE GATE ----------------------------------------
+
+  /** Serve floor: an epoch whose sequences are less than 80 % full is
+    * held (micro-batch tails, pathological takedowns). */
+  val DefaultMinFillMicro = 800000L
+
+  /** Mix tolerance: an epoch whose per-source token share deviates more
+    * than 20 pp from the live corpus share is held (a tick dominated by
+    * one domain must not ship as-is; q127 is the rebalance response). */
+  val DefaultMixTolMicros = 200000L
+
+  /** The release-gate certification over epoch-keyed slices — shared by
+    * the live q132 form and [[graft.io.ArtifactStore.PackedExportStore
+    * .certify]]. `slices` carries (tick, rev, doc_id, seq_id, toks);
+    * `docSources` maps doc_id → source; `retractedIds` is the takedown
+    * set. Target mix = the DISTINCT live docs across all epochs (same
+    * doc in two revisions counts once — the frozen tokenizer makes its
+    * count identical) minus the retracted ones: the corpus the export
+    * claims to represent. */
+  private[graft] def releaseGate(slices: DataFrame, docSources: DataFrame,
+                                 retractedIds: DataFrame, seqLen: Int,
+                                 minFillMicro: Long,
+                                 mixTolMicros: Long): DataFrame = {
+    val docTok = slices.groupBy("tick", "rev", "doc_id")
+      .agg(sum("toks").as("n_tokens"))
+      .join(docSources.select("doc_id", "source"), "doc_id")
+      .join(retractedIds.select(col("doc_id"), lit(true).as("retr")),
+        Seq("doc_id"), "left")
+      .withColumn("retracted", coalesce(col("retr"), lit(false)))
+      .drop("retr")
+      // read four times below (doc census, target mix, epoch mix) —
+      // severed so the packing chain executes once
+      .localCheckpoint()
+    val seqStats = slices.groupBy("tick", "rev", "seq_id")
+      .agg(sum("toks").as("n_toks"))
+      .groupBy("tick", "rev")
+      .agg(count(lit(1)).as("n_seqs"), sum("n_toks").as("n_tokens"))
+    val docStats = docTok.groupBy("tick", "rev")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("retracted"), lit(1))).as("n_retracted"))
+    val tgt = docTok.filter(!col("retracted"))
+      .select("doc_id", "source", "n_tokens").distinct()
+      .groupBy("source").agg(sum("n_tokens").as("t_src"))
+    val tgtTot = tgt.agg(sum("t_src").as("t_all"))
+    val tgtShare = tgt.crossJoin(broadcast(tgtTot))
+      .select(col("source"),
+        round(col("t_src") * lit(1e6) / col("t_all")).cast("long")
+          .as("target_micro"))
+    val epSrc = docTok.groupBy("tick", "rev", "source")
+      .agg(sum("n_tokens").as("e_src"))
+    val epTot = epSrc.groupBy("tick", "rev").agg(sum("e_src").as("e_all"))
+    // every (epoch × live source) pair: a source MISSING from an epoch
+    // is maximal deviation, not a skipped row
+    val dev = epTot.crossJoin(broadcast(tgtShare))
+      .join(epSrc, Seq("tick", "rev", "source"), "left")
+      .withColumn("share_micro",
+        round(coalesce(col("e_src"), lit(0L)) * lit(1e6) / col("e_all"))
+          .cast("long"))
+      .withColumn("dev", abs(col("share_micro") - col("target_micro")))
+      .groupBy("tick", "rev").agg(max("dev").as("max_share_dev_micro"))
+    seqStats.join(docStats, Seq("tick", "rev"))
+      .join(dev, Seq("tick", "rev"))
+      .withColumn("fill_micro",
+        round(col("n_tokens") * lit(1e6) /
+          (col("n_seqs") * lit(seqLen.toLong))).cast("long"))
+      .withColumn("decision",
+        when(col("n_retracted") > 0, lit("hold_takedown"))
+          .when(col("fill_micro") < minFillMicro, lit("hold_fill"))
+          .when(col("max_share_dev_micro") > mixTolMicros, lit("hold_mix"))
+          .otherwise(lit("serve")))
+      .select(col("tick"), col("rev"), col("n_seqs"), col("n_docs"),
+        col("n_tokens"), col("n_retracted"), col("fill_micro"),
+        col("max_share_dev_micro"), col("decision"))
+      .orderBy("tick", "rev")
+  }
+
+  /** q132: the export RELEASE GATE — the certification a served epoch
+    * must pass BEFORE a training job streams it. q125 gave the export
+    * its takedown and q108 its transport signature; what nothing
+    * certified is the SERVING decision: an epoch that still contains a
+    * retracted doc (takedown requested, re-pack not yet run), an
+    * under-filled epoch (micro-batch tails), or a mix-skewed epoch (one
+    * domain dominating a tick) must be HELD, and the gate must say why.
+    * Three oracle-checked certificates per epoch, first-failure
+    * precedence:
+    *
+    *   1. LIVENESS — no retracted doc inside any member sequence
+    *      (`n_retracted`, the q117 discipline made a pre-serve check);
+    *   2. FILL — `fill_micro ≥ minFillMicro` (the q108 fill-rate
+    *      certificate made a gate);
+    *   3. MIX — max per-source token-share deviation from the live
+    *      corpus share ≤ `mixTolMicros` (the q127 measurement made a
+    *      gate; a MISSING source counts as full deviation).
+    *
+    * The frame stages the decisive contrast: tick 1's ORIGINAL packing
+    * (rev 0) is judged after the q117 takedown — `hold_takedown` — and
+    * its RE-PACKED revision (rev 1, the q125 path) serves; tick 2's
+    * epoch is judged as-is. The oracle re-derives all three packings,
+    * the census, and every decision in one WITH clause.
+    *
+    * Deployment form: [[graft.io.ArtifactStore.PackedExportStore
+    * .certify]] — the same gate over the STORE's serving rows and the
+    * tombstone store, zero re-tokenizes (ExportStoreSpec pins store ≡
+    * live and stages all four decisions).
+    *
+    * Scale shape: the q125 packing chains (bucketed prefix sums, no
+    * global window) plus epoch-keyed aggregates over slice rows and two
+    * O(sources) broadcasts; text is read once per packed tick and never
+    * shuffled. */
+  def q132ExportReleaseGate(documents: DataFrame, seqLen: Int = 2048,
+                            minFillMicro: Long = DefaultMinFillMicro,
+                            mixTolMicros: Long = DefaultMixTolMicros)
+      : DataFrame = {
+    val ms = Bpe.merges(documents)
+    val m = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(Provenance.BatchMod))
+    val s1 = tickSlices(
+      documents.filter(m(col("doc_id")).between(1, 9)), seqLen, ms)
+    val docRows1 = s1.groupBy("doc_id")
+      .agg(sum("toks").as("n_tokens"), max("h").as("h"))
+    val s1r = repackSlices(docRows1
+      .filter(pmod(col("doc_id"), lit(Provenance.RetractMod))
+        =!= Provenance.RetractRem), seqLen)
+    val s2 = tickSlices(documents.filter(m(col("doc_id")) === 0), seqLen, ms)
+    def ep(s: DataFrame, tick: Int, rev: Int) =
+      s.select(col("doc_id"), col("seq_id"), col("toks"))
+        .withColumn("tick", lit(tick)).withColumn("rev", lit(rev))
+    val slices = ep(s1, 1, 0).unionByName(ep(s1r, 1, 1))
+      .unionByName(ep(s2, 2, 0))
+    val retracted = documents.filter(m(col("doc_id")).between(1, 9) &&
+      pmod(col("doc_id"), lit(Provenance.RetractMod))
+        === Provenance.RetractRem)
+      .select("doc_id")
+    releaseGate(slices, documents.select("doc_id", "source"), retracted,
+      seqLen, minFillMicro, mixTolMicros)
+  }
+
+  def q132Sql(seqLen: Int = 2048,
+              minFillMicro: Long = DefaultMinFillMicro,
+              mixTolMicros: Long = DefaultMixTolMicros): String = {
+    val bm = Provenance.BatchMod
+    def packCtes(tag: String, where: String) =
+      s"""t$tag AS (SELECT doc_id, n_tokens FROM bpe_tok WHERE $where),
+         |c$tag AS (SELECT doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS end_tok
+         |      FROM t$tag),
+         |sl$tag AS (SELECT doc_id,
+         |         s.seq_id,
+         |         least(end_tok, (s.seq_id + 1) * $seqLen)
+         |           - greatest(end_tok - n_tokens, s.seq_id * $seqLen) AS toks
+         |       FROM c$tag, UNNEST(range((end_tok - n_tokens) // $seqLen,
+         |                            (end_tok - 1) // $seqLen + 1)) AS s(seq_id)
+         |       WHERE n_tokens > 0)""".stripMargin
+    val retr = s"doc_id % $bm BETWEEN 1 AND 9 AND " +
+      s"doc_id % ${Provenance.RetractMod} = ${Provenance.RetractRem}"
+    s"""WITH ${Bpe.tokenSqlCtes()},
+       |${packCtes("10", s"doc_id % $bm BETWEEN 1 AND 9")},
+       |${packCtes("11", s"doc_id % $bm BETWEEN 1 AND 9 AND NOT ($retr)")},
+       |${packCtes("20", s"doc_id % $bm = 0")},
+       |e AS (SELECT 1 AS tick, 0 AS rev, * FROM sl10
+       |      UNION ALL SELECT 1, 1, * FROM sl11
+       |      UNION ALL SELECT 2, 0, * FROM sl20),
+       |dt AS MATERIALIZED (SELECT tick, rev, e.doc_id,
+       |        CAST(sum(toks) AS BIGINT) AS n_tokens, d.source,
+       |        (e.doc_id % $bm BETWEEN 1 AND 9 AND
+       |         e.doc_id % ${Provenance.RetractMod} =
+       |           ${Provenance.RetractRem}) AS retracted
+       |      FROM e JOIN documents d ON d.doc_id = e.doc_id
+       |      GROUP BY 1, 2, 3, 5, 6),
+       |sq AS (SELECT tick, rev, seq_id, CAST(sum(toks) AS BIGINT) AS n_toks
+       |       FROM e GROUP BY 1, 2, 3),
+       |ss AS (SELECT tick, rev, count(*) AS n_seqs,
+       |         CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM sq GROUP BY 1, 2),
+       |ds AS (SELECT tick, rev, count(*) AS n_docs,
+       |         count(CASE WHEN retracted THEN 1 END) AS n_retracted
+       |       FROM dt GROUP BY 1, 2),
+       |tgt AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_src FROM
+       |          (SELECT DISTINCT doc_id, source, n_tokens FROM dt
+       |           WHERE NOT retracted) GROUP BY source),
+       |tt AS (SELECT CAST(sum(t_src) AS BIGINT) AS t_all FROM tgt),
+       |tsh AS (SELECT source,
+       |          CAST(round(t_src * 1e6 / t_all) AS BIGINT) AS target_micro
+       |        FROM tgt, tt),
+       |es AS (SELECT tick, rev, source, CAST(sum(n_tokens) AS BIGINT) AS e_src
+       |       FROM dt GROUP BY 1, 2, 3),
+       |et AS (SELECT tick, rev, CAST(sum(e_src) AS BIGINT) AS e_all
+       |       FROM es GROUP BY 1, 2),
+       |dv AS (SELECT et.tick, et.rev,
+       |         max(abs(CAST(round(COALESCE(es.e_src, 0) * 1e6 / et.e_all)
+       |           AS BIGINT) - tsh.target_micro)) AS max_share_dev_micro
+       |       FROM et CROSS JOIN tsh
+       |       LEFT JOIN es ON es.tick = et.tick AND es.rev = et.rev
+       |         AND es.source = tsh.source
+       |       GROUP BY 1, 2),
+       |fin AS (SELECT ss.tick, ss.rev, ss.n_seqs, ds.n_docs, ss.n_tokens,
+       |          ds.n_retracted,
+       |          CAST(round(ss.n_tokens * 1e6 / (ss.n_seqs * $seqLen))
+       |            AS BIGINT) AS fill_micro,
+       |          dv.max_share_dev_micro
+       |        FROM ss
+       |        JOIN ds ON ds.tick = ss.tick AND ds.rev = ss.rev
+       |        JOIN dv ON dv.tick = ss.tick AND dv.rev = ss.rev)
+       |SELECT tick, rev, n_seqs, n_docs, n_tokens, n_retracted, fill_micro,
+       |  max_share_dev_micro,
+       |  CASE WHEN n_retracted > 0 THEN 'hold_takedown'
+       |       WHEN fill_micro < $minFillMicro THEN 'hold_fill'
+       |       WHEN max_share_dev_micro > $mixTolMicros THEN 'hold_mix'
+       |       ELSE 'serve' END AS decision
+       |FROM fin ORDER BY tick, rev""".stripMargin
+  }
 }

@@ -252,4 +252,63 @@ class ExportStoreSpec extends AnyFunSuite {
     assert(ex2.ticks === Seq(3L, 4L))
     intercept[IllegalArgumentException](ex2.appendDocsAt(2, parts(1), ms))
   }
+
+  test("release gate (q132): store certify ≡ live values; all four decisions staged; the q125 re-pack flips hold_takedown to serve") {
+    val root = Files.createTempDirectory("graft_export_gate").toString
+    val ms = Bpe.merges(docs)
+    val ex = ArtifactStore.packedExport(spark, root, "gate1", seqLen)
+    val t1 = docs.filter(m.between(1, 9))
+    val t2 = docs.filter(m === 0)
+    ex.bootstrap(t1, ms)
+    ex.appendDocsAt(2, t2, ms)
+    val srcs = docs.select("doc_id", "source")
+    val retracted = t1.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) === Provenance.RetractRem)
+
+    // pre-re-pack: tick 1 still carries the taken-down docs → held;
+    // values ≡ the live q132 frame's (tick=1, rev=0) row (certificate
+    // columns — rev numbering is the store's own)
+    val live = Packing.q132ExportReleaseGate(docs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.toSeq.drop(2)).toMap
+    val pre = ex.certify(srcs, retracted).collect()
+      .map(r => r.getInt(0) -> r.toSeq.drop(2)).toMap
+    assert(pre(1) === live((1, 0)),
+      "pre-re-pack tick 1 must certify exactly like the live rev-0 epoch")
+    assert(pre(1).last === "hold_takedown")
+    assert(pre(2) === live((2, 0)),
+      "tick 2 must certify exactly like the live tick-2 epoch")
+
+    // the q125 re-pack is the remediation: tick 1 now serves, with the
+    // live rev-1 certificate values
+    ex.retractDocs(retracted)
+    val post = ex.certify(srcs, retracted).collect()
+      .map(r => r.getInt(0) -> r.toSeq.drop(2)).toMap
+    assert(post(1) === live((1, 1)),
+      "post-re-pack tick 1 must certify exactly like the live rev-1 epoch")
+    assert(post(1).last === "serve")
+    // (tick 2 at sf0.01 is a 30-doc epoch — 3 sequences at 79 % fill —
+    // so the live frame itself stages hold_fill there; at bench scales
+    // it serves. The pre(2) ≡ live((2,0)) equality above pins it.)
+
+    // hold_fill: a near-empty epoch (a handful of docs in one mostly
+    // empty sequence) fails the fill floor
+    ex.appendDocsAt(3, t2.limit(3), ms)
+    val withTiny = ex.certify(srcs, retracted).collect()
+      .map(r => r.getInt(0) -> r.getString(8)).toMap
+    assert(withTiny(3) === "hold_fill")
+
+    // hold_mix: an epoch drawn from ONE source deviates past the
+    // tolerance while passing fill (enough docs to pack full
+    // sequences); retracted docs excluded so liveness passes too
+    val s0 = docs.select("source").orderBy("source").limit(1)
+      .head().getString(0)
+    val oneSrc = docs.filter(col("source") === s0)
+      .join(retracted, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id").limit(60)
+    ex.appendDocsAt(4, oneSrc, ms)
+    val withSkew = ex.certify(srcs, retracted).collect()
+      .map(r => r.getInt(0) -> r.getString(8)).toMap
+    assert(withSkew(4) === "hold_mix",
+      "a single-source epoch must hold on the mix certificate")
+  }
 }
