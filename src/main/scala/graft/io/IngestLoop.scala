@@ -179,6 +179,27 @@ object IngestLoop {
     next
   }
 
+  /** Roll an attached quarantine into the same fresh generation as
+    * [[rollover]]'s stores: the LIVE quarantine (rows minus resolved
+    * ids minus corpus tombstones) re-seeds as tick 1 of a new
+    * [[Quarantine]], with an empty resolvedIds base — so the rolled
+    * bundle's tick agreement aligns with the rolled stores' (both at
+    * tick 1) and a quiesce-point [[readjudicateTick]] recovers
+    * stream-rejected docs after a takedown (the streaming quarantine
+    * fold's restart-boundary contract). */
+  def rolloverQuarantine(st: Stores, quar: Quarantine, spark: SparkSession,
+                         root: String, name: String): Quarantine = {
+    val next = quarantine(spark, root, name)
+    val rows = quar.rows.current().get
+    val live = resolved(st,
+      quar.resolvedIds.current()
+        .fold(rows)(r => rows.join(r.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")))
+    next.rows.appendTickAt(1, live)
+    next.resolvedIds.appendTickAt(1, rows.select("doc_id").limit(0))
+    next
+  }
+
   /** The tick this run should PRODUCE, with crash recovery: normally
     * every store agrees on maxTick T and the next tick is T+1; after a
     * crash between the per-store writes the stores disagree, and the

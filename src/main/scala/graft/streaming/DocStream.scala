@@ -326,7 +326,8 @@ object DocStream {
                                  idx: Option[graft.io.ArtifactStore.Bm25IncrementalIndex] = None,
                                  census: Option[graft.io.ArtifactStore.GramCensusIncrementalIndex] = None,
                                  ann: Option[graft.io.IngestLoop.AnnLeg] = None,
-                                 export: Option[graft.io.IngestLoop.ExportLeg] = None)
+                                 export: Option[graft.io.IngestLoop.ExportLeg] = None,
+                                 quar: Option[graft.io.IngestLoop.Quarantine] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     admissionStreamWithText(docs, corpusHashes)
       .writeStream.outputMode("append")
@@ -358,9 +359,39 @@ object DocStream {
         stores.shingles.appendTickAt(stateTick + 1,
           graft.operators.Fuzzy.corpusShingleHashes(adm))
         foldConsumerLegs(adm, stateTick + 1, idx, census, ann, export)
+        foldQuarantine(refined, stateTick + 1, quar)
       }
       .start()
   }
+
+  /** The QUARANTINE fold (the q131 symmetry in streaming — rejected ≠
+    * discarded holds for stream arrivals too): each micro-batch's
+    * rejected docs land in the quarantine store under the same
+    * batch-id-keyed tick, with the stream verdicts mapped to the batch
+    * evidence classes (`dup_corpus`/`dup_stream` → dup_exact — both are
+    * hash-state evidence after the fold-back; `dup_corpus_fuzzy` →
+    * dup_fuzzy; `low_quality` kept as is). The wire schema carries no
+    * `source` column, so quarantine rows carry the literal 'stream'.
+    * A quiesce-point takedown then recovers stream rejections through
+    * the SAME batch-side [[graft.io.IngestLoop.readjudicateTick]] —
+    * after [[graft.io.IngestLoop.rollover]] +
+    * [[graft.io.IngestLoop.rolloverQuarantine]], whose tick-1 re-seed
+    * keeps the two bundles' tick agreements aligned (DocStreamSpec pins
+    * the full boundary flow). */
+  private def foldQuarantine(refined: DataFrame, tick: Long,
+                             quar: Option[graft.io.IngestLoop.Quarantine])
+      : Unit =
+    quar.foreach { qs =>
+      val rej = refined.filter(col("verdict") =!= "new")
+        .select(col("doc_id"), lit("stream").as("source"), col("text"),
+          when(col("verdict").isin("dup_corpus", "dup_stream"),
+            lit("dup_exact"))
+            .when(col("verdict") === "dup_corpus_fuzzy", lit("dup_fuzzy"))
+            .otherwise(col("verdict")).as("verdict"))
+      qs.rows.appendTickAt(tick, rej)
+      qs.resolvedIds.appendTickAt(tick,
+        refined.select("doc_id").limit(0))
+    }
 
   /** The consumer-leg folds one micro-batch's ADMITTED docs feed — the
     * [[graft.io.IngestLoop.runFullTick]] symmetry in streaming, shared

@@ -804,4 +804,85 @@ class DocStreamSpec extends AnyFunSuite {
       "the per-tick budget gate must drop the same docs as batch q103")
     assert(got.values.count(_ == "new").toLong === rep.getLong(4))
   }
+
+  test("stream-rejected docs are recoverable (q131 in streaming): quarantine folds batch-id-keyed; takedown → rollover → readjudicate re-admits the doc whose evidence was retracted") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, lit}
+    val documents = Tables.load(spark, sf, "documents")
+    val artRoot = Files.createTempDirectory("graft_squar_art").toString
+    val w = graft.operators.QualityModel.weights(documents, scope = "sqspec")
+
+    // X is a SYNTHETIC novel doc admitted by batch 0 (no corpus
+    // partners — its takedown removes ALL its evidence); batch 1 then
+    // rejects x2 (exact copy → dup_stream → quarantined dup_exact) and
+    // xp (near-dup → dup_corpus_fuzzy → quarantined dup_fuzzy). zp is
+    // a near-dup of a SURVIVING corpus doc — the control leg that must
+    // stay rejected through the takedown.
+    val xToks = (1 to 30).map(i => s"sq$i")
+    val x = DocStream.Doc(920000L, HourNs, xToks.mkString(" "))
+    val x2 = DocStream.Doc(920001L, 2 * HourNs, xToks.mkString(" "))
+    val xp = DocStream.Doc(920002L, 2 * HourNs,
+      xToks.updated(7, "sqzz").mkString(" "))
+    val zText = documents.orderBy("doc_id").select("text")
+      .head().getString(0)
+    val zToks = zText.split(" ")
+    val zp = DocStream.Doc(920003L, 2 * HourNs,
+      zToks.updated(math.min(3, zToks.length - 1), "sqyy").mkString(" "))
+
+    val st = graft.io.IngestLoop.stores(spark, artRoot, "sq1")
+    graft.io.IngestLoop.bootstrap(st, documents)
+    val quar = graft.io.IngestLoop.quarantine(spark, artRoot, "sq1")
+    graft.io.IngestLoop.bootstrapQuarantine(quar, documents)
+
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    val dir = Files.createTempDirectory("graft_squar_in")
+    val ckpt = Files.createTempDirectory("graft_squar_ckpt").toString
+    val out = Files.createTempDirectory("graft_squar_out").toString
+    val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+      DocStream.JsonlDocSchema)
+      .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+      .drop(graft.io.JsonLines.CorruptCol)
+    val seed = st.hashes.currentUpTo(1).get
+      .select(col("ch").as("h")).distinct()
+    val q = DocStream.foldingGatedAdmissionQuery(raw, seed, st, w,
+      out, ckpt, lowFrac = 0.0, quar = Some(quar))
+    try {
+      Files.writeString(dir.resolve("drop1.jsonl"), jline(x) + "\n")
+      q.processAllAvailable()
+      Files.writeString(dir.resolve("drop2.jsonl"),
+        Seq(x2, xp, zp).map(jline).mkString("\n") + "\n")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // all three rejections are quarantined, with batch evidence classes
+    val qRows = quar.rows.current().get
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(qRows === Map(920001L -> "dup_exact", 920002L -> "dup_fuzzy",
+      920003L -> "dup_fuzzy"))
+
+    // quiesce takedown of X, roll BOTH bundles, re-adjudicate
+    graft.io.IngestLoop.retractTick(st,
+      spark.range(1).select(lit(920000L).as("doc_id")))
+    val st2 = graft.io.IngestLoop.rollover(st, spark, artRoot, "sq2")
+    val quar2 = graft.io.IngestLoop.rolloverQuarantine(st, quar,
+      spark, artRoot, "sq2")
+    val rep = graft.io.IngestLoop.readjudicateTick(st2, quar2, w,
+      lowFrac = 0.0).collect()
+    assert(rep.length === 1 && rep.head.getString(0) === "stream")
+    assert(rep.head.getLong(7) === 2L,
+      "x2 and xp must re-admit: their only dup evidence was retracted")
+    assert(rep.head.getLong(5) === 1L,
+      "zp must stay a fuzzy dup of the surviving corpus doc")
+
+    // the re-admitted doc folded into the rolled state: a later exact
+    // copy is rejected
+    val x3 = documents.limit(1)
+      .select(lit(920004L).as("doc_id"), lit("stream").as("source"),
+        lit(xToks.mkString(" ")).as("text"))
+    val rep2 = graft.io.IngestLoop.runTick(st2, x3, w).collect()
+    assert(rep2.map(_.getLong(2)).sum === 1L,
+      "an exact copy of the re-admitted doc must be dup_exact")
+  }
 }
