@@ -310,6 +310,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         re-pack serves (store form:
   *                         PackedExportStore.certify over stored rows
   *                         + the tombstone store, zero re-tokenizes)
+  *  - q133_mm_readjudication: q131's "rejected ≠ discarded" reaching
+  *                         every modality's evidence — the q118
+  *                         tick's dup rejections (all four evidence
+  *                         classes) re-judge against the q126
+  *                         survivor state on ALL gates, with both
+  *                         signature chains' hot-bucket censuses
+  *                         re-derived over survivors (post-hoc
+  *                         filtering is not equivalent — a gated
+  *                         bucket can open); original class ×
+  *                         re-adjudicated verdict per source (store
+  *                         form: IngestLoop.readjudicateMmTick — mm
+  *                         quarantine rows carry the 8-byte
+  *                         signatures, so re-judgment reads no
+  *                         payloads)
   */
 object SparkEntry {
 
@@ -474,6 +488,8 @@ object SparkEntry {
       Provenance.q131Readjudication(_)),
     "q132_export_release_gate" -> t("documents")(
       Packing.q132ExportReleaseGate(_)),
+    "q133_mm_readjudication" -> t("documents")(
+      graft.multimodal.Multimodal.q133MmReadjudication(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -611,5 +627,6 @@ object SparkEntry {
     "q130_budgeted_admission" -> Provenance.q130Sql(),
     "q131_readjudication" -> Provenance.q131Sql(),
     "q132_export_release_gate" -> Packing.q132Sql(),
+    "q133_mm_readjudication" -> graft.multimodal.Multimodal.q133Sql(),
   )
 }

@@ -292,6 +292,19 @@ object IngestLoop {
     quar.resolvedIds.appendTickAt(1, corpusDocs.select("doc_id").limit(0))
   }
 
+  /** The MULTIMODAL quarantine's tick-1 base — the mm row layout
+    * additionally carries the doc's 8-byte image/audio signatures
+    * ([[runMmTick]]'s quarantine leg), and every tick of one store
+    * must share a schema. */
+  def bootstrapMmQuarantine(quar: Quarantine, corpusDocs: DataFrame): Unit = {
+    quar.rows.appendTickAt(1, corpusDocs
+      .select(col("doc_id"), col("source"), col("text"),
+        lit(null).cast("long").as("img_sig"),
+        lit(null).cast("long").as("aud_sig"),
+        lit("").as("verdict")).limit(0))
+    quar.resolvedIds.appendTickAt(1, corpusDocs.select("doc_id").limit(0))
+  }
+
   /** The ANN SERVING leg of a deployment tick (q124,
     * [[graft.operators.Pq.q124AnnIngestTick]]): the loop additionally
     * maintains an IVF-PQ index over the admitted docs' embeddings —
@@ -667,13 +680,15 @@ object IngestLoop {
                 census: Option[ArtifactStore.GramCensusIncrementalIndex] = None,
                 ann: Option[AnnLeg] = None,
                 export: Option[ExportLeg] = None,
-                mix: Option[ArtifactStore.MixIncrementalIndex] = None)
+                mix: Option[ArtifactStore.MixIncrementalIndex] = None,
+                quar: Option[Quarantine] = None)
       : DataFrame = {
     import graft.multimodal.Multimodal
     val t = nextTickOf(st.all.map(_.maxTick)
       ++ idx.map(_.tfStore.maxTick) ++ census.map(_.censusStore.maxTick)
       ++ ann.map(_.idx.codeStore.maxTick) ++ export.map(_.store.maxTick)
-      ++ mix.map(_.mixStore.maxTick))
+      ++ mix.map(_.mixStore.maxTick)
+      ++ quar.toSeq.flatMap(q => Seq(q.rows.maxTick, q.resolvedIds.maxTick)))
     val state = resolved(st.text, st.text.hashes.currentUpTo(t - 1).getOrElse(
         sys.error("multimodal loop not bootstrapped")))
       .select("ch").distinct()
@@ -725,7 +740,122 @@ object IngestLoop {
     // MIX leg (q127's state) — the runFullTick symmetry: the mm loop's
     // admitted counts maintain the same domain-mix table
     mix.foreach(_.appendDocsAt(t, admDocs))
+    // QUARANTINE leg (q133): mm quarantine rows additionally carry the
+    // doc's 8-byte signatures, so a re-adjudication re-judges the
+    // image/audio legs without ever re-reading payloads
+    quar.foreach { qs =>
+      val rej = v.filter(col("ch").isNotNull || col("fid").isNotNull ||
+          col("ifid").isNotNull || col("afid").isNotNull ||
+          col("lq") === true)
+        .withColumn("verdict",
+          when(col("ch").isNotNull, lit("dup_exact"))
+            .when(col("fid").isNotNull, lit("dup_fuzzy"))
+            .when(col("ifid").isNotNull, lit("dup_image"))
+            .when(col("afid").isNotNull, lit("dup_audio"))
+            .otherwise(lit("low_quality")))
+        .join(batchDocs.select("doc_id", "text"), "doc_id")
+        .join(batchISigs.select(col("doc_id"), col("sig").as("img_sig")),
+          Seq("doc_id"), "left")
+        .join(batchASigs.select(col("doc_id"), col("sig").as("aud_sig")),
+          Seq("doc_id"), "left")
+        .select("doc_id", "source", "text", "img_sig", "aud_sig", "verdict")
+      qs.rows.appendTickAt(t, rej)
+      qs.resolvedIds.appendTickAt(t, admIds.limit(0))
+    }
     Multimodal.mmGatedTickReport(v)
+  }
+
+  /** RE-ADJUDICATE a multimodal quarantine — the deployment form of
+    * [[graft.multimodal.Multimodal.q133MmReadjudication]], run at a
+    * quiesce point after a takedown: the live quarantine's dup-class
+    * rows (all FOUR evidence classes) re-judge against the current
+    * five-store state under the frozen model and the full q118 gate —
+    * exact and fuzzy from the text stores, image/audio from the sig
+    * stores via the STORED 8-byte signatures (no payload reads; a
+    * doc's signature is a function of the doc, not of the state).
+    * Docs that now pass fold into every store and consumer leg; the
+    * re-adjudication is a tick in the mm store agreement with the
+    * same crash/replay discipline as [[readjudicateTick]].
+    * MmIngestSpec pins store ≡ the live q133 and the image-leg
+    * decisive contrast. */
+  def readjudicateMmTick(st: MmStores, quar: Quarantine, w: Seq[Double],
+                         threshold: Double = 0.2, lowFrac: Double = 0.25,
+                         maxDist: Int = 10, maxBand: Int = 64,
+                         idx: Option[ArtifactStore.Bm25IncrementalIndex]
+                           = None,
+                         census: Option[
+                           ArtifactStore.GramCensusIncrementalIndex] = None,
+                         ann: Option[AnnLeg] = None,
+                         export: Option[ExportLeg] = None,
+                         mix: Option[ArtifactStore.MixIncrementalIndex]
+                           = None)
+      : DataFrame = {
+    import graft.multimodal.Multimodal
+    val t = nextTickOf(st.all.map(_.maxTick)
+      ++ idx.map(_.tfStore.maxTick) ++ census.map(_.censusStore.maxTick)
+      ++ ann.map(_.idx.codeStore.maxTick) ++ export.map(_.store.maxTick)
+      ++ mix.map(_.mixStore.maxTick)
+      ++ Seq(quar.rows.maxTick, quar.resolvedIds.maxTick))
+    val rows = quar.rows.currentUpTo(t - 1).getOrElse(
+      sys.error("quarantine not bootstrapped: no tick-1 base"))
+    val liveRows = resolved(st.text,
+      quar.resolvedIds.currentUpTo(t - 1)
+        .fold(rows)(r => rows.join(r.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")))
+    val dupRows = liveRows.filter(col("verdict").isin(
+        "dup_exact", "dup_fuzzy", "dup_image", "dup_audio"))
+      .localCheckpoint()
+    val state = resolved(st.text,
+        st.text.hashes.currentUpTo(t - 1).getOrElse(
+          sys.error("multimodal loop not bootstrapped")))
+      .select("ch").distinct()
+    val fuzzy = Fuzzy.lshPairsAgainstState(
+        resolved(st.text, st.text.bands.currentUpTo(t - 1).get),
+        resolved(st.text, st.text.shingles.currentUpTo(t - 1).get),
+        dupRows, threshold)
+      .select(col("eval_id").as("fid")).distinct()
+    val imFlag = Multimodal.flaggedAgainstState(
+        resolved(st.text, st.imgSigs.currentUpTo(t - 1).get),
+        dupRows.select(col("doc_id"), col("img_sig").as("sig")),
+        maxDist, maxBand)
+      .select(col("fid").as("ifid"))
+    val auFlag = Multimodal.flaggedAgainstState(
+        resolved(st.text, st.audSigs.currentUpTo(t - 1).get),
+        dupRows.select(col("doc_id"), col("aud_sig").as("sig")),
+        maxDist, maxBand)
+      .select(col("fid").as("afid"))
+    val v = Multimodal.mmGatedTickFrame(
+      dupRows.select("doc_id", "source", "text"), state, fuzzy,
+      imFlag, auFlag, w, lowFrac)
+    val admIds = v.filter(col("lq") === false).select("doc_id")
+    val admDocs = dupRows.join(admIds, Seq("doc_id"), "left_semi")
+    st.text.hashes.appendTickAt(t, v.filter(col("lq") === false)
+      .select(col("doc_id"), col("h").as("ch")))
+    st.text.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
+    st.text.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
+    st.imgSigs.appendTickAt(t, admDocs
+      .select(col("doc_id"), col("img_sig").as("sig"))
+      .filter(col("sig").isNotNull))
+    st.audSigs.appendTickAt(t, admDocs
+      .select(col("doc_id"), col("aud_sig").as("sig"))
+      .filter(col("sig").isNotNull))
+    idx.foreach(_.appendDocsAt(t, admDocs))
+    census.foreach(_.appendDocsAt(t, admDocs))
+    ann.foreach { leg =>
+      val (c, r) = leg.idx.servingArtifacts().getOrElse((leg.cents, leg.rcb))
+      leg.idx.appendVectorsAt(t, leg.vectors.join(
+        admIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        c, r)
+    }
+    export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
+    mix.foreach(_.appendDocsAt(t, admDocs))
+    quar.rows.appendTickAt(t, dupRows.limit(0)
+      .select("doc_id", "source", "text", "img_sig", "aud_sig", "verdict"))
+    // the q131 resolution rule: any post-dup verdict resolves
+    quar.resolvedIds.appendTickAt(t,
+      v.filter(col("lq").isNotNull).select("doc_id"))
+    Multimodal.mmReadjReport(v,
+      dupRows.select(col("doc_id"), col("verdict").as("verdict_t1")))
   }
 
   /** [[compactIfNeeded]] over all five multimodal stores — tombstones

@@ -377,28 +377,40 @@ object Multimodal {
        |${p}bands AS (SELECT doc_id, kk.k AS band, (sig >> (14 * kk.k)) & 16383 AS x
        |  FROM ${p}sig, unnest(range(0, 4)) kk(k))""".stripMargin
 
-  /** Cross-side flag CTEs over a prefixed `${p}sig`/`${p}bands` chain:
-    * batch docs (doc_id % `bm` == 0) whose signature popcount-matches a
-    * corpus-side signature, corpus hot buckets gated — ends in
-    * `${p}fz(fid)`. The q114 flag machinery, signature-generic (image
-    * and audio share it verbatim). */
+  /** Cross-side flag CTEs over a prefixed `${src}sig`/`${src}bands`
+    * chain: batch docs (doc_id % `bm` == 0) whose signature
+    * popcount-matches a corpus-side signature, corpus hot buckets
+    * gated — ends in `${p}fz(fid)`. The q114 flag machinery,
+    * signature-generic (image and audio share it verbatim). `src`
+    * names the signature-derivation prefix to READ, so a second flag
+    * chain over the same signatures (q133's keep-state re-judgment —
+    * the hot-bucket census must re-derive over survivors, post-hoc
+    * filtering is NOT equivalent) reuses the MATERIALIZED sig/bands
+    * instead of re-deriving them. */
   private def sigFlagSqlCtes(p: String, bm: Long, maxDist: Int,
-                             maxBand: Int, stateWhere: String = ""): String =
-    s"""${p}cb AS (SELECT b.* FROM ${p}bands b
-       |       WHERE b.doc_id % $bm <> 0$stateWhere),
+                             maxBand: Int, stateWhere: String = "",
+                             srcP: String = "",
+                             stateCond: String = ""): String = {
+    val src = if (srcP.isEmpty) p else srcP
+    val cond =
+      if (stateCond.nonEmpty) stateCond
+      else s"b.doc_id % $bm <> 0$stateWhere"
+    s"""${p}cb AS (SELECT b.* FROM ${src}bands b
+       |       WHERE $cond),
        |${p}keep AS (SELECT band, x FROM ${p}cb GROUP BY band, x
        |         HAVING count(*) <= $maxBand),
        |${p}cbg AS (SELECT cb.doc_id AS sid, cb.band, cb.x FROM ${p}cb cb
        |        JOIN ${p}keep k ON k.band = cb.band AND k.x = cb.x),
-       |${p}bb AS (SELECT * FROM ${p}bands WHERE doc_id % $bm = 0),
+       |${p}bb AS (SELECT * FROM ${src}bands WHERE doc_id % $bm = 0),
        |${p}cand AS (SELECT DISTINCT bb.doc_id, cbg.sid
        |         FROM ${p}bb bb JOIN ${p}cbg cbg
        |           ON cbg.band = bb.band AND cbg.x = bb.x),
        |${p}fz AS (SELECT DISTINCT c.doc_id AS fid
        |       FROM ${p}cand c
-       |       JOIN ${p}sig sa ON sa.doc_id = c.doc_id
-       |       JOIN ${p}sig sb ON sb.doc_id = c.sid
+       |       JOIN ${src}sig sa ON sa.doc_id = c.doc_id
+       |       JOIN ${src}sig sb ON sb.doc_id = c.sid
        |       WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxDist)""".stripMargin
+  }
 
   def q110Sql(maxDist: Int = 10, maxBand: Int = 64): String =
     s"""WITH ${sigSqlCtes()},
@@ -800,6 +812,224 @@ object Multimodal {
               trainN: Int = graft.operators.QualityModel.DefaultTrainN): String =
     mmAdmissionSql(threshold, lowFrac, maxDist, maxBand, iters, trainN,
       keepState = true)
+
+  /** q133: MULTIMODAL RE-ADJUDICATION — q131's "rejected ≠ discarded"
+    * reaching every modality's evidence. A doc rejected as `dup_image`
+    * or `dup_audio` was never quality-checked either, and its rejection
+    * evidence is signature-state rows a takedown can remove — text-only
+    * re-adjudication (q131) would wrongly re-admit an image dup whose
+    * partner still stands, or never recover one whose partner left.
+    * Three phases in one oracle WITH clause:
+    *
+    *   1. the q118 unified tick against the FULL corpus state; its
+    *      dup-rejected batch docs (all four evidence classes, q118's
+    *      precedence) form the quarantine;
+    *   2. the q126 takedown (corpus docs with doc_id % RetractMod ==
+    *      RetractRem) leaves every modality's state — including both
+    *      signature chains' HOT-BUCKET censuses, which must re-derive
+    *      over the survivors (a gated bucket can open when its census
+    *      drops below maxBand; post-hoc filtering of the full-state
+    *      flags is NOT equivalent — the oracle's keep-state flag
+    *      chains re-run the census with the survivor filter, reusing
+    *      the MATERIALIZED signature derivations);
+    *   3. the quarantine re-judges against the survivor state on ALL
+    *      gates (exact → fuzzy → image → audio → quality window over
+    *      the escapees, the frozen full-corpus model).
+    *
+    * Output per source: quarantine size split by ORIGINAL evidence
+    * class × RE-ADJUDICATED verdict. GenData's planted cross-modality
+    * partners make the contrast decisive on each leg (the q126
+    * MmIngestSpec classes). Deployment form:
+    * [[graft.io.IngestLoop.readjudicateMmTick]] over the same
+    * [[graft.io.IngestLoop.Quarantine]] pair — mm quarantine rows
+    * additionally carry the doc's 8-byte image/audio signatures, so
+    * the re-judgment reads no payloads (signatures are deterministic
+    * functions of the doc, not of the state).
+    *
+    * Scale shape: q118's chain + quarantine-sized re-judgment; the
+    * keep-state signature flags reuse the checkpointed signature
+    * frames, the takedown filters are id-modulus predicates on
+    * 8-byte rows, and payloads never enter a shuffle. */
+  def q133MmReadjudication(docs: DataFrame, threshold: Double = 0.2,
+                           lowFrac: Double = 0.25, maxDist: Int = 10,
+                           maxBand: Int = 64): DataFrame = {
+    import graft.operators.{Fuzzy, Provenance, QualityModel}
+    val bm = Provenance.BatchMod
+    val m = pmod(col("doc_id"), lit(bm))
+    val corpus = docs.filter(m =!= 0)
+    val batch = docs.filter(m === 0)
+    val w = QualityModel.weights(corpus, scope = s"admission$bm")
+    // ONE verified text-pair relation, both directions — read by the
+    // full-state tick AND the keep-state re-judgment (the q131 shape;
+    // band collisions are per-doc, so post-hoc state filtering of TEXT
+    // pairs IS equivalent — unlike the gated signature chains)
+    val pr = Fuzzy.lshVerifiedPairs(docs, threshold)
+      .select("ida", "idb").localCheckpoint()
+    val adj = pr.union(pr.select(col("idb"), col("ida"))).toDF("a", "b")
+    val fzFull = adj.filter(pmod(col("b"), lit(bm)) === 0 &&
+        pmod(col("a"), lit(bm)) =!= 0)
+      .select(col("b").as("fid")).distinct()
+    val sigsI = imageSigs(docs).localCheckpoint()
+    val sigsA = audioSigs(docs).localCheckpoint()
+    val imFull = flaggedAgainstState(sigsI.filter(m =!= 0),
+      sigsI.filter(m === 0), maxDist, maxBand).select(col("fid").as("ifid"))
+    val auFull = flaggedAgainstState(sigsA.filter(m =!= 0),
+      sigsA.filter(m === 0), maxDist, maxBand).select(col("fid").as("afid"))
+    val v = mmGatedTickFrame(batch, Provenance.corpusHashState(corpus),
+      fzFull, imFull, auFull, w, lowFrac)
+    val quar = v.filter(col("ch").isNotNull || col("fid").isNotNull ||
+        col("ifid").isNotNull || col("afid").isNotNull)
+      .select(col("doc_id"),
+        when(col("ch").isNotNull, lit("dup_exact"))
+          .when(col("fid").isNotNull, lit("dup_fuzzy"))
+          .when(col("ifid").isNotNull, lit("dup_image"))
+          .otherwise(lit("dup_audio")).as("verdict_t1"))
+    val quarDocs = docs.join(quar.select("doc_id"), Seq("doc_id"),
+      "left_semi")
+    // ingested-through-the-tick = corpus ∪ the tick's ADMITTED docs
+    // (the q117/q131 membership); the takedown class leaves it
+    val ing = corpus.select("doc_id")
+      .union(v.filter(col("lq") === false).select("doc_id"))
+    val keepIds = ing.filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) =!=
+        Provenance.RetractRem)
+    val keepDocs = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    val ck = Provenance.corpusHashState(keepDocs)
+    val fzk = adj
+      .join(quar.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      .join(keepIds.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+      .select(col("b").as("fid")).distinct()
+    val quarSem = (s: DataFrame) =>
+      s.join(quar.select("doc_id"), Seq("doc_id"), "left_semi")
+    val keepSem = (s: DataFrame) =>
+      s.join(keepIds, Seq("doc_id"), "left_semi")
+    val imK = flaggedAgainstState(keepSem(sigsI),
+      quarSem(sigsI), maxDist, maxBand).select(col("fid").as("ifid"))
+    val auK = flaggedAgainstState(keepSem(sigsA),
+      quarSem(sigsA), maxDist, maxBand).select(col("fid").as("afid"))
+    val vr = mmGatedTickFrame(quarDocs, ck, fzk, imK, auK, w, lowFrac)
+    mmReadjReport(vr, quar)
+  }
+
+  /** The q133 report: per source, original evidence class ×
+    * re-adjudicated verdict — shared by the live form and
+    * [[graft.io.IngestLoop.readjudicateMmTick]]. `quar` carries
+    * (doc_id, verdict_t1). */
+  private[graft] def mmReadjReport(vr: DataFrame, quar: DataFrame)
+      : DataFrame =
+    vr.join(quar.withColumnRenamed("doc_id", "qid"),
+        col("doc_id") === col("qid"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_quarantined"),
+        count(when(col("verdict_t1") === "dup_exact", lit(1)))
+          .as("n_exact_t1"),
+        count(when(col("verdict_t1") === "dup_fuzzy", lit(1)))
+          .as("n_fuzzy_t1"),
+        count(when(col("verdict_t1") === "dup_image", lit(1)))
+          .as("n_image_t1"),
+        count(when(col("verdict_t1") === "dup_audio", lit(1)))
+          .as("n_audio_t1"),
+        count(col("ch")).as("n_still_exact"),
+        count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy"),
+        count(when(col("ch").isNull && col("fid").isNull, col("ifid")))
+          .as("n_still_image"),
+        count(when(col("ch").isNull && col("fid").isNull &&
+          col("ifid").isNull, col("afid"))).as("n_still_audio"),
+        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+        count(when(col("lq") === false, lit(1))).as("n_readmitted"))
+      .orderBy("source")
+
+  def q133Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              maxDist: Int = 10, maxBand: Int = 64,
+              iters: Int = graft.operators.QualityModel.DefaultIters,
+              trainN: Int = graft.operators.QualityModel.DefaultTrainN)
+      : String = {
+    import graft.operators.{Fuzzy, Provenance, QualityModel}
+    val bm = Provenance.BatchMod
+    val keepSql =
+      s"% ${Provenance.RetractMod} <> ${Provenance.RetractRem}"
+    s"""WITH ${Fuzzy.lshPairsSqlCtes(
+         "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
+         threshold)},
+       |h AS MATERIALIZED (SELECT doc_id, source,
+       |        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+       |      FROM documents),
+       |b AS (SELECT doc_id, source, h FROM h WHERE doc_id % $bm = 0),
+       |c AS (SELECT DISTINCT h FROM h WHERE doc_id % $bm <> 0),
+       |fz AS (SELECT DISTINCT CASE WHEN ida % $bm = 0 THEN ida ELSE idb END AS fid
+       |       FROM pairs WHERE (ida % $bm = 0) <> (idb % $bm = 0)),
+       |${QualityModel.featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm <> 0)", "ctr_")},
+       |${QualityModel.trainSqlCtes(iters, trainN, "ctr_")},
+       |${QualityModel.featureSqlCtes(
+         s"(SELECT * FROM documents WHERE doc_id % $bm = 0)", "bf_")},
+       |s AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+       |      FROM bf_feat, ctr_w w),
+       |${sigSqlCtes("im_")},
+       |${sigFlagSqlCtes("im_", bm, maxDist, maxBand)},
+       |${audioSigSqlCtes("au_")},
+       |${sigFlagSqlCtes("au_", bm, maxDist, maxBand)},
+       |j AS (SELECT b.doc_id, b.source, c.h AS ch, fz.fid,
+       |        imf.fid AS ifid, auf.fid AS afid, s.p
+       |      FROM b LEFT JOIN c ON b.h = c.h
+       |      LEFT JOIN fz ON fz.fid = b.doc_id
+       |      LEFT JOIN im_fz imf ON imf.fid = b.doc_id
+       |      LEFT JOIN au_fz auf ON auf.fid = b.doc_id
+       |      JOIN s ON s.doc_id = b.doc_id),
+       |quar AS MATERIALIZED (SELECT doc_id, source,
+       |        CASE WHEN ch IS NOT NULL THEN 'dup_exact'
+       |             WHEN fid IS NOT NULL THEN 'dup_fuzzy'
+       |             WHEN ifid IS NOT NULL THEN 'dup_image'
+       |             ELSE 'dup_audio' END AS verdict_t1, p
+       |      FROM j WHERE ch IS NOT NULL OR fid IS NOT NULL
+       |        OR ifid IS NOT NULL OR afid IS NOT NULL),
+       |lq AS (SELECT doc_id,
+       |         cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
+       |       FROM j WHERE ch IS NULL AND fid IS NULL
+       |         AND ifid IS NULL AND afid IS NULL),
+       |keep AS MATERIALIZED (SELECT doc_id FROM
+       |        (SELECT doc_id FROM documents WHERE doc_id % $bm <> 0
+       |         UNION ALL SELECT doc_id FROM lq WHERE lq = false)
+       |      WHERE doc_id $keepSql),
+       |ck AS MATERIALIZED (SELECT DISTINCT h.h FROM h
+       |      JOIN keep k ON k.doc_id = h.doc_id),
+       |adjk AS (SELECT ida AS a, idb AS b FROM pairs
+       |         UNION ALL SELECT idb AS a, ida AS b FROM pairs),
+       |fzk AS (SELECT DISTINCT adjk.b AS fid FROM adjk
+       |        JOIN keep k ON adjk.a = k.doc_id
+       |        JOIN quar q ON adjk.b = q.doc_id),
+       |${sigFlagSqlCtes("imk_", bm, maxDist, maxBand, srcP = "im_",
+         stateCond = "b.doc_id IN (SELECT doc_id FROM keep)")},
+       |${sigFlagSqlCtes("auk_", bm, maxDist, maxBand, srcP = "au_",
+         stateCond = "b.doc_id IN (SELECT doc_id FROM keep)")},
+       |jq AS MATERIALIZED (SELECT q.doc_id, q.source, q.verdict_t1,
+       |        ck.h AS ch, fzk.fid, imk.fid AS ifid, auk.fid AS afid, q.p
+       |      FROM quar q
+       |      JOIN h hh ON hh.doc_id = q.doc_id
+       |      LEFT JOIN ck ON hh.h = ck.h
+       |      LEFT JOIN fzk ON fzk.fid = q.doc_id
+       |      LEFT JOIN imk_fz imk ON imk.fid = q.doc_id
+       |      LEFT JOIN auk_fz auk ON auk.fid = q.doc_id),
+       |lqq AS (SELECT doc_id,
+       |          cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
+       |        FROM jq WHERE ch IS NULL AND fid IS NULL
+       |          AND ifid IS NULL AND afid IS NULL)
+       |SELECT jq.source, count(*) AS n_quarantined,
+       |  count(CASE WHEN verdict_t1 = 'dup_exact' THEN 1 END) AS n_exact_t1,
+       |  count(CASE WHEN verdict_t1 = 'dup_fuzzy' THEN 1 END) AS n_fuzzy_t1,
+       |  count(CASE WHEN verdict_t1 = 'dup_image' THEN 1 END) AS n_image_t1,
+       |  count(CASE WHEN verdict_t1 = 'dup_audio' THEN 1 END) AS n_audio_t1,
+       |  count(ch) AS n_still_exact,
+       |  count(CASE WHEN ch IS NULL THEN fid END) AS n_still_fuzzy,
+       |  count(CASE WHEN ch IS NULL AND fid IS NULL THEN ifid END)
+       |    AS n_still_image,
+       |  count(CASE WHEN ch IS NULL AND fid IS NULL AND ifid IS NULL
+       |    THEN afid END) AS n_still_audio,
+       |  count(CASE WHEN lqq.lq THEN 1 END) AS n_low_quality,
+       |  count(CASE WHEN lqq.lq = false THEN 1 END) AS n_readmitted
+       |FROM jq LEFT JOIN lqq ON lqq.doc_id = jq.doc_id
+       |GROUP BY jq.source ORDER BY jq.source""".stripMargin
+  }
 
   /** Oracle twin of [[q71ImageDecode]]: dims from the same formula,
     * pixel sum re-derived arithmetically (never decoding anything) —

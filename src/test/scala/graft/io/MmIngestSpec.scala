@@ -202,4 +202,47 @@ class MmIngestSpec extends AnyFunSuite {
     assert(replay === rep1, "the redone mm tick must reproduce the verdicts")
     assert(exB.maxTick === 2L)
   }
+
+  test("mm re-adjudication (q133): store ≡ live; cross-modality evidence holds what text-only judging would release; fold-back") {
+    val root = Files.createTempDirectory("graft_mm_readj").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m =!= 0)
+    val batch = docs.filter(m === 0)
+    val w = QualityModel.weights(corpus,
+      scope = s"admission${Provenance.BatchMod}")
+
+    val live = rows(Multimodal.q133MmReadjudication(docs))
+    def leg(i: Int) = live.map(_(i).asInstanceOf[Long]).sum
+    assert(leg(11) > 0, "the takedown must re-admit someone")
+    assert(leg(8) + leg(9) > 0,
+      "surviving signature evidence must keep holding someone")
+    assert(leg(4) > 0 && leg(5) > 0,
+      "image/audio quarantine legs idle — the mm re-adjudication needs " +
+        "signature-evidence rejections to re-judge")
+
+    val st = IngestLoop.mmStores(spark, root, "mmreadj")
+    IngestLoop.bootstrapMm(st, corpus)
+    val quar = IngestLoop.quarantine(spark, root, "mmreadj")
+    IngestLoop.bootstrapMmQuarantine(quar, corpus)
+    IngestLoop.runMmTick(st, batch, w, quar = Some(quar))
+    val retracted = st.text.hashes.current().get.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
+        Provenance.RetractRem)
+    IngestLoop.retractTick(st.text, retracted)
+    val rep = rows(IngestLoop.readjudicateMmTick(st, quar, w))
+    assert(rep === live,
+      "the store-backed mm re-adjudication must equal the live q133")
+
+    // fold-back: every re-admitted doc's exact copy rejects; re-admitted
+    // ids = resolved ids whose hashes joined the state
+    val readm = quar.resolvedIds.current().get
+      .join(st.text.hashes.current().get.select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val nReadm = readm.count()
+    assert(nReadm === leg(11))
+    val resub = IngestLoop.runMmTick(st,
+      docs.join(readm, Seq("doc_id"), "left_semi"), w).collect()
+    assert(resub.map(_.getLong(2)).sum === nReadm,
+      "every resubmitted re-admitted doc must be dup_exact")
+  }
 }
