@@ -324,6 +324,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         quarantine rows carry the 8-byte
   *                         signatures, so re-judgment reads no
   *                         payloads)
+  *  - q134_quality_readjudication: the q131 scaladoc's promissory note
+  *                         made executable — a low_quality verdict is
+  *                         MODEL-dependent, so the q113 retrain choice
+  *                         re-gates tick 1's entire novel cohort under
+  *                         the chosen weights: old rejects that now
+  *                         clear the window re-admit, admitted docs
+  *                         the new model ranks into it are reported
+  *                         as n_demoted (audit, not retraction); the
+  *                         keep branch is the built-in zero-flip
+  *                         control (store form: IngestLoop.regateTick
+  *                         over a ReplayLeg of persisted 7-double gate
+  *                         features — any later model re-gates any
+  *                         tick with zero text reads)
   */
 object SparkEntry {
 
@@ -490,6 +503,8 @@ object SparkEntry {
       Packing.q132ExportReleaseGate(_)),
     "q133_mm_readjudication" -> t("documents")(
       graft.multimodal.Multimodal.q133MmReadjudication(_)),
+    "q134_quality_readjudication" -> t("documents")(
+      Provenance.q134QualityReadjudication(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -628,5 +643,6 @@ object SparkEntry {
     "q131_readjudication" -> Provenance.q131Sql(),
     "q132_export_release_gate" -> Packing.q132Sql(),
     "q133_mm_readjudication" -> graft.multimodal.Multimodal.q133Sql(),
+    "q134_quality_readjudication" -> Provenance.q134Sql(),
   )
 }

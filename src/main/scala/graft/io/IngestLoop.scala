@@ -231,12 +231,14 @@ object IngestLoop {
                        ann: Option[AnnLeg] = None,
                        export: Option[ExportLeg] = None,
                        mix: Option[ArtifactStore.MixIncrementalIndex] = None,
-                       quar: Option[Quarantine] = None)
+                       quar: Option[Quarantine] = None,
+                       replay: Option[ReplayLeg] = None)
       : Long =
     nextTickOf((Seq(st.hashes, st.bands, st.shingles) ++ idx.map(_.tfStore)
       ++ census.map(_.censusStore) ++ ann.map(_.idx.codeStore)
       ++ mix.map(_.mixStore)
-      ++ quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds)))
+      ++ quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds))
+      ++ replay.map(_.feats))
       .map(_.maxTick) ++ export.map(_.store.maxTick))
 
   /** The QUOTA leg of a budgeted deployment tick (q130,
@@ -291,6 +293,30 @@ object IngestLoop {
         lit("").as("verdict")).limit(0))
     quar.resolvedIds.appendTickAt(1, corpusDocs.select("doc_id").limit(0))
   }
+
+  /** The REPLAY leg of a deployment tick (q134,
+    * [[Provenance.q134QualityReadjudication]]): each tick persists its
+    * NOVEL cohort's 7-double gate features plus the tick-time quality
+    * verdict — (doc_id, source, tick, lq, x0..x6) — so any LATER model
+    * can re-gate any tick's quality window with zero text reads (the
+    * q128 reservoir argument applied to the admission gate). Rows are
+    * ~70 bytes/doc of the novel slice only; the store participates in
+    * the tick agreement. */
+  final case class ReplayLeg(feats: ArtifactStore.IngestStateStore)
+
+  def replayLeg(spark: SparkSession, root: String, name: String): ReplayLeg =
+    ReplayLeg(ArtifactStore.ingestState(spark, root, s"$name/gate_feats"))
+
+  /** Tick-1 base for an attached replay leg: EMPTY (the corpus was
+    * never gated), idempotent, schema-complete. */
+  def bootstrapReplay(leg: ReplayLeg, corpusDocs: DataFrame): Unit =
+    leg.feats.appendTickAt(1,
+      QualityModel.gateFeatures(corpusDocs)
+        .join(corpusDocs.select("doc_id", "source"), "doc_id")
+        .withColumn("tick", lit(1L)).withColumn("lq", lit(false))
+        .select(Seq(col("doc_id"), col("source"), col("tick"), col("lq")) ++
+          (0 until QualityModel.NumW).map(j => col(s"x$j")): _*)
+        .limit(0))
 
   /** The MULTIMODAL quarantine's tick-1 base — the mm row layout
     * additionally carries the doc's 8-byte image/audio signatures
@@ -356,8 +382,10 @@ object IngestLoop {
     * of judging admitted docs against their own half-folded hashes. */
   def runTick(st: Stores, batchDocs: DataFrame, w: Seq[Double],
               threshold: Double = 0.2, lowFrac: Double = 0.25,
-              quar: Option[Quarantine] = None): DataFrame =
-    runTickImpl(st, None, batchDocs, w, threshold, lowFrac, quar = quar)
+              quar: Option[Quarantine] = None,
+              replay: Option[ReplayLeg] = None): DataFrame =
+    runTickImpl(st, None, batchDocs, w, threshold, lowFrac, quar = quar,
+      replay = replay)
 
   private def runTickImpl(st: Stores,
                           idx: Option[ArtifactStore.Bm25IncrementalIndex],
@@ -369,9 +397,10 @@ object IngestLoop {
                           export: Option[ExportLeg] = None,
                           mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                           quota: Option[QuotaLeg] = None,
-                          quar: Option[Quarantine] = None)
+                          quar: Option[Quarantine] = None,
+                          replay: Option[ReplayLeg] = None)
       : DataFrame = {
-    val t = nextTick(st, idx, census, ann, export, mix, quar)
+    val t = nextTick(st, idx, census, ann, export, mix, quar, replay)
     // every state read resolves through the tombstone store: retracted
     // docs' rows are invisible whether or not a compaction folded them
     val state = resolved(st, st.hashes.currentUpTo(t - 1).getOrElse(
@@ -433,6 +462,17 @@ object IngestLoop {
         .select("doc_id", "source", "text", "verdict")
       qs.rows.appendTickAt(t, rej)
       qs.resolvedIds.appendTickAt(t, admIds.limit(0))
+    }
+    // REPLAY leg (q134): the tick's novel cohort's gate features + the
+    // tick-time quality verdict — what a later model re-gates
+    replay.foreach { leg =>
+      val nov = v.filter(col("ch").isNull && col("fid").isNull)
+        .select(col("doc_id"), col("source"), col("lq"))
+      leg.feats.appendTickAt(t, nov
+        .join(QualityModel.gateFeatures(batchDocs), "doc_id")
+        .withColumn("tick", lit(t))
+        .select(Seq(col("doc_id"), col("source"), col("tick"), col("lq")) ++
+          (0 until QualityModel.NumW).map(j => col(s"x$j")): _*))
     }
     report
   }
@@ -625,6 +665,96 @@ object IngestLoop {
         count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy"),
         count(when(col("lq") === true, lit(1))).as("n_low_quality"),
         count(when(col("lq") === false, lit(1))).as("n_readmitted"))
+      .orderBy("source")
+  }
+
+  /** RE-GATE the quality window under a NEW model — the deployment
+    * form of [[Provenance.q134QualityReadjudication]], run at a quiesce
+    * point after a q113 model swap (pass
+    * `modelStore.servingWeights()`): every persisted tick's NOVEL
+    * cohort re-scores from its STORED gate features (zero text reads)
+    * and the quality window recomputes PER TICK (tick-sized windows —
+    * never a corpus-sized sort). A doc quality-rejected at tick time
+    * that now clears its tick's window re-admits — its text comes from
+    * the live quarantine, it folds into every store and consumer leg,
+    * and its id joins `resolvedIds`; a repeated re-gate under the same
+    * model is a no-op (the flip set is intersected with the LIVE
+    * quarantine). Demotions (admitted docs the new model ranks into
+    * the window) are REPORTED, never retracted — admission is
+    * append-only short of a takedown, and the count is the audit
+    * signal. Same tick/crash discipline as [[readjudicateTick]];
+    * state reads resolve through the tombstone store, so a retracted
+    * doc leaves the re-gate cohort too.
+    *
+    * Returns per source: n_novel, n_lowq_t1, n_readmitted,
+    * n_still_lowq, n_demoted (the q134 columns minus the live form's
+    * decision column — the CHOICE happened upstream in the q113/q128
+    * machinery that produced `wNew`). */
+  def regateTick(st: Stores, quar: Quarantine, replay: ReplayLeg,
+                 wNew: Seq[Double], lowFrac: Double = 0.25,
+                 idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
+                 census: Option[
+                   ArtifactStore.GramCensusIncrementalIndex] = None,
+                 ann: Option[AnnLeg] = None,
+                 export: Option[ExportLeg] = None,
+                 mix: Option[ArtifactStore.MixIncrementalIndex] = None)
+      : DataFrame = {
+    val t = nextTick(st, idx, census, ann, export, mix, Some(quar),
+      Some(replay))
+    val feats = resolved(st, replay.feats.currentUpTo(t - 1).getOrElse(
+      sys.error("replay leg not bootstrapped: no tick-1 base")))
+    val rescored = QualityModel.withScoreFromFeatures(
+      feats.withColumnRenamed("lq", "was_lowq"), wNew)
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy("tick").orderBy(col("p"), col("doc_id"))
+    val flipped = rescored
+      .withColumn("lq2", cume_dist().over(wdw) <= lowFrac)
+      .select("doc_id", "source", "was_lowq", "lq2")
+      .localCheckpoint()
+    // the actually-re-admittable set: flipped out of the window AND
+    // still quarantined (text lives there; already-resolved docs and
+    // takedowns drop out here)
+    val rows = quar.rows.currentUpTo(t - 1).getOrElse(
+      sys.error("quarantine not bootstrapped: no tick-1 base"))
+    val liveQuar = resolved(st,
+      quar.resolvedIds.currentUpTo(t - 1)
+        .fold(rows)(r => rows.join(r.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")))
+      .filter(col("verdict") === "low_quality")
+    val admDocs = liveQuar
+      .join(flipped.filter(col("was_lowq") && !col("lq2"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "source", "text")
+      .localCheckpoint()
+    val admIds = admDocs.select("doc_id")
+    st.hashes.appendTickAt(t, admDocs.select(col("doc_id"),
+      Provenance.contentHash60(col("text")).as("ch")))
+    st.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
+    st.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
+    idx.foreach(_.appendDocsAt(t, admDocs))
+    census.foreach(_.appendDocsAt(t, admDocs))
+    ann.foreach { leg =>
+      val (c, r) = leg.idx.servingArtifacts().getOrElse((leg.cents, leg.rcb))
+      leg.idx.appendVectorsAt(t, leg.vectors.join(
+        admIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        c, r)
+    }
+    export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
+    mix.foreach(_.appendDocsAt(t, admDocs))
+    quar.rows.appendTickAt(t, rows.limit(0))
+    quar.resolvedIds.appendTickAt(t, admIds)
+    replay.feats.appendTickAt(t, feats.limit(0))
+    val admSet = admIds.withColumnRenamed("doc_id", "aid")
+    flipped
+      .join(admSet, col("doc_id") === col("aid"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_novel"),
+        count(when(col("was_lowq"), lit(1))).as("n_lowq_t1"),
+        count(when(col("aid").isNotNull, lit(1))).as("n_readmitted"),
+        count(when(col("was_lowq") && col("lq2"), lit(1)))
+          .as("n_still_lowq"),
+        count(when(!col("was_lowq") && col("lq2"), lit(1)))
+          .as("n_demoted"))
       .orderBy("source")
   }
 

@@ -1430,4 +1430,134 @@ object Provenance {
        |FROM jq LEFT JOIN lqq ON lqq.doc_id = jq.doc_id
        |GROUP BY jq.source ORDER BY jq.source""".stripMargin
   }
+
+  // ---- q134: QUALITY re-adjudication on model change --------------------
+
+  /** q134: quality RE-ADJUDICATION — the q131 scaladoc's promissory
+    * note ("a quality verdict re-opens via q128's loop") made
+    * executable. A `low_quality` rejection is MODEL-dependent, not
+    * state-dependent: when the q109/q113 canary retrains the serving
+    * model, every past quality verdict was derived under weights that
+    * no longer serve — and the docs the old model under-scored sit in
+    * quarantine. Three phases in one oracle WITH clause:
+    *
+    *   1. tick 1 — the q106 tick under the frozen base model; its
+    *      novel cohort's bottom `lowFrac` is quality-rejected;
+    *   2. the q113 CHOICE — retrain on the post-tick snapshot, compare
+    *      per-decile admission flips on the bounded canary, gate the
+    *      model swap (the oracle re-derives both training chains and
+    *      the CASE-selected weight row);
+    *   3. RE-GATE — tick 1's ENTIRE novel cohort re-scores under the
+    *      CHOSEN model and the quality window recomputes: a doc
+    *      rejected under the old model that now clears the window
+    *      RE-ADMITS (`n_readmitted`); one the new model ranks into the
+    *      window is reported as `n_demoted` — already ingested
+    *      (admission is append-only short of a takedown), but the
+    *      count is the audit trail a deployment alerts on. The window
+    *      re-ranks the ORIGINAL cohort, not the quarantine alone —
+    *      re-ranking a rejected subset against itself would re-admit
+    *      (1 − lowFrac) of it under ANY model, a cohort-composition
+    *      artifact, not a model signal.
+    *
+    * The keep branch is the built-in control: same weights → same
+    * window → zero flips either way (spec-pinned at a raised trigger).
+    *
+    * Deployment form: [[graft.io.IngestLoop.regateTick]] over a
+    * [[graft.io.IngestLoop.ReplayLeg]] — each tick persists its novel
+    * cohort's 7-double gate FEATURES (doc_id, source, tick, x0..x6,
+    * lq), so any later model re-gates any tick with zero text reads
+    * (the q128 reservoir argument applied to the gate); re-admitted
+    * docs' text comes from the quarantine rows and folds into every
+    * store. Per-tick windows — the re-gate is tick-sized at any
+    * corpus size.
+    *
+    * Scale shape: q106's tick chain + one bounded extra training pass
+    * + a canary-sized flip census + one row-local scoring projection
+    * and one tick-sized window over the novel cohort. */
+  def q134QualityReadjudication(documents: DataFrame,
+                                threshold: Double = 0.2,
+                                lowFrac: Double = 0.25, maxFlips: Int = 4,
+                                evalN: Int = QualityModel.DefaultTrainN)
+      : DataFrame = {
+    val p = multiTickParts(documents, threshold, lowFrac)
+    val corpus = documents.filter(
+      pmod(col("doc_id"), lit(BatchMod)).between(1, 9))
+    val adm1Docs = documents.join(
+      p.v1.filter(col("lq") === false).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val wFresh = QualityModel.weights(corpus.union(adm1Docs),
+      scope = s"adaptive$BatchMod")
+    val flips = QualityModel.flipCount(documents, p.w, wFresh, lowFrac, evalN)
+    val retrain = flips > maxFlips
+    val chosen = if (retrain) wFresh else p.w
+    val nov = p.v1.filter(col("ch").isNull && col("fid").isNull)
+      .select(col("doc_id"), col("source"),
+        (col("lq") === true).as("was_lowq"))
+    val t1 = documents.filter(pmod(col("doc_id"), lit(BatchMod)) >= 10)
+    val j2 = nov.join(QualityModel.scores(t1, chosen), "doc_id")
+    val l2 = j2.withColumn("lq2", cume_dist().over(
+        org.apache.spark.sql.expressions.Window.orderBy("p", "doc_id"))
+        <= lowFrac)
+    l2.groupBy("source")
+      .agg(count(lit(1)).as("n_novel"),
+        count(when(col("was_lowq"), lit(1))).as("n_lowq_t1"),
+        count(when(col("was_lowq") && !col("lq2"), lit(1)))
+          .as("n_readmitted"),
+        count(when(col("was_lowq") && col("lq2"), lit(1)))
+          .as("n_still_lowq"),
+        count(when(!col("was_lowq") && col("lq2"), lit(1)))
+          .as("n_demoted"))
+      .withColumn("decision", lit(if (retrain) "retrain" else "keep"))
+      .select(col("source"), col("decision"), col("n_novel"),
+        col("n_lowq_t1"), col("n_readmitted"), col("n_still_lowq"),
+        col("n_demoted"))
+      .orderBy("source")
+  }
+
+  def q134Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              maxFlips: Int = 4,
+              evalN: Int = QualityModel.DefaultTrainN,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    val bm = BatchMod
+    val ws = (0 until QualityModel.NumW)
+      .map(j => s"CASE WHEN n.flips > $maxFlips THEN f.w$j ELSE b.w$j END AS w$j")
+      .mkString(", ")
+    s"""WITH ${multiTickCoreSqlCtes(threshold, lowFrac, iters, trainN)},
+       |csnap AS (SELECT doc_id FROM documents WHERE doc_id % $bm BETWEEN 1 AND 9
+       |          UNION ALL SELECT doc_id FROM adm1),
+       |${QualityModel.featureSqlCtes(
+         "(SELECT d.* FROM documents d JOIN csnap cs ON cs.doc_id = d.doc_id)",
+         "fr_")},
+       |${QualityModel.trainSqlCtes(iters, trainN, "fr_")},
+       |${QualityModel.featureSqlCtes("documents", "cv_")},
+       |csmp AS MATERIALIZED (
+       |  SELECT doc_id, ${QualityModel.scoreSql("wb")} AS pb,
+       |         ${QualityModel.scoreSql("wf")} AS pf
+       |  FROM (SELECT * FROM cv_feat ORDER BY hv, doc_id LIMIT $evalN) f,
+       |       ctr_w wb, fr_w wf),
+       |cfl AS (SELECT cume_dist() OVER (ORDER BY pb, doc_id) <= $lowFrac AS lb,
+       |          cume_dist() OVER (ORDER BY pf, doc_id) <= $lowFrac AS lf
+       |        FROM csmp),
+       |nflip AS (SELECT count(CASE WHEN lb <> lf THEN 1 END) AS flips FROM cfl),
+       |wsel AS (SELECT $ws FROM ctr_w b, fr_w f, nflip n),
+       |nov AS (SELECT doc_id, source, (lq = true) AS was_lowq FROM v1
+       |        WHERE ch IS NULL AND fid IS NULL),
+       |s2 AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p2
+       |       FROM b1_feat, wsel w),
+       |j2 AS MATERIALIZED (SELECT n.doc_id, n.source, n.was_lowq, s2.p2
+       |      FROM nov n JOIN s2 ON s2.doc_id = n.doc_id),
+       |l2 AS (SELECT doc_id,
+       |         cume_dist() OVER (ORDER BY p2, doc_id) <= $lowFrac AS lq2
+       |       FROM j2),
+       |dec AS (SELECT CASE WHEN flips > $maxFlips THEN 'retrain'
+       |          ELSE 'keep' END AS decision FROM nflip)
+       |SELECT j2.source, dec.decision, count(*) AS n_novel,
+       |  count(CASE WHEN was_lowq THEN 1 END) AS n_lowq_t1,
+       |  count(CASE WHEN was_lowq AND NOT l2.lq2 THEN 1 END) AS n_readmitted,
+       |  count(CASE WHEN was_lowq AND l2.lq2 THEN 1 END) AS n_still_lowq,
+       |  count(CASE WHEN NOT was_lowq AND l2.lq2 THEN 1 END) AS n_demoted
+       |FROM j2 JOIN l2 ON l2.doc_id = j2.doc_id CROSS JOIN dec
+       |GROUP BY j2.source, dec.decision ORDER BY j2.source""".stripMargin
+  }
 }

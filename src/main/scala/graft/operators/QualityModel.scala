@@ -216,6 +216,21 @@ object QualityModel {
   def scores(documents: DataFrame, w: Seq[Double]): DataFrame =
     featuresOnly(documents).select(col("doc_id"), round(sigmoid(zOf(w)), 6).as("p"))
 
+  /** [[scores]] over an ALREADY-FEATURIZED frame (needs x0..x6) — the
+    * re-gate path ([[graft.io.IngestLoop.regateTick]]) scores stored
+    * gate features under a new model without touching text; appends
+    * `p` row-locally (no join — feature rows keep their tick context),
+    * same rounding, bit-identical to [[scores]] on the source docs. */
+  private[graft] def withScoreFromFeatures(feats: DataFrame,
+                                           w: Seq[Double]): DataFrame =
+    feats.withColumn("p", round(sigmoid(zOf(w)), 6))
+
+  /** The gate's feature projection (doc_id, x0..x6) — what a
+    * [[graft.io.IngestLoop.ReplayLeg]] persists per tick so any later
+    * model can re-gate the tick's novel cohort with zero text reads. */
+  private[graft] def gateFeatures(documents: DataFrame): DataFrame =
+    featuresOnly(documents)
+
   /** q101: per-class readout of the trained filter — for each
     * ground-truth lang: docs, docs the model admits (score ≥ 0.5), and
     * the mean score. The en row reads as recall, every other row as a

@@ -138,4 +138,62 @@ class ReadjudicationSpec extends AnyFunSuite {
       === rows(IngestLoop.readjudicateTick(stB, quarB, weights)),
       "the repaired quarantine must re-adjudicate exactly like the clean one")
   }
+
+  test("quality re-gate (q134): store ≡ live under the chosen model; the base model is a no-op; re-admitted docs fold back") {
+    val root = Files.createTempDirectory("graft_regate").toString
+    val live = rows(Provenance.q134QualityReadjudication(docs))
+    assert(live.forall(_(1) === "retrain"),
+      "precondition: the default trigger takes the retrain branch here")
+    assert(live.map(_(4).asInstanceOf[Long]).sum > 0,
+      "the model swap must re-admit someone")
+
+    def build(name: String) = {
+      val st = IngestLoop.stores(spark, root, name)
+      IngestLoop.bootstrap(st, corpus)
+      val quar = IngestLoop.quarantine(spark, root, name)
+      IngestLoop.bootstrapQuarantine(quar, corpus)
+      val replay = IngestLoop.replayLeg(spark, root, name)
+      IngestLoop.bootstrapReplay(replay, corpus)
+      IngestLoop.runTick(st, t1, weights, quar = Some(quar),
+        replay = Some(replay))
+      (st, quar, replay)
+    }
+    val (st, quar, replay) = build("regate1")
+
+    // the live form's chosen model: retrain on corpus ∪ tick-1
+    // admissions (the same memoized scope the live q134 resolves)
+    val admIds = st.hashes.current().get.select("doc_id")
+      .filter(pmod(col("doc_id"), lit(Provenance.BatchMod)) >= 10)
+    val wFresh = QualityModel.weights(
+      corpus.union(docs.join(admIds, Seq("doc_id"), "left_semi")),
+      scope = s"adaptive${Provenance.BatchMod}")
+    val rep = rows(IngestLoop.regateTick(st, quar, replay, wFresh))
+    assert(rep === live.map(r => r.patch(1, Nil, 1)),
+      "the store-backed re-gate must equal the live q134 minus its decision column")
+
+    // a second re-gate under the SAME model re-admits nothing more
+    // (the flip set no longer intersects the live quarantine)
+    val rep2 = IngestLoop.regateTick(st, quar, replay, wFresh).collect()
+    assert(rep2.map(_.getLong(3)).sum === 0L,
+      "re-gate must be idempotent under an unchanged model")
+
+    // base-model re-gate on a fresh loop: window identical to tick
+    // time — zero flips in either direction
+    val (stB, quarB, replayB) = build("regate_base")
+    val repB = IngestLoop.regateTick(stB, quarB, replayB, weights).collect()
+    assert(repB.map(_.getLong(3)).sum === 0L &&
+      repB.map(_.getLong(5)).sum === 0L,
+      "the tick-time model must reproduce the tick-time window exactly")
+
+    // fold-back: the re-admitted docs' later copies reject
+    val readm = quar.resolvedIds.current().get
+      .join(st.hashes.current().get.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+    val n = readm.count()
+    assert(n === live.map(_(4).asInstanceOf[Long]).sum)
+    val resub = IngestLoop.runTick(st,
+      docs.join(readm, Seq("doc_id"), "left_semi"), weights).collect()
+    assert(resub.map(_.getLong(2)).sum === n,
+      "every re-admitted doc's resubmitted copy must be dup_exact")
+  }
 }
