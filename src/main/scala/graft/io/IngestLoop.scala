@@ -581,7 +581,8 @@ object IngestLoop {
     * [[Provenance.q131Readjudication]], run after a [[retractTick]]
     * (or any state change) at a quiesce point: the live quarantine's
     * DUP-CLASS rows (exact/fuzzy — evidence-dependent verdicts;
-    * low-quality rows re-enter via q128's model loop, not this one)
+    * low-quality rows re-enter via the model loop — [[regateTick]],
+    * q134 — not this one)
     * re-judge against the CURRENT state under the frozen model and the
     * full gate discipline, and docs that now pass fold back into every
     * state store and consumer leg like any admission. The
@@ -648,7 +649,7 @@ object IngestLoop {
     // RESOLVED = reached a post-dup verdict: docs that escaped the dup
     // gates entered the quality window and were either admitted or
     // quality-rejected — both leave the quarantine (a quality verdict
-    // is model-dependent; re-opening it is q128's model loop, and
+    // is model-dependent; re-opening it is regateTick's q134 loop, and
     // keeping it in a DUP-class quarantine would misrepresent its
     // evidence class AND make repeated passes drain the quality window
     // geometrically). Still-dup docs stay re-judgeable.

@@ -1320,7 +1320,7 @@ object Provenance {
     *      (exact or fuzzy — evidence-dependent verdicts) form the
     *      QUARANTINE (low-quality rejections are NOT re-adjudicated
     *      here: a quality verdict depends on the MODEL, not on state
-    *      rows, so it changes via q128's unlearning loop — re-scoring
+    *      rows, so it changes via the MODEL loop — q134's re-gate — re-scoring
     *      the same doc under the same frozen weights reproduces the
     *      same score, and re-ranking it inside a different cohort
     *      would flip verdicts for cohort-composition reasons, not
