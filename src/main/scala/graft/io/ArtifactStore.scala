@@ -1001,6 +1001,21 @@ object ArtifactStore {
     def bootstrap(corpusDocs: DataFrame, ms: Seq[String]): Unit =
       appendDocsAt(1, corpusDocs, ms)
 
+    /** An EMPTY epoch at tick `t` — the takedown tick's agreement
+      * marker ([[IngestLoop.retractTick]] advances every attached
+      * store together); serves nothing ([[slices]] skips data-less
+      * revisions) but moves `maxTick`. Idempotent like every
+      * tick-keyed write. */
+    def appendEmptyEpochAt(t: Long): Unit = {
+      require(t >= 1, s"tick numbers start at 1, got $t")
+      require(foldBoundary.forall(t > _),
+        s"epoch $t is at or below the fold boundary — folded history " +
+          "is immutable")
+      writeRev(t, spark.range(0).select(
+        lit(0L).as("doc_id"), lit(0L).as("seq_id"), lit(0L).as("toks"),
+        lit(0L).as("h"), lit(0).as("tick")))
+    }
+
     /** Every serving slice row across ticks: (tick, doc_id, seq_id,
       * toks, h, ssig, shard) — `shard` recovered from the partition
       * directory, so a filter on it prunes to one directory per tick. */

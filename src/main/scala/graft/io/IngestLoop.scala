@@ -113,7 +113,66 @@ object IngestLoop {
                   export: Option[ArtifactStore.PackedExportStore] = None,
                   mix: Option[(ArtifactStore.MixIncrementalIndex, DataFrame)]
                     = None,
-                  model: Option[ArtifactStore.ModelStore] = None)
+                  model: Option[ArtifactStore.ModelStore] = None,
+                  quar: Option[Quarantine] = None,
+                  replay: Option[ReplayLeg] = None)
+      : Long =
+    retractTickImpl(st, Seq.empty, docIds, idx, census, ann, export, mix,
+      model, quar, replay)
+
+  /** [[retractTick]] for a MULTIMODAL loop: the per-modality signature
+    * stores advance with the takedown tick too, so the next
+    * [[runMmTick]]'s five-store agreement cannot land ON the takedown
+    * tick and overwrite a subtraction leg. */
+  def retractMmTick(st: MmStores, docIds: DataFrame,
+                    idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
+                    census: Option[(ArtifactStore.GramCensusIncrementalIndex,
+                                    DataFrame)] = None,
+                    ann: Option[ArtifactStore.IvfPqIncrementalIndex] = None,
+                    export: Option[ArtifactStore.PackedExportStore] = None,
+                    mix: Option[(ArtifactStore.MixIncrementalIndex, DataFrame)]
+                      = None,
+                    model: Option[ArtifactStore.ModelStore] = None,
+                    quar: Option[Quarantine] = None,
+                    replay: Option[ReplayLeg] = None)
+      : Long =
+    retractTickImpl(st.text, Seq(st.imgSigs, st.audSigs), docIds, idx,
+      census, ann, export, mix, model, quar, replay)
+
+  /** A TAKEDOWN IS A TICK (review finding, closed): the subtraction
+    * legs (census, mix) land their negative increments as tick-keyed
+    * writes, so every store ATTACHED to the deployment must advance to
+    * the takedown tick `k` TOGETHER — stores with nothing to subtract
+    * get an empty tick. Without this, the census/mix stores would sit
+    * one tick ahead of the dedup stores, the next ingest tick's
+    * agreement would resolve to `k`, and its fold-back would OVERWRITE
+    * the negative increment — silently losing the takedown from the
+    * maintained census/mix while every verdict still looked right.
+    * The caller must pass the SAME legs its ticks run with (the
+    * agreement contract runTick already imposes); pass-less stores
+    * attached to the loop but omitted here would lag and force a
+    * spurious redo — visible, not silent. Crash discipline: all leg
+    * writes are keyed at `k` (a replayed partial takedown recomputes
+    * the same `k` from the agreement max and overwrites idempotently);
+    * the tombstone append runs LAST, and a takedown whose ids are all
+    * already tombstoned is a complete-replay no-op. Streaming
+    * deployments run takedowns at RESTART boundaries ([[rollover]]) —
+    * batch-id-keyed fold ticks would otherwise collide with the
+    * takedown tick. */
+  private def retractTickImpl(st: Stores,
+                              extraStores: Seq[ArtifactStore.IngestStateStore],
+                              docIds: DataFrame,
+                              idx: Option[ArtifactStore.Bm25IncrementalIndex],
+                              census: Option[
+                                (ArtifactStore.GramCensusIncrementalIndex,
+                                 DataFrame)],
+                              ann: Option[ArtifactStore.IvfPqIncrementalIndex],
+                              export: Option[ArtifactStore.PackedExportStore],
+                              mix: Option[(ArtifactStore.MixIncrementalIndex,
+                                           DataFrame)],
+                              model: Option[ArtifactStore.ModelStore],
+                              quar: Option[Quarantine],
+                              replay: Option[ReplayLeg])
       : Long = {
     // Docs already tombstoned are dropped BEFORE any leg runs: the
     // anti-join legs (dedup stores, BM25 postings, IVF-PQ codes) are
@@ -124,32 +183,48 @@ object IngestLoop {
     val fresh = st.tombs.current()
       .fold(ids)(tb =>
         ids.join(tb.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
-    idx.foreach(_.retractDocs(fresh))
+      .localCheckpoint()
+    if (fresh.isEmpty) return st.tombs.maxTick // complete-replay no-op
+    val dataStores = Seq(st.hashes, st.bands, st.shingles) ++ extraStores ++
+      quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds)) ++
+      replay.map(_.feats)
+    val k = nextTickOf((dataStores ++ idx.map(_.tfStore)
+      ++ census.map(_._1.censusStore) ++ ann.map(_.codeStore)
+      ++ mix.map(_._1.mixStore)).map(_.maxTick)
+      ++ export.map(_.maxTick))
+    def emptyTick(s: ArtifactStore.IngestStateStore): Unit =
+      s.appendTickAt(k, s.current().get.limit(0))
+    dataStores.foreach(emptyTick)
+    idx.foreach { i => i.retractDocs(fresh); emptyTick(i.tfStore) }
     // census retraction needs the docs' TEXT (census rows carry no
     // doc_id to anti-join) — the caller passes the retracted documents
     census.foreach { case (cIdx, docs) =>
-      cIdx.retractDocs(docs.join(fresh, Seq("doc_id"), "left_semi"))
+      cIdx.retractDocsAt(k, docs.join(fresh, Seq("doc_id"), "left_semi"))
     }
     // ANN leg (the q124 serving index): a takedown's code rows leave
     // every codes() read via the index's own vec_id tombstones —
     // idempotent anti-join, folded out at the index's next compaction
     // or baked into the next recluster's re-encode
-    ann.foreach(_.retractVectors(fresh.select(col("doc_id").as("vec_id"))))
+    ann.foreach { a =>
+      a.retractVectors(fresh.select(col("doc_id").as("vec_id")))
+      emptyTick(a.codeStore)
+    }
     // EXPORT leg (q125): re-pack the affected epochs from stored counts
     // so the physical training shards stop carrying the retracted docs
     // — naturally idempotent (a repeated repack reproduces identical
     // rows), still behind the tombstone existence check like every leg
-    export.foreach(_.retractDocs(fresh))
+    export.foreach { e => e.retractDocs(fresh); e.appendEmptyEpochAt(k) }
     // MIX leg (q127's state): subtraction, like the census — needs the
     // docs' source column, so the caller passes the document table
     mix.foreach { case (mIdx, docs) =>
-      mIdx.retractDocs(docs.join(fresh, Seq("doc_id"), "left_semi"))
+      mIdx.retractDocsAt(k, docs.join(fresh, Seq("doc_id"), "left_semi"))
     }
     // MODEL leg (q128): unlearn — if the takedown reaches the serving
     // model's training sample, retrain from the persisted reservoir
     // (zero text reads); membership decision + generation swap live in
-    // the store. Behind the tombstone check like the subtraction legs:
-    // a replayed takedown must not re-shrink the reservoir.
+    // the store (not tick-keyed: generations). Behind the tombstone
+    // check like the subtraction legs: a replayed takedown must not
+    // re-shrink the reservoir.
     model.foreach(_.unlearn(fresh))
     st.tombs.appendTick(fresh)
   }

@@ -372,6 +372,65 @@ class IngestLoopSpec extends AnyFunSuite {
       "the BM25 leg of the same takedown serves the surviving corpus")
   }
 
+  test("a takedown is a tick: subtraction legs survive SUBSEQUENT ticks — the agreement cannot land on the takedown tick and overwrite a negative increment") {
+    import graft.operators.{Retrieval, SubstringDedup}
+    val root = Files.createTempDirectory("graft_ingest_tdtick").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    val t1 = docs.filter(m >= 10)
+    val t2 = docs.filter(m === 0)
+    val w = QualityModel.weights(corpus,
+      scope = s"multitick${Provenance.BatchMod}")
+
+    val st = IngestLoop.stores(spark, root, "tdtick")
+    IngestLoop.bootstrap(st, corpus)
+    val idx = ArtifactStore.bm25Incremental(spark, root, "tdtick")
+    idx.bootstrap(corpus)
+    val cen = ArtifactStore.gramCensusIncremental(spark, root, "tdtick_cen")
+    cen.bootstrap(corpus)
+    val mixIdx = ArtifactStore.mixIncremental(spark, root, "tdtick")
+    mixIdx.bootstrap(corpus)
+
+    IngestLoop.runFullTick(st, idx, cen, t1, w, mix = Some(mixIdx))
+    // takedown WITH subtraction legs, mid-loop — every attached store
+    // advances to the takedown tick together
+    val t1Adm = st.hashes.currentUpTo(2).get.select("doc_id")
+      .join(st.hashes.currentUpTo(1).get.select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .filter(pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
+        Provenance.RetractRem)
+    assert(t1Adm.count() > 0)
+    IngestLoop.retractTick(st, t1Adm, idx = Some(idx),
+      census = Some((cen, docs)), mix = Some((mixIdx, docs)))
+    assert(Seq(st.hashes.maxTick, st.bands.maxTick, st.shingles.maxTick,
+      idx.tfStore.maxTick, cen.censusStore.maxTick,
+      mixIdx.mixStore.maxTick).distinct === Seq(3L),
+      "the takedown tick must advance every attached store together")
+
+    // the regression this test exists for: the NEXT tick used to land
+    // ON the takedown tick and overwrite the census/mix negatives
+    IngestLoop.runFullTick(st, idx, cen, t2, w, mix = Some(mixIdx))
+    val ingested = docs.join(
+      IngestLoop.resolved(st, st.hashes.current().get).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    assert(cen.winners().collect().map(_.getLong(0)).toSeq ===
+      SubstringDedup.winnersFromCensus(SubstringDedup.censusOf(ingested))
+        .collect().map(_.getLong(0)).toSeq,
+      "the census subtraction must survive the post-takedown tick")
+    assert(mixIdx.mix().collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap ===
+      ingested.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      "the mix subtraction must survive the post-takedown tick")
+    assert(Retrieval.topkFromIndex(idx.index(),
+        docs.filter(pmod(col("doc_id"), lit(50L)) === 7))
+      .collect().map(_.toSeq).toSeq ===
+      Retrieval.topkFromIndex(Retrieval.index(ingested),
+        docs.filter(pmod(col("doc_id"), lit(50L)) === 7))
+      .collect().map(_.toSeq).toSeq,
+      "the served ranking equals a rebuild over the live ingested corpus")
+  }
+
   test("export leg of the deployment tick: admitted docs pack as the tick's epoch; export lag forces the redo; the takedown reaches the shards") {
     import graft.operators.{Bpe, Packing}
     val root = Files.createTempDirectory("graft_ingest_export").toString
