@@ -647,10 +647,11 @@ object IngestLoop {
                       ann: Option[AnnLeg] = None,
                       export: Option[ExportLeg] = None,
                       mix: Option[ArtifactStore.MixIncrementalIndex] = None,
-                      quar: Option[Quarantine] = None): DataFrame =
+                      quar: Option[Quarantine] = None,
+                      replay: Option[ReplayLeg] = None): DataFrame =
     runTickImpl(st, idx, batchDocs, w, threshold, lowFrac,
       census = census, ann = ann, export = export, mix = mix,
-      quota = Some(quota), quar = quar)
+      quota = Some(quota), quar = quar, replay = replay)
 
   /** RE-ADJUDICATE the quarantine — the deployment form of
     * [[Provenance.q131Readjudication]], run after a [[retractTick]]
@@ -673,7 +674,20 @@ object IngestLoop {
     * verdict counts). ReadjudicationSpec pins store form ≡ the live
     * q131, the no-takedown control (nothing re-admits), replay
     * idempotence, and the fold-back (a later duplicate of a re-admitted
-    * doc is rejected). */
+    * doc is rejected).
+    *
+    * An attached [[ReplayLeg]] advances with this tick too (r11 advice:
+    * without it, a loop running ticks with both legs would leave feats
+    * one tick behind, and the NEXT replay-attached tick's agreement
+    * would resolve to this tick and silently overwrite it — the same
+    * class as the takedown-tick bug): the quality-windowed cohort's
+    * gate features append at `t` with their re-adjudication-time
+    * verdicts, which is also what re-opens a re-adjudication-time
+    * quality rejection via [[regateTick]] — such a doc is
+    * RE-QUARANTINED under verdict 'low_quality' (its dup rows become
+    * historical: a low_quality row supersedes a doc's dup-class rows in
+    * the live-dup selection), so a later model swap can still flip it
+    * and its text is still at hand. Only RE-ADMITTED docs resolve. */
   def readjudicateTick(st: Stores, quar: Quarantine, w: Seq[Double],
                        threshold: Double = 0.2, lowFrac: Double = 0.25,
                        idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
@@ -681,9 +695,10 @@ object IngestLoop {
                          ArtifactStore.GramCensusIncrementalIndex] = None,
                        ann: Option[AnnLeg] = None,
                        export: Option[ExportLeg] = None,
-                       mix: Option[ArtifactStore.MixIncrementalIndex] = None)
+                       mix: Option[ArtifactStore.MixIncrementalIndex] = None,
+                       replay: Option[ReplayLeg] = None)
       : DataFrame = {
-    val t = nextTick(st, idx, census, ann, export, mix, Some(quar))
+    val t = nextTick(st, idx, census, ann, export, mix, Some(quar), replay)
     val rows = quar.rows.currentUpTo(t - 1).getOrElse(
       sys.error("quarantine not bootstrapped: no tick-1 base"))
     val liveRows = resolved(st,
@@ -692,6 +707,8 @@ object IngestLoop {
           Seq("doc_id"), "left_anti")))
     val dupRows = liveRows
       .filter(col("verdict").isin("dup_exact", "dup_fuzzy"))
+      .join(liveRows.filter(col("verdict") === "low_quality")
+        .select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val state = resolved(st, st.hashes.currentUpTo(t - 1).getOrElse(
         sys.error("ingest loop not bootstrapped: hash state is empty")))
@@ -719,17 +736,36 @@ object IngestLoop {
     }
     export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
     mix.foreach(_.appendDocsAt(t, admDocs))
-    quar.rows.appendTickAt(t, dupRows.limit(0)
-      .select("doc_id", "source", "text", "verdict"))
-    // RESOLVED = reached a post-dup verdict: docs that escaped the dup
-    // gates entered the quality window and were either admitted or
-    // quality-rejected — both leave the quarantine (a quality verdict
-    // is model-dependent; re-opening it is regateTick's q134 loop, and
-    // keeping it in a DUP-class quarantine would misrepresent its
-    // evidence class AND make repeated passes drain the quality window
-    // geometrically). Still-dup docs stay re-judgeable.
+    // docs that escaped the dup gates but landed in the quality window
+    // RE-QUARANTINE under their NEW evidence class (r11 advice: their
+    // dup verdicts are gone, and a low_quality row is what regateTick's
+    // model loop re-opens — dropping them would make re-adjudication-
+    // time quality rejections terminal, contradicting the q134
+    // symmetry). The new row supersedes the doc's dup rows in the
+    // live-dup selection above; tick-keyed, so a replay overwrites it.
+    quar.rows.appendTickAt(t, v.filter(col("lq") === true)
+      .select("doc_id")
+      .join(dupRows.select("doc_id", "source", "text"), "doc_id")
+      .select(col("doc_id"), col("source"), col("text"),
+        lit("low_quality").as("verdict")))
+    // RESOLVED = re-admitted (folded into the state above): still-dup
+    // docs stay re-judgeable under their dup rows; quality-rejected
+    // docs stay re-judgeable under their new low_quality rows.
     quar.resolvedIds.appendTickAt(t,
-      v.filter(col("lq").isNotNull).select("doc_id"))
+      v.filter(col("lq") === false).select("doc_id"))
+    // REPLAY leg: the re-adjudication's quality-windowed cohort is this
+    // tick's novel cohort — persist its gate features + verdicts so a
+    // later model re-gates it with zero text reads (runTick's contract)
+    replay.foreach { leg =>
+      val cohort = v.filter(col("lq").isNotNull)
+        .select(col("doc_id"), col("source"), col("lq"))
+      leg.feats.appendTickAt(t, cohort
+        .join(QualityModel.gateFeatures(
+          dupRows.select("doc_id", "text")), "doc_id")
+        .withColumn("tick", lit(t))
+        .select(Seq(col("doc_id"), col("source"), col("tick"), col("lq")) ++
+          (0 until QualityModel.NumW).map(j => col(s"x$j")): _*))
+    }
     v.join(dupRows.select(col("doc_id").as("qid"),
         (col("verdict") === "dup_exact").as("was_exact")),
         col("doc_id") === col("qid"))
@@ -994,13 +1030,15 @@ object IngestLoop {
                          ann: Option[AnnLeg] = None,
                          export: Option[ExportLeg] = None,
                          mix: Option[ArtifactStore.MixIncrementalIndex]
-                           = None)
+                           = None,
+                         replay: Option[ReplayLeg] = None)
       : DataFrame = {
     import graft.multimodal.Multimodal
     val t = nextTickOf(st.all.map(_.maxTick)
       ++ idx.map(_.tfStore.maxTick) ++ census.map(_.censusStore.maxTick)
       ++ ann.map(_.idx.codeStore.maxTick) ++ export.map(_.store.maxTick)
       ++ mix.map(_.mixStore.maxTick)
+      ++ replay.map(_.feats.maxTick)
       ++ Seq(quar.rows.maxTick, quar.resolvedIds.maxTick))
     val rows = quar.rows.currentUpTo(t - 1).getOrElse(
       sys.error("quarantine not bootstrapped: no tick-1 base"))
@@ -1008,8 +1046,12 @@ object IngestLoop {
       quar.resolvedIds.currentUpTo(t - 1)
         .fold(rows)(r => rows.join(r.select("doc_id").distinct(),
           Seq("doc_id"), "left_anti")))
+    // the readjudicateTick supersede rule: a doc re-quarantined as
+    // low_quality has already reached its post-dup verdict
     val dupRows = liveRows.filter(col("verdict").isin(
         "dup_exact", "dup_fuzzy", "dup_image", "dup_audio"))
+      .join(liveRows.filter(col("verdict") === "low_quality")
+        .select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val state = resolved(st.text,
         st.text.hashes.currentUpTo(t - 1).getOrElse(
@@ -1055,11 +1097,28 @@ object IngestLoop {
     }
     export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
     mix.foreach(_.appendDocsAt(t, admDocs))
-    quar.rows.appendTickAt(t, dupRows.limit(0)
-      .select("doc_id", "source", "text", "img_sig", "aud_sig", "verdict"))
-    // the q131 resolution rule: any post-dup verdict resolves
+    // quality-rejected docs RE-QUARANTINE (the readjudicateTick rule),
+    // keeping their stored 8-byte signatures so a later mm
+    // re-adjudication of a regate-readmitted partner still has them
+    quar.rows.appendTickAt(t, v.filter(col("lq") === true)
+      .select("doc_id")
+      .join(dupRows.select("doc_id", "source", "text", "img_sig",
+        "aud_sig"), "doc_id")
+      .select(col("doc_id"), col("source"), col("text"), col("img_sig"),
+        col("aud_sig"), lit("low_quality").as("verdict")))
+    // the q131 resolution rule: only RE-ADMITTED docs resolve
     quar.resolvedIds.appendTickAt(t,
-      v.filter(col("lq").isNotNull).select("doc_id"))
+      v.filter(col("lq") === false).select("doc_id"))
+    replay.foreach { leg =>
+      val cohort = v.filter(col("lq").isNotNull)
+        .select(col("doc_id"), col("source"), col("lq"))
+      leg.feats.appendTickAt(t, cohort
+        .join(QualityModel.gateFeatures(
+          dupRows.select("doc_id", "text")), "doc_id")
+        .withColumn("tick", lit(t))
+        .select(Seq(col("doc_id"), col("source"), col("tick"), col("lq")) ++
+          (0 until QualityModel.NumW).map(j => col(s"x$j")): _*))
+    }
     Multimodal.mmReadjReport(v,
       dupRows.select(col("doc_id"), col("verdict").as("verdict_t1")))
   }

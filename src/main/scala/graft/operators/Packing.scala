@@ -437,9 +437,20 @@ object Packing {
                                  retractedIds: DataFrame, seqLen: Int,
                                  minFillMicro: Long,
                                  mixTolMicros: Long): DataFrame = {
+    // docSources is the CALLER's doc→source relation — a doc missing
+    // from it must not silently leave the doc census (r11 advice: an
+    // inner join here dropped such docs from n_docs AND n_retracted —
+    // the liveness certificate — while their tokens still counted
+    // toward fill, so an epoch carrying a retracted doc absent from
+    // docSources could certify 'serve'). Left-join and bucket the
+    // orphans as an UNKNOWN source: liveness and fill never depend on
+    // docSources coverage; only the mix census sees the placeholder
+    // bucket (maximal deviation if it dominates — the conservative
+    // direction).
     val docTok = slices.groupBy("tick", "rev", "doc_id")
       .agg(sum("toks").as("n_tokens"))
-      .join(docSources.select("doc_id", "source"), "doc_id")
+      .join(docSources.select("doc_id", "source"), Seq("doc_id"), "left")
+      .withColumn("source", coalesce(col("source"), lit("__unknown__")))
       .join(retractedIds.select(col("doc_id"), lit(true).as("retr")),
         Seq("doc_id"), "left")
       .withColumn("retracted", coalesce(col("retr"), lit(false)))

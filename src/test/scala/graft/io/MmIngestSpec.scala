@@ -228,7 +228,16 @@ class MmIngestSpec extends AnyFunSuite {
     val retracted = st.text.hashes.current().get.select("doc_id").filter(
       pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
         Provenance.RetractRem)
-    IngestLoop.retractTick(st.text, retracted)
+    // the mm takedown form WITH the quarantine attached (r11 advice:
+    // retractTick(st.text, …) left imgSigs/audSigs/quarantine one tick
+    // behind, so the re-adjudication landed ON the takedown tick and
+    // overwrote its markers; retractMmTick was never exercised)
+    IngestLoop.retractMmTick(st, retracted, quar = Some(quar))
+    assert((st.all.map(_.maxTick) ++
+        Seq(quar.rows.maxTick, quar.resolvedIds.maxTick)).distinct
+      === Seq(3L),
+      "all five mm stores AND both quarantine stores advance to the " +
+        "takedown tick together")
     val rep = rows(IngestLoop.readjudicateMmTick(st, quar, w))
     assert(rep === live,
       "the store-backed mm re-adjudication must equal the live q133")

@@ -76,17 +76,22 @@ class ReadjudicationSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_readj_fold").toString
     val (st, quar) = build(root, "readj2")
     retractQ117Class(st)
+    val lowqT1 = quar.rows.current().get
+      .filter(col("verdict") === "low_quality").count()
     val rep1 = IngestLoop.readjudicateTick(st, quar, weights).collect()
     val nReadmitted = rep1.map(_.getLong(7)).sum
     val nQuar1 = rep1.map(_.getLong(1)).sum
     assert(nReadmitted > 0)
 
-    // resolvedIds = every doc that reached a post-dup verdict
-    // (re-admitted + quality-rejected); the re-admitted subset is the
-    // ones whose hashes joined the state
+    // resolvedIds = the RE-ADMITTED docs (folded into the state);
+    // quality-rejected docs RE-QUARANTINE under verdict low_quality
+    // (the r11-advice policy: regateTick's model loop re-opens them)
     val nLowQ = rep1.map(_.getLong(6)).sum
     assert(quar.resolvedIds.current().get.select("doc_id").count()
-      === nReadmitted + nLowQ)
+      === nReadmitted)
+    assert(quar.rows.current().get.filter(col("verdict") === "low_quality")
+      .count() === lowqT1 + nLowQ,
+      "every re-adjudication-time quality rejection must re-quarantine")
     val readmIds = quar.resolvedIds.current().get
       .join(st.hashes.current().get.select("doc_id"), Seq("doc_id"),
         "left_semi")
@@ -137,6 +142,81 @@ class ReadjudicationSpec extends AnyFunSuite {
     assert(rows(IngestLoop.readjudicateTick(stA, quarA, weights))
       === rows(IngestLoop.readjudicateTick(stB, quarB, weights)),
       "the repaired quarantine must re-adjudicate exactly like the clean one")
+  }
+
+  test("readjudicateTick advances an attached replay leg: interleaved between replay-attached runTicks nothing is overwritten; re-quarantined docs re-open via regateTick") {
+    val root = Files.createTempDirectory("graft_readj_replay").toString
+    val t2 = docs.filter(m === 0)
+    // the escaped (post-takedown) cohort here is 2 docs; lowFrac 0.5
+    // splits it 1 re-admitted / 1 quality-rejected so BOTH
+    // re-adjudication outcomes are exercised (0.25 would reject none:
+    // cume_dist(1/2) = 0.5)
+    val lf = 0.5
+    val st = IngestLoop.stores(spark, root, "rj_rp")
+    val quar = IngestLoop.quarantine(spark, root, "rj_rp")
+    val replay = IngestLoop.replayLeg(spark, root, "rj_rp")
+    IngestLoop.bootstrap(st, corpus)
+    IngestLoop.bootstrapQuarantine(quar, corpus)
+    IngestLoop.bootstrapReplay(replay, corpus)
+    IngestLoop.runTick(st, t1, weights, lowFrac = lf,
+      quar = Some(quar), replay = Some(replay))
+    val lowqBefore = quar.rows.current().get
+      .filter(col("verdict") === "low_quality").select("doc_id")
+      .localCheckpoint()
+    val retracted = st.hashes.current().get.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
+        Provenance.RetractRem)
+    IngestLoop.retractTick(st, retracted, quar = Some(quar),
+      replay = Some(replay))
+    val rep = IngestLoop.readjudicateTick(st, quar, weights, lowFrac = lf,
+      replay = Some(replay)).collect()
+    val nReadm = rep.map(_.getLong(7)).sum
+    val nLowQ = rep.map(_.getLong(6)).sum
+    assert(nReadm > 0 && nLowQ > 0,
+      "the pin needs both re-adjudication outcomes on this corpus")
+    assert(replay.feats.maxTick === 4L && quar.rows.maxTick === 4L &&
+      st.hashes.maxTick === 4L,
+      "the replay leg advances WITH the re-adjudication tick")
+    val t4Feats = replay.feats.current().get
+      .filter(col("tick") === 4L).count()
+    assert(t4Feats === nReadm + nLowQ,
+      "the re-adjudication's quality-windowed cohort persists its features")
+    val reqIds = quar.rows.current().get
+      .filter(col("verdict") === "low_quality").select("doc_id")
+      .join(lowqBefore, Seq("doc_id"), "left_anti").localCheckpoint()
+    assert(reqIds.count() === nLowQ)
+    val resolvedBefore = quar.resolvedIds.current().get.count()
+
+    // the next replay-attached tick lands at 5 — before the fix its
+    // agreement resolved to 4 (feats lagged) and silently overwrote
+    // the re-adjudication's appends
+    IngestLoop.runTick(st, t2, weights, lowFrac = lf,
+      quar = Some(quar), replay = Some(replay))
+    assert(st.hashes.maxTick === 5L && replay.feats.maxTick === 5L)
+    assert(replay.feats.current().get.filter(col("tick") === 4L).count()
+      === t4Feats,
+      "the re-adjudication's feats tick survives the next tick")
+    assert(quar.resolvedIds.current().get.count() === resolvedBefore,
+      "the re-adjudication's resolutions survive the next tick")
+
+    // re-gate under the gating model: tick 2's cohort legitimately
+    // re-windows (the takedown removed members — feats resolve through
+    // the tombstones), but the re-adjudication tick's own window was
+    // computed POST-takedown from exactly its stored cohort, so its
+    // quality rejection must stand
+    IngestLoop.regateTick(st, quar, replay, weights, lowFrac = lf).collect()
+    assert(quar.resolvedIds.current().get
+      .join(reqIds, Seq("doc_id"), "left_semi").count() === 0L,
+      "the re-adjudication-time window must reproduce under the gating model")
+    // inverted model: the re-adjudication-time quality rejections flip
+    // out of their tick's window and RE-ADMIT from their re-quarantined
+    // rows — the loop the re-quarantine policy exists to close
+    val repInv = IngestLoop.regateTick(st, quar, replay,
+      weights.map(x => -x), lowFrac = lf).collect()
+    assert(repInv.map(_.getLong(3)).sum > 0)
+    assert(quar.resolvedIds.current().get
+      .join(reqIds, Seq("doc_id"), "left_semi").count() > 0,
+      "a re-adjudication-time quality rejection re-opens via the model loop")
   }
 
   test("quality re-gate (q134): store ≡ live under the chosen model; the base model is a no-op; re-admitted docs fold back") {
