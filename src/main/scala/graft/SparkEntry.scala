@@ -505,6 +505,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.q133MmReadjudication(_)),
     "q134_quality_readjudication" -> t("documents")(
       Provenance.q134QualityReadjudication(_)),
+    "q135_semantic_admission" -> ((s, dir) => SemanticGate.q135SemanticAdmission(
+      Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -644,5 +646,6 @@ object SparkEntry {
     "q132_export_release_gate" -> Packing.q132Sql(),
     "q133_mm_readjudication" -> graft.multimodal.Multimodal.q133Sql(),
     "q134_quality_readjudication" -> Provenance.q134Sql(),
+    "q135_semantic_admission" -> SemanticGate.q135Sql(),
   )
 }

@@ -115,10 +115,11 @@ object IngestLoop {
                     = None,
                   model: Option[ArtifactStore.ModelStore] = None,
                   quar: Option[Quarantine] = None,
-                  replay: Option[ReplayLeg] = None)
+                  replay: Option[ReplayLeg] = None,
+                  sem: Option[SemLeg] = None)
       : Long =
     retractTickImpl(st, Seq.empty, docIds, idx, census, ann, export, mix,
-      model, quar, replay)
+      model, quar, replay, sem)
 
   /** [[retractTick]] for a MULTIMODAL loop: the per-modality signature
     * stores advance with the takedown tick too, so the next
@@ -134,10 +135,11 @@ object IngestLoop {
                       = None,
                     model: Option[ArtifactStore.ModelStore] = None,
                     quar: Option[Quarantine] = None,
-                    replay: Option[ReplayLeg] = None)
+                    replay: Option[ReplayLeg] = None,
+                    sem: Option[SemLeg] = None)
       : Long =
     retractTickImpl(st.text, Seq(st.imgSigs, st.audSigs), docIds, idx,
-      census, ann, export, mix, model, quar, replay)
+      census, ann, export, mix, model, quar, replay, sem)
 
   /** A TAKEDOWN IS A TICK (review finding, closed): the subtraction
     * legs (census, mix) land their negative increments as tick-keyed
@@ -172,7 +174,8 @@ object IngestLoop {
                                            DataFrame)],
                               model: Option[ArtifactStore.ModelStore],
                               quar: Option[Quarantine],
-                              replay: Option[ReplayLeg])
+                              replay: Option[ReplayLeg],
+                              sem: Option[SemLeg] = None)
       : Long = {
     // Docs already tombstoned are dropped BEFORE any leg runs: the
     // anti-join legs (dedup stores, BM25 postings, IVF-PQ codes) are
@@ -185,9 +188,12 @@ object IngestLoop {
         ids.join(tb.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
       .localCheckpoint()
     if (fresh.isEmpty) return st.tombs.maxTick // complete-replay no-op
+    // the semantic leg's sig rows carry doc_id, so the shared tombstone
+    // anti-join IS its retraction (the bands/shingles algebra) — it
+    // only needs the empty takedown tick for the agreement
     val dataStores = Seq(st.hashes, st.bands, st.shingles) ++ extraStores ++
       quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds)) ++
-      replay.map(_.feats)
+      replay.map(_.feats) ++ sem.map(_.sigs)
     val k = nextTickOf((dataStores ++ idx.map(_.tfStore)
       ++ census.map(_._1.censusStore) ++ ann.map(_.codeStore)
       ++ mix.map(_._1.mixStore)).map(_.maxTick)
@@ -307,13 +313,14 @@ object IngestLoop {
                        export: Option[ExportLeg] = None,
                        mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                        quar: Option[Quarantine] = None,
-                       replay: Option[ReplayLeg] = None)
+                       replay: Option[ReplayLeg] = None,
+                       sem: Option[SemLeg] = None)
       : Long =
     nextTickOf((Seq(st.hashes, st.bands, st.shingles) ++ idx.map(_.tfStore)
       ++ census.map(_.censusStore) ++ ann.map(_.idx.codeStore)
       ++ mix.map(_.mixStore)
       ++ quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds))
-      ++ replay.map(_.feats))
+      ++ replay.map(_.feats) ++ sem.map(_.sigs))
       .map(_.maxTick) ++ export.map(_.store.maxTick))
 
   /** The QUOTA leg of a budgeted deployment tick (q130,
@@ -406,6 +413,56 @@ object IngestLoop {
     quar.resolvedIds.appendTickAt(1, corpusDocs.select("doc_id").limit(0))
   }
 
+  /** The SEMANTIC-DEDUP leg of a deployment tick (q135,
+    * [[graft.operators.SemanticGate.q135SemanticAdmission]]) — the
+    * verdict precedence extends to exact → fuzzy → SEMANTIC →
+    * low_quality: the loop maintains the RP-LSH signature rows
+    * (doc_id, tbl, code) of every ingested doc's embedding; each tick
+    * flags batch docs that bucket-collide AND cosine-verify against
+    * the state ([[graft.operators.SemanticGate.flaggedAgainstState]]),
+    * and only admitted docs' signature rows fold back. `vectors` is
+    * the (vec_id, embedding) side table keyed by doc_id (the
+    * [[AnnLeg]] contract). The hyperplanes are FIXED deterministic
+    * functions — no trained artifact, so there is no recluster re-gate
+    * for this leg (the [[graft.operators.SemanticGate]] design note):
+    * semantic verdicts are purely state-dependent and re-open exactly
+    * like exact/fuzzy ones — [[retractTick]] frees a takedown's sig
+    * rows through the shared doc-keyed tombstone anti-join, and
+    * [[readjudicateTick]] re-judges quarantined `dup_semantic` docs
+    * against the surviving state (cosine re-derived from the side
+    * table; no payloads). The sig store participates in the tick
+    * agreement. SemIngestSpec pins store ≡ live q135, both decisive
+    * directions, crash replay, and the quarantine loop. */
+  final case class SemLeg(sigs: ArtifactStore.IngestStateStore,
+                          vectors: DataFrame,
+                          nTables: Int = graft.operators.SemanticGate.DefaultTables,
+                          bits: Int = graft.operators.SemanticGate.DefaultBits,
+                          dim: Int = graft.operators.SemanticGate.DefaultDim,
+                          simThreshold: Double =
+                            graft.operators.SemanticGate.DefaultSimThreshold)
+
+  def semLeg(spark: SparkSession, root: String, name: String,
+             vectors: DataFrame): SemLeg =
+    SemLeg(ArtifactStore.ingestState(spark, root, s"$name/sem_sigs"), vectors)
+
+  /** IDEMPOTENT tick-1 bootstrap of a semantic leg: the corpus docs'
+    * signature rows, derived once from the vectors side table. */
+  def bootstrapSem(leg: SemLeg, corpusDocs: DataFrame): Unit =
+    leg.sigs.appendTickAt(1, graft.operators.SemanticGate.sigRowsOf(
+      leg.vectors, corpusDocs.select("doc_id"),
+      leg.nTables, leg.bits, leg.dim))
+
+  /** Batch ids semantically flagged against the leg's resolved state
+    * as of tick `t − 1` — shared by the ingest tick and the
+    * re-adjudication. */
+  private def semFlags(st: Stores, leg: SemLeg, t: Long,
+                       batchIds: DataFrame): DataFrame =
+    graft.operators.SemanticGate.flaggedAgainstState(
+      resolved(st, leg.sigs.currentUpTo(t - 1).getOrElse(
+        sys.error("semantic leg not bootstrapped: no tick-1 sig base"))),
+      leg.vectors, batchIds,
+      leg.nTables, leg.bits, leg.dim, leg.simThreshold)
+
   /** The ANN SERVING leg of a deployment tick (q124,
     * [[graft.operators.Pq.q124AnnIngestTick]]): the loop additionally
     * maintains an IVF-PQ index over the admitted docs' embeddings —
@@ -458,9 +515,10 @@ object IngestLoop {
   def runTick(st: Stores, batchDocs: DataFrame, w: Seq[Double],
               threshold: Double = 0.2, lowFrac: Double = 0.25,
               quar: Option[Quarantine] = None,
-              replay: Option[ReplayLeg] = None): DataFrame =
+              replay: Option[ReplayLeg] = None,
+              sem: Option[SemLeg] = None): DataFrame =
     runTickImpl(st, None, batchDocs, w, threshold, lowFrac, quar = quar,
-      replay = replay)
+      replay = replay, sem = sem)
 
   private def runTickImpl(st: Stores,
                           idx: Option[ArtifactStore.Bm25IncrementalIndex],
@@ -473,9 +531,10 @@ object IngestLoop {
                           mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                           quota: Option[QuotaLeg] = None,
                           quar: Option[Quarantine] = None,
-                          replay: Option[ReplayLeg] = None)
+                          replay: Option[ReplayLeg] = None,
+                          sem: Option[SemLeg] = None)
       : DataFrame = {
-    val t = nextTick(st, idx, census, ann, export, mix, quar, replay)
+    val t = nextTick(st, idx, census, ann, export, mix, quar, replay, sem)
     // every state read resolves through the tombstone store: retracted
     // docs' rows are invisible whether or not a compaction folded them
     val state = resolved(st, st.hashes.currentUpTo(t - 1).getOrElse(
@@ -486,23 +545,47 @@ object IngestLoop {
         resolved(st, st.shingles.currentUpTo(t - 1).get),
         batchDocs, threshold)
       .select(col("eval_id").as("fid")).distinct()
-    // the q103/q106 kernel; the returned frame is checkpointed, so the
-    // fold-back writes and the report never re-run the chain
-    val v = Provenance.gatedTickFrame(batchDocs, state, fuzzy, w, lowFrac)
+    // the q103/q106 kernel — or, with a SEMANTIC leg (q135), the
+    // extended precedence exact → fuzzy → semantic → quality; the
+    // returned frame is checkpointed, so the fold-back writes and the
+    // report never re-run the chain
+    val v = sem match {
+      case None =>
+        Provenance.gatedTickFrame(batchDocs, state, fuzzy, w, lowFrac)
+      case Some(leg) =>
+        graft.operators.SemanticGate.semGatedTickFrame(batchDocs, state,
+          fuzzy, semFlags(st, leg, t, batchDocs.select("doc_id")),
+          w, lowFrac)
+    }
     // the admitted set: every novel doc — or, on a BUDGETED tick
     // (q130), the quality-ranked under-budget prefix per source, with
     // budgets derived from the maintained mix counts
     val (admIds, report) = quota match {
       case None =>
         (v.filter(col("lq") === false).select("doc_id"),
-          Provenance.gatedTickReport(v))
+          if (sem.isEmpty) Provenance.gatedTickReport(v)
+          else graft.operators.SemanticGate.semGatedTickReport(v))
       case Some(q) =>
         val srcCounts = q.mix.mix()
           .select(col("source"), col("n_docs").as("n_src"))
         val bf = Provenance.budgetedFrame(v, batchDocs, srcCounts,
           q.budgetFrac)
-        (bf.filter(col("admitted")).select("doc_id"),
-          Provenance.budgetedTickReport(v, bf, srcCounts, q.budgetFrac))
+        val rep = Provenance.budgetedTickReport(v, bf, srcCounts,
+          q.budgetFrac)
+        // a budgeted tick WITH the semantic leg: splice the class count
+        // into the q130 columns (the budget algebra itself is
+        // class-agnostic — it ranks the post-gate novel set)
+        val rep2 = if (sem.isEmpty) rep else rep
+          .join(v.groupBy("source")
+            .agg(count(when(col("ch").isNull && col("fid").isNull,
+              col("sid"))).as("n_dup_semantic")), Seq("source"), "left")
+          .select(col("source"), col("n_batch"), col("n_dup_exact"),
+            col("n_dup_fuzzy"), col("n_dup_semantic"),
+            col("n_low_quality"), col("n_novel"), col("novel_tokens"),
+            col("budget_tokens"), col("n_admitted"),
+            col("admitted_tokens"), col("n_over_budget"))
+          .orderBy("source")
+        (bf.filter(col("admitted")).select("doc_id"), rep2)
     }
     val admDocs = batchDocs.join(admIds, Seq("doc_id"), "left_semi")
     st.hashes.appendTickAt(t, v.join(admIds, Seq("doc_id"), "left_semi")
@@ -517,6 +600,11 @@ object IngestLoop {
         admIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
         c, r)
     }
+    // SEMANTIC leg (q135): admitted docs' signature rows — the state
+    // the next tick's semantic flags probe
+    sem.foreach(leg => leg.sigs.appendTickAt(t,
+      graft.operators.SemanticGate.sigRowsOf(leg.vectors, admIds,
+        leg.nTables, leg.bits, leg.dim)))
     // EXPORT leg: admitted docs pack as this tick's epoch under the
     // frozen merges — the same admitted frame every other store folds
     export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
@@ -527,11 +615,13 @@ object IngestLoop {
     // not rejected on evidence — see QuotaLeg). resolvedIds appends an
     // empty frame so both quarantine stores stay in the tick agreement.
     quar.foreach { qs =>
+      val sid = if (sem.isEmpty) lit(null).cast("long") else col("sid")
       val rej = v.filter(col("ch").isNotNull || col("fid").isNotNull ||
-          col("lq") === true)
+          sid.isNotNull || col("lq") === true)
         .withColumn("verdict",
           when(col("ch").isNotNull, lit("dup_exact"))
             .when(col("fid").isNotNull, lit("dup_fuzzy"))
+            .when(sid.isNotNull, lit("dup_semantic"))
             .otherwise(lit("low_quality")))
         .join(batchDocs.select("doc_id", "text"), "doc_id")
         .select("doc_id", "source", "text", "verdict")
@@ -539,9 +629,10 @@ object IngestLoop {
       qs.resolvedIds.appendTickAt(t, admIds.limit(0))
     }
     // REPLAY leg (q134): the tick's novel cohort's gate features + the
-    // tick-time quality verdict — what a later model re-gates
+    // tick-time quality verdict — what a later model re-gates (with a
+    // semantic leg, novel = no evidence of ANY dup class: lq non-null)
     replay.foreach { leg =>
-      val nov = v.filter(col("ch").isNull && col("fid").isNull)
+      val nov = v.filter(col("lq").isNotNull)
         .select(col("doc_id"), col("source"), col("lq"))
       leg.feats.appendTickAt(t, nov
         .join(QualityModel.gateFeatures(batchDocs), "doc_id")
@@ -562,8 +653,13 @@ object IngestLoop {
     * which is also why any crash ordering here is safe — spec-pinned).
     * Returns whether compaction ran. Run at quiesce points only (see
     * `IngestStateStore.currentUpTo`). */
-  def compactIfNeeded(st: Stores, maxDataFiles: Long = 64): Boolean = {
-    val all = Seq(st.hashes, st.bands, st.shingles)
+  def compactIfNeeded(st: Stores, maxDataFiles: Long = 64,
+                      sem: Option[SemLeg] = None): Boolean = {
+    // an attached semantic leg's sig store resolves through st.tombs
+    // like the three dedup stores, so it MUST fold in the same pass —
+    // clearing the tombstones after folding only three stores would
+    // resurface retracted sig rows at the next semantic flag read
+    val all = Seq(st.hashes, st.bands, st.shingles) ++ sem.map(_.sigs)
     val need = all.exists(_.dataFileCount > maxDataFiles)
     if (need) {
       val folded = all.map(_.compactWith(df => resolved(st, df)))
@@ -625,11 +721,12 @@ object IngestLoop {
                   export: Option[ExportLeg] = None,
                   mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                   quota: Option[QuotaLeg] = None,
-                  quar: Option[Quarantine] = None)
+                  quar: Option[Quarantine] = None,
+                  sem: Option[SemLeg] = None)
       : DataFrame =
     runTickImpl(st, Some(idx), batchDocs, w, threshold, lowFrac,
       census = Some(census), ann = ann, export = export, mix = mix,
-      quota = quota, quar = quar)
+      quota = quota, quar = quar, sem = sem)
 
   /** One BUDGETED admission tick — the deployment form of
     * [[Provenance.q130BudgetedAdmission]]: the q103 gate runs
@@ -648,10 +745,11 @@ object IngestLoop {
                       export: Option[ExportLeg] = None,
                       mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                       quar: Option[Quarantine] = None,
-                      replay: Option[ReplayLeg] = None): DataFrame =
+                      replay: Option[ReplayLeg] = None,
+                      sem: Option[SemLeg] = None): DataFrame =
     runTickImpl(st, idx, batchDocs, w, threshold, lowFrac,
       census = census, ann = ann, export = export, mix = mix,
-      quota = Some(quota), quar = quar, replay = replay)
+      quota = Some(quota), quar = quar, replay = replay, sem = sem)
 
   /** RE-ADJUDICATE the quarantine — the deployment form of
     * [[Provenance.q131Readjudication]], run after a [[retractTick]]
@@ -696,17 +794,25 @@ object IngestLoop {
                        ann: Option[AnnLeg] = None,
                        export: Option[ExportLeg] = None,
                        mix: Option[ArtifactStore.MixIncrementalIndex] = None,
-                       replay: Option[ReplayLeg] = None)
+                       replay: Option[ReplayLeg] = None,
+                       sem: Option[SemLeg] = None)
       : DataFrame = {
-    val t = nextTick(st, idx, census, ann, export, mix, Some(quar), replay)
+    val t = nextTick(st, idx, census, ann, export, mix, Some(quar), replay,
+      sem)
     val rows = quar.rows.currentUpTo(t - 1).getOrElse(
       sys.error("quarantine not bootstrapped: no tick-1 base"))
     val liveRows = resolved(st,
       quar.resolvedIds.currentUpTo(t - 1)
         .fold(rows)(r => rows.join(r.select("doc_id").distinct(),
           Seq("doc_id"), "left_anti")))
+    // dup_semantic rows re-judge ONLY when the semantic leg is attached
+    // — without its state the re-judgment would silently skip the
+    // semantic gate and wrongly re-admit them
+    val dupClasses =
+      if (sem.isDefined) Seq("dup_exact", "dup_fuzzy", "dup_semantic")
+      else Seq("dup_exact", "dup_fuzzy")
     val dupRows = liveRows
-      .filter(col("verdict").isin("dup_exact", "dup_fuzzy"))
+      .filter(col("verdict").isin(dupClasses: _*))
       .join(liveRows.filter(col("verdict") === "low_quality")
         .select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
@@ -718,14 +824,22 @@ object IngestLoop {
         resolved(st, st.shingles.currentUpTo(t - 1).get),
         dupRows, threshold)
       .select(col("eval_id").as("fid")).distinct()
-    val v = Provenance.gatedTickFrame(
-      dupRows.select("doc_id", "source", "text"), state, fuzzy, w, lowFrac)
+    val v = sem match {
+      case None => Provenance.gatedTickFrame(
+        dupRows.select("doc_id", "source", "text"), state, fuzzy, w, lowFrac)
+      case Some(leg) => graft.operators.SemanticGate.semGatedTickFrame(
+        dupRows.select("doc_id", "source", "text"), state, fuzzy,
+        semFlags(st, leg, t, dupRows.select("doc_id")), w, lowFrac)
+    }
     val admIds = v.filter(col("lq") === false).select("doc_id")
     val admDocs = dupRows.join(admIds, Seq("doc_id"), "left_semi")
     st.hashes.appendTickAt(t, v.filter(col("lq") === false)
       .select(col("doc_id"), col("h").as("ch")))
     st.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
     st.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
+    sem.foreach(leg => leg.sigs.appendTickAt(t,
+      graft.operators.SemanticGate.sigRowsOf(leg.vectors, admIds,
+        leg.nTables, leg.bits, leg.dim)))
     idx.foreach(_.appendDocsAt(t, admDocs))
     census.foreach(_.appendDocsAt(t, admDocs))
     ann.foreach { leg =>
@@ -766,18 +880,40 @@ object IngestLoop {
         .select(Seq(col("doc_id"), col("source"), col("tick"), col("lq")) ++
           (0 until QualityModel.NumW).map(j => col(s"x$j")): _*))
     }
-    v.join(dupRows.select(col("doc_id").as("qid"),
-        (col("verdict") === "dup_exact").as("was_exact")),
-        col("doc_id") === col("qid"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_quarantined"),
-        count(when(col("was_exact"), lit(1))).as("n_exact_t1"),
-        count(when(!col("was_exact"), lit(1))).as("n_fuzzy_t1"),
-        count(col("ch")).as("n_still_exact"),
-        count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy"),
-        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
-        count(when(col("lq") === false, lit(1))).as("n_readmitted"))
-      .orderBy("source")
+    if (sem.isEmpty)
+      v.join(dupRows.select(col("doc_id").as("qid"),
+          (col("verdict") === "dup_exact").as("was_exact")),
+          col("doc_id") === col("qid"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_quarantined"),
+          count(when(col("was_exact"), lit(1))).as("n_exact_t1"),
+          count(when(!col("was_exact"), lit(1))).as("n_fuzzy_t1"),
+          count(col("ch")).as("n_still_exact"),
+          count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy"),
+          count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+          count(when(col("lq") === false, lit(1))).as("n_readmitted"))
+        .orderBy("source")
+    else
+      // the q131 columns with the semantic class split out — original
+      // verdicts from the quarantine rows, re-judged ones from v
+      v.join(dupRows.select(col("doc_id").as("qid"),
+          col("verdict").as("verdict_t1")),
+          col("doc_id") === col("qid"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_quarantined"),
+          count(when(col("verdict_t1") === "dup_exact", lit(1)))
+            .as("n_exact_t1"),
+          count(when(col("verdict_t1") === "dup_fuzzy", lit(1)))
+            .as("n_fuzzy_t1"),
+          count(when(col("verdict_t1") === "dup_semantic", lit(1)))
+            .as("n_sem_t1"),
+          count(col("ch")).as("n_still_exact"),
+          count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy"),
+          count(when(col("ch").isNull && col("fid").isNull, col("sid")))
+            .as("n_still_semantic"),
+          count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+          count(when(col("lq") === false, lit(1))).as("n_readmitted"))
+        .orderBy("source")
   }
 
   /** RE-GATE the quality window under a NEW model — the deployment
@@ -809,10 +945,11 @@ object IngestLoop {
                    ArtifactStore.GramCensusIncrementalIndex] = None,
                  ann: Option[AnnLeg] = None,
                  export: Option[ExportLeg] = None,
-                 mix: Option[ArtifactStore.MixIncrementalIndex] = None)
+                 mix: Option[ArtifactStore.MixIncrementalIndex] = None,
+                 sem: Option[SemLeg] = None)
       : DataFrame = {
     val t = nextTick(st, idx, census, ann, export, mix, Some(quar),
-      Some(replay))
+      Some(replay), sem)
     val feats = resolved(st, replay.feats.currentUpTo(t - 1).getOrElse(
       sys.error("replay leg not bootstrapped: no tick-1 base")))
     val rescored = QualityModel.withScoreFromFeatures(
@@ -843,6 +980,9 @@ object IngestLoop {
       Provenance.contentHash60(col("text")).as("ch")))
     st.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
     st.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
+    sem.foreach(leg => leg.sigs.appendTickAt(t,
+      graft.operators.SemanticGate.sigRowsOf(leg.vectors, admIds,
+        leg.nTables, leg.bits, leg.dim)))
     idx.foreach(_.appendDocsAt(t, admDocs))
     census.foreach(_.appendDocsAt(t, admDocs))
     ann.foreach { leg =>
@@ -923,13 +1063,14 @@ object IngestLoop {
                 ann: Option[AnnLeg] = None,
                 export: Option[ExportLeg] = None,
                 mix: Option[ArtifactStore.MixIncrementalIndex] = None,
-                quar: Option[Quarantine] = None)
+                quar: Option[Quarantine] = None,
+                sem: Option[SemLeg] = None)
       : DataFrame = {
     import graft.multimodal.Multimodal
     val t = nextTickOf(st.all.map(_.maxTick)
       ++ idx.map(_.tfStore.maxTick) ++ census.map(_.censusStore.maxTick)
       ++ ann.map(_.idx.codeStore.maxTick) ++ export.map(_.store.maxTick)
-      ++ mix.map(_.mixStore.maxTick)
+      ++ mix.map(_.mixStore.maxTick) ++ sem.map(_.sigs.maxTick)
       ++ quar.toSeq.flatMap(q => Seq(q.rows.maxTick, q.resolvedIds.maxTick)))
     val state = resolved(st.text, st.text.hashes.currentUpTo(t - 1).getOrElse(
         sys.error("multimodal loop not bootstrapped")))
@@ -951,8 +1092,13 @@ object IngestLoop {
         resolved(st.text, st.audSigs.currentUpTo(t - 1).get),
         batchASigs, maxDist, maxBand)
       .select(col("fid").as("afid"))
-    val v = Multimodal.mmGatedTickFrame(batchDocs, state, fuzzy,
-      imFlag, auFlag, w, lowFrac)
+    val v = sem match {
+      case None => Multimodal.mmGatedTickFrame(batchDocs, state, fuzzy,
+        imFlag, auFlag, w, lowFrac)
+      case Some(leg) => Multimodal.mmSemGatedTickFrame(batchDocs, state,
+        fuzzy, semFlags(st.text, leg, t, batchDocs.select("doc_id")),
+        imFlag, auFlag, w, lowFrac)
+    }
     val admIds = v.filter(col("lq") === false).select("doc_id")
     val admDocs = batchDocs.join(admIds, Seq("doc_id"), "left_semi")
     st.text.hashes.appendTickAt(t, v.filter(col("lq") === false)
@@ -963,6 +1109,9 @@ object IngestLoop {
       batchISigs.join(admIds, Seq("doc_id"), "left_semi"))
     st.audSigs.appendTickAt(t,
       batchASigs.join(admIds, Seq("doc_id"), "left_semi"))
+    sem.foreach(leg => leg.sigs.appendTickAt(t,
+      graft.operators.SemanticGate.sigRowsOf(leg.vectors, admIds,
+        leg.nTables, leg.bits, leg.dim)))
     // consumer legs — the [[runFullTick]] symmetry for the multimodal
     // loop: a deployment that ingests text+image+audio docs serves the
     // same four consumers (retrieval, curation census, ANN, export)
@@ -986,12 +1135,14 @@ object IngestLoop {
     // doc's 8-byte signatures, so a re-adjudication re-judges the
     // image/audio legs without ever re-reading payloads
     quar.foreach { qs =>
+      val sid = if (sem.isEmpty) lit(null).cast("long") else col("sid")
       val rej = v.filter(col("ch").isNotNull || col("fid").isNotNull ||
-          col("ifid").isNotNull || col("afid").isNotNull ||
+          sid.isNotNull || col("ifid").isNotNull || col("afid").isNotNull ||
           col("lq") === true)
         .withColumn("verdict",
           when(col("ch").isNotNull, lit("dup_exact"))
             .when(col("fid").isNotNull, lit("dup_fuzzy"))
+            .when(sid.isNotNull, lit("dup_semantic"))
             .when(col("ifid").isNotNull, lit("dup_image"))
             .when(col("afid").isNotNull, lit("dup_audio"))
             .otherwise(lit("low_quality")))
@@ -1004,7 +1155,8 @@ object IngestLoop {
       qs.rows.appendTickAt(t, rej)
       qs.resolvedIds.appendTickAt(t, admIds.limit(0))
     }
-    Multimodal.mmGatedTickReport(v)
+    if (sem.isEmpty) Multimodal.mmGatedTickReport(v)
+    else Multimodal.mmSemGatedTickReport(v)
   }
 
   /** RE-ADJUDICATE a multimodal quarantine — the deployment form of
@@ -1031,13 +1183,14 @@ object IngestLoop {
                          export: Option[ExportLeg] = None,
                          mix: Option[ArtifactStore.MixIncrementalIndex]
                            = None,
-                         replay: Option[ReplayLeg] = None)
+                         replay: Option[ReplayLeg] = None,
+                         sem: Option[SemLeg] = None)
       : DataFrame = {
     import graft.multimodal.Multimodal
     val t = nextTickOf(st.all.map(_.maxTick)
       ++ idx.map(_.tfStore.maxTick) ++ census.map(_.censusStore.maxTick)
       ++ ann.map(_.idx.codeStore.maxTick) ++ export.map(_.store.maxTick)
-      ++ mix.map(_.mixStore.maxTick)
+      ++ mix.map(_.mixStore.maxTick) ++ sem.map(_.sigs.maxTick)
       ++ replay.map(_.feats.maxTick)
       ++ Seq(quar.rows.maxTick, quar.resolvedIds.maxTick))
     val rows = quar.rows.currentUpTo(t - 1).getOrElse(
@@ -1047,9 +1200,11 @@ object IngestLoop {
         .fold(rows)(r => rows.join(r.select("doc_id").distinct(),
           Seq("doc_id"), "left_anti")))
     // the readjudicateTick supersede rule: a doc re-quarantined as
-    // low_quality has already reached its post-dup verdict
-    val dupRows = liveRows.filter(col("verdict").isin(
-        "dup_exact", "dup_fuzzy", "dup_image", "dup_audio"))
+    // low_quality has already reached its post-dup verdict; semantic
+    // rows re-judge only with the leg attached (its state is the gate)
+    val mmDupClasses = Seq("dup_exact", "dup_fuzzy", "dup_image",
+      "dup_audio") ++ (if (sem.isDefined) Seq("dup_semantic") else Nil)
+    val dupRows = liveRows.filter(col("verdict").isin(mmDupClasses: _*))
       .join(liveRows.filter(col("verdict") === "low_quality")
         .select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
@@ -1072,9 +1227,15 @@ object IngestLoop {
         dupRows.select(col("doc_id"), col("aud_sig").as("sig")),
         maxDist, maxBand)
       .select(col("fid").as("afid"))
-    val v = Multimodal.mmGatedTickFrame(
-      dupRows.select("doc_id", "source", "text"), state, fuzzy,
-      imFlag, auFlag, w, lowFrac)
+    val v = sem match {
+      case None => Multimodal.mmGatedTickFrame(
+        dupRows.select("doc_id", "source", "text"), state, fuzzy,
+        imFlag, auFlag, w, lowFrac)
+      case Some(leg) => Multimodal.mmSemGatedTickFrame(
+        dupRows.select("doc_id", "source", "text"), state, fuzzy,
+        semFlags(st.text, leg, t, dupRows.select("doc_id")),
+        imFlag, auFlag, w, lowFrac)
+    }
     val admIds = v.filter(col("lq") === false).select("doc_id")
     val admDocs = dupRows.join(admIds, Seq("doc_id"), "left_semi")
     st.text.hashes.appendTickAt(t, v.filter(col("lq") === false)
@@ -1087,6 +1248,9 @@ object IngestLoop {
     st.audSigs.appendTickAt(t, admDocs
       .select(col("doc_id"), col("aud_sig").as("sig"))
       .filter(col("sig").isNotNull))
+    sem.foreach(leg => leg.sigs.appendTickAt(t,
+      graft.operators.SemanticGate.sigRowsOf(leg.vectors, admIds,
+        leg.nTables, leg.bits, leg.dim)))
     idx.foreach(_.appendDocsAt(t, admDocs))
     census.foreach(_.appendDocsAt(t, admDocs))
     ann.foreach { leg =>
@@ -1119,17 +1283,23 @@ object IngestLoop {
         .select(Seq(col("doc_id"), col("source"), col("tick"), col("lq")) ++
           (0 until QualityModel.NumW).map(j => col(s"x$j")): _*))
     }
-    Multimodal.mmReadjReport(v,
-      dupRows.select(col("doc_id"), col("verdict").as("verdict_t1")))
+    if (sem.isEmpty)
+      Multimodal.mmReadjReport(v,
+        dupRows.select(col("doc_id"), col("verdict").as("verdict_t1")))
+    else
+      Multimodal.mmSemReadjReport(v,
+        dupRows.select(col("doc_id"), col("verdict").as("verdict_t1")))
   }
 
   /** [[compactIfNeeded]] over all five multimodal stores — tombstones
     * fold out of every modality's state; cleared only when every store
     * folded (same read-path-idempotence argument). */
-  def compactMmIfNeeded(st: MmStores, maxDataFiles: Long = 64): Boolean = {
-    val need = st.all.exists(_.dataFileCount > maxDataFiles)
+  def compactMmIfNeeded(st: MmStores, maxDataFiles: Long = 64,
+                        sem: Option[SemLeg] = None): Boolean = {
+    val all = st.all ++ sem.map(_.sigs)
+    val need = all.exists(_.dataFileCount > maxDataFiles)
     if (need) {
-      val folded = st.all.map(_.compactWith(df => resolved(st.text, df)))
+      val folded = all.map(_.compactWith(df => resolved(st.text, df)))
       if (st.text.tombs.current().isDefined && folded.forall(_ > 0))
         st.text.tombs.reset()
     }

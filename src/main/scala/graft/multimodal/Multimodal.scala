@@ -617,6 +617,86 @@ object Multimodal {
     j.join(lq, col("doc_id") === col("lqid"), "left").localCheckpoint()
   }
 
+  /** [[mmGatedTickFrame]] with the SEMANTIC class spliced between the
+    * fuzzy-text and image legs — the q135 precedence in the unified
+    * loop: exact → fuzzy → SEMANTIC → image → audio → quality
+    * ([[graft.io.IngestLoop.runMmTick]] with a
+    * [[graft.io.IngestLoop.SemLeg]]). */
+  private[graft] def mmSemGatedTickFrame(batch: DataFrame, state: DataFrame,
+                                         fuzzyIds: DataFrame,
+                                         semIds: DataFrame,
+                                         imgIds: DataFrame,
+                                         audIds: DataFrame, w: Seq[Double],
+                                         lowFrac: Double): DataFrame = {
+    import graft.operators.{Provenance, QualityModel}
+    val j = batch
+      .select(col("doc_id"), col("source"),
+        Provenance.contentHash60(col("text")).as("h"))
+      .join(state, col("h") === col("ch"), "left")
+      .join(fuzzyIds.select("fid"), col("doc_id") === col("fid"), "left")
+      .join(semIds.select("sid"), col("doc_id") === col("sid"), "left")
+      .join(imgIds.select("ifid"), col("doc_id") === col("ifid"), "left")
+      .join(audIds.select("afid"), col("doc_id") === col("afid"), "left")
+      .join(QualityModel.scores(batch, w), "doc_id")
+      .localCheckpoint()
+    val lq = j.filter(col("ch").isNull && col("fid").isNull &&
+        col("sid").isNull && col("ifid").isNull && col("afid").isNull)
+      .withColumn("lq", cume_dist().over(
+        org.apache.spark.sql.expressions.Window.orderBy("p", "doc_id"))
+        <= lowFrac)
+      .select(col("doc_id").as("lqid"), col("lq"))
+    j.join(lq, col("doc_id") === col("lqid"), "left").localCheckpoint()
+  }
+
+  /** Report of a [[mmSemGatedTickFrame]] — the q118 columns with
+    * `n_dup_semantic` in precedence position. */
+  private[graft] def mmSemGatedTickReport(v: DataFrame): DataFrame =
+    v.groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        count(col("ch")).as("n_dup_exact"),
+        count(when(col("ch").isNull, col("fid"))).as("n_dup_fuzzy"),
+        count(when(col("ch").isNull && col("fid").isNull, col("sid")))
+          .as("n_dup_semantic"),
+        count(when(col("ch").isNull && col("fid").isNull &&
+          col("sid").isNull, col("ifid"))).as("n_dup_image"),
+        count(when(col("ch").isNull && col("fid").isNull &&
+          col("sid").isNull && col("ifid").isNull, col("afid")))
+          .as("n_dup_audio"),
+        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+        count(when(col("lq") === false, lit(1))).as("n_new"))
+      .orderBy("source")
+
+  /** [[mmReadjReport]] over a sem-extended frame — the q133 columns
+    * with the semantic evidence class split out. */
+  private[graft] def mmSemReadjReport(vr: DataFrame, quar: DataFrame)
+      : DataFrame =
+    vr.join(quar.withColumnRenamed("doc_id", "qid"),
+        col("doc_id") === col("qid"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_quarantined"),
+        count(when(col("verdict_t1") === "dup_exact", lit(1)))
+          .as("n_exact_t1"),
+        count(when(col("verdict_t1") === "dup_fuzzy", lit(1)))
+          .as("n_fuzzy_t1"),
+        count(when(col("verdict_t1") === "dup_semantic", lit(1)))
+          .as("n_sem_t1"),
+        count(when(col("verdict_t1") === "dup_image", lit(1)))
+          .as("n_image_t1"),
+        count(when(col("verdict_t1") === "dup_audio", lit(1)))
+          .as("n_audio_t1"),
+        count(col("ch")).as("n_still_exact"),
+        count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy"),
+        count(when(col("ch").isNull && col("fid").isNull, col("sid")))
+          .as("n_still_semantic"),
+        count(when(col("ch").isNull && col("fid").isNull &&
+          col("sid").isNull, col("ifid"))).as("n_still_image"),
+        count(when(col("ch").isNull && col("fid").isNull &&
+          col("sid").isNull && col("ifid").isNull, col("afid")))
+          .as("n_still_audio"),
+        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+        count(when(col("lq") === false, lit(1))).as("n_readmitted"))
+      .orderBy("source")
+
   /** The per-source report of a [[mmGatedTickFrame]] — q103's columns
     * with the two modality verdicts spliced into the precedence. */
   private[graft] def mmGatedTickReport(v: DataFrame): DataFrame =

@@ -203,6 +203,56 @@ class MmIngestSpec extends AnyFunSuite {
     assert(exB.maxTick === 2L)
   }
 
+  test("semantic leg in the unified mm loop: dup_semantic fires between fuzzy and image; takedown + mm re-adjudication recover it") {
+    val root = Files.createTempDirectory("graft_mm_sem").toString
+    val emb = Tables.load(spark, sf, "embeddings")
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    val t1 = docs.filter(m >= 10)
+    val t2 = docs.filter(m === 0)
+    val w = QualityModel.weights(corpus,
+      scope = s"multitick${Provenance.BatchMod}")
+
+    val st = IngestLoop.mmStores(spark, root, "mmsem")
+    IngestLoop.bootstrapMm(st, corpus)
+    val leg = IngestLoop.semLeg(spark, root, "mmsem", emb)
+    IngestLoop.bootstrapSem(leg, corpus)
+    val quar = IngestLoop.quarantine(spark, root, "mmsem")
+    IngestLoop.bootstrapMmQuarantine(quar, corpus)
+    val rep1 = IngestLoop.runMmTick(st, t1, w, sem = Some(leg),
+      quar = Some(quar)).collect()
+    // sem report: src, n_batch, exact, fuzzy, SEMANTIC, image, audio,
+    // lowq, new
+    assert(rep1.map(_.getLong(4)).sum > 0,
+      "tick 1's semantic leg must fire in the unified loop")
+    assert(rep1.map(_.getLong(5)).sum > 0 && rep1.map(_.getLong(6)).sum > 0,
+      "the image/audio legs must keep firing next to the semantic one")
+    IngestLoop.runMmTick(st, t2, w, sem = Some(leg), quar = Some(quar))
+    assert(quar.rows.current().get.filter(col("doc_id") === 425L)
+      .select("verdict").collect().map(_.getString(0)).toSeq
+      === Seq("dup_semantic"),
+      "doc 425 must quarantine as dup_semantic in the mm loop too")
+
+    // takedown via the mm form (all stores advance together), then the
+    // mm re-adjudication with the semantic leg re-admits 425
+    val retracted = st.text.hashes.current().get.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
+        Provenance.RetractRem)
+    IngestLoop.retractMmTick(st, retracted, quar = Some(quar),
+      sem = Some(leg))
+    assert((st.all.map(_.maxTick) :+ leg.sigs.maxTick).distinct.size === 1,
+      "the sem sig store advances with the mm takedown tick")
+    val rep = IngestLoop.readjudicateMmTick(st, quar, w, sem = Some(leg))
+      .collect()
+    // sem readj report: src, n_quarantined, exact_t1, fuzzy_t1, sem_t1,
+    // image_t1, audio_t1, still_exact, still_fuzzy, still_semantic,
+    // still_image, still_audio, lowq, readmitted
+    assert(rep.map(_.getLong(4)).sum > 0, "dup_semantic rows re-judge")
+    assert(quar.resolvedIds.current().get
+      .filter(col("doc_id") === 425L).count() === 1L,
+      "doc 425 re-admits once its only partner is retracted")
+  }
+
   test("mm re-adjudication (q133): store ≡ live; cross-modality evidence holds what text-only judging would release; fold-back") {
     val root = Files.createTempDirectory("graft_mm_readj").toString
     val m = pmod(col("doc_id"), lit(Provenance.BatchMod))

@@ -1,0 +1,194 @@
+package graft.io
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.operators.{Provenance, QualityModel, SemanticGate}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SEMANTIC-DEDUP admission leg (q135's deployment form,
+  * [[IngestLoop.SemLeg]]): the verdict precedence extended to
+  * exact → fuzzy → semantic → quality against MAINTAINED RP-LSH
+  * signature state — fold-back decisive (a near-semantic dup of a
+  * tick-1 admission rejects at tick 2), takedown decisive (a doc whose
+  * only semantic partner was retracted re-admits), crash replay across
+  * the sig store, the dup_semantic quarantine loop, and
+  * tombstone-folding compaction reaching the sig store. sf0.01 (the
+  * planted embedding pair structure: t2 doc 425's only partner is
+  * corpus doc 7, which is in the q117 retraction class; t2 docs
+  * 238/204/85 partner tick-1 docs that survive it). */
+class SemIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def docs = Tables.load(spark, sf, "documents")
+  private def emb = Tables.load(spark, sf, "embeddings")
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(i =>
+      if (r.isNullAt(i)) null else r.get(i)))
+
+  private def m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+  private def corpus = docs.filter(m.between(1, 9))
+  private def t1 = docs.filter(m >= 10)
+  private def t2 = docs.filter(m === 0)
+  private def weights = QualityModel.weights(corpus,
+    scope = s"multitick${Provenance.BatchMod}")
+
+  private def build(root: String, name: String)
+      : (IngestLoop.Stores, IngestLoop.SemLeg) = {
+    val st = IngestLoop.stores(spark, root, name)
+    val leg = IngestLoop.semLeg(spark, root, name, emb)
+    IngestLoop.bootstrap(st, corpus)
+    IngestLoop.bootstrapSem(leg, corpus)
+    (st, leg)
+  }
+
+  private def retractQ117Class(st: IngestLoop.Stores,
+                               sem: IngestLoop.SemLeg,
+                               quar: Option[IngestLoop.Quarantine] = None)
+      : Unit = {
+    val retracted = st.hashes.current().get.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
+        Provenance.RetractRem)
+    IngestLoop.retractTick(st, retracted, sem = Some(sem), quar = quar)
+  }
+
+  test("store-backed semantic loop ≡ live q135 across both ticks and the takedown") {
+    val root = Files.createTempDirectory("graft_sem_live").toString
+    val live = rows(SemanticGate.q135SemanticAdmission(docs, emb))
+    def tickOf(k: Int) = live.filter(_(0) == k)
+      .map(r => r.slice(1, 8)) // drop tick and n_sem_readmitted
+    assert(tickOf(1).map(_(4).asInstanceOf[Long]).sum > 0,
+      "tick 1's semantic leg must reject someone")
+    assert(tickOf(2).map(_(4).asInstanceOf[Long]).sum > 0,
+      "tick 2's semantic leg must reject someone (fold-back partners)")
+    assert(live.filter(_(0) == 2).map(_(8).asInstanceOf[Long]).sum > 0,
+      "the takedown must re-admit a semantically flagged doc")
+
+    val (st, leg) = build(root, "sem1")
+    val rep1 = rows(IngestLoop.runTick(st, t1, weights, sem = Some(leg)))
+    assert(rep1 === tickOf(1),
+      "tick 1 store report must equal the live q135 tick 1")
+    retractQ117Class(st, leg)
+    val rep2 = rows(IngestLoop.runTick(st, t2, weights, sem = Some(leg)))
+    assert(rep2 === tickOf(2),
+      "post-takedown tick 2 store report must equal the live q135 tick 2")
+  }
+
+  test("fold-back is decisive: tick-2 semantic rejects come from TICK-1 ADMISSIONS' signatures, absent in a bootstrap-only control") {
+    val root = Files.createTempDirectory("graft_sem_fold").toString
+    val (st, leg) = build(root, "fold")
+    IngestLoop.runTick(st, t1, weights, sem = Some(leg))
+    retractQ117Class(st, leg)
+    val rep2 = IngestLoop.runTick(st, t2, weights, sem = Some(leg)).collect()
+
+    // control: NO tick 1 — the same takedown class over the corpus
+    // alone, then tick 2. t2's only corpus semantic partner (doc 7) is
+    // in the retraction class, so the control's semantic leg is idle:
+    // every tick-2 semantic reject above was held by a tick-1
+    // admission's signature.
+    val (stC, legC) = build(root, "fold_ctrl")
+    retractQ117Class(stC, legC)
+    val rep2C = IngestLoop.runTick(stC, t2, weights, sem = Some(legC))
+      .collect()
+    assert(rep2.map(_.getLong(4)).sum > 0)
+    assert(rep2C.map(_.getLong(4)).sum === 0L,
+      "control: with tick-1 signatures never folded and the corpus " +
+        "partner retracted, no tick-2 doc has semantic evidence")
+  }
+
+  test("takedown is decisive: doc 425 (only partner = retracted corpus doc 7) is dup_semantic without the takedown, admits with it") {
+    val root = Files.createTempDirectory("graft_sem_td").toString
+    // no-takedown world: 425 is semantically rejected
+    val (stN, legN) = build(root, "td_no")
+    val quarN = IngestLoop.quarantine(spark, root, "td_no")
+    IngestLoop.bootstrapQuarantine(quarN, corpus)
+    IngestLoop.runTick(stN, t1, weights, sem = Some(legN),
+      quar = Some(quarN))
+    IngestLoop.runTick(stN, t2, weights, sem = Some(legN),
+      quar = Some(quarN))
+    val v425 = quarN.rows.current().get.filter(col("doc_id") === 425L)
+      .select("verdict").collect()
+    assert(v425.map(_.getString(0)).toSeq === Seq("dup_semantic"),
+      "without the takedown, doc 425 must quarantine as dup_semantic")
+
+    // takedown world: doc 7 leaves the sig state, 425 admits
+    val (stT, legT) = build(root, "td_yes")
+    IngestLoop.runTick(stT, t1, weights, sem = Some(legT))
+    retractQ117Class(stT, legT)
+    IngestLoop.runTick(stT, t2, weights, sem = Some(legT))
+    assert(stT.hashes.current().get.filter(col("doc_id") === 425L).count()
+      === 1L, "with doc 7 retracted, 425 must fold into the state")
+  }
+
+  test("crash replay: a lagging sig store forces the whole tick to be REDONE under the semantic gate") {
+    val root = Files.createTempDirectory("graft_sem_crash").toString
+    val (stA, legA) = build(root, "clean")
+    val repClean = rows(IngestLoop.runTick(stA, t1, weights,
+      sem = Some(legA)))
+
+    // crashed run: the three dedup folds landed (a tick run WITHOUT
+    // the sem leg is exactly that crash point), the sig store lags
+    val (stB, legB) = build(root, "crash")
+    IngestLoop.runTick(stB, t1, weights)
+    assert(stB.shingles.maxTick === 2L && legB.sigs.maxTick === 1L,
+      "precondition: dedup stores at tick 2, the sig store lags")
+    val replayed = rows(IngestLoop.runTick(stB, t1, weights,
+      sem = Some(legB)))
+    assert(replayed === repClean,
+      "the redone tick must judge under the semantic gate exactly " +
+        "like the clean run")
+    assert(legB.sigs.maxTick === 2L)
+  }
+
+  test("quarantine loop: a dup_semantic rejection re-adjudicates after its partner's takedown; resubmitted copy rejects; compaction folds the sig store") {
+    val root = Files.createTempDirectory("graft_sem_quar").toString
+    val (st, leg) = build(root, "quar")
+    val quar = IngestLoop.quarantine(spark, root, "quar")
+    IngestLoop.bootstrapQuarantine(quar, corpus)
+    IngestLoop.runTick(st, t1, weights, sem = Some(leg), quar = Some(quar))
+    IngestLoop.runTick(st, t2, weights, sem = Some(leg), quar = Some(quar))
+    val nSemQuar = quar.rows.current().get
+      .filter(col("verdict") === "dup_semantic").count()
+    assert(nSemQuar > 0, "the tick must quarantine semantic rejections")
+
+    retractQ117Class(st, leg, quar = Some(quar))
+    val rep = IngestLoop.readjudicateTick(st, quar, weights,
+      sem = Some(leg)).collect()
+    // extended report: source, n_quarantined, n_exact_t1, n_fuzzy_t1,
+    // n_sem_t1, n_still_exact, n_still_fuzzy, n_still_semantic,
+    // n_low_quality, n_readmitted
+    assert(rep.map(_.getLong(4)).sum === nSemQuar,
+      "every quarantined dup_semantic row re-judges")
+    assert(rep.map(_.getLong(9)).sum > 0, "the takedown must re-admit")
+    assert(quar.resolvedIds.current().get
+      .filter(col("doc_id") === 425L).count() === 1L,
+      "doc 425 (partner retracted) must re-admit and resolve")
+
+    // fold-back: 425's exact copy now rejects
+    val resub = IngestLoop.runTick(st, docs.filter(col("doc_id") === 425L),
+      weights, sem = Some(leg)).collect()
+    assert(resub.map(_.getLong(2)).sum === 1L,
+      "the re-admitted doc's resubmitted copy must be dup_exact")
+
+    // compaction folds tombstones into the sig store too (the
+    // compactIfNeeded sem contract): the RESOLVED sig relation — what
+    // every semantic flag probes — is bit-identical across the fold,
+    // and the fold leaves no retracted doc's rows behind to resurface
+    // after the tombstone clear
+    val liveSigs = IngestLoop.resolved(st, leg.sigs.current().get)
+      .collect().map(_.toSeq).toSet
+    assert(IngestLoop.compactIfNeeded(st, maxDataFiles = 1,
+      sem = Some(leg)))
+    assert(st.tombs.current().isEmpty, "tombstones cleared after the fold")
+    assert(IngestLoop.resolved(st, leg.sigs.current().get)
+      .collect().map(_.toSeq).toSet === liveSigs,
+      "the resolved sig state must be identical across the fold")
+    assert(leg.sigs.current().get.join(
+        st.hashes.current().get.select("doc_id"),
+        Seq("doc_id"), "left_anti").isEmpty,
+      "after the fold, every surviving sig row's doc is still ingested")
+  }
+}
