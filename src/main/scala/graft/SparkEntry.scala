@@ -507,6 +507,7 @@ object SparkEntry {
       Provenance.q134QualityReadjudication(_)),
     "q135_semantic_admission" -> ((s, dir) => SemanticGate.q135SemanticAdmission(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
+    "q136_decontam_tick" -> t("documents")(Decontam.q136DecontamTick(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -647,5 +648,6 @@ object SparkEntry {
     "q133_mm_readjudication" -> graft.multimodal.Multimodal.q133Sql(),
     "q134_quality_readjudication" -> Provenance.q134Sql(),
     "q135_semantic_admission" -> SemanticGate.q135Sql(),
+    "q136_decontam_tick" -> Decontam.q136Sql(),
   )
 }

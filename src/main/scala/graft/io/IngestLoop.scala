@@ -116,10 +116,11 @@ object IngestLoop {
                   model: Option[ArtifactStore.ModelStore] = None,
                   quar: Option[Quarantine] = None,
                   replay: Option[ReplayLeg] = None,
-                  sem: Option[SemLeg] = None)
+                  sem: Option[SemLeg] = None,
+                  eval: Option[EvalLeg] = None)
       : Long =
     retractTickImpl(st, Seq.empty, docIds, idx, census, ann, export, mix,
-      model, quar, replay, sem)
+      model, quar, replay, sem, eval)
 
   /** [[retractTick]] for a MULTIMODAL loop: the per-modality signature
     * stores advance with the takedown tick too, so the next
@@ -136,10 +137,11 @@ object IngestLoop {
                     model: Option[ArtifactStore.ModelStore] = None,
                     quar: Option[Quarantine] = None,
                     replay: Option[ReplayLeg] = None,
-                    sem: Option[SemLeg] = None)
+                    sem: Option[SemLeg] = None,
+                    eval: Option[EvalLeg] = None)
       : Long =
     retractTickImpl(st.text, Seq(st.imgSigs, st.audSigs), docIds, idx,
-      census, ann, export, mix, model, quar, replay, sem)
+      census, ann, export, mix, model, quar, replay, sem, eval)
 
   /** A TAKEDOWN IS A TICK (review finding, closed): the subtraction
     * legs (census, mix) land their negative increments as tick-keyed
@@ -175,7 +177,8 @@ object IngestLoop {
                               model: Option[ArtifactStore.ModelStore],
                               quar: Option[Quarantine],
                               replay: Option[ReplayLeg],
-                              sem: Option[SemLeg] = None)
+                              sem: Option[SemLeg] = None,
+                              eval: Option[EvalLeg] = None)
       : Long = {
     // Docs already tombstoned are dropped BEFORE any leg runs: the
     // anti-join legs (dedup stores, BM25 postings, IVF-PQ codes) are
@@ -188,12 +191,13 @@ object IngestLoop {
         ids.join(tb.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
       .localCheckpoint()
     if (fresh.isEmpty) return st.tombs.maxTick // complete-replay no-op
-    // the semantic leg's sig rows carry doc_id, so the shared tombstone
-    // anti-join IS its retraction (the bands/shingles algebra) — it
-    // only needs the empty takedown tick for the agreement
+    // the semantic leg's sig rows and the decontam leg's docGram rows
+    // carry doc_id, so the shared tombstone anti-join IS their
+    // retraction (the bands/shingles algebra) — they only need the
+    // empty takedown tick for the agreement
     val dataStores = Seq(st.hashes, st.bands, st.shingles) ++ extraStores ++
       quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds)) ++
-      replay.map(_.feats) ++ sem.map(_.sigs)
+      replay.map(_.feats) ++ sem.map(_.sigs) ++ eval.map(_.docGrams)
     val k = nextTickOf((dataStores ++ idx.map(_.tfStore)
       ++ census.map(_._1.censusStore) ++ ann.map(_.codeStore)
       ++ mix.map(_._1.mixStore)).map(_.maxTick)
@@ -314,13 +318,14 @@ object IngestLoop {
                        mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                        quar: Option[Quarantine] = None,
                        replay: Option[ReplayLeg] = None,
-                       sem: Option[SemLeg] = None)
+                       sem: Option[SemLeg] = None,
+                       eval: Option[EvalLeg] = None)
       : Long =
     nextTickOf((Seq(st.hashes, st.bands, st.shingles) ++ idx.map(_.tfStore)
       ++ census.map(_.censusStore) ++ ann.map(_.idx.codeStore)
       ++ mix.map(_.mixStore)
       ++ quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds))
-      ++ replay.map(_.feats) ++ sem.map(_.sigs))
+      ++ replay.map(_.feats) ++ sem.map(_.sigs) ++ eval.map(_.docGrams))
       .map(_.maxTick) ++ export.map(_.store.maxTick))
 
   /** The QUOTA leg of a budgeted deployment tick (q130,
@@ -463,6 +468,129 @@ object IngestLoop {
       leg.vectors, batchIds,
       leg.nTables, leg.bits, leg.dim, leg.simThreshold)
 
+  /** The DECONTAMINATION leg of a deployment tick (q136,
+    * [[graft.operators.Decontam.q136DecontamTick]]) — the verdict
+    * precedence extends to … → CONTAMINATED → low_quality: the loop
+    * maintains EVAL-SET state (verbatim 8-gram hashes, the q66 rule,
+    * plus the q88 fuzzy band/shingle state — both keyed by the eval
+    * item's id) and flags batch docs hitting a LIVE eval item on
+    * either channel. `docGrams` is the corpus-side doc-granular gram
+    * state (doc_id, h) of every ADMITTED doc — the reverse index that
+    * makes an eval-set ADDITION reach backward ([[evalUpdateTick]]'s
+    * retro-catch) with zero corpus-text re-reads; it folds per loop
+    * tick, participates in the tick agreement, and retracts through
+    * the shared corpus tombstones like every doc-keyed store. The
+    * eval-side stores have their OWN lineage (an eval update is a
+    * quiesce-point operation like a takedown, never a loop tick);
+    * withdrawals tombstone eval ids in `tombs` — every eval-state read
+    * resolves through it, so a withdrawal takes effect without
+    * rewriting any row, and [[readjudicateTick]] with this leg
+    * re-judges quarantined `contaminated` docs against the live set
+    * (the q131 shape: an eval set is to contamination what state rows
+    * are to dup verdicts). DecontamIngestSpec pins store ≡ live q136,
+    * both update directions, crash replay, and the quarantine loop. */
+  final case class EvalLeg(grams: ArtifactStore.IngestStateStore,
+                           bands: ArtifactStore.IngestStateStore,
+                           shingles: ArtifactStore.IngestStateStore,
+                           tombs: ArtifactStore.IngestStateStore,
+                           docGrams: ArtifactStore.IngestStateStore,
+                           n: Int = graft.operators.Decontam.DefaultN,
+                           threshold: Double = 0.2)
+
+  def evalLeg(spark: SparkSession, root: String, name: String,
+              n: Int = graft.operators.Decontam.DefaultN,
+              threshold: Double = 0.2): EvalLeg =
+    EvalLeg(
+      ArtifactStore.ingestState(spark, root, s"$name/eval_grams"),
+      ArtifactStore.ingestState(spark, root, s"$name/eval_bands"),
+      ArtifactStore.ingestState(spark, root, s"$name/eval_shingles"),
+      ArtifactStore.ingestState(spark, root, s"$name/eval_tombs"),
+      ArtifactStore.ingestState(spark, root, s"$name/doc_grams"),
+      n, threshold)
+
+  /** IDEMPOTENT tick-1 bootstrap of a decontamination leg: the
+    * corpus's doc-granular grams (the retro-catch reverse index) and
+    * the initial eval set's gram/band/shingle state. Decontaminating
+    * the EXISTING corpus against the initial set is the caller's
+    * bootstrap pass (q66/q88) — this leg maintains cleanliness from
+    * here on. */
+  def bootstrapEval(leg: EvalLeg, corpusDocs: DataFrame,
+                    evalDocs: DataFrame): Unit = {
+    leg.docGrams.appendTickAt(1,
+      graft.operators.Contamination.grams(corpusDocs, leg.n))
+    leg.grams.appendTickAt(1,
+      graft.operators.Contamination.grams(evalDocs, leg.n))
+    leg.bands.appendTickAt(1, Fuzzy.corpusBandState(evalDocs))
+    leg.shingles.appendTickAt(1, Fuzzy.corpusShingleHashes(evalDocs))
+  }
+
+  /** An eval-state frame minus withdrawn items — the eval twin of
+    * [[resolved]]. */
+  private def resolvedEval(leg: EvalLeg, df: DataFrame): DataFrame =
+    leg.tombs.current().fold(df)(tb =>
+      df.join(tb.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+
+  /** Batch ids contaminated by the LIVE eval set, both channels —
+    * verbatim gram hits + verified fuzzy near-dups (the q136 rule). */
+  private def contamFlags(leg: EvalLeg, batchDocs: DataFrame): DataFrame = {
+    val vb = graft.operators.Contamination.grams(batchDocs, leg.n)
+      .join(resolvedEval(leg, leg.grams.current().getOrElse(
+          sys.error("eval leg not bootstrapped: no gram base")))
+        .select("h"), Seq("h"), "left_semi")
+      .select("doc_id")
+    val fz = Fuzzy.lshPairsAgainstState(
+        resolvedEval(leg, leg.bands.current().get),
+        resolvedEval(leg, leg.shingles.current().get),
+        batchDocs, leg.threshold)
+      .select(col("eval_id").as("doc_id"))
+    vb.union(fz).distinct().select(col("doc_id").as("cid"))
+  }
+
+  /** EVAL-SET UPDATE — a quiesce-point operation (like a takedown or a
+    * compaction: no tick in flight; a replayed crashed update passes
+    * the same `updateId` and overwrites idempotently): `withdrawIds`
+    * tombstone out of every eval-state read, `addDocs`' gram/band/
+    * shingle rows append, and the RETRO-CATCH runs — ingested docs
+    * hitting the ADDED items on either channel, probed from the
+    * maintained `docGrams` reverse index and the loop's own
+    * band/shingle state, with zero corpus-text reads. Returns the
+    * caught doc ids (severed): the deployment passes them to
+    * [[retractTick]] (the measured choice) and then re-adjudicates the
+    * quarantine with the leg attached (withdrawals re-open past
+    * contamination verdicts — the other direction). */
+  def evalUpdateTick(st: Stores, leg: EvalLeg, addDocs: DataFrame,
+                     withdrawIds: DataFrame,
+                     updateId: Long = -1L): DataFrame = {
+    val u = if (updateId > 0) updateId else leg.grams.maxTick + 1
+    leg.tombs.appendTickAt(u, withdrawIds.select("doc_id"))
+    leg.grams.appendTickAt(u,
+      graft.operators.Contamination.grams(addDocs, leg.n))
+    leg.bands.appendTickAt(u, Fuzzy.corpusBandState(addDocs))
+    leg.shingles.appendTickAt(u, Fuzzy.corpusShingleHashes(addDocs))
+    val vb = resolved(st, leg.docGrams.current().getOrElse(
+        sys.error("eval leg not bootstrapped: no docGrams base")))
+      .join(graft.operators.Contamination.grams(addDocs, leg.n)
+        .select("h"), Seq("h"), "left_semi")
+      .select("doc_id")
+    val fz = Fuzzy.lshPairsAgainstState(
+        resolved(st, st.bands.current().get),
+        resolved(st, st.shingles.current().get),
+        addDocs, leg.threshold)
+      .select(col("train_id").as("doc_id"))
+    vb.union(fz).distinct().localCheckpoint()
+  }
+
+  /** Fold the eval-side stores' withdrawals into their generations and
+    * clear the eval tombstones — the [[compactIfNeeded]] discipline on
+    * the eval lineage (run at quiesce points). */
+  def compactEval(leg: EvalLeg,
+                  targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val folded = Seq(leg.grams, leg.bands, leg.shingles)
+      .map(_.compactWith(df => resolvedEval(leg, df), targetBytes))
+    if (leg.tombs.current().isDefined && folded.forall(_ > 0))
+      leg.tombs.reset()
+  }
+
   /** The ANN SERVING leg of a deployment tick (q124,
     * [[graft.operators.Pq.q124AnnIngestTick]]): the loop additionally
     * maintains an IVF-PQ index over the admitted docs' embeddings —
@@ -516,9 +644,10 @@ object IngestLoop {
               threshold: Double = 0.2, lowFrac: Double = 0.25,
               quar: Option[Quarantine] = None,
               replay: Option[ReplayLeg] = None,
-              sem: Option[SemLeg] = None): DataFrame =
+              sem: Option[SemLeg] = None,
+              eval: Option[EvalLeg] = None): DataFrame =
     runTickImpl(st, None, batchDocs, w, threshold, lowFrac, quar = quar,
-      replay = replay, sem = sem)
+      replay = replay, sem = sem, eval = eval)
 
   private def runTickImpl(st: Stores,
                           idx: Option[ArtifactStore.Bm25IncrementalIndex],
@@ -532,9 +661,11 @@ object IngestLoop {
                           quota: Option[QuotaLeg] = None,
                           quar: Option[Quarantine] = None,
                           replay: Option[ReplayLeg] = None,
-                          sem: Option[SemLeg] = None)
+                          sem: Option[SemLeg] = None,
+                          eval: Option[EvalLeg] = None)
       : DataFrame = {
-    val t = nextTick(st, idx, census, ann, export, mix, quar, replay, sem)
+    val t = nextTick(st, idx, census, ann, export, mix, quar, replay, sem,
+      eval)
     // every state read resolves through the tombstone store: retracted
     // docs' rows are invisible whether or not a compaction folded them
     val state = resolved(st, st.hashes.currentUpTo(t - 1).getOrElse(
@@ -545,26 +676,32 @@ object IngestLoop {
         resolved(st, st.shingles.currentUpTo(t - 1).get),
         batchDocs, threshold)
       .select(col("eval_id").as("fid")).distinct()
-    // the q103/q106 kernel — or, with a SEMANTIC leg (q135), the
-    // extended precedence exact → fuzzy → semantic → quality; the
-    // returned frame is checkpointed, so the fold-back writes and the
-    // report never re-run the chain
-    val v = sem match {
-      case None =>
+    // the q103/q106 kernel — or, with extra evidence legs attached
+    // (q135 semantic, q136 contamination), the extended precedence
+    // exact → fuzzy → semantic → contaminated → quality; the returned
+    // frame is checkpointed, so the fold-back writes and the report
+    // never re-run the chain
+    val extras: Seq[(String, DataFrame)] =
+      sem.map(leg => ("sid",
+        semFlags(st, leg, t, batchDocs.select("doc_id")))).toSeq ++
+      eval.map(leg => ("cid", contamFlags(leg, batchDocs))).toSeq
+    val extraNames = Map("sid" -> "n_dup_semantic",
+      "cid" -> "n_contaminated")
+    val v =
+      if (extras.isEmpty)
         Provenance.gatedTickFrame(batchDocs, state, fuzzy, w, lowFrac)
-      case Some(leg) =>
-        graft.operators.SemanticGate.semGatedTickFrame(batchDocs, state,
-          fuzzy, semFlags(st, leg, t, batchDocs.select("doc_id")),
+      else
+        Provenance.gatedTickFrameWith(batchDocs, state, fuzzy, extras,
           w, lowFrac)
-    }
     // the admitted set: every novel doc — or, on a BUDGETED tick
     // (q130), the quality-ranked under-budget prefix per source, with
     // budgets derived from the maintained mix counts
     val (admIds, report) = quota match {
       case None =>
         (v.filter(col("lq") === false).select("doc_id"),
-          if (sem.isEmpty) Provenance.gatedTickReport(v)
-          else graft.operators.SemanticGate.semGatedTickReport(v))
+          if (extras.isEmpty) Provenance.gatedTickReport(v)
+          else Provenance.gatedTickReportWith(v,
+            extras.map { case (c, _) => (c, extraNames(c)) }))
       case Some(q) =>
         val srcCounts = q.mix.mix()
           .select(col("source"), col("n_docs").as("n_src"))
@@ -572,19 +709,28 @@ object IngestLoop {
           q.budgetFrac)
         val rep = Provenance.budgetedTickReport(v, bf, srcCounts,
           q.budgetFrac)
-        // a budgeted tick WITH the semantic leg: splice the class count
-        // into the q130 columns (the budget algebra itself is
+        // a budgeted tick WITH extra evidence legs: splice the class
+        // counts into the q130 columns (the budget algebra itself is
         // class-agnostic — it ranks the post-gate novel set)
-        val rep2 = if (sem.isEmpty) rep else rep
-          .join(v.groupBy("source")
-            .agg(count(when(col("ch").isNull && col("fid").isNull,
-              col("sid"))).as("n_dup_semantic")), Seq("source"), "left")
-          .select(col("source"), col("n_batch"), col("n_dup_exact"),
-            col("n_dup_fuzzy"), col("n_dup_semantic"),
-            col("n_low_quality"), col("n_novel"), col("novel_tokens"),
-            col("budget_tokens"), col("n_admitted"),
-            col("admitted_tokens"), col("n_over_budget"))
-          .orderBy("source")
+        val rep2 = if (extras.isEmpty) rep else {
+          var prev: org.apache.spark.sql.Column =
+            col("ch").isNull && col("fid").isNull
+          val clsAggs = extras.map { case (c, _) =>
+            val e = count(when(prev, col(c))).as(extraNames(c))
+            prev = prev && col(c).isNull
+            e
+          }
+          val cls = v.groupBy("source").agg(clsAggs.head, clsAggs.tail: _*)
+          rep.join(cls, Seq("source"), "left")
+            .select((Seq(col("source"), col("n_batch"),
+              col("n_dup_exact"), col("n_dup_fuzzy")) ++
+              extras.map { case (c, _) => col(extraNames(c)) } ++
+              Seq(col("n_low_quality"), col("n_novel"),
+                col("novel_tokens"), col("budget_tokens"),
+                col("n_admitted"), col("admitted_tokens"),
+                col("n_over_budget"))): _*)
+            .orderBy("source")
+        }
         (bf.filter(col("admitted")).select("doc_id"), rep2)
     }
     val admDocs = batchDocs.join(admIds, Seq("doc_id"), "left_semi")
@@ -605,6 +751,10 @@ object IngestLoop {
     sem.foreach(leg => leg.sigs.appendTickAt(t,
       graft.operators.SemanticGate.sigRowsOf(leg.vectors, admIds,
         leg.nTables, leg.bits, leg.dim)))
+    // DECONTAM leg (q136): admitted docs' gram rows — the reverse index
+    // an eval-set addition retro-catches from
+    eval.foreach(leg => leg.docGrams.appendTickAt(t,
+      graft.operators.Contamination.grams(admDocs, leg.n)))
     // EXPORT leg: admitted docs pack as this tick's epoch under the
     // frozen merges — the same admitted frame every other store folds
     export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
@@ -616,12 +766,14 @@ object IngestLoop {
     // empty frame so both quarantine stores stay in the tick agreement.
     quar.foreach { qs =>
       val sid = if (sem.isEmpty) lit(null).cast("long") else col("sid")
+      val cid = if (eval.isEmpty) lit(null).cast("long") else col("cid")
       val rej = v.filter(col("ch").isNotNull || col("fid").isNotNull ||
-          sid.isNotNull || col("lq") === true)
+          sid.isNotNull || cid.isNotNull || col("lq") === true)
         .withColumn("verdict",
           when(col("ch").isNotNull, lit("dup_exact"))
             .when(col("fid").isNotNull, lit("dup_fuzzy"))
             .when(sid.isNotNull, lit("dup_semantic"))
+            .when(cid.isNotNull, lit("contaminated"))
             .otherwise(lit("low_quality")))
         .join(batchDocs.select("doc_id", "text"), "doc_id")
         .select("doc_id", "source", "text", "verdict")
@@ -654,12 +806,16 @@ object IngestLoop {
     * Returns whether compaction ran. Run at quiesce points only (see
     * `IngestStateStore.currentUpTo`). */
   def compactIfNeeded(st: Stores, maxDataFiles: Long = 64,
-                      sem: Option[SemLeg] = None): Boolean = {
-    // an attached semantic leg's sig store resolves through st.tombs
-    // like the three dedup stores, so it MUST fold in the same pass —
-    // clearing the tombstones after folding only three stores would
-    // resurface retracted sig rows at the next semantic flag read
-    val all = Seq(st.hashes, st.bands, st.shingles) ++ sem.map(_.sigs)
+                      sem: Option[SemLeg] = None,
+                      eval: Option[EvalLeg] = None): Boolean = {
+    // an attached semantic leg's sig store (and a decontam leg's
+    // docGrams) resolves through st.tombs like the three dedup stores,
+    // so it MUST fold in the same pass — clearing the tombstones after
+    // folding only three stores would resurface retracted rows at the
+    // next flag read. (The eval-SIDE stores fold via compactEval —
+    // their tombstones are eval ids, a separate lineage.)
+    val all = Seq(st.hashes, st.bands, st.shingles) ++ sem.map(_.sigs) ++
+      eval.map(_.docGrams)
     val need = all.exists(_.dataFileCount > maxDataFiles)
     if (need) {
       val folded = all.map(_.compactWith(df => resolved(st, df)))
@@ -722,11 +878,12 @@ object IngestLoop {
                   mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                   quota: Option[QuotaLeg] = None,
                   quar: Option[Quarantine] = None,
-                  sem: Option[SemLeg] = None)
+                  sem: Option[SemLeg] = None,
+                  eval: Option[EvalLeg] = None)
       : DataFrame =
     runTickImpl(st, Some(idx), batchDocs, w, threshold, lowFrac,
       census = Some(census), ann = ann, export = export, mix = mix,
-      quota = quota, quar = quar, sem = sem)
+      quota = quota, quar = quar, sem = sem, eval = eval)
 
   /** One BUDGETED admission tick — the deployment form of
     * [[Provenance.q130BudgetedAdmission]]: the q103 gate runs
@@ -746,10 +903,12 @@ object IngestLoop {
                       mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                       quar: Option[Quarantine] = None,
                       replay: Option[ReplayLeg] = None,
-                      sem: Option[SemLeg] = None): DataFrame =
+                      sem: Option[SemLeg] = None,
+                      eval: Option[EvalLeg] = None): DataFrame =
     runTickImpl(st, idx, batchDocs, w, threshold, lowFrac,
       census = census, ann = ann, export = export, mix = mix,
-      quota = Some(quota), quar = quar, replay = replay, sem = sem)
+      quota = Some(quota), quar = quar, replay = replay, sem = sem,
+      eval = eval)
 
   /** RE-ADJUDICATE the quarantine — the deployment form of
     * [[Provenance.q131Readjudication]], run after a [[retractTick]]
@@ -795,22 +954,23 @@ object IngestLoop {
                        export: Option[ExportLeg] = None,
                        mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                        replay: Option[ReplayLeg] = None,
-                       sem: Option[SemLeg] = None)
+                       sem: Option[SemLeg] = None,
+                       eval: Option[EvalLeg] = None)
       : DataFrame = {
     val t = nextTick(st, idx, census, ann, export, mix, Some(quar), replay,
-      sem)
+      sem, eval)
     val rows = quar.rows.currentUpTo(t - 1).getOrElse(
       sys.error("quarantine not bootstrapped: no tick-1 base"))
     val liveRows = resolved(st,
       quar.resolvedIds.currentUpTo(t - 1)
         .fold(rows)(r => rows.join(r.select("doc_id").distinct(),
           Seq("doc_id"), "left_anti")))
-    // dup_semantic rows re-judge ONLY when the semantic leg is attached
-    // — without its state the re-judgment would silently skip the
-    // semantic gate and wrongly re-admit them
-    val dupClasses =
-      if (sem.isDefined) Seq("dup_exact", "dup_fuzzy", "dup_semantic")
-      else Seq("dup_exact", "dup_fuzzy")
+    // dup_semantic / contaminated rows re-judge ONLY when their leg is
+    // attached — without its state the re-judgment would silently skip
+    // that gate and wrongly re-admit them
+    val dupClasses = Seq("dup_exact", "dup_fuzzy") ++
+      (if (sem.isDefined) Seq("dup_semantic") else Nil) ++
+      (if (eval.isDefined) Seq("contaminated") else Nil)
     val dupRows = liveRows
       .filter(col("verdict").isin(dupClasses: _*))
       .join(liveRows.filter(col("verdict") === "low_quality")
@@ -824,13 +984,17 @@ object IngestLoop {
         resolved(st, st.shingles.currentUpTo(t - 1).get),
         dupRows, threshold)
       .select(col("eval_id").as("fid")).distinct()
-    val v = sem match {
-      case None => Provenance.gatedTickFrame(
+    val extras: Seq[(String, DataFrame)] =
+      sem.map(leg => ("sid",
+        semFlags(st, leg, t, dupRows.select("doc_id")))).toSeq ++
+      eval.map(leg => ("cid",
+        contamFlags(leg, dupRows.select("doc_id", "text")))).toSeq
+    val v =
+      if (extras.isEmpty) Provenance.gatedTickFrame(
         dupRows.select("doc_id", "source", "text"), state, fuzzy, w, lowFrac)
-      case Some(leg) => graft.operators.SemanticGate.semGatedTickFrame(
-        dupRows.select("doc_id", "source", "text"), state, fuzzy,
-        semFlags(st, leg, t, dupRows.select("doc_id")), w, lowFrac)
-    }
+      else Provenance.gatedTickFrameWith(
+        dupRows.select("doc_id", "source", "text"), state, fuzzy, extras,
+        w, lowFrac)
     val admIds = v.filter(col("lq") === false).select("doc_id")
     val admDocs = dupRows.join(admIds, Seq("doc_id"), "left_semi")
     st.hashes.appendTickAt(t, v.filter(col("lq") === false)
@@ -840,6 +1004,8 @@ object IngestLoop {
     sem.foreach(leg => leg.sigs.appendTickAt(t,
       graft.operators.SemanticGate.sigRowsOf(leg.vectors, admIds,
         leg.nTables, leg.bits, leg.dim)))
+    eval.foreach(leg => leg.docGrams.appendTickAt(t,
+      graft.operators.Contamination.grams(admDocs, leg.n)))
     idx.foreach(_.appendDocsAt(t, admDocs))
     census.foreach(_.appendDocsAt(t, admDocs))
     ann.foreach { leg =>
@@ -880,7 +1046,7 @@ object IngestLoop {
         .select(Seq(col("doc_id"), col("source"), col("tick"), col("lq")) ++
           (0 until QualityModel.NumW).map(j => col(s"x$j")): _*))
     }
-    if (sem.isEmpty)
+    if (extras.isEmpty)
       v.join(dupRows.select(col("doc_id").as("qid"),
           (col("verdict") === "dup_exact").as("was_exact")),
           col("doc_id") === col("qid"))
@@ -893,27 +1059,41 @@ object IngestLoop {
           count(when(col("lq") === true, lit(1))).as("n_low_quality"),
           count(when(col("lq") === false, lit(1))).as("n_readmitted"))
         .orderBy("source")
-    else
-      // the q131 columns with the semantic class split out — original
+    else {
+      // the q131 columns with each attached class split out — original
       // verdicts from the quarantine rows, re-judged ones from v
+      val clsInfo = Seq(
+        ("sid", "dup_semantic", "n_sem_t1", "n_still_semantic"),
+        ("cid", "contaminated", "n_contam_t1", "n_still_contaminated"))
+        .filter { case (c, _, _, _) => extras.exists(_._1 == c) }
+      val t1Aggs = Seq(
+        count(when(col("verdict_t1") === "dup_exact", lit(1)))
+          .as("n_exact_t1"),
+        count(when(col("verdict_t1") === "dup_fuzzy", lit(1)))
+          .as("n_fuzzy_t1")) ++
+        clsInfo.map { case (_, verdict, t1Name, _) =>
+          count(when(col("verdict_t1") === verdict, lit(1))).as(t1Name)
+        }
+      var prev: org.apache.spark.sql.Column =
+        col("ch").isNull && col("fid").isNull
+      val stillAggs = Seq(count(col("ch")).as("n_still_exact"),
+        count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy")) ++
+        clsInfo.map { case (c, _, _, stillName) =>
+          val e = count(when(prev, col(c))).as(stillName)
+          prev = prev && col(c).isNull
+          e
+        }
+      val aggs = Seq(count(lit(1)).as("n_quarantined")) ++ t1Aggs ++
+        stillAggs ++ Seq(
+        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+        count(when(col("lq") === false, lit(1))).as("n_readmitted"))
       v.join(dupRows.select(col("doc_id").as("qid"),
           col("verdict").as("verdict_t1")),
           col("doc_id") === col("qid"))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_quarantined"),
-          count(when(col("verdict_t1") === "dup_exact", lit(1)))
-            .as("n_exact_t1"),
-          count(when(col("verdict_t1") === "dup_fuzzy", lit(1)))
-            .as("n_fuzzy_t1"),
-          count(when(col("verdict_t1") === "dup_semantic", lit(1)))
-            .as("n_sem_t1"),
-          count(col("ch")).as("n_still_exact"),
-          count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy"),
-          count(when(col("ch").isNull && col("fid").isNull, col("sid")))
-            .as("n_still_semantic"),
-          count(when(col("lq") === true, lit(1))).as("n_low_quality"),
-          count(when(col("lq") === false, lit(1))).as("n_readmitted"))
+        .agg(aggs.head, aggs.tail: _*)
         .orderBy("source")
+    }
   }
 
   /** RE-GATE the quality window under a NEW model — the deployment

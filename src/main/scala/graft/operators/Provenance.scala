@@ -574,6 +574,58 @@ object Provenance {
     j.join(lq, col("doc_id") === col("lqid"), "left").localCheckpoint()
   }
 
+  /** [[gatedTickFrame]] generalized to EXTRA evidence classes spliced
+    * between the fuzzy and quality gates, in precedence order — the one
+    * kernel behind the q135 semantic leg (`sid`) and the q136
+    * decontamination leg (`cid`), alone or composed: each extra is a
+    * ≤1-match id join; the quality window ranks the docs NO class
+    * flagged. Same checkpoint discipline as the base kernel. */
+  private[graft] def gatedTickFrameWith(batch: DataFrame, state: DataFrame,
+                                        fuzzyIds: DataFrame,
+                                        extra: Seq[(String, DataFrame)],
+                                        w: Seq[Double],
+                                        lowFrac: Double): DataFrame = {
+    val j0 = batch
+      .select(col("doc_id"), col("source"), contentHash60(col("text")).as("h"))
+      .join(state, col("h") === col("ch"), "left")
+      .join(fuzzyIds.select("fid"), col("doc_id") === col("fid"), "left")
+    val j = extra.foldLeft(j0) { case (acc, (c, ids)) =>
+        acc.join(ids.select(c), col("doc_id") === col(c), "left")
+      }
+      .join(QualityModel.scores(batch, w), "doc_id")
+      .localCheckpoint()
+    val novel = (Seq("ch", "fid") ++ extra.map(_._1))
+      .map(col(_).isNull).reduce(_ && _)
+    val lq = j.filter(novel)
+      .withColumn("lq", cume_dist().over(
+        org.apache.spark.sql.expressions.Window.orderBy("p", "doc_id"))
+        <= lowFrac)
+      .select(col("doc_id").as("lqid"), col("lq"))
+    j.join(lq, col("doc_id") === col("lqid"), "left").localCheckpoint()
+  }
+
+  /** Per-source report of a [[gatedTickFrameWith]] frame: the q103
+    * columns with one precedence-positioned count per extra class
+    * (`extra` = (flag column, report column) pairs, gate order). */
+  private[graft] def gatedTickReportWith(v: DataFrame,
+                                         extra: Seq[(String, String)])
+      : DataFrame = {
+    var prev: org.apache.spark.sql.Column =
+      col("ch").isNull && col("fid").isNull
+    val extraAggs = extra.map { case (c, name) =>
+      val e = count(when(prev, col(c))).as(name)
+      prev = prev && col(c).isNull
+      e
+    }
+    val aggs = Seq(count(lit(1)).as("n_batch"),
+      count(col("ch")).as("n_dup_exact"),
+      count(when(col("ch").isNull, col("fid"))).as("n_dup_fuzzy")) ++
+      extraAggs ++ Seq(
+      count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+      count(when(col("lq") === false, lit(1))).as("n_new"))
+    v.groupBy("source").agg(aggs.head, aggs.tail: _*).orderBy("source")
+  }
+
   /** The per-source report of a [[gatedTickFrame]] (q103's columns). */
   private[graft] def gatedTickReport(v: DataFrame): DataFrame =
     v.groupBy("source")

@@ -128,36 +128,14 @@ object SemanticGate {
   private[graft] def semGatedTickFrame(batch: DataFrame, state: DataFrame,
                                        fuzzyIds: DataFrame,
                                        semIds: DataFrame, w: Seq[Double],
-                                       lowFrac: Double): DataFrame = {
-    val j = batch
-      .select(col("doc_id"), col("source"),
-        Provenance.contentHash60(col("text")).as("h"))
-      .join(state, col("h") === col("ch"), "left")
-      .join(fuzzyIds.select("fid"), col("doc_id") === col("fid"), "left")
-      .join(semIds.select("sid"), col("doc_id") === col("sid"), "left")
-      .join(QualityModel.scores(batch, w), "doc_id")
-      .localCheckpoint()
-    val lq = j.filter(col("ch").isNull && col("fid").isNull &&
-        col("sid").isNull)
-      .withColumn("lq", cume_dist().over(
-        org.apache.spark.sql.expressions.Window.orderBy("p", "doc_id"))
-        <= lowFrac)
-      .select(col("doc_id").as("lqid"), col("lq"))
-    j.join(lq, col("doc_id") === col("lqid"), "left").localCheckpoint()
-  }
+                                       lowFrac: Double): DataFrame =
+    Provenance.gatedTickFrameWith(batch, state, fuzzyIds,
+      Seq(("sid", semIds)), w, lowFrac)
 
   /** Per-source report of a [[semGatedTickFrame]] — q103's columns with
     * `n_dup_semantic` in precedence position. */
   private[graft] def semGatedTickReport(v: DataFrame): DataFrame =
-    v.groupBy("source")
-      .agg(count(lit(1)).as("n_batch"),
-        count(col("ch")).as("n_dup_exact"),
-        count(when(col("ch").isNull, col("fid"))).as("n_dup_fuzzy"),
-        count(when(col("ch").isNull && col("fid").isNull, col("sid")))
-          .as("n_dup_semantic"),
-        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
-        count(when(col("lq") === false, lit(1))).as("n_new"))
-      .orderBy("source")
+    Provenance.gatedTickReportWith(v, Seq(("sid", "n_dup_semantic")))
 
   /** q135: the SEMANTIC admission loop, decisive in BOTH directions in
     * one oracle-checked frame — three phases (the q117 shape with the
