@@ -508,6 +508,8 @@ object SparkEntry {
     "q135_semantic_admission" -> ((s, dir) => SemanticGate.q135SemanticAdmission(
       Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"))),
     "q136_decontam_tick" -> t("documents")(Decontam.q136DecontamTick(_)),
+    "q137_curated_foldback" -> t("documents")(
+      CurateTick.q137CuratedFoldback(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -649,5 +651,6 @@ object SparkEntry {
     "q134_quality_readjudication" -> Provenance.q134Sql(),
     "q135_semantic_admission" -> SemanticGate.q135Sql(),
     "q136_decontam_tick" -> Decontam.q136Sql(),
+    "q137_curated_foldback" -> CurateTick.q137Sql(),
   )
 }

@@ -579,7 +579,7 @@ object ArtifactStore {
     * via [[graft.operators.SubstringDedup.mergeCensus]], so the
     * generation holds one row per distinct gram. */
   final class GramCensusIncrementalIndex(spark: SparkSession, root: String,
-                                         name: String, k: Int) {
+                                         name: String, val k: Int) {
     val censusStore: IngestStateStore =
       ingestState(spark, root, s"$name/gram_census")
 

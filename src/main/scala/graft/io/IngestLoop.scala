@@ -319,13 +319,15 @@ object IngestLoop {
                        quar: Option[Quarantine] = None,
                        replay: Option[ReplayLeg] = None,
                        sem: Option[SemLeg] = None,
-                       eval: Option[EvalLeg] = None)
+                       eval: Option[EvalLeg] = None,
+                       curate: Option[CurateLeg] = None)
       : Long =
     nextTickOf((Seq(st.hashes, st.bands, st.shingles) ++ idx.map(_.tfStore)
       ++ census.map(_.censusStore) ++ ann.map(_.idx.codeStore)
       ++ mix.map(_.mixStore)
       ++ quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds))
-      ++ replay.map(_.feats) ++ sem.map(_.sigs) ++ eval.map(_.docGrams))
+      ++ replay.map(_.feats) ++ sem.map(_.sigs) ++ eval.map(_.docGrams)
+      ++ curate.map(_.census.censusStore))
       .map(_.maxTick) ++ export.map(_.store.maxTick))
 
   /** The QUOTA leg of a budgeted deployment tick (q130,
@@ -591,6 +593,24 @@ object IngestLoop {
       leg.tombs.reset()
   }
 
+  /** The CURATED FOLD-BACK leg of a deployment tick (q137,
+    * [[graft.operators.CurateTick.q137CuratedFoldback]]): admitted
+    * docs' text is TRANSFORMED — census-strip (q129's winner rule over
+    * the referenced maintained gram census, at ITS granularity) then
+    * PII scrub (q78) — before it reaches the SERVING consumers (BM25
+    * postings, packed export). Two-column provenance: the dedup stores
+    * and the quarantine keep the RAW text's evidence (a later raw copy
+    * still rejects; takedowns and re-adjudication see raw), and the
+    * census leg keeps folding RAW text (it is the strip-rule source).
+    * `census` is usually the SAME index passed as the tick's census
+    * leg — the agreement and fold-back handle either case without
+    * double-appending. CurateTickSpec pins store report ≡ live q137,
+    * the physical export slices carrying the curated hashes, and raw
+    * dedup behavior unchanged by the transform. */
+  final case class CurateLeg(census: ArtifactStore.GramCensusIncrementalIndex,
+                             topN: Int =
+                               graft.operators.CurateTick.DefaultTopN)
+
   /** The ANN SERVING leg of a deployment tick (q124,
     * [[graft.operators.Pq.q124AnnIngestTick]]): the loop additionally
     * maintains an IVF-PQ index over the admitted docs' embeddings —
@@ -645,9 +665,10 @@ object IngestLoop {
               quar: Option[Quarantine] = None,
               replay: Option[ReplayLeg] = None,
               sem: Option[SemLeg] = None,
-              eval: Option[EvalLeg] = None): DataFrame =
+              eval: Option[EvalLeg] = None,
+              curate: Option[CurateLeg] = None): DataFrame =
     runTickImpl(st, None, batchDocs, w, threshold, lowFrac, quar = quar,
-      replay = replay, sem = sem, eval = eval)
+      replay = replay, sem = sem, eval = eval, curate = curate)
 
   private def runTickImpl(st: Stores,
                           idx: Option[ArtifactStore.Bm25IncrementalIndex],
@@ -662,10 +683,11 @@ object IngestLoop {
                           quar: Option[Quarantine] = None,
                           replay: Option[ReplayLeg] = None,
                           sem: Option[SemLeg] = None,
-                          eval: Option[EvalLeg] = None)
+                          eval: Option[EvalLeg] = None,
+                          curate: Option[CurateLeg] = None)
       : DataFrame = {
     val t = nextTick(st, idx, census, ann, export, mix, quar, replay, sem,
-      eval)
+      eval, curate)
     // every state read resolves through the tombstone store: retracted
     // docs' rows are invisible whether or not a compaction folded them
     val state = resolved(st, st.hashes.currentUpTo(t - 1).getOrElse(
@@ -734,12 +756,28 @@ object IngestLoop {
         (bf.filter(col("admitted")).select("doc_id"), rep2)
     }
     val admDocs = batchDocs.join(admIds, Seq("doc_id"), "left_semi")
+    // CURATED FOLD-BACK (q137): the serving consumers receive the
+    // transformed text; the dedup stores below keep folding RAW
+    // evidence (two-column provenance). Severed: read by the idx and
+    // export appends AND the audit aggregate.
+    val curRows = curate.map { cl =>
+      graft.operators.CurateTick.curatedDocs(admDocs,
+        cl.census.censusStore.currentUpTo(t - 1).getOrElse(
+          sys.error("curate leg not bootstrapped: no census base")),
+        batchDocs, cl.census.k, cl.topN).localCheckpoint()
+    }
+    val servedDocs = curRows.map(_.select("doc_id", "source", "text"))
+      .getOrElse(admDocs)
     st.hashes.appendTickAt(t, v.join(admIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("h").as("ch")))
     st.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
     st.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
-    idx.foreach(_.appendDocsAt(t, admDocs))
+    idx.foreach(_.appendDocsAt(t, servedDocs))
     census.foreach(_.appendDocsAt(t, admDocs))
+    // a curate leg whose census is NOT the tick's census leg still
+    // folds the RAW admitted increment (same object → no double fold)
+    curate.filter(cl => !census.contains(cl.census))
+      .foreach(_.census.appendDocsAt(t, admDocs))
     ann.foreach { leg =>
       val (c, r) = leg.idx.servingArtifacts().getOrElse((leg.cents, leg.rcb))
       leg.idx.appendVectorsAt(t, leg.vectors.join(
@@ -756,8 +794,8 @@ object IngestLoop {
     eval.foreach(leg => leg.docGrams.appendTickAt(t,
       graft.operators.Contamination.grams(admDocs, leg.n)))
     // EXPORT leg: admitted docs pack as this tick's epoch under the
-    // frozen merges — the same admitted frame every other store folds
-    export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
+    // frozen merges — the CURATED form when a curate leg is attached
+    export.foreach(leg => leg.store.appendDocsAt(t, servedDocs, leg.ms))
     // MIX leg (q127's state): per-source admitted counts, additive
     mix.foreach(_.appendDocsAt(t, admDocs))
     // QUARANTINE leg (q131): evidence/quality rejections are held
@@ -792,7 +830,31 @@ object IngestLoop {
         .select(Seq(col("doc_id"), col("source"), col("tick"), col("lq")) ++
           (0 until QualityModel.NumW).map(j => col(s"x$j")): _*))
     }
-    report
+    // with a curate leg the report carries the q137 rewrite audit —
+    // what was stripped/redacted, and the curated content signature
+    // the export now serves
+    curRows match {
+      case None => report
+      case Some(cr) =>
+        val audit = cr
+          .select(col("source"), col("n_tokens"), col("n_removed"),
+            col("chars_redacted"),
+            Provenance.contentHash60(col("text")).as("chc"))
+          .groupBy("source")
+          .agg(sum("n_tokens").as("tokens_raw"),
+            sum("n_removed").as("tokens_removed"),
+            sum("chars_redacted").as("chars_redacted"),
+            expr("bit_xor(chc)").as("exact_curated_sig"))
+        report.join(audit, Seq("source"), "left")
+          .withColumn("tokens_raw", coalesce(col("tokens_raw"), lit(0L)))
+          .withColumn("tokens_removed",
+            coalesce(col("tokens_removed"), lit(0L)))
+          .withColumn("chars_redacted",
+            coalesce(col("chars_redacted"), lit(0L)))
+          .withColumn("exact_curated_sig",
+            coalesce(col("exact_curated_sig"), lit(0L)))
+          .orderBy("source")
+    }
   }
 
   /** File-count-triggered compaction (the production trigger the r9
@@ -879,11 +941,13 @@ object IngestLoop {
                   quota: Option[QuotaLeg] = None,
                   quar: Option[Quarantine] = None,
                   sem: Option[SemLeg] = None,
-                  eval: Option[EvalLeg] = None)
+                  eval: Option[EvalLeg] = None,
+                  curate: Option[CurateLeg] = None)
       : DataFrame =
     runTickImpl(st, Some(idx), batchDocs, w, threshold, lowFrac,
       census = Some(census), ann = ann, export = export, mix = mix,
-      quota = quota, quar = quar, sem = sem, eval = eval)
+      quota = quota, quar = quar, sem = sem, eval = eval,
+      curate = curate)
 
   /** One BUDGETED admission tick — the deployment form of
     * [[Provenance.q130BudgetedAdmission]]: the q103 gate runs
@@ -904,11 +968,12 @@ object IngestLoop {
                       quar: Option[Quarantine] = None,
                       replay: Option[ReplayLeg] = None,
                       sem: Option[SemLeg] = None,
-                      eval: Option[EvalLeg] = None): DataFrame =
+                      eval: Option[EvalLeg] = None,
+                      curate: Option[CurateLeg] = None): DataFrame =
     runTickImpl(st, idx, batchDocs, w, threshold, lowFrac,
       census = census, ann = ann, export = export, mix = mix,
       quota = Some(quota), quar = quar, replay = replay, sem = sem,
-      eval = eval)
+      eval = eval, curate = curate)
 
   /** RE-ADJUDICATE the quarantine — the deployment form of
     * [[Provenance.q131Readjudication]], run after a [[retractTick]]
@@ -955,10 +1020,11 @@ object IngestLoop {
                        mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                        replay: Option[ReplayLeg] = None,
                        sem: Option[SemLeg] = None,
-                       eval: Option[EvalLeg] = None)
+                       eval: Option[EvalLeg] = None,
+                       curate: Option[CurateLeg] = None)
       : DataFrame = {
     val t = nextTick(st, idx, census, ann, export, mix, Some(quar), replay,
-      sem, eval)
+      sem, eval, curate)
     val rows = quar.rows.currentUpTo(t - 1).getOrElse(
       sys.error("quarantine not bootstrapped: no tick-1 base"))
     val liveRows = resolved(st,
@@ -997,6 +1063,17 @@ object IngestLoop {
         w, lowFrac)
     val admIds = v.filter(col("lq") === false).select("doc_id")
     val admDocs = dupRows.join(admIds, Seq("doc_id"), "left_semi")
+    // curated fold-back of RE-ADMITTED docs (the runTickImpl rule: raw
+    // evidence into the dedup stores, curated text to the serving
+    // consumers; the re-judged cohort is the batch for the winner rule)
+    val servedDocs = curate.map { cl =>
+      graft.operators.CurateTick.curatedDocs(
+        admDocs.select("doc_id", "source", "text"),
+        cl.census.censusStore.currentUpTo(t - 1).getOrElse(
+          sys.error("curate leg not bootstrapped: no census base")),
+        dupRows.select("doc_id", "source", "text"), cl.census.k, cl.topN)
+        .select("doc_id", "source", "text").localCheckpoint()
+    }.getOrElse(admDocs.select("doc_id", "source", "text"))
     st.hashes.appendTickAt(t, v.filter(col("lq") === false)
       .select(col("doc_id"), col("h").as("ch")))
     st.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
@@ -1006,15 +1083,17 @@ object IngestLoop {
         leg.nTables, leg.bits, leg.dim)))
     eval.foreach(leg => leg.docGrams.appendTickAt(t,
       graft.operators.Contamination.grams(admDocs, leg.n)))
-    idx.foreach(_.appendDocsAt(t, admDocs))
+    idx.foreach(_.appendDocsAt(t, servedDocs))
     census.foreach(_.appendDocsAt(t, admDocs))
+    curate.filter(cl => !census.contains(cl.census))
+      .foreach(_.census.appendDocsAt(t, admDocs))
     ann.foreach { leg =>
       val (c, r) = leg.idx.servingArtifacts().getOrElse((leg.cents, leg.rcb))
       leg.idx.appendVectorsAt(t, leg.vectors.join(
         admIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
         c, r)
     }
-    export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
+    export.foreach(leg => leg.store.appendDocsAt(t, servedDocs, leg.ms))
     mix.foreach(_.appendDocsAt(t, admDocs))
     // docs that escaped the dup gates but landed in the quality window
     // RE-QUARANTINE under their NEW evidence class (r11 advice: their
@@ -1126,10 +1205,11 @@ object IngestLoop {
                  ann: Option[AnnLeg] = None,
                  export: Option[ExportLeg] = None,
                  mix: Option[ArtifactStore.MixIncrementalIndex] = None,
-                 sem: Option[SemLeg] = None)
+                 sem: Option[SemLeg] = None,
+                 curate: Option[CurateLeg] = None)
       : DataFrame = {
     val t = nextTick(st, idx, census, ann, export, mix, Some(quar),
-      Some(replay), sem)
+      Some(replay), sem, curate = curate)
     val feats = resolved(st, replay.feats.currentUpTo(t - 1).getOrElse(
       sys.error("replay leg not bootstrapped: no tick-1 base")))
     val rescored = QualityModel.withScoreFromFeatures(
@@ -1156,6 +1236,13 @@ object IngestLoop {
       .select("doc_id", "source", "text")
       .localCheckpoint()
     val admIds = admDocs.select("doc_id")
+    val servedDocs = curate.map { cl =>
+      graft.operators.CurateTick.curatedDocs(admDocs,
+        cl.census.censusStore.currentUpTo(t - 1).getOrElse(
+          sys.error("curate leg not bootstrapped: no census base")),
+        admDocs, cl.census.k, cl.topN)
+        .select("doc_id", "source", "text").localCheckpoint()
+    }.getOrElse(admDocs)
     st.hashes.appendTickAt(t, admDocs.select(col("doc_id"),
       Provenance.contentHash60(col("text")).as("ch")))
     st.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
@@ -1163,15 +1250,17 @@ object IngestLoop {
     sem.foreach(leg => leg.sigs.appendTickAt(t,
       graft.operators.SemanticGate.sigRowsOf(leg.vectors, admIds,
         leg.nTables, leg.bits, leg.dim)))
-    idx.foreach(_.appendDocsAt(t, admDocs))
+    idx.foreach(_.appendDocsAt(t, servedDocs))
     census.foreach(_.appendDocsAt(t, admDocs))
+    curate.filter(cl => !census.contains(cl.census))
+      .foreach(_.census.appendDocsAt(t, admDocs))
     ann.foreach { leg =>
       val (c, r) = leg.idx.servingArtifacts().getOrElse((leg.cents, leg.rcb))
       leg.idx.appendVectorsAt(t, leg.vectors.join(
         admIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
         c, r)
     }
-    export.foreach(leg => leg.store.appendDocsAt(t, admDocs, leg.ms))
+    export.foreach(leg => leg.store.appendDocsAt(t, servedDocs, leg.ms))
     mix.foreach(_.appendDocsAt(t, admDocs))
     quar.rows.appendTickAt(t, rows.limit(0))
     quar.resolvedIds.appendTickAt(t, admIds)

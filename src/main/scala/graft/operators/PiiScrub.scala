@@ -72,8 +72,12 @@ object PiiScrub {
     * doc_id % [[InjectMod]] == 0 doc gets one email + one phone + one
     * IP appended, all derived from doc_id. Shared by q78 and the
     * composed q84 scrub stage (and mirrored by [[augSql]]). */
-  def augmented: Column =
-    when(pmod(col("doc_id"), lit(InjectMod)) === 0, concat(col("text"),
+  def augmented: Column = augmentedWith(InjectMod)
+
+  /** [[augmented]] at a caller-chosen injection modulus (q137 uses a
+    * denser one so every batch class carries PII to redact). */
+  def augmentedWith(mod: Long): Column =
+    when(pmod(col("doc_id"), lit(mod)) === 0, concat(col("text"),
         lit(" reach user"), col("doc_id").cast("string"),
         lit("@example.com or +1-555-"),
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
@@ -85,8 +89,10 @@ object PiiScrub {
     * exposing doc_id and text). Deliberately ONE line: a multi-line
     * fragment whose continuation lines start with `||` gets mangled by
     * the EMBEDDING query's stripMargin (it strips the first pipe). */
-  private[operators] def augSql: String =
-    s"CASE WHEN doc_id % $InjectMod = 0 THEN text || ' reach user' || " +
+  private[operators] def augSql: String = augSqlWith(InjectMod)
+
+  private[operators] def augSqlWith(mod: Long): String =
+    s"CASE WHEN doc_id % $mod = 0 THEN text || ' reach user' || " +
       "CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || " +
       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
       "' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE text END"
