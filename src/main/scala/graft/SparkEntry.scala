@@ -510,6 +510,8 @@ object SparkEntry {
     "q136_decontam_tick" -> t("documents")(Decontam.q136DecontamTick(_)),
     "q137_curated_foldback" -> t("documents")(
       CurateTick.q137CuratedFoldback(_)),
+    "q138_consumption_audit" -> t("documents")(
+      Packing.q138ConsumptionAudit),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -652,5 +654,6 @@ object SparkEntry {
     "q135_semantic_admission" -> SemanticGate.q135Sql(),
     "q136_decontam_tick" -> Decontam.q136Sql(),
     "q137_curated_foldback" -> CurateTick.q137Sql(),
+    "q138_consumption_audit" -> Packing.q138Sql(),
   )
 }

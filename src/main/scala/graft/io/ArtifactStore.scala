@@ -1038,6 +1038,15 @@ object ArtifactStore {
     /** One training shard, WHOLE sequences only — the reader contract. */
     def readShard(s: Long): DataFrame = slices().filter(col("shard") === s)
 
+    /** The (epoch, serving revision) pairs a training job would stream
+      * right now — what [[ConsumptionStore.record]] stamps into the
+      * ledger. O(epochs) listing, no data read. */
+    def servingRevisions: Seq[(Long, Long)] =
+      ticks.map { t =>
+        val d = epochDir(t)
+        (t, servingRevIn(d).get)
+      }
+
     /** The served per-(tick, shard) manifest (q108's columns per epoch),
       * recomputed from the serving rows — files and manifest cannot
       * disagree because both ARE the serving rows. */
@@ -1157,6 +1166,115 @@ object ArtifactStore {
                    nShards: Int = graft.operators.Sharding.DefaultShards)
       : PackedExportStore =
     new PackedExportStore(spark, root, name, seqLen, nShards)
+
+  // ---- training-run consumption manifest (q138) --------------------------
+
+  /** The CONSUMPTION LEDGER (q138,
+    * [[graft.operators.Packing.q138ConsumptionAudit]]) — the audit
+    * trail past the export boundary: q132 certifies an epoch pre-serve,
+    * but which epochs/revisions a training job ACTUALLY consumed was
+    * recorded nowhere, so a takedown could not answer "which past runs
+    * trained on this doc". Two append-only families under
+    * `root/consumption/<name>/`:
+    *
+    *   jobs/job=J/                 — (job_id, tick, rev) per consumed epoch
+    *   members/tick=T_rev=R/       — (tick, rev, doc_id, n_tokens)
+    *
+    * MEMBERSHIP is harvested once per distinct revision at record time
+    * (one aggregate over the slices the job is about to stream) and is
+    * NEVER deleted: the export store deletes superseded revision dirs
+    * on re-pack, so revision membership history must live here — it is
+    * a property of the revision, shared across every job that consumed
+    * it. The job rows commit LAST (a job row never exists without its
+    * members — the marker-last discipline); a replayed record
+    * overwrites the same job dir idempotently. History is immutable by
+    * construction: a takedown re-pack changes which (tick, rev) FUTURE
+    * records reference, never what past jobs' rows say
+    * (ConsumptionSpec pins it).
+    *
+    * Scale shape: job rows are O(epochs); membership is O(docs) 24-byte
+    * rows per distinct revision (written once, id-keyed); the takedown
+    * audit is an id-keyed semi-join of a takedown-sized set against
+    * the membership parquet plus an O(jobs × epochs) join — zero text
+    * reads, zero export scans. */
+  final class ConsumptionStore(spark: SparkSession, root: String,
+                               name: String) {
+    private val base = s"$root/consumption/$name"
+    private def f = fs(spark, base)
+
+    private def memberDir(t: Long, r: Long) = s"$base/members/tick=${t}_rev=$r"
+    private def jobDir(jobId: String) = s"$base/jobs/job=$jobId"
+
+    private def listDirs(kind: String): Seq[String] = {
+      val p = new Path(s"$base/$kind")
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).filter(_.isDirectory).toSeq.map(_.getPath.toString)
+        .filter(d => f.exists(new Path(d, "_SUCCESS"))).sorted
+    }
+
+    /** Record `jobId`'s consumption of every epoch `export` currently
+      * serves. Call AFTER the q132 release gate passed — the ledger
+      * records what was streamed, the gate decides what may be. */
+    def record(jobId: String, export: PackedExportStore): Unit = {
+      val revs = export.servingRevisions
+      val sl = export.slices().localCheckpoint()
+      revs.foreach { case (t, r) =>
+        val dir = memberDir(t, r)
+        if (!exists(spark, dir))
+          sl.filter(col("tick") === t.toInt)
+            .groupBy("doc_id").agg(sum("toks").as("n_tokens"))
+            .select(lit(t).as("tick"), lit(r).as("rev"), col("doc_id"),
+              col("n_tokens"))
+            .write.mode("overwrite").parquet(dir)
+      }
+      import spark.implicits._
+      revs.toDF("tick", "rev")
+        .select(lit(jobId).as("job_id"), col("tick"), col("rev"))
+        .coalesce(1).write.mode("overwrite").parquet(jobDir(jobId))
+    }
+
+    /** Every (job_id, tick, rev) consumption row. */
+    def jobs(): DataFrame = {
+      val dirs = listDirs("jobs")
+      require(dirs.nonEmpty, s"consumption ledger at $base has no jobs")
+      spark.read.parquet(dirs: _*)
+    }
+
+    /** Every (tick, rev, doc_id, n_tokens) membership row. */
+    def members(): DataFrame = {
+      val dirs = listDirs("members")
+      require(dirs.nonEmpty, s"consumption ledger at $base has no members")
+      spark.read.parquet(dirs: _*)
+    }
+
+    /** Which runs trained on these docs — the takedown audit's core:
+      * (job_id, doc_id, tick, rev) for every consumed revision that
+      * contained a listed doc. */
+    def trainedOn(docIds: DataFrame): DataFrame =
+      members()
+        .join(docIds.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(jobs(), Seq("tick", "rev"))
+        .select("job_id", "doc_id", "tick", "rev")
+
+    /** The q138 audit over the ledger: per job, epochs/docs/tokens
+      * consumed and the retracted slice of what it trained on. */
+    def audit(retractedIds: DataFrame): DataFrame =
+      jobs().join(members(), Seq("tick", "rev"))
+        .join(retractedIds.select(col("doc_id"), lit(true).as("retr")),
+          Seq("doc_id"), "left")
+        .groupBy("job_id")
+        .agg(countDistinct("tick").as("n_epochs"),
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          count(when(col("retr"), lit(1))).as("n_retracted_trained"),
+          coalesce(sum(when(col("retr"), col("n_tokens"))), lit(0L))
+            .as("retracted_tokens"))
+        .orderBy("job_id")
+  }
+
+  def consumption(spark: SparkSession, root: String,
+                  name: String): ConsumptionStore =
+    new ConsumptionStore(spark, root, name)
 
   // ---- q73 corpus hash state -------------------------------------------
 

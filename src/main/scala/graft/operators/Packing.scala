@@ -359,6 +359,83 @@ object Packing {
        |FROM sq GROUP BY 1, 2 ORDER BY tick, shard""".stripMargin
   }
 
+  /** q138: the TRAINING-RUN CONSUMPTION AUDIT — r11 verdict item 4:
+    * q132 certifies an epoch pre-serve, but nothing recorded which
+    * epochs/revisions a training job actually consumed, so "which past
+    * runs trained on this retracted doc?" — answerable for the
+    * engine's own quality model via q128's reservoir — was unanswerable
+    * for DOWNSTREAM trainings, and a post-takedown audit of past runs
+    * was impossible. The audit algebra, oracle-checked end to end:
+    *
+    *   - job1 consumes both epochs' ORIGINAL revisions (the corpus
+    *     epoch and the batch epoch, BPE-counted under the shared
+    *     merges);
+    *   - a takedown (the q117 class, id % 3 == 1) re-packs both
+    *     epochs; job2 consumes the POST-takedown revisions;
+    *   - per job: epochs, docs, tokens consumed, and the RETRACTED
+    *     slice of what it trained on — job1's n_retracted_trained > 0
+    *     (it trained on docs later taken down; the audit names it),
+    *     job2's = 0 (the re-pack preceded it).
+    *
+    * Deployment form: [[graft.io.ArtifactStore.ConsumptionStore]] — an
+    * append-only ledger of (job → epoch revision) rows plus
+    * per-revision MEMBERSHIP rows harvested once per revision and
+    * never deleted (revision dirs are superseded and removed by
+    * re-packs, so membership history must live in the ledger; it is a
+    * property of the revision, shared across jobs). ConsumptionSpec
+    * pins store ≡ this live audit, that a takedown changes FUTURE
+    * consumption rows but never rewrites history, and replay
+    * idempotence.
+    *
+    * Scale shape: the ledger is O(jobs) tiny rows + O(docs) membership
+    * rows per distinct revision (40 bytes, id-keyed — probed by
+    * takedown-sized anti-joins); the audit is one join-aggregate over
+    * parquet, zero text reads. */
+  def q138ConsumptionAudit(documents: DataFrame): DataFrame = {
+    val ms = Bpe.merges(documents)
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val mem = documents.filter(m.between(1, 9) || m === 0)
+      .select(col("doc_id"),
+        when(m === 0, lit(2L)).otherwise(lit(1L)).as("tick"),
+        Bpe.tokenCount(ms, col("text")).cast("long").as("n_tokens"))
+      .localCheckpoint() // read by both jobs' member sets
+    val retr = pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
+      Provenance.RetractRem
+    mem.withColumn("job_id", lit("job1"))
+      .union(mem.filter(!retr).withColumn("job_id", lit("job2")))
+      .groupBy("job_id")
+      .agg(countDistinct("tick").as("n_epochs"),
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        count(when(retr, lit(1))).as("n_retracted_trained"),
+        coalesce(sum(when(retr, col("n_tokens"))), lit(0L))
+          .as("retracted_tokens"))
+      .orderBy("job_id")
+  }
+
+  def q138Sql(): String = {
+    val bm = Provenance.BatchMod
+    val rm = Provenance.RetractMod
+    val rr = Provenance.RetractRem
+    s"""WITH ${Bpe.tokenSqlCtes()},
+       |mem AS (SELECT doc_id,
+       |          CASE WHEN doc_id % $bm = 0 THEN 2 ELSE 1 END AS tick,
+       |          n_tokens
+       |        FROM bpe_tok
+       |        WHERE doc_id % $bm BETWEEN 1 AND 9 OR doc_id % $bm = 0),
+       |jobs AS (SELECT 'job1' AS job_id, doc_id, tick, n_tokens FROM mem
+       |         UNION ALL
+       |         SELECT 'job2', doc_id, tick, n_tokens FROM mem
+       |         WHERE doc_id % $rm <> $rr)
+       |SELECT job_id, CAST(count(DISTINCT tick) AS BIGINT) AS n_epochs,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  count(CASE WHEN doc_id % $rm = $rr THEN 1 END)
+       |    AS n_retracted_trained,
+       |  CAST(coalesce(sum(CASE WHEN doc_id % $rm = $rr
+       |    THEN n_tokens END), 0) AS BIGINT) AS retracted_tokens
+       |FROM jobs GROUP BY job_id ORDER BY job_id""".stripMargin
+  }
+
   def q67Sql(seqLen: Int = 2048): String =
     s"""WITH ${Bpe.tokenSqlCtes()},
        |d AS (SELECT doc_id, n_tokens FROM bpe_tok),
