@@ -264,6 +264,25 @@ object IngestLoop {
     next
   }
 
+  /** [[rollover]] for a MULTIMODAL bundle: all five stores' RESOLVED
+    * state (shared tombstones baked in) re-seeds as tick 1 of a fresh
+    * generation — the restart boundary the mm stream's takedown
+    * discipline runs at (DocStreamSpec pins the full mm boundary flow
+    * including the quarantine recovery). */
+  def rolloverMm(st: MmStores, spark: SparkSession, root: String,
+                 name: String): MmStores = {
+    val next = mmStores(spark, root, name)
+    next.text.hashes.appendTickAt(1,
+      resolved(st.text, st.text.hashes.current().get))
+    next.text.bands.appendTickAt(1,
+      resolved(st.text, st.text.bands.current().get))
+    next.text.shingles.appendTickAt(1,
+      resolved(st.text, st.text.shingles.current().get))
+    next.imgSigs.appendTickAt(1, resolved(st.text, st.imgSigs.current().get))
+    next.audSigs.appendTickAt(1, resolved(st.text, st.audSigs.current().get))
+    next
+  }
+
   /** Roll an attached quarantine into the same fresh generation as
     * [[rollover]]'s stores: the LIVE quarantine (rows minus resolved
     * ids minus corpus tombstones) re-seeds as tick 1 of a new

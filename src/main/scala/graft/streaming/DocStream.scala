@@ -477,7 +477,8 @@ object DocStream {
                               idx: Option[graft.io.ArtifactStore.Bm25IncrementalIndex] = None,
                               census: Option[graft.io.ArtifactStore.GramCensusIncrementalIndex] = None,
                               ann: Option[graft.io.IngestLoop.AnnLeg] = None,
-                              export: Option[graft.io.IngestLoop.ExportLeg] = None)
+                              export: Option[graft.io.IngestLoop.ExportLeg] = None,
+                              quar: Option[graft.io.IngestLoop.Quarantine] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.multimodal.Multimodal
     admissionStreamWithText(docs, corpusHashes)
@@ -490,12 +491,16 @@ object DocStream {
         val fuzzed = refineFuzzy(b.toDF(),
           rs(stores.text.bands.currentUpTo(stateTick).get),
           rs(stores.text.shingles.currentUpTo(stateTick).get), threshold)
-        // batch signatures derive once at the codec seam; severed —
-        // read by the flag joins AND the fold-back
+        // batch signatures derive once at the codec seam for the WHOLE
+        // micro-batch (the runMmTick convention — the quarantine leg
+        // needs every rejected doc's sigs as its mm evidence); severed —
+        // read by the flag joins, the fold-back, AND the quarantine
         val newDocs = fuzzed.filter(col("verdict") === "new")
           .select("doc_id")
-        val bISigs = Multimodal.imageSigs(newDocs).localCheckpoint()
-        val bASigs = Multimodal.audioSigs(newDocs).localCheckpoint()
+        val bISigs = Multimodal.imageSigs(b.toDF().select("doc_id"))
+          .localCheckpoint()
+        val bASigs = Multimodal.audioSigs(b.toDF().select("doc_id"))
+          .localCheckpoint()
         val imFlag = Multimodal.flaggedAgainstState(
             rs(stores.imgSigs.currentUpTo(stateTick).get),
             bISigs, maxDist, maxBand)
@@ -530,6 +535,36 @@ object DocStream {
         stores.audSigs.appendTickAt(stateTick + 1,
           bASigs.join(adm.select("doc_id"), Seq("doc_id"), "left_semi"))
         foldConsumerLegs(adm, stateTick + 1, idx, census, ann, export)
+        // the mm QUARANTINE fold (rejected ≠ discarded for stream
+        // arrivals of every modality — the text twin's q131 symmetry):
+        // rejected docs land with their 8-byte signatures so a
+        // quiesce-point readjudicateMmTick re-judges all four evidence
+        // classes without re-reading payloads, after rollover +
+        // rolloverQuarantine re-seed the bundle (the restart-boundary
+        // contract). Verdicts map to the batch evidence classes as in
+        // the text fold.
+        quar.foreach { qs =>
+          val rej = refined.filter(col("verdict") =!= "new")
+            .select(col("doc_id"), lit("stream").as("source"), col("text"),
+              when(col("verdict").isin("dup_corpus", "dup_stream"),
+                lit("dup_exact"))
+                .when(col("verdict") === "dup_corpus_fuzzy",
+                  lit("dup_fuzzy"))
+                .when(col("verdict") === "dup_corpus_image",
+                  lit("dup_image"))
+                .when(col("verdict") === "dup_corpus_audio",
+                  lit("dup_audio"))
+                .otherwise(col("verdict")).as("verdict"))
+            .join(bISigs.select(col("doc_id"), col("sig").as("img_sig")),
+              Seq("doc_id"), "left")
+            .join(bASigs.select(col("doc_id"), col("sig").as("aud_sig")),
+              Seq("doc_id"), "left")
+            .select("doc_id", "source", "text", "img_sig", "aud_sig",
+              "verdict")
+          qs.rows.appendTickAt(stateTick + 1, rej)
+          qs.resolvedIds.appendTickAt(stateTick + 1,
+            refined.select("doc_id").limit(0))
+        }
       }
       .start()
   }

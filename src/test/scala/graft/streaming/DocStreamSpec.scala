@@ -885,4 +885,83 @@ class DocStreamSpec extends AnyFunSuite {
     assert(rep2.map(_.getLong(2)).sum === 1L,
       "an exact copy of the re-admitted doc must be dup_exact")
   }
+
+  test("mm stream quarantine: a stream-rejected IMAGE near-dup recovers via takedown → rolloverMm → readjudicateMmTick, across kill + restart; audio evidence of a survivor keeps holding") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, lit}
+    val documents = Tables.load(spark, sf, "documents")
+    val artRoot = Files.createTempDirectory("graft_mmsq_art").toString
+    val hashes = graft.io.ArtifactStore.corpusHashesOrBuild(artRoot, documents)
+    val w = graft.operators.QualityModel.weights(documents,
+      scope = "mmsqspec")
+
+    // the mm folding fixture: B's image renders A's seed (B = A+3,
+    // B%7==3), D's audio renders C's (D = C+2, D%5==2); all texts
+    // novel, so ONLY the signature legs reject B and D
+    def toks(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val a = DocStream.Doc(900298L, HourNs, toks("qia"))
+    val c = DocStream.Doc(900215L, HourNs, toks("qaa"))
+    val b = DocStream.Doc(900301L, 2 * HourNs, toks("qib"))
+    val d = DocStream.Doc(900217L, 2 * HourNs, toks("qab"))
+
+    val st = graft.io.IngestLoop.mmStores(spark, artRoot, "mmsq")
+    graft.io.IngestLoop.bootstrapMm(st, documents)
+    val quar = graft.io.IngestLoop.quarantine(spark, artRoot, "mmsq")
+    graft.io.IngestLoop.bootstrapMmQuarantine(quar, documents)
+
+    def jline(dc: DocStream.Doc): String =
+      s"""{"doc_id": ${dc.doc_id}, "ts": ${dc.ts}, "text": "${dc.text}"}"""
+    val dir = Files.createTempDirectory("graft_mmsq_in")
+    val ckpt = Files.createTempDirectory("graft_mmsq_ckpt").toString
+    val out = Files.createTempDirectory("graft_mmsq_out").toString
+    def startQuery() = {
+      val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+        DocStream.JsonlDocSchema)
+        .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+        .drop(graft.io.JsonLines.CorruptCol)
+      DocStream.foldingMmAdmissionQuery(raw,
+        hashes.select(col("ch").as("h")), st, w, out, ckpt,
+        lowFrac = 0.0, quar = Some(quar))
+    }
+    // batch 0 admits A and C; KILL; batch 1 lands while the query is
+    // down and a fresh query rejects B (image) and D (audio)
+    Files.writeString(dir.resolve("b0.jsonl"),
+      Seq(a, c).map(jline).mkString("\n") + "\n")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    Files.writeString(dir.resolve("b1.jsonl"),
+      Seq(b, d).map(jline).mkString("\n") + "\n")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val qRows = quar.rows.current().get
+      .select("doc_id", "verdict", "img_sig", "aud_sig").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.isNullAt(2), r.isNullAt(3)))
+      .toMap
+    assert(qRows(900301L)._1 === "dup_image" &&
+      qRows(900217L)._1 === "dup_audio",
+      "both mm rejections quarantine under their evidence class")
+    assert(!qRows(900301L)._2 && !qRows(900217L)._3,
+      "quarantine rows carry the 8-byte signatures as evidence")
+
+    // quiesce takedown of A (image source) — C (audio source) survives;
+    // roll both bundles; the mm re-adjudication re-admits B, holds D
+    graft.io.IngestLoop.retractMmTick(st,
+      spark.range(1).select(lit(900298L).as("doc_id")),
+      quar = Some(quar))
+    val st2 = graft.io.IngestLoop.rolloverMm(st, spark, artRoot, "mmsq2")
+    val quar2 = graft.io.IngestLoop.rolloverQuarantine(st.text, quar,
+      spark, artRoot, "mmsq2")
+    val rep = graft.io.IngestLoop.readjudicateMmTick(st2, quar2, w,
+      lowFrac = 0.0).collect()
+    assert(rep.length === 1 && rep.head.getString(0) === "stream")
+    assert(rep.head.getLong(4) === 1L && rep.head.getLong(5) === 1L,
+      "one image- and one audio-class quarantinee re-judge")
+    assert(rep.head.getLong(11) === 1L,
+      "B must re-admit: its only image partner was retracted")
+    assert(rep.head.getLong(9) === 1L,
+      "D must stay held by the surviving audio source's signature")
+    assert(quar2.resolvedIds.current().get
+      .filter(col("doc_id") === 900301L).count() === 1L)
+  }
 }
