@@ -557,6 +557,40 @@ object ArtifactStore {
       if (n > 0) tombStore.reset()
       n
     }
+
+    /** GC strictly-shadowed GENERATIONS (r11 verdict item 7): once a
+      * committed marker for generation g exists, every reader —
+      * codes/search/append/retract — resolves g, so older generations'
+      * store trees (including the legacy generation-1 layout) and
+      * superseded markers are unreachable; a re-resolve can never pick
+      * them, so deletion order is irrelevant and an interrupted gc
+      * re-runs safely. The NEXT recluster still numbers g+1 (the max
+      * committed marker survives). Quiesce points only. Returns bytes
+      * freed. */
+    def gc(): Long = {
+      val g = generation
+      if (g <= 1L) return 0L
+      def drop(p: Path): Long =
+        if (!f.exists(p)) 0L
+        else {
+          val bytes = f.getContentSummary(p).getLength
+          f.delete(p, true)
+          bytes
+        }
+      val genTrees = (2L until g)
+        .map(og => new Path(s"$root/ingest_state/$name/g$og"))
+      val legacy = Seq("codes", "tombs")
+        .map(kind => new Path(s"$root/ingest_state/$name/ivfpq_$kind"))
+      val markers = {
+        val p = new Path(genMarkBase)
+        if (!f.exists(p)) Seq.empty
+        else f.listStatus(p).toSeq
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("g="))
+          .filter(_.getPath.getName.stripPrefix("g=").toLong < g)
+          .map(_.getPath)
+      }
+      (genTrees ++ legacy ++ markers).map(drop).sum
+    }
   }
 
   def ivfPqIncremental(spark: SparkSession, root: String,
@@ -858,6 +892,25 @@ object ArtifactStore {
       commitGeneration(g + 1)
       w
     }
+
+    /** GC strictly-shadowed model generations: every reader resolves
+      * the MAX committed generation, so older g= dirs (committed or
+      * half-written) are unreachable — unlearn/refresh write to g+1 >
+      * g, never into a deleted slot. Quiesce points only. Returns
+      * bytes freed. */
+    def gc(): Long = {
+      val g = generation
+      if (g <= 1L) return 0L
+      val p = new Path(base)
+      f.listStatus(p).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("g="))
+        .filter(_.getPath.getName.stripPrefix("g=").toLong < g)
+        .map { d =>
+          val bytes = f.getContentSummary(d.getPath).getLength
+          f.delete(d.getPath, true)
+          bytes
+        }.sum
+    }
   }
 
   def modelStore(spark: SparkSession, root: String, name: String,
@@ -1158,6 +1211,42 @@ object ArtifactStore {
       listChildNums(new Path(base), "fold=").filter(_ < target)
         .foreach(b => f.delete(new Path(s"$base/fold=$b"), true))
       toFold.size.toLong
+    }
+
+    /** GC strictly-shadowed export state (r11 verdict item 7): the
+      * happy paths already clean after themselves ([[writeRevIn]] drops
+      * superseded revs post-commit, [[compactEpochs]] drops folded tick
+      * dirs), so what accumulates is CRASH LEFTOVERS — rev dirs other
+      * than each epoch's serving one (older committed revs whose delete
+      * was interrupted, and half-written uncommitted revs), tick dirs
+      * at or below a committed fold boundary, and superseded fold dirs.
+      * None is reachable by any read (serving-rev and fold-boundary
+      * resolution ignore all of them), so an interrupted gc re-runs
+      * safely. Quiesce points only. Returns bytes freed. */
+    def gc(): Long = {
+      def drop(p: Path): Long = {
+        val bytes = f.getContentSummary(p).getLength
+        f.delete(p, true)
+        bytes
+      }
+      val fb = foldBoundary
+      // whole dirs first: tick dirs shadowed by a committed fold, and
+      // fold dirs superseded by a newer committed fold
+      val shadowed =
+        listChildNums(new Path(base), "tick=")
+          .filter(t => fb.exists(t <= _))
+          .map(t => new Path(s"$base/tick=$t")) ++
+        listChildNums(new Path(base), "fold=")
+          .filter(b => fb.exists(b < _))
+          .map(b => new Path(s"$base/fold=$b"))
+      // then every SERVED epoch dir sheds its non-serving rev dirs
+      val staleRevs = ticks.map(epochDir).flatMap { d =>
+        val keep = servingRevIn(d)
+        revsIn(d, sucOnly = false)
+          .filter(r => !keep.contains(r))
+          .map(r => new Path(s"$d/rev=$r"))
+      }
+      (shadowed ++ staleRevs).filter(f.exists).map(drop).sum
     }
   }
 
@@ -1512,6 +1601,33 @@ object ArtifactStore {
       val p = new Path(base)
       if (f.exists(p)) f.listStatus(p).filter(_.isDirectory)
         .foreach(d => f.delete(d.getPath, true))
+    }
+
+    /** GC strictly-shadowed state (r11 verdict item 7): generation dirs
+      * older than the newest COMMITTED generation and tick dirs at or
+      * below it — exactly what a crashed compaction's interrupted
+      * delete phase leaves behind. No read can pick a victim
+      * ([[currentPaths]] resolves the newest committed generation
+      * first and ignores ticks at or below it), so deletion order is
+      * irrelevant and a gc interrupted anywhere is simply re-run —
+      * reads are identical before, during, and after (GcSpec pins it).
+      * Run at quiesce points, like compaction (`currentUpTo` snapshots
+      * below the generation become unreadable — they already did when
+      * the compaction committed). Returns bytes freed. */
+    def gc(): Long = {
+      val gen = listNums("gen=", sucOnly = true).maxOption
+      gen.fold(0L) { g =>
+        val victims =
+          listNums("gen=", sucOnly = false).filter(_ < g)
+            .map(x => s"$base/gen=$x") ++
+          listNums("tick=", sucOnly = false).filter(_ <= g)
+            .map(t => s"$base/tick=$t")
+        victims.map { p =>
+          val bytes = f.getContentSummary(new Path(p)).getLength
+          f.delete(new Path(p), true)
+          bytes
+        }.sum
+      }
     }
   }
 
