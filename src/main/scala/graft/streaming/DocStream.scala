@@ -327,7 +327,8 @@ object DocStream {
                                  census: Option[graft.io.ArtifactStore.GramCensusIncrementalIndex] = None,
                                  ann: Option[graft.io.IngestLoop.AnnLeg] = None,
                                  export: Option[graft.io.IngestLoop.ExportLeg] = None,
-                                 quar: Option[graft.io.IngestLoop.Quarantine] = None)
+                                 quar: Option[graft.io.IngestLoop.Quarantine] = None,
+                                 sem: Option[graft.io.IngestLoop.SemLeg] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     admissionStreamWithText(docs, corpusHashes)
       .writeStream.outputMode("append")
@@ -341,11 +342,34 @@ object DocStream {
         // in the method scaladoc)
         val rs = (df: DataFrame) =>
           graft.io.IngestLoop.resolved(stores, df)
-        val refined = refineQuality(
-          refineFuzzy(b.toDF(),
-            rs(stores.bands.currentUpTo(stateTick).get),
-            rs(stores.shingles.currentUpTo(stateTick).get), threshold),
-          weights, lowFrac)
+        val fuzzed = refineFuzzy(b.toDF(),
+          rs(stores.bands.currentUpTo(stateTick).get),
+          rs(stores.shingles.currentUpTo(stateTick).get), threshold)
+        // SEMANTIC leg (the q135 symmetry in streaming): docs the text
+        // gates called 'new' judge against the folded RP-LSH signature
+        // state — an embedding near-dup of an earlier micro-batch's
+        // admission is caught at the next batch, like every other
+        // evidence class. Signature reads resolve through the shared
+        // tombstones, so quiesce-point takedowns reach this leg too;
+        // at a rollover boundary re-seed the sig store like the band
+        // state (resolved current() as tick 1).
+        val semed = sem match {
+          case None => fuzzed
+          case Some(leg) =>
+            val flags = graft.operators.SemanticGate.flaggedAgainstState(
+              rs(leg.sigs.currentUpTo(stateTick).getOrElse(
+                sys.error("semantic leg not bootstrapped"))),
+              leg.vectors,
+              fuzzed.filter(col("verdict") === "new").select("doc_id"),
+              leg.nTables, leg.bits, leg.dim, leg.simThreshold)
+            fuzzed.join(flags, col("doc_id") === col("sid"), "left")
+              .withColumn("verdict",
+                when(col("verdict") =!= "new", col("verdict"))
+                  .when(col("sid").isNotNull, lit("dup_corpus_semantic"))
+                  .otherwise(col("verdict")))
+              .drop("sid")
+        }
+        val refined = refineQuality(semed, weights, lowFrac)
           // severed: read by the sink write AND the fold increments
           .localCheckpoint()
         refined.drop("text")
@@ -358,6 +382,9 @@ object DocStream {
           graft.operators.Fuzzy.corpusBandState(adm))
         stores.shingles.appendTickAt(stateTick + 1,
           graft.operators.Fuzzy.corpusShingleHashes(adm))
+        sem.foreach(leg => leg.sigs.appendTickAt(stateTick + 1,
+          graft.operators.SemanticGate.sigRowsOf(leg.vectors,
+            adm.select("doc_id"), leg.nTables, leg.bits, leg.dim)))
         foldConsumerLegs(adm, stateTick + 1, idx, census, ann, export)
         foldQuarantine(refined, stateTick + 1, quar)
       }
@@ -387,6 +414,8 @@ object DocStream {
           when(col("verdict").isin("dup_corpus", "dup_stream"),
             lit("dup_exact"))
             .when(col("verdict") === "dup_corpus_fuzzy", lit("dup_fuzzy"))
+            .when(col("verdict") === "dup_corpus_semantic",
+              lit("dup_semantic"))
             .otherwise(col("verdict")).as("verdict"))
       qs.rows.appendTickAt(tick, rej)
       qs.resolvedIds.appendTickAt(tick,

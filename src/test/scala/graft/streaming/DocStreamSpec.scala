@@ -964,4 +964,78 @@ class DocStreamSpec extends AnyFunSuite {
     assert(quar2.resolvedIds.current().get
       .filter(col("doc_id") === 900301L).count() === 1L)
   }
+
+  test("semantic leg in the stream fold (q135 twin): an embedding near-dup of a batch-0 ADMISSION is caught at batch 1; bootstrap vector state rejects too; quarantined as dup_semantic") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // sf0.01: the embedding-pair analysis (SemIngestSpec's fixtures)
+    // lives there; sf0.001 is a different generated corpus
+    val sf01 = "/root/testdata/sf0.01"
+    val documents = Tables.load(spark, sf01, "documents")
+    val emb = Tables.load(spark, sf01, "embeddings")
+    val artRoot = Files.createTempDirectory("graft_ssem_art").toString
+    val m = pmod(col("doc_id"), lit(graft.operators.Provenance.BatchMod))
+    val corpus = documents.filter(m.between(1, 9))
+    val w = graft.operators.QualityModel.weights(corpus, scope = "ssemspec")
+
+    // real corpus ids so the vectors side table keys match: 287 (t1
+    // class, text- and vector-novel vs corpus) streams at batch 0 and
+    // admits; 238's ONLY near partner anywhere is 287's EMBEDDING
+    // (no shared text) -> batch 1 must reject it from the FOLDED sig
+    // state; 425's only partner is corpus doc 7 -> rejected from the
+    // BOOTSTRAP state; 204's only partner (200) is absent -> new.
+    def docText(id: Long): String = documents
+      .filter(col("doc_id") === id).select("text").head().getString(0)
+    val b0 = Seq(DocStream.Doc(287L, HourNs, docText(287L)))
+    val b1 = Seq(DocStream.Doc(238L, 2 * HourNs, docText(238L)),
+      DocStream.Doc(425L, 2 * HourNs, docText(425L)),
+      DocStream.Doc(204L, 2 * HourNs, docText(204L)))
+
+    val st = graft.io.IngestLoop.stores(spark, artRoot, "ssem")
+    graft.io.IngestLoop.bootstrap(st, corpus)
+    val leg = graft.io.IngestLoop.semLeg(spark, artRoot, "ssem", emb)
+    graft.io.IngestLoop.bootstrapSem(leg, corpus)
+    val quar = graft.io.IngestLoop.quarantine(spark, artRoot, "ssem")
+    graft.io.IngestLoop.bootstrapQuarantine(quar, corpus)
+
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    val dir = Files.createTempDirectory("graft_ssem_in")
+    val ckpt = Files.createTempDirectory("graft_ssem_ckpt").toString
+    val out = Files.createTempDirectory("graft_ssem_out").toString
+    val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+      DocStream.JsonlDocSchema)
+      .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+      .drop(graft.io.JsonLines.CorruptCol)
+    val seed = st.hashes.currentUpTo(1).get
+      .select(col("ch").as("h")).distinct()
+    val q = DocStream.foldingGatedAdmissionQuery(raw, seed, st, w,
+      out, ckpt, lowFrac = 0.0, quar = Some(quar), sem = Some(leg))
+    try {
+      Files.writeString(dir.resolve("b0.jsonl"),
+        b0.map(jline).mkString("\n") + "\n")
+      q.processAllAvailable()
+      Files.writeString(dir.resolve("b1.jsonl"),
+        b1.map(jline).mkString("\n") + "\n")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(got(287L) === "new", "the planted source admits at batch 0")
+    assert(got(238L) === "dup_corpus_semantic",
+      "238 must be rejected by the FOLDED sig state (287's signature)")
+    assert(got(425L) === "dup_corpus_semantic",
+      "425 must be rejected by the BOOTSTRAP sig state (corpus doc 7)")
+    assert(got(204L) === "new",
+      "a doc whose only partner is absent stays admitted")
+    // rejected docs' signatures never folded; the quarantine holds both
+    assert(leg.sigs.current().get
+      .filter(col("doc_id").isin(238L, 425L)).count() === 0L)
+    assert(quar.rows.current().get
+      .filter(col("verdict") === "dup_semantic")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(238L, 425L))
+  }
 }
