@@ -547,13 +547,13 @@ object IngestLoop {
 
   /** An eval-state frame minus withdrawn items — the eval twin of
     * [[resolved]]. */
-  private def resolvedEval(leg: EvalLeg, df: DataFrame): DataFrame =
+  private[graft] def resolvedEval(leg: EvalLeg, df: DataFrame): DataFrame =
     leg.tombs.current().fold(df)(tb =>
       df.join(tb.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
 
   /** Batch ids contaminated by the LIVE eval set, both channels —
     * verbatim gram hits + verified fuzzy near-dups (the q136 rule). */
-  private def contamFlags(leg: EvalLeg, batchDocs: DataFrame): DataFrame = {
+  private[graft] def contamFlags(leg: EvalLeg, batchDocs: DataFrame): DataFrame = {
     val vb = graft.operators.Contamination.grams(batchDocs, leg.n)
       .join(resolvedEval(leg, leg.grams.current().getOrElse(
           sys.error("eval leg not bootstrapped: no gram base")))

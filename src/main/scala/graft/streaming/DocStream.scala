@@ -328,7 +328,8 @@ object DocStream {
                                  ann: Option[graft.io.IngestLoop.AnnLeg] = None,
                                  export: Option[graft.io.IngestLoop.ExportLeg] = None,
                                  quar: Option[graft.io.IngestLoop.Quarantine] = None,
-                                 sem: Option[graft.io.IngestLoop.SemLeg] = None)
+                                 sem: Option[graft.io.IngestLoop.SemLeg] = None,
+                                 eval: Option[graft.io.IngestLoop.EvalLeg] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     admissionStreamWithText(docs, corpusHashes)
       .writeStream.outputMode("append")
@@ -369,7 +370,28 @@ object DocStream {
                   .otherwise(col("verdict")))
               .drop("sid")
         }
-        val refined = refineQuality(semed, weights, lowFrac)
+        // DECONTAM leg (the q136 symmetry in streaming): surviving
+        // 'new' docs judge against the LIVE eval-set state (withdrawals
+        // resolve through the eval tombstones at every batch); the
+        // stream verdict is the batch evidence class itself. An
+        // eval-set UPDATE stays a quiesce-point operation —
+        // evalUpdateTick between runs retro-catches from the docGrams
+        // this fold maintains, and readjudicateTick recovers withdrawn-
+        // evidence rejections from the quarantine.
+        val evaled = eval match {
+          case None => semed
+          case Some(leg) =>
+            val flags = graft.io.IngestLoop.contamFlags(leg,
+              semed.filter(col("verdict") === "new")
+                .select("doc_id", "text"))
+            semed.join(flags, col("doc_id") === col("cid"), "left")
+              .withColumn("verdict",
+                when(col("verdict") =!= "new", col("verdict"))
+                  .when(col("cid").isNotNull, lit("contaminated"))
+                  .otherwise(col("verdict")))
+              .drop("cid")
+        }
+        val refined = refineQuality(evaled, weights, lowFrac)
           // severed: read by the sink write AND the fold increments
           .localCheckpoint()
         refined.drop("text")
@@ -385,6 +407,8 @@ object DocStream {
         sem.foreach(leg => leg.sigs.appendTickAt(stateTick + 1,
           graft.operators.SemanticGate.sigRowsOf(leg.vectors,
             adm.select("doc_id"), leg.nTables, leg.bits, leg.dim)))
+        eval.foreach(leg => leg.docGrams.appendTickAt(stateTick + 1,
+          graft.operators.Contamination.grams(adm, leg.n)))
         foldConsumerLegs(adm, stateTick + 1, idx, census, ann, export)
         foldQuarantine(refined, stateTick + 1, quar)
       }

@@ -1038,4 +1038,80 @@ class DocStreamSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
       === Set(238L, 425L))
   }
+
+  test("decontamination leg in the stream fold (q136 twin): eval-hitting arrivals reject as contaminated; a quiesce eval withdrawal re-admits through the batch re-adjudication") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val sf01 = "/root/testdata/sf0.01"
+    val documents = Tables.load(spark, sf01, "documents")
+    val artRoot = Files.createTempDirectory("graft_seval_art").toString
+    val m = pmod(col("doc_id"), lit(graft.operators.Provenance.BatchMod))
+    val corpus = graft.operators.Decontam.evalFree(documents)
+      .filter(m.between(1, 9))
+    val w = graft.operators.QualityModel.weights(corpus, scope = "sevalspec")
+
+    // the q136 fixtures as STREAM arrivals: 185 is contaminated by eval
+    // item 61 (withdrawn at the update), 486 by item 435 (survives);
+    // 204's only near partner is absent -> the novel control
+    def docText(id: Long): String = documents
+      .filter(col("doc_id") === id).select("text").head().getString(0)
+    val b0 = Seq(DocStream.Doc(185L, HourNs, docText(185L)),
+      DocStream.Doc(486L, HourNs, docText(486L)),
+      DocStream.Doc(204L, HourNs, docText(204L)))
+
+    val st = graft.io.IngestLoop.stores(spark, artRoot, "seval")
+    graft.io.IngestLoop.bootstrap(st, corpus)
+    val leg = graft.io.IngestLoop.evalLeg(spark, artRoot, "seval")
+    graft.io.IngestLoop.bootstrapEval(leg, corpus,
+      graft.operators.Decontam.eval1Docs(documents))
+    val quar = graft.io.IngestLoop.quarantine(spark, artRoot, "seval")
+    graft.io.IngestLoop.bootstrapQuarantine(quar, corpus)
+
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    val dir = Files.createTempDirectory("graft_seval_in")
+    val ckpt = Files.createTempDirectory("graft_seval_ckpt").toString
+    val out = Files.createTempDirectory("graft_seval_out").toString
+    val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+      DocStream.JsonlDocSchema)
+      .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+      .drop(graft.io.JsonLines.CorruptCol)
+    val seed = st.hashes.currentUpTo(1).get
+      .select(col("ch").as("h")).distinct()
+    val q = DocStream.foldingGatedAdmissionQuery(raw, seed, st, w,
+      out, ckpt, lowFrac = 0.0, quar = Some(quar), eval = Some(leg))
+    try {
+      Files.writeString(dir.resolve("b0.jsonl"),
+        b0.map(jline).mkString("\n") + "\n")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(got(185L) === "contaminated" && got(486L) === "contaminated",
+      "eval-hitting arrivals reject as contaminated in-stream")
+    assert(got(204L) === "new")
+    assert(leg.docGrams.current().get
+      .join(documents.filter(col("doc_id") === 204L).select("doc_id"),
+        Seq("doc_id"), "left_semi").count() > 0,
+      "the admitted arrival's grams fold into the retro-catch index")
+
+    // quiesce eval UPDATE: item 61 withdraws; the batch re-adjudication
+    // with the leg attached re-admits 185 and keeps holding 486
+    graft.io.IngestLoop.evalUpdateTick(st, leg,
+      graft.operators.Decontam.eval2Docs(documents),
+      graft.operators.Decontam.withdrawEvalIds(documents))
+    val rr = graft.io.IngestLoop.readjudicateTick(st, quar, w,
+      lowFrac = 0.0, eval = Some(leg)).collect()
+    assert(rr.map(_.getLong(9)).sum === 1L,
+      "exactly the withdrawn-evidence arrival re-admits")
+    assert(quar.resolvedIds.current().get
+      .filter(col("doc_id") === 185L).count() === 1L)
+    assert(quar.rows.current().get
+      .join(quar.resolvedIds.current().get, Seq("doc_id"), "left_anti")
+      .filter(col("verdict") === "contaminated")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(486L),
+      "486 stays held by the surviving eval item")
+  }
 }
