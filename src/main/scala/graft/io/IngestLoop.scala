@@ -1352,13 +1352,15 @@ object IngestLoop {
                 export: Option[ExportLeg] = None,
                 mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                 quar: Option[Quarantine] = None,
-                sem: Option[SemLeg] = None)
+                sem: Option[SemLeg] = None,
+                eval: Option[EvalLeg] = None)
       : DataFrame = {
     import graft.multimodal.Multimodal
     val t = nextTickOf(st.all.map(_.maxTick)
       ++ idx.map(_.tfStore.maxTick) ++ census.map(_.censusStore.maxTick)
       ++ ann.map(_.idx.codeStore.maxTick) ++ export.map(_.store.maxTick)
       ++ mix.map(_.mixStore.maxTick) ++ sem.map(_.sigs.maxTick)
+      ++ eval.map(_.docGrams.maxTick)
       ++ quar.toSeq.flatMap(q => Seq(q.rows.maxTick, q.resolvedIds.maxTick)))
     val state = resolved(st.text, st.text.hashes.currentUpTo(t - 1).getOrElse(
         sys.error("multimodal loop not bootstrapped")))
@@ -1380,13 +1382,15 @@ object IngestLoop {
         resolved(st.text, st.audSigs.currentUpTo(t - 1).get),
         batchASigs, maxDist, maxBand)
       .select(col("fid").as("afid"))
-    val v = sem match {
-      case None => Multimodal.mmGatedTickFrame(batchDocs, state, fuzzy,
-        imFlag, auFlag, w, lowFrac)
-      case Some(leg) => Multimodal.mmSemGatedTickFrame(batchDocs, state,
-        fuzzy, semFlags(st.text, leg, t, batchDocs.select("doc_id")),
-        imFlag, auFlag, w, lowFrac)
-    }
+    val mmExtras: Seq[(String, DataFrame)] =
+      sem.map(leg => ("sid",
+        semFlags(st.text, leg, t, batchDocs.select("doc_id")))).toSeq ++
+      eval.map(leg => ("cid", contamFlags(leg, batchDocs))).toSeq
+    val v =
+      if (mmExtras.isEmpty) Multimodal.mmGatedTickFrame(batchDocs, state,
+        fuzzy, imFlag, auFlag, w, lowFrac)
+      else Multimodal.mmGatedTickFrameWith(batchDocs, state, fuzzy,
+        mmExtras, imFlag, auFlag, w, lowFrac)
     val admIds = v.filter(col("lq") === false).select("doc_id")
     val admDocs = batchDocs.join(admIds, Seq("doc_id"), "left_semi")
     st.text.hashes.appendTickAt(t, v.filter(col("lq") === false)
@@ -1400,6 +1404,8 @@ object IngestLoop {
     sem.foreach(leg => leg.sigs.appendTickAt(t,
       graft.operators.SemanticGate.sigRowsOf(leg.vectors, admIds,
         leg.nTables, leg.bits, leg.dim)))
+    eval.foreach(leg => leg.docGrams.appendTickAt(t,
+      graft.operators.Contamination.grams(admDocs, leg.n)))
     // consumer legs — the [[runFullTick]] symmetry for the multimodal
     // loop: a deployment that ingests text+image+audio docs serves the
     // same four consumers (retrieval, curation census, ANN, export)
@@ -1424,13 +1430,16 @@ object IngestLoop {
     // image/audio legs without ever re-reading payloads
     quar.foreach { qs =>
       val sid = if (sem.isEmpty) lit(null).cast("long") else col("sid")
+      val cid = if (eval.isEmpty) lit(null).cast("long") else col("cid")
       val rej = v.filter(col("ch").isNotNull || col("fid").isNotNull ||
-          sid.isNotNull || col("ifid").isNotNull || col("afid").isNotNull ||
+          sid.isNotNull || cid.isNotNull ||
+          col("ifid").isNotNull || col("afid").isNotNull ||
           col("lq") === true)
         .withColumn("verdict",
           when(col("ch").isNotNull, lit("dup_exact"))
             .when(col("fid").isNotNull, lit("dup_fuzzy"))
             .when(sid.isNotNull, lit("dup_semantic"))
+            .when(cid.isNotNull, lit("contaminated"))
             .when(col("ifid").isNotNull, lit("dup_image"))
             .when(col("afid").isNotNull, lit("dup_audio"))
             .otherwise(lit("low_quality")))
@@ -1443,8 +1452,11 @@ object IngestLoop {
       qs.rows.appendTickAt(t, rej)
       qs.resolvedIds.appendTickAt(t, admIds.limit(0))
     }
-    if (sem.isEmpty) Multimodal.mmGatedTickReport(v)
-    else Multimodal.mmSemGatedTickReport(v)
+    val mmExtraNames = Map("sid" -> "n_dup_semantic",
+      "cid" -> "n_contaminated")
+    if (mmExtras.isEmpty) Multimodal.mmGatedTickReport(v)
+    else Multimodal.mmGatedTickReportWith(v,
+      mmExtras.map { case (c, _) => (c, mmExtraNames(c)) })
   }
 
   /** RE-ADJUDICATE a multimodal quarantine — the deployment form of
@@ -1472,13 +1484,15 @@ object IngestLoop {
                          mix: Option[ArtifactStore.MixIncrementalIndex]
                            = None,
                          replay: Option[ReplayLeg] = None,
-                         sem: Option[SemLeg] = None)
+                         sem: Option[SemLeg] = None,
+                         eval: Option[EvalLeg] = None)
       : DataFrame = {
     import graft.multimodal.Multimodal
     val t = nextTickOf(st.all.map(_.maxTick)
       ++ idx.map(_.tfStore.maxTick) ++ census.map(_.censusStore.maxTick)
       ++ ann.map(_.idx.codeStore.maxTick) ++ export.map(_.store.maxTick)
       ++ mix.map(_.mixStore.maxTick) ++ sem.map(_.sigs.maxTick)
+      ++ eval.map(_.docGrams.maxTick)
       ++ replay.map(_.feats.maxTick)
       ++ Seq(quar.rows.maxTick, quar.resolvedIds.maxTick))
     val rows = quar.rows.currentUpTo(t - 1).getOrElse(
@@ -1488,10 +1502,12 @@ object IngestLoop {
         .fold(rows)(r => rows.join(r.select("doc_id").distinct(),
           Seq("doc_id"), "left_anti")))
     // the readjudicateTick supersede rule: a doc re-quarantined as
-    // low_quality has already reached its post-dup verdict; semantic
-    // rows re-judge only with the leg attached (its state is the gate)
+    // low_quality has already reached its post-dup verdict; semantic /
+    // contaminated rows re-judge only with their leg attached (its
+    // state is the gate)
     val mmDupClasses = Seq("dup_exact", "dup_fuzzy", "dup_image",
-      "dup_audio") ++ (if (sem.isDefined) Seq("dup_semantic") else Nil)
+      "dup_audio") ++ (if (sem.isDefined) Seq("dup_semantic") else Nil) ++
+      (if (eval.isDefined) Seq("contaminated") else Nil)
     val dupRows = liveRows.filter(col("verdict").isin(mmDupClasses: _*))
       .join(liveRows.filter(col("verdict") === "low_quality")
         .select("doc_id"), Seq("doc_id"), "left_anti")
@@ -1515,15 +1531,18 @@ object IngestLoop {
         dupRows.select(col("doc_id"), col("aud_sig").as("sig")),
         maxDist, maxBand)
       .select(col("fid").as("afid"))
-    val v = sem match {
-      case None => Multimodal.mmGatedTickFrame(
+    val mmExtras: Seq[(String, DataFrame)] =
+      sem.map(leg => ("sid",
+        semFlags(st.text, leg, t, dupRows.select("doc_id")))).toSeq ++
+      eval.map(leg => ("cid",
+        contamFlags(leg, dupRows.select("doc_id", "text")))).toSeq
+    val v =
+      if (mmExtras.isEmpty) Multimodal.mmGatedTickFrame(
         dupRows.select("doc_id", "source", "text"), state, fuzzy,
         imFlag, auFlag, w, lowFrac)
-      case Some(leg) => Multimodal.mmSemGatedTickFrame(
+      else Multimodal.mmGatedTickFrameWith(
         dupRows.select("doc_id", "source", "text"), state, fuzzy,
-        semFlags(st.text, leg, t, dupRows.select("doc_id")),
-        imFlag, auFlag, w, lowFrac)
-    }
+        mmExtras, imFlag, auFlag, w, lowFrac)
     val admIds = v.filter(col("lq") === false).select("doc_id")
     val admDocs = dupRows.join(admIds, Seq("doc_id"), "left_semi")
     st.text.hashes.appendTickAt(t, v.filter(col("lq") === false)
@@ -1539,6 +1558,8 @@ object IngestLoop {
     sem.foreach(leg => leg.sigs.appendTickAt(t,
       graft.operators.SemanticGate.sigRowsOf(leg.vectors, admIds,
         leg.nTables, leg.bits, leg.dim)))
+    eval.foreach(leg => leg.docGrams.appendTickAt(t,
+      graft.operators.Contamination.grams(admDocs, leg.n)))
     idx.foreach(_.appendDocsAt(t, admDocs))
     census.foreach(_.appendDocsAt(t, admDocs))
     ann.foreach { leg =>
@@ -1571,12 +1592,17 @@ object IngestLoop {
         .select(Seq(col("doc_id"), col("source"), col("tick"), col("lq")) ++
           (0 until QualityModel.NumW).map(j => col(s"x$j")): _*))
     }
-    if (sem.isEmpty)
+    val mmClsInfo = Seq(
+      ("sid", "dup_semantic", "n_sem_t1", "n_still_semantic"),
+      ("cid", "contaminated", "n_contam_t1", "n_still_contaminated"))
+      .filter { case (c, _, _, _) => mmExtras.exists(_._1 == c) }
+    if (mmExtras.isEmpty)
       Multimodal.mmReadjReport(v,
         dupRows.select(col("doc_id"), col("verdict").as("verdict_t1")))
     else
-      Multimodal.mmSemReadjReport(v,
-        dupRows.select(col("doc_id"), col("verdict").as("verdict_t1")))
+      Multimodal.mmReadjReportWith(v,
+        dupRows.select(col("doc_id"), col("verdict").as("verdict_t1")),
+        mmClsInfo)
   }
 
   /** [[compactIfNeeded]] over all five multimodal stores — tombstones

@@ -617,30 +617,35 @@ object Multimodal {
     j.join(lq, col("doc_id") === col("lqid"), "left").localCheckpoint()
   }
 
-  /** [[mmGatedTickFrame]] with the SEMANTIC class spliced between the
-    * fuzzy-text and image legs — the q135 precedence in the unified
-    * loop: exact → fuzzy → SEMANTIC → image → audio → quality
-    * ([[graft.io.IngestLoop.runMmTick]] with a
-    * [[graft.io.IngestLoop.SemLeg]]). */
-  private[graft] def mmSemGatedTickFrame(batch: DataFrame, state: DataFrame,
-                                         fuzzyIds: DataFrame,
-                                         semIds: DataFrame,
-                                         imgIds: DataFrame,
-                                         audIds: DataFrame, w: Seq[Double],
-                                         lowFrac: Double): DataFrame = {
+  /** [[mmGatedTickFrame]] with EXTRA text-evidence classes spliced
+    * between the fuzzy-text and image legs, in precedence order — the
+    * unified-loop precedence with q135's semantic and/or q136's
+    * contamination class live: exact → fuzzy → [semantic] →
+    * [contaminated] → image → audio → quality (text-derived evidence
+    * outranks modality signatures, the text-loop convention). */
+  private[graft] def mmGatedTickFrameWith(batch: DataFrame,
+                                          state: DataFrame,
+                                          fuzzyIds: DataFrame,
+                                          extra: Seq[(String, DataFrame)],
+                                          imgIds: DataFrame,
+                                          audIds: DataFrame, w: Seq[Double],
+                                          lowFrac: Double): DataFrame = {
     import graft.operators.{Provenance, QualityModel}
-    val j = batch
+    val j0 = batch
       .select(col("doc_id"), col("source"),
         Provenance.contentHash60(col("text")).as("h"))
       .join(state, col("h") === col("ch"), "left")
       .join(fuzzyIds.select("fid"), col("doc_id") === col("fid"), "left")
-      .join(semIds.select("sid"), col("doc_id") === col("sid"), "left")
+    val j = extra.foldLeft(j0) { case (acc, (c, ids)) =>
+        acc.join(ids.select(c), col("doc_id") === col(c), "left")
+      }
       .join(imgIds.select("ifid"), col("doc_id") === col("ifid"), "left")
       .join(audIds.select("afid"), col("doc_id") === col("afid"), "left")
       .join(QualityModel.scores(batch, w), "doc_id")
       .localCheckpoint()
-    val lq = j.filter(col("ch").isNull && col("fid").isNull &&
-        col("sid").isNull && col("ifid").isNull && col("afid").isNull)
+    val novel = (Seq("ch", "fid") ++ extra.map(_._1) ++
+      Seq("ifid", "afid")).map(col(_).isNull).reduce(_ && _)
+    val lq = j.filter(novel)
       .withColumn("lq", cume_dist().over(
         org.apache.spark.sql.expressions.Window.orderBy("p", "doc_id"))
         <= lowFrac)
@@ -648,54 +653,88 @@ object Multimodal {
     j.join(lq, col("doc_id") === col("lqid"), "left").localCheckpoint()
   }
 
-  /** Report of a [[mmSemGatedTickFrame]] — the q118 columns with
-    * `n_dup_semantic` in precedence position. */
-  private[graft] def mmSemGatedTickReport(v: DataFrame): DataFrame =
-    v.groupBy("source")
-      .agg(count(lit(1)).as("n_batch"),
-        count(col("ch")).as("n_dup_exact"),
-        count(when(col("ch").isNull, col("fid"))).as("n_dup_fuzzy"),
-        count(when(col("ch").isNull && col("fid").isNull, col("sid")))
-          .as("n_dup_semantic"),
-        count(when(col("ch").isNull && col("fid").isNull &&
-          col("sid").isNull, col("ifid"))).as("n_dup_image"),
-        count(when(col("ch").isNull && col("fid").isNull &&
-          col("sid").isNull && col("ifid").isNull, col("afid")))
-          .as("n_dup_audio"),
-        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
-        count(when(col("lq") === false, lit(1))).as("n_new"))
-      .orderBy("source")
+  private[graft] def mmSemGatedTickFrame(batch: DataFrame, state: DataFrame,
+                                         fuzzyIds: DataFrame,
+                                         semIds: DataFrame,
+                                         imgIds: DataFrame,
+                                         audIds: DataFrame, w: Seq[Double],
+                                         lowFrac: Double): DataFrame =
+    mmGatedTickFrameWith(batch, state, fuzzyIds, Seq(("sid", semIds)),
+      imgIds, audIds, w, lowFrac)
 
-  /** [[mmReadjReport]] over a sem-extended frame — the q133 columns
-    * with the semantic evidence class split out. */
-  private[graft] def mmSemReadjReport(vr: DataFrame, quar: DataFrame)
-      : DataFrame =
+  /** Report of a [[mmGatedTickFrameWith]] frame — the q118 columns
+    * with one precedence-positioned count per extra class. */
+  private[graft] def mmGatedTickReportWith(v: DataFrame,
+                                           extra: Seq[(String, String)])
+      : DataFrame = {
+    var prev: org.apache.spark.sql.Column =
+      col("ch").isNull && col("fid").isNull
+    val extraAggs = extra.map { case (c, name) =>
+      val e = count(when(prev, col(c))).as(name)
+      prev = prev && col(c).isNull
+      e
+    }
+    val imgAgg = count(when(prev, col("ifid"))).as("n_dup_image")
+    val audAgg = count(when(prev && col("ifid").isNull, col("afid")))
+      .as("n_dup_audio")
+    val aggs = Seq(count(lit(1)).as("n_batch"),
+      count(col("ch")).as("n_dup_exact"),
+      count(when(col("ch").isNull, col("fid"))).as("n_dup_fuzzy")) ++
+      extraAggs ++ Seq(imgAgg, audAgg,
+      count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+      count(when(col("lq") === false, lit(1))).as("n_new"))
+    v.groupBy("source").agg(aggs.head, aggs.tail: _*).orderBy("source")
+  }
+
+  private[graft] def mmSemGatedTickReport(v: DataFrame): DataFrame =
+    mmGatedTickReportWith(v, Seq(("sid", "n_dup_semantic")))
+
+  /** [[mmReadjReport]] over an extras-extended frame — the q133
+    * columns with each attached class split out (`extra` = (flag col,
+    * t1 verdict, t1 name, still name)). */
+  private[graft] def mmReadjReportWith(vr: DataFrame, quar: DataFrame,
+                                       extra: Seq[(String, String, String,
+                                         String)]): DataFrame = {
+    val t1Aggs = Seq(
+      count(when(col("verdict_t1") === "dup_exact", lit(1)))
+        .as("n_exact_t1"),
+      count(when(col("verdict_t1") === "dup_fuzzy", lit(1)))
+        .as("n_fuzzy_t1")) ++
+      extra.map { case (_, verdict, t1Name, _) =>
+        count(when(col("verdict_t1") === verdict, lit(1))).as(t1Name)
+      } ++ Seq(
+      count(when(col("verdict_t1") === "dup_image", lit(1)))
+        .as("n_image_t1"),
+      count(when(col("verdict_t1") === "dup_audio", lit(1)))
+        .as("n_audio_t1"))
+    var prev: org.apache.spark.sql.Column =
+      col("ch").isNull && col("fid").isNull
+    val extraStill = extra.map { case (c, _, _, stillName) =>
+      val e = count(when(prev, col(c))).as(stillName)
+      prev = prev && col(c).isNull
+      e
+    }
+    val stillAggs = Seq(count(col("ch")).as("n_still_exact"),
+      count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy")) ++
+      extraStill ++ Seq(
+      count(when(prev, col("ifid"))).as("n_still_image"),
+      count(when(prev && col("ifid").isNull, col("afid")))
+        .as("n_still_audio"))
+    val aggs = Seq(count(lit(1)).as("n_quarantined")) ++ t1Aggs ++
+      stillAggs ++ Seq(
+      count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+      count(when(col("lq") === false, lit(1))).as("n_readmitted"))
     vr.join(quar.withColumnRenamed("doc_id", "qid"),
         col("doc_id") === col("qid"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_quarantined"),
-        count(when(col("verdict_t1") === "dup_exact", lit(1)))
-          .as("n_exact_t1"),
-        count(when(col("verdict_t1") === "dup_fuzzy", lit(1)))
-          .as("n_fuzzy_t1"),
-        count(when(col("verdict_t1") === "dup_semantic", lit(1)))
-          .as("n_sem_t1"),
-        count(when(col("verdict_t1") === "dup_image", lit(1)))
-          .as("n_image_t1"),
-        count(when(col("verdict_t1") === "dup_audio", lit(1)))
-          .as("n_audio_t1"),
-        count(col("ch")).as("n_still_exact"),
-        count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy"),
-        count(when(col("ch").isNull && col("fid").isNull, col("sid")))
-          .as("n_still_semantic"),
-        count(when(col("ch").isNull && col("fid").isNull &&
-          col("sid").isNull, col("ifid"))).as("n_still_image"),
-        count(when(col("ch").isNull && col("fid").isNull &&
-          col("sid").isNull && col("ifid").isNull, col("afid")))
-          .as("n_still_audio"),
-        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
-        count(when(col("lq") === false, lit(1))).as("n_readmitted"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("source")
+  }
+
+  private[graft] def mmSemReadjReport(vr: DataFrame, quar: DataFrame)
+      : DataFrame =
+    mmReadjReportWith(vr, quar,
+      Seq(("sid", "dup_semantic", "n_sem_t1", "n_still_semantic")))
 
   /** The per-source report of a [[mmGatedTickFrame]] — q103's columns
     * with the two modality verdicts spliced into the precedence. */

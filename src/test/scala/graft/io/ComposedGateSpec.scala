@@ -112,6 +112,61 @@ class ComposedGateSpec extends AnyFunSuite {
       "a dup_semantic quarantinee re-opens via the takedown")
   }
 
+  test("contamination leg in the unified mm loop: text evidence outranks a modality signature; a withdrawal-released doc stays held by its independent image evidence") {
+    val root = Files.createTempDirectory("graft_mm_eval").toString
+    val st = IngestLoop.mmStores(spark, root, "mmev")
+    IngestLoop.bootstrapMm(st, corpus)
+    val eleg = IngestLoop.evalLeg(spark, root, "mmev")
+    IngestLoop.bootstrapEval(eleg, corpus, Decontam.eval1Docs(docs))
+    val quar = IngestLoop.quarantine(spark, root, "mmev")
+    IngestLoop.bootstrapMmQuarantine(quar, corpus)
+
+    val rep = IngestLoop.runMmTick(st, t1, weights, quar = Some(quar),
+      eval = Some(eleg)).collect()
+    // columns: source, n_batch, exact, fuzzy, CONTAMINATED, image,
+    // audio, lowq, new
+    assert(rep.map(_.getLong(4)).sum === 3L,
+      "docs 185, 387 and 486 must be verdicted contaminated in the mm loop")
+    assert(rep.map(_.getLong(5)).sum > 0 && rep.map(_.getLong(6)).sum > 0,
+      "the image/audio legs keep firing next to the contamination one")
+    // the precedence pin: 486 carries BOTH contamination evidence
+    // (eval item 435) and image evidence (corpus doc 483 = 486 − 3,
+    // the planted %7 partner) — text-derived evidence outranks the
+    // modality signature
+    val v486 = quar.rows.current().get.filter(col("doc_id") === 486L)
+      .select("verdict").collect().map(_.getString(0)).toSeq
+    assert(v486 === Seq("contaminated"),
+      "486 must be held by the contamination class, not its image sig")
+
+    // eval withdrawal (item 61 leaves) → the mm re-adjudication with
+    // the leg: NO contaminated doc re-admits here, and that is the
+    // POINT — 387 and 486 are still held by surviving eval items, and
+    // 185, released by the withdrawal, is caught by its IMAGE evidence
+    // instead (its planted %7 partner 182 was admitted in the same
+    // tick, so its signature is now state) — the q133 cross-evidence
+    // story: one class's release does not admit a doc another class
+    // still holds, and the doc stays re-judgeable, not resolved.
+    IngestLoop.evalUpdateTick(st.text, eleg, Decontam.eval2Docs(docs),
+      Decontam.withdrawEvalIds(docs))
+    val rr = IngestLoop.readjudicateMmTick(st, quar, weights,
+      eval = Some(eleg)).collect()
+    // extras=[cid] columns: source, n_quarantined, n_exact_t1,
+    // n_fuzzy_t1, n_contam_t1, n_image_t1, n_audio_t1, n_still_exact,
+    // n_still_fuzzy, n_still_contaminated, n_still_image,
+    // n_still_audio, n_low_quality, n_readmitted
+    assert(rr.map(_.getLong(4)).sum === 3L,
+      "every contaminated row re-judges")
+    assert(rr.map(_.getLong(9)).sum === 2L,
+      "387 and 486 stay held by their surviving eval items")
+    val v185 = rr.filter(_.getString(0) == docs
+      .filter(col("doc_id") === 185L).select("source").head().getString(0))
+    assert(v185.map(_.getLong(10)).sum === 1L,
+      "185 shifts to its image evidence once the contamination released")
+    assert(quar.resolvedIds.current().get
+      .filter(col("doc_id") === 185L).isEmpty,
+      "185 stays quarantined (re-judgeable), not resolved")
+  }
+
   test("q136 → q138 end to end: the retro-caught doc's retraction re-packs the export, and the ledger names the job that trained on it") {
     val root = Files.createTempDirectory("graft_catch_ledger").toString
     val st = IngestLoop.stores(spark, root, "cl")
