@@ -291,6 +291,44 @@ object IngestLoop {
     * tick 1) and a quiesce-point [[readjudicateTick]] recovers
     * stream-rejected docs after a takedown (the streaming quarantine
     * fold's restart-boundary contract). */
+  /** [[rollover]] for an attached SEMANTIC leg (r12 advice): the sig
+    * store re-seeds — resolved through the OLD generation's tombstones
+    * — as tick 1 of a fresh store under the rolled loop's name, so a
+    * sem-attached tick after rollover starts from an aligned agreement
+    * instead of hitting the `currentUpTo` coverage guard, and every
+    * retracted doc's signature rows are physically absent from the
+    * rolled state. Parameters (tables/bits/dim/threshold) and the
+    * vectors side table carry over unchanged — semantic verdicts stay
+    * re-derivable across the boundary. For a multimodal loop pass
+    * `st.text` (the shared tombstone lineage). */
+  def rolloverSem(st: Stores, leg: SemLeg, spark: SparkSession,
+                  root: String, name: String): SemLeg = {
+    val next = SemLeg(
+      ArtifactStore.ingestState(spark, root, s"$name/sem_sigs"),
+      leg.vectors, leg.nTables, leg.bits, leg.dim, leg.simThreshold)
+    next.sigs.appendTickAt(1, resolved(st, leg.sigs.current().get))
+    next
+  }
+
+  /** [[rollover]] for an attached DECONTAM leg (r12 advice): the
+    * doc-side reverse index (`docGrams`) re-seeds through the CORPUS
+    * tombstones and the eval-side gram/band/shingle state through the
+    * EVAL tombstones — both lineages baked in — as tick 1 of a fresh
+    * leg, with the new eval tombstone store empty. Without this a
+    * stale docGrams (read via `current()`, unguarded) silently kept
+    * pre-rollover rows, so an eval-set addition could retro-catch docs
+    * the takedown had just retracted. */
+  def rolloverEval(st: Stores, leg: EvalLeg, spark: SparkSession,
+                   root: String, name: String): EvalLeg = {
+    val next = evalLeg(spark, root, name, leg.n, leg.threshold)
+    next.docGrams.appendTickAt(1, resolved(st, leg.docGrams.current().get))
+    next.grams.appendTickAt(1, resolvedEval(leg, leg.grams.current().get))
+    next.bands.appendTickAt(1, resolvedEval(leg, leg.bands.current().get))
+    next.shingles.appendTickAt(1,
+      resolvedEval(leg, leg.shingles.current().get))
+    next
+  }
+
   def rolloverQuarantine(st: Stores, quar: Quarantine, spark: SparkSession,
                          root: String, name: String): Quarantine = {
     val next = quarantine(spark, root, name)
@@ -582,7 +620,23 @@ object IngestLoop {
   def evalUpdateTick(st: Stores, leg: EvalLeg, addDocs: DataFrame,
                      withdrawIds: DataFrame,
                      updateId: Long = -1L): DataFrame = {
-    val u = if (updateId > 0) updateId else leg.grams.maxTick + 1
+    // Crash-stable default id (r12 advice): the four eval-side appends
+    // below share one id, and a replay WITHOUT an explicit updateId
+    // must land the laggards at the SAME id a crashed run started —
+    // deriving u from grams alone would open a SECOND id once grams had
+    // committed, leaving duplicate eval band/shingle rows that inflate
+    // lshPairsAgainstState intersection counts. So u agrees across the
+    // three bootstrapped data stores (the nextTickOf rule: unanimous →
+    // advance, disagreement → redo the max), clamped by the tombstone
+    // store's maxTick — tombs has no tick-1 bootstrap (and compactEval
+    // resets it), so it only raises the agreement when it is the one
+    // that got ahead (the appends run tombs-first).
+    val u = if (updateId > 0) updateId else {
+      val dataMax = Seq(leg.grams, leg.bands, leg.shingles).map(_.maxTick)
+      val next =
+        if (dataMax.distinct.size == 1) dataMax.head + 1 else dataMax.max
+      math.max(next, leg.tombs.maxTick)
+    }
     leg.tombs.appendTickAt(u, withdrawIds.select("doc_id"))
     leg.grams.appendTickAt(u,
       graft.operators.Contamination.grams(addDocs, leg.n))
@@ -1225,10 +1279,11 @@ object IngestLoop {
                  export: Option[ExportLeg] = None,
                  mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                  sem: Option[SemLeg] = None,
+                 eval: Option[EvalLeg] = None,
                  curate: Option[CurateLeg] = None)
       : DataFrame = {
     val t = nextTick(st, idx, census, ann, export, mix, Some(quar),
-      Some(replay), sem, curate = curate)
+      Some(replay), sem, eval, curate)
     val feats = resolved(st, replay.feats.currentUpTo(t - 1).getOrElse(
       sys.error("replay leg not bootstrapped: no tick-1 base")))
     val rescored = QualityModel.withScoreFromFeatures(
@@ -1269,6 +1324,13 @@ object IngestLoop {
     sem.foreach(leg => leg.sigs.appendTickAt(t,
       graft.operators.SemanticGate.sigRowsOf(leg.vectors, admIds,
         leg.nTables, leg.bits, leg.dim)))
+    // DECONTAM leg (r12 advice): the docGrams reverse index advances
+    // with the regate tick too — regate-readmitted docs must enter it
+    // (an eval-set addition retro-catches them like any admission), and
+    // without the empty-or-not append the NEXT eval-attached tick's
+    // agreement would land ON this tick and silently overwrite it.
+    eval.foreach(leg => leg.docGrams.appendTickAt(t,
+      graft.operators.Contamination.grams(admDocs, leg.n)))
     idx.foreach(_.appendDocsAt(t, servedDocs))
     census.foreach(_.appendDocsAt(t, admDocs))
     curate.filter(cl => !census.contains(cl.census))
@@ -1352,6 +1414,7 @@ object IngestLoop {
                 export: Option[ExportLeg] = None,
                 mix: Option[ArtifactStore.MixIncrementalIndex] = None,
                 quar: Option[Quarantine] = None,
+                replay: Option[ReplayLeg] = None,
                 sem: Option[SemLeg] = None,
                 eval: Option[EvalLeg] = None)
       : DataFrame = {
@@ -1360,7 +1423,7 @@ object IngestLoop {
       ++ idx.map(_.tfStore.maxTick) ++ census.map(_.censusStore.maxTick)
       ++ ann.map(_.idx.codeStore.maxTick) ++ export.map(_.store.maxTick)
       ++ mix.map(_.mixStore.maxTick) ++ sem.map(_.sigs.maxTick)
-      ++ eval.map(_.docGrams.maxTick)
+      ++ eval.map(_.docGrams.maxTick) ++ replay.map(_.feats.maxTick)
       ++ quar.toSeq.flatMap(q => Seq(q.rows.maxTick, q.resolvedIds.maxTick)))
     val state = resolved(st.text, st.text.hashes.currentUpTo(t - 1).getOrElse(
         sys.error("multimodal loop not bootstrapped")))
@@ -1451,6 +1514,19 @@ object IngestLoop {
         .select("doc_id", "source", "text", "img_sig", "aud_sig", "verdict")
       qs.rows.appendTickAt(t, rej)
       qs.resolvedIds.appendTickAt(t, admIds.limit(0))
+    }
+    // REPLAY leg (r12 advice — the runTickImpl symmetry): the mm tick's
+    // novel cohort persists its gate features + tick-time verdict, so a
+    // replay-attached mmReadjudicateTick can never land its agreement
+    // on a lagging feats store and overwrite this tick's increments.
+    replay.foreach { leg =>
+      val cohort = v.filter(col("lq").isNotNull)
+        .select(col("doc_id"), col("source"), col("lq"))
+      leg.feats.appendTickAt(t, cohort
+        .join(QualityModel.gateFeatures(batchDocs), "doc_id")
+        .withColumn("tick", lit(t))
+        .select(Seq(col("doc_id"), col("source"), col("tick"), col("lq")) ++
+          (0 until QualityModel.NumW).map(j => col(s"x$j")): _*))
     }
     val mmExtraNames = Map("sid" -> "n_dup_semantic",
       "cid" -> "n_contaminated")

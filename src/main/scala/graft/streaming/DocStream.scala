@@ -329,7 +329,8 @@ object DocStream {
                                  export: Option[graft.io.IngestLoop.ExportLeg] = None,
                                  quar: Option[graft.io.IngestLoop.Quarantine] = None,
                                  sem: Option[graft.io.IngestLoop.SemLeg] = None,
-                                 eval: Option[graft.io.IngestLoop.EvalLeg] = None)
+                                 eval: Option[graft.io.IngestLoop.EvalLeg] = None,
+                                 curate: Option[graft.io.IngestLoop.CurateLeg] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     admissionStreamWithText(docs, corpusHashes)
       .writeStream.outputMode("append")
@@ -346,51 +347,8 @@ object DocStream {
         val fuzzed = refineFuzzy(b.toDF(),
           rs(stores.bands.currentUpTo(stateTick).get),
           rs(stores.shingles.currentUpTo(stateTick).get), threshold)
-        // SEMANTIC leg (the q135 symmetry in streaming): docs the text
-        // gates called 'new' judge against the folded RP-LSH signature
-        // state — an embedding near-dup of an earlier micro-batch's
-        // admission is caught at the next batch, like every other
-        // evidence class. Signature reads resolve through the shared
-        // tombstones, so quiesce-point takedowns reach this leg too;
-        // at a rollover boundary re-seed the sig store like the band
-        // state (resolved current() as tick 1).
-        val semed = sem match {
-          case None => fuzzed
-          case Some(leg) =>
-            val flags = graft.operators.SemanticGate.flaggedAgainstState(
-              rs(leg.sigs.currentUpTo(stateTick).getOrElse(
-                sys.error("semantic leg not bootstrapped"))),
-              leg.vectors,
-              fuzzed.filter(col("verdict") === "new").select("doc_id"),
-              leg.nTables, leg.bits, leg.dim, leg.simThreshold)
-            fuzzed.join(flags, col("doc_id") === col("sid"), "left")
-              .withColumn("verdict",
-                when(col("verdict") =!= "new", col("verdict"))
-                  .when(col("sid").isNotNull, lit("dup_corpus_semantic"))
-                  .otherwise(col("verdict")))
-              .drop("sid")
-        }
-        // DECONTAM leg (the q136 symmetry in streaming): surviving
-        // 'new' docs judge against the LIVE eval-set state (withdrawals
-        // resolve through the eval tombstones at every batch); the
-        // stream verdict is the batch evidence class itself. An
-        // eval-set UPDATE stays a quiesce-point operation —
-        // evalUpdateTick between runs retro-catches from the docGrams
-        // this fold maintains, and readjudicateTick recovers withdrawn-
-        // evidence rejections from the quarantine.
-        val evaled = eval match {
-          case None => semed
-          case Some(leg) =>
-            val flags = graft.io.IngestLoop.contamFlags(leg,
-              semed.filter(col("verdict") === "new")
-                .select("doc_id", "text"))
-            semed.join(flags, col("doc_id") === col("cid"), "left")
-              .withColumn("verdict",
-                when(col("verdict") =!= "new", col("verdict"))
-                  .when(col("cid").isNotNull, lit("contaminated"))
-                  .otherwise(col("verdict")))
-              .drop("cid")
-        }
+        val evaled = refineContamLeg(
+          refineSemanticLeg(fuzzed, stores, sem, stateTick), eval)
         val refined = refineQuality(evaled, weights, lowFrac)
           // severed: read by the sink write AND the fold increments
           .localCheckpoint()
@@ -398,6 +356,8 @@ object DocStream {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         val adm = refined.filter(col("verdict") === "new")
           .select("doc_id", "text")
+        val served = curatedServed(refined, b.toDF().select("doc_id", "text"),
+          stateTick, outPath, batchId, curate, adm)
         stores.hashes.appendTickAt(stateTick + 1,
           graft.operators.Provenance.corpusDocHashes(adm))
         stores.bands.appendTickAt(stateTick + 1,
@@ -409,10 +369,113 @@ object DocStream {
             adm.select("doc_id"), leg.nTables, leg.bits, leg.dim)))
         eval.foreach(leg => leg.docGrams.appendTickAt(stateTick + 1,
           graft.operators.Contamination.grams(adm, leg.n)))
-        foldConsumerLegs(adm, stateTick + 1, idx, census, ann, export)
+        foldConsumerLegs(adm, served, stateTick + 1, idx, census, ann, export)
+        // a curate leg whose census is NOT the stream's census leg still
+        // folds the RAW admitted increment (same object → no double fold
+        // — the runTickImpl rule)
+        curate.filter(cl => !census.contains(cl.census))
+          .foreach(_.census.appendDocsAt(stateTick + 1, adm))
         foldQuarantine(refined, stateTick + 1, quar)
       }
       .start()
+  }
+
+  /** SEMANTIC leg refinement (the q135 symmetry in streaming): docs the
+    * text gates called 'new' judge against the folded RP-LSH signature
+    * state — an embedding near-dup of an earlier micro-batch's
+    * admission is caught at the next batch, like every other evidence
+    * class. Signature reads resolve through the shared tombstones, so
+    * quiesce-point takedowns reach this leg too; at a rollover boundary
+    * the sig store re-seeds like the band state
+    * ([[graft.io.IngestLoop.rolloverSem]]). */
+  private def refineSemanticLeg(batch: DataFrame,
+                                stores: graft.io.IngestLoop.Stores,
+                                sem: Option[graft.io.IngestLoop.SemLeg],
+                                stateTick: Long): DataFrame = sem match {
+    case None => batch
+    case Some(leg) =>
+      val flags = graft.operators.SemanticGate.flaggedAgainstState(
+        graft.io.IngestLoop.resolved(stores,
+          leg.sigs.currentUpTo(stateTick).getOrElse(
+            sys.error("semantic leg not bootstrapped"))),
+        leg.vectors,
+        batch.filter(col("verdict") === "new").select("doc_id"),
+        leg.nTables, leg.bits, leg.dim, leg.simThreshold)
+      batch.join(flags, col("doc_id") === col("sid"), "left")
+        .withColumn("verdict",
+          when(col("verdict") =!= "new", col("verdict"))
+            .when(col("sid").isNotNull, lit("dup_corpus_semantic"))
+            .otherwise(col("verdict")))
+        .drop("sid")
+  }
+
+  /** DECONTAM leg refinement (the q136 symmetry in streaming):
+    * surviving 'new' docs judge against the LIVE eval-set state
+    * (withdrawals resolve through the eval tombstones at every batch);
+    * the stream verdict is the batch evidence class itself. An eval-set
+    * UPDATE stays a quiesce-point operation — evalUpdateTick between
+    * runs retro-catches from the docGrams the fold maintains, and
+    * readjudicateTick recovers withdrawn-evidence rejections from the
+    * quarantine. */
+  private def refineContamLeg(batch: DataFrame,
+                              eval: Option[graft.io.IngestLoop.EvalLeg])
+      : DataFrame = eval match {
+    case None => batch
+    case Some(leg) =>
+      val flags = graft.io.IngestLoop.contamFlags(leg,
+        batch.filter(col("verdict") === "new").select("doc_id", "text"))
+      batch.join(flags, col("doc_id") === col("cid"), "left")
+        .withColumn("verdict",
+          when(col("verdict") =!= "new", col("verdict"))
+            .when(col("cid").isNotNull, lit("contaminated"))
+            .otherwise(col("verdict")))
+        .drop("cid")
+  }
+
+  /** CURATE leg (the q137 symmetry in streaming — r12 verdict item 1):
+    * the batch tick serves census-stripped + PII-scrubbed text while
+    * the streaming folds served RAW admitted text, so a streaming
+    * deployment exported boilerplate and unscrubbed PII the batch path
+    * removed. Admitted docs strip against the maintained census ∪ the
+    * micro-batch's own increment (the q129/q137 winner rule, at the
+    * census's granularity) then scrub, and the CURATED form is what
+    * [[foldConsumerLegs]] feeds the serving consumers (BM25 postings,
+    * packed export) — while the dedup stores, the quarantine, and the
+    * census keep folding RAW text (the two-column provenance
+    * discipline; the census is the strip-rule source). The per-batch
+    * rewrite audit (the q137 report columns: tokens_raw /
+    * tokens_removed / chars_redacted / `exact_curated_sig`) lands
+    * idempotently under `outPath/batch=<id>/_audit` — the underscore
+    * prefix keeps it invisible to whole-tree reads of the verdict
+    * output, and the batch's verdict overwrite (which wipes the batch
+    * dir) runs BEFORE this, so a replayed batch rewrites the same
+    * audit like everything else it writes. Returns
+    * the (doc_id, text=CURATED) frame for the consumer folds (`adm`
+    * unchanged when no leg is attached). */
+  private def curatedServed(refined: DataFrame, rawBatch: DataFrame,
+                            stateTick: Long, outPath: String, batchId: Long,
+                            curate: Option[graft.io.IngestLoop.CurateLeg],
+                            adm: DataFrame): DataFrame = curate match {
+    case None => adm
+    case Some(cl) =>
+      val cur = graft.operators.CurateTick.curatedDocs(
+        refined.filter(col("verdict") === "new")
+          .select(col("doc_id"), lit("stream").as("source"), col("text")),
+        cl.census.censusStore.currentUpTo(stateTick).getOrElse(
+          sys.error("curate leg not bootstrapped: no census base")),
+        rawBatch, cl.census.k, cl.topN)
+        // severed: read by the audit write AND the consumer folds
+        .localCheckpoint()
+      cur.select(col("source"), col("n_tokens"), col("n_removed"),
+          col("chars_redacted"),
+          graft.operators.Provenance.contentHash60(col("text")).as("chc"))
+        .groupBy("source")
+        .agg(sum("n_tokens").as("tokens_raw"),
+          sum("n_removed").as("tokens_removed"),
+          sum("chars_redacted").as("chars_redacted"),
+          expr("bit_xor(chc)").as("exact_curated_sig"))
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId/_audit")
+      cur.select("doc_id", "text")
   }
 
   /** The QUARANTINE fold (the q131 symmetry in streaming — rejected ≠
@@ -471,9 +534,14 @@ object DocStream {
     *     small compacts by re-exporting at quiesce points (the
     *     PackedExportStore scaladoc's epoch-count argument).
     *
-    * Every index must be bootstrapped from the same corpus as the
-    * stores (tick 1) before the query starts. */
-  private def foldConsumerLegs(adm: DataFrame, tick: Long,
+    * `served` is the text the SERVING consumers (postings, export)
+    * receive — the curated form when a [[curatedServed]] leg is
+    * attached, `adm` itself otherwise; the census and the ANN id
+    * semi-join always work from the RAW admitted frame (the q137
+    * two-column provenance rule). Every index must be bootstrapped
+    * from the same corpus as the stores (tick 1) before the query
+    * starts. */
+  private def foldConsumerLegs(adm: DataFrame, served: DataFrame, tick: Long,
                                idx: Option[graft.io.ArtifactStore.Bm25IncrementalIndex],
                                census: Option[graft.io.ArtifactStore.GramCensusIncrementalIndex],
                                ann: Option[graft.io.IngestLoop.AnnLeg],
@@ -481,7 +549,7 @@ object DocStream {
       : Unit = {
     // (no mix leg here: the stream wire schema carries no `source`
     // column — the domain-mix state is a batch-loop leg)
-    idx.foreach(_.appendDocsAt(tick, adm))
+    idx.foreach(_.appendDocsAt(tick, served))
     census.foreach(_.appendDocsAt(tick, adm))
     ann.foreach { leg =>
       val (c, r) = leg.idx.servingArtifacts()
@@ -490,7 +558,7 @@ object DocStream {
         adm.select(col("doc_id").as("vec_id")), Seq("vec_id"),
         "left_semi"), c, r)
     }
-    export.foreach(leg => leg.store.appendDocsAt(tick, adm, leg.ms))
+    export.foreach(leg => leg.store.appendDocsAt(tick, served, leg.ms))
   }
 
   /** MULTIMODAL folding admission — the [[graft.io.IngestLoop
@@ -531,7 +599,10 @@ object DocStream {
                               census: Option[graft.io.ArtifactStore.GramCensusIncrementalIndex] = None,
                               ann: Option[graft.io.IngestLoop.AnnLeg] = None,
                               export: Option[graft.io.IngestLoop.ExportLeg] = None,
-                              quar: Option[graft.io.IngestLoop.Quarantine] = None)
+                              quar: Option[graft.io.IngestLoop.Quarantine] = None,
+                              sem: Option[graft.io.IngestLoop.SemLeg] = None,
+                              eval: Option[graft.io.IngestLoop.EvalLeg] = None,
+                              curate: Option[graft.io.IngestLoop.CurateLeg] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.multimodal.Multimodal
     admissionStreamWithText(docs, corpusHashes)
@@ -544,12 +615,17 @@ object DocStream {
         val fuzzed = refineFuzzy(b.toDF(),
           rs(stores.text.bands.currentUpTo(stateTick).get),
           rs(stores.text.shingles.currentUpTo(stateTick).get), threshold)
+        // the r12-verdict symmetry: the mm BATCH tick gates seven
+        // classes; the stream applies the same two extra TEXT evidence
+        // legs here, BEFORE the modality signatures — text evidence
+        // outranks modality signatures (the q133 cross-evidence
+        // discipline, same precedence as mmGatedTickFrameWith)
+        val evaled = refineContamLeg(
+          refineSemanticLeg(fuzzed, stores.text, sem, stateTick), eval)
         // batch signatures derive once at the codec seam for the WHOLE
         // micro-batch (the runMmTick convention — the quarantine leg
         // needs every rejected doc's sigs as its mm evidence); severed —
         // read by the flag joins, the fold-back, AND the quarantine
-        val newDocs = fuzzed.filter(col("verdict") === "new")
-          .select("doc_id")
         val bISigs = Multimodal.imageSigs(b.toDF().select("doc_id"))
           .localCheckpoint()
         val bASigs = Multimodal.audioSigs(b.toDF().select("doc_id"))
@@ -562,7 +638,7 @@ object DocStream {
             rs(stores.audSigs.currentUpTo(stateTick).get),
             bASigs, maxDist, maxBand)
           .select(col("fid").as("afid"))
-        val mmRefined = fuzzed
+        val mmRefined = evaled
           .join(imFlag, col("doc_id") === col("ifid"), "left")
           .join(auFlag, col("doc_id") === col("afid"), "left")
           .withColumn("verdict",
@@ -577,6 +653,8 @@ object DocStream {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         val adm = refined.filter(col("verdict") === "new")
           .select("doc_id", "text")
+        val served = curatedServed(refined, b.toDF().select("doc_id", "text"),
+          stateTick, outPath, batchId, curate, adm)
         stores.text.hashes.appendTickAt(stateTick + 1,
           graft.operators.Provenance.corpusDocHashes(adm))
         stores.text.bands.appendTickAt(stateTick + 1,
@@ -587,11 +665,18 @@ object DocStream {
           bISigs.join(adm.select("doc_id"), Seq("doc_id"), "left_semi"))
         stores.audSigs.appendTickAt(stateTick + 1,
           bASigs.join(adm.select("doc_id"), Seq("doc_id"), "left_semi"))
-        foldConsumerLegs(adm, stateTick + 1, idx, census, ann, export)
+        sem.foreach(leg => leg.sigs.appendTickAt(stateTick + 1,
+          graft.operators.SemanticGate.sigRowsOf(leg.vectors,
+            adm.select("doc_id"), leg.nTables, leg.bits, leg.dim)))
+        eval.foreach(leg => leg.docGrams.appendTickAt(stateTick + 1,
+          graft.operators.Contamination.grams(adm, leg.n)))
+        foldConsumerLegs(adm, served, stateTick + 1, idx, census, ann, export)
+        curate.filter(cl => !census.contains(cl.census))
+          .foreach(_.census.appendDocsAt(stateTick + 1, adm))
         // the mm QUARANTINE fold (rejected ≠ discarded for stream
         // arrivals of every modality — the text twin's q131 symmetry):
         // rejected docs land with their 8-byte signatures so a
-        // quiesce-point readjudicateMmTick re-judges all four evidence
+        // quiesce-point readjudicateMmTick re-judges all evidence
         // classes without re-reading payloads, after rollover +
         // rolloverQuarantine re-seed the bundle (the restart-boundary
         // contract). Verdicts map to the batch evidence classes as in
@@ -603,6 +688,8 @@ object DocStream {
                 lit("dup_exact"))
                 .when(col("verdict") === "dup_corpus_fuzzy",
                   lit("dup_fuzzy"))
+                .when(col("verdict") === "dup_corpus_semantic",
+                  lit("dup_semantic"))
                 .when(col("verdict") === "dup_corpus_image",
                   lit("dup_image"))
                 .when(col("verdict") === "dup_corpus_audio",

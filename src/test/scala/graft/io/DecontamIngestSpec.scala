@@ -159,4 +159,80 @@ class DecontamIngestSpec extends AnyFunSuite {
     assert(legA.grams.current().get.count() === nLiveEval,
       "withdrawn items' gram rows physically leave the eval state")
   }
+
+  test("regateTick advances an attached eval leg (r12 advice): regate-readmitted docs enter docGrams, and the next eval-attached tick never overwrites the regate tick") {
+    val root = Files.createTempDirectory("graft_dc_regate").toString
+    val t2 = Decontam.evalFree(docs).filter(m === 0)
+    val (st, leg, quar) = build(root, "dcrg")
+    val replay = IngestLoop.replayLeg(spark, root, "dcrg")
+    IngestLoop.bootstrapReplay(replay, corpus)
+    IngestLoop.runTick(st, t1, weights, quar = Some(quar),
+      replay = Some(replay), eval = Some(leg))
+    assert(leg.docGrams.maxTick === 2L)
+
+    // the INVERTED model flips tick-1 quality rejections out of their
+    // window: they re-admit from the quarantine THROUGH the regate tick
+    // — before the fix regateTick had no eval param, docGrams lagged at
+    // tick 2, and the next eval-attached tick's agreement resolved to
+    // the regate tick, silently overwriting it (the readmitted docs
+    // vanished from dedup state and never entered the retro-catch index)
+    val rep = IngestLoop.regateTick(st, quar, replay,
+      weights.map(x => -x), eval = Some(leg)).collect()
+    val nReadm = rep.map(_.getLong(3)).sum
+    assert(nReadm > 0, "the inverted model must re-admit someone")
+    assert(leg.docGrams.maxTick === 3L,
+      "the docGrams reverse index advances WITH the regate tick")
+    val readmIds = quar.resolvedIds.current().get.localCheckpoint()
+    assert(readmIds.count() === nReadm)
+    val readmGrams = leg.docGrams.current().get
+      .join(readmIds, Seq("doc_id"), "left_semi").count()
+    assert(readmGrams > 0,
+      "regate-readmitted docs enter the retro-catch reverse index")
+
+    val tick3Hashes = st.hashes.current().get
+      .join(readmIds, Seq("doc_id"), "left_semi").count()
+    assert(tick3Hashes === nReadm)
+    IngestLoop.runTick(st, t2, weights, quar = Some(quar),
+      replay = Some(replay), eval = Some(leg))
+    assert(st.hashes.maxTick === 4L && leg.docGrams.maxTick === 4L,
+      "the next tick lands at 4, never ON the regate tick")
+    assert(leg.docGrams.current().get
+      .join(readmIds, Seq("doc_id"), "left_semi").count() === readmGrams,
+      "the regate tick's docGrams increment survives the next eval tick")
+    assert(st.hashes.current().get
+      .join(readmIds, Seq("doc_id"), "left_semi").count() === tick3Hashes,
+      "the regate tick's hash fold-back survives the next eval tick")
+  }
+
+  test("evalUpdateTick crash replay without an explicit id (r12 advice): the default id agrees across all four eval-side stores — laggards land at the SAME id, no duplicate eval rows") {
+    val root = Files.createTempDirectory("graft_dc_uid").toString
+    val (stA, legA, _) = build(root, "dcu_clean")
+    val caughtClean = IngestLoop.evalUpdateTick(stA, legA,
+      Decontam.eval2Docs(docs), Decontam.withdrawEvalIds(docs))
+      .collect().map(_.getLong(0)).toSet
+    val cleanBands = legA.bands.current().get.count()
+    val cleanGrams = legA.grams.current().get.count()
+
+    val (stB, legB, _) = build(root, "dcu_crash")
+    // CRASH simulation: the update's first two appends (tombs, grams)
+    // committed at the derived id 2, then the process died before the
+    // band/shingle appends. The grams-only default would now derive
+    // grams.maxTick + 1 = 3 and land bands/shingles at a SECOND id —
+    // the duplicate-eval-row hazard the same-updateId contract exists
+    // to prevent.
+    legB.tombs.appendTickAt(2, Decontam.withdrawEvalIds(docs))
+    legB.grams.appendTickAt(2, graft.operators.Contamination.grams(
+      Decontam.eval2Docs(docs), legB.n))
+    val caughtB = IngestLoop.evalUpdateTick(stB, legB,
+      Decontam.eval2Docs(docs), Decontam.withdrawEvalIds(docs))
+      .collect().map(_.getLong(0)).toSet
+    assert(Seq(legB.grams, legB.bands, legB.shingles, legB.tombs)
+      .map(_.maxTick).distinct === Seq(2L),
+      "the replayed update lands every eval-side store at the SAME id")
+    assert(legB.bands.current().get.count() === cleanBands &&
+      legB.grams.current().get.count() === cleanGrams,
+      "no duplicate eval band/gram rows after the replay")
+    assert(caughtB === caughtClean,
+      "the replayed retro-catch equals the clean run's")
+  }
 }

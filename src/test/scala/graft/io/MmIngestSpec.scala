@@ -304,4 +304,43 @@ class MmIngestSpec extends AnyFunSuite {
     assert(resub.map(_.getLong(2)).sum === nReadm,
       "every resubmitted re-admitted doc must be dup_exact")
   }
+
+  test("runMmTick advances an attached replay leg (r12 advice): feats fold per mm tick, so a replay-attached mm re-adjudication lands on a FRESH tick instead of overwriting the ingest tick") {
+    val root = Files.createTempDirectory("graft_mm_replay").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    val t1 = docs.filter(m >= 10)
+    val w = QualityModel.weights(corpus,
+      scope = s"multitick${Provenance.BatchMod}")
+
+    val st = IngestLoop.mmStores(spark, root, "mmrp")
+    IngestLoop.bootstrapMm(st, corpus)
+    val quar = IngestLoop.quarantine(spark, root, "mmrp")
+    IngestLoop.bootstrapMmQuarantine(quar, corpus)
+    val replay = IngestLoop.replayLeg(spark, root, "mmrp")
+    IngestLoop.bootstrapReplay(replay, corpus)
+
+    val rep = IngestLoop.runMmTick(st, t1, w, quar = Some(quar),
+      replay = Some(replay)).collect()
+    val novel = rep.map(r => r.getAs[Long]("n_low_quality") +
+      r.getAs[Long]("n_new")).sum
+    assert(novel > 0, "the pin needs a non-empty quality window")
+    assert(replay.feats.maxTick === 2L,
+      "the replay leg advances WITH the mm ingest tick")
+    val t2Feats = replay.feats.current().get
+      .filter(col("tick") === 2L).count()
+    assert(t2Feats === novel,
+      "the mm tick's novel cohort persists its gate features")
+
+    // before the fix: runMmTick had no replay param, feats lagged at
+    // tick 1, and this replay-attached re-adjudication's agreement
+    // resolved to tick 2 — silently overwriting the ingest tick's
+    // five-store increments
+    IngestLoop.readjudicateMmTick(st, quar, w, replay = Some(replay))
+    assert(st.text.hashes.maxTick === 3L && replay.feats.maxTick === 3L,
+      "the re-adjudication lands at tick 3, never ON the ingest tick")
+    assert(replay.feats.current().get.filter(col("tick") === 2L).count()
+      === t2Feats,
+      "the ingest tick's feats survive the replay-attached re-adjudication")
+  }
 }

@@ -1114,4 +1114,247 @@ class DocStreamSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(486L),
       "486 stays held by the surviving eval item")
   }
+
+  test("curate leg in the stream fold (q137 twin): stream-exported slices equal the batch runFullTick curated slices for the same arrivals, across kill + restart; raw dedup evidence unchanged") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val documents = Tables.load(spark, sf, "documents")
+    val artRoot = Files.createTempDirectory("graft_scur_art").toString
+    val hashes = graft.io.ArtifactStore.corpusHashesOrBuild(artRoot, documents)
+    val w = graft.operators.QualityModel.weights(documents, scope = "scurspec")
+    val ms = graft.operators.Bpe.merges(documents)
+    val seqLen = 128
+    val stripK = graft.operators.CurateTick.DefaultStripK
+
+    // arrivals: novel tokens + redactable PII; R is an exact re-send of
+    // P's RAW text at batch 1 — the two-column provenance pin (the
+    // export serves scrubbed text, yet the raw hash still rejects R)
+    val pText = (1 to 30).map(i => s"cva$i").mkString(" ") +
+      " contact alice@example.org now"
+    val qText = (1 to 30).map(i => s"cvb$i").mkString(" ") +
+      " or call 555-867-5309 today"
+    val p = DocStream.Doc(910000L, HourNs, pText)
+    val q0 = DocStream.Doc(910001L, 2 * HourNs, qText)
+    val r0 = DocStream.Doc(910002L, 2 * HourNs, pText)
+
+    def buildSide(name: String) = {
+      val st = graft.io.IngestLoop.stores(spark, artRoot, name)
+      graft.io.IngestLoop.bootstrap(st, documents)
+      val idx = graft.io.ArtifactStore.bm25Incremental(spark, artRoot, name)
+      idx.bootstrap(documents)
+      val cen = graft.io.ArtifactStore.gramCensusIncremental(
+        spark, artRoot, s"${name}_cen", k = stripK)
+      cen.bootstrap(documents)
+      val ex = graft.io.ArtifactStore.packedExport(
+        spark, artRoot, s"${name}_ex", seqLen)
+      ex.bootstrap(documents, ms)
+      (st, idx, cen, ex)
+    }
+
+    // BATCH side: two runFullTick curated ticks over the same arrivals
+    import spark.implicits._
+    val (stB, idxB, cenB, exB) = buildSide("scur_batch")
+    val b0docs = Seq((910000L, "stream", pText))
+      .toDF("doc_id", "source", "text")
+    val b1docs = Seq((910001L, "stream", qText), (910002L, "stream", pText))
+      .toDF("doc_id", "source", "text")
+    val rep1 = graft.io.IngestLoop.runFullTick(stB, idxB, cenB, b0docs, w,
+      lowFrac = 0.0, export = Some(graft.io.IngestLoop.ExportLeg(exB, ms)),
+      curate = Some(graft.io.IngestLoop.CurateLeg(cenB))).collect()
+    val rep2 = graft.io.IngestLoop.runFullTick(stB, idxB, cenB, b1docs, w,
+      lowFrac = 0.0, export = Some(graft.io.IngestLoop.ExportLeg(exB, ms)),
+      curate = Some(graft.io.IngestLoop.CurateLeg(cenB))).collect()
+    assert(rep1.map(_.getAs[Long]("chars_redacted")).sum > 0,
+      "the batch transform must redact the planted PII")
+
+    // STREAM side: the same arrivals as two micro-batches with a KILL
+    // between them, curate leg attached
+    val (stS, idxS, cenS, exS) = buildSide("scur_stream")
+    val dir = Files.createTempDirectory("graft_scur_in")
+    val ckpt = Files.createTempDirectory("graft_scur_ckpt").toString
+    val out = Files.createTempDirectory("graft_scur_out").toString
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    def startQuery() = {
+      val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+        DocStream.JsonlDocSchema)
+        .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+        .drop(graft.io.JsonLines.CorruptCol)
+      DocStream.foldingGatedAdmissionQuery(raw,
+        hashes.select(col("ch").as("h")), stS, w, out, ckpt,
+        lowFrac = 0.0, idx = Some(idxS), census = Some(cenS),
+        export = Some(graft.io.IngestLoop.ExportLeg(exS, ms)),
+        curate = Some(graft.io.IngestLoop.CurateLeg(cenS)))
+    }
+    Files.writeString(dir.resolve("b0.jsonl"), jline(p) + "\n")
+    val sq1 = startQuery()
+    try sq1.processAllAvailable() finally sq1.stop()
+    Files.writeString(dir.resolve("b1.jsonl"),
+      Seq(q0, r0).map(jline).mkString("\n") + "\n")
+    val sq2 = startQuery()
+    try sq2.processAllAvailable() finally sq2.stop()
+
+    // the pin: per epoch, the stream-exported physical slices are
+    // BIT-IDENTICAL to the batch tick's curated slices — h is the
+    // md5-60 of (doc_id | curated text), so a hash match certifies the
+    // census-strip + PII-scrub transform end to end
+    def sliceSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("tick", "doc_id", "seq_id", "toks", "h").collect()
+        .map(_.toSeq).toSet
+    assert(sliceSet(exS.slices().filter(col("tick") > 1)) ===
+      sliceSet(exB.slices().filter(col("tick") > 1)),
+      "stream-exported slices must equal the batch curated slices")
+    assert(sliceSet(exS.slices().filter(col("tick") === 2)).nonEmpty)
+
+    // the per-batch audit carries the q137 columns; its signature
+    // equals the batch report's for the same tick
+    val aud0 = spark.read.parquet(s"$out/batch=0/_audit").collect()
+    assert(aud0.length === 1 && aud0.head.getAs[String]("source") === "stream")
+    assert(aud0.head.getAs[Long]("chars_redacted") > 0,
+      "the stream transform must redact the planted PII")
+    assert(aud0.head.getAs[Long]("exact_curated_sig") ===
+      rep1.head.getAs[Long]("exact_curated_sig"),
+      "stream audit signature ≡ the batch tick's curated signature")
+
+    // two-column provenance: the exact re-send of P's RAW text is
+    // rejected by the raw-hash layer even though the export serves
+    // P's SCRUBBED text
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(got(910000L) === "new" && got(910001L) === "new")
+    assert(got(910002L) === "dup_stream",
+      "raw dedup evidence is unchanged by the serving transform")
+
+    // the serving BM25 index received the CURATED text: no posting term
+    // may carry the PII token the raw text contained
+    val piiHits = idxS.index().tf
+      .filter(col("t").contains("alice@example.org"))
+    assert(piiHits.isEmpty,
+      "the serving postings must never contain scrubbed PII")
+  }
+
+  test("mm stream with semantic + eval legs (r12 verdict item 2): text evidence outranks modality signatures in-stream; takedown/eval-withdrawal recover both classes through the batch mm re-adjudication over rolled legs") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val sf01 = "/root/testdata/sf0.01"
+    val documents = Tables.load(spark, sf01, "documents")
+    val emb = Tables.load(spark, sf01, "embeddings")
+    val artRoot = Files.createTempDirectory("graft_smm_art").toString
+    val m = pmod(col("doc_id"), lit(graft.operators.Provenance.BatchMod))
+    val corpus0 = graft.operators.Decontam.evalFree(documents)
+      .filter(m.between(1, 9))
+    // 287/204 must reach the stream's TEXT legs un-flagged and 238's
+    // recovery must hinge on the SEMANTIC evidence alone, so the corpus
+    // drops their incidental image/audio near-colliders (the planted
+    // image fixture makes corpus docs 290/241 render 287's/238's
+    // seeds); 486's colliders stay — its image evidence IS the
+    // precedence pin, and the cross-evidence HOLD discipline is
+    // MmIngestSpec's q133 pin
+    import graft.multimodal.Multimodal
+    val probe = documents.filter(col("doc_id").isin(287L, 238L, 204L))
+    val colliders = Multimodal.flaggedAgainstState(
+        Multimodal.imageSigs(probe), Multimodal.imageSigs(corpus0), 10, 64)
+      .union(Multimodal.flaggedAgainstState(
+        Multimodal.audioSigs(probe), Multimodal.audioSigs(corpus0), 10, 64))
+      .select(col("fid").as("doc_id")).distinct().localCheckpoint()
+    val corpus = corpus0.join(colliders, Seq("doc_id"), "left_anti")
+    val w = graft.operators.QualityModel.weights(corpus, scope = "smmspec")
+
+    // fixtures: 287 (novel) admits at batch 0; 238's only partner is
+    // 287's EMBEDDING -> dup_corpus_semantic from the FOLDED sig state;
+    // 185/486 hit live eval items -> contaminated (486 also carries
+    // image evidence — the precedence pin); 204 is the novel control
+    def docText(id: Long): String = documents
+      .filter(col("doc_id") === id).select("text").head().getString(0)
+    val b0 = Seq(DocStream.Doc(287L, HourNs, docText(287L)))
+    val b1 = Seq(DocStream.Doc(238L, 2 * HourNs, docText(238L)),
+      DocStream.Doc(185L, 2 * HourNs, docText(185L)),
+      DocStream.Doc(486L, 2 * HourNs, docText(486L)),
+      DocStream.Doc(204L, 2 * HourNs, docText(204L)))
+
+    val st = graft.io.IngestLoop.mmStores(spark, artRoot, "smm")
+    graft.io.IngestLoop.bootstrapMm(st, corpus)
+    val semL = graft.io.IngestLoop.semLeg(spark, artRoot, "smm", emb)
+    graft.io.IngestLoop.bootstrapSem(semL, corpus)
+    val evalL = graft.io.IngestLoop.evalLeg(spark, artRoot, "smm")
+    graft.io.IngestLoop.bootstrapEval(evalL, corpus,
+      graft.operators.Decontam.eval1Docs(documents))
+    val quar = graft.io.IngestLoop.quarantine(spark, artRoot, "smm")
+    graft.io.IngestLoop.bootstrapMmQuarantine(quar, corpus)
+
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    val dir = Files.createTempDirectory("graft_smm_in")
+    val ckpt = Files.createTempDirectory("graft_smm_ckpt").toString
+    val out = Files.createTempDirectory("graft_smm_out").toString
+    val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+      DocStream.JsonlDocSchema)
+      .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+      .drop(graft.io.JsonLines.CorruptCol)
+    val seed = st.text.hashes.currentUpTo(1).get
+      .select(col("ch").as("h")).distinct()
+    val q = DocStream.foldingMmAdmissionQuery(raw, seed, st, w,
+      out, ckpt, lowFrac = 0.0, quar = Some(quar), sem = Some(semL),
+      eval = Some(evalL))
+    try {
+      Files.writeString(dir.resolve("b0.jsonl"),
+        b0.map(jline).mkString("\n") + "\n")
+      q.processAllAvailable()
+      Files.writeString(dir.resolve("b1.jsonl"),
+        b1.map(jline).mkString("\n") + "\n")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(got(287L) === "new", "the planted source admits at batch 0")
+    assert(got(238L) === "dup_corpus_semantic",
+      "238 must be rejected by the FOLDED sig state in the MM stream")
+    assert(got(185L) === "contaminated" && got(486L) === "contaminated",
+      "eval-hitting arrivals reject as contaminated in the mm stream — " +
+        "486's text evidence outranks its image signature")
+    assert(got(204L) === "new")
+    // the mm stream folds BOTH new legs' state batch-id-keyed
+    assert(semL.sigs.maxTick === 3L && evalL.docGrams.maxTick === 3L,
+      "sem sigs and docGrams fold alongside the five mm stores")
+    val qv = quar.rows.current().get
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(qv(238L) === "dup_semantic" && qv(185L) === "contaminated" &&
+      qv(486L) === "contaminated")
+
+    // recovery, both directions at one quiesce boundary: takedown of
+    // 287 (238's only semantic partner) + eval withdrawal of item 61
+    // (185's only contaminating item); ALL legs roll into the fresh
+    // generation (rolloverSem / rolloverEval — r12 advice), then ONE mm
+    // re-adjudication re-admits 238 and 185 and keeps holding 486
+    graft.io.IngestLoop.retractMmTick(st,
+      spark.range(1).select(lit(287L).as("doc_id")),
+      quar = Some(quar), sem = Some(semL), eval = Some(evalL))
+    graft.io.IngestLoop.evalUpdateTick(st.text, evalL,
+      graft.operators.Decontam.eval2Docs(documents),
+      graft.operators.Decontam.withdrawEvalIds(documents))
+    val st2 = graft.io.IngestLoop.rolloverMm(st, spark, artRoot, "smm2")
+    val semL2 = graft.io.IngestLoop.rolloverSem(st.text, semL,
+      spark, artRoot, "smm2")
+    val evalL2 = graft.io.IngestLoop.rolloverEval(st.text, evalL,
+      spark, artRoot, "smm2")
+    val quar2 = graft.io.IngestLoop.rolloverQuarantine(st.text, quar,
+      spark, artRoot, "smm2")
+    assert(semL2.sigs.current().get
+      .filter(col("doc_id") === 287L).count() === 0L,
+      "the rolled sig state physically drops the retracted doc's rows")
+    graft.io.IngestLoop.readjudicateMmTick(st2, quar2, w,
+      lowFrac = 0.0, sem = Some(semL2), eval = Some(evalL2)).collect()
+    val resolved = quar2.resolvedIds.current().get
+      .collect().map(_.getLong(0)).toSet
+    assert(resolved.contains(238L),
+      "238 re-admits: its only semantic partner was retracted")
+    assert(resolved.contains(185L),
+      "185 re-admits: its only contaminating eval item withdrew")
+    assert(!resolved.contains(486L),
+      "486 stays held by the surviving eval item")
+  }
 }
