@@ -512,6 +512,10 @@ object SparkEntry {
       CurateTick.q137CuratedFoldback(_)),
     "q138_consumption_audit" -> t("documents")(
       Packing.q138ConsumptionAudit),
+    "q139_selfsized_semantic" -> ((s, dir) =>
+      SemanticGate.q139SelfSizedAdmission(
+        Tables.load(s, dir, "documents"),
+        Tables.load(s, dir, "embeddings"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -652,6 +656,7 @@ object SparkEntry {
     "q133_mm_readjudication" -> graft.multimodal.Multimodal.q133Sql(),
     "q134_quality_readjudication" -> Provenance.q134Sql(),
     "q135_semantic_admission" -> SemanticGate.q135Sql(),
+    "q139_selfsized_semantic" -> SemanticGate.q139Sql(),
     "q136_decontam_tick" -> Decontam.q136Sql(),
     "q137_curated_foldback" -> CurateTick.q137Sql(),
     "q138_consumption_audit" -> Packing.q138Sql(),

@@ -50,6 +50,28 @@ object SemanticGate {
   val DefaultDim = 64
   val DefaultSimThreshold = 0.4
 
+  /** Production table count (the gen-scale rehearsal setting): fewer,
+    * deeper tables — the OR-recall knob once `bits` is occupancy-sized. */
+  val ProductionTables = 8
+  /** Self-sizing clamp: below MinBits the candidate join degenerates
+    * toward all-pairs even on tiny corpora; above MaxBits (16 M buckets
+    * per table) fan-out is no longer the binding cost at any corpus
+    * size this engine targets. */
+  val MinBits = 4
+  val MaxBits = 24
+
+  /** The occupancy rule (bits ≈ log₂N, the [[RpLsh]] scaladoc's tuning
+    * rule) made executable and ORACLE-PORTABLE: the smallest b in
+    * [MinBits, MaxBits] with 2^b ≥ n — expected per-table bucket
+    * occupancy ≤ 1, so per-table candidate work stays ~O(N) instead of
+    * N²/2^bits blowing up as the corpus grows past the knob (the r12
+    * failure mode: test-sized 4-bit defaults projected ~200 M candidate
+    * pairs at 20 k vectors). Integer-exact in both engines: Spark
+    * compares 1L << b, DuckDB pow(2, b) — exact doubles far past any
+    * clamped b. */
+  def sizedBits(n: Long): Int =
+    (MinBits to MaxBits).find(b => (1L << b) >= n).getOrElse(MaxBits)
+
   private def dot(a: Column, b: Column): Column =
     graft.catalyst.native.dotProduct(a, b)
   private def norm2(a: Column): Column = dot(a, a)
@@ -262,7 +284,62 @@ object SemanticGate {
               dim: Int = DefaultDim,
               simThreshold: Double = DefaultSimThreshold,
               iters: Int = QualityModel.DefaultIters,
-              trainN: Int = QualityModel.DefaultTrainN): String = {
+              trainN: Int = QualityModel.DefaultTrainN): String =
+    semAdmissionSql(threshold, lowFrac, nTables, bits, dim, simThreshold,
+      iters, trainN, sized = false)
+
+  /** q139: q135's semantic admission loop under SELF-SIZED occupancy
+    * (r12 verdict item 3) — the manual production `bits` knob replaced
+    * by [[sizedBits]] over the corpus vector count, derived INSIDE the
+    * query (and inside the oracle, from the same table), with the
+    * sizing decision visible in the report: every row carries
+    * (n_vectors, sig_tables, sig_bits). The gate itself is q135's —
+    * both decisive directions re-derive at the sized parameters — so a
+    * first deployment against a real corpus needs no scratch driver to
+    * pick the knob: the occupancy census IS the query. Deployment
+    * form: [[graft.io.IngestLoop.semLegSized]] records the chosen
+    * (tables, bits) in a params artifact next to the sig store;
+    * re-sizing is a new store generation
+    * ([[graft.io.IngestLoop.resizeSemLeg]] — verdict history stays
+    * valid because the hyperplanes are fixed; only fan-out changes). */
+  def q139SelfSizedAdmission(documents: DataFrame, embeddings: DataFrame,
+                             threshold: Double = 0.2,
+                             lowFrac: Double = 0.25,
+                             nTables: Int = ProductionTables,
+                             dim: Int = DefaultDim,
+                             simThreshold: Double = DefaultSimThreshold)
+      : DataFrame = {
+    // ONE count — the bootstrap sizing read (a metadata-cheap aggregate
+    // over the vector table, never the embeddings themselves)
+    val n = embeddings.count()
+    val bits = sizedBits(n)
+    q135SemanticAdmission(documents, embeddings, threshold, lowFrac,
+        nTables, bits, dim, simThreshold)
+      .withColumn("n_vectors", lit(n))
+      .withColumn("sig_tables", lit(nTables))
+      .withColumn("sig_bits", lit(bits))
+  }
+
+  /** q139's oracle: q135's WITH clause with the bits knob replaced by
+    * the same smallest-b occupancy rule over `count(*) FROM embeddings`
+    * — DuckDB re-derives the SIZING too, so a hash match certifies the
+    * rule, the planes at the sized width, and the whole precedence. */
+  def q139Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              nTables: Int = ProductionTables, dim: Int = DefaultDim,
+              simThreshold: Double = DefaultSimThreshold,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String =
+    semAdmissionSql(threshold, lowFrac, nTables, bits = 0, dim,
+      simThreshold, iters, trainN, sized = true)
+
+  /** The shared q135/q139 oracle body. `sized = true` derives `bits`
+    * in-SQL (CTEs `nn`/`bb`: the [[sizedBits]] rule) and appends the
+    * sizing columns; otherwise the passed literal `bits` is used. */
+  private def semAdmissionSql(threshold: Double, lowFrac: Double,
+                              nTables: Int, bits: Int, dim: Int,
+                              simThreshold: Double,
+                              iters: Int, trainN: Int,
+                              sized: Boolean): String = {
     val bm = Provenance.BatchMod
     val rm = Provenance.RetractMod
     val rr = Provenance.RetractRem
@@ -270,6 +347,28 @@ object SemanticGate {
     // q72Sql comment)
     val comp = s"(CAST(concat('0x', substr(md5(p || '-' || d), 1, 15)) AS BIGINT)" +
       s" % 2000001) / 1000000.0::DOUBLE - 1.0::DOUBLE"
+    // the sizing CTEs and the three bits injection points
+    val preCtes = if (!sized) "" else
+      s"""nn AS (SELECT count(*) AS n FROM embeddings),
+         |bb AS (SELECT CAST(coalesce(min(b), $MaxBits) AS INT) AS bits
+         |       FROM range($MinBits, ${MaxBits + 1}) t(b), nn
+         |       WHERE pow(2, CAST(b AS INT)) >= nn.n),
+         |""".stripMargin
+    val planesFrom =
+      if (sized) s"FROM range(0, ${nTables * MaxBits}) t(p), bb " +
+        s"WHERE p < $nTables * bb.bits"
+      else s"FROM range(0, ${nTables * bits}) t(p)"
+    val bitsRef = if (sized) "bb.bits" else s"$bits"
+    val ssgFrom = if (sized) "FROM e, planes pl, bb" else "FROM e, planes pl"
+    val finalSelect =
+      if (sized)
+        s"""SELECT u.*, nn.n AS n_vectors, $nTables AS sig_tables,
+           |  bb.bits AS sig_bits
+           |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u, nn, bb
+           |ORDER BY tick, source""".stripMargin
+      else
+        """SELECT * FROM r1 UNION ALL SELECT * FROM r2
+          |ORDER BY tick, source""".stripMargin
     def report(tick: Int, v: String, readm: String) =
       s"""SELECT $tick AS tick, source, count(*) AS n_batch,
          |  count(ch) AS n_dup_exact,
@@ -280,7 +379,7 @@ object SemanticGate {
          |  count(CASE WHEN lq = false THEN 1 END) AS n_new,
          |  $readm AS n_sem_readmitted
          |FROM $v GROUP BY source""".stripMargin
-    s"""WITH ${Fuzzy.lshPairsSqlCtes(
+    s"""WITH $preCtes${Fuzzy.lshPairsSqlCtes(
          "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
          threshold)},
        |adj AS MATERIALIZED (SELECT ida AS a, idb AS b FROM pairs
@@ -292,12 +391,12 @@ object SemanticGate {
        |      WHERE doc_id % $bm BETWEEN 1 AND 9),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
        |planes AS (SELECT p, [$comp FOR d IN range(0, $dim)] AS pv
-       |           FROM range(0, ${nTables * bits}) t(p)),
-       |ssg AS (SELECT e.vec_id, CAST(pl.p // $bits AS INT) AS tbl,
+       |           $planesFrom),
+       |ssg AS (SELECT e.vec_id, CAST(pl.p // $bitsRef AS INT) AS tbl,
        |          CAST(sum(CASE WHEN list_dot_product(e.ed, pl.pv) >= 0
-       |                        THEN 1 << CAST(pl.p % $bits AS INT)
+       |                        THEN 1 << CAST(pl.p % $bitsRef AS INT)
        |                        ELSE 0 END) AS BIGINT) AS code
-       |        FROM e, planes pl GROUP BY 1, 2),
+       |        $ssgFrom GROUP BY 1, 2),
        |scand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
        |          FROM ssg a JOIN ssg b
        |            ON a.tbl = b.tbl AND a.code = b.code
@@ -366,7 +465,6 @@ object SemanticGate {
        |r1 AS (${report(1, "v1", "CAST(0 AS BIGINT)")}),
        |r2 AS (${report(2, "v2",
          "count(CASE WHEN lq = false THEN spre END)")})
-       |SELECT * FROM r1 UNION ALL SELECT * FROM r2
-       |ORDER BY tick, source""".stripMargin
+       |$finalSelect""".stripMargin
   }
 }

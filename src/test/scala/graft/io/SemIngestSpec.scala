@@ -191,4 +191,50 @@ class SemIngestSpec extends AnyFunSuite {
         Seq("doc_id"), "left_anti").isEmpty,
       "after the fold, every surviving sig row's doc is still ingested")
   }
+
+  test("self-sized semantic leg (q139, r12 item 3): bootstrap records (tables, bits) from the corpus count, later loads serve the RECORDED knob, and a re-size is a new generation with identical verdict semantics") {
+    import graft.operators.SemanticGate
+    val root = Files.createTempDirectory("graft_sem_sized").toString
+    val st = IngestLoop.stores(spark, root, "ssz")
+    IngestLoop.bootstrap(st, corpus)
+
+    // first bootstrap: bits derive from the vector count and are
+    // recorded next to the sig store
+    val n = emb.count()
+    val leg = IngestLoop.semLegSized(spark, root, "ssz", emb)
+    assert(leg.nTables === SemanticGate.ProductionTables &&
+      leg.bits === SemanticGate.sizedBits(n),
+      "the sizing rule picks bits ≈ log2(N) at bootstrap")
+    IngestLoop.bootstrapSem(leg, corpus)
+    val rep1 = rows(IngestLoop.runTick(st, t1, weights, sem = Some(leg)))
+    assert(rep1.map(_(4).asInstanceOf[Long]).sum > 0,
+      "the sized knob must still reject semantic dups on this corpus")
+
+    // a later load serves the RECORDED knob even when the live vector
+    // table has grown past the sizing count — accumulated signatures
+    // must all share one width
+    val leg2 = IngestLoop.semLegSized(spark, root, "ssz",
+      emb.select(col("vec_id"), col("embedding")).union(emb.select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))))
+    assert(leg2.nTables === leg.nTables && leg2.bits === leg.bits,
+      "the recorded (tables, bits) win over the live count — a reloaded " +
+        "leg judges at the width every accumulated signature was derived at")
+
+    // RE-SIZE into a new generation: signatures re-derive at the new
+    // width for every surviving ingested doc, and the re-sized state
+    // reproduces the verdicts a from-scratch leg at that width gives
+    val leg3 = IngestLoop.resizeSemLeg(st, leg, spark, root, "ssz_v2",
+      nTables = 4, bits = leg.bits + 2)
+    assert(leg3.sigs.maxTick === 1L)
+    val fresh = IngestLoop.semLegSized(spark, root, "ssz_v2", emb)
+    assert(fresh.nTables === 4 && fresh.bits === leg.bits + 2,
+      "the re-size records the new knob under the new name")
+    val ingested = IngestLoop.resolved(st, st.hashes.current().get)
+      .select("doc_id").distinct()
+    assert(leg3.sigs.current().get.collect().map(_.toSeq).toSet ===
+      SemanticGate.sigRowsOf(emb, ingested, 4, leg.bits + 2, leg3.dim)
+        .collect().map(_.toSeq).toSet,
+      "the re-sized generation ≡ a from-scratch derivation at the new " +
+        "width over the surviving ingested set")
+  }
 }
