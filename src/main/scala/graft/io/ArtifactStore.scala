@@ -1301,12 +1301,78 @@ object ArtifactStore {
         .filter(d => f.exists(new Path(d, "_SUCCESS"))).sorted
     }
 
+    // ---- dir manifest (r12 verdict item 7: ledger scale hygiene) ------
+    // jobs()/members() used to listStatus EVERY child dir — at years of
+    // ticks that is an unbounded driver-side filesystem listing (N
+    // round-trips on an object store) before a single byte of audit
+    // work. The manifest is ONE small parquet of (kind, dir) rows,
+    // rewritten at each record() AFTER the dirs it names committed —
+    // so every listed dir is complete, a crashed record leaves at most
+    // an unlisted-but-harmless member dir (its job row never committed;
+    // the replay re-lists it), and reads cost one parquet read instead
+    // of N listings. Ledgers written before the manifest existed fall
+    // back to the listing path; results are identical (ConsumptionSpec
+    // pins it).
+    private def manifestDir = s"$base/manifest"
+    private def readManifest(): Option[DataFrame] =
+      if (exists(spark, manifestDir)) Some(spark.read.parquet(manifestDir))
+      else None
+
+    private def committedDirs(kind: String): Seq[String] =
+      readManifest()
+        .map(_.filter(col("kind") === kind).select("dir")
+          .collect().map(_.getString(0)).toSeq.distinct.sorted)
+        .filter(_.nonEmpty)
+        .getOrElse(listDirs(s"${kind}s"))
+
     /** Record `jobId`'s consumption of every epoch `export` currently
-      * serves. Call AFTER the q132 release gate passed — the ledger
-      * records what was streamed, the gate decides what may be. */
-    def record(jobId: String, export: PackedExportStore): Unit = {
-      val revs = export.servingRevisions
+      * serves, GATED by the q132 certificate (r12 verdict item 4):
+      * `cert` is the [[PackedExportStore.certify]] output for this
+      * export's serving revisions, and the record REFUSES — before any
+      * write — when a consumed epoch is uncertified or its decision is
+      * not 'serve'. The scaladoc contract "call after the gate passed"
+      * is now enforced, not advised: a ledger row can never reference
+      * an epoch the gate did not clear, so a later compliance audit
+      * reads the certificate outcome OFF the ledger instead of trusting
+      * call-site discipline. Each job row is stamped with the epoch's
+      * record-time certificate: its decision, its liveness count
+      * (`n_retracted_at_record` — 0 by construction of the gate), and
+      * `cert_sig`, the content fingerprint of the full certificate rows
+      * the record was admitted under (re-derivable from a re-run of
+      * certify at the same state). The cert read is O(epochs) rows at
+      * the driver, like `servingRevisions` itself. */
+    def record(jobId: String, export: PackedExportStore,
+               cert: DataFrame): Unit = {
       val sl = export.slices().localCheckpoint()
+      // EMPTY epochs (takedown markers — retractTick's
+      // appendEmptyEpochAt keeps the tick agreement) have nothing to
+      // stream and therefore no certificate row; they are not
+      // consumption and never enter the ledger
+      val consumedTicks = sl.select("tick").distinct().collect()
+        .map(_.getInt(0).toLong).toSet
+      val revs = export.servingRevisions
+        .filter { case (t, _) => consumedTicks.contains(t) }
+      val certRows = cert.select(col("tick").cast("long"),
+          col("rev").cast("long"), col("n_retracted").cast("long"),
+          col("decision"),
+          graft.operators.Provenance.contentHash60(concat_ws("|",
+            col("tick"), col("rev"), col("n_seqs"), col("n_docs"),
+            col("n_tokens"), col("n_retracted"), col("fill_micro"),
+            col("max_share_dev_micro"), col("decision"))).as("csig"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getString(3), r.getLong(4))).toMap
+      val missing = revs.filterNot(certRows.contains)
+      require(missing.isEmpty,
+        s"refusing to record '$jobId': serving epochs " +
+          missing.mkString(", ") +
+          " carry no certificate — run certify() at the current state")
+      val held = revs.filter(tr => certRows(tr)._2 != "serve")
+      require(held.isEmpty,
+        s"refusing to record '$jobId': held epochs " +
+          held.map(tr => s"$tr=${certRows(tr)._2}").mkString(", ") +
+          " — the gate decides what may be streamed; the ledger only " +
+          "records what was")
       revs.foreach { case (t, r) =>
         val dir = memberDir(t, r)
         if (!exists(spark, dir))
@@ -1317,21 +1383,43 @@ object ArtifactStore {
             .write.mode("overwrite").parquet(dir)
       }
       import spark.implicits._
-      revs.toDF("tick", "rev")
-        .select(lit(jobId).as("job_id"), col("tick"), col("rev"))
+      revs.map { case (t, r) =>
+        val (nr, d, sig) = certRows((t, r))
+        (jobId, t, r, nr, d, sig)
+      }.toDF("job_id", "tick", "rev", "n_retracted_at_record",
+          "decision", "cert_sig")
         .coalesce(1).write.mode("overwrite").parquet(jobDir(jobId))
+      // manifest LAST (every dir it names is committed); the union with
+      // the previous manifest is materialized before the overwrite. A
+      // pre-manifest ledger seeds from ONE final listing here — after
+      // which no read ever lists again. Paths are stored fully
+      // QUALIFIED (the listing's form): a scheme-less twin of a listed
+      // dir would survive distinct() and double-read the dir.
+      def qual(d: String) = f.makeQualified(new Path(d)).toString
+      val fresh = (revs.map { case (t, r) =>
+        ("member", qual(memberDir(t, r))) } :+ ("job", qual(jobDir(jobId))))
+        .toDF("kind", "dir")
+      val prior = readManifest().getOrElse(
+        (listDirs("jobs").map(("job", _)) ++
+          listDirs("members").map(("member", _))).toDF("kind", "dir"))
+      prior.unionByName(fresh).distinct()
+        .localCheckpoint()
+        .coalesce(1).write.mode("overwrite").parquet(manifestDir)
     }
 
-    /** Every (job_id, tick, rev) consumption row. */
+    /** Every (job_id, tick, rev, …certificate) consumption row —
+      * manifest-resolved (no directory listing; see the manifest note
+      * above). */
     def jobs(): DataFrame = {
-      val dirs = listDirs("jobs")
+      val dirs = committedDirs("job")
       require(dirs.nonEmpty, s"consumption ledger at $base has no jobs")
       spark.read.parquet(dirs: _*)
     }
 
-    /** Every (tick, rev, doc_id, n_tokens) membership row. */
+    /** Every (tick, rev, doc_id, n_tokens) membership row —
+      * manifest-resolved like [[jobs]]. */
     def members(): DataFrame = {
-      val dirs = listDirs("members")
+      val dirs = committedDirs("member")
       require(dirs.nonEmpty, s"consumption ledger at $base has no members")
       spark.read.parquet(dirs: _*)
     }
@@ -1346,8 +1434,18 @@ object ArtifactStore {
         .select("job_id", "doc_id", "tick", "rev")
 
     /** The q138 audit over the ledger: per job, epochs/docs/tokens
-      * consumed and the retracted slice of what it trained on. */
-    def audit(retractedIds: DataFrame): DataFrame =
+      * consumed, the retracted slice of what it trained on, and the
+      * RECORD-TIME certificate (r12 item 4): `n_retracted_at_record`
+      * sums the consumed epochs' stamped liveness counts and
+      * `certified` asserts every consumed epoch's stamped decision was
+      * 'serve' — the contrast with `n_retracted_trained` is the point
+      * of the ledger: a job can be fully certified at record time and
+      * STILL be named by a later takedown. */
+    def audit(retractedIds: DataFrame): DataFrame = {
+      val epochCert = jobs().groupBy("job_id")
+        .agg(sum("n_retracted_at_record").as("n_retracted_at_record"),
+          (count(when(col("decision") =!= "serve", lit(1))) === 0)
+            .as("certified"))
       jobs().join(members(), Seq("tick", "rev"))
         .join(retractedIds.select(col("doc_id"), lit(true).as("retr")),
           Seq("doc_id"), "left")
@@ -1358,7 +1456,9 @@ object ArtifactStore {
           count(when(col("retr"), lit(1))).as("n_retracted_trained"),
           coalesce(sum(when(col("retr"), col("n_tokens"))), lit(0L))
             .as("retracted_tokens"))
+        .join(epochCert, Seq("job_id"))
         .orderBy("job_id")
+    }
   }
 
   def consumption(spark: SparkSession, root: String,

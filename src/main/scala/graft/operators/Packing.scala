@@ -401,6 +401,15 @@ object Packing {
       .localCheckpoint() // read by both jobs' member sets
     val retr = pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
       Provenance.RetractRem
+    // the RECORD-TIME liveness certificate per job (r12 item 4, the
+    // ledger's stamped columns): job1 recorded BEFORE the takedown
+    // (empty tombstone set — no consumed doc counted as retracted) and
+    // job2's membership already excludes the re-packed docs, so both
+    // derive to 0 / certified — the CONTRAST with n_retracted_trained
+    // (> 0 for job1) is the audit's point: full certification at
+    // record time does not immunize a past run against a later
+    // takedown, which is why the ledger keeps both columns.
+    val retrAtRecord = retr && col("job_id") === "job2"
     mem.withColumn("job_id", lit("job1"))
       .union(mem.filter(!retr).withColumn("job_id", lit("job2")))
       .groupBy("job_id")
@@ -409,7 +418,9 @@ object Packing {
         sum("n_tokens").as("n_tokens"),
         count(when(retr, lit(1))).as("n_retracted_trained"),
         coalesce(sum(when(retr, col("n_tokens"))), lit(0L))
-          .as("retracted_tokens"))
+          .as("retracted_tokens"),
+        count(when(retrAtRecord, lit(1))).as("n_retracted_at_record"),
+        (count(when(retrAtRecord, lit(1))) === 0).as("certified"))
       .orderBy("job_id")
   }
 
@@ -432,7 +443,11 @@ object Packing {
        |  count(CASE WHEN doc_id % $rm = $rr THEN 1 END)
        |    AS n_retracted_trained,
        |  CAST(coalesce(sum(CASE WHEN doc_id % $rm = $rr
-       |    THEN n_tokens END), 0) AS BIGINT) AS retracted_tokens
+       |    THEN n_tokens END), 0) AS BIGINT) AS retracted_tokens,
+       |  count(CASE WHEN doc_id % $rm = $rr AND job_id = 'job2' THEN 1 END)
+       |    AS n_retracted_at_record,
+       |  count(CASE WHEN doc_id % $rm = $rr AND job_id = 'job2' THEN 1 END)
+       |    = 0 AS certified
        |FROM jobs GROUP BY job_id ORDER BY job_id""".stripMargin
   }
 

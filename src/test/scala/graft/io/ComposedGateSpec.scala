@@ -182,9 +182,13 @@ class ComposedGateSpec extends AnyFunSuite {
     ex.bootstrap(corpus, ms)
     val cs = ArtifactStore.consumption(spark, root, "cl_ex")
 
+    // relaxed fill/mix: liveness is this pin's subject
+    def certify(tombs: org.apache.spark.sql.DataFrame) = ex.certify(
+      docs.select("doc_id", "source"), tombs,
+      minFillMicro = 0L, mixTolMicros = 1000000L)
     IngestLoop.runFullTick(st, idx, cen, t1, weights,
       export = Some(IngestLoop.ExportLeg(ex, ms)), eval = Some(eleg))
-    cs.record("job1", ex)
+    cs.record("job1", ex, certify(docs.select("doc_id").limit(0)))
 
     val caught = IngestLoop.evalUpdateTick(st, eleg,
       Decontam.eval2Docs(docs), Decontam.withdrawEvalIds(docs))
@@ -192,7 +196,7 @@ class ComposedGateSpec extends AnyFunSuite {
     IngestLoop.retractTick(st, caught, idx = Some(idx),
       census = Some((cen, docs.join(caught, Seq("doc_id"), "left_semi"))),
       export = Some(ex), eval = Some(eleg))
-    cs.record("job2", ex)
+    cs.record("job2", ex, certify(caught))
 
     // the export physically dropped the caught doc; the ledger still
     // knows job1 streamed it and that job2 never did

@@ -39,18 +39,46 @@ class ConsumptionSpec extends AnyFunSuite {
     ex.bootstrap(docs.filter(m.between(1, 9)), ms)
     ex.appendDocsAt(2, docs.filter(m === 0), ms)
     val cs = ArtifactStore.consumption(spark, root, "ex")
+    // relaxed fill/mix so the LIVENESS certificate is the deciding gate
+    // (fill/mix holds are ExportStoreSpec's subject)
+    def certify(tombs: DataFrame) = ex.certify(
+      docs.select("doc_id", "source"), tombs,
+      minFillMicro = 0L, mixTolMicros = 1000000L)
+    val noTombs = docs.select("doc_id").limit(0)
 
-    cs.record("job1", ex)
+    cs.record("job1", ex, certify(noTombs))
     val job1Rows = rows(cs.jobs().filter(col("job_id") === "job1")
       .orderBy("tick"))
+    assert(job1Rows.forall(r => r(4) == "serve" &&
+      r(5).asInstanceOf[Long] != 0L),
+      "job rows carry the stamped decision and certificate signature")
 
     // the takedown: re-pack both epochs without the retracted docs
     val retracted = docs.filter((m.between(1, 9) || m === 0) &&
         pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
           Provenance.RetractRem)
       .select("doc_id")
+
+    // the GATE pin (r12 item 4): before the re-pack both epochs still
+    // carry retracted docs — certify says hold_takedown, and record
+    // REFUSES before any write (the ledger can never reference an
+    // uncleared epoch)
+    val held = intercept[IllegalArgumentException] {
+      cs.record("jobX", ex, certify(retracted))
+    }
+    assert(held.getMessage.contains("hold_takedown"))
+    // ... and an uncertified epoch refuses too (stale cert missing the
+    // serving revision of an epoch)
+    val stale = intercept[IllegalArgumentException] {
+      cs.record("jobY", ex, certify(noTombs).filter(col("tick") === 1))
+    }
+    assert(stale.getMessage.contains("no certificate"))
+    assert(cs.jobs().select("job_id").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("job1"),
+      "refused records leave no ledger rows")
+
     assert(ex.retractDocs(retracted) === Seq(1L, 2L))
-    cs.record("job2", ex)
+    cs.record("job2", ex, certify(retracted))
 
     assert(rows(cs.audit(retracted)) === live,
       "the ledger audit must equal the live q138 report")
@@ -73,7 +101,26 @@ class ConsumptionSpec extends AnyFunSuite {
       "every retracted doc traces to the run that consumed it")
 
     // idempotent replay: re-recording a job overwrites, never duplicates
-    cs.record("job2", ex)
+    cs.record("job2", ex, certify(retracted))
     assert(rows(cs.audit(retracted)) === live)
+
+    // ledger scale hygiene (r12 item 7): reads resolve dirs through the
+    // ONE manifest parquet record() maintains — no per-dir filesystem
+    // listing — and the listing fallback (pre-manifest ledgers) serves
+    // the identical audit
+    val mPath = new org.apache.hadoop.fs.Path(
+      s"$root/consumption/ex/manifest")
+    val fsys = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.exists(mPath), "record maintains the dir manifest")
+    val viaManifest = rows(cs.audit(retracted))
+    fsys.delete(mPath, true)
+    assert(rows(cs.audit(retracted)) === viaManifest,
+      "manifest-resolved reads ≡ the listing fallback")
+    // a record against a pre-manifest ledger seeds the manifest from
+    // one final listing — history stays visible
+    cs.record("job2", ex, certify(retracted))
+    assert(fsys.exists(mPath))
+    assert(rows(cs.audit(retracted)) === live,
+      "the seeded manifest must cover pre-manifest history")
   }
 }
