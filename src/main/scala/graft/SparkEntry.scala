@@ -516,6 +516,8 @@ object SparkEntry {
       SemanticGate.q139SelfSizedAdmission(
         Tables.load(s, dir, "documents"),
         Tables.load(s, dir, "embeddings"))),
+    "q140_mm_eval_contamination" -> t("documents")(
+      graft.multimodal.Multimodal.q140MmEvalContamination(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -657,6 +659,8 @@ object SparkEntry {
     "q134_quality_readjudication" -> Provenance.q134Sql(),
     "q135_semantic_admission" -> SemanticGate.q135Sql(),
     "q139_selfsized_semantic" -> SemanticGate.q139Sql(),
+    "q140_mm_eval_contamination" ->
+      graft.multimodal.Multimodal.q140Sql(),
     "q136_decontam_tick" -> Decontam.q136Sql(),
     "q137_curated_foldback" -> CurateTick.q137Sql(),
     "q138_consumption_audit" -> Packing.q138Sql(),

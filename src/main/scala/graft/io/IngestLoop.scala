@@ -320,12 +320,21 @@ object IngestLoop {
     * the takedown had just retracted. */
   def rolloverEval(st: Stores, leg: EvalLeg, spark: SparkSession,
                    root: String, name: String): EvalLeg = {
-    val next = evalLeg(spark, root, name, leg.n, leg.threshold)
+    val next = evalLeg(spark, root, name, leg.n, leg.threshold).copy(
+      imgSigs = leg.imgSigs.map(_ =>
+        ArtifactStore.ingestState(spark, root, s"$name/eval_img_sigs")),
+      audSigs = leg.audSigs.map(_ =>
+        ArtifactStore.ingestState(spark, root, s"$name/eval_aud_sigs")),
+      maxDist = leg.maxDist, maxBand = leg.maxBand)
     next.docGrams.appendTickAt(1, resolved(st, leg.docGrams.current().get))
     next.grams.appendTickAt(1, resolvedEval(leg, leg.grams.current().get))
     next.bands.appendTickAt(1, resolvedEval(leg, leg.bands.current().get))
     next.shingles.appendTickAt(1,
       resolvedEval(leg, leg.shingles.current().get))
+    next.imgSigs.foreach(_.appendTickAt(1,
+      resolvedEval(leg, leg.imgSigs.get.current().get)))
+    next.audSigs.foreach(_.appendTickAt(1,
+      resolvedEval(leg, leg.audSigs.get.current().get)))
     next
   }
 
@@ -620,7 +629,20 @@ object IngestLoop {
                            tombs: ArtifactStore.IngestStateStore,
                            docGrams: ArtifactStore.IngestStateStore,
                            n: Int = graft.operators.Decontam.DefaultN,
-                           threshold: Double = 0.2)
+                           threshold: Double = 0.2,
+                           // MODALITY channels (q140, r12 verdict item
+                           // 6): perceptual signatures of the eval
+                           // MEDIA — a held-out eval image/audio clip
+                           // reaching the corpus verdicts
+                           // `contaminated` like any text hit. Eval-id
+                           // keyed, so the shared eval tombstones are
+                           // their withdrawal too. None = text-only
+                           // (q136's channels).
+                           imgSigs: Option[ArtifactStore.IngestStateStore]
+                             = None,
+                           audSigs: Option[ArtifactStore.IngestStateStore]
+                             = None,
+                           maxDist: Int = 10, maxBand: Int = 64)
 
   def evalLeg(spark: SparkSession, root: String, name: String,
               n: Int = graft.operators.Decontam.DefaultN,
@@ -638,7 +660,8 @@ object IngestLoop {
     * the initial eval set's gram/band/shingle state. Decontaminating
     * the EXISTING corpus against the initial set is the caller's
     * bootstrap pass (q66/q88) — this leg maintains cleanliness from
-    * here on. */
+    * here on. An mm leg ([[mmEvalLeg]]) additionally seeds the eval
+    * media's perceptual signatures. */
   def bootstrapEval(leg: EvalLeg, corpusDocs: DataFrame,
                     evalDocs: DataFrame): Unit = {
     leg.docGrams.appendTickAt(1,
@@ -647,6 +670,45 @@ object IngestLoop {
       graft.operators.Contamination.grams(evalDocs, leg.n))
     leg.bands.appendTickAt(1, Fuzzy.corpusBandState(evalDocs))
     leg.shingles.appendTickAt(1, Fuzzy.corpusShingleHashes(evalDocs))
+    leg.imgSigs.foreach(_.appendTickAt(1,
+      graft.multimodal.Multimodal.imageSigs(evalDocs)))
+    leg.audSigs.foreach(_.appendTickAt(1,
+      graft.multimodal.Multimodal.audioSigs(evalDocs)))
+  }
+
+  /** An [[EvalLeg]] with the q140 MODALITY channels attached — for a
+    * multimodal loop whose eval set contains media: eval images/clips
+    * contribute 8-byte perceptual signatures, and a batch doc whose
+    * image/audio renders one verdicts `contaminated` (text evidence
+    * and modality-eval evidence share the class — both mean "this doc
+    * leaks the eval set"). */
+  def mmEvalLeg(spark: SparkSession, root: String, name: String,
+                n: Int = graft.operators.Decontam.DefaultN,
+                threshold: Double = 0.2,
+                maxDist: Int = 10, maxBand: Int = 64): EvalLeg =
+    evalLeg(spark, root, name, n, threshold).copy(
+      imgSigs = Some(
+        ArtifactStore.ingestState(spark, root, s"$name/eval_img_sigs")),
+      audSigs = Some(
+        ArtifactStore.ingestState(spark, root, s"$name/eval_aud_sigs")),
+      maxDist = maxDist, maxBand = maxBand)
+
+  /** Batch ids contaminated by the LIVE eval set's MEDIA — the q140
+    * channels: a batch doc's perceptual signature popcount-matches a
+    * live eval item's (withdrawals resolve through the shared eval
+    * tombstones; the sig rows are eval-id keyed). `batchISigs` /
+    * `batchASigs` are the batch's (doc_id, sig) relations, derived
+    * once at the tick's codec seam. */
+  private def mmContamFlags(leg: EvalLeg, batchISigs: DataFrame,
+                            batchASigs: DataFrame): Seq[DataFrame] = {
+    def hits(store: Option[ArtifactStore.IngestStateStore],
+             sigs: DataFrame): Option[DataFrame] =
+      store.map(s => graft.multimodal.Multimodal.flaggedAgainstState(
+          resolvedEval(leg, s.current().getOrElse(
+            sys.error("mm eval leg not bootstrapped: no sig base"))),
+          sigs.filter(col("sig").isNotNull), leg.maxDist, leg.maxBand)
+        .select(col("fid").as("cid")))
+    (hits(leg.imgSigs, batchISigs) ++ hits(leg.audSigs, batchASigs)).toSeq
   }
 
   /** An eval-state frame minus withdrawn items — the eval twin of
@@ -721,12 +783,57 @@ object IngestLoop {
     vb.union(fz).distinct().localCheckpoint()
   }
 
+  /** [[evalUpdateTick]] for a MULTIMODAL loop with a q140 leg: the
+    * eval-side MEDIA signature stores advance with the same update id
+    * (added items' image/audio signatures append; withdrawals ride the
+    * shared eval tombstones — sig rows are eval-id keyed), and the
+    * retro-catch additionally probes the loop's MAINTAINED doc
+    * signature stores against the added items' signatures — an
+    * already-ingested doc whose image renders a newly-held-out eval
+    * image is caught with zero payload re-reads, exactly like the gram
+    * channel. Returns the union of all channels' caught doc ids
+    * (severed), for [[retractMmTick]]. */
+  def evalUpdateMmTick(st: MmStores, leg: EvalLeg, addDocs: DataFrame,
+                       withdrawIds: DataFrame,
+                       updateId: Long = -1L): DataFrame = {
+    import graft.multimodal.Multimodal
+    val u = if (updateId > 0) updateId else {
+      // the text-side agreement rule, clamped by every eval-side store
+      // that may have gotten ahead in a crashed update (sig stores
+      // append after the text-side four)
+      val dataMax = Seq(leg.grams, leg.bands, leg.shingles).map(_.maxTick)
+      val next =
+        if (dataMax.distinct.size == 1) dataMax.head + 1 else dataMax.max
+      (Seq(next, leg.tombs.maxTick) ++ leg.imgSigs.map(_.maxTick) ++
+        leg.audSigs.map(_.maxTick)).max
+    }
+    val textCaught = evalUpdateTick(st.text, leg, addDocs, withdrawIds, u)
+    val addISigs = Multimodal.imageSigs(addDocs).localCheckpoint()
+    val addASigs = Multimodal.audioSigs(addDocs).localCheckpoint()
+    leg.imgSigs.foreach(_.appendTickAt(u, addISigs))
+    leg.audSigs.foreach(_.appendTickAt(u, addASigs))
+    def caught(store: Option[ArtifactStore.IngestStateStore],
+               addSigs: DataFrame,
+               docSigs: ArtifactStore.IngestStateStore): Option[DataFrame] =
+      store.map(_ => Multimodal.flaggedAgainstState(
+          addSigs, resolved(st.text, docSigs.current().get),
+          leg.maxDist, leg.maxBand)
+        .select(col("fid").as("doc_id")))
+    (Seq(textCaught) ++ caught(leg.imgSigs, addISigs, st.imgSigs) ++
+      caught(leg.audSigs, addASigs, st.audSigs))
+      .reduce(_ union _).distinct().localCheckpoint()
+  }
+
   /** Fold the eval-side stores' withdrawals into their generations and
     * clear the eval tombstones — the [[compactIfNeeded]] discipline on
     * the eval lineage (run at quiesce points). */
   def compactEval(leg: EvalLeg,
                   targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    val folded = Seq(leg.grams, leg.bands, leg.shingles)
+    // the q140 modality sig stores resolve through the same eval
+    // tombstones, so they MUST fold in the same pass (the
+    // compactIfNeeded argument)
+    val folded = (Seq(leg.grams, leg.bands, leg.shingles) ++
+        leg.imgSigs ++ leg.audSigs)
       .map(_.compactWith(df => resolvedEval(leg, df), targetBytes))
     if (leg.tombs.current().isDefined && folded.forall(_ > 0))
       leg.tombs.reset()
@@ -1514,7 +1621,15 @@ object IngestLoop {
     val mmExtras: Seq[(String, DataFrame)] =
       sem.map(leg => ("sid",
         semFlags(st.text, leg, t, batchDocs.select("doc_id")))).toSeq ++
-      eval.map(leg => ("cid", contamFlags(leg, batchDocs))).toSeq
+      eval.map { leg =>
+        // text channels ∪ the q140 modality channels (when attached):
+        // one `contaminated` class — every channel means "this doc
+        // leaks the eval set", and it outranks the dup_image/dup_audio
+        // DEDUP evidence below
+        ("cid", (Seq(contamFlags(leg, batchDocs)) ++
+          mmContamFlags(leg, batchISigs, batchASigs))
+          .reduce(_ union _).distinct())
+      }.toSeq
     val v =
       if (mmExtras.isEmpty) Multimodal.mmGatedTickFrame(batchDocs, state,
         fuzzy, imFlag, auFlag, w, lowFrac)
@@ -1676,8 +1791,15 @@ object IngestLoop {
     val mmExtras: Seq[(String, DataFrame)] =
       sem.map(leg => ("sid",
         semFlags(st.text, leg, t, dupRows.select("doc_id")))).toSeq ++
-      eval.map(leg => ("cid",
-        contamFlags(leg, dupRows.select("doc_id", "text")))).toSeq
+      eval.map { leg =>
+        // the modality eval channels re-judge from the STORED 8-byte
+        // signatures, like the dup legs — no payload reads
+        ("cid", (Seq(contamFlags(leg, dupRows.select("doc_id", "text"))) ++
+          mmContamFlags(leg,
+            dupRows.select(col("doc_id"), col("img_sig").as("sig")),
+            dupRows.select(col("doc_id"), col("aud_sig").as("sig"))))
+          .reduce(_ union _).distinct())
+      }.toSeq
     val v =
       if (mmExtras.isEmpty) Multimodal.mmGatedTickFrame(
         dupRows.select("doc_id", "source", "text"), state, fuzzy,

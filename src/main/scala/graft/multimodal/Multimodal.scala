@@ -412,6 +412,29 @@ object Multimodal {
        |       WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxDist)""".stripMargin
   }
 
+  /** [[sigFlagSqlCtes]] with BOTH sides as free predicates (q140's eval
+    * channels need state = an eval-item slice and member = batch /
+    * quarantine / ingested — none of which is the `% bm` convention):
+    * member docs whose `${srcP}sig` popcount-matches a state-side
+    * signature, state hot buckets gated — ends in `${p}fz(fid)`. */
+  private def sigFlagSqlCtesFor(p: String, srcP: String,
+                                stateCond: String, memberCond: String,
+                                maxDist: Int, maxBand: Int): String =
+    s"""${p}cb AS (SELECT b.* FROM ${srcP}bands b WHERE $stateCond),
+       |${p}keep AS (SELECT band, x FROM ${p}cb GROUP BY band, x
+       |         HAVING count(*) <= $maxBand),
+       |${p}cbg AS (SELECT cb.doc_id AS sid, cb.band, cb.x FROM ${p}cb cb
+       |        JOIN ${p}keep k ON k.band = cb.band AND k.x = cb.x),
+       |${p}bb AS (SELECT b.* FROM ${srcP}bands b WHERE $memberCond),
+       |${p}cand AS (SELECT DISTINCT bb.doc_id, cbg.sid
+       |         FROM ${p}bb bb JOIN ${p}cbg cbg
+       |           ON cbg.band = bb.band AND cbg.x = bb.x),
+       |${p}fz AS (SELECT DISTINCT c.doc_id AS fid
+       |       FROM ${p}cand c
+       |       JOIN ${srcP}sig sa ON sa.doc_id = c.doc_id
+       |       JOIN ${srcP}sig sb ON sb.doc_id = c.sid
+       |       WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxDist)""".stripMargin
+
   def q110Sql(maxDist: Int = 10, maxBand: Int = 64): String =
     s"""WITH ${sigSqlCtes()},
        |keep AS (SELECT band, x FROM bands GROUP BY band, x
@@ -1169,4 +1192,263 @@ object Multimodal {
       |FROM flat
       |GROUP BY doc_id, width, height
       |ORDER BY doc_id""".stripMargin
+
+  // ---- q140: MULTIMODAL eval contamination ------------------------------
+
+  /** q140: eval-set contamination by MODALITY SIGNATURE (r12 verdict
+    * item 6) — q136's channels are 8-grams and text LSH, so a held-out
+    * eval IMAGE or AUDIO clip reaching the corpus was invisible: a doc
+    * whose text is novel but whose image renders an eval item's seed
+    * admitted, trained, and leaked the eval set. Here the
+    * `contaminated` class fires on perceptual evidence — the q110/q116
+    * signature machinery pointed at the EVAL side — with the same
+    * update loops as q136, all in one oracle-checked frame:
+    *
+    *   1. tick 1 — batch (id % 17 ≥ 10, eval items excluded) judged
+    *      exact → fuzzy → CONTAMINATED(image ∪ audio vs eval set 1's
+    *      signatures) → quality; contaminated docs quarantine. The
+    *      planted image pair: eval item 7's seed is rendered by batch
+    *      doc 10 (the q110 planting rule B = A+3, B%7 = 3); the
+    *      planted audio pair: eval item 435's clip by batch doc 437
+    *      (B = A+2, B%5 = 2).
+    *   2. EVAL UPDATE — items with id % 3 == 1 withdraw (item 7
+    *      leaves), eval set 2's items add;
+    *   3a. RE-ADJUDICATION — doc 10 re-admits (its only contaminating
+    *      signature withdrew — the withdrawal direction); doc 437
+    *      stays held by surviving item 435 (the hold direction);
+    *   3b. RETRO-CATCH — ingested docs whose signatures hit the ADDED
+    *      items: corpus doc 262 renders added item 259's image and
+    *      corpus doc 247 renders added item 245's audio, caught with
+    *      zero payload re-reads.
+    *
+    * Division of labor with q136: this is the MODALITY channel of the
+    * same eval-set discipline — the deployment form runs both (an
+    * EvalLeg's text channels plus these signature channels against the
+    * mm loop's maintained sig stores), and the oracle here re-derives
+    * every signature arithmetically like q110/q116.
+    *
+    * Scale shape: eval-side signatures are eval-suite-sized (8 bytes
+    * each, broadcastable); member sides probe the SAME maintained
+    * signature relations the mm dedup loop already keeps (no new
+    * corpus-sized state); candidates are cross-side band collisions
+    * with eval hot buckets gated; verification is one popcount per
+    * candidate. Payloads are decoded once at the codec seam and never
+    * re-read by the update loops. */
+  def q140MmEvalContamination(docs: DataFrame, maxDist: Int = 10,
+                              maxBand: Int = 64, threshold: Double = 0.2,
+                              lowFrac: Double = 0.25): DataFrame = {
+    import graft.operators.{Decontam, Fuzzy, Provenance, QualityModel}
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = Decontam.evalFree(docs).filter(m.between(1, 9))
+    val t1 = Decontam.evalFree(docs).filter(m >= 10)
+    val eval1Ids = Decontam.eval1Docs(docs).select("doc_id")
+    val addIds = Decontam.eval2Docs(docs).select("doc_id")
+    val liveEvalIds = eval1Ids
+      .join(Decontam.withdrawEvalIds(docs), Seq("doc_id"), "left_anti")
+      .union(addIds)
+    // ONE signature relation per modality, severed — read by all three
+    // phases' flag joins (the q136 sever discipline on the sig legs)
+    val iSigs = imageSigs(docs).localCheckpoint()
+    val aSigs = audioSigs(docs).localCheckpoint()
+    def contamIds(memberIds: DataFrame, evalIds: DataFrame): DataFrame = {
+      def hits(sigs: DataFrame) = flaggedAgainstState(
+        sigs.join(evalIds, Seq("doc_id"), "left_semi"),
+        sigs.join(memberIds, Seq("doc_id"), "left_semi"),
+        maxDist, maxBand)
+      hits(iSigs).union(hits(aSigs)).distinct()
+        .select(col("fid").as("cid"))
+    }
+    val pr = Fuzzy.lshVerifiedPairs(docs, threshold)
+      .select("ida", "idb").localCheckpoint()
+    val adj = pr.union(pr.select(col("idb"), col("ida"))).toDF("a", "b")
+    val w = QualityModel.weights(corpus,
+      scope = s"decontam${Provenance.BatchMod}")
+
+    val corpusIds = corpus.select("doc_id")
+    val t1Ids = t1.select("doc_id")
+    val fz1 = adj.join(t1Ids.withColumnRenamed("doc_id", "b"), Seq("b"),
+        "left_semi")
+      .join(corpusIds.withColumnRenamed("doc_id", "a"), Seq("a"),
+        "left_semi")
+      .select(col("b").as("fid")).distinct()
+    val v1 = Provenance.gatedTickFrameWith(t1,
+      Provenance.corpusHashState(corpus), fz1,
+      Seq(("cid", contamIds(t1Ids, eval1Ids))), w, lowFrac)
+    val adm1 = v1.filter(col("lq") === false).select("doc_id")
+    val ingIds = corpusIds.union(adm1).localCheckpoint()
+    val ingDocs = docs.join(ingIds, Seq("doc_id"), "left_semi")
+
+    val quarIds = v1.filter(col("ch").isNull && col("fid").isNull &&
+        col("cid").isNotNull)
+      .select("doc_id").localCheckpoint()
+    val quarDocs = docs.join(quarIds, Seq("doc_id"), "left_semi")
+    val fz2 = adj.join(quarIds.withColumnRenamed("doc_id", "b"), Seq("b"),
+        "left_semi")
+      .join(ingIds.withColumnRenamed("doc_id", "a"), Seq("a"),
+        "left_semi")
+      .select(col("b").as("fid")).distinct()
+    val vr = Provenance.gatedTickFrameWith(
+      quarDocs.select("doc_id", "source", "text"),
+      Provenance.corpusHashState(ingDocs), fz2,
+      Seq(("cid", contamIds(quarIds, liveEvalIds))), w, lowFrac)
+
+    val caught = contamIds(ingIds, addIds)
+    val rCatch = docs.join(
+        caught.withColumnRenamed("cid", "doc_id"), Seq("doc_id"),
+        "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_caught"))
+
+    val r1 = Provenance.gatedTickReportWith(v1,
+      Seq(("cid", "n_contaminated")))
+    val rReadj = vr.groupBy("source")
+      .agg(count(when(col("lq") === false, lit(1))).as("n_readmitted"),
+        count(when(col("ch").isNull && col("fid").isNull, col("cid")))
+          .as("n_still_contaminated"))
+    r1.join(rReadj, Seq("source"), "full")
+      .join(rCatch, Seq("source"), "full")
+      .select(col("source"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        coalesce(col("n_dup_exact"), lit(0L)).as("n_dup_exact"),
+        coalesce(col("n_dup_fuzzy"), lit(0L)).as("n_dup_fuzzy"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("n_low_quality"), lit(0L)).as("n_low_quality"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_readmitted"), lit(0L)).as("n_readmitted"),
+        coalesce(col("n_still_contaminated"), lit(0L))
+          .as("n_still_contaminated"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"))
+      .orderBy("source")
+  }
+
+  /** q140's oracle: both modality sig chains (arithmetic re-derivation,
+    * never decoding), SIX eval-flag chains (image/audio × tick 1 /
+    * re-adjudication / catch), the text LSH dup gates, the training
+    * pass, and all three phases — one WITH clause. */
+  def q140Sql(maxDist: Int = 10, maxBand: Int = 64,
+              threshold: Double = 0.2, lowFrac: Double = 0.25,
+              iters: Int = graft.operators.QualityModel.DefaultIters,
+              trainN: Int = graft.operators.QualityModel.DefaultTrainN)
+      : String = {
+    import graft.operators.{Decontam, Fuzzy, Provenance, QualityModel}
+    val bm = Provenance.BatchMod
+    val rm = Provenance.RetractMod
+    val rr = Provenance.RetractRem
+    val e1 = s"(doc_id % ${Decontam.EvalMod} = ${Decontam.Eval1Rem} " +
+      s"OR doc_id IN (${Decontam.Eval1Extra.mkString(", ")}))"
+    val e2 = s"(doc_id % ${Decontam.EvalMod} = ${Decontam.Eval2Rem} " +
+      s"OR doc_id IN (${Decontam.Eval2Extra.mkString(", ")}))"
+    def on(alias: String, cond: String) =
+      cond.replace("doc_id", s"$alias.doc_id")
+    val corpusCond = s"doc_id % $bm BETWEEN 1 AND 9 AND NOT $e1 AND NOT $e2"
+    val batchCond = s"doc_id % $bm >= 10 AND NOT $e1 AND NOT $e2"
+    val liveCond = s"($e1 AND doc_id % $rm <> $rr) OR $e2"
+    s"""WITH ${Fuzzy.lshPairsSqlCtes(
+         "tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a FROM documents)",
+         threshold)},
+       |adj AS MATERIALIZED (SELECT ida AS a, idb AS b FROM pairs
+       |       UNION ALL SELECT idb AS a, ida AS b FROM pairs),
+       |h AS MATERIALIZED (SELECT doc_id, source,
+       |        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+       |      FROM documents),
+       |c0 AS MATERIALIZED (SELECT DISTINCT h FROM h WHERE $corpusCond),
+       |${sigSqlCtes("im_")},
+       |${audioSigSqlCtes("au_")},
+       |${QualityModel.featureSqlCtes(
+         s"(SELECT * FROM documents WHERE $corpusCond)", "ctr_")},
+       |${QualityModel.trainSqlCtes(iters, trainN, "ctr_")},
+       |t1 AS (SELECT doc_id, source, h FROM h WHERE $batchCond),
+       |${QualityModel.featureSqlCtes(
+         s"(SELECT * FROM documents WHERE $batchCond)", "b1_")},
+       |sc1 AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+       |       FROM b1_feat, ctr_w w),
+       |fz1 AS (SELECT DISTINCT adj.b AS fid FROM adj
+       |        JOIN t1 ON t1.doc_id = adj.b
+       |        WHERE ${on("adj", corpusCond).replace("adj.doc_id", "adj.a")}),
+       |${sigFlagSqlCtesFor("i1_", "im_", on("b", e1),
+         on("b", batchCond), maxDist, maxBand)},
+       |${sigFlagSqlCtesFor("a1_", "au_", on("b", e1),
+         on("b", batchCond), maxDist, maxBand)},
+       |cid1 AS (SELECT DISTINCT fid AS cid FROM
+       |    (SELECT fid FROM i1_fz UNION ALL SELECT fid FROM a1_fz)),
+       |j1 AS MATERIALIZED (SELECT t1.doc_id, t1.source, t1.h AS hh,
+       |        c0.h AS ch, fz1.fid, cid1.cid, sc1.p
+       |      FROM t1 LEFT JOIN c0 ON t1.h = c0.h
+       |      LEFT JOIN fz1 ON fz1.fid = t1.doc_id
+       |      LEFT JOIN cid1 ON cid1.cid = t1.doc_id
+       |      JOIN sc1 ON sc1.doc_id = t1.doc_id),
+       |lq1 AS (SELECT doc_id,
+       |          cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
+       |        FROM j1 WHERE ch IS NULL AND fid IS NULL AND cid IS NULL),
+       |v1 AS MATERIALIZED (SELECT j1.*, lq1.lq FROM j1
+       |      LEFT JOIN lq1 ON lq1.doc_id = j1.doc_id),
+       |adm1 AS (SELECT doc_id FROM v1 WHERE lq = false),
+       |ing AS MATERIALIZED (SELECT doc_id FROM documents WHERE $corpusCond
+       |       UNION ALL SELECT doc_id FROM adm1),
+       |quar AS MATERIALIZED (SELECT doc_id, source FROM v1
+       |        WHERE ch IS NULL AND fid IS NULL AND cid IS NOT NULL),
+       |c2 AS MATERIALIZED (SELECT DISTINCT h.h FROM h
+       |      JOIN ing ON ing.doc_id = h.doc_id),
+       |fz2 AS (SELECT DISTINCT adj.b AS fid FROM adj
+       |        JOIN quar q ON q.doc_id = adj.b
+       |        JOIN ing i ON i.doc_id = adj.a),
+       |${sigFlagSqlCtesFor("i2_", "im_", on("b", liveCond),
+         "b.doc_id IN (SELECT doc_id FROM quar)", maxDist, maxBand)},
+       |${sigFlagSqlCtesFor("a2_", "au_", on("b", liveCond),
+         "b.doc_id IN (SELECT doc_id FROM quar)", maxDist, maxBand)},
+       |cid2 AS (SELECT DISTINCT fid AS cid FROM
+       |    (SELECT fid FROM i2_fz UNION ALL SELECT fid FROM a2_fz)),
+       |${QualityModel.featureSqlCtes(
+         "(SELECT d.* FROM documents d JOIN quar q ON q.doc_id = d.doc_id)",
+         "qr_")},
+       |scq AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+       |        FROM qr_feat, ctr_w w),
+       |j2 AS MATERIALIZED (SELECT q.doc_id, q.source, c2.h AS ch,
+       |        fz2.fid, cid2.cid, scq.p
+       |      FROM quar q
+       |      JOIN h hh ON hh.doc_id = q.doc_id
+       |      LEFT JOIN c2 ON hh.h = c2.h
+       |      LEFT JOIN fz2 ON fz2.fid = q.doc_id
+       |      LEFT JOIN cid2 ON cid2.cid = q.doc_id
+       |      JOIN scq ON scq.doc_id = q.doc_id),
+       |lq2 AS (SELECT doc_id,
+       |          cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
+       |        FROM j2 WHERE ch IS NULL AND fid IS NULL AND cid IS NULL),
+       |vr AS MATERIALIZED (SELECT j2.*, lq2.lq FROM j2
+       |      LEFT JOIN lq2 ON lq2.doc_id = j2.doc_id),
+       |${sigFlagSqlCtesFor("ic_", "im_", on("b", e2),
+         "b.doc_id IN (SELECT doc_id FROM ing)", maxDist, maxBand)},
+       |${sigFlagSqlCtesFor("ac_", "au_", on("b", e2),
+         "b.doc_id IN (SELECT doc_id FROM ing)", maxDist, maxBand)},
+       |caught AS (SELECT DISTINCT fid AS cid FROM
+       |    (SELECT fid FROM ic_fz UNION ALL SELECT fid FROM ac_fz)),
+       |r1 AS (SELECT source, count(*) AS n_batch, count(ch) AS n_dup_exact,
+       |    count(CASE WHEN ch IS NULL THEN fid END) AS n_dup_fuzzy,
+       |    count(CASE WHEN ch IS NULL AND fid IS NULL THEN cid END)
+       |      AS n_contaminated,
+       |    count(CASE WHEN lq THEN 1 END) AS n_low_quality,
+       |    count(CASE WHEN lq = false THEN 1 END) AS n_new
+       |  FROM v1 GROUP BY source),
+       |rr AS (SELECT source,
+       |    count(CASE WHEN lq = false THEN 1 END) AS n_readmitted,
+       |    count(CASE WHEN ch IS NULL AND fid IS NULL THEN cid END)
+       |      AS n_still_contaminated
+       |  FROM vr GROUP BY source),
+       |rc AS (SELECT d.source, count(*) AS n_caught
+       |  FROM documents d JOIN caught c ON c.cid = d.doc_id
+       |  GROUP BY d.source)
+       |SELECT COALESCE(r1.source, rr.source, rc.source) AS source,
+       |  CAST(COALESCE(n_batch, 0) AS BIGINT) AS n_batch,
+       |  CAST(COALESCE(n_dup_exact, 0) AS BIGINT) AS n_dup_exact,
+       |  CAST(COALESCE(n_dup_fuzzy, 0) AS BIGINT) AS n_dup_fuzzy,
+       |  CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  CAST(COALESCE(n_low_quality, 0) AS BIGINT) AS n_low_quality,
+       |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       |  CAST(COALESCE(n_readmitted, 0) AS BIGINT) AS n_readmitted,
+       |  CAST(COALESCE(n_still_contaminated, 0) AS BIGINT)
+       |    AS n_still_contaminated,
+       |  CAST(COALESCE(n_caught, 0) AS BIGINT) AS n_caught
+       |FROM r1 FULL JOIN rr ON rr.source = r1.source
+       |FULL JOIN rc ON rc.source = COALESCE(r1.source, rr.source)
+       |ORDER BY source""".stripMargin
+  }
 }

@@ -432,6 +432,40 @@ object DocStream {
         .drop("cid")
   }
 
+  /** MODALITY eval channels in the mm stream (the q140 symmetry):
+    * surviving 'new' docs whose image/audio signature popcount-matches
+    * a LIVE eval item's signature verdict `contaminated` — withdrawals
+    * resolve through the shared eval tombstones at every batch, and
+    * quiesce-point updates ([[graft.io.IngestLoop.evalUpdateMmTick]])
+    * retro-catch from the loop's maintained doc sig stores. No-op for
+    * a text-only eval leg. */
+  private def refineMmEvalLeg(batch: DataFrame,
+                              eval: Option[graft.io.IngestLoop.EvalLeg],
+                              bISigs: DataFrame, bASigs: DataFrame)
+      : DataFrame = eval match {
+    case Some(leg) if leg.imgSigs.isDefined || leg.audSigs.isDefined =>
+      import graft.multimodal.Multimodal
+      val newIds = batch.filter(col("verdict") === "new").select("doc_id")
+      def hits(store: Option[graft.io.ArtifactStore.IngestStateStore],
+               sigs: DataFrame): Option[DataFrame] =
+        store.map(s => Multimodal.flaggedAgainstState(
+            graft.io.IngestLoop.resolvedEval(leg, s.current().getOrElse(
+              sys.error("mm eval leg not bootstrapped: no sig base"))),
+            sigs.join(newIds, Seq("doc_id"), "left_semi")
+              .filter(col("sig").isNotNull),
+            leg.maxDist, leg.maxBand)
+          .select(col("fid").as("mcid")))
+      val flags = (hits(leg.imgSigs, bISigs) ++ hits(leg.audSigs, bASigs))
+        .reduce(_ union _).distinct()
+      batch.join(flags, col("doc_id") === col("mcid"), "left")
+        .withColumn("verdict",
+          when(col("verdict") =!= "new", col("verdict"))
+            .when(col("mcid").isNotNull, lit("contaminated"))
+            .otherwise(col("verdict")))
+        .drop("mcid")
+    case _ => batch
+  }
+
   /** CURATE leg (the q137 symmetry in streaming — r12 verdict item 1):
     * the batch tick serves census-stripped + PII-scrubbed text while
     * the streaming folds served RAW admitted text, so a streaming
@@ -615,13 +649,6 @@ object DocStream {
         val fuzzed = refineFuzzy(b.toDF(),
           rs(stores.text.bands.currentUpTo(stateTick).get),
           rs(stores.text.shingles.currentUpTo(stateTick).get), threshold)
-        // the r12-verdict symmetry: the mm BATCH tick gates seven
-        // classes; the stream applies the same two extra TEXT evidence
-        // legs here, BEFORE the modality signatures — text evidence
-        // outranks modality signatures (the q133 cross-evidence
-        // discipline, same precedence as mmGatedTickFrameWith)
-        val evaled = refineContamLeg(
-          refineSemanticLeg(fuzzed, stores.text, sem, stateTick), eval)
         // batch signatures derive once at the codec seam for the WHOLE
         // micro-batch (the runMmTick convention — the quarantine leg
         // needs every rejected doc's sigs as its mm evidence); severed —
@@ -630,6 +657,17 @@ object DocStream {
           .localCheckpoint()
         val bASigs = Multimodal.audioSigs(b.toDF().select("doc_id"))
           .localCheckpoint()
+        // the r12-verdict symmetry: the mm BATCH tick gates seven
+        // classes; the stream applies the same extra evidence legs
+        // here, BEFORE the dedup modality signatures — eval/text
+        // evidence outranks modality DEDUP signatures (the q133
+        // cross-evidence discipline, same precedence as
+        // mmGatedTickFrameWith), and an mm eval leg's q140 channels
+        // judge the batch sigs against the LIVE eval media
+        val evaled = refineMmEvalLeg(
+          refineContamLeg(
+            refineSemanticLeg(fuzzed, stores.text, sem, stateTick), eval),
+          eval, bISigs, bASigs)
         val imFlag = Multimodal.flaggedAgainstState(
             rs(stores.imgSigs.currentUpTo(stateTick).get),
             bISigs, maxDist, maxBand)

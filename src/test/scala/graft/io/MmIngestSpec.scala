@@ -343,4 +343,62 @@ class MmIngestSpec extends AnyFunSuite {
       === t2Feats,
       "the ingest tick's feats survive the replay-attached re-adjudication")
   }
+
+  test("modality eval contamination (q140 deployment form): a batch doc rendering a held-out eval image/clip verdicts contaminated; withdrawal re-admits, survival holds, additions retro-catch from maintained sig stores") {
+    import graft.operators.Decontam
+    val root = Files.createTempDirectory("graft_mm_evalq140").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = Decontam.evalFree(docs).filter(m.between(1, 9))
+    // doc 12 renders doc 10's AUDIO clip (the q116 planting) and would
+    // admit at tick 1 — after the eval withdrawal, 10 would then stay
+    // held by 12's independent audio DEDUP evidence (the q133
+    // cross-evidence rule, pinned elsewhere); this pin isolates the
+    // EVAL channel, so 12 sits out
+    val t1 = Decontam.evalFree(docs).filter(m >= 10)
+      .filter(col("doc_id") =!= 12L)
+    val w = QualityModel.weights(corpus,
+      scope = s"decontam${Provenance.BatchMod}")
+
+    val st = IngestLoop.mmStores(spark, root, "mmq140")
+    IngestLoop.bootstrapMm(st, corpus)
+    val leg = IngestLoop.mmEvalLeg(spark, root, "mmq140")
+    IngestLoop.bootstrapEval(leg, corpus, Decontam.eval1Docs(docs))
+    val quar = IngestLoop.quarantine(spark, root, "mmq140")
+    IngestLoop.bootstrapMmQuarantine(quar, corpus)
+
+    // the q140 planted pairs: batch doc 10 renders eval item 7's IMAGE
+    // (7 withdraws at the update: the re-admit direction); batch doc
+    // 437 renders eval item 435's AUDIO (435 survives: the hold
+    // direction) — neither eval item is in the corpus, so the only
+    // evidence is the eval channel
+    IngestLoop.runMmTick(st, t1, w, quar = Some(quar), eval = Some(leg))
+    val qv = quar.rows.current().get
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(qv(10L) === "contaminated",
+      "the eval item's rendered image contaminates, not dup_image")
+    assert(qv(437L) === "contaminated",
+      "the eval item's rendered clip contaminates, not dup_audio")
+
+    // the update: item 7 withdraws, set 2 adds; the retro-catch probes
+    // the loop's MAINTAINED doc sig stores — corpus doc 262 renders
+    // added item 259's image and 247 renders 245's audio
+    val caught = IngestLoop.evalUpdateMmTick(st, leg,
+      Decontam.eval2Docs(docs), Decontam.withdrawEvalIds(docs))
+    val caughtIds = caught.collect().map(_.getLong(0)).toSet
+    assert(caughtIds.contains(262L),
+      "the image retro-catch reaches the ingested corpus")
+    assert(caughtIds.contains(247L),
+      "the audio retro-catch reaches the ingested corpus")
+
+    // re-adjudication with the leg: 10 re-admits (withdrawn evidence),
+    // 437 stays held by the surviving item's signature
+    IngestLoop.readjudicateMmTick(st, quar, w, eval = Some(leg))
+    val resolved = quar.resolvedIds.current().get
+      .collect().map(_.getLong(0)).toSet
+    assert(resolved.contains(10L),
+      "10 re-admits once its only contaminating eval image withdrew")
+    assert(!resolved.contains(437L),
+      "437 stays held by the surviving eval clip's signature")
+  }
 }
