@@ -1869,12 +1869,125 @@ object IngestLoop {
         mmClsInfo)
   }
 
+  /** RE-GATE the quality window of a MULTIMODAL loop under a NEW model
+    * — [[regateTick]]'s mm twin (the r12 replay-leg symmetry carried to
+    * its conclusion: [[runMmTick]] now persists gate features, so the
+    * q134 model loop must reach mm deployments too, and a text-Stores
+    * regate against an mm loop would leave imgSigs/audSigs lagging one
+    * tick — the silent-overwrite class). Identical algebra to
+    * [[regateTick]]; additionally the re-admitted docs' STORED 8-byte
+    * signatures (the mm quarantine rows carry them) fold into the
+    * modality sig stores, so a later mm tick rejects an image/audio
+    * near-dup of a regate-readmitted doc — no payload reads. */
+  def regateMmTick(st: MmStores, quar: Quarantine, replay: ReplayLeg,
+                   wNew: Seq[Double], lowFrac: Double = 0.25,
+                   idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
+                   census: Option[
+                     ArtifactStore.GramCensusIncrementalIndex] = None,
+                   ann: Option[AnnLeg] = None,
+                   export: Option[ExportLeg] = None,
+                   mix: Option[ArtifactStore.MixIncrementalIndex] = None,
+                   sem: Option[SemLeg] = None,
+                   eval: Option[EvalLeg] = None,
+                   curate: Option[CurateLeg] = None)
+      : DataFrame = {
+    val t = nextTickOf(st.all.map(_.maxTick)
+      ++ idx.map(_.tfStore.maxTick) ++ census.map(_.censusStore.maxTick)
+      ++ ann.map(_.idx.codeStore.maxTick) ++ export.map(_.store.maxTick)
+      ++ mix.map(_.mixStore.maxTick) ++ sem.map(_.sigs.maxTick)
+      ++ eval.map(_.docGrams.maxTick)
+      ++ curate.map(_.census.censusStore.maxTick)
+      ++ Seq(replay.feats.maxTick, quar.rows.maxTick,
+        quar.resolvedIds.maxTick))
+    val feats = resolved(st.text, replay.feats.currentUpTo(t - 1).getOrElse(
+      sys.error("replay leg not bootstrapped: no tick-1 base")))
+    val rescored = QualityModel.withScoreFromFeatures(
+      feats.withColumnRenamed("lq", "was_lowq"), wNew)
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy("tick").orderBy(col("p"), col("doc_id"))
+    val flipped = rescored
+      .withColumn("lq2", cume_dist().over(wdw) <= lowFrac)
+      .select("doc_id", "source", "was_lowq", "lq2")
+      .localCheckpoint()
+    val rows = quar.rows.currentUpTo(t - 1).getOrElse(
+      sys.error("quarantine not bootstrapped: no tick-1 base"))
+    val liveQuar = resolved(st.text,
+      quar.resolvedIds.currentUpTo(t - 1)
+        .fold(rows)(r => rows.join(r.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")))
+      .filter(col("verdict") === "low_quality")
+    // admitted = flipped out of the window AND still quarantined; the
+    // mm quarantine row carries text AND the stored signatures
+    val admRows = liveQuar
+      .join(flipped.filter(col("was_lowq") && !col("lq2"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val admDocs = admRows.select("doc_id", "source", "text")
+    val admIds = admDocs.select("doc_id")
+    val servedDocs = curate.map { cl =>
+      graft.operators.CurateTick.curatedDocs(admDocs,
+        cl.census.censusStore.currentUpTo(t - 1).getOrElse(
+          sys.error("curate leg not bootstrapped: no census base")),
+        admDocs, cl.census.k, cl.topN)
+        .select("doc_id", "source", "text").localCheckpoint()
+    }.getOrElse(admDocs)
+    st.text.hashes.appendTickAt(t, admDocs.select(col("doc_id"),
+      Provenance.contentHash60(col("text")).as("ch")))
+    st.text.bands.appendTickAt(t, Fuzzy.corpusBandState(admDocs))
+    st.text.shingles.appendTickAt(t, Fuzzy.corpusShingleHashes(admDocs))
+    st.imgSigs.appendTickAt(t, admRows
+      .select(col("doc_id"), col("img_sig").as("sig"))
+      .filter(col("sig").isNotNull))
+    st.audSigs.appendTickAt(t, admRows
+      .select(col("doc_id"), col("aud_sig").as("sig"))
+      .filter(col("sig").isNotNull))
+    sem.foreach(leg => leg.sigs.appendTickAt(t,
+      graft.operators.SemanticGate.sigRowsOf(leg.vectors, admIds,
+        leg.nTables, leg.bits, leg.dim)))
+    eval.foreach(leg => leg.docGrams.appendTickAt(t,
+      graft.operators.Contamination.grams(admDocs, leg.n)))
+    idx.foreach(_.appendDocsAt(t, servedDocs))
+    census.foreach(_.appendDocsAt(t, admDocs))
+    curate.filter(cl => !census.contains(cl.census))
+      .foreach(_.census.appendDocsAt(t, admDocs))
+    ann.foreach { leg =>
+      val (c, r) = leg.idx.servingArtifacts().getOrElse((leg.cents, leg.rcb))
+      leg.idx.appendVectorsAt(t, leg.vectors.join(
+        admIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        c, r)
+    }
+    export.foreach(leg => leg.store.appendDocsAt(t, servedDocs, leg.ms))
+    mix.foreach(_.appendDocsAt(t, admDocs))
+    quar.rows.appendTickAt(t, rows.limit(0))
+    quar.resolvedIds.appendTickAt(t, admIds)
+    replay.feats.appendTickAt(t, feats.limit(0))
+    val admSet = admIds.withColumnRenamed("doc_id", "aid")
+    flipped
+      .join(admSet, col("doc_id") === col("aid"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_novel"),
+        count(when(col("was_lowq"), lit(1))).as("n_lowq_t1"),
+        count(when(col("aid").isNotNull, lit(1))).as("n_readmitted"),
+        count(when(col("was_lowq") && col("lq2"), lit(1)))
+          .as("n_still_lowq"),
+        count(when(!col("was_lowq") && col("lq2"), lit(1)))
+          .as("n_demoted"))
+      .orderBy("source")
+  }
+
   /** [[compactIfNeeded]] over all five multimodal stores — tombstones
     * fold out of every modality's state; cleared only when every store
-    * folded (same read-path-idempotence argument). */
+    * folded (same read-path-idempotence argument). An attached sem
+    * leg's sig store and an eval leg's docGrams resolve through the
+    * SAME shared tombstones, so they MUST fold in the same pass —
+    * clearing after folding only the five mm stores would resurface
+    * retracted rows at the next flag / retro-catch read (the
+    * compactIfNeeded argument, which the mm form was missing for the
+    * eval leg). */
   def compactMmIfNeeded(st: MmStores, maxDataFiles: Long = 64,
-                        sem: Option[SemLeg] = None): Boolean = {
-    val all = st.all ++ sem.map(_.sigs)
+                        sem: Option[SemLeg] = None,
+                        eval: Option[EvalLeg] = None): Boolean = {
+    val all = st.all ++ sem.map(_.sigs) ++ eval.map(_.docGrams)
     val need = all.exists(_.dataFileCount > maxDataFiles)
     if (need) {
       val folded = all.map(_.compactWith(df => resolved(st.text, df)))

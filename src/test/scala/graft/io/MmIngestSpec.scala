@@ -401,4 +401,84 @@ class MmIngestSpec extends AnyFunSuite {
     assert(!resolved.contains(437L),
       "437 stays held by the surviving eval clip's signature")
   }
+
+  test("mm quality re-gate (regateMmTick): a model swap re-opens mm quality rejections, the stored signatures fold back, and every mm store advances together") {
+    val root = Files.createTempDirectory("graft_mm_regate").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = docs.filter(m.between(1, 9))
+    val t1 = docs.filter(m >= 10)
+    val w = QualityModel.weights(corpus,
+      scope = s"multitick${Provenance.BatchMod}")
+
+    val st = IngestLoop.mmStores(spark, root, "mmrg")
+    IngestLoop.bootstrapMm(st, corpus)
+    val quar = IngestLoop.quarantine(spark, root, "mmrg")
+    IngestLoop.bootstrapMmQuarantine(quar, corpus)
+    val replay = IngestLoop.replayLeg(spark, root, "mmrg")
+    IngestLoop.bootstrapReplay(replay, corpus)
+    IngestLoop.runMmTick(st, t1, w, quar = Some(quar),
+      replay = Some(replay))
+    assert(quar.rows.current().get
+      .filter(col("verdict") === "low_quality").count() > 0)
+
+    // the inverted model flips tick-1 quality rejections out of their
+    // window — they re-admit from the mm quarantine, stored 8-byte
+    // signatures folding into the modality stores (no payload reads)
+    val rep = IngestLoop.regateMmTick(st, quar, replay,
+      w.map(x => -x)).collect()
+    val nReadm = rep.map(_.getLong(3)).sum
+    assert(nReadm > 0, "the inverted model must re-admit someone")
+    assert((st.all.map(_.maxTick) ++
+        Seq(replay.feats.maxTick, quar.rows.maxTick,
+          quar.resolvedIds.maxTick)).distinct === Seq(3L),
+      "all five mm stores, the replay leg, and the quarantine advance " +
+        "to the regate tick together")
+    val readm = quar.resolvedIds.current().get.localCheckpoint()
+    assert(readm.count() === nReadm)
+    assert(st.imgSigs.current().get
+      .join(readm, Seq("doc_id"), "left_semi").count() === nReadm,
+      "re-admitted docs' stored image signatures fold into the state")
+    // fold-back pin: a resubmitted exact copy of every re-admitted doc
+    // rejects at the next mm tick
+    val resub = IngestLoop.runMmTick(st,
+      docs.join(readm, Seq("doc_id"), "left_semi"), w).collect()
+    assert(resub.map(_.getLong(2)).sum === nReadm,
+      "every re-admitted doc's resubmitted copy must be dup_exact")
+  }
+
+  test("compactMmIfNeeded folds an attached eval leg's docGrams with the shared tombstones (r13: the mm form was missing the eval fold — clearing would have resurfaced retracted rows)") {
+    import graft.operators.Decontam
+    val root = Files.createTempDirectory("graft_mm_cmp_eval").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = Decontam.evalFree(docs).filter(m.between(1, 9))
+    val t1 = Decontam.evalFree(docs).filter(m >= 10)
+    val w = QualityModel.weights(corpus,
+      scope = s"decontam${Provenance.BatchMod}")
+
+    val st = IngestLoop.mmStores(spark, root, "mmce")
+    IngestLoop.bootstrapMm(st, corpus)
+    val leg = IngestLoop.evalLeg(spark, root, "mmce")
+    IngestLoop.bootstrapEval(leg, corpus, Decontam.eval1Docs(docs))
+    IngestLoop.runMmTick(st, t1, w, eval = Some(leg))
+
+    // severed: re-read after the compaction deletes the folded tick
+    // files it was derived from
+    val retracted = st.text.hashes.current().get.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
+        Provenance.RetractRem)
+      .localCheckpoint()
+    IngestLoop.retractMmTick(st, retracted, eval = Some(leg))
+    val liveGrams = IngestLoop.resolved(st.text,
+      leg.docGrams.current().get).collect().map(_.toSeq).toSet
+    assert(IngestLoop.compactMmIfNeeded(st, maxDataFiles = 1,
+      eval = Some(leg)))
+    assert(st.text.tombs.current().isEmpty,
+      "tombstones cleared after every sharing store folded")
+    assert(IngestLoop.resolved(st.text, leg.docGrams.current().get)
+      .collect().map(_.toSeq).toSet === liveGrams,
+      "the resolved docGrams relation is bit-identical across the fold")
+    assert(leg.docGrams.current().get
+      .join(retracted, Seq("doc_id"), "left_semi").isEmpty,
+      "no retracted doc's gram rows survive the fold physically")
+  }
 }
