@@ -1274,12 +1274,19 @@ object ArtifactStore {
     * NEVER deleted: the export store deletes superseded revision dirs
     * on re-pack, so revision membership history must live here — it is
     * a property of the revision, shared across every job that consumed
-    * it. The job rows commit LAST (a job row never exists without its
-    * members — the marker-last discipline); a replayed record
-    * overwrites the same job dir idempotently. History is immutable by
-    * construction: a takedown re-pack changes which (tick, rev) FUTURE
-    * records reference, never what past jobs' rows say
-    * (ConsumptionSpec pins it).
+    * it. The JOB ROWS live INSIDE the manifest revision itself (r13
+    * What's-wrong #1: a separate job-dir write before the manifest
+    * left a crash window where a fully-committed job row was invisible
+    * to every manifest-resolved read — for a compliance ledger the
+    * worst failure direction), so the job table and the member-dir
+    * index commit in ONE atomic revisioned overwrite: member dirs
+    * first, manifest revision last — a crash before the manifest
+    * commit leaves at most unlisted-but-harmless member dirs (truly
+    * harmless now: no job row exists anywhere yet), and a replayed
+    * record overwrites the same job's rows idempotently. History is
+    * immutable by construction: a takedown re-pack changes which
+    * (tick, rev) FUTURE records reference, never what past jobs' rows
+    * say (ConsumptionSpec pins it).
     *
     * Scale shape: job rows are O(epochs); membership is O(docs) 24-byte
     * rows per distinct revision (written once, id-keyed); the takedown
@@ -1292,7 +1299,6 @@ object ArtifactStore {
     private def f = fs(spark, base)
 
     private def memberDir(t: Long, r: Long) = s"$base/members/tick=${t}_rev=$r"
-    private def jobDir(jobId: String) = s"$base/jobs/job=$jobId"
 
     private def listDirs(kind: String): Seq[String] = {
       val p = new Path(s"$base/$kind")
@@ -1301,29 +1307,79 @@ object ArtifactStore {
         .filter(d => f.exists(new Path(d, "_SUCCESS"))).sorted
     }
 
-    // ---- dir manifest (r12 verdict item 7: ledger scale hygiene) ------
+    // ---- dir manifest (r12 verdict item 7: ledger scale hygiene;
+    // r13 What's-wrong #1: the manifest IS the job table) --------------
     // jobs()/members() used to listStatus EVERY child dir — at years of
     // ticks that is an unbounded driver-side filesystem listing (N
     // round-trips on an object store) before a single byte of audit
-    // work. The manifest is ONE small parquet of (kind, dir) rows,
-    // rewritten at each record() AFTER the dirs it names committed —
-    // so every listed dir is complete, a crashed record leaves at most
-    // an unlisted-but-harmless member dir (its job row never committed;
-    // the replay re-lists it), and reads cost one parquet read instead
-    // of N listings. Ledgers written before the manifest existed fall
-    // back to the listing path; results are identical (ConsumptionSpec
-    // pins it).
-    private def manifestDir = s"$base/manifest"
-    private def readManifest(): Option[DataFrame] =
-      if (exists(spark, manifestDir)) Some(spark.read.parquet(manifestDir))
-      else None
+    // work. The manifest is ONE small parquet, REVISIONED
+    // (manifest_v/rev=N, newest committed wins — the export store's
+    // complete-or-invisible discipline: a crashed overwrite of a flat
+    // manifest would have destroyed primary data now that job rows
+    // live inside it), holding two row kinds:
+    //   kind='member' — (dir) pointers to committed member dirs;
+    //   kind='jobrow' — the job table itself, inline.
+    // Member resolution is manifest-only (the unbounded side); the
+    // JOBS side is always re-listed from jobs/ as well — job dirs are
+    // O(jobs), the cheap side, and re-listing heals any pre-upgrade
+    // ledger crashed in the old job-dir-then-manifest order (a
+    // committed job dir a stale manifest never named). Ledgers written
+    // before any manifest existed fall back to pure listing; legacy
+    // flat manifests (kind, dir only) still resolve members. Results
+    // are identical across all three paths (ConsumptionSpec pins it).
+    private def legacyManifestDir = s"$base/manifest"
+    private def manifestVDir = s"$base/manifest_v"
 
-    private def committedDirs(kind: String): Seq[String] =
-      readManifest()
-        .map(_.filter(col("kind") === kind).select("dir")
-          .collect().map(_.getString(0)).toSeq.distinct.sorted)
-        .filter(_.nonEmpty)
-        .getOrElse(listDirs(s"${kind}s"))
+    private def manifestRevs(sucOnly: Boolean): Seq[Long] = {
+      val p = new Path(manifestVDir)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("rev="))
+        .map(_.getPath.getName.stripPrefix("rev=").toLong)
+        .filter(r => !sucOnly ||
+          f.exists(new Path(s"$manifestVDir/rev=$r", "_SUCCESS")))
+        .sorted
+    }
+
+    private val jobColNames = Seq("job_id", "tick", "rev",
+      "n_retracted_at_record", "decision", "cert_sig")
+
+    /** Widen any manifest/job-row frame to the full current schema:
+      * absent columns materialize as typed nulls, so legacy flat
+      * manifests (kind, dir) and pre-certificate job rows (job_id,
+      * tick, rev) read alongside current ones (r13 advice: a mixed
+      * ledger must not fail or pick an arbitrary schema). */
+    private def widened(df: DataFrame): DataFrame = {
+      val types = Map("kind" -> "string", "dir" -> "string",
+        "job_id" -> "string", "tick" -> "long", "rev" -> "long",
+        "n_retracted_at_record" -> "long", "decision" -> "string",
+        "cert_sig" -> "long")
+      ("kind" +: "dir" +: jobColNames).foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(types(c)))
+      }.select(("kind" +: "dir" +: jobColNames).map(col): _*)
+    }
+
+    private def readManifest(): Option[DataFrame] =
+      manifestRevs(sucOnly = true).lastOption
+        .map(r => widened(spark.read.parquet(s"$manifestVDir/rev=$r")))
+        .orElse {
+          if (exists(spark, legacyManifestDir))
+            Some(widened(spark.read.parquet(legacyManifestDir)))
+          else None
+        }
+
+    /** Commit `rows` as the next manifest revision — the record's ONE
+      * commit point — then clean up superseded revisions and any
+      * legacy flat manifest (both already invisible). */
+    private def writeManifestRev(rows: DataFrame): Unit = {
+      val r = manifestRevs(sucOnly = false).maxOption.getOrElse(0L) + 1
+      rows.coalesce(1).write.mode("overwrite")
+        .parquet(s"$manifestVDir/rev=$r")
+      manifestRevs(sucOnly = false).filter(_ < r)
+        .foreach(rr => f.delete(new Path(s"$manifestVDir/rev=$rr"), true))
+      f.delete(new Path(legacyManifestDir), true)
+    }
 
     /** Record `jobId`'s consumption of every epoch `export` currently
       * serves, GATED by the q132 certificate (r12 verdict item 4):
@@ -1382,44 +1438,86 @@ object ArtifactStore {
               col("n_tokens"))
             .write.mode("overwrite").parquet(dir)
       }
+      // the ONE commit point: job rows land INSIDE the manifest
+      // revision, next to the member-dir index — job table and index
+      // commit atomically (r13 What's-wrong #1: a job-dir write before
+      // the manifest left a committed job row no manifest-resolved
+      // read could see). Every member dir named is committed above; a
+      // crash BEFORE this write leaves no job row anywhere — truly
+      // "unlisted but harmless". The union with the prior manifest is
+      // materialized before the write; a replayed record drops its own
+      // job's prior rows first (idempotent overwrite-in-place). Paths
+      // are stored fully QUALIFIED (the listing's form): a scheme-less
+      // twin of a listed dir would survive distinct() and double-read
+      // the dir.
       import spark.implicits._
-      revs.map { case (t, r) =>
+      def qual(d: String) = f.makeQualified(new Path(d)).toString
+      val jobRows = revs.map { case (t, r) =>
         val (nr, d, sig) = certRows((t, r))
         (jobId, t, r, nr, d, sig)
-      }.toDF("job_id", "tick", "rev", "n_retracted_at_record",
-          "decision", "cert_sig")
-        .coalesce(1).write.mode("overwrite").parquet(jobDir(jobId))
-      // manifest LAST (every dir it names is committed); the union with
-      // the previous manifest is materialized before the overwrite. A
-      // pre-manifest ledger seeds from ONE final listing here — after
-      // which no read ever lists again. Paths are stored fully
-      // QUALIFIED (the listing's form): a scheme-less twin of a listed
-      // dir would survive distinct() and double-read the dir.
-      def qual(d: String) = f.makeQualified(new Path(d)).toString
-      val fresh = (revs.map { case (t, r) =>
-        ("member", qual(memberDir(t, r))) } :+ ("job", qual(jobDir(jobId))))
-        .toDF("kind", "dir")
-      val prior = readManifest().getOrElse(
-        (listDirs("jobs").map(("job", _)) ++
-          listDirs("members").map(("member", _))).toDF("kind", "dir"))
-      prior.unionByName(fresh).distinct()
+      }.toDF(jobColNames: _*).withColumn("kind", lit("jobrow"))
+      val memberRows = revs.map { case (t, r) => qual(memberDir(t, r)) }
+        .toDF("dir").withColumn("kind", lit("member"))
+      val prior = readManifest().getOrElse(widened(
+        listDirs("members").map(("member", _)).toDF("kind", "dir")))
+      // legacy kind='job' dir pointers (r13 manifests) drop here: jobs()
+      // resolves legacy dirs by listing now, so carrying them forward
+      // would be dead rows
+      val next = widened(prior
+          .filter(col("kind") =!= "job")
+          .filter(!(col("kind") === "jobrow" && col("job_id") === jobId))
+          .unionByName(jobRows, allowMissingColumns = true)
+          .unionByName(memberRows, allowMissingColumns = true))
+        .distinct()
         .localCheckpoint()
-        .coalesce(1).write.mode("overwrite").parquet(manifestDir)
+      writeManifestRev(next)
     }
 
-    /** Every (job_id, tick, rev, …certificate) consumption row —
-      * manifest-resolved (no directory listing; see the manifest note
-      * above). */
+    /** Every (job_id, tick, rev, …certificate) consumption row: the
+      * manifest's inline job rows UNION legacy job dirs (always
+      * re-listed — the cheap O(jobs) side, which also heals any
+      * pre-upgrade ledger whose crashed record committed a job dir a
+      * stale manifest never named). A job present in both forms (a
+      * replayed record over a legacy job) serves its inline rows only.
+      * Legacy rows written before the certificate columns existed read
+      * with sentinel values — `decision = 'unrecorded'` (so
+      * [[audit]]'s `certified` is false for them, never silently
+      * true), `cert_sig = 0`, `n_retracted_at_record = 0`. */
     def jobs(): DataFrame = {
-      val dirs = committedDirs("job")
-      require(dirs.nonEmpty, s"consumption ledger at $base has no jobs")
-      spark.read.parquet(dirs: _*)
+      val inline = readManifest()
+        .map(_.filter(col("kind") === "jobrow")
+          .select(jobColNames.head, jobColNames.tail: _*))
+      val dirs = listDirs("jobs")
+      val legacy =
+        if (dirs.isEmpty) None
+        else Some {
+          val l = widened(spark.read.option("mergeSchema", "true")
+              .parquet(dirs: _*))
+            .select(jobColNames.head, jobColNames.tail: _*)
+            .withColumn("n_retracted_at_record",
+              coalesce(col("n_retracted_at_record"), lit(0L)))
+            .withColumn("decision",
+              coalesce(col("decision"), lit("unrecorded")))
+            .withColumn("cert_sig", coalesce(col("cert_sig"), lit(0L)))
+          inline.fold(l)(i =>
+            l.join(i.select("job_id").distinct(), Seq("job_id"),
+              "left_anti"))
+        }
+      val all = (inline.toSeq ++ legacy.toSeq).reduceOption(_.unionByName(_))
+      require(all.isDefined && !all.get.isEmpty,
+        s"consumption ledger at $base has no jobs")
+      all.get
     }
 
     /** Every (tick, rev, doc_id, n_tokens) membership row —
-      * manifest-resolved like [[jobs]]. */
+      * manifest-resolved (the unbounded side never re-lists once a
+      * manifest exists; pre-manifest ledgers fall back to listing). */
     def members(): DataFrame = {
-      val dirs = committedDirs("member")
+      val dirs = readManifest()
+        .map(_.filter(col("kind") === "member").select("dir")
+          .collect().map(_.getString(0)).toSeq.distinct.sorted)
+        .filter(_.nonEmpty)
+        .getOrElse(listDirs("members"))
       require(dirs.nonEmpty, s"consumption ledger at $base has no members")
       spark.read.parquet(dirs: _*)
     }

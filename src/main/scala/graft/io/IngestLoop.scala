@@ -533,8 +533,9 @@ object IngestLoop {
     * width, so verdicts stay re-derivable as the corpus grows past the
     * sizing count, and re-sizing is an explicit new generation
     * ([[resizeSemLeg]]), never a silent drift. Crash-safe: the params
-    * write is an idempotent overwrite, and a replay after it always
-    * reads the recorded values. */
+    * write is an idempotent overwrite gated on its `_SUCCESS` marker —
+    * a crash mid-write falls through to the sizing path and rewrites;
+    * a replay after the commit always reads the recorded values. */
   def semLegSized(spark: SparkSession, root: String, name: String,
                   vectors: DataFrame,
                   nTables: Int =
@@ -544,8 +545,12 @@ object IngestLoop {
                     graft.operators.SemanticGate.DefaultSimThreshold)
       : SemLeg = {
     val pPath = s"$root/ingest_state/$name/sem_params"
+    // the read branch gates on the COMMIT MARKER, not bare existence
+    // (r13 advice): a crash mid-write of sem_params leaves a dir
+    // without _SUCCESS; reading it would throw forever, where falling
+    // through re-derives and overwrites — the repo-wide _SUCCESS rule
     val (t, b, d) =
-      if (pathExists(spark, pPath)) {
+      if (pathExists(spark, s"$pPath/_SUCCESS")) {
         val r = spark.read.parquet(pPath).head()
         (r.getAs[Int]("tables"), r.getAs[Int]("bits"), r.getAs[Int]("dim"))
       } else {
@@ -564,16 +569,27 @@ object IngestLoop {
     * functions of (table, dim), so past verdicts stay valid — only
     * candidate fan-out changes). Signatures re-derive from the vectors
     * side table at the new width for every SURVIVING ingested doc
-    * (tombstones baked in), land as tick 1 of the fresh generation,
-    * and the new (tables, bits) are recorded under the new name. Run
-    * at quiesce points, like every generation swap. */
+    * (tombstones baked in) and land as tick 1 of the fresh generation
+    * FIRST; the params overwrite under the new name is the COMMIT
+    * POINT (r13 verdict item 4 — params-first left a crash window
+    * where recorded params pointed at an unbootstrapped store and the
+    * next tick died on the coverage guard instead of refusing). A
+    * crash between the two leaves the old generation's params
+    * untouched and serving; a replay overwrites the same tick-1 rows
+    * idempotently and then commits. `name` MUST be a fresh generation
+    * — a name whose params artifact is already committed is REFUSED
+    * (the scaladoc safety argument depends on it: resizing in place
+    * would mix two signature widths in one store). Run at quiesce
+    * points, like every generation swap; SemIngestSpec pins the kill
+    * window and the same-name refusal. */
   def resizeSemLeg(st: Stores, leg: SemLeg, spark: SparkSession,
                    root: String, name: String,
                    nTables: Int, bits: Int): SemLeg = {
-    import spark.implicits._
-    Seq((nTables, bits, leg.dim)).toDF("tables", "bits", "dim")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$root/ingest_state/$name/sem_params")
+    val pPath = s"$root/ingest_state/$name/sem_params"
+    require(!pathExists(spark, s"$pPath/_SUCCESS"),
+      s"resizeSemLeg requires a FRESH generation name: '$name' already " +
+        "carries committed sem_params — a resize is a new store " +
+        "generation, never an in-place rewrite")
     val next = SemLeg(
       ArtifactStore.ingestState(spark, root, s"$name/sem_sigs"),
       leg.vectors, nTables, bits, leg.dim, leg.simThreshold)
@@ -581,6 +597,11 @@ object IngestLoop {
       .select("doc_id").distinct()
     next.sigs.appendTickAt(1, graft.operators.SemanticGate.sigRowsOf(
       leg.vectors, ingested, nTables, bits, leg.dim))
+    // params LAST — the commit point: once this _SUCCESS lands, the
+    // generation is fully bootstrapped and loadable by semLegSized
+    import spark.implicits._
+    Seq((nTables, bits, leg.dim)).toDF("tables", "bits", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(pPath)
     next
   }
 
@@ -798,14 +819,19 @@ object IngestLoop {
                        updateId: Long = -1L): DataFrame = {
     import graft.multimodal.Multimodal
     val u = if (updateId > 0) updateId else {
-      // the text-side agreement rule, clamped by every eval-side store
-      // that may have gotten ahead in a crashed update (sig stores
-      // append after the text-side four)
-      val dataMax = Seq(leg.grams, leg.bands, leg.shingles).map(_.maxTick)
+      // EVERY attached data store joins the unanimity set (r13 advice:
+      // the sig stores append after the text-side four, so they can
+      // only LAG — a max-clamp never sees them behind, and a crash
+      // after the text appends left the three text stores unanimous at
+      // u0, deriving u0+1 on replay and re-appending the same addDocs
+      // at a second id). Advance (+1) only when ALL attached data
+      // stores agree; otherwise redo at the max of all of them, still
+      // clamped by the tombstone store (the tombs-first rule).
+      val dataMax = (Seq(leg.grams, leg.bands, leg.shingles) ++
+        leg.imgSigs ++ leg.audSigs).map(_.maxTick)
       val next =
         if (dataMax.distinct.size == 1) dataMax.head + 1 else dataMax.max
-      (Seq(next, leg.tombs.maxTick) ++ leg.imgSigs.map(_.maxTick) ++
-        leg.audSigs.map(_.maxTick)).max
+      math.max(next, leg.tombs.maxTick)
     }
     val textCaught = evalUpdateTick(st.text, leg, addDocs, withdrawIds, u)
     val addISigs = Multimodal.imageSigs(addDocs).localCheckpoint()

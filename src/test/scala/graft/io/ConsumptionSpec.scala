@@ -104,23 +104,67 @@ class ConsumptionSpec extends AnyFunSuite {
     cs.record("job2", ex, certify(retracted))
     assert(rows(cs.audit(retracted)) === live)
 
-    // ledger scale hygiene (r12 item 7): reads resolve dirs through the
-    // ONE manifest parquet record() maintains — no per-dir filesystem
-    // listing — and the listing fallback (pre-manifest ledgers) serves
-    // the identical audit
-    val mPath = new org.apache.hadoop.fs.Path(
-      s"$root/consumption/ex/manifest")
-    val fsys = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fsys.exists(mPath), "record maintains the dir manifest")
-    val viaManifest = rows(cs.audit(retracted))
-    fsys.delete(mPath, true)
-    assert(rows(cs.audit(retracted)) === viaManifest,
-      "manifest-resolved reads ≡ the listing fallback")
-    // a record against a pre-manifest ledger seeds the manifest from
-    // one final listing — history stays visible
-    cs.record("job2", ex, certify(retracted))
-    assert(fsys.exists(mPath))
-    assert(rows(cs.audit(retracted)) === live,
-      "the seeded manifest must cover pre-manifest history")
+    // ledger scale hygiene (r12 item 7) + atomic job commit (r13
+    // What's-wrong #1): member reads resolve through the revisioned
+    // manifest record() maintains, and the JOB TABLE lives inline in
+    // the same revision — job rows and dir index commit together
+    val mV = new org.apache.hadoop.fs.Path(
+      s"$root/consumption/ex/manifest_v")
+    val fsys = mV.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.exists(mV), "record maintains the revisioned manifest")
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(
+      s"$root/consumption/ex/jobs")),
+      "new records write no job dirs — the job table is the manifest")
+
+    // CRASH WINDOW, new order: a crashed record that committed member
+    // dirs but not the manifest revision leaves NO job row anywhere —
+    // an uncommitted manifest rev is invisible behind its _SUCCESS
+    val before = rows(cs.audit(retracted))
+    val staleRev = new org.apache.hadoop.fs.Path(
+      s"$root/consumption/ex/manifest_v/rev=99")
+    fsys.mkdirs(staleRev)
+    assert(rows(cs.audit(retracted)) === before,
+      "an uncommitted manifest revision must be invisible")
+    fsys.delete(staleRev, true)
+
+    // CRASH WINDOW, old order (a PRE-UPGRADE ledger): a fully-committed
+    // legacy job dir the stale manifest never named — the exact r13
+    // defect. jobs() heals it by always re-listing the cheap jobs/
+    // side; its pre-certificate rows read with sentinel values, so
+    // audit() marks it uncertified instead of failing or lying.
+    import spark.implicits._
+    Seq(("job0", 1L, 1L)).toDF("job_id", "tick", "rev")
+      .coalesce(1).write
+      .parquet(s"$root/consumption/ex/jobs/job=job0")
+    assert(rows(cs.jobs().filter(col("job_id") === "job0")) ===
+      Seq(Seq("job0", 1L, 1L, 0L, "unrecorded", 0L)),
+      "legacy job rows surface with sentinel certificate columns")
+    val a0 = cs.audit(retracted).filter(col("job_id") === "job0")
+      .select("certified").collect()
+    assert(a0.map(_.getBoolean(0)).toSeq === Seq(false),
+      "a pre-certificate job can never read as certified")
+    assert(cs.trainedOn(retracted).filter(col("job_id") === "job0")
+      .count() > 0,
+      "the healed job row joins membership — trainedOn stays complete")
+    assert(rows(cs.audit(retracted).filter(col("job_id") =!= "job0"))
+      === live, "healing a legacy row must not disturb recorded jobs")
+
+    // replaying record over a legacy job supersedes the legacy dir
+    // (inline rows win; no duplicates)
+    cs.record("job0", ex, certify(retracted))
+    val j0 = cs.jobs().filter(col("job_id") === "job0")
+    assert(j0.count() === j0.select("tick", "rev").distinct().count(),
+      "a replayed record over a legacy job must not duplicate rows")
+    assert(j0.filter(col("decision") === "unrecorded").isEmpty,
+      "inline rows supersede the legacy dir's sentinel rows")
+
+    // pre-manifest MEMBER fallback: with no manifest at all, members()
+    // re-lists — identical membership (last: this destroys the job
+    // table, which is primary data in the manifest)
+    val viaManifest = rows(cs.members().orderBy("tick", "rev", "doc_id"))
+    fsys.delete(mV, true)
+    assert(rows(cs.members().orderBy("tick", "rev", "doc_id"))
+      === viaManifest,
+      "manifest-resolved member reads ≡ the listing fallback")
   }
 }
