@@ -518,6 +518,8 @@ object SparkEntry {
         Tables.load(s, dir, "embeddings"))),
     "q140_mm_eval_contamination" -> t("documents")(
       graft.multimodal.Multimodal.q140MmEvalContamination(_)),
+    "q141_sem_occupancy_canary" -> ((s, dir) =>
+      SemanticGate.q141OccupancyCanary(Tables.load(s, dir, "embeddings"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -661,6 +663,7 @@ object SparkEntry {
     "q139_selfsized_semantic" -> SemanticGate.q139Sql(),
     "q140_mm_eval_contamination" ->
       graft.multimodal.Multimodal.q140Sql(),
+    "q141_sem_occupancy_canary" -> SemanticGate.q141Sql(),
     "q136_decontam_tick" -> Decontam.q136Sql(),
     "q137_curated_foldback" -> CurateTick.q137Sql(),
     "q138_consumption_audit" -> Packing.q138Sql(),

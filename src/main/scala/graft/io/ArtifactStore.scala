@@ -1139,6 +1139,106 @@ object ArtifactStore {
         seqLen, minFillMicro, mixTolMicros)
     }
 
+    // ---- serve-boundary certification (r13 verdict item 1) -----------
+    // q132's gate used to bind only consumers that volunteered to call
+    // certify() + ConsumptionStore.record() — the serving read path
+    // itself never checked. The certificate is now RECORDED next to
+    // the store (revisioned, complete-or-invisible like every epoch
+    // write) and the training read path resolves through it: an epoch
+    // whose current serving revision lacks a recorded decision='serve'
+    // row is REFUSED at read time. Any append / takedown re-pack /
+    // compaction advances a revision out from under the recorded
+    // certificate, so new data is structurally unserveable until the
+    // next seal() — certification happens at quiesce points, not at
+    // the consumer's discretion.
+    private def certDir = s"$base/cert"
+
+    /** CERTIFY-AT-QUIESCE: run [[certify]] against the CURRENT serving
+      * revisions and record the outcome as the store's serving
+      * certificate (the one [[servedSlices]] and
+      * [[ConsumptionStore.record]]'s structural overload resolve).
+      * Returns the certificate rows. Run after the tick(s)/takedowns
+      * that advanced the store — [[graft.io.IngestLoop.sealExport]] is
+      * the loop-side hook. */
+    def seal(docSources: DataFrame, tombIds: DataFrame,
+             minFillMicro: Long =
+               graft.operators.Packing.DefaultMinFillMicro,
+             mixTolMicros: Long =
+               graft.operators.Packing.DefaultMixTolMicros): DataFrame = {
+      // each row carries the serving DIR KIND (tick= vs fold=): rev
+      // numbering restarts at 1 inside a fresh fold dir, so (tick,
+      // rev) alone could collide with a pre-compaction certificate row
+      // and let an unsealed fold serve — the kind disambiguates
+      val kinds = ticks
+        .map(t => t.toInt ->
+          (if (foldBoundary.contains(t)) "fold" else "tick")).toMap
+      val kindCol = kinds.foldLeft(lit("tick")) { case (acc, (t, k)) =>
+        when(col("tick") === t, lit(k)).otherwise(acc)
+      }
+      val cert = certify(docSources, tombIds, minFillMicro, mixTolMicros)
+        .withColumn("dir_kind", kindCol)
+        .localCheckpoint()
+      val r = revsIn(certDir, sucOnly = false).maxOption.getOrElse(0L) + 1
+      cert.coalesce(1).write.mode("overwrite").parquet(s"$certDir/rev=$r")
+      revsIn(certDir, sucOnly = false).filter(_ < r)
+        .foreach(rr => f.delete(new Path(s"$certDir/rev=$rr"), true))
+      cert
+    }
+
+    /** The recorded serving certificate (newest committed seal), or
+      * None if the store was never sealed. */
+    def recordedCertificate(): Option[DataFrame] =
+      servingRevIn(certDir).map(r => spark.read.parquet(s"$certDir/rev=$r"))
+
+    /** Non-empty serving (tick, rev) pairs — what a training job would
+      * stream and therefore what the certificate must clear (empty
+      * takedown-marker epochs serve nothing and need no certificate —
+      * the [[ConsumptionStore.record]] rule). O(epochs) listing. */
+    private def streamableRevisions: Seq[(Long, Long, String)] =
+      ticks.flatMap { t =>
+        val d = epochDir(t)
+        val r = servingRevIn(d).get
+        val kind = if (foldBoundary.contains(t)) "fold" else "tick"
+        if (hasData(new Path(s"$d/rev=$r"))) Some((t, r, kind)) else None
+      }
+
+    /** THE training-consumer read path: [[slices]] gated on the
+      * recorded certificate. Refuses — before any data read — when the
+      * store was never sealed, when any streamable epoch's serving
+      * revision is uncovered (appended / re-packed / compacted since
+      * the last seal), or when a covered epoch's decision is not
+      * 'serve'. [[slices]] stays the MAINTENANCE path (takedowns,
+      * compaction, certify itself read it); training jobs and the
+      * consumption ledger go through here. */
+    def servedSlices(): DataFrame = {
+      val cert = recordedCertificate()
+      require(cert.isDefined,
+        s"refusing to serve $base: no recorded certificate — seal() the " +
+          "store at a quiesce point first")
+      val decided = cert.get
+        .select(col("tick").cast("long"), col("rev").cast("long"),
+          col("dir_kind"), col("decision"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
+          r.getString(3)).toMap
+      val revs = streamableRevisions
+      val missing = revs.filterNot(decided.contains)
+      require(missing.isEmpty,
+        s"refusing to serve $base: epochs " + missing.mkString(", ") +
+          " advanced past the recorded certificate — re-seal() at the " +
+          "current state")
+      val held = revs.filter(tr => decided(tr) != "serve")
+      require(held.isEmpty,
+        s"refusing to serve $base: held epochs " +
+          held.map(tr => s"$tr=${decided(tr)}").mkString(", ") +
+          " — the gate decides what may be streamed")
+      slices()
+    }
+
+    /** One training shard off the CERTIFIED read path. */
+    def readServedShard(s: Long): DataFrame =
+      servedSlices().filter(col("shard") === s)
+
     /** The TAKEDOWN: re-pack every tick containing a retracted doc from
       * its own stored per-doc reduction (no text), as that tick's next
       * revision; untouched ticks' revisions are not rewritten. Returns
@@ -1240,7 +1340,9 @@ object ArtifactStore {
           .filter(b => fb.exists(b < _))
           .map(b => new Path(s"$base/fold=$b"))
       // then every SERVED epoch dir sheds its non-serving rev dirs
-      val staleRevs = ticks.map(epochDir).flatMap { d =>
+      // (the cert dir follows the same rule: only the newest committed
+      // seal serves)
+      val staleRevs = (ticks.map(epochDir) :+ certDir).flatMap { d =>
         val keep = servingRevIn(d)
         revsIn(d, sucOnly = false)
           .filter(r => !keep.contains(r))
@@ -1397,6 +1499,21 @@ object ArtifactStore {
       * the record was admitted under (re-derivable from a re-run of
       * certify at the same state). The cert read is O(epochs) rows at
       * the driver, like `servingRevisions` itself. */
+    /** [[record]] under the export's RECORDED certificate — the
+      * STRUCTURAL path (r13 verdict item 1): the loop sealed the store
+      * at a quiesce point ([[PackedExportStore.seal]] /
+      * [[graft.io.IngestLoop.sealExport]]); the consumer neither runs
+      * nor chooses the certificate, and a never-sealed store refuses
+      * outright. The explicit-cert overload below remains for callers
+      * that certify out-of-band; both enforce the same gate. */
+    def record(jobId: String, export: PackedExportStore): Unit = {
+      val cert = export.recordedCertificate()
+      require(cert.isDefined,
+        s"refusing to record '$jobId': export carries no recorded " +
+          "certificate — seal() it at a quiesce point first")
+      record(jobId, export, cert.get)
+    }
+
     def record(jobId: String, export: PackedExportStore,
                cert: DataFrame): Unit = {
       val sl = export.slices().localCheckpoint()

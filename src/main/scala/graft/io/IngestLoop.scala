@@ -605,6 +605,40 @@ object IngestLoop {
     next
   }
 
+  /** OCCUPANCY DRIFT CANARY for a semantic leg (q141's deployment
+    * form, r13 verdict item 3): the quiesce-point census of the leg's
+    * RESOLVED signature store under its serving bits — per table the
+    * occupied buckets, the hottest bucket, and the exact projected
+    * candidate fan-out Σ k·(k−1)/2, with `resize_recommended` once the
+    * live doc count exceeds [[graft.operators.SemanticGate
+    * .OccupancySlack]] × 2^bits (the q120 recall-canary discipline
+    * applied to the q139 sizing knob). Reads ONLY the stored 3-long
+    * sig rows — no embeddings, no text — so it is cheap enough for
+    * every quiesce point, where the candidate join it guards is
+    * O(N²/2^bits) when drifted. */
+  def semCanaryReport(st: Stores, leg: SemLeg): DataFrame = {
+    val sigs = resolved(st, leg.sigs.current().getOrElse(
+      sys.error("semantic leg not bootstrapped: no tick-1 sig base")))
+    val nLive = sigs.select("doc_id").distinct().count()
+    graft.operators.SemanticGate.occupancyCensus(sigs, nLive, leg.bits)
+  }
+
+  /** The canary's TRIGGER form: census, and when the rule recommends,
+    * re-size into `nextName`'s generation at [[graft.operators
+    * .SemanticGate.sizedBits]] of the live count ([[resizeSemLeg]]'s
+    * commit discipline — sigs first, params last, fresh name
+    * enforced). Returns the serving leg: the fresh generation when a
+    * resize ran, the given leg otherwise — the deployment calls this
+    * at quiesce points and keeps whatever comes back. */
+  def semCanaryTick(st: Stores, leg: SemLeg, spark: SparkSession,
+                    root: String, nextName: String): SemLeg = {
+    val rec = semCanaryReport(st, leg)
+      .select("resize_recommended", "n_live").head()
+    if (!rec.getBoolean(0)) leg
+    else resizeSemLeg(st, leg, spark, root, nextName, leg.nTables,
+      graft.operators.SemanticGate.sizedBits(rec.getLong(1)))
+  }
+
   /** IDEMPOTENT tick-1 bootstrap of a semantic leg: the corpus docs'
     * signature rows, derived once from the vectors side table. */
   def bootstrapSem(leg: SemLeg, corpusDocs: DataFrame): Unit =
@@ -918,6 +952,34 @@ object IngestLoop {
     * shards a training job actually streams. */
   final case class ExportLeg(store: ArtifactStore.PackedExportStore,
                              ms: Seq[String])
+
+  /** CERTIFY-AT-QUIESCE hook for the export leg (r13 verdict item 1):
+    * seal the store under the LOOP'S OWN tombstone state — the q132
+    * liveness input is the corpus takedown set the loop already
+    * maintains, so certification needs nothing the deployment doesn't
+    * have. Run at quiesce points after the tick(s)/takedowns/
+    * compactions that advanced the store; until sealed, the new
+    * epochs/revisions are refused by [[ArtifactStore.PackedExportStore
+    * .servedSlices]] (the training read path) and by
+    * [[ArtifactStore.ConsumptionStore.record]]'s structural overload —
+    * the gate binds at the boundary, not at the consumer's discretion.
+    * `docSources` is the narrow (doc_id, source) relation for the mix
+    * check. STREAMS inherit the same seam: a stream-folded export is
+    * sealed at the stream's quiesce/rollover boundary with the same
+    * call (the stores' tombstone lineage is shared — for a multimodal
+    * loop pass `st.text`), after which the roll → seal → record
+    * recipe makes streaming consumption auditable end to end
+    * (DocStreamSpec pins the flow). */
+  def sealExport(st: Stores, leg: ExportLeg, docSources: DataFrame,
+                 minFillMicro: Long =
+                   graft.operators.Packing.DefaultMinFillMicro,
+                 mixTolMicros: Long =
+                   graft.operators.Packing.DefaultMixTolMicros)
+      : DataFrame = {
+    val tombs = st.tombs.current().map(_.select("doc_id"))
+      .getOrElse(docSources.select("doc_id").limit(0))
+    leg.store.seal(docSources, tombs, minFillMicro, mixTolMicros)
+  }
 
   /** Judge one batch against the accumulated state, fold the admitted
     * docs' increments back, and return the per-source q103 report

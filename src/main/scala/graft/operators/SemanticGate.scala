@@ -332,6 +332,122 @@ object SemanticGate {
     semAdmissionSql(threshold, lowFrac, nTables, bits = 0, dim,
       simThreshold, iters, trainN, sized = true)
 
+  /** q141's drift model: the recorded knob was sized when the corpus
+    * was 1/SnapshotFrac of its current count — the long-lived
+    * deployment whose corpus grew 16× past its bootstrap sizing. */
+  val SnapshotFrac = 16
+  /** Recommend a resize once the live count exceeds `OccupancySlack ×
+    * 2^recorded_bits` — occupancy ≤ 1 is the sizing target
+    * ([[sizedBits]]), so 2× is real drift, not jitter around the
+    * power-of-two boundary. */
+  val OccupancySlack = 2
+
+  /** q141: the OCCUPANCY DRIFT CANARY for the self-sized semantic gate
+    * (r13 verdict item 3) — q139 sizes `bits` at FIRST bootstrap and
+    * every later load correctly serves the recorded knob (accumulated
+    * signatures share one width), but when the corpus grows past
+    * 2^bits the (tbl, code) candidate join degrades quadratically in
+    * the occupancy excess and nothing noticed: [[graft.io.IngestLoop
+    * .resizeSemLeg]] existed, yet only a human could decide to call
+    * it. This is the q120 recall-canary discipline applied to the
+    * sizing knob: a quiesce-point census of per-table bucket occupancy
+    * under the RECORDED bits — here modeled as the knob a 1/16-sized
+    * bootstrap recorded ([[SnapshotFrac]]) — against the LIVE corpus,
+    * reporting per table the occupied-bucket count, the hottest
+    * bucket, and the exact projected candidate fan-out Σ k·(k−1)/2
+    * (the join work the next tick would do), plus the rule's verdict:
+    * `resize_bits` = [[sizedBits]] at the live count and
+    * `resize_recommended` once live N exceeds [[OccupancySlack]] ×
+    * 2^recorded. Deployment form: [[graft.io.IngestLoop
+    * .semCanaryReport]] runs the same census over the leg's RESOLVED
+    * sig store (no embedding reads at all — the stored 3-long rows are
+    * the census input) and [[graft.io.IngestLoop.semCanaryTick]]
+    * triggers the resize (SemIngestSpec pins canary → resize →
+    * canary-green with planted-pair recall intact).
+    *
+    * Scale shape: one sig derivation (3 longs/table/vector, embeddings
+    * never shuffle), two partial-aggregating groupBys, an 8-row
+    * report. The canary costs O(N·tables) rows — the POINT is that it
+    * is cheap enough to run at every quiesce point, where the join it
+    * guards is O(N²/2^bits) when drifted. */
+  def q141OccupancyCanary(embeddings: DataFrame,
+                          nTables: Int = ProductionTables,
+                          dim: Int = DefaultDim): DataFrame = {
+    // ONE count — the canary's only corpus read beyond the sig rows
+    val n = embeddings.count()
+    val snapN = (n + SnapshotFrac - 1) / SnapshotFrac
+    val recorded = sizedBits(snapN)
+    occupancyCensus(
+      RpLsh.signatures(embeddings, nTables, recorded, dim)
+        .select(col("vec_id").as("doc_id"), col("tbl"), col("code")),
+      n, recorded)
+  }
+
+  /** The shared census body: per-table occupancy of `sigRows`
+    * ((doc_id, tbl, code) — a sig relation or a resolved leg store)
+    * under `recordedBits`, with the sizing verdict against `nLive`. */
+  private[graft] def occupancyCensus(sigRows: DataFrame, nLive: Long,
+                                     recordedBits: Int): DataFrame = {
+    val slots = 1L << recordedBits
+    sigRows
+      .groupBy("tbl", "code").agg(count(lit(1)).as("k"))
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_occupied"),
+        max("k").as("max_bucket"),
+        // integer div — `/` on longs is double division, inexact past 2^53
+        sum(expr("(k * (k - 1)) div 2")).cast("long").as("cand_pairs"))
+      .select(col("tbl"),
+        lit(nLive).as("n_live"),
+        lit(recordedBits).as("recorded_bits"),
+        lit(slots).as("n_slots"),
+        col("n_occupied"), col("max_bucket"), col("cand_pairs"),
+        lit(sizedBits(nLive)).as("resize_bits"),
+        lit(nLive > OccupancySlack * slots).as("resize_recommended"))
+      .orderBy("tbl")
+  }
+
+  /** q141's oracle: DuckDB re-derives the snapshot sizing, the planes
+    * at the recorded width, the signatures, and the full occupancy
+    * census — a hash match certifies the census AND the recommendation
+    * rule, integer-exact end to end (the only doubles are the plane
+    * sign tests, the q72Sql-pinned IEEE ops). */
+  def q141Sql(nTables: Int = ProductionTables, dim: Int = DefaultDim)
+      : String = {
+    val comp = s"(CAST(concat('0x', substr(md5(p || '-' || d), 1, 15)) AS BIGINT)" +
+      s" % 2000001) / 1000000.0::DOUBLE - 1.0::DOUBLE"
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       |sn AS (SELECT (n + ${SnapshotFrac - 1}) // $SnapshotFrac AS s
+       |       FROM nn),
+       |rb AS (SELECT CAST(coalesce(min(b), $MaxBits) AS INT) AS bits
+       |       FROM range($MinBits, ${MaxBits + 1}) t(b), sn
+       |       WHERE pow(2, CAST(b AS INT)) >= sn.s),
+       |lb AS (SELECT CAST(coalesce(min(b), $MaxBits) AS INT) AS bits
+       |       FROM range($MinBits, ${MaxBits + 1}) t(b), nn
+       |       WHERE pow(2, CAST(b AS INT)) >= nn.n),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |planes AS (SELECT p, [$comp FOR d IN range(0, $dim)] AS pv
+       |           FROM range(0, ${nTables * MaxBits}) t(p), rb
+       |           WHERE p < $nTables * rb.bits),
+       |sig AS (SELECT e.vec_id, CAST(pl.p // rb.bits AS INT) AS tbl,
+       |          CAST(sum(CASE WHEN list_dot_product(e.ed, pl.pv) >= 0
+       |                        THEN 1 << CAST(pl.p % rb.bits AS INT)
+       |                        ELSE 0 END) AS BIGINT) AS code
+       |        FROM e, planes pl, rb GROUP BY 1, 2),
+       |occ AS (SELECT tbl, code, count(*) AS k FROM sig GROUP BY 1, 2)
+       |SELECT occ.tbl,
+       |  nn.n AS n_live,
+       |  rb.bits AS recorded_bits,
+       |  CAST(1 << rb.bits AS BIGINT) AS n_slots,
+       |  count(*) AS n_occupied,
+       |  max(occ.k) AS max_bucket,
+       |  CAST(sum(occ.k * (occ.k - 1) // 2) AS BIGINT) AS cand_pairs,
+       |  lb.bits AS resize_bits,
+       |  nn.n > $OccupancySlack * (1 << rb.bits) AS resize_recommended
+       |FROM occ, nn, rb, lb
+       |GROUP BY occ.tbl, nn.n, rb.bits, lb.bits
+       |ORDER BY tbl""".stripMargin
+  }
+
   /** The shared q135/q139 oracle body. `sized = true` derives `bits`
     * in-SQL (CTEs `nn`/`bb`: the [[sizedBits]] rule) and appends the
     * sizing columns; otherwise the passed literal `bits` is used. */

@@ -311,4 +311,70 @@ class ExportStoreSpec extends AnyFunSuite {
     assert(withSkew(4) === "hold_mix",
       "a single-source epoch must hold on the mix certificate")
   }
+
+  test("serve-boundary certification (r13 item 1): servedSlices refuses an unsealed store, any revision advance past the recorded seal, and a held epoch; the structural record() overload enforces the same gate") {
+    val root = Files.createTempDirectory("graft_export_seal").toString
+    val ms = Bpe.merges(docs)
+    val ex = ArtifactStore.packedExport(spark, root, "seal1", seqLen)
+    val t1 = docs.filter(m.between(1, 9))
+    val t2 = docs.filter(m === 0)
+    ex.bootstrap(t1, ms)
+    val srcs = docs.select("doc_id", "source")
+    val none = docs.select("doc_id").limit(0)
+    val cs = ArtifactStore.consumption(spark, root, "seal1")
+    // fill/mix relaxed throughout — the four decisions are the q132
+    // test's subject; this test pins WHERE the gate binds
+    def seal(tombs: DataFrame) = ex.seal(srcs, tombs,
+      minFillMicro = 0L, mixTolMicros = 1000000L)
+
+    // 1. never sealed: the training read path AND the structural record
+    // refuse before any data read
+    val e1 = intercept[IllegalArgumentException] { ex.servedSlices() }
+    assert(e1.getMessage.contains("no recorded certificate"))
+    val e2 = intercept[IllegalArgumentException] { cs.record("job1", ex) }
+    assert(e2.getMessage.contains("no recorded certificate"))
+
+    // 2. sealed at quiesce: served ≡ maintenance slices; the structural
+    // record streams with the recorded certificate stamped
+    seal(none)
+    assert(sliceSet(ex.servedSlices()) === sliceSet(ex.slices()),
+      "a fully-certified store serves its slices unchanged")
+    cs.record("job1", ex)
+    val j1 = cs.jobs().filter(col("job_id") === "job1").collect()
+    assert(j1.nonEmpty && j1.forall(_.getAs[String]("decision") == "serve"),
+      "the structural record stamps the recorded certificate")
+
+    // 3. an APPEND advances past the seal: unserveable until re-sealed
+    ex.appendDocsAt(2, t2, ms)
+    val e3 = intercept[IllegalArgumentException] { ex.servedSlices() }
+    assert(e3.getMessage.contains("advanced past the recorded certificate"))
+    val e3r = intercept[IllegalArgumentException] { cs.record("job2", ex) }
+    assert(e3r.getMessage.contains("no certificate"))
+    seal(none)
+    assert(ex.servedSlices().filter(col("tick") === 2).count() > 0)
+    cs.record("job2", ex)
+
+    // 4. a HELD decision refuses at the read path (takedown staged but
+    // epochs not yet re-packed)
+    val retracted = t1.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
+        Provenance.RetractRem)
+    val heldCert = seal(retracted)
+    assert(heldCert.filter(col("decision") === "hold_takedown").count() > 0)
+    val e4 = intercept[IllegalArgumentException] { ex.servedSlices() }
+    assert(e4.getMessage.contains("held epochs"))
+    // remediation: the q125 re-pack (which itself advances revisions
+    // out from under the held seal) + re-seal
+    ex.retractDocs(retracted)
+    seal(retracted)
+    assert(ex.servedSlices().count() > 0,
+      "re-packed + re-sealed epochs serve again")
+
+    // 5. COMPACTION advances too — the fold is new physical data
+    assert(ex.compactEpochs() > 0)
+    val e5 = intercept[IllegalArgumentException] { ex.servedSlices() }
+    assert(e5.getMessage.contains("advanced past the recorded certificate"))
+    seal(retracted)
+    assert(sliceSet(ex.servedSlices()) === sliceSet(ex.slices()))
+  }
 }

@@ -481,4 +481,53 @@ class MmIngestSpec extends AnyFunSuite {
       .join(retracted, Seq("doc_id"), "left_semi").isEmpty,
       "no retracted doc's gram rows survive the fold physically")
   }
+
+  test("evalUpdateMmTick crash replay without an explicit id (r13 advice): the modality sig stores join the unanimity set — a replay after the text-side appends lands at the SAME id, no duplicate eval rows") {
+    import graft.operators.Decontam
+    val root = Files.createTempDirectory("graft_mm_uid").toString
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val corpus = Decontam.evalFree(docs).filter(m.between(1, 9))
+
+    def build(name: String) = {
+      val st = IngestLoop.mmStores(spark, root, name)
+      IngestLoop.bootstrapMm(st, corpus)
+      val leg = IngestLoop.mmEvalLeg(spark, root, name)
+      IngestLoop.bootstrapEval(leg, corpus, Decontam.eval1Docs(docs))
+      (st, leg)
+    }
+
+    val (stA, legA) = build("uid_clean")
+    val caughtClean = IngestLoop.evalUpdateMmTick(stA, legA,
+      Decontam.eval2Docs(docs), Decontam.withdrawEvalIds(docs))
+      .collect().map(_.getLong(0)).toSet
+    val cleanBands = legA.bands.current().get.count()
+    val cleanISigs = legA.imgSigs.get.current().get.count()
+
+    val (stB, legB) = build("uid_crash")
+    // CRASH simulation: ALL FOUR text-side appends committed at the
+    // derived id 2, then the process died before the modality sig
+    // appends (they run last). The pre-fix rule — text-only unanimity
+    // with the sig stores only max-clamped — saw the text stores
+    // unanimous at 2, derived 3, and re-appended the same addDocs'
+    // grams/bands/shingles/tombs at a second id: duplicate eval
+    // band/shingle rows inflating lshPairsAgainstState intersections.
+    val add = Decontam.eval2Docs(docs)
+    legB.tombs.appendTickAt(2, Decontam.withdrawEvalIds(docs))
+    legB.grams.appendTickAt(2,
+      graft.operators.Contamination.grams(add, legB.n))
+    legB.bands.appendTickAt(2, graft.operators.Fuzzy.corpusBandState(add))
+    legB.shingles.appendTickAt(2,
+      graft.operators.Fuzzy.corpusShingleHashes(add))
+    val caughtB = IngestLoop.evalUpdateMmTick(stB, legB,
+      add, Decontam.withdrawEvalIds(docs))
+      .collect().map(_.getLong(0)).toSet
+    assert((Seq(legB.grams, legB.bands, legB.shingles, legB.tombs) ++
+      legB.imgSigs ++ legB.audSigs).map(_.maxTick).distinct === Seq(2L),
+      "the replayed update lands every eval-side store at the SAME id")
+    assert(legB.bands.current().get.count() === cleanBands &&
+      legB.imgSigs.get.current().get.count() === cleanISigs,
+      "no duplicate eval band/sig rows after the replay")
+    assert(caughtB === caughtClean,
+      "the replayed retro-catch equals the clean run's")
+  }
 }

@@ -237,4 +237,109 @@ class SemIngestSpec extends AnyFunSuite {
       "the re-sized generation ≡ a from-scratch derivation at the new " +
         "width over the surviving ingested set")
   }
+
+  test("resizeSemLeg commit discipline (r13 item 4): a same-name re-size is refused; a kill between the sigs and the params write replays clean with the old generation serving throughout") {
+    import graft.operators.SemanticGate
+    val root = Files.createTempDirectory("graft_sem_commit").toString
+    val st = IngestLoop.stores(spark, root, "rcd")
+    IngestLoop.bootstrap(st, corpus)
+    val leg = IngestLoop.semLegSized(spark, root, "rcd", emb)
+    IngestLoop.bootstrapSem(leg, corpus)
+
+    // in-place re-size refused: the name's params are committed
+    val same = intercept[IllegalArgumentException] {
+      IngestLoop.resizeSemLeg(st, leg, spark, root, "rcd",
+        nTables = 4, bits = leg.bits + 2)
+    }
+    assert(same.getMessage.contains("FRESH generation"))
+
+    // KILL WINDOW: the resize's first half — tick-1 sigs at the new
+    // width landed under the new name — but the process died before
+    // the params commit point
+    val ingested = IngestLoop.resolved(st, st.hashes.current().get)
+      .select("doc_id").distinct()
+    ArtifactStore.ingestState(spark, root, "rcd_v2/sem_sigs")
+      .appendTickAt(1, SemanticGate.sigRowsOf(
+        emb, ingested, 4, leg.bits + 2, leg.dim))
+    // the OLD generation's recorded knob is untouched and still serves
+    val old = IngestLoop.semLegSized(spark, root, "rcd", emb)
+    assert(old.bits === leg.bits && old.nTables === leg.nTables,
+      "a crashed resize must not disturb the serving generation")
+    // the replay is NOT refused (params uncommitted = no generation
+    // yet): it overwrites the same tick-1 rows and commits
+    val leg2 = IngestLoop.resizeSemLeg(st, leg, spark, root, "rcd_v2",
+      nTables = 4, bits = leg.bits + 2)
+    assert(leg2.sigs.maxTick === 1L)
+    val loaded = IngestLoop.semLegSized(spark, root, "rcd_v2", emb)
+    assert(loaded.nTables === 4 && loaded.bits === leg.bits + 2,
+      "the replayed resize commits the new generation's knob")
+    assert(leg2.sigs.current().get.collect().map(_.toSeq).toSet ===
+      SemanticGate.sigRowsOf(emb, ingested, 4, leg.bits + 2, leg.dim)
+        .collect().map(_.toSeq).toSet,
+      "the replayed generation ≡ a from-scratch derivation")
+  }
+
+  test("semLegSized gates its read branch on the params _SUCCESS marker (r13 advice): a crash mid-write of sem_params re-derives instead of throwing forever") {
+    import graft.operators.SemanticGate
+    val root = Files.createTempDirectory("graft_sem_gate").toString
+    // a half-written params dir: files present, no commit marker
+    val pDir = new org.apache.hadoop.fs.Path(
+      s"$root/ingest_state/gate/sem_params")
+    val fsys = pDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.mkdirs(pDir)
+    fsys.create(new org.apache.hadoop.fs.Path(pDir, "part-00000")).close()
+    val leg = IngestLoop.semLegSized(spark, root, "gate", emb)
+    assert(leg.bits === SemanticGate.sizedBits(emb.count()),
+      "an uncommitted params dir falls through to the sizing path")
+    val again = IngestLoop.semLegSized(spark, root, "gate", emb)
+    assert(again.bits === leg.bits && again.nTables === leg.nTables,
+      "the re-derived params commit and later loads read them")
+  }
+
+  test("occupancy drift canary (q141 deployment form, r13 item 3): a leg sized at a small bootstrap recommends resize once the corpus outgrows 2^bits; semCanaryTick swaps the generation and the canary goes green with planted-pair recall intact") {
+    import graft.operators.SemanticGate
+    val root = Files.createTempDirectory("graft_sem_canary").toString
+    val st = IngestLoop.stores(spark, root, "cnr")
+    IngestLoop.bootstrap(st, docs)
+    // sized when the corpus was small (100 vectors), then the corpus
+    // grew ~20x past the recorded 2^bits — the drift q139 could not see
+    val small = emb.orderBy("vec_id").limit(100)
+    val sized = IngestLoop.semLegSized(spark, root, "cnr", small)
+    assert(sized.bits === SemanticGate.sizedBits(100))
+    val leg = sized.copy(vectors = emb)
+    IngestLoop.bootstrapSem(leg, docs)
+
+    val rep = IngestLoop.semCanaryReport(st, leg)
+    assert(rep.count() === leg.nTables.toLong,
+      "one census row per table")
+    val r0 = rep.head()
+    val nLive = r0.getAs[Long]("n_live")
+    assert(r0.getAs[Boolean]("resize_recommended"),
+      "the canary must flag a corpus past the slack bound")
+    assert(r0.getAs[Int]("resize_bits") === SemanticGate.sizedBits(nLive),
+      "the recommendation re-applies the occupancy rule at the live count")
+    assert(r0.getAs[Long]("cand_pairs") > 0,
+      "the census reports the projected candidate fan-out")
+
+    // the trigger form: resize into the fresh generation, canary green
+    val next = IngestLoop.semCanaryTick(st, leg, spark, root, "cnr_v2")
+    assert(next.bits === SemanticGate.sizedBits(nLive),
+      "the triggered resize lands at the live count's width")
+    val rep2 = IngestLoop.semCanaryReport(st, next)
+    assert(!rep2.head().getAs[Boolean]("resize_recommended"),
+      "the canary is green after the resize")
+    // a green canary's tick is a no-op (no generation churn)
+    assert(IngestLoop.semCanaryTick(st, next, spark, root, "cnr_v3")
+      eq next)
+
+    // planted-pair recall across the swap: 238's only semantic partner
+    // (287, ingested) still flags against the resized state
+    import spark.implicits._
+    val flags = SemanticGate.flaggedAgainstState(
+      IngestLoop.resolved(st, next.sigs.current().get), emb,
+      Seq(238L).toDF("doc_id"),
+      next.nTables, next.bits, next.dim, next.simThreshold)
+    assert(flags.collect().map(_.getLong(0)).toSet === Set(238L),
+      "the resized generation still catches the planted semantic pair")
+  }
 }

@@ -1357,4 +1357,72 @@ class DocStreamSpec extends AnyFunSuite {
     assert(!resolved.contains(486L),
       "486 stays held by the surviving eval item")
   }
+
+  test("streaming consumption recipe (r13 item 5): quiesce -> sealExport -> record makes a stream-folded export auditable; trainedOn returns the stream-served docs") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val documents = Tables.load(spark, sf, "documents")
+    val artRoot = Files.createTempDirectory("graft_scons_art").toString
+    val hashes = graft.io.ArtifactStore.corpusHashesOrBuild(artRoot, documents)
+    val w = graft.operators.QualityModel.weights(documents, scope = "sconsspec")
+    val ms = graft.operators.Bpe.merges(documents)
+    val st = graft.io.IngestLoop.stores(spark, artRoot, "scons")
+    graft.io.IngestLoop.bootstrap(st, documents)
+    val ex = graft.io.ArtifactStore.packedExport(
+      spark, artRoot, "scons_ex", 128)
+    ex.bootstrap(documents, ms)
+    val leg = graft.io.IngestLoop.ExportLeg(ex, ms)
+
+    val a = DocStream.Doc(920000L, HourNs,
+      (1 to 40).map(i => s"sca$i").mkString(" "))
+    val b = DocStream.Doc(920001L, HourNs,
+      (1 to 40).map(i => s"scb$i").mkString(" "))
+    val dir = Files.createTempDirectory("graft_scons_in")
+    val ckpt = Files.createTempDirectory("graft_scons_ckpt").toString
+    val out = Files.createTempDirectory("graft_scons_out").toString
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    Files.writeString(dir.resolve("b0.jsonl"),
+      Seq(a, b).map(jline).mkString("\n") + "\n")
+    val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+      DocStream.JsonlDocSchema)
+      .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+      .drop(graft.io.JsonLines.CorruptCol)
+    val sq = DocStream.foldingGatedAdmissionQuery(raw,
+      hashes.select(col("ch").as("h")), st, w, out, ckpt,
+      lowFrac = 0.0, export = Some(leg))
+    try sq.processAllAvailable() finally sq.stop()
+    assert(ex.slices().filter(col("tick") === 2).count() > 0,
+      "the stream folded its batch as an export epoch")
+
+    // the seam binds streams too: until the quiesce-point seal, the
+    // stream-folded epochs are structurally unserveable/unrecordable
+    val cs = graft.io.ArtifactStore.consumption(spark, artRoot, "scons_ex")
+    val e = intercept[IllegalArgumentException] {
+      cs.record("train_run_1", ex)
+    }
+    assert(e.getMessage.contains("no recorded certificate"))
+    val e2 = intercept[IllegalArgumentException] { ex.servedSlices() }
+    assert(e2.getMessage.contains("no recorded certificate"))
+
+    // the recipe: quiesce (stream stopped) -> sealExport under the
+    // loop's tombstone lineage -> record the training run
+    import spark.implicits._
+    val srcs = documents.select(col("doc_id"), col("source"))
+      .unionByName(Seq((920000L, "stream"), (920001L, "stream"))
+        .toDF("doc_id", "source"))
+    graft.io.IngestLoop.sealExport(st, leg, srcs,
+      minFillMicro = 0L, mixTolMicros = 1000000L)
+    assert(ex.servedSlices().count() === ex.slices().count(),
+      "the sealed stream export serves in full")
+    cs.record("train_run_1", ex)
+    val audited = cs.trainedOn(
+      Seq(920000L, 920001L).toDF("doc_id")).collect()
+    assert(audited.map(_.getAs[String]("job_id")).toSet ===
+      Set("train_run_1"),
+      "the stream-served docs trace to the recorded training run")
+    assert(audited.map(_.getAs[Long]("doc_id")).toSet ===
+      Set(920000L, 920001L),
+      "every stream-served doc is attributable")
+  }
 }
