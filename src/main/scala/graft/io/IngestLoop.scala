@@ -299,14 +299,29 @@ object IngestLoop {
     * retracted doc's signature rows are physically absent from the
     * rolled state. Parameters (tables/bits/dim/threshold) and the
     * vectors side table carry over unchanged — semantic verdicts stay
-    * re-derivable across the boundary. For a multimodal loop pass
+    * re-derivable across the boundary, and the carried knob is
+    * RE-RECORDED under the new name with [[resizeSemLeg]]'s commit
+    * discipline (r14 self-audit: without the params artifact, a
+    * restart that reconstructs the rolled leg via [[semLegSized]]
+    * would re-size from the live count and serve a width the rolled
+    * tick-1 sigs were never derived at — the silent mismatch the
+    * recorded-knob rule exists to prevent; sigs land first, the params
+    * overwrite is the commit point, and a name whose params are
+    * already committed is refused). For a multimodal loop pass
     * `st.text` (the shared tombstone lineage). */
   def rolloverSem(st: Stores, leg: SemLeg, spark: SparkSession,
                   root: String, name: String): SemLeg = {
+    val pPath = s"$root/ingest_state/$name/sem_params"
+    require(!pathExists(spark, s"$pPath/_SUCCESS"),
+      s"rolloverSem requires a FRESH generation name: '$name' already " +
+        "carries committed sem_params")
     val next = SemLeg(
       ArtifactStore.ingestState(spark, root, s"$name/sem_sigs"),
       leg.vectors, leg.nTables, leg.bits, leg.dim, leg.simThreshold)
     next.sigs.appendTickAt(1, resolved(st, leg.sigs.current().get))
+    import spark.implicits._
+    Seq((leg.nTables, leg.bits, leg.dim)).toDF("tables", "bits", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(pPath)
     next
   }
 

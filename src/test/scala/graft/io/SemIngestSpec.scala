@@ -342,4 +342,32 @@ class SemIngestSpec extends AnyFunSuite {
     assert(flags.collect().map(_.getLong(0)).toSet === Set(238L),
       "the resized generation still catches the planted semantic pair")
   }
+
+  test("rolloverSem re-records the carried knob under the new generation (r14 self-audit): a restart via semLegSized serves the ROLLED width, not a fresh sizing; a committed-name roll is refused") {
+    import graft.operators.SemanticGate
+    val root = Files.createTempDirectory("graft_sem_roll").toString
+    val st = IngestLoop.stores(spark, root, "rl")
+    IngestLoop.bootstrap(st, corpus)
+    // sized at a small snapshot so the carried width DIFFERS from what
+    // a fresh sizing over the live vector count would pick
+    val leg = IngestLoop.semLegSized(spark, root, "rl",
+      emb.orderBy("vec_id").limit(100)).copy(vectors = emb)
+    IngestLoop.bootstrapSem(leg, corpus)
+    assert(leg.bits !== SemanticGate.sizedBits(emb.count()),
+      "precondition: the carried and fresh widths differ")
+
+    val rolled = IngestLoop.rolloverSem(st, leg, spark, root, "rl2")
+    assert(rolled.bits === leg.bits && rolled.sigs.maxTick === 1L)
+    val reloaded = IngestLoop.semLegSized(spark, root, "rl2", emb)
+    assert(reloaded.bits === leg.bits && reloaded.nTables === leg.nTables,
+      "a restart reads the ROLLED generation's recorded knob - the " +
+        "rolled tick-1 sigs were derived at that width, not at a " +
+        "fresh sizing of the live count")
+
+    // rolling INTO a generation whose params are committed is refused
+    val same = intercept[IllegalArgumentException] {
+      IngestLoop.rolloverSem(st, rolled, spark, root, "rl")
+    }
+    assert(same.getMessage.contains("FRESH generation"))
+  }
 }
