@@ -957,6 +957,20 @@ object ArtifactStore {
     * operator-controlled (per quiesce/epoch, never per micro-batch), so
     * the tick count stays dozens, not thousands; a deployment that
     * outgrows epoch-append re-exports whole via the q108 full form. */
+  /** One streamable serving epoch of a [[PackedExportStore]]: `kind`
+    * (`tick` vs `fold`) disambiguates revision numbers across a
+    * compaction boundary — rev numbering restarts at 1 inside a fresh
+    * fold dir, so (tick, rev) alone can collide with a pre-compaction
+    * row (r14 verdict item 1). `path` is the physical rev dir the
+    * epoch serves from, captured AT CHECK TIME so gated readers read
+    * exactly what was validated (r14 advice: re-resolving after the
+    * check reopens a TOCTOU window against a concurrent advance). */
+  final case class ServingEpoch(tick: Long, rev: Long, kind: String,
+                                path: String) {
+    def key: (Long, Long, String) = (tick, rev, kind)
+    override def toString: String = s"($tick, $rev, $kind)"
+  }
+
   final class PackedExportStore(spark: SparkSession, root: String,
                                 name: String, val seqLen: Int,
                                 val nShards: Int) {
@@ -1072,12 +1086,14 @@ object ArtifactStore {
     /** Every serving slice row across ticks: (tick, doc_id, seq_id,
       * toks, h, ssig, shard) — `shard` recovered from the partition
       * directory, so a filter on it prunes to one directory per tick. */
-    def slices(): DataFrame = {
-      val paths = ticks.flatMap { t =>
-        val d = epochDir(t)
-        val p = s"$d/rev=${servingRevIn(d).get}"
-        if (hasData(new Path(p))) Some(p) else None
-      }
+    def slices(): DataFrame =
+      readSlicesAt(streamableRevisions.map(_.path))
+
+    /** The epoch union over EXACTLY the given rev-dir paths — the one
+      * physical read both the maintenance path ([[slices]], current
+      * state) and the certified path ([[servedSlices]], check-time
+      * state) go through. */
+    private[io] def readSlicesAt(paths: Seq[String]): DataFrame = {
       require(paths.nonEmpty, s"packed export at $base is empty")
       // one read per epoch, each rooted at its own rev dir (multi-root
       // partition inference would misparse tick=/rev= as partition
@@ -1168,7 +1184,11 @@ object ArtifactStore {
       // each row carries the serving DIR KIND (tick= vs fold=): rev
       // numbering restarts at 1 inside a fresh fold dir, so (tick,
       // rev) alone could collide with a pre-compaction certificate row
-      // and let an unsealed fold serve — the kind disambiguates
+      // and let an unsealed fold serve — the kind disambiguates.
+      // Stamping CURRENT kinds is correct exactly here: seal computes
+      // the stats against the current serving state in the same breath
+      // (certKinded's fallback must NOT do this for certificates of
+      // unknown provenance — see its scaladoc).
       val kinds = ticks
         .map(t => t.toInt ->
           (if (foldBoundary.contains(t)) "fold" else "tick")).toMap
@@ -1190,50 +1210,92 @@ object ArtifactStore {
     def recordedCertificate(): Option[DataFrame] =
       servingRevIn(certDir).map(r => spark.read.parquet(s"$certDir/rev=$r"))
 
-    /** Non-empty serving (tick, rev) pairs — what a training job would
-      * stream and therefore what the certificate must clear (empty
-      * takedown-marker epochs serve nothing and need no certificate —
-      * the [[ConsumptionStore.record]] rule). O(epochs) listing. */
-    private def streamableRevisions: Seq[(Long, Long, String)] =
+    /** Non-empty serving epochs — what a training job would stream and
+      * therefore what the certificate must clear (empty takedown-marker
+      * epochs serve nothing and need no certificate — the
+      * [[ConsumptionStore.record]] rule). O(epochs) listing; each row
+      * carries its physical rev-dir path for check-time capture. */
+    private[io] def streamableRevisions: Seq[ServingEpoch] =
       ticks.flatMap { t =>
         val d = epochDir(t)
         val r = servingRevIn(d).get
         val kind = if (foldBoundary.contains(t)) "fold" else "tick"
-        if (hasData(new Path(s"$d/rev=$r"))) Some((t, r, kind)) else None
+        val p = s"$d/rev=$r"
+        if (hasData(new Path(p))) Some(ServingEpoch(t, r, kind, p))
+        else None
       }
 
-    /** THE training-consumer read path: [[slices]] gated on the
-      * recorded certificate. Refuses — before any data read — when the
-      * store was never sealed, when any streamable epoch's serving
-      * revision is uncovered (appended / re-packed / compacted since
-      * the last seal), or when a covered epoch's decision is not
-      * 'serve'. [[slices]] stays the MAINTENANCE path (takedowns,
-      * compaction, certify itself read it); training jobs and the
-      * consumption ledger go through here. */
-    def servedSlices(): DataFrame = {
-      val cert = recordedCertificate()
-      require(cert.isDefined,
-        s"refusing to serve $base: no recorded certificate — seal() the " +
-          "store at a quiesce point first")
-      val decided = cert.get
+    /** Widen a certificate to carry `dir_kind`. [[seal]] stamps it at
+      * computation time; a kindless frame (a raw [[certify]] output
+      * handed to the explicit-cert [[ConsumptionStore.record]]
+      * overload) widens as `'tick'` UNCONDITIONALLY — never from the
+      * store's current kinds: a stale pre-compaction certificate
+      * re-stamped with the current fold kind would cover the fold's
+      * restarted (tick, rev=1) with stats computed over the OLD
+      * tick-only docs, the exact collision the kind exists to catch.
+      * Consequence: a fold epoch is only ever covered by a certificate
+      * that carried its kind when the stats were computed — i.e. a
+      * [[seal]]; kindless certificates refuse on compacted stores. */
+    private[io] def certKinded(cert: DataFrame): DataFrame =
+      if (cert.columns.contains("dir_kind")) cert
+      else cert.withColumn("dir_kind", lit("tick"))
+
+    /** The ONE serve-gate check, shared by [[servedSlices]] and
+      * [[ConsumptionStore.record]] (r14 verdict item 1): validate a
+      * kinded certificate against the CURRENT streamable state, keyed
+      * on the full (tick, rev, dir_kind) triple — rev numbering
+      * restarts at 1 inside a fresh fold dir, so a map keyed (tick,
+      * rev) alone would admit a compacted store under the stale
+      * pre-compaction certificate. Refuses uncovered epochs (appended /
+      * re-packed / compacted since the certificate) and held decisions.
+      * Returns the validated serving epochs WITH their physical paths:
+      * callers read exactly these (closing the check-then-re-list
+      * TOCTOU window — r14 advice). */
+    private[io] def certifiedServingUnder(cert: DataFrame,
+                                          what: String): Seq[ServingEpoch] = {
+      val decided = certKinded(cert)
         .select(col("tick").cast("long"), col("rev").cast("long"),
           col("dir_kind"), col("decision"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
           r.getString(3)).toMap
       val revs = streamableRevisions
-      val missing = revs.filterNot(decided.contains)
+      val missing = revs.filterNot(e => decided.contains(e.key))
       require(missing.isEmpty,
-        s"refusing to serve $base: epochs " + missing.mkString(", ") +
-          " advanced past the recorded certificate — re-seal() at the " +
-          "current state")
-      val held = revs.filter(tr => decided(tr) != "serve")
+        s"refusing to $what $base: serving epochs " +
+          missing.mkString(", ") +
+          " carry no certificate — they advanced past the recorded " +
+          "certificate (or the supplied one is stale); re-seal()/" +
+          "certify() at the current state")
+      val held = revs.filter(e => decided(e.key) != "serve")
       require(held.isEmpty,
-        s"refusing to serve $base: held epochs " +
-          held.map(tr => s"$tr=${decided(tr)}").mkString(", ") +
+        s"refusing to $what $base: held epochs " +
+          held.map(e => s"$e=${decided(e.key)}").mkString(", ") +
           " — the gate decides what may be streamed")
-      slices()
+      revs
     }
+
+    /** [[certifiedServingUnder]] against the RECORDED certificate —
+      * the structural form; refuses a never-sealed store outright. */
+    private[io] def certifiedServing(what: String): Seq[ServingEpoch] = {
+      val cert = recordedCertificate()
+      require(cert.isDefined,
+        s"refusing to $what $base: no recorded certificate — seal() " +
+          "the store at a quiesce point first")
+      certifiedServingUnder(cert.get, what)
+    }
+
+    /** THE training-consumer read path: [[slices]] gated on the
+      * recorded certificate. Refuses — before any data read — when the
+      * store was never sealed, when any streamable epoch's serving
+      * revision is uncovered (appended / re-packed / compacted since
+      * the last seal), or when a covered epoch's decision is not
+      * 'serve'. Reads exactly the paths the check validated. [[slices]]
+      * stays the MAINTENANCE path (takedowns, compaction, certify
+      * itself read it); training jobs and the consumption ledger go
+      * through here. */
+    def servedSlices(): DataFrame =
+      readSlicesAt(certifiedServing("serve").map(_.path))
 
     /** One training shard off the CERTIFIED read path. */
     def readServedShard(s: Long): DataFrame =
@@ -1400,7 +1462,15 @@ object ArtifactStore {
     private val base = s"$root/consumption/$name"
     private def f = fs(spark, base)
 
-    private def memberDir(t: Long, r: Long) = s"$base/members/tick=${t}_rev=$r"
+    /** Member dirs are keyed by the FULL (kind, tick, rev) triple (r14
+      * verdict item 1): after a compaction the fold's (tick, rev=1) can
+      * equal an already-harvested pre-compaction tick member dir, and
+      * the exists-check would silently reuse the OLD tick-only
+      * membership for an epoch that now carries every folded tick's
+      * docs. `tick`-kind dirs keep the pre-r15 name, so legacy ledgers
+      * read unchanged. */
+    private def memberDir(t: Long, r: Long, kind: String) =
+      s"$base/members/$kind=${t}_rev=$r"
 
     private def listDirs(kind: String): Seq[String] = {
       val p = new Path(s"$base/$kind")
@@ -1443,23 +1513,36 @@ object ArtifactStore {
         .sorted
     }
 
-    private val jobColNames = Seq("job_id", "tick", "rev",
+    private val jobColNames = Seq("job_id", "tick", "rev", "dir_kind",
       "n_retracted_at_record", "decision", "cert_sig")
+
+    // the full recorded-certificate row (kind='certrow'): the stats
+    // columns beyond what job rows stamp, folded into the manifest so
+    // a 60-bit `cert_sig` stays dereferenceable after the export store
+    // deletes superseded certificate revisions (r14 What's-missing #3)
+    private val certStatColNames = Seq("n_seqs", "n_docs", "n_tokens",
+      "n_retracted", "fill_micro", "max_share_dev_micro")
+
+    private def allColNames: Seq[String] =
+      "kind" +: "dir" +: (jobColNames ++ certStatColNames)
 
     /** Widen any manifest/job-row frame to the full current schema:
       * absent columns materialize as typed nulls, so legacy flat
-      * manifests (kind, dir) and pre-certificate job rows (job_id,
-      * tick, rev) read alongside current ones (r13 advice: a mixed
-      * ledger must not fail or pick an arbitrary schema). */
+      * manifests (kind, dir), pre-certificate job rows (job_id, tick,
+      * rev), and pre-kind rows read alongside current ones (r13
+      * advice: a mixed ledger must not fail or pick an arbitrary
+      * schema). */
     private def widened(df: DataFrame): DataFrame = {
       val types = Map("kind" -> "string", "dir" -> "string",
         "job_id" -> "string", "tick" -> "long", "rev" -> "long",
+        "dir_kind" -> "string",
         "n_retracted_at_record" -> "long", "decision" -> "string",
-        "cert_sig" -> "long")
-      ("kind" +: "dir" +: jobColNames).foldLeft(df) { (d, c) =>
+        "cert_sig" -> "long") ++
+        certStatColNames.map(_ -> "long").toMap
+      allColNames.foldLeft(df) { (d, c) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(types(c)))
-      }.select(("kind" +: "dir" +: jobColNames).map(col): _*)
+      }.select(allColNames.map(col): _*)
     }
 
     private def readManifest(): Option[DataFrame] =
@@ -1516,43 +1599,45 @@ object ArtifactStore {
 
     def record(jobId: String, export: PackedExportStore,
                cert: DataFrame): Unit = {
-      val sl = export.slices().localCheckpoint()
-      // EMPTY epochs (takedown markers — retractTick's
-      // appendEmptyEpochAt keeps the tick agreement) have nothing to
-      // stream and therefore no certificate row; they are not
-      // consumption and never enter the ledger
-      val consumedTicks = sl.select("tick").distinct().collect()
-        .map(_.getInt(0).toLong).toSet
-      val revs = export.servingRevisions
-        .filter { case (t, _) => consumedTicks.contains(t) }
-      val certRows = cert.select(col("tick").cast("long"),
-          col("rev").cast("long"), col("n_retracted").cast("long"),
-          col("decision"),
+      // THE serve-gate check, shared with servedSlices (r14 verdict
+      // item 1): keyed on the full (tick, rev, dir_kind) triple — a
+      // (tick, rev) map alone admitted a compacted store under the
+      // stale pre-compaction certificate — and returning the validated
+      // physical paths, which everything below reads (the membership
+      // harvest can never disagree with what the gate cleared). EMPTY
+      // epochs (takedown markers) are not streamable and never enter
+      // the ledger — streamableRevisions excludes them.
+      val kcert = export.certKinded(cert).localCheckpoint()
+      val serving = export.certifiedServingUnder(
+        kcert, s"record '$jobId' against")
+      val sl = export.readSlicesAt(serving.map(_.path)).localCheckpoint()
+      // the FULL certificate rows (stats + decision + content
+      // fingerprint), collected once — O(epochs) driver rows: the job
+      // rows stamp from them AND they fold into the manifest as
+      // kind='certrow' rows, so `cert_sig` dereferences to stored rows
+      // after the export store's own cert revisions are superseded
+      // (r14 What's-missing #3)
+      val certAll = kcert.select(col("tick").cast("long"),
+          col("rev").cast("long"), col("dir_kind"),
+          col("n_seqs").cast("long"), col("n_docs").cast("long"),
+          col("n_tokens").cast("long"), col("n_retracted").cast("long"),
+          col("fill_micro").cast("long"),
+          col("max_share_dev_micro").cast("long"), col("decision"),
           graft.operators.Provenance.contentHash60(concat_ws("|",
             col("tick"), col("rev"), col("n_seqs"), col("n_docs"),
             col("n_tokens"), col("n_retracted"), col("fill_micro"),
             col("max_share_dev_micro"), col("decision"))).as("csig"))
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1)) ->
-          (r.getLong(2), r.getString(3), r.getLong(4))).toMap
-      val missing = revs.filterNot(certRows.contains)
-      require(missing.isEmpty,
-        s"refusing to record '$jobId': serving epochs " +
-          missing.mkString(", ") +
-          " carry no certificate — run certify() at the current state")
-      val held = revs.filter(tr => certRows(tr)._2 != "serve")
-      require(held.isEmpty,
-        s"refusing to record '$jobId': held epochs " +
-          held.map(tr => s"$tr=${certRows(tr)._2}").mkString(", ") +
-          " — the gate decides what may be streamed; the ledger only " +
-          "records what was")
-      revs.foreach { case (t, r) =>
-        val dir = memberDir(t, r)
+      val certRows = certAll
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
+          (r.getLong(6), r.getString(9), r.getLong(10))).toMap
+      serving.foreach { e =>
+        val dir = memberDir(e.tick, e.rev, e.kind)
         if (!exists(spark, dir))
-          sl.filter(col("tick") === t.toInt)
+          sl.filter(col("tick") === e.tick.toInt)
             .groupBy("doc_id").agg(sum("toks").as("n_tokens"))
-            .select(lit(t).as("tick"), lit(r).as("rev"), col("doc_id"),
-              col("n_tokens"))
+            .select(lit(e.tick).as("tick"), lit(e.rev).as("rev"),
+              lit(e.kind).as("dir_kind"), col("doc_id"), col("n_tokens"))
             .write.mode("overwrite").parquet(dir)
       }
       // the ONE commit point: job rows land INSIDE the manifest
@@ -1569,12 +1654,26 @@ object ArtifactStore {
       // the dir.
       import spark.implicits._
       def qual(d: String) = f.makeQualified(new Path(d)).toString
-      val jobRows = revs.map { case (t, r) =>
-        val (nr, d, sig) = certRows((t, r))
-        (jobId, t, r, nr, d, sig)
+      val servedKeys = serving.map(_.key).toSet
+      val jobRows = serving.map { e =>
+        val (nr, d, sig) = certRows(e.key)
+        (jobId, e.tick, e.rev, e.kind, nr, d, sig)
       }.toDF(jobColNames: _*).withColumn("kind", lit("jobrow"))
-      val memberRows = revs.map { case (t, r) => qual(memberDir(t, r)) }
+      val memberRows = serving
+        .map(e => qual(memberDir(e.tick, e.rev, e.kind)))
         .toDF("dir").withColumn("kind", lit("member"))
+      // the consumed epochs' full certificate rows; identical rows
+      // from other jobs admitted under the same seal dedupe via the
+      // manifest distinct()
+      val certRowRows = certAll.toSeq
+        .filter(r => servedKeys.contains(
+          (r.getLong(0), r.getLong(1), r.getString(2))))
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getString(9), r.getLong(10)))
+        .toDF(("tick" +: "rev" +: "dir_kind" +: certStatColNames) :+
+          "decision" :+ "cert_sig": _*)
+        .withColumn("kind", lit("certrow"))
       val prior = readManifest().getOrElse(widened(
         listDirs("members").map(("member", _)).toDF("kind", "dir")))
       // legacy kind='job' dir pointers (r13 manifests) drop here: jobs()
@@ -1584,7 +1683,8 @@ object ArtifactStore {
           .filter(col("kind") =!= "job")
           .filter(!(col("kind") === "jobrow" && col("job_id") === jobId))
           .unionByName(jobRows, allowMissingColumns = true)
-          .unionByName(memberRows, allowMissingColumns = true))
+          .unionByName(memberRows, allowMissingColumns = true)
+          .unionByName(certRowRows, allowMissingColumns = true))
         .distinct()
         .localCheckpoint()
       writeManifestRev(next)
@@ -1599,7 +1699,11 @@ object ArtifactStore {
       * Legacy rows written before the certificate columns existed read
       * with sentinel values — `decision = 'unrecorded'` (so
       * [[audit]]'s `certified` is false for them, never silently
-      * true), `cert_sig = 0`, `n_retracted_at_record = 0`. */
+      * true), `cert_sig = 0`, `n_retracted_at_record = 0`; rows from
+      * before the dir-kind key read as `dir_kind = 'tick'` (every
+      * pre-kind record consumed tick dirs — a fold could not be
+      * recorded before the kind existed, its certificate row was
+      * unreachable). */
     def jobs(): DataFrame = {
       val inline = readManifest()
         .map(_.filter(col("kind") === "jobrow")
@@ -1623,12 +1727,16 @@ object ArtifactStore {
       val all = (inline.toSeq ++ legacy.toSeq).reduceOption(_.unionByName(_))
       require(all.isDefined && !all.get.isEmpty,
         s"consumption ledger at $base has no jobs")
-      all.get
+      all.get.withColumn("dir_kind",
+        coalesce(col("dir_kind"), lit("tick")))
     }
 
-    /** Every (tick, rev, doc_id, n_tokens) membership row —
+    /** Every (tick, rev, dir_kind, doc_id, n_tokens) membership row —
       * manifest-resolved (the unbounded side never re-lists once a
-      * manifest exists; pre-manifest ledgers fall back to listing). */
+      * manifest exists; pre-manifest ledgers fall back to listing).
+      * Rows harvested before the dir-kind key read as
+      * `dir_kind = 'tick'` (their dirs ARE tick dirs — same widening
+      * rule as [[jobs]]). */
     def members(): DataFrame = {
       val dirs = readManifest()
         .map(_.filter(col("kind") === "member").select("dir")
@@ -1636,16 +1744,23 @@ object ArtifactStore {
         .filter(_.nonEmpty)
         .getOrElse(listDirs("members"))
       require(dirs.nonEmpty, s"consumption ledger at $base has no members")
-      spark.read.parquet(dirs: _*)
+      val m = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      (if (m.columns.contains("dir_kind")) m
+       else m.withColumn("dir_kind", lit(null).cast("string")))
+        .withColumn("dir_kind", coalesce(col("dir_kind"), lit("tick")))
     }
 
     /** Which runs trained on these docs — the takedown audit's core:
       * (job_id, doc_id, tick, rev) for every consumed revision that
-      * contained a listed doc. */
+      * contained a listed doc. Members join jobs on the full (tick,
+      * rev, dir_kind) triple — a post-compaction fold's rev numbers
+      * restart at 1, so a (tick, rev) join would mis-attribute fold
+      * consumption to jobs that consumed the pre-compaction tick dir
+      * (and vice versa). */
     def trainedOn(docIds: DataFrame): DataFrame =
       members()
         .join(docIds.select("doc_id"), Seq("doc_id"), "left_semi")
-        .join(jobs(), Seq("tick", "rev"))
+        .join(jobs(), Seq("tick", "rev", "dir_kind"))
         .select("job_id", "doc_id", "tick", "rev")
 
     /** The q138 audit over the ledger: per job, epochs/docs/tokens
@@ -1661,7 +1776,7 @@ object ArtifactStore {
         .agg(sum("n_retracted_at_record").as("n_retracted_at_record"),
           (count(when(col("decision") =!= "serve", lit(1))) === 0)
             .as("certified"))
-      jobs().join(members(), Seq("tick", "rev"))
+      jobs().join(members(), Seq("tick", "rev", "dir_kind"))
         .join(retractedIds.select(col("doc_id"), lit(true).as("retr")),
           Seq("doc_id"), "left")
         .groupBy("job_id")
@@ -1673,6 +1788,37 @@ object ArtifactStore {
             .as("retracted_tokens"))
         .join(epochCert, Seq("job_id"))
         .orderBy("job_id")
+    }
+
+    /** The FULL certificate rows job `jobId` was admitted under —
+      * resolvable from the ledger alone, AFTER the export store's
+      * state moved on (r14 What's-missing #3: seal()/gc() delete
+      * superseded certificate revisions, so the 60-bit `cert_sig`
+      * stamp on a historical job row must dereference HERE, not at the
+      * store). [[record]] folds the consumed epochs' certificate rows
+      * into the same atomic manifest revision as the job table
+      * (kind='certrow', O(epochs) tiny rows); this joins them back on
+      * the job's (tick, rev, dir_kind, cert_sig) — one row per
+      * consumed epoch, carrying the complete q132 stats the decision
+      * was made on. Empty for legacy (pre-r15) jobs, whose manifests
+      * hold no certrows — the sentinel direction: absent, never
+      * fabricated. */
+    def certificateFor(jobId: String): DataFrame = {
+      val j = jobs().filter(col("job_id") === jobId)
+      require(!j.isEmpty,
+        s"consumption ledger at $base has no job '$jobId'")
+      val certCols = ("tick" +: "rev" +: "dir_kind" +:
+        certStatColNames) :+ "decision" :+ "cert_sig"
+      val certRows = readManifest()
+        .map(_.filter(col("kind") === "certrow")
+          .select(certCols.map(col): _*))
+        .getOrElse(spark.emptyDataFrame)
+      if (certRows.columns.isEmpty)
+        widened(spark.range(0).toDF()).filter(lit(false))
+          .select(certCols.map(col): _*)
+      else certRows.join(
+        j.select("tick", "rev", "dir_kind", "cert_sig"),
+        Seq("tick", "rev", "dir_kind", "cert_sig"), "left_semi")
     }
   }
 

@@ -49,9 +49,10 @@ class ConsumptionSpec extends AnyFunSuite {
     cs.record("job1", ex, certify(noTombs))
     val job1Rows = rows(cs.jobs().filter(col("job_id") === "job1")
       .orderBy("tick"))
-    assert(job1Rows.forall(r => r(4) == "serve" &&
-      r(5).asInstanceOf[Long] != 0L),
-      "job rows carry the stamped decision and certificate signature")
+    assert(job1Rows.forall(r => r(3) == "tick" && r(5) == "serve" &&
+      r(6).asInstanceOf[Long] != 0L),
+      "job rows carry the serving dir kind, the stamped decision, and " +
+        "the certificate signature")
 
     // the takedown: re-pack both epochs without the retracted docs
     val retracted = docs.filter((m.between(1, 9) || m === 0) &&
@@ -137,8 +138,10 @@ class ConsumptionSpec extends AnyFunSuite {
       .coalesce(1).write
       .parquet(s"$root/consumption/ex/jobs/job=job0")
     assert(rows(cs.jobs().filter(col("job_id") === "job0")) ===
-      Seq(Seq("job0", 1L, 1L, 0L, "unrecorded", 0L)),
-      "legacy job rows surface with sentinel certificate columns")
+      Seq(Seq("job0", 1L, 1L, "tick", 0L, "unrecorded", 0L)),
+      "legacy job rows surface with sentinel certificate columns and " +
+        "the 'tick' dir-kind sentinel (pre-kind records consumed tick " +
+        "dirs by construction)")
     val a0 = cs.audit(retracted).filter(col("job_id") === "job0")
       .select("certified").collect()
     assert(a0.map(_.getBoolean(0)).toSeq === Seq(false),
@@ -166,5 +169,99 @@ class ConsumptionSpec extends AnyFunSuite {
     assert(rows(cs.members().orderBy("tick", "rev", "doc_id"))
       === viaManifest,
       "manifest-resolved member reads ≡ the listing fallback")
+  }
+
+  test("dir-kind keying across a compaction (r14 item 1): a kindless certificate never covers a fold epoch; the fold records with its full doc set; certificateFor resolves a historical job's complete certificate after the store state moved on (r14 item 4)") {
+    val root = Files.createTempDirectory("graft_consume_fold").toString
+    val ms = Bpe.merges(docs)
+    val ex = ArtifactStore.packedExport(spark, root, "exf")
+    val t1 = docs.filter(m.between(1, 9))
+    val t2 = docs.filter(m === 0)
+    ex.bootstrap(t1, ms)
+    ex.appendDocsAt(2, t2, ms)
+    val cs = ArtifactStore.consumption(spark, root, "exf")
+    val srcs = docs.select("doc_id", "source")
+    val noTombs = docs.select("doc_id").limit(0)
+    def certify() = ex.certify(srcs, noTombs,
+      minFillMicro = 0L, mixTolMicros = 1000000L)
+
+    // job1 consumes the pre-compaction state; tick 2 serves at rev=1,
+    // so the (tick=2, rev=1) pair — and its member dir — now exist
+    cs.record("job1", ex, certify())
+    val job1Cert = cs.certificateFor("job1")
+      .orderBy("tick").collect()
+    assert(job1Cert.length === 2 &&
+      job1Cert.forall(r => r.getAs[String]("decision") == "serve" &&
+        r.getAs[String]("dir_kind") == "tick" &&
+        r.getAs[Long]("n_tokens") > 0L),
+      "record folds the full certificate rows into the manifest")
+
+    // materialize the PRE-compaction certificate (the stale-cert trap:
+    // its plan reads paths the compaction deletes)
+    val stale = certify().localCheckpoint()
+
+    // the COMPACTION: both epochs fold; the fold's rev numbering
+    // restarts at 1, colliding with the sealed (tick=2, rev=1) pair
+    assert(ex.compactEpochs() === 2L)
+
+    // a kindless certificate — even one re-computed at the current
+    // state — can never cover a fold epoch: the kind must have been
+    // stamped when the stats were computed (seal), else a stale
+    // pre-compaction certificate would slip through the same door
+    val e1 = intercept[IllegalArgumentException] {
+      cs.record("job2", ex, stale)
+    }
+    assert(e1.getMessage.contains("no certificate"),
+      "a stale pre-compaction certificate must not cover the fold")
+    val e2 = intercept[IllegalArgumentException] {
+      cs.record("job2", ex, certify())
+    }
+    assert(e2.getMessage.contains("no certificate"),
+      "a kindless certificate must not cover a fold epoch — fold " +
+        "coverage demands a seal()-stamped kind")
+
+    // the structural path: seal at the post-compaction quiesce point,
+    // then record — the fold's membership is its FULL doc set even
+    // though a pre-compaction member dir shares its (tick, rev)
+    ex.seal(srcs, noTombs, minFillMicro = 0L, mixTolMicros = 1000000L)
+    cs.record("job2", ex)
+    val j2 = cs.jobs().filter(col("job_id") === "job2").collect()
+    assert(j2.map(r => (r.getAs[Long]("tick"), r.getAs[Long]("rev"),
+      r.getAs[String]("dir_kind"))).toSeq === Seq((2L, 1L, "fold")))
+    val foldMembers = cs.members().filter(col("dir_kind") === "fold")
+    assert(foldMembers.select("doc_id").distinct().count() ===
+      ex.slices().select("doc_id").distinct().count(),
+      "the fold member dir holds the fold's full doc set")
+    val tickMembers2 = cs.members()
+      .filter(col("dir_kind") === "tick" && col("tick") === 2)
+    assert(tickMembers2.count() > 0 &&
+      tickMembers2.count() < foldMembers.count(),
+      "the pre-compaction (tick=2, rev=1) member dir survives " +
+        "unchanged next to the fold's — the kind keeps them apart")
+
+    // trainedOn attributes a doc folded in from tick 1 to job2 (fold
+    // consumption) AND to job1 (pre-compaction tick consumption) —
+    // the kind-blind join would have attributed the fold rows to the
+    // wrong job's epochs
+    import spark.implicits._
+    val t1probe = t1.select("doc_id").limit(1)
+    val who = cs.trainedOn(t1probe).select("job_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(who === Set("job1", "job2"),
+      "a folded-in doc traces to both the tick consumer and the fold " +
+        "consumer")
+
+    // item 4: job1's FULL certificate still resolves from the ledger
+    // alone — the export store's cert revisions and the pre-compaction
+    // epochs are gone, but the manifest kept the rows; the historical
+    // stats are byte-identical to what record stamped
+    val job1CertAfter = cs.certificateFor("job1")
+      .orderBy("tick").collect()
+    assert(job1CertAfter.map(_.toSeq).toSeq ===
+      job1Cert.map(_.toSeq).toSeq,
+      "a historical job's certificate is immutable and fully " +
+        "resolvable after compaction + re-seal")
+    assert(cs.certificateFor("job2").count() === 1L,
+      "the fold consumer's certificate resolves too")
   }
 }

@@ -370,11 +370,48 @@ class ExportStoreSpec extends AnyFunSuite {
     assert(ex.servedSlices().count() > 0,
       "re-packed + re-sealed epochs serve again")
 
-    // 5. COMPACTION advances too — the fold is new physical data
+    // 5. COMPACTION advances too — the fold is new physical data, and
+    // its rev numbering RESTARTS at 1, colliding with the sealed
+    // (tick=2, rev=1) pair: the gate must key on the full (tick, rev,
+    // dir_kind) triple (r14 verdict item 1), so a record BEFORE the
+    // re-seal refuses instead of admitting the fold under the stale
+    // pre-compaction certificate
     assert(ex.compactEpochs() > 0)
     val e5 = intercept[IllegalArgumentException] { ex.servedSlices() }
     assert(e5.getMessage.contains("advanced past the recorded certificate"))
+    val e5r = intercept[IllegalArgumentException] { cs.record("job3", ex) }
+    assert(e5r.getMessage.contains("no certificate"),
+      "a record between the compaction and the re-seal must refuse — " +
+        "the fold's (tick, rev) collides with a sealed pre-compaction " +
+        "pair and only the dir kind tells them apart")
     seal(retracted)
     assert(sliceSet(ex.servedSlices()) === sliceSet(ex.slices()))
+
+    // ... and the re-sealed fold records with the FOLD's full doc set:
+    // job2's pre-compaction member dir shares the fold's (tick, rev),
+    // so a kind-blind member key would silently reuse the old tick-only
+    // membership, losing every doc folded in from earlier epochs
+    cs.record("job3", ex)
+    val foldDocs = ex.slices().select("doc_id").distinct().count()
+    val j3members = cs.members()
+      .join(cs.jobs().filter(col("job_id") === "job3")
+        .select("tick", "rev", "dir_kind"),
+        Seq("tick", "rev", "dir_kind"), "left_semi")
+    assert(j3members.select("doc_id").distinct().count() === foldDocs,
+      "the fold epoch's harvested membership is the fold's FULL doc " +
+        "set, not the pre-compaction tick's")
+    assert(cs.jobs().filter(col("job_id") === "job3")
+      .select("dir_kind").collect().map(_.getString(0)).toSeq ===
+      Seq("fold"),
+      "job3's consumption row names the fold dir kind")
+    // job2's pre-compaction rows are untouched history: same (tick,
+    // rev) pair, tick kind, tick-only membership
+    val j2members = cs.members()
+      .join(cs.jobs().filter(col("job_id") === "job2")
+        .filter(col("tick") === 2)
+        .select("tick", "rev", "dir_kind"),
+        Seq("tick", "rev", "dir_kind"), "left_semi")
+    assert(j2members.select("doc_id").distinct().count() < foldDocs,
+      "the pre-compaction member dir keeps its tick-only doc set")
   }
 }
