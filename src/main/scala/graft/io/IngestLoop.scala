@@ -951,6 +951,36 @@ object IngestLoop {
                           vectors: DataFrame,
                           cents: DataFrame, rcb: DataFrame)
 
+  /** RECALL DRIFT CANARY for an ANN leg (q120's trigger form — the
+    * [[semCanaryTick]] discipline applied to the retrieval index): at
+    * a quiesce point, measure frozen-vs-retrained IVFADC recall on the
+    * drift-exposed split of the index's LIVE vectors
+    * ([[graft.operators.Pq.annRecallDecision]]) and, when retraining
+    * recovers at least `minGainHits` ground-truth hits, run the q122
+    * response — [[ArtifactStore.IvfPqIncrementalIndex.recluster]] into
+    * a fresh generation under the retrained artifacts (generation-swap,
+    * marker-last crash discipline), re-entering the tick agreement at
+    * `baseTick`. Returns the serving leg: artifacts swapped to the
+    * retrained tables when the recluster ran, the given leg otherwise.
+    * Unlike the ~1 s sem census this costs a bounded retrain +
+    * canary-sized ground truth (the q120 scale shape) — still a
+    * quiesce-point cost, not a per-tick one. */
+  def annCanaryTick(leg: AnnLeg, baseTick: Long,
+                    nQueries: Int = 32,
+                    kTop: Int = graft.operators.Pq.DefaultTopK,
+                    minGainHits: Long = 1L): AnnLeg = {
+    val live = leg.vectors.join(
+      leg.idx.codes().select("vec_id").distinct(), Seq("vec_id"),
+      "left_semi")
+    val (resize, cFr, rcbFr) = graft.operators.Pq.annRecallDecision(
+      live, nQueries = nQueries, kTop = kTop, minGainHits = minGainHits)
+    if (!resize) leg
+    else {
+      leg.idx.recluster(live, cFr, rcbFr, baseTick = baseTick)
+      leg.copy(cents = cFr, rcb = rcbFr)
+    }
+  }
+
   /** The EXPORT leg of a deployment tick (q125,
     * [[graft.operators.Packing.q125ExportRetraction]]): the loop
     * additionally maintains the physical training shards — each tick's
@@ -1234,6 +1264,80 @@ object IngestLoop {
         st.tombs.reset()
     }
     need
+  }
+
+  /** What [[quiesce]] did: the compaction flag, the SERVING legs the
+    * deployment keeps (fresh generations when a canary resized /
+    * reclustered, the given legs otherwise), and the export's re-seal
+    * certificate. */
+  final case class QuiesceResult(compacted: Boolean,
+                                 sem: Option[SemLeg],
+                                 semResized: Boolean,
+                                 ann: Option[AnnLeg],
+                                 annReclustered: Boolean,
+                                 cert: Option[DataFrame])
+
+  /** THE QUIESCE COMPOSE-POINT (r14 verdict item 3): one call a
+    * deployment makes between ticks that runs the whole maintenance
+    * bundle, so drift detection is STRUCTURAL — attached to the
+    * quiesce point itself, not to the caller remembering each canary
+    * (the same move [[ArtifactStore.PackedExportStore.seal]] made for
+    * certification: a deployment that grows 2×+ past its bootstrap
+    * sizing resizes because it quiesces, not because a test or an
+    * operator wired the canary). Runs, in order:
+    *
+    *  1. [[compactIfNeeded]] — store folds + the shared tombstone
+    *     reset (sem/eval legs fold in the same pass, as always);
+    *  2. [[semCanaryTick]] when a sem leg is attached — the ~1 s
+    *     occupancy census (q141), resizing into `semNextName`'s
+    *     generation at the occupancy width when drifted;
+    *  3. [[annCanaryTick]] when an ANN leg is attached AND
+    *     `annBaseTick` is set — the q120 recall canary, reclustering
+    *     under retrained artifacts when retraining recovers hits
+    *     (opt-in per quiesce via `annBaseTick`: unlike the census it
+    *     costs a bounded retrain, so a deployment states the tick the
+    *     rebuilt generation re-enters the agreement at);
+    *  4. [[sealExport]] when an export leg is attached — LAST, so the
+    *     recorded certificate covers whatever state the bundle left.
+    *
+    * Returns the serving legs; the deployment keeps what comes back
+    * (the [[semCanaryTick]] contract, now bundle-wide). */
+  def quiesce(st: Stores, spark: SparkSession, root: String,
+              sem: Option[SemLeg] = None,
+              semNextName: Option[String] = None,
+              ann: Option[AnnLeg] = None,
+              annBaseTick: Option[Long] = None,
+              annMinGainHits: Long = 1L,
+              eval: Option[EvalLeg] = None,
+              export: Option[ExportLeg] = None,
+              docSources: Option[DataFrame] = None,
+              maxDataFiles: Long = 64,
+              minFillMicro: Long =
+                graft.operators.Packing.DefaultMinFillMicro,
+              mixTolMicros: Long =
+                graft.operators.Packing.DefaultMixTolMicros)
+      : QuiesceResult = {
+    require(sem.isEmpty || semNextName.isDefined,
+      "quiesce with a sem leg needs semNextName — the fresh generation " +
+        "name a canary-triggered resize lands under (resizeSemLeg " +
+        "refuses a committed name, so pass a new one per resize)")
+    require(export.isEmpty || docSources.isDefined,
+      "quiesce with an export leg needs docSources — the (doc_id, " +
+        "source) relation the seal's mix certificate reads")
+    val compacted = compactIfNeeded(st, maxDataFiles, sem, eval)
+    val semServed = sem.map(l =>
+      semCanaryTick(st, l, spark, root, semNextName.get))
+    val semResized = sem.zip(semServed).exists { case (a, b) => a ne b }
+    val annServed = (ann, annBaseTick) match {
+      case (Some(l), Some(bt)) =>
+        Some(annCanaryTick(l, bt, minGainHits = annMinGainHits))
+      case _ => ann
+    }
+    val annReclustered = ann.zip(annServed).exists { case (a, b) => a ne b }
+    val cert = export.map(leg =>
+      sealExport(st, leg, docSources.get, minFillMicro, mixTolMicros))
+    QuiesceResult(compacted, semServed, semResized,
+      annServed, annReclustered, cert)
   }
 
   /** The ingest tick of a deployment that ALSO serves retrieval — the

@@ -939,6 +939,32 @@ object Pq {
     * regimes; the decision is ONE documented scalar barrier (two hit
     * totals + the probe count, a single 3-long row to the driver,
     * q113's flip-count shape). */
+  /** The q120 canary's DEPLOYMENT hook (r14 verdict item 3 — the
+    * quiesce bundle runs the recall canary structurally where an ANN
+    * leg is attached): the same frozen-vs-retrained measurement as
+    * [[q120AnnRecallCanary]], reduced to the decision plus the
+    * RETRAINED artifact tables — exactly what
+    * [[graft.io.ArtifactStore.IvfPqIncrementalIndex.recluster]] needs
+    * when the answer is yes, so the retrain is never run twice. The
+    * decision barrier is the q122 one: two hit totals + the probe
+    * count, one 3-long row to the driver. */
+  def annRecallDecision(embeddings: DataFrame,
+                        nCentroids: Int = Kmeans.DefaultK,
+                        nprobe: Int = 2,
+                        m: Int = DefaultM, subDim: Int = DefaultSubDim,
+                        kCb: Int = DefaultKCb, iters: Int = DefaultIters,
+                        trainN: Int = DefaultTrainN,
+                        nQueries: Int = 32, kTop: Int = DefaultTopK,
+                        minGainHits: Long = 1L)
+      : (Boolean, DataFrame, DataFrame) = {
+    val ch = canaryChains(embeddings, nCentroids, nprobe, m, subDim, kCb,
+      iters, trainN, nQueries, kTop)
+    val dec = ch.perq
+      .agg(sum("hf").cast("long").as("thf"), sum("hr").cast("long").as("thr"))
+      .head()
+    (dec.getLong(1) - dec.getLong(0) >= minGainHits, ch.cFr, ch.rcbFr)
+  }
+
   def q122AnnRecluster(embeddings: DataFrame,
                        nCentroids: Int = Kmeans.DefaultK,
                        nprobe: Int = 2,

@@ -186,4 +186,50 @@ class AnnIngestSpec extends AnyFunSuite {
     assert(codeSet(ann.codes()) === expectAfter,
       "compaction folds tombstones without changing the served codes")
   }
+
+  test("quiesce compose-point, ANN leg (r14 item 3): the bundle runs the q120 recall canary and reclusters under the retrained artifacts when retraining recovers hits; a keep decision returns the same leg") {
+    val root = Files.createTempDirectory("graft_ann_quiesce").toString
+    val w = QualityModel.weights(corpus, scope = s"admission$bm")
+    val cents = Kmeans.centroidTable(corpusEmb)
+    val rcb = Pq.residualCodebookTable(corpusEmb)
+    val (st, idx, cen) = build(root, "ann_q")
+    val ann = ArtifactStore.ivfPqIncremental(spark, root, "ann_q")
+    ann.bootstrap(corpusEmb, cents, rcb)
+    val leg = IngestLoop.AnnLeg(ann, emb, cents, rcb)
+    IngestLoop.runFullTick(st, idx, cen, batch, w, ann = Some(leg))
+    val live = served(admittedAt(st, 2))
+
+    // keep branch: an unreachable gain bound → the bundle hands the
+    // same leg back, generation untouched
+    val resKeep = IngestLoop.quiesce(st, spark, root,
+      ann = Some(leg), annBaseTick = Some(2L),
+      annMinGainHits = 1000000L)
+    assert(!resKeep.annReclustered && (resKeep.ann.get eq leg))
+    assert(ann.generation === 1L, "a keep decision swaps nothing")
+
+    // recluster branch: gain bound that the measured decision clears
+    // by construction (thr - thf >= it always) — this pins the WIRING
+    // (the measurement itself is q120's oracle-green subject): the
+    // bundle retrains, swaps the generation at the loop tick, and the
+    // served codes are the full re-encode under the SAME retrained
+    // artifacts the decision hook returns
+    val resRc = IngestLoop.quiesce(st, spark, root,
+      ann = Some(leg), annBaseTick = Some(2L),
+      annMinGainHits = Long.MinValue)
+    assert(resRc.annReclustered, "the bundle itself ran the canary")
+    assert(ann.generation === 2L && ann.codeStore.maxTick === 2L,
+      "the recluster re-enters the tick agreement at the loop tick")
+    val (_, cFr, rcbFr) = Pq.annRecallDecision(live,
+      minGainHits = Long.MinValue)
+    assert(codeSet(ann.codes()) ===
+      codeSet(Pq.residualCodes(live, cFr, rcbFr)),
+      "the bundle's recluster serves the re-encode under the retrained " +
+        "artifacts the canary trained — trained once, used once")
+    // the returned leg carries the retrained artifacts, so the next
+    // tick's encode fallback stays consistent with the generation's
+    val nextLeg = resRc.ann.get
+    assert(codeSet(nextLeg.cents) === codeSet(cFr) &&
+      codeSet(nextLeg.rcb) === codeSet(rcbFr),
+      "the serving leg swaps to the retrained artifact tables")
+  }
 }

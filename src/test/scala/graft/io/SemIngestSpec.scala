@@ -343,6 +343,62 @@ class SemIngestSpec extends AnyFunSuite {
       "the resized generation still catches the planted semantic pair")
   }
 
+  test("quiesce compose-point (r14 item 3): a deployment that crosses the occupancy bound resizes STRUCTURALLY — the bundle runs the canary itself; an attached export leg seals LAST so the post-bundle state serves") {
+    import graft.operators.SemanticGate
+    val root = Files.createTempDirectory("graft_sem_quiesce").toString
+    val st = IngestLoop.stores(spark, root, "qsc")
+    IngestLoop.bootstrap(st, docs)
+    // the q141 drift fixture: sized when the corpus was 100 vectors,
+    // then bootstrapped ~20x past the recorded 2^bits
+    val sized = IngestLoop.semLegSized(spark, root, "qsc",
+      emb.orderBy("vec_id").limit(100))
+    val leg = sized.copy(vectors = emb)
+    IngestLoop.bootstrapSem(leg, docs)
+    val nLive = IngestLoop.semCanaryReport(st, leg)
+      .head().getAs[Long]("n_live")
+
+    // an export leg rides the same bundle: its epochs are structurally
+    // unserveable until the bundle's seal
+    val ms = graft.operators.Bpe.merges(docs)
+    val ex = ArtifactStore.packedExport(spark, root, "qsc_ex")
+    ex.bootstrap(docs, ms)
+    intercept[IllegalArgumentException](ex.servedSlices())
+
+    // the ONE call — the test never touches semCanaryTick/sealExport:
+    // drift detection and certification belong to the quiesce point
+    val res = IngestLoop.quiesce(st, spark, root,
+      sem = Some(leg), semNextName = Some("qsc_v2"),
+      export = Some(IngestLoop.ExportLeg(ex, ms)),
+      docSources = Some(docs.select("doc_id", "source")),
+      minFillMicro = 0L, mixTolMicros = 1000000L)
+    assert(res.semResized, "the bundle itself must detect the drift")
+    val next = res.sem.get
+    assert(next.bits === SemanticGate.sizedBits(nLive),
+      "the structural resize lands at the live count's width")
+    assert(!IngestLoop.semCanaryReport(st, next)
+      .head().getAs[Boolean]("resize_recommended"),
+      "the canary is green after the bundle")
+    assert(ex.servedSlices().count() > 0,
+      "the bundle's seal covers the post-bundle state — the training " +
+        "read path serves without any caller-side certification")
+    assert(res.cert.exists(_.filter(col("decision") === "serve")
+      .count() > 0), "the bundle returns the recorded certificate")
+
+    // a green bundle is a no-op on the leg (no generation churn), and
+    // the unused fresh name stays unclaimed for the next real resize
+    val res2 = IngestLoop.quiesce(st, spark, root,
+      sem = Some(next), semNextName = Some("qsc_v3"))
+    assert(!res2.semResized && (res2.sem.get eq next))
+
+    // guard rails: a sem leg without a landing name / an export leg
+    // without its mix relation refuse up front
+    intercept[IllegalArgumentException](
+      IngestLoop.quiesce(st, spark, root, sem = Some(next)))
+    intercept[IllegalArgumentException](
+      IngestLoop.quiesce(st, spark, root,
+        export = Some(IngestLoop.ExportLeg(ex, ms))))
+  }
+
   test("rolloverSem re-records the carried knob under the new generation (r14 self-audit): a restart via semLegSized serves the ROLLED width, not a fresh sizing; a committed-name roll is refused") {
     import graft.operators.SemanticGate
     val root = Files.createTempDirectory("graft_sem_roll").toString

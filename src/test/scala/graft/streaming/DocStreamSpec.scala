@@ -1425,4 +1425,91 @@ class DocStreamSpec extends AnyFunSuite {
       Set(920000L, 920001L),
       "every stream-served doc is attributable")
   }
+
+  test("mm streaming consumption (r14 item 1 of What's-missing): the text recipe composes UNCHANGED over the multimodal stream — quiesce -> sealExport(st.text) -> record -> trainedOn returns the mm stream-served docs; a modality-rejected arrival is never attributable") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val documents = Tables.load(spark, sf, "documents")
+    val artRoot = Files.createTempDirectory("graft_mmcons_art").toString
+    val hashes = graft.io.ArtifactStore.corpusHashesOrBuild(artRoot, documents)
+    val w = graft.operators.QualityModel.weights(documents,
+      scope = "mmconsspec")
+    val ms = graft.operators.Bpe.merges(documents)
+    val st = graft.io.IngestLoop.mmStores(spark, artRoot, "mmcons")
+    graft.io.IngestLoop.bootstrapMm(st, documents)
+    val ex = graft.io.ArtifactStore.packedExport(
+      spark, artRoot, "mmcons_ex", 128)
+    ex.bootstrap(documents, ms)
+    val leg = graft.io.IngestLoop.ExportLeg(ex, ms)
+
+    // planted image pair (the q110 id formula, B = A+3 with B%7==3):
+    // batch 1's B is a perceptual near-dup of batch 0's admitted A —
+    // only the mm signature leg can reject it, so the export must
+    // carry A and the novel E but never B
+    def toks(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    val a = DocStream.Doc(907200L, HourNs, toks("mca"))
+    val e = DocStream.Doc(907206L, HourNs, toks("mce"))
+    val b = DocStream.Doc(907203L, 2 * HourNs, toks("mcb"))
+    val dir = Files.createTempDirectory("graft_mmcons_in")
+    val ckpt = Files.createTempDirectory("graft_mmcons_ckpt").toString
+    val out = Files.createTempDirectory("graft_mmcons_out").toString
+    def jline(d: DocStream.Doc): String =
+      s"""{"doc_id": ${d.doc_id}, "ts": ${d.ts}, "text": "${d.text}"}"""
+    def drop(name: String, ds: Seq[DocStream.Doc]): Unit =
+      Files.writeString(dir.resolve(name),
+        ds.map(jline).mkString("\n") + "\n")
+    val raw = graft.io.JsonLines.readStream(spark, dir.toString,
+      DocStream.JsonlDocSchema)
+      .filter(col(graft.io.JsonLines.CorruptCol).isNull)
+      .drop(graft.io.JsonLines.CorruptCol)
+    drop("b0.jsonl", Seq(a, e))
+    val sq = DocStream.foldingMmAdmissionQuery(raw,
+      hashes.select(col("ch").as("h")), st, w, out, ckpt,
+      lowFrac = 0.0, export = Some(leg))
+    try {
+      sq.processAllAvailable()
+      drop("b1.jsonl", Seq(b))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val verdicts = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("verdict")).toMap
+    assert(verdicts(907200L) === "new" && verdicts(907206L) === "new")
+    assert(verdicts(907203L) === "dup_corpus_image",
+      "the planted pair must reject through the FOLDED mm sig state")
+    assert(ex.slices().filter(col("tick") === 2).count() > 0,
+      "the mm stream folded its admitted batch as an export epoch")
+    assert(ex.slices()
+      .filter(col("doc_id") === 907203L).count() === 0L,
+      "the modality-rejected doc never reached the shards")
+
+    // the seam binds identically to the text stream: unsealed refuses
+    val cs = graft.io.ArtifactStore.consumption(spark, artRoot, "mmcons_ex")
+    val eref = intercept[IllegalArgumentException] {
+      cs.record("mm_train_1", ex)
+    }
+    assert(eref.getMessage.contains("no recorded certificate"))
+
+    // quiesce (stream stopped) -> seal under the MM loop's TEXT store
+    // lineage (the sealExport scaladoc contract: the tombstone lineage
+    // is shared) -> record -> audit. Zero mm-specific machinery.
+    import spark.implicits._
+    val srcs = documents.select(col("doc_id"), col("source"))
+      .unionByName(Seq(907200L, 907206L, 907203L)
+        .map((_, "stream")).toDF("doc_id", "source"))
+    graft.io.IngestLoop.sealExport(st.text, leg, srcs,
+      minFillMicro = 0L, mixTolMicros = 1000000L)
+    assert(ex.servedSlices().count() === ex.slices().count(),
+      "the sealed mm-stream export serves in full")
+    cs.record("mm_train_1", ex)
+    val audited = cs.trainedOn(
+      Seq(907200L, 907206L, 907203L).toDF("doc_id")).collect()
+    assert(audited.map(_.getAs[String]("job_id")).toSet ===
+      Set("mm_train_1"),
+      "the mm stream-served docs trace to the recorded training run")
+    assert(audited.map(_.getAs[Long]("doc_id")).toSet ===
+      Set(907200L, 907206L),
+      "exactly the admitted mm arrivals are attributable — the " +
+        "rejected near-dup never served, so it never enters the ledger")
+  }
 }
