@@ -520,6 +520,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.q140MmEvalContamination(_)),
     "q141_sem_occupancy_canary" -> ((s, dir) =>
       SemanticGate.q141OccupancyCanary(Tables.load(s, dir, "embeddings"))),
+    "q142_cert_resolution" -> t("documents")(
+      Packing.q142CertResolution(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -664,6 +666,7 @@ object SparkEntry {
     "q140_mm_eval_contamination" ->
       graft.multimodal.Multimodal.q140Sql(),
     "q141_sem_occupancy_canary" -> SemanticGate.q141Sql(),
+    "q142_cert_resolution" -> Packing.q142Sql(),
     "q136_decontam_tick" -> Decontam.q136Sql(),
     "q137_curated_foldback" -> CurateTick.q137Sql(),
     "q138_consumption_audit" -> Packing.q138Sql(),

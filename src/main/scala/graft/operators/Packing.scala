@@ -451,6 +451,111 @@ object Packing {
        |FROM jobs GROUP BY job_id ORDER BY job_id""".stripMargin
   }
 
+  /** q142: CERTIFICATE RESOLUTION ACROSS A COMPACTION — the live twin
+    * of [[graft.io.ArtifactStore.ConsumptionStore.certificateFor]]
+    * over the kind-keyed ledger (r14 verdict item 1 + What's-missing
+    * #3). The trap it makes visible: epoch compaction folds every
+    * served epoch into ONE fold dir whose revision numbering RESTARTS
+    * at 1, so the fold's key collides with the pre-compaction
+    * (tick=2, rev=1) pair and only the serving DIR KIND tells the two
+    * certificates apart. The algebra, oracle-checked end to end:
+    *
+    *   - job1 consumed the two pre-compaction tick epochs; its
+    *     resolved certificate rows carry kind='tick' and the
+    *     PRE-compaction stats (tick 2's row covers tick 2's docs
+    *     only);
+    *   - the compaction folds both epochs into fold=2 (one contiguous
+    *     re-pack of every folded doc, tail sequences merge — fill
+    *     only improves); job2 consumed the fold, and its kind='fold'
+    *     row covers ALL folded docs — same (tick, rev), different
+    *     certificate;
+    *   - each row carries `cert_sig`, the 60-bit content fingerprint
+    *     of its own stats — the stamp a ledger row stores, here
+    *     resolved back to the full rows it fingerprints.
+    *
+    * n_seqs is integer-exact by the packing identity: a contiguous
+    * tick-local pack fills seq ids 0..⌈Σtokens/seqLen⌉−1, so both
+    * engines derive it as (Σ + seqLen − 1) div seqLen — no slice
+    * unrolling needed for the certificate stats.
+    *
+    * Scale shape: one tokenize pass (the shared frozen merges), two
+    * per-epoch aggregates over narrow (tick, n_tokens) rows, zero
+    * joins wider than the doc census; at deployment scale the store
+    * form reads O(epochs) manifest rows instead. */
+  def q142CertResolution(documents: DataFrame, seqLen: Int = 2048,
+                         minFillMicro: Long = DefaultMinFillMicro)
+      : DataFrame = {
+    val ms = Bpe.merges(documents)
+    val m = pmod(col("doc_id"), lit(Provenance.BatchMod))
+    val mem = documents.filter(m.between(1, 9) || m === 0)
+      .select(col("doc_id"),
+        when(m === 0, lit(2L)).otherwise(lit(1L)).as("tick"),
+        Bpe.tokenCount(ms, col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .localCheckpoint() // read by the tick certs AND the fold cert
+    def cert(rows: DataFrame, jobId: String, kind: String): DataFrame =
+      rows.groupBy("tick")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .select(lit(jobId).as("job_id"), col("tick"),
+          lit(1L).as("rev"), lit(kind).as("dir_kind"),
+          expr(s"(n_tokens + ${seqLen - 1}) div $seqLen").as("n_seqs"),
+          col("n_docs"), col("n_tokens"))
+    // job1: the two pre-compaction tick epochs; job2: the fold — every
+    // doc re-packed at the highest folded epoch, rev restarted at 1
+    cert(mem, "job1", "tick")
+      .unionByName(cert(mem.withColumn("tick", lit(2L)), "job2", "fold"))
+      .withColumn("fill_micro",
+        round(col("n_tokens") * lit(1e6) /
+          (col("n_seqs") * lit(seqLen.toLong))).cast("long"))
+      .withColumn("decision",
+        when(col("fill_micro") < minFillMicro, lit("hold_fill"))
+          .otherwise(lit("serve")))
+      .withColumn("cert_sig", Provenance.contentHash60(concat_ws("|",
+        col("tick"), col("rev"), col("dir_kind"), col("n_seqs"),
+        col("n_docs"), col("n_tokens"), col("fill_micro"),
+        col("decision"))))
+      .orderBy("job_id", "tick")
+  }
+
+  def q142Sql(seqLen: Int = 2048,
+              minFillMicro: Long = DefaultMinFillMicro): String = {
+    val bm = Provenance.BatchMod
+    s"""WITH ${Bpe.tokenSqlCtes()},
+       |mem AS (SELECT doc_id,
+       |          CASE WHEN doc_id % $bm = 0 THEN 2 ELSE 1 END AS tick,
+       |          n_tokens
+       |        FROM bpe_tok
+       |        WHERE (doc_id % $bm BETWEEN 1 AND 9 OR doc_id % $bm = 0)
+       |          AND n_tokens > 0),
+       |epochs AS (
+       |  SELECT 'job1' AS job_id, tick, 'tick' AS dir_kind,
+       |    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM mem GROUP BY tick
+       |  UNION ALL
+       |  SELECT 'job2', 2, 'fold', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT)
+       |  FROM mem),
+       |certs AS (SELECT job_id, CAST(tick AS BIGINT) AS tick,
+       |    CAST(1 AS BIGINT) AS rev, dir_kind,
+       |    CAST((n_tokens + ${seqLen - 1}) // $seqLen AS BIGINT) AS n_seqs,
+       |    CAST(n_docs AS BIGINT) AS n_docs, n_tokens
+       |  FROM epochs),
+       |filled AS (SELECT *,
+       |    CAST(round(CAST(n_tokens AS DOUBLE) * 1e6
+       |      / (n_seqs * $seqLen)) AS BIGINT) AS fill_micro
+       |  FROM certs),
+       |dec AS (SELECT *,
+       |    CASE WHEN fill_micro < $minFillMicro THEN 'hold_fill'
+       |         ELSE 'serve' END AS decision
+       |  FROM filled)
+       |SELECT job_id, tick, rev, dir_kind, n_seqs, n_docs, n_tokens,
+       |  fill_micro, decision,
+       |  CAST(concat('0x', substr(md5(concat_ws('|', tick, rev, dir_kind,
+       |    n_seqs, n_docs, n_tokens, fill_micro, decision)), 1, 15))
+       |    AS BIGINT) AS cert_sig
+       |FROM dec ORDER BY job_id, tick""".stripMargin
+  }
+
   def q67Sql(seqLen: Int = 2048): String =
     s"""WITH ${Bpe.tokenSqlCtes()},
        |d AS (SELECT doc_id, n_tokens FROM bpe_tok),

@@ -146,10 +146,18 @@ object Retrieval {
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") * lit(K1 + 1.0) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    // broadcast term filters FIRST (r14 q96 watch item): the tf ⋈ dl
+    // join shuffles on doc_id, and joining it first would shuffle the
+    // FULL corpus-sized tf relation — every (doc, term) row — when only
+    // rows carrying one of the ≤ maxQueries query docs' terms can ever
+    // contribute. The two broadcast hash joins prune tf map-side with
+    // zero shuffle, so the doc_id exchange moves the query-term slice
+    // only (at corpus scale: the difference between shuffling the whole
+    // posting relation and shuffling a query-sized sliver).
     val contrib = idx.tf
-      .join(idx.dl, "doc_id")
       .join(broadcast(qterms), "t")
       .join(broadcast(dfTab), "t")
+      .join(idx.dl, "doc_id")
       .select(col("query_id"), col("doc_id"),
         round(idf * norm * 1e6).cast("long").as("cm"))
     val w = Window.partitionBy("query_id")
