@@ -530,4 +530,43 @@ class MmIngestSpec extends AnyFunSuite {
     assert(caughtB === caughtClean,
       "the replayed retro-catch equals the clean run's")
   }
+
+  test("quiesceMm compose-point (r15 self-audit — the mm twin of quiesce): the bundle folds via compactMmIfNeeded, runs the occupancy canary structurally on the text lineage, and seals the export last") {
+    import graft.operators.{Bpe, SemanticGate}
+    val root = Files.createTempDirectory("graft_mm_quiesce").toString
+    val emb = Tables.load(spark, sf, "embeddings")
+    val st = IngestLoop.mmStores(spark, root, "mmq")
+    IngestLoop.bootstrapMm(st, docs)
+    // the q141 drift fixture on the mm loop's text lineage
+    val sized = IngestLoop.semLegSized(spark, root, "mmq",
+      emb.orderBy("vec_id").limit(100))
+    val leg = sized.copy(vectors = emb)
+    IngestLoop.bootstrapSem(leg, docs)
+    val nLive = IngestLoop.semCanaryReport(st.text, leg)
+      .head().getAs[Long]("n_live")
+    val ms = Bpe.merges(docs)
+    val ex = ArtifactStore.packedExport(spark, root, "mmq_ex")
+    ex.bootstrap(docs, ms)
+    intercept[IllegalArgumentException](ex.servedSlices())
+    val iSigRows = st.imgSigs.current().get.count()
+
+    val res = IngestLoop.quiesceMm(st, spark, root,
+      sem = Some(leg), semNextName = Some("mmq_v2"),
+      export = Some(IngestLoop.ExportLeg(ex, ms)),
+      docSources = Some(docs.select("doc_id", "source")),
+      maxDataFiles = 0L,
+      minFillMicro = 0L, mixTolMicros = 1000000L)
+    assert(res.compacted,
+      "the mm bundle's compaction step is the MM fold — it must reach " +
+        "the modality sig stores, not just the text three")
+    assert(st.imgSigs.current().get.count() === iSigRows,
+      "the mm fold preserves the served modality sig rows")
+    assert(res.semResized &&
+      res.sem.get.bits === SemanticGate.sizedBits(nLive),
+      "the mm bundle itself detects the drift on the text lineage")
+    assert(!IngestLoop.semCanaryReport(st.text, res.sem.get)
+      .head().getAs[Boolean]("resize_recommended"))
+    assert(ex.servedSlices().count() > 0,
+      "the bundle's seal covers the post-bundle state")
+  }
 }
