@@ -906,4 +906,26 @@ final class ConsumptionStore(spark: SparkSession, root: String,
       j.select("tick", "rev", "dir_kind", "cert_sig"),
       Seq("tick", "rev", "dir_kind", "cert_sig"), "left_semi")
   }
+
+  /** GC strictly-shadowed ledger state (the [[PackedExportStore.gc]]
+    * rule, applied to the last accumulating store that lacked it):
+    * manifest revisions other than the newest COMMITTED one —
+    * superseded committed revs whose post-commit delete was
+    * interrupted, and half-written uncommitted revs (a crashed
+    * record's leftovers). None is reachable by any read
+    * ([[readManifest]] resolves the newest committed revision only)
+    * and [[writeManifestRev]] numbers past ALL revs committed or not,
+    * so an interrupted gc re-runs safely. Member dirs are NEVER
+    * collected — membership history is the ledger's primary data, and
+    * job/cert rows live inside the kept manifest. Quiesce points
+    * only. Returns bytes freed. */
+  def gc(): Long = {
+    val keep = manifestRevs(sucOnly = true).lastOption
+    manifestRevs(sucOnly = false).filter(r => !keep.contains(r)).map { r =>
+      val p = new Path(s"$manifestVDir/rev=$r")
+      val bytes = f.getContentSummary(p).getLength
+      f.delete(p, true)
+      bytes
+    }.sum
+  }
 }

@@ -126,7 +126,14 @@ class ConsumptionSpec extends AnyFunSuite {
     fsys.mkdirs(staleRev)
     assert(rows(cs.audit(retracted)) === before,
       "an uncommitted manifest revision must be invisible")
-    fsys.delete(staleRev, true)
+    // ... and gc() is its shedding point (the export-store rule): the
+    // crash leftover goes, the serving manifest and every member dir
+    // stay, the audit is untouched
+    cs.gc()
+    assert(!fsys.exists(staleRev),
+      "gc must shed the crashed record's uncommitted manifest revision")
+    assert(rows(cs.audit(retracted)) === before,
+      "gc must not disturb the serving manifest or membership")
 
     // CRASH WINDOW, old order (a PRE-UPGRADE ledger): a fully-committed
     // legacy job dir the stale manifest never named — the exact r13
