@@ -271,4 +271,102 @@ class ConsumptionSpec extends AnyFunSuite {
     assert(cs.certificateFor("job2").count() === 1L,
       "the fold consumer's certificate resolves too")
   }
+
+  test("ledger lifecycle (two compactions + a takedown, five jobs): keys stay unambiguous through repeated rev-number reuse, attribution is exact at every step, history and certificates are immutable, gc frees nothing reachable") {
+    val root = Files.createTempDirectory("graft_consume_life").toString
+    val ms = Bpe.merges(docs)
+    val ex = ArtifactStore.packedExport(spark, root, "exl")
+    val cs = ArtifactStore.consumption(spark, root, "exl")
+    val srcs = docs.select("doc_id", "source")
+    // three disjoint doc populations: A (epoch 1), B (epoch 2),
+    // C (epoch 3, appended after the first compaction)
+    val dA = docs.filter(m.between(1, 9))
+    val dB = docs.filter(m === 0)
+    val dC = docs.filter(m >= 10)
+    val noTombs = docs.select("doc_id").limit(0)
+    def seal(tombs: DataFrame) = ex.seal(srcs, tombs,
+      minFillMicro = 0L, mixTolMicros = 1000000L)
+    def keysOf(job: String) = cs.jobs().filter(col("job_id") === job)
+      .select("tick", "rev", "dir_kind").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    def namedBy(probe: DataFrame) = cs.trainedOn(probe)
+      .select("job_id").distinct().collect().map(_.getString(0)).toSet
+
+    // tick era: two epochs, job1
+    ex.bootstrap(dA, ms)
+    ex.appendDocsAt(2, dB, ms)
+    seal(noTombs); cs.record("job1", ex)
+    assert(keysOf("job1") === Set((1L, 1L, "tick"), (2L, 1L, "tick")))
+    val job1Cert0 = cs.certificateFor("job1").orderBy("tick").collect()
+      .map(_.toSeq).toSeq
+
+    // first compaction: fold=2 rev=1 collides with job1's (2,1) pair
+    assert(ex.compactEpochs() === 2L)
+    seal(noTombs); cs.record("job2", ex)
+    assert(keysOf("job2") === Set((2L, 1L, "fold")))
+
+    // growth above the boundary; job3 consumes fold + fresh tick
+    ex.appendDocsAt(3, dC, ms)
+    seal(noTombs); cs.record("job3", ex)
+    assert(keysOf("job3") === Set((2L, 1L, "fold"), (3L, 1L, "tick")))
+
+    // the takedown: q117 class within A — re-packs the FOLD dir only
+    // (C's tick carries none of A), advancing it to rev=2
+    val retracted = dA.select("doc_id").filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod)) ===
+        Provenance.RetractRem)
+    assert(retracted.count() > 0)
+    assert(ex.retractDocs(retracted) === Seq(2L))
+    seal(retracted); cs.record("job4", ex)
+    assert(keysOf("job4") === Set((2L, 2L, "fold"), (3L, 1L, "tick")))
+
+    // second compaction: fold=3 rev=1 — the SAME collision shape
+    // against job3/job4's (3,1,tick), one era later
+    assert(ex.compactEpochs() === 2L)
+    seal(retracted); cs.record("job5", ex)
+    assert(keysOf("job5") === Set((3L, 1L, "fold")))
+
+    // attribution is exact at every key-reuse boundary:
+    //  - a RETRACTED A doc was consumed by job1 (tick era), job2 and
+    //    job3 (pre-takedown fold), never by job4/job5 (post-re-pack)
+    val aProbe = retracted.orderBy("doc_id").limit(1)
+    assert(namedBy(aProbe) === Set("job1", "job2", "job3"))
+    //  - a B doc flows through every era: tick 2, both fold=2 revs,
+    //    and the final fold=3
+    val bProbe = dB.select("doc_id").orderBy("doc_id").limit(1)
+    assert(namedBy(bProbe) === Set("job1", "job2", "job3", "job4", "job5"))
+    //  - a C doc exists only from epoch 3 on
+    val cProbe = dC.select("doc_id").orderBy("doc_id").limit(1)
+    assert(namedBy(cProbe) === Set("job3", "job4", "job5"))
+
+    // the audit names exactly the pre-takedown consumers of retracted
+    // docs, while every job reads certified (each recorded under a
+    // clean seal)
+    val aud = cs.audit(retracted).collect()
+      .map(r => r.getAs[String]("job_id") ->
+        (r.getAs[Long]("n_retracted_trained"), r.getAs[Boolean]("certified")))
+      .toMap
+    assert(aud.keySet === Set("job1", "job2", "job3", "job4", "job5"))
+    assert(aud.filter(_._2._1 > 0).keySet === Set("job1", "job2", "job3"),
+      "exactly the pre-takedown consumers trained on retracted docs")
+    assert(aud.values.forall(_._2), "every job was certified at record time")
+
+    // history + certificates immutable across the whole lifecycle;
+    // every job's certificate resolves from the ledger alone
+    assert(cs.certificateFor("job1").orderBy("tick").collect()
+      .map(_.toSeq).toSeq === job1Cert0,
+      "job1's certificate is byte-identical after two compactions, " +
+        "four re-seals, and a takedown")
+    Seq("job2", "job3", "job4", "job5").foreach { j =>
+      assert(cs.certificateFor(j).count() === keysOf(j).size.toLong,
+        s"$j resolves one certificate row per consumed epoch")
+    }
+
+    // gc at the end of the lifecycle frees only unreachable state
+    val before = rows(cs.audit(retracted))
+    cs.gc(); ex.gc()
+    assert(rows(cs.audit(retracted)) === before,
+      "ledger + export gc must not disturb any audit-reachable state")
+    assert(namedBy(aProbe) === Set("job1", "job2", "job3"))
+  }
 }
