@@ -847,7 +847,10 @@ final class ConsumptionStore(spark: SparkSession, root: String,
     members()
       .join(docIds.select("doc_id"), Seq("doc_id"), "left_semi")
       .join(jobs(), Seq("tick", "rev", "dir_kind"))
-      .select("job_id", "doc_id", "tick", "rev")
+      // the kind rides along so an auditor reading the trail can tell
+      // a (2, 1, tick) consumption from a (2, 1, fold) one without
+      // re-deriving store history
+      .select("job_id", "doc_id", "tick", "rev", "dir_kind")
 
   /** The q138 audit over the ledger: per job, epochs/docs/tokens
     * consumed, the retracted slice of what it trained on, and the
