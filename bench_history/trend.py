@@ -14,6 +14,7 @@ import glob
 import json
 import os
 import re
+import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
@@ -22,6 +23,20 @@ ROOT = os.path.dirname(HERE)
 # measurements; sub-second queries get extra slack (noise floor)
 RATIO_FLAG = 1.5
 MIN_SECONDS = 0.5
+
+# canonical r*_sf0.1.json files store medians rounded to 3 decimals;
+# BENCH.json stores full precision — so the cur-dedupe must compare
+# within the rounding quantum, never with dict equality (r15 verdict:
+# the == check silently failed the moment BENCH.json was refreshed
+# with the same canonical pass, and TREND's last-Δ column compared
+# the round to ITSELF)
+ROUND_TOL = 5e-4 + 1e-9
+
+
+def same_run(a, b, tol=ROUND_TOL):
+    """True when two queries dicts are the same measurement up to the
+    canonical file's 3-decimal rounding."""
+    return set(a) == set(b) and all(abs(a[q] - b[q]) <= tol for q in a)
 
 
 def load_rounds():
@@ -42,11 +57,56 @@ def load_rounds():
         with open(cur) as f:
             d = json.load(f)
         q = d.get("queries", {})
-        # BENCH.json may BE the newest committed r*_sf0.1.json; dedupe
-        if not runs or q != runs[-1]:
+        # BENCH.json may BE the newest committed r*_sf0.1.json (dedupe
+        # within the rounding quantum), and the driver's own reruns
+        # self-flag contention suspects — those carry co-tenant noise
+        # and are excluded by this file's own policy, not tabulated
+        if d.get("contention_suspect"):
+            pass
+        elif not runs or not same_run(q, runs[-1]):
             runs.append(q)
             labels.append("cur")
     return labels, runs
+
+
+def selftest():
+    """Regression test for the cur-dedupe (r15 verdict item 1):
+    rounded-vs-unrounded twins must dedupe; real differences must not;
+    suspect-flagged runs must be excluded regardless."""
+    full = {"q01": 1.660442955, "q02": 0.123456789}
+    rounded = {q: round(v, 3) for q, v in full.items()}
+    assert same_run(full, rounded), "rounded twin must dedupe"
+    assert same_run(rounded, full), "dedupe must be symmetric"
+    moved = dict(full, q01=1.662)  # > the 0.0005 rounding quantum
+    assert not same_run(moved, rounded), "a real change must NOT dedupe"
+    assert not same_run({"q01": 1.66}, rounded), "key sets must match"
+    # the load_rounds policy bits, driven through a temp tree
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        hist = os.path.join(td, "bench_history")
+        os.mkdir(hist)
+        with open(os.path.join(hist, "r1_sf0.1.json"), "w") as f:
+            json.dump({"queries": rounded}, f)
+        globals_save = (globals()["HERE"], globals()["ROOT"])
+        try:
+            globals()["HERE"], globals()["ROOT"] = hist, td
+            bench = os.path.join(td, "BENCH.json")
+            with open(bench, "w") as f:
+                json.dump({"queries": full}, f)
+            labels, _ = load_rounds()
+            assert labels == ["r1"], f"rounded twin tabulated: {labels}"
+            with open(bench, "w") as f:
+                json.dump({"queries": moved}, f)
+            labels, _ = load_rounds()
+            assert labels == ["r1", "cur"], f"real run dropped: {labels}"
+            with open(bench, "w") as f:
+                json.dump({"queries": moved,
+                           "contention_suspect": ["q01"]}, f)
+            labels, _ = load_rounds()
+            assert labels == ["r1"], f"suspect run tabulated: {labels}"
+        finally:
+            globals()["HERE"], globals()["ROOT"] = globals_save
+    print("selftest OK")
 
 
 def main():
@@ -94,4 +154,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--selftest" in sys.argv:
+        selftest()
+    else:
+        main()
