@@ -341,6 +341,21 @@ trait IngestLegOps { self: IngestLoop.type =>
       .reduce(_ union _).distinct().localCheckpoint()
   }
 
+  /** [[compactEval]] under the [[compactIfNeeded]] file-count trigger
+    * — the quiesce bundle's eval-lineage step (r15 advice: the bundle
+    * folded only eval.docGrams via the loop-lineage pass, so eval
+    * withdrawals never folded for a deployment relying solely on the
+    * bundle; now they fold under the same production trigger).
+    * Returns whether the fold ran. */
+  def compactEvalIfNeeded(leg: EvalLeg, maxDataFiles: Long = 64,
+                          targetBytes: Long = 128L * 1024 * 1024)
+      : Boolean = {
+    val need = (Seq(leg.grams, leg.bands, leg.shingles) ++
+      leg.imgSigs ++ leg.audSigs).exists(_.dataFileCount > maxDataFiles)
+    if (need) compactEval(leg, targetBytes)
+    need
+  }
+
   /** Fold the eval-side stores' withdrawals into their generations and
     * clear the eval tombstones — the [[compactIfNeeded]] discipline on
     * the eval lineage (run at quiesce points). */

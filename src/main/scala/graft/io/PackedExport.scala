@@ -642,7 +642,13 @@ final class ConsumptionStore(spark: SparkSession, root: String,
 
   /** Commit `rows` as the next manifest revision — the record's ONE
     * commit point — then clean up superseded revisions and any
-    * legacy flat manifest (both already invisible). */
+    * legacy flat manifest (both already invisible). This cleanup IS
+    * the ledger's gc call-point on the record path (r15 verdict item
+    * 3): the next-rev numbering counts uncommitted revs too, so a
+    * crashed record's half-written leftover is numbered past and then
+    * deleted here — every record self-heals the ledger; the
+    * standalone [[gc]] exists for a ledger whose LAST record crashed
+    * (no later record to ride). */
   private def writeManifestRev(rows: DataFrame): Unit = {
     val r = manifestRevs(sucOnly = false).maxOption.getOrElse(0L) + 1
     rows.coalesce(1).write.mode("overwrite")
@@ -786,10 +792,15 @@ final class ConsumptionStore(spark: SparkSession, root: String,
     * with sentinel values — `decision = 'unrecorded'` (so
     * [[audit]]'s `certified` is false for them, never silently
     * true), `cert_sig = 0`, `n_retracted_at_record = 0`; rows from
-    * before the dir-kind key read as `dir_kind = 'tick'` (every
-    * pre-kind record consumed tick dirs — a fold could not be
-    * recorded before the kind existed, its certificate row was
-    * unreachable). */
+    * before the dir-kind key read as `dir_kind = 'tick'` — a
+    * BEST-EFFORT sentinel, not a guarantee: the pre-kind record keyed
+    * certificates on (tick, rev) alone, so a post-compaction fold
+    * COULD be recorded then, and such a legacy row is
+    * indistinguishable from a tick consumption — it widens to 'tick'
+    * and joins the tick-era member dir, under-attributing
+    * [[trainedOn]] for that job. Auditors must treat pre-kind rows
+    * as potentially under-attributed (the r15 advice direction:
+    * absent/approximate, never fabricated as exact). */
   def jobs(): DataFrame = {
     val inline = readManifest()
       .map(_.filter(col("kind") === "jobrow")

@@ -959,10 +959,18 @@ object Pq {
       : (Boolean, DataFrame, DataFrame) = {
     val ch = canaryChains(embeddings, nCentroids, nprobe, m, subDim, kCb,
       iters, trainN, nQueries, kTop)
+    // guard the empty-probe edge (r15 advice): at very small corpora
+    // the hash-sampled probe split can be empty, making the sums NULL —
+    // an unguarded getLong would kill the whole quiesce bundle with an
+    // opaque NPE. No probes means no drift evidence: keep.
     val dec = ch.perq
-      .agg(sum("hf").cast("long").as("thf"), sum("hr").cast("long").as("thr"))
+      .agg(count(lit(1)).as("nq"),
+        coalesce(sum("hf"), lit(0L)).cast("long").as("thf"),
+        coalesce(sum("hr"), lit(0L)).cast("long").as("thr"))
       .head()
-    (dec.getLong(1) - dec.getLong(0) >= minGainHits, ch.cFr, ch.rcbFr)
+    val keep = dec.getLong(0) == 0L ||
+      dec.getLong(2) - dec.getLong(1) < minGainHits
+    (!keep, ch.cFr, ch.rcbFr)
   }
 
   def q122AnnRecluster(embeddings: DataFrame,

@@ -1358,7 +1358,7 @@ class DocStreamSpec extends AnyFunSuite {
       "486 stays held by the surviving eval item")
   }
 
-  test("streaming consumption recipe (r13 item 5): quiesce -> sealExport -> record makes a stream-folded export auditable; trainedOn returns the stream-served docs") {
+  test("streaming consumption recipe (r13 item 5, r15 item 4): the quiesce BUNDLE at the stream boundary -> record makes a stream-folded export auditable; trainedOn returns the stream-served docs") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.col
     val documents = Tables.load(spark, sf, "documents")
@@ -1405,14 +1405,20 @@ class DocStreamSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException] { ex.servedSlices() }
     assert(e2.getMessage.contains("no recorded certificate"))
 
-    // the recipe: quiesce (stream stopped) -> sealExport under the
-    // loop's tombstone lineage -> record the training run
+    // the recipe: the QUIESCE BUNDLE at the stream's quiesce boundary
+    // (stream stopped — r15 item 4: the bundle is THE compose point
+    // for streams too, not a batch-only convenience; it compacts,
+    // collects, and seals under the loop's tombstone lineage in one
+    // call) -> record the training run
     import spark.implicits._
     val srcs = documents.select(col("doc_id"), col("source"))
       .unionByName(Seq((920000L, "stream"), (920001L, "stream"))
         .toDF("doc_id", "source"))
-    graft.io.IngestLoop.sealExport(st, leg, srcs,
+    val qres = graft.io.IngestLoop.quiesce(st, spark, artRoot,
+      export = Some(leg), docSources = Some(srcs),
       minFillMicro = 0L, mixTolMicros = 1000000L)
+    assert(qres.cert.exists(_.filter(col("decision") === "serve")
+      .count() > 0), "the bundle's seal certifies the stream epochs")
     assert(ex.servedSlices().count() === ex.slices().count(),
       "the sealed stream export serves in full")
     cs.record("train_run_1", ex)
@@ -1426,7 +1432,7 @@ class DocStreamSpec extends AnyFunSuite {
       "every stream-served doc is attributable")
   }
 
-  test("mm streaming consumption (r14 item 1 of What's-missing): the text recipe composes UNCHANGED over the multimodal stream — quiesce -> sealExport(st.text) -> record -> trainedOn returns the mm stream-served docs; a modality-rejected arrival is never attributable") {
+  test("mm streaming consumption (r14 item 1 of What's-missing, r15 item 4): the text recipe composes UNCHANGED over the multimodal stream — the quiesceMm BUNDLE at the stream boundary -> record -> trainedOn returns the mm stream-served docs; a modality-rejected arrival is never attributable") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.col
     val documents = Tables.load(spark, sf, "documents")
@@ -1490,15 +1496,19 @@ class DocStreamSpec extends AnyFunSuite {
     }
     assert(eref.getMessage.contains("no recorded certificate"))
 
-    // quiesce (stream stopped) -> seal under the MM loop's TEXT store
-    // lineage (the sealExport scaladoc contract: the tombstone lineage
-    // is shared) -> record -> audit. Zero mm-specific machinery.
+    // the MM QUIESCE BUNDLE at the stream's quiesce boundary (stream
+    // stopped — r15 item 4): quiesceMm folds the five mm stores,
+    // collects, and seals on the shared TEXT tombstone lineage in one
+    // call -> record -> audit. Zero mm-specific machinery.
     import spark.implicits._
     val srcs = documents.select(col("doc_id"), col("source"))
       .unionByName(Seq(907200L, 907206L, 907203L)
         .map((_, "stream")).toDF("doc_id", "source"))
-    graft.io.IngestLoop.sealExport(st.text, leg, srcs,
+    val qres = graft.io.IngestLoop.quiesceMm(st, spark, artRoot,
+      export = Some(leg), docSources = Some(srcs),
       minFillMicro = 0L, mixTolMicros = 1000000L)
+    assert(qres.cert.exists(_.filter(col("decision") === "serve")
+      .count() > 0), "the mm bundle's seal certifies the stream epochs")
     assert(ex.servedSlices().count() === ex.slices().count(),
       "the sealed mm-stream export serves in full")
     cs.record("mm_train_1", ex)
