@@ -912,15 +912,26 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
     * `IngestStateStore.currentUpTo`). */
   def compactIfNeeded(st: Stores, maxDataFiles: Long = 64,
                       sem: Option[SemLeg] = None,
-                      eval: Option[EvalLeg] = None): Boolean = {
+                      eval: Option[EvalLeg] = None,
+                      quar: Option[Quarantine] = None,
+                      replay: Option[ReplayLeg] = None): Boolean = {
     // an attached semantic leg's sig store (and a decontam leg's
     // docGrams) resolves through st.tombs like the three dedup stores,
     // so it MUST fold in the same pass — clearing the tombstones after
     // folding only three stores would resurface retracted rows at the
-    // next flag read. (The eval-SIDE stores fold via compactEval —
-    // their tombstones are eval ids, a separate lineage.)
+    // next flag read. The QUARANTINE stores and a replay leg's feats
+    // are in the same lineage (r16 self-audit — the same resurface
+    // class): readjudicateTick/regateTick read them through
+    // `resolved`, so folding the dedup stores and resetting without
+    // them would resurface a taken-down doc's quarantine/feats rows —
+    // and a later re-adjudication could RE-ADMIT a doc the takedown
+    // named (its dup partner left the state in the same takedown).
+    // (The eval-SIDE stores fold via compactEval — their tombstones
+    // are eval ids, a separate lineage.)
     val all = Seq(st.hashes, st.bands, st.shingles) ++ sem.map(_.sigs) ++
-      eval.map(_.docGrams)
+      eval.map(_.docGrams) ++
+      quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds)) ++
+      replay.map(_.feats)
     val need = all.exists(_.dataFileCount > maxDataFiles)
     if (need) {
       val folded = all.map(_.compactWith(df => resolved(st, df)))
@@ -954,9 +965,12 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
     * operator wired the canary). Runs, in order:
     *
     *  1. [[compactIfNeeded]] — loop-lineage store folds + the shared
-    *     tombstone reset (an attached sem leg's sigs and an eval
-    *     leg's docGrams fold in this pass — they resolve through the
-    *     SHARED corpus tombstones);
+    *     tombstone reset (an attached sem leg's sigs, an eval leg's
+    *     docGrams, the quarantine stores, and a replay leg's feats
+    *     fold in this pass — they all resolve through the SHARED
+    *     corpus tombstones, so a deployment that re-adjudicates or
+    *     re-gates MUST attach its quarantine/replay here or a
+    *     taken-down doc's rows resurface after the reset);
     *  2. [[IngestLegOps.compactEvalIfNeeded]] when an eval leg is
     *     attached — the EVAL-side lineage (grams/bands/shingles +
     *     modality sigs, withdrawals via the eval tombstones) folds
@@ -973,8 +987,9 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
     *     costs a bounded retrain, so a deployment states the tick the
     *     rebuilt generation re-enters the agreement at);
     *  5. gc (opt-out via `gcStores = false`) — every attached store's
-    *     `gc()`: the loop stores, the sem/eval legs' stores, the ANN
-    *     index, and the export store shed crash leftovers AND
+    *     `gc()`: the loop stores, the sem/eval legs' stores, the
+    *     quarantine/replay stores, the ANN index, and the export
+    *     store shed crash leftovers AND
     *     whatever steps 1–4 just shadowed (folded generations,
     *     superseded recluster generations, stale revisions). Runs
     *     after the canaries so a bundle-triggered resize/recluster is
@@ -1002,6 +1017,8 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
               eval: Option[EvalLeg] = None,
               export: Option[ExportLeg] = None,
               docSources: Option[DataFrame] = None,
+              quar: Option[Quarantine] = None,
+              replay: Option[ReplayLeg] = None,
               maxDataFiles: Long = 64,
               minFillMicro: Long =
                 graft.operators.Packing.DefaultMinFillMicro,
@@ -1010,11 +1027,11 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
               gcStores: Boolean = true)
       : QuiesceResult =
     quiesceImpl("quiesce", st,
-      () => compactIfNeeded(st, maxDataFiles, sem, eval),
+      () => compactIfNeeded(st, maxDataFiles, sem, eval, quar, replay),
       Seq(st.hashes, st.bands, st.shingles, st.tombs),
       spark, root, sem, semNextName, ann, annBaseTick, annMinGainHits,
-      eval, export, docSources, maxDataFiles, minFillMicro,
-      mixTolMicros, gcStores)
+      eval, export, docSources, quar, replay, maxDataFiles,
+      minFillMicro, mixTolMicros, gcStores)
 
   /** [[quiesce]] for a MULTIMODAL deployment (the r15 self-audit
     * twin, now sharing ONE kernel — r15 verdict item 2: the two ~40
@@ -1036,6 +1053,8 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
                 eval: Option[EvalLeg] = None,
                 export: Option[ExportLeg] = None,
                 docSources: Option[DataFrame] = None,
+                quar: Option[Quarantine] = None,
+                replay: Option[ReplayLeg] = None,
                 maxDataFiles: Long = 64,
                 minFillMicro: Long =
                   graft.operators.Packing.DefaultMinFillMicro,
@@ -1044,11 +1063,11 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
                 gcStores: Boolean = true)
       : QuiesceResult =
     quiesceImpl("quiesceMm", st.text,
-      () => compactMmIfNeeded(st, maxDataFiles, sem, eval),
+      () => compactMmIfNeeded(st, maxDataFiles, sem, eval, quar, replay),
       st.all :+ st.text.tombs,
       spark, root, sem, semNextName, ann, annBaseTick, annMinGainHits,
-      eval, export, docSources, maxDataFiles, minFillMicro,
-      mixTolMicros, gcStores)
+      eval, export, docSources, quar, replay, maxDataFiles,
+      minFillMicro, mixTolMicros, gcStores)
 
   /** The ONE bundle kernel both compose points delegate to (the
     * [[runTickWithRetrieval]] precedent): `text` is the lineage the
@@ -1069,6 +1088,8 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
                           eval: Option[EvalLeg],
                           export: Option[ExportLeg],
                           docSources: Option[DataFrame],
+                          quar: Option[Quarantine],
+                          replay: Option[ReplayLeg],
                           maxDataFiles: Long,
                           minFillMicro: Long,
                           mixTolMicros: Long,
@@ -1102,7 +1123,9 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
       else {
         val stateStores = gcStateStores ++ sem.map(_.sigs) ++
           eval.toSeq.flatMap(l => Seq(l.grams, l.bands, l.shingles,
-            l.tombs, l.docGrams) ++ l.imgSigs ++ l.audSigs)
+            l.tombs, l.docGrams) ++ l.imgSigs ++ l.audSigs) ++
+          quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds)) ++
+          replay.map(_.feats)
         stateStores.map(_.gc()).sum +
           ann.map(_.idx.gc()).getOrElse(0L) +
           export.map(_.store.gc()).getOrElse(0L)

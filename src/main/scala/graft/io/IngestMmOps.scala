@@ -468,8 +468,15 @@ trait IngestMmOps { self: IngestLoop.type =>
     * eval leg). */
   def compactMmIfNeeded(st: MmStores, maxDataFiles: Long = 64,
                         sem: Option[SemLeg] = None,
-                        eval: Option[EvalLeg] = None): Boolean = {
-    val all = st.all ++ sem.map(_.sigs) ++ eval.map(_.docGrams)
+                        eval: Option[EvalLeg] = None,
+                        quar: Option[Quarantine] = None,
+                        replay: Option[ReplayLeg] = None): Boolean = {
+    // quarantine rows / replay feats share the text tombstone lineage
+    // (readjudicateMmTick/regateMmTick read them through `resolved`) —
+    // the compactIfNeeded resurface argument, r16 self-audit
+    val all = st.all ++ sem.map(_.sigs) ++ eval.map(_.docGrams) ++
+      quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds)) ++
+      replay.map(_.feats)
     val need = all.exists(_.dataFileCount > maxDataFiles)
     if (need) {
       val folded = all.map(_.compactWith(df => resolved(st.text, df)))

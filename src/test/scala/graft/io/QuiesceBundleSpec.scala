@@ -184,6 +184,65 @@ class QuiesceBundleSpec extends AnyFunSuite {
     assert(cs.jobs().select("job_id").distinct().count() === 2L)
   }
 
+  test("quarantine and replay stores fold with the shared tombstones (r16 self-audit — the resurface class): a taken-down doc's quarantine row cannot outlive the tombstone reset and be RE-ADMITTED by a later re-adjudication") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_q_quar").toString
+    val st = IngestLoop.stores(spark, root, "qqr")
+    IngestLoop.bootstrap(st, corpus)
+    val quar = IngestLoop.quarantine(spark, root, "qqr")
+    IngestLoop.bootstrapQuarantine(quar, corpus)
+    val rleg = IngestLoop.replayLeg(spark, root, "qqr")
+    IngestLoop.bootstrapReplay(rleg, corpus)
+    val w = QualityModel.weights(corpus, scope = "qbundle16")
+
+    // X arrives as an exact copy of ingested corpus doc Y (rejected →
+    // quarantined, re-judgeable); Z is novel (admitted, feats persisted)
+    val y = corpus.orderBy("doc_id").limit(1).collect().head
+    val (yid, ytext) = (y.getAs[Long]("doc_id"), y.getAs[String]("text"))
+    val (xid, zid) = (990001L, 990002L)
+    val batch = Seq((xid, "qsrc", ytext),
+      (zid, "qsrc", (1 to 40).map(i => s"qz$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    IngestLoop.runTick(st, batch, w, lowFrac = 0.0,
+      quar = Some(quar), replay = Some(rleg))
+    assert(quar.rows.current().get.filter(col("doc_id") === xid)
+      .head().getAs[String]("verdict") === "dup_exact")
+    assert(rleg.feats.current().get.filter(col("doc_id") === zid)
+      .count() === 1L)
+
+    // the takedown demand names the CONTENT — the ingested Y, its
+    // quarantined copy X, and the admitted Z
+    IngestLoop.retractTick(st, Seq(yid, xid, zid).toDF("doc_id"),
+      quar = Some(quar), replay = Some(rleg))
+
+    // the bundle compacts WITH the quarantine/replay attached: their
+    // rows fold out with the tombstones. Pre-fix, compactIfNeeded
+    // never folded them — the reset left X's quarantine row live with
+    // EMPTY tombs, Y's hash had left the state in the same takedown,
+    // and the next readjudicateTick re-judged X clean and RE-ADMITTED
+    // a doc the takedown named.
+    val res = IngestLoop.quiesce(st, spark, root,
+      quar = Some(quar), replay = Some(rleg), maxDataFiles = 0L)
+    assert(res.compacted && st.tombs.current().isEmpty,
+      "precondition: the fold consumed the tombstones")
+    assert(quar.rows.current().get.filter(col("doc_id") === xid)
+      .count() === 0L,
+      "the taken-down doc's quarantine row physically left the fold")
+    assert(rleg.feats.current().get.filter(col("doc_id") === zid)
+      .count() === 0L,
+      "the taken-down doc's replay feats left the fold")
+    assert(st.hashes.current().get
+      .filter(col("doc_id").isin(yid, zid)).count() === 0L)
+
+    IngestLoop.readjudicateTick(st, quar, w, lowFrac = 0.0)
+    assert(quar.resolvedIds.current().get.filter(col("doc_id") === xid)
+      .count() === 0L,
+      "re-adjudication cannot resurrect the taken-down doc")
+    assert(st.hashes.current().get.filter(col("doc_id") === xid)
+      .count() === 0L,
+      "the taken-down doc never re-enters the corpus state")
+  }
+
   test("annRecallDecision keeps (never NPEs) when the probe split is empty (r15 advice): a tiny corpus whose ids all miss the probe cap yields no probes — no drift evidence, keep") {
     // probe ids are capped at nQueries*2; shifting every vec_id past
     // the cap leaves the probe split empty while the train split
