@@ -976,7 +976,14 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
     *     modality sigs, withdrawals via the eval tombstones) folds
     *     under the same file-count trigger (r15 advice: the bundle
     *     previously never folded eval withdrawals, while its scaladoc
-    *     claimed otherwise);
+    *     claimed otherwise) — and so do the CONSUMER indexes (r16
+    *     self-audit, the completion of the same symmetry): an
+    *     attached BM25 posting index / gram census / domain mix / ANN
+    *     code store compacts under the trigger via its own
+    *     `compact()` (each carries its OWN retraction lineage — BM25
+    *     and ANN fold their private tombstones, census/mix are
+    *     subtraction-based), so a full runFullTick-shaped deployment
+    *     gets every maintained store's fold from the one bundle call;
     *  3. [[semCanaryTick]] when a sem leg is attached — the ~1 s
     *     occupancy census (q141), resizing into `semNextName`'s
     *     generation at the occupancy width when drifted;
@@ -988,8 +995,9 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
     *     rebuilt generation re-enters the agreement at);
     *  5. gc (opt-out via `gcStores = false`) — every attached store's
     *     `gc()`: the loop stores, the sem/eval legs' stores, the
-    *     quarantine/replay stores, the ANN index, and the export
-    *     store shed crash leftovers AND
+    *     quarantine/replay stores, the consumer indexes (BM25 /
+    *     census / mix), the ANN index, the model store, and the
+    *     export store shed crash leftovers AND
     *     whatever steps 1–4 just shadowed (folded generations,
     *     superseded recluster generations, stale revisions). Runs
     *     after the canaries so a bundle-triggered resize/recluster is
@@ -1019,6 +1027,11 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
               docSources: Option[DataFrame] = None,
               quar: Option[Quarantine] = None,
               replay: Option[ReplayLeg] = None,
+              idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
+              census: Option[ArtifactStore.GramCensusIncrementalIndex]
+                = None,
+              mix: Option[ArtifactStore.MixIncrementalIndex] = None,
+              model: Option[ArtifactStore.ModelStore] = None,
               maxDataFiles: Long = 64,
               minFillMicro: Long =
                 graft.operators.Packing.DefaultMinFillMicro,
@@ -1030,8 +1043,8 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
       () => compactIfNeeded(st, maxDataFiles, sem, eval, quar, replay),
       Seq(st.hashes, st.bands, st.shingles, st.tombs),
       spark, root, sem, semNextName, ann, annBaseTick, annMinGainHits,
-      eval, export, docSources, quar, replay, maxDataFiles,
-      minFillMicro, mixTolMicros, gcStores)
+      eval, export, docSources, quar, replay, idx, census, mix, model,
+      maxDataFiles, minFillMicro, mixTolMicros, gcStores)
 
   /** [[quiesce]] for a MULTIMODAL deployment (the r15 self-audit
     * twin, now sharing ONE kernel — r15 verdict item 2: the two ~40
@@ -1055,6 +1068,11 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
                 docSources: Option[DataFrame] = None,
                 quar: Option[Quarantine] = None,
                 replay: Option[ReplayLeg] = None,
+                idx: Option[ArtifactStore.Bm25IncrementalIndex] = None,
+                census: Option[ArtifactStore.GramCensusIncrementalIndex]
+                  = None,
+                mix: Option[ArtifactStore.MixIncrementalIndex] = None,
+                model: Option[ArtifactStore.ModelStore] = None,
                 maxDataFiles: Long = 64,
                 minFillMicro: Long =
                   graft.operators.Packing.DefaultMinFillMicro,
@@ -1066,8 +1084,8 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
       () => compactMmIfNeeded(st, maxDataFiles, sem, eval, quar, replay),
       st.all :+ st.text.tombs,
       spark, root, sem, semNextName, ann, annBaseTick, annMinGainHits,
-      eval, export, docSources, quar, replay, maxDataFiles,
-      minFillMicro, mixTolMicros, gcStores)
+      eval, export, docSources, quar, replay, idx, census, mix, model,
+      maxDataFiles, minFillMicro, mixTolMicros, gcStores)
 
   /** The ONE bundle kernel both compose points delegate to (the
     * [[runTickWithRetrieval]] precedent): `text` is the lineage the
@@ -1090,6 +1108,11 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
                           docSources: Option[DataFrame],
                           quar: Option[Quarantine],
                           replay: Option[ReplayLeg],
+                          idx: Option[ArtifactStore.Bm25IncrementalIndex],
+                          census: Option[
+                            ArtifactStore.GramCensusIncrementalIndex],
+                          mix: Option[ArtifactStore.MixIncrementalIndex],
+                          model: Option[ArtifactStore.ModelStore],
                           maxDataFiles: Long,
                           minFillMicro: Long,
                           mixTolMicros: Long,
@@ -1109,6 +1132,16 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
     val compacted = compactStep()
     val evalCompacted = eval.exists(l =>
       compactEvalIfNeeded(l, maxDataFiles))
+    // consumer-index folds under the same trigger (step 2 scaladoc):
+    // each index's own compact() applies its own retraction lineage
+    idx.filter(_.tfStore.dataFileCount > maxDataFiles)
+      .foreach(_.compact())
+    census.filter(_.censusStore.dataFileCount > maxDataFiles)
+      .foreach(_.compact())
+    mix.filter(_.mixStore.dataFileCount > maxDataFiles)
+      .foreach(_.compact())
+    ann.filter(_.idx.codeStore.dataFileCount > maxDataFiles)
+      .foreach(_.idx.compact())
     val semServed = sem.map(l =>
       semCanaryTick(text, l, spark, root, semNextName.get))
     val semResized = sem.zip(semServed).exists { case (a, b) => a ne b }
@@ -1125,10 +1158,13 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
           eval.toSeq.flatMap(l => Seq(l.grams, l.bands, l.shingles,
             l.tombs, l.docGrams) ++ l.imgSigs ++ l.audSigs) ++
           quar.toSeq.flatMap(q => Seq(q.rows, q.resolvedIds)) ++
-          replay.map(_.feats)
+          replay.map(_.feats) ++
+          idx.toSeq.flatMap(i => Seq(i.tfStore, i.tombStore)) ++
+          census.map(_.censusStore) ++ mix.map(_.mixStore)
         stateStores.map(_.gc()).sum +
           ann.map(_.idx.gc()).getOrElse(0L) +
-          export.map(_.store.gc()).getOrElse(0L)
+          export.map(_.store.gc()).getOrElse(0L) +
+          model.map(_.gc()).getOrElse(0L)
       }
     val cert = export.map { leg =>
       val tombs = preTombs.getOrElse(

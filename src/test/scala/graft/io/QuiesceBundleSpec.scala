@@ -243,6 +243,33 @@ class QuiesceBundleSpec extends AnyFunSuite {
       "the taken-down doc never re-enters the corpus state")
   }
 
+  test("consumer indexes fold in the bundle (r16 self-audit completion): an attached BM25 index's retracted postings physically leave the fold and its private tombstones clear — no caller-side compact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_q_idx").toString
+    val st = IngestLoop.stores(spark, root, "qix")
+    IngestLoop.bootstrap(st, corpus)
+    val idx = ArtifactStore.bm25Incremental(spark, root, "qix_bm25")
+    idx.bootstrap(corpus)
+    val victim = corpus.select("doc_id").orderBy("doc_id").limit(1)
+      .collect().head.getLong(0)
+    IngestLoop.retractTick(st, Seq(victim).toDF("doc_id"),
+      idx = Some(idx))
+    assert(idx.tombStore.current().isDefined &&
+      idx.tfStore.current().get.filter(col("doc_id") === victim)
+        .count() > 0L,
+      "precondition: postings physically present behind the tombstone")
+
+    val res = IngestLoop.quiesce(st, spark, root, idx = Some(idx),
+      maxDataFiles = 0L)
+    assert(res.compacted)
+    assert(idx.tombStore.current().isEmpty,
+      "the bundle folded the index's OWN tombstone lineage")
+    assert(idx.tfStore.current().get.filter(col("doc_id") === victim)
+      .count() === 0L,
+      "retracted postings physically left the folded generation")
+    assert(idx.index().tf.count() > 0L, "the index still serves")
+  }
+
   test("annRecallDecision keeps (never NPEs) when the probe split is empty (r15 advice): a tiny corpus whose ids all miss the probe cap yields no probes — no drift evidence, keep") {
     // probe ids are capped at nQueries*2; shifting every vec_id past
     // the cap leaves the probe split empty while the train split
