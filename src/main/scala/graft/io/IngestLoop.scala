@@ -678,7 +678,12 @@ object IngestLoop extends IngestLegOps with IngestMmOps {
     * call (the stores' tombstone lineage is shared — for a multimodal
     * loop pass `st.text`), after which the roll → seal → record
     * recipe makes streaming consumption auditable end to end
-    * (DocStreamSpec pins the flow). */
+    * (DocStreamSpec pins the flow). ORDERING caveat for manual
+    * composition (r15 advice): this reads `st.tombs` LIVE — a
+    * [[compactIfNeeded]] run in the same quiesce resets it, so seal
+    * BEFORE compacting, or use [[quiesce]], whose kernel captures
+    * the tombstone set at bundle entry and is immune to the
+    * ordering. */
   def sealExport(st: Stores, leg: ExportLeg, docSources: DataFrame,
                  minFillMicro: Long =
                    graft.operators.Packing.DefaultMinFillMicro,

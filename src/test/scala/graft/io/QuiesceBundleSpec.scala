@@ -243,6 +243,32 @@ class QuiesceBundleSpec extends AnyFunSuite {
       "the taken-down doc never re-enters the corpus state")
   }
 
+  test("compactMmIfNeeded folds an attached quarantine/replay with the shared text tombstones (the mm twin of the r16 resurface fix)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_q_mmquar").toString
+    val st = IngestLoop.mmStores(spark, root, "mmq16")
+    IngestLoop.bootstrapMm(st, corpus)
+    val quar = IngestLoop.quarantine(spark, root, "mmq16")
+    IngestLoop.bootstrapQuarantine(quar, corpus)
+    val rleg = IngestLoop.replayLeg(spark, root, "mmq16")
+    IngestLoop.bootstrapReplay(rleg, corpus)
+    val xid = 990077L
+    quar.rows.appendTickAt(2, Seq((xid, "s", "planted text", "dup_exact"))
+      .toDF("doc_id", "source", "text", "verdict"))
+    quar.resolvedIds.appendTickAt(2,
+      corpus.select("doc_id").limit(0))
+    rleg.feats.appendTickAt(2, rleg.feats.current().get.limit(0))
+    st.text.tombs.appendTick(Seq(xid).toDF("doc_id"))
+
+    val ran = IngestLoop.compactMmIfNeeded(st, 0L,
+      quar = Some(quar), replay = Some(rleg))
+    assert(ran && st.text.tombs.current().isEmpty,
+      "the mm fold consumed the shared tombstones")
+    assert(quar.rows.current().get.filter(col("doc_id") === xid)
+      .count() === 0L,
+      "the tombstoned doc's quarantine row folded out on the mm side too")
+  }
+
   test("consumer indexes fold in the bundle (r16 self-audit completion): an attached BM25 index's retracted postings physically leave the fold and its private tombstones clear — no caller-side compact") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_q_idx").toString
