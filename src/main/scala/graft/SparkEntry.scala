@@ -522,6 +522,8 @@ object SparkEntry {
       SemanticGate.q141OccupancyCanary(Tables.load(s, dir, "embeddings"))),
     "q142_cert_resolution" -> t("documents")(
       Packing.q142CertResolution(_)),
+    "q143_takedown_sever" -> t("documents")(
+      Provenance.q143TakedownQuarantineSever(_)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -667,6 +669,7 @@ object SparkEntry {
       graft.multimodal.Multimodal.q140Sql(),
     "q141_sem_occupancy_canary" -> SemanticGate.q141Sql(),
     "q142_cert_resolution" -> Packing.q142Sql(),
+    "q143_takedown_sever" -> Provenance.q143Sql(),
     "q136_decontam_tick" -> Decontam.q136Sql(),
     "q137_curated_foldback" -> CurateTick.q137Sql(),
     "q138_consumption_audit" -> Packing.q138Sql(),

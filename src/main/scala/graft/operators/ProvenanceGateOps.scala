@@ -1202,6 +1202,131 @@ trait ProvenanceGateOps { self: Provenance.type =>
        |GROUP BY jq.source ORDER BY jq.source""".stripMargin
   }
 
+  /** q143: TAKEDOWN-SEVERED re-adjudication — the live, oracle-checked
+    * twin of the r16 quarantine-fold fix. q131's takedown names only
+    * INGESTED docs; a real takedown demand names CONTENT, and a copy
+    * of that content may be sitting in quarantine. Such a quarantined
+    * copy must be SEVERED — removed from the quarantine, never
+    * re-judged — because the same takedown typically removes its dup
+    * partner from the state, so an un-severed copy would re-judge
+    * clean and RE-ADMIT the very content the takedown named (the
+    * resurface defect class; the store form folds quarantine rows
+    * with the shared tombstones — [[graft.io.IngestLoop
+    * .compactIfNeeded]]'s quar attachment, QuiesceBundleSpec pins it).
+    *
+    * Chain: tick 1 (q106) → quarantine = dup-rejected docs → the q117
+    * retraction class ([[RetractMod]]/[[RetractRem]]) leaves the
+    * state AND severs its quarantined members → the SURVIVING
+    * quarantine re-judges against the kept state under the frozen
+    * model (q131's algebra). Output per source: quarantine size, the
+    * severed count, and the survivors' re-adjudicated verdict split.
+    * A severed doc is counted ONLY as severed — by construction it
+    * can never appear under n_readmitted, which is the whole point.
+    *
+    * Scale shape: q131's (quarantine-sized re-judge, id-keyed
+    * anti-joins); the sever filter is one row-local modulus. */
+  def q143TakedownQuarantineSever(documents: DataFrame,
+                                  threshold: Double = 0.2,
+                                  lowFrac: Double = 0.25): DataFrame = {
+    val p = multiTickParts(documents, threshold, lowFrac)
+    val m = (c: org.apache.spark.sql.Column) => pmod(c, lit(BatchMod))
+    val corpus = documents.filter(m(col("doc_id")).between(1, 9))
+    val quar = p.v1.filter(col("ch").isNotNull || col("fid").isNotNull)
+      .select(col("doc_id"), col("source"))
+    val severed = quar.filter(
+      pmod(col("doc_id"), lit(RetractMod)) === RetractRem)
+    val live = quar.join(severed.select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val liveDocs = documents.join(live.select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val ing1 = corpus.select("doc_id")
+      .union(p.v1.filter(col("lq") === false).select("doc_id"))
+    val keep = ing1.filter(
+      pmod(col("doc_id"), lit(RetractMod)) =!= RetractRem)
+    val keepDocs = documents.join(keep, Seq("doc_id"), "left_semi")
+    val c1r = corpusHashState(keepDocs)
+    val fzq = p.adj
+      .join(live.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      .join(keep.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+      .select(col("b").as("fid")).distinct()
+    val vr = gatedTickFrame(liveDocs, c1r, fzq, p.w, lowFrac)
+    val quarSrc = quar.groupBy("source")
+      .agg(count(lit(1)).as("n_quarantined"))
+    val sevSrc = severed.groupBy("source")
+      .agg(count(lit(1)).as("n_severed"))
+    val vrAgg = vr.groupBy("source")
+      .agg(count(col("ch")).as("n_still_exact"),
+        count(when(col("ch").isNull, col("fid"))).as("n_still_fuzzy"),
+        count(when(col("lq") === true, lit(1))).as("n_low_quality"),
+        count(when(col("lq") === false, lit(1))).as("n_readmitted"))
+    quarSrc
+      .join(sevSrc, Seq("source"), "left")
+      .join(vrAgg, Seq("source"), "left")
+      .select(col("source"), col("n_quarantined"),
+        coalesce(col("n_severed"), lit(0L)).as("n_severed"),
+        coalesce(col("n_still_exact"), lit(0L)).as("n_still_exact"),
+        coalesce(col("n_still_fuzzy"), lit(0L)).as("n_still_fuzzy"),
+        coalesce(col("n_low_quality"), lit(0L)).as("n_low_quality"),
+        coalesce(col("n_readmitted"), lit(0L)).as("n_readmitted"))
+      .orderBy("source")
+  }
+
+  def q143Sql(threshold: Double = 0.2, lowFrac: Double = 0.25,
+              iters: Int = QualityModel.DefaultIters,
+              trainN: Int = QualityModel.DefaultTrainN): String = {
+    val bm = BatchMod
+    s"""WITH ${multiTickCoreSqlCtes(threshold, lowFrac, iters, trainN)},
+       |quar AS MATERIALIZED (SELECT doc_id, source FROM v1
+       |        WHERE ch IS NOT NULL OR fid IS NOT NULL),
+       |sev AS MATERIALIZED (SELECT doc_id, source FROM quar
+       |        WHERE doc_id % $RetractMod = $RetractRem),
+       |liv AS MATERIALIZED (SELECT doc_id, source FROM quar
+       |        WHERE doc_id % $RetractMod <> $RetractRem),
+       |ing1 AS (SELECT doc_id FROM documents WHERE doc_id % $bm BETWEEN 1 AND 9
+       |         UNION ALL SELECT doc_id FROM adm1),
+       |keep AS MATERIALIZED (SELECT doc_id FROM ing1
+       |         WHERE doc_id % $RetractMod <> $RetractRem),
+       |c1r AS MATERIALIZED (SELECT DISTINCT h.h FROM h
+       |        JOIN keep k ON k.doc_id = h.doc_id),
+       |fzq AS (SELECT DISTINCT adj.b AS fid FROM adj
+       |        JOIN keep k ON adj.a = k.doc_id
+       |        JOIN liv q ON adj.b = q.doc_id),
+       |${QualityModel.featureSqlCtes(
+         "(SELECT d.* FROM documents d JOIN liv q ON q.doc_id = d.doc_id)",
+         "qr_")},
+       |scq AS (SELECT doc_id, ${QualityModel.scoreSql("w")} AS p
+       |        FROM qr_feat, ctr_w w),
+       |jq AS MATERIALIZED (SELECT q.doc_id, q.source,
+       |        c1r.h AS ch, fzq.fid, scq.p
+       |      FROM liv q
+       |      JOIN h hh ON hh.doc_id = q.doc_id
+       |      LEFT JOIN c1r ON hh.h = c1r.h
+       |      LEFT JOIN fzq ON fzq.fid = q.doc_id
+       |      JOIN scq ON scq.doc_id = q.doc_id),
+       |lqq AS (SELECT doc_id,
+       |          cume_dist() OVER (ORDER BY p, doc_id) <= $lowFrac AS lq
+       |        FROM jq WHERE ch IS NULL AND fid IS NULL),
+       |rj AS (SELECT jq.source,
+       |        count(ch) AS n_still_exact,
+       |        count(CASE WHEN ch IS NULL THEN fid END) AS n_still_fuzzy,
+       |        count(CASE WHEN lqq.lq THEN 1 END) AS n_low_quality,
+       |        count(CASE WHEN lqq.lq = false THEN 1 END) AS n_readmitted
+       |      FROM jq LEFT JOIN lqq ON lqq.doc_id = jq.doc_id
+       |      GROUP BY jq.source)
+       |SELECT qs.source, qs.n_quarantined,
+       |  COALESCE(sv.n_severed, 0) AS n_severed,
+       |  COALESCE(rj.n_still_exact, 0) AS n_still_exact,
+       |  COALESCE(rj.n_still_fuzzy, 0) AS n_still_fuzzy,
+       |  COALESCE(rj.n_low_quality, 0) AS n_low_quality,
+       |  COALESCE(rj.n_readmitted, 0) AS n_readmitted
+       |FROM (SELECT source, count(*) AS n_quarantined FROM quar
+       |      GROUP BY source) qs
+       |LEFT JOIN (SELECT source, count(*) AS n_severed FROM sev
+       |      GROUP BY source) sv ON sv.source = qs.source
+       |LEFT JOIN rj ON rj.source = qs.source
+       |ORDER BY qs.source""".stripMargin
+  }
+
   // ---- q134: QUALITY re-adjudication on model change --------------------
 
   /** q134: quality RE-ADJUDICATION — the q131 scaladoc's promissory

@@ -276,4 +276,31 @@ class ReadjudicationSpec extends AnyFunSuite {
     assert(resub.map(_.getLong(2)).sum === n,
       "every re-admitted doc's resubmitted copy must be dup_exact")
   }
+
+  test("q143 takedown-severed re-adjudication: severed ≡ quarantined ∩ retraction class, the verdict partition is exact per source, and a severed doc can never re-admit (the r16 resurface direction's live form)") {
+    val out = Provenance.q143TakedownQuarantineSever(docs).collect()
+    // every quarantined doc lands in EXACTLY one class — severed docs
+    // leave the re-judged cohort entirely, so by construction none can
+    // surface under n_readmitted (the q131 contrast: without severing,
+    // gen-sf0.1 shows seven sources re-admitting takedown-named docs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_quarantined") ===
+        r.getAs[Long]("n_severed") + r.getAs[Long]("n_still_exact") +
+          r.getAs[Long]("n_still_fuzzy") + r.getAs[Long]("n_low_quality") +
+          r.getAs[Long]("n_readmitted"),
+        s"partition invariant broken for ${r.getAs[String]("source")}")
+    }
+    assert(out.map(_.getAs[Long]("n_severed")).sum > 0,
+      "the sf0.01 fixture must exercise the severing")
+    // severed is exactly the quarantine's q117 retraction-class slice:
+    // the takedown demand names content wherever it sits
+    val p = Provenance.multiTickParts(docs, 0.2, 0.25)
+    val quarIds = p.v1
+      .filter(col("ch").isNotNull || col("fid").isNotNull)
+      .select("doc_id")
+    val expected = quarIds.filter(
+      pmod(col("doc_id"), lit(Provenance.RetractMod))
+        === Provenance.RetractRem).count()
+    assert(out.map(_.getAs[Long]("n_severed")).sum === expected)
+  }
 }
