@@ -325,8 +325,8 @@ trait IngestLegOps { self: IngestLoop.type =>
       math.max(next, leg.tombs.maxTick)
     }
     val textCaught = evalUpdateTick(st.text, leg, addDocs, withdrawIds, u)
-    val addISigs = Multimodal.imageSigs(addDocs).localCheckpoint()
-    val addASigs = Multimodal.audioSigs(addDocs).localCheckpoint()
+    val (addISigs, addASigs) = graft.operators.Materialize.par2(
+      Multimodal.imageSigs(addDocs), Multimodal.audioSigs(addDocs))
     leg.imgSigs.foreach(_.appendTickAt(u, addISigs))
     leg.audSigs.foreach(_.appendTickAt(u, addASigs))
     def caught(store: Option[ArtifactStore.IngestStateStore],

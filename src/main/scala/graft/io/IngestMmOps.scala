@@ -90,8 +90,8 @@ trait IngestMmOps { self: IngestLoop.type =>
       .select(col("eval_id").as("fid")).distinct()
     // batch signatures derive map-side at the codec seam; severed — the
     // flag chain reads each twice and the fold-back a third time
-    val batchISigs = Multimodal.imageSigs(batchDocs).localCheckpoint()
-    val batchASigs = Multimodal.audioSigs(batchDocs).localCheckpoint()
+    val (batchISigs, batchASigs) = graft.operators.Materialize.par2(
+      Multimodal.imageSigs(batchDocs), Multimodal.audioSigs(batchDocs))
     val imFlag = Multimodal.flaggedAgainstState(
         resolved(st.text, st.imgSigs.currentUpTo(t - 1).get),
         batchISigs, maxDist, maxBand)

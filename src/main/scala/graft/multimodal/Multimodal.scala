@@ -812,9 +812,10 @@ object Multimodal {
       .select(col("eval_id").as("fid")).distinct()
     val w = QualityModel.weights(corpus, scope = s"admission$bm")
     // severed: each signature frame is RDD-backed and read by bands +
-    // both verify sides (the q110/q114 review finding)
-    val sigsI = imageSigs(docs).localCheckpoint()
-    val sigsA = audioSigs(docs).localCheckpoint()
+    // both verify sides (the q110/q114 review finding); the two
+    // modalities are independent — materialize concurrently
+    val (sigsI, sigsA) = graft.operators.Materialize.par2(
+      imageSigs(docs), audioSigs(docs))
     val imFlag = flaggedAgainstState(sigsI.filter(m =!= 0),
       sigsI.filter(m === 0), maxDist, maxBand).select(col("fid").as("ifid"))
     val auFlag = flaggedAgainstState(sigsA.filter(m =!= 0),
@@ -937,8 +938,8 @@ object Multimodal {
     val fuzzy = Fuzzy.lshCrossPairs(docs.filter(m === 0 || keep),
         (c: org.apache.spark.sql.Column) => pmod(c, lit(bm)) === 0, threshold)
       .select(col("eval_id").as("fid")).distinct()
-    val sigsI = imageSigs(docs).localCheckpoint()
-    val sigsA = audioSigs(docs).localCheckpoint()
+    val (sigsI, sigsA) = graft.operators.Materialize.par2(
+      imageSigs(docs), audioSigs(docs))
     val imFlag = flaggedAgainstState(sigsI.filter(m =!= 0 && keep),
       sigsI.filter(m === 0), maxDist, maxBand).select(col("fid").as("ifid"))
     val auFlag = flaggedAgainstState(sigsA.filter(m =!= 0 && keep),
@@ -1005,14 +1006,15 @@ object Multimodal {
     // full-state tick AND the keep-state re-judgment (the q131 shape;
     // band collisions are per-doc, so post-hoc state filtering of TEXT
     // pairs IS equivalent — unlike the gated signature chains)
-    val pr = Fuzzy.lshVerifiedPairs(docs, threshold)
-      .select("ida", "idb").localCheckpoint()
+    // pr / sigsI / sigsA are mutually independent severed relations —
+    // materialize concurrently (guide §2.6 overlap)
+    val (pr, sigsI, sigsA) = graft.operators.Materialize.par3(
+      Fuzzy.lshVerifiedPairs(docs, threshold).select("ida", "idb"),
+      imageSigs(docs), audioSigs(docs))
     val adj = pr.union(pr.select(col("idb"), col("ida"))).toDF("a", "b")
     val fzFull = adj.filter(pmod(col("b"), lit(bm)) === 0 &&
         pmod(col("a"), lit(bm)) =!= 0)
       .select(col("b").as("fid")).distinct()
-    val sigsI = imageSigs(docs).localCheckpoint()
-    val sigsA = audioSigs(docs).localCheckpoint()
     val imFull = flaggedAgainstState(sigsI.filter(m =!= 0),
       sigsI.filter(m === 0), maxDist, maxBand).select(col("fid").as("ifid"))
     val auFull = flaggedAgainstState(sigsA.filter(m =!= 0),
@@ -1247,9 +1249,13 @@ object Multimodal {
       .join(Decontam.withdrawEvalIds(docs), Seq("doc_id"), "left_anti")
       .union(addIds)
     // ONE signature relation per modality, severed — read by all three
-    // phases' flag joins (the q136 sever discipline on the sig legs)
-    val iSigs = imageSigs(docs).localCheckpoint()
-    val aSigs = audioSigs(docs).localCheckpoint()
+    // phases' flag joins (the q136 sever discipline on the sig legs);
+    // the two sig relations and the text pair relation below are
+    // mutually independent, so they materialize concurrently
+    // (Materialize.par3 — guide §2.6 overlap)
+    val (iSigs, aSigs, pr) = graft.operators.Materialize.par3(
+      imageSigs(docs), audioSigs(docs),
+      Fuzzy.lshVerifiedPairs(docs, threshold).select("ida", "idb"))
     def contamIds(memberIds: DataFrame, evalIds: DataFrame): DataFrame = {
       def hits(sigs: DataFrame) = flaggedAgainstState(
         sigs.join(evalIds, Seq("doc_id"), "left_semi"),
@@ -1258,8 +1264,6 @@ object Multimodal {
       hits(iSigs).union(hits(aSigs)).distinct()
         .select(col("fid").as("cid"))
     }
-    val pr = Fuzzy.lshVerifiedPairs(docs, threshold)
-      .select("ida", "idb").localCheckpoint()
     val adj = pr.union(pr.select(col("idb"), col("ida"))).toDF("a", "b")
     val w = QualityModel.weights(corpus,
       scope = s"decontam${Provenance.BatchMod}")

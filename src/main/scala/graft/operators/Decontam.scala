@@ -127,11 +127,12 @@ object Decontam {
       .select("doc_id").union(addIds)
     // ONE verified pair relation (dup gates + the fuzzy contamination
     // channel) and ONE gram relation, both severed — each is read by
-    // tick 1, the re-adjudication, AND the catch census
-    val pr = Fuzzy.lshVerifiedPairs(documents, threshold)
-      .select("ida", "idb").localCheckpoint()
+    // tick 1, the re-adjudication, AND the catch census. The two are
+    // independent, so they materialize concurrently (Materialize.par2).
+    val (pr, gr) = Materialize.par2(
+      Fuzzy.lshVerifiedPairs(documents, threshold).select("ida", "idb"),
+      Contamination.grams(documents, n))
     val adj = pr.union(pr.select(col("idb"), col("ida"))).toDF("a", "b")
-    val gr = Contamination.grams(documents, n).localCheckpoint()
     val w = QualityModel.weights(corpus,
       scope = s"decontam${Provenance.BatchMod}")
 

@@ -217,12 +217,12 @@ object SemanticGate {
     val t1 = documents.filter(m(col("doc_id")) >= 10)
     val t2 = documents.filter(m(col("doc_id")) === 0)
     // ONE verified relation per modality, severed (each is read by both
-    // ticks' flags — the q106 marker discipline)
-    val pr = Fuzzy.lshVerifiedPairs(documents, threshold)
-      .select("ida", "idb").localCheckpoint()
+    // ticks' flags — the q106 marker discipline); text and vector legs
+    // are independent, so they materialize concurrently (guide §2.6)
+    val (pr, sp) = Materialize.par2(
+      Fuzzy.lshVerifiedPairs(documents, threshold).select("ida", "idb"),
+      semVerifiedPairs(embeddings, nTables, bits, dim, simThreshold))
     val adj = pr.union(pr.select(col("idb"), col("ida"))).toDF("a", "b")
-    val sp = semVerifiedPairs(embeddings, nTables, bits, dim, simThreshold)
-      .localCheckpoint()
     val sadj = sp.union(sp.select(col("idb"), col("ida"))).toDF("a", "b")
     val w = QualityModel.weights(corpus,
       scope = s"multitick${Provenance.BatchMod}")
