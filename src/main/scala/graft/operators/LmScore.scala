@@ -62,12 +62,20 @@ object LmScore {
         h60(concat(col("b.w1"), lit("\u0001"), col("b.w2"))).as("bgh"),
         h60(col("b.w1")).as("w1h"),
         h60(col("b.w2")).as("w2h"))
-    val c12 = bg.groupBy(col("w1h"), col("bgh")).agg(count(lit(1)).as("c12"))
+    // max(w2h) rides the bigram-type aggregate: every (w1h, bgh) group
+    // holds one w2 (same 2^-60 md5-collision convention as the keys
+    // themselves), so V can be counted from the MODEL relation below
+    // instead of a third full pass over the corpus-sized bigram stream
+    // — training drops from three bigram-stream passes to two, and the
+    // distinct-aggregate input shrinks from corpus bigram occurrences
+    // to bigram types (guide §1.2: remove passes before tuning them)
+    val c12 = bg.groupBy(col("w1h"), col("bgh"))
+      .agg(count(lit(1)).as("c12"), max("w2h").as("w2h"))
     val c1 = c12.groupBy("w1h").agg(sum("c12").as("c1"))
     // exact_ prefix: the vocabulary size is a SEMANTIC distinct count
     // (Laplace smoothing denominator — a sketched V perturbs every
     // surprisal); valve-protected by the exact_ alias contract
-    val v = bg.agg(count_distinct(col("w2h")).as("exact_v"))
+    val v = c12.agg(count_distinct(col("w2h")).as("exact_v"))
     // Known cross-engine boundary: log2 here is Spark's
     // Math.log(x)/Math.log(2) vs DuckDB's std::log2 — they can differ in
     // the last ulp, so a surprisal landing within ~1e-9 of a .5 micro-bit

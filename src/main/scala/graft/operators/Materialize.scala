@@ -51,4 +51,14 @@ private[graft] object Materialize {
       : (DataFrame, DataFrame, DataFrame) = {
     val r = par(Seq(a, b, c)); (r(0), r(1), r(2))
   }
+
+  /** Run two independent frame CONSTRUCTIONS concurrently — for
+    * builders that execute their own barrier jobs at construction time
+    * (the Packing offsets sketch/totals, eager checkpoints inside).
+    * Same §2.6 overlap as [[par2]], one level earlier. */
+  def par2t(a: => DataFrame, b: => DataFrame): (DataFrame, DataFrame) = {
+    val fb = Future(b)(pool)
+    val ra = a
+    (ra, Await.result(fb, Duration.Inf))
+  }
 }

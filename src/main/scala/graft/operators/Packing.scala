@@ -47,7 +47,12 @@ object Packing {
     val tok =
       if (learned) Bpe.tokenCount(Bpe.merges(documents), col("text"))
       else size(split(col("text"), " "))
-    offsetsOf(documents.select(col("doc_id"), tok.cast("long").as("n_tokens")))
+    // severed: the offsets construction (totals barrier) and every
+    // execution of the window pass would otherwise each re-run the
+    // token count over the corpus text — tokenize once, reuse the
+    // O(docs) 16-byte reduction (the tickSlices discipline)
+    offsetsOf(documents.select(col("doc_id"), tok.cast("long").as("n_tokens"))
+      .localCheckpoint())
   }
 
   /** The offsets machinery over a PRE-COUNTED (doc_id, n_tokens) frame —
@@ -135,10 +140,19 @@ object Packing {
     * Output: (doc_id, seq_id, toks, h) — [[repackSlices]] reproduces it
     * bit-for-bit from the (doc_id, n_tokens, h) reduction. */
   def tickSlices(docs: DataFrame, seqLen: Int, ms: Seq[String]): DataFrame = {
+    // Tokenize ONCE: the counted reduction (doc_id, n_tokens, h — ~24
+    // bytes/doc) is severed before the offsets machinery, whose
+    // construction-time totals barrier, per-bucket window, and the h
+    // join would otherwise each re-run the BPE token count over the
+    // tick's text (measured 4–6 full tokenize passes per q125/q132
+    // execution via the lazy lineage). The store form materializes
+    // slices to parquet for exactly this reason; this is the in-memory
+    // twin of that write.
     val counted = docs.select(col("doc_id"),
       Bpe.tokenCount(ms, col("text")).cast("long").as("n_tokens"),
       Provenance.contentHash60(concat_ws("|", col("doc_id"), col("text")))
         .as("h"))
+      .localCheckpoint()
     slicesOfOffsets(
         offsetsOf(counted.select("doc_id", "n_tokens")), seqLen)
       .join(counted.select("doc_id", "h"), "doc_id")
@@ -305,17 +319,22 @@ object Packing {
     val ms = Bpe.merges(documents)
     val m = (c: org.apache.spark.sql.Column) =>
       pmod(c, lit(Provenance.BatchMod))
-    val s1 = tickSlices(
-      documents.filter(m(col("doc_id")).between(1, 9)), seqLen, ms)
+    // the two tick packs are independent — build them concurrently
+    // (each runs its own construction-time offsets barriers)
+    val (s1, s2t) = Materialize.par2t(
+      tickSlices(documents.filter(m(col("doc_id")).between(1, 9)), seqLen, ms),
+      tickSlices(documents.filter(m(col("doc_id")) === 0), seqLen, ms))
     // the takedown: re-pack tick 1 from its own per-doc reduction —
-    // exactly what the store form derives from its rows, no text
+    // exactly what the store form derives from its rows, no text;
+    // severed: repackSlices reads it from its construction barriers,
+    // the window pass, and the h join
     val docRows1 = s1.groupBy("doc_id")
       .agg(sum("toks").as("n_tokens"), max("h").as("h"))
       .filter(pmod(col("doc_id"), lit(Provenance.RetractMod))
         =!= Provenance.RetractRem)
+      .localCheckpoint()
     val s1r = repackSlices(docRows1, seqLen).withColumn("tick", lit(1))
-    val s2 = tickSlices(documents.filter(m(col("doc_id")) === 0), seqLen, ms)
-      .withColumn("tick", lit(2))
+    val s2 = s2t.withColumn("tick", lit(2))
     tickManifest(s1r.unionByName(s2), seqLen, nShards)
   }
 
@@ -738,14 +757,17 @@ object Packing {
     val ms = Bpe.merges(documents)
     val m = (c: org.apache.spark.sql.Column) =>
       pmod(c, lit(Provenance.BatchMod))
-    val s1 = tickSlices(
-      documents.filter(m(col("doc_id")).between(1, 9)), seqLen, ms)
+    // independent tick packs built concurrently; the per-doc reduction
+    // severed before repack (the q125 discipline)
+    val (s1, s2) = Materialize.par2t(
+      tickSlices(documents.filter(m(col("doc_id")).between(1, 9)), seqLen, ms),
+      tickSlices(documents.filter(m(col("doc_id")) === 0), seqLen, ms))
     val docRows1 = s1.groupBy("doc_id")
       .agg(sum("toks").as("n_tokens"), max("h").as("h"))
-    val s1r = repackSlices(docRows1
       .filter(pmod(col("doc_id"), lit(Provenance.RetractMod))
-        =!= Provenance.RetractRem), seqLen)
-    val s2 = tickSlices(documents.filter(m(col("doc_id")) === 0), seqLen, ms)
+        =!= Provenance.RetractRem)
+      .localCheckpoint()
+    val s1r = repackSlices(docRows1, seqLen)
     def ep(s: DataFrame, tick: Int, rev: Int) =
       s.select(col("doc_id"), col("seq_id"), col("toks"))
         .withColumn("tick", lit(tick)).withColumn("rev", lit(rev))
