@@ -82,14 +82,36 @@ object Fuzzy {
         col("b.y").as("y"))
   }
 
-  def lshCandidates(sh: DataFrame): DataFrame = {
-    val b = bands(TextOps.minhashSignatures(sh))
+  def lshCandidates(sh: DataFrame): DataFrame =
+    candidatesOfSig(TextOps.minhashSignatures(sh))
+
+  /** Band-collision candidates over an existing signature relation —
+    * factored out so callers that already hold (or sever) the
+    * signature aggregate don't re-derive it per band side. */
+  private def candidatesOfSig(sig: DataFrame): DataFrame = {
+    val b = bands(sig)
     b.as("p")
       .join(b.as("q"),
         col("p.band") === col("q.band") && col("p.x") === col("q.x") &&
           col("p.y") === col("q.y") && col("p.doc_id") < col("q.doc_id"))
       .select(col("p.doc_id").as("ida"), col("q.doc_id").as("idb"))
       .distinct()
+  }
+
+  /** The signature aggregate with the per-doc distinct-shingle count
+    * fused in — ONE groupBy(doc_id) pass over the shingle relation
+    * yields both the MinHash slots (band side) and the Jaccard
+    * denominator (verify side), where the unfused form ran two; the
+    * ~9-longs/doc result is severed because the band self-join, the
+    * candidate broadcast, and both size joins otherwise re-run the
+    * shingle explode + aggregate per reference (broadcast exchanges
+    * defeat shuffle-exchange reuse — read off the q27 before-plan). */
+  private def sigWithSizes(sh: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % MinhashP
+    val slots = TextOps.MinhashA.zip(TextOps.MinhashB).zipWithIndex.map {
+      case ((a, b), i) => min((lit(a) * h + lit(b)) % MinhashP).as(s"mh$i")
+    } :+ count(lit(1)).as("n")
+    sh.groupBy("doc_id").agg(slots.head, slots.tail: _*).localCheckpoint()
   }
 
   /** Sided LSH near-dup pairs ACROSS a partition of `documents` into an
@@ -107,14 +129,15 @@ object Fuzzy {
       isEval: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       threshold: Double): DataFrame = {
     val sh = shingles(documents)
-    val b = bands(TextOps.minhashSignatures(sh))
+    val sigN = sigWithSizes(sh)
+    val b = bands(sigN)
     val evalBands = b.filter(isEval(col("doc_id")))
       .select(col("doc_id").as("eval_id"), col("band"), col("x"), col("y"))
     val trainBands = b.filter(!isEval(col("doc_id")))
       .select(col("doc_id").as("train_id"), col("band"), col("x"), col("y"))
     val cand = trainBands.join(evalBands, Seq("band", "x", "y"))
       .select("train_id", "eval_id").distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = sigN.select(col("doc_id"), col("n"))
     val inter = cand
       .join(sh.as("a"), col("train_id") === col("a.doc_id"))
       .join(sh.as("b"), col("eval_id") === col("b.doc_id") && col("a.s") === col("b.s"))
@@ -158,14 +181,15 @@ object Fuzzy {
     val shB = shingles(batchDocs)
     val hB = shB.select(col("doc_id"),
       conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-    val bB = bands(TextOps.minhashSignatures(shB))
+    val sigB = sigWithSizes(shB)
+    val bB = bands(sigB)
       .select(col("doc_id").as("eval_id"), col("band"), col("x"), col("y"))
     val cand = corpusBands
       .select(col("doc_id").as("train_id"), col("band"), col("x"), col("y"))
       .join(bB, Seq("band", "x", "y"))
       .select("train_id", "eval_id").distinct()
     val sizesC = corpusShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val sizesB = hB.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizesB = sigB.select(col("doc_id"), col("n"))
     val inter = cand
       .join(corpusShingles.as("a"), col("train_id") === col("a.doc_id"))
       .join(hB.as("b"), col("eval_id") === col("b.doc_id") && col("a.h") === col("b.h"))
@@ -186,8 +210,9 @@ object Fuzzy {
     * there would be paid and discarded). */
   def lshVerifiedPairs(documents: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(documents)
-    val cand = lshCandidates(sh)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sigN = sigWithSizes(sh)
+    val cand = candidatesOfSig(sigN)
+    val sizes = sigN.select(col("doc_id"), col("n"))
     // CANDIDATE-DRIVEN verification: fan each candidate pair out to its
     // left side's shingles, then probe the right side — work scales
     // with |candidates|·|shingles per doc|, never all-pairs. (An
