@@ -345,7 +345,12 @@ object TextOps {
   def q98ClusterCanon(documents: DataFrame, threshold: Double = 0.2,
                       maxDf: Int = DefaultMaxDf): DataFrame = {
     val clusters = q56DedupClusters(documents, threshold, maxDf)
-    val qual = LangQuality.withLangQuality(documents)
+    // quality is a row-local feature — compute it only for cluster
+    // MEMBERS (near-dup members ≪ corpus at any scale), not the whole
+    // table: the semi-join prunes the regex feature pass to the rows
+    // the canon aggregate actually reads
+    val qual = LangQuality.withLangQuality(
+        documents.join(clusters.select("doc_id"), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), round(col("quality"), 6).as("q"))
     clusters.join(qual, "doc_id")
       .groupBy("cluster")
