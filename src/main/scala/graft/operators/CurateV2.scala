@@ -79,13 +79,50 @@ trait StageStore {
   def materialize(name: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame
 }
 
-/** Executor-local materialization — the default, single-job form. */
+/** Executor-local materialization — the default, single-job form.
+  *
+  * A `localCheckpoint` scans as `ExistingRDD`, which carries NO size
+  * statistics — so the planner can never auto-broadcast a checkpointed
+  * marker and the labeled frame's report tail planned as a chain of 7
+  * SortMergeJoins with an exchange+sort per side (read off
+  * plans/r16/q91_curation_v3_before.txt). The checkpoint is EAGER, so
+  * its true materialized size is known the moment it returns: when the
+  * cached bytes sit under the session's broadcast threshold the frame
+  * is returned with an explicit broadcast hint, restoring exactly the
+  * decision the planner would have made with statistics (guide §3.1 —
+  * "estimates are often badly wrong … use an explicit broadcast hint
+  * when you know a side is small"). Scale-adaptive by construction: a
+  * corpus-sized marker (a fat loser set at 100 TB) exceeds the
+  * threshold and keeps the sort-merge plan; the hint is also inert on
+  * the probe side of an outer join and in aggregates. */
 object LocalStageStore extends StageStore {
   override def materialize(name: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.localCheckpoint()
+    CurateV2.hintIfCompact(df.localCheckpoint())
 }
 
 object CurateV2 {
+
+  /** Broadcast-hint an EAGERLY-materialized (localCheckpoint-backed)
+    * frame when its true cached size is under the session's broadcast
+    * threshold — see [[LocalStageStore]]. The cached RDD is read via
+    * the analyzed LogicalRDD's `rdd` accessor (reflection: the class
+    * lives in Spark's private[sql] execution package) and its bytes
+    * from the driver's block-manager storage listing; any failure to
+    * resolve falls back to the unhinted frame. */
+  private[operators] def hintIfCompact(out: DataFrame): DataFrame = {
+    val spark = out.sparkSession
+    try {
+      val thresh = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      if (thresh <= 0) return out
+      val plan = out.queryExecution.analyzed
+      val rdd = plan.getClass.getMethod("rdd").invoke(plan)
+        .asInstanceOf[org.apache.spark.rdd.RDD[_]]
+      val size = spark.sparkContext.getRDDStorageInfo
+        .find(_.id == rdd.id).map(i => i.memSize + i.diskSize)
+      if (size.exists(s => s >= 0 && s < thresh)) broadcast(out) else out
+    } catch { case _: Throwable => out }
+  }
 
   /** Stages 1–6 as ONE labeled frame (d2…d6 drop markers + n_bpe) —
     * the shared core of q84 (7-stage report) and q91 (v3: two more

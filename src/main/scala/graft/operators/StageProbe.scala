@@ -17,7 +17,7 @@ object StageProbe {
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     override def materialize(name: String, df: DataFrame): DataFrame = {
       val t0 = System.nanoTime()
-      val out = df.localCheckpoint()
+      val out = LocalStageStore.materialize(name, df)
       times(name) = (System.nanoTime() - t0) / 1e9
       out
     }
