@@ -1279,12 +1279,12 @@ object Multimodal {
       Provenance.corpusHashState(corpus), fz1,
       Seq(("cid", contamIds(t1Ids, eval1Ids))), w, lowFrac)
     val adm1 = v1.filter(col("lq") === false).select("doc_id")
-    val ingIds = corpusIds.union(adm1).localCheckpoint()
+    val ingIds = graft.operators.Materialize.sever(corpusIds.union(adm1))
     val ingDocs = docs.join(ingIds, Seq("doc_id"), "left_semi")
 
-    val quarIds = v1.filter(col("ch").isNull && col("fid").isNull &&
-        col("cid").isNotNull)
-      .select("doc_id").localCheckpoint()
+    val quarIds = graft.operators.Materialize.sever(
+      v1.filter(col("ch").isNull && col("fid").isNull &&
+        col("cid").isNotNull).select("doc_id"))
     val quarDocs = docs.join(quarIds, Seq("doc_id"), "left_semi")
     val fz2 = adj.join(quarIds.withColumnRenamed("doc_id", "b"), Seq("b"),
         "left_semi")

@@ -102,27 +102,10 @@ object LocalStageStore extends StageStore {
 
 object CurateV2 {
 
-  /** Broadcast-hint an EAGERLY-materialized (localCheckpoint-backed)
-    * frame when its true cached size is under the session's broadcast
-    * threshold — see [[LocalStageStore]]. The cached RDD is read via
-    * the analyzed LogicalRDD's `rdd` accessor (reflection: the class
-    * lives in Spark's private[sql] execution package) and its bytes
-    * from the driver's block-manager storage listing; any failure to
-    * resolve falls back to the unhinted frame. */
-  private[operators] def hintIfCompact(out: DataFrame): DataFrame = {
-    val spark = out.sparkSession
-    try {
-      val thresh = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-      if (thresh <= 0) return out
-      val plan = out.queryExecution.analyzed
-      val rdd = plan.getClass.getMethod("rdd").invoke(plan)
-        .asInstanceOf[org.apache.spark.rdd.RDD[_]]
-      val size = spark.sparkContext.getRDDStorageInfo
-        .find(_.id == rdd.id).map(i => i.memSize + i.diskSize)
-      if (size.exists(s => s >= 0 && s < thresh)) broadcast(out) else out
-    } catch { case _: Throwable => out }
-  }
+  /** See [[Materialize.hintIfCompact]] — kept as the store's local
+    * name so the scaladoc above reads against one definition. */
+  private[operators] def hintIfCompact(out: DataFrame): DataFrame =
+    Materialize.hintIfCompact(out)
 
   /** Stages 1–6 as ONE labeled frame (d2…d6 drop markers + n_bpe) —
     * the shared core of q84 (7-stage report) and q91 (v3: two more

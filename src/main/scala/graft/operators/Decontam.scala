@@ -148,13 +148,13 @@ object Decontam {
       Provenance.corpusHashState(corpus), fz1, Seq(("cid", cid1)), w,
       lowFrac)
     val adm1 = v1.filter(col("lq") === false).select("doc_id")
-    val ingIds = corpusIds.union(adm1).localCheckpoint()
+    val ingIds = Materialize.sever(corpusIds.union(adm1))
     val ingDocs = documents.join(ingIds, Seq("doc_id"), "left_semi")
 
     // 3a: the contaminated quarantine re-judges under the full gate
-    val quarIds = v1.filter(col("ch").isNull && col("fid").isNull &&
-        col("cid").isNotNull)
-      .select("doc_id").localCheckpoint()
+    val quarIds = Materialize.sever(
+      v1.filter(col("ch").isNull && col("fid").isNull &&
+        col("cid").isNotNull).select("doc_id"))
     val quarDocs = documents.join(quarIds, Seq("doc_id"), "left_semi")
     val fz2 = adj.join(quarIds.withColumnRenamed("doc_id", "b"), Seq("b"),
         "left_semi")

@@ -111,7 +111,7 @@ object Fuzzy {
     val slots = TextOps.MinhashA.zip(TextOps.MinhashB).zipWithIndex.map {
       case ((a, b), i) => min((lit(a) * h + lit(b)) % MinhashP).as(s"mh$i")
     } :+ count(lit(1)).as("n")
-    sh.groupBy("doc_id").agg(slots.head, slots.tail: _*).localCheckpoint()
+    Materialize.sever(sh.groupBy("doc_id").agg(slots.head, slots.tail: _*))
   }
 
   /** Sided LSH near-dup pairs ACROSS a partition of `documents` into an

@@ -37,10 +37,45 @@ private[graft] object Materialize {
       t
     }))
 
-  /** `dfs.map(_.localCheckpoint())`, submitted concurrently. */
+  /** `dfs.map(_.localCheckpoint())`, submitted concurrently; each
+    * result carries the size-gated broadcast hint ([[hintIfCompact]]). */
   def par(dfs: Seq[DataFrame]): Seq[DataFrame] = {
     val fs = dfs.map(df => Future(df.localCheckpoint())(pool))
-    fs.map(Await.result(_, Duration.Inf))
+    fs.map(f => hintIfCompact(Await.result(f, Duration.Inf)))
+  }
+
+  /** `localCheckpoint` + size-gated broadcast hint — the severing the
+    * operators should default to. A checkpoint scans as ExistingRDD
+    * with NO statistics, so the planner can never auto-broadcast it
+    * and every join against a severed relation degrades to a
+    * sort-merge with an exchange per side; the checkpoint is eager, so
+    * its TRUE size is known and the hint restores the decision the
+    * planner would make with statistics (guide §3.1). Corpus-sized
+    * state exceeds the threshold and keeps its exchange. */
+  def sever(df: DataFrame): DataFrame = hintIfCompact(df.localCheckpoint())
+
+  /** Broadcast-hint an eagerly-materialized (localCheckpoint-backed)
+    * frame when its true cached size is under the session's broadcast
+    * threshold. The cached RDD is read via the analyzed LogicalRDD's
+    * `rdd` accessor (reflection: the class lives in Spark's
+    * private[sql] execution package) and its bytes from the driver's
+    * block-manager storage listing; any failure to resolve falls back
+    * to the unhinted frame. */
+  def hintIfCompact(out: DataFrame): DataFrame = {
+    val spark = out.sparkSession
+    try {
+      val thresh = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      if (thresh <= 0) return out
+      val plan = out.queryExecution.analyzed
+      val rdd = plan.getClass.getMethod("rdd").invoke(plan)
+        .asInstanceOf[org.apache.spark.rdd.RDD[_]]
+      val size = spark.sparkContext.getRDDStorageInfo
+        .find(_.id == rdd.id).map(i => i.memSize + i.diskSize)
+      if (size.exists(s => s >= 0 && s < thresh))
+        org.apache.spark.sql.functions.broadcast(out)
+      else out
+    } catch { case _: Throwable => out }
   }
 
   def par2(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {

@@ -233,7 +233,7 @@ object SemanticGate {
     val v1 = semGatedTickFrame(t1, Provenance.corpusHashState(corpus),
       fz1, sm1, w, lowFrac)
     val adm1 = v1.filter(col("lq") === false).select("doc_id")
-    val ing1 = corpus.select("doc_id").union(adm1).localCheckpoint()
+    val ing1 = Materialize.sever(corpus.select("doc_id").union(adm1))
     val keep = ing1.filter(
       pmod(col("doc_id"), lit(Provenance.RetractMod)) =!=
         Provenance.RetractRem)
